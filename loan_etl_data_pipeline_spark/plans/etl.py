@@ -1,0 +1,73 @@
+"""End-to-end ETL plan — parity with the reference's ``run_etl``.
+
+Pipeline (reference: airflow/dags/etl/pyspark_etl.py:48-64):
+CSV(.gz) in → mode-based null fill → timestamp split → Parquet out →
+insights dict (→ optional JSON report file).
+
+Differences, all scale-motivated (SURVEY.md §4.3):
+- optional explicit schema kills the inference double-scan;
+- all column modes in one job, not one per column;
+- the cleaned frame is cached once and consumed by both the Parquet
+  write and the insights aggregation — the reference re-executes the
+  whole uncached lineage for every action (4+N scans of the CSV);
+- Parquet can be written straight to ``s3a://`` (no boto3 re-upload).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+
+from loan_etl_data_pipeline_spark.operators.cleaning import (
+    TS_FORMATS,
+    fill_nulls_with_mode,
+    split_timestamp,
+)
+from loan_etl_data_pipeline_spark.operators.profile import (
+    generate_insights,
+    write_insights_json,
+)
+from loan_etl_data_pipeline_spark.sources.csv import read_csv
+
+
+def clean(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """The transformation core: mode-fill all columns, then split ``ts_col``."""
+    return split_timestamp(fill_nulls_with_mode(df), ts_col)
+
+
+def run_etl(
+    spark: SparkSession,
+    input_path: str | list[str],
+    output_path: str,
+    ts_col: str = "timestamp",
+    *,
+    schema=None,
+    insights_path: str | None = None,
+    write_mode: str = "overwrite",
+) -> dict:
+    """Run the full reference-parity pipeline; returns the insights dict.
+
+    ``input_path`` may be a file, glob, or list (the reference processed
+    only the first discovered file — reference:
+    airflow/dags/spark_etl_dag.py:60 — we take everything).
+    """
+    raw = read_csv(spark, input_path, schema=schema)
+    cleaned = clean(raw, ts_col)
+
+    # One materialization, two consumers (write + insights). MEMORY_AND_DISK
+    # so a 100 TB run degrades to disk instead of OOM; on a real cluster
+    # you'd often skip the cache and let the parquet write feed insights
+    # by re-reading the written output — both paths avoid re-scanning CSV.
+    cleaned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cleaned.write.mode(write_mode).parquet(output_path)
+        insights = generate_insights(cleaned)
+    finally:
+        cleaned.unpersist()
+
+    if insights_path:
+        write_insights_json(insights, insights_path)
+    return insights
+
+
+__all__ = ["run_etl", "clean", "TS_FORMATS"]

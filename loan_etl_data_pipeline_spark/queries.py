@@ -1,0 +1,448 @@
+"""Query catalog: every implemented operator as a (PySpark, oracle-SQL) pair.
+
+This is the engine's public query surface AND its correctness gate. Each
+entry in :data:`QUERIES` is a callable ``(spark, sf_dir) -> DataFrame``;
+:data:`ORACLE` holds the equivalent DuckDB-runnable ANSI SQL over the
+same parquet tables. The driver compares row count + schema +
+order-insensitive value hash, so every pair is written to be
+*bit-identical* across engines:
+
+- **Double sums** are defined as exact bigint sums of floored cents
+  (``sum(floor(x*100))/100``): one IEEE multiply + tie-free floor is
+  bit-identical across engines, and integer addition is associative, so
+  the result is independent of partitioning/accumulation order. (A raw
+  double sum differs in the last ulps with accumulation order, and
+  double→DECIMAL casts differ between Spark's HALF_UP and DuckDB's
+  half-even on shortest-repr half-boundaries — both verified failures.)
+- **Averages** are computed as exact-cents-sum / count in double — one
+  deterministic double division instead of engine-specific avg loops.
+- **Top-k / mode / dedup picks** always carry a total-order tie-break
+  (…, key ASC, nulls first) — the reference's bare
+  ``orderBy(desc(count)).limit(1)`` is nondeterministic under ties
+  (SURVEY.md §4.1(1b)).
+- **Event timestamps** are emitted as formatted strings: the testdata
+  ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads (via
+  nanosAsLong) truncated to microseconds while DuckDB keeps nanos —
+  raw values would hash-differently, second-precision strings agree.
+
+100 TB notes are inline per query; the general posture: aggregations are
+partial+final hash aggs (one shuffle), small dimensions are broadcast
+explicitly, filters/projections sit directly on the scan so parquet
+pushdown and column pruning apply.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+
+def _dsum_sql(expr: str) -> str:
+    """Order-independent, engine-identical sum of a double expression.
+
+    ``expr * 100`` is one IEEE multiply — bit-identical in Spark and
+    DuckDB — and ``floor`` is tie-free, so per-row cents are the exact
+    same integers in both engines; the bigint sum is then exact and
+    associative. (Casting doubles to DECIMAL is NOT portable: values
+    whose shortest decimal form lands on a half-boundary round HALF_UP
+    in Spark but half-even in DuckDB.) Semantics: sum of floored cents.
+    """
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * 100) AS BIGINT)) AS DOUBLE) / 100"
+
+
+def _davg_sql(expr: str, count_expr: str) -> str:
+    """Deterministic mean: exact floored-cents sum / count, in double."""
+    return f"{_dsum_sql(expr)} / count({count_expr})"
+
+
+def _dsum(expr: str, alias: str):
+    return F.expr(_dsum_sql(expr)).alias(alias)
+
+
+def _davg(expr: str, count_expr: str, alias: str):
+    return F.expr(_davg_sql(expr, count_expr)).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Part A — reference-parity operators (SURVEY.md §2 Part A)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G5 (reference: airflow/dags/etl/pyspark_etl.py:43-44): grouped count.
+
+    One shuffle, map-side partial agg; ~5 groups so the reduce side is
+    trivial at any scale.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/G4 (reference: airflow/dags/etl/pyspark_etl.py:38-41): global count+mean.
+
+    Single-pass global aggregate (the reference ran separate jobs for
+    count and mean on an uncached frame).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum("l_quantity", "sum_qty"),
+        _davg("l_quantity", "l_quantity", "avg_qty"),
+    )
+
+
+def q_mode_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 mode via histogram→top-1 (reference: airflow/dags/etl/pyspark_etl.py:17-19).
+
+    orderBy+limit fuses to TakeOrderedAndProject (no global sort);
+    deterministic tie-break per SURVEY.md §4.1(1b).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("mode_count"))
+        .orderBy(F.desc("mode_count"), F.asc_nulls_first("l_returnflag"))
+        .limit(1)
+        .select(F.col("l_returnflag").alias("mode_value"), "mode_count")
+    )
+
+
+def q_top3_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 top-k histogram (reference: airflow/dags/etl/pyspark_etl.py:17)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc_nulls_first("event_type"))
+        .limit(3)
+    )
+
+
+def q_split_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/P5 timestamp→date/time strings (reference: airflow/dags/etl/pyspark_etl.py:30-31).
+
+    Narrow projection — no shuffle at all; stays in one codegen stage.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_date"),
+        F.date_format("ts", "HH:mm:ss").alias("ts_time"),
+    )
+
+
+def q_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/P4 multi-format tolerant parse (reference: airflow/dags/etl/pyspark_etl.py:25-29).
+
+    Round-trips o_orderdate through the three accepted string formats
+    (picked by o_orderkey % 3) and back via first-success-wins
+    try_to_timestamp coalesce — exercising the format-priority contract.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    s = (
+        F.when(o.o_orderkey % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .when(o.o_orderkey % 3 == 1, F.date_format("o_orderdate", "MM/dd/yyyy HH:mm:ss"))
+        .otherwise(F.date_format("o_orderdate", "dd-MM-yyyy HH:mm:ss"))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("ts_str"), F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(F.col("ts_str"), F.lit("MM/dd/yyyy HH:mm:ss")),
+        F.try_to_timestamp(F.col("ts_str"), F.lit("dd-MM-yyyy HH:mm:ss")),
+    )
+    return (
+        o.select("o_orderkey", s.alias("ts_str"))
+        .select(
+            "o_orderkey",
+            "ts_str",
+            F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed_str"),
+        )
+    )
+
+
+def q_mode_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3 + G2 end-to-end mode-imputation (reference: airflow/dags/etl/pyspark_etl.py:14-21).
+
+    Synthesizes nulls from o_orderstatus deterministically, computes the
+    null-inclusive mode (scalar → driver, the one collect() this engine
+    allows), and re-injects it via when/isNull/lit exactly like the
+    reference. At 100 TB the mode scan is one partial+final agg over a
+    ~3-value histogram.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 10 < 3), F.lit(None)
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_n"),
+    )
+    top = (
+        base.groupBy("status_n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc_nulls_first("status_n"))
+        .limit(1)
+        .collect()
+    )
+    mode_val = top[0]["status_n"]
+    filled = (
+        F.when(F.col("status_n").isNull(), F.lit(mode_val)).otherwise(F.col("status_n"))
+        if mode_val is not None
+        else F.col("status_n")
+    )
+    return base.select("o_orderkey", filled.alias("status_filled"))
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 filtered projection + agg; showcases parquet predicate pushdown.
+
+    The shipdate/discount predicates and the 4-column projection reach
+    the scan (PushedFilters/ReadSchema in explain) — at 100 TB this is
+    the difference between reading 4 columns of a date range and the
+    whole table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_extendedprice * (1 - l_discount)", "revenue"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H-Q1-style pricing summary over lineitem.
+
+    Wide partial+final hash aggregation with 4 groups — the canonical
+    "scales to any size" shape: shuffle volume is O(groups), not O(rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            _dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+            _dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"),
+            _davg("l_quantity", "l_quantity", "avg_qty"),
+            _davg("l_extendedprice", "l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joins (absent in the reference — SURVEY.md §2 A.3): customer⋈nation⋈region.
+
+    nation (25 rows) and region (5 rows) are broadcast — zero shuffle of
+    the big side; at 100 TB the customer scan streams through two
+    broadcast hash joins inside one codegen stage.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum("c_acctbal", "sum_acctbal"),
+        )
+    )
+
+
+def q_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (A.7): distinct nation keys appearing in customers ∪ suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (A.5 — unused dead import in the reference,
+    reference: airflow/dags/etl/pyspark_etl.py:3): top-3 orders per customer.
+
+    Partitioned window = one shuffle on o_custkey; no global sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: users + exact event count per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_PART_A: dict[str, str] = {
+    "q_orders_by_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_lineitem_stats": """
+        SELECT count(*) AS n_rows,
+               CAST(SUM(CAST(FLOOR((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+               CAST(SUM(CAST(FLOOR((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100 / count(l_quantity) AS avg_qty
+        FROM lineitem
+    """,
+    "q_mode_returnflag": """
+        SELECT l_returnflag AS mode_value, count(*) AS mode_count
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY mode_count DESC, mode_value ASC NULLS FIRST
+        LIMIT 1
+    """,
+    "q_top3_event_types": """
+        SELECT event_type, count(*) AS n
+        FROM events GROUP BY event_type
+        ORDER BY n DESC, event_type ASC NULLS FIRST
+        LIMIT 3
+    """,
+    "q_split_timestamp": """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d') AS ts_date,
+               strftime(ts, '%H:%M:%S') AS ts_time
+        FROM events
+    """,
+    "q_multiformat_parse": """
+        WITH s AS (
+            SELECT o_orderkey,
+                   CASE o_orderkey % 3
+                     WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                     WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y %H:%M:%S')
+                     ELSE strftime(o_orderdate, '%d-%m-%Y %H:%M:%S')
+                   END AS ts_str
+            FROM orders
+        )
+        SELECT o_orderkey, ts_str,
+               strftime(
+                 coalesce(
+                   try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
+                   try_strptime(ts_str, '%m/%d/%Y %H:%M:%S'),
+                   try_strptime(ts_str, '%d-%m-%Y %H:%M:%S')
+                 ), '%Y-%m-%d %H:%M:%S') AS parsed_str
+        FROM s
+    """,
+    "q_mode_fill": """
+        WITH base AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'P' AND o_orderkey % 10 < 3
+                        THEN NULL ELSE o_orderstatus END AS status_n
+            FROM orders
+        ),
+        m AS (
+            SELECT status_n FROM base GROUP BY status_n
+            ORDER BY count(*) DESC, status_n ASC NULLS FIRST
+            LIMIT 1
+        )
+        SELECT o_orderkey,
+               coalesce(status_n, (SELECT status_n FROM m)) AS status_filled
+        FROM base
+    """,
+    "q_filter_project": """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount))) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '2000-01-01'
+          AND l_discount > 0.05
+        GROUP BY l_returnflag
+    """,
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(FLOOR((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+               CAST(SUM(CAST(FLOOR((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+               CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount))) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
+               CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_charge,
+               CAST(SUM(CAST(FLOOR((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100 / count(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(FLOOR((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 / count(l_extendedprice) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_region_rollup": """
+        SELECT r_name, count(*) AS n_customers,
+               CAST(SUM(CAST(FLOOR((c_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_union_nations": """
+        SELECT DISTINCT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+    """,
+    "q_top_orders_per_cust": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "q_count_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+}
+
+QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_orders_by_priority": q_orders_by_priority,
+    "q_lineitem_stats": q_lineitem_stats,
+    "q_mode_returnflag": q_mode_returnflag,
+    "q_top3_event_types": q_top3_event_types,
+    "q_split_timestamp": q_split_timestamp,
+    "q_multiformat_parse": q_multiformat_parse,
+    "q_mode_fill": q_mode_fill,
+    "q_filter_project": q_filter_project,
+    "q_pricing_summary": q_pricing_summary,
+    "q_region_rollup": q_region_rollup,
+    "q_union_nations": q_union_nations,
+    "q_top_orders_per_cust": q_top_orders_per_cust,
+    "q_count_distinct": q_count_distinct,
+}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(QUERIES_PART_A)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(ORACLE_PART_A)
+    return out

@@ -1,0 +1,77 @@
+"""SparkSession construction.
+
+Parity target: ``create_spark`` in the reference
+(airflow/dags/etl/pyspark_etl.py:7-12) — an app-named local session with
+the session time zone pinned to UTC. We add the knobs a real deployment
+needs (shuffle partitions, AQE, Arrow, optional S3A/MinIO wiring) while
+keeping the same one-call surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def create_session(
+    app_name: str = "loan-etl-spark",
+    master: str | None = None,
+    *,
+    tz: str = "UTC",
+    shuffle_partitions: int | None = None,
+    s3a: dict | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    Parameters
+    ----------
+    master:
+        e.g. ``local[32]`` for tests; ``None`` defers to spark-submit /
+        cluster manager config so the same code runs on a 1000-executor
+        cluster unchanged.
+    tz:
+        Session time zone; the reference pins UTC
+        (reference: airflow/dags/etl/pyspark_etl.py:10) and so do we —
+        date/time string formatting must not depend on host tz.
+    s3a:
+        Optional dict with keys ``endpoint``, ``access_key``,
+        ``secret_key``, ``path_style`` — replaces the reference's
+        boto3 re-upload of locally written parquet
+        (reference: airflow/dags/spark_etl_dag.py:79-108) with direct
+        ``s3a://`` writes from executors (no driver-side file walk, no
+        double write, parallel multipart upload per task).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+
+    builder = (
+        builder.config("spark.sql.session.timeZone", tz)
+        # AQE: runtime shuffle-partition coalescing + skew-join splitting;
+        # essential at 100 TB where static partition counts are always wrong.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any toPandas()/pandas_udf boundary we do cross.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The driver testdata stores event timestamps as parquet
+        # TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read
+        # them as raw long nanos and convert (sources/tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if s3a:
+        builder = (
+            builder.config("spark.hadoop.fs.s3a.endpoint", s3a["endpoint"])
+            .config("spark.hadoop.fs.s3a.access.key", s3a.get("access_key", ""))
+            .config("spark.hadoop.fs.s3a.secret.key", s3a.get("secret_key", ""))
+            .config(
+                "spark.hadoop.fs.s3a.path.style.access",
+                str(s3a.get("path_style", True)).lower(),
+            )
+            .config("spark.hadoop.fs.s3a.connection.ssl.enabled", "false")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

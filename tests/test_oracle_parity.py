@@ -1,0 +1,78 @@
+"""Local replica of the driver's correctness gate.
+
+For every query that declares an oracle, run the PySpark implementation
+and the DuckDB SQL side-by-side on the sf0.001 tables and compare row
+count, column names, and the order-insensitive multiset of values —
+EXACTLY (floats bit-for-bit, which is what the driver's value-hash
+needs).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+from loan_etl_data_pipeline_spark.queries import all_oracles, all_queries
+from loan_etl_data_pipeline_spark.sources.tables import TABLES
+
+
+def _norm(v):
+    if isinstance(v, float):
+        # repr is exact for doubles; normalize -0.0 and NaN
+        if math.isnan(v):
+            return "NaN"
+        return repr(v + 0.0)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return repr(v)
+
+
+def _rows_to_multiset(colnames, rows):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+ORACLES = all_oracles()
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = sdf.collect()
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_ms = _rows_to_multiset(spark_cols, [tuple(r) for r in spark_rows])
+    d_ms = _rows_to_multiset(duck_cols, duck_rows)
+    if s_ms != d_ms:
+        diffs = [(a, b) for a, b in zip(s_ms, d_ms) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_every_query_has_callable():
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
