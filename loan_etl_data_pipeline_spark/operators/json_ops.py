@@ -1,0 +1,47 @@
+"""Semi-structured (JSON) extraction (EXT E7).
+
+The reference touches JSON only driver-side (insights dump + metadata
+sidecar — reference: airflow/dags/etl/pyspark_etl.py:59-62,
+airflow/dags/drive_watch_dag.py:127-129). Here JSON is a first-class
+column: ``events.props`` is a JSON string, extracted JVM-side with
+``get_json_object`` / ``from_json`` — no Python in the loop, full
+codegen. At 100 TB prefer ``from_json`` with an explicit schema once per
+query over repeated ``get_json_object`` calls (one parse vs N parses per
+row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import StructType
+
+
+def json_field(col, path: str) -> Column:
+    """Extract one field as string: ``json_field('props', '$.k')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, path)
+
+
+def parse_json_column(df: DataFrame, col: str, schema: StructType, out: str = "parsed") -> DataFrame:
+    """Parse a JSON string column once into a typed struct column."""
+    return df.withColumn(out, F.from_json(F.col(col), schema))
+
+
+def props_stats(df: DataFrame, *, group_col: str = "event_type") -> DataFrame:
+    """Per-group stats of the integer ``$.k`` field in ``props``.
+
+    try_cast keeps the null-on-malformed contract under ANSI mode.
+    """
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    return (
+        df.select(F.col(group_col), k.alias("k"))
+        .groupBy(group_col)
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )

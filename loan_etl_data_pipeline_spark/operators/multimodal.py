@@ -1,0 +1,129 @@
+"""Multimodal (binary) columns (EXT E5 — SURVEY.md §2 Part B).
+
+Design: media is an opaque ``binary`` column plus a typed metadata
+struct, the layout ``spark.read.format("binaryFile")`` produces and the
+one that scales — blobs stay columnar-compressed in parquet, metadata
+prunes without touching bytes.
+
+The heavy per-item work (decode, resize, feature-extract, frame-sample)
+runs as Arrow-batched ``mapInPandas`` — the schema/partitioning/batch
+plumbing here is real and tested; the actual image/audio decode is
+STUBBED (``decode_stub``) because no media libraries exist in this
+container. Swap ``_decode_payload`` for PIL/librosa/etc. in a real
+deployment; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: metadata schema carried alongside every blob
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video | text
+        StructField("payload", BinaryType()),
+        StructField("byte_size", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_size", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Materialize an opaque binary column (UTF-8 bytes of ``text_col``).
+
+    Stands in for reading real media; gives the binary-column plumbing a
+    deterministic payload that any engine can reproduce.
+    """
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("text").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def extract_media_meta(df: DataFrame) -> DataFrame:
+    """byte_size + sha256 per blob via Arrow-batched mapInPandas.
+
+    This is the template for every real extractor: iterate Arrow record
+    batches, run a vectorized/bytes-level Python step, emit a typed
+    frame. Partitioning is inherited from the input — repartition by a
+    size-balanced key before calling this on skewed blob sizes.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_size": payloads.map(len).astype("int64"),
+                    "sha256": payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=META_SCHEMA)
+
+
+def _decode_payload(payload: bytes, media_type: str):  # pragma: no cover - stub
+    raise NotImplementedError(
+        "media decode requires PIL/librosa/av which are not in this "
+        "container; swap this function in a real deployment"
+    )
+
+
+def decode_stub(df: DataFrame, *, fake: bool = True) -> DataFrame:
+    """Decode step: STUB (no media libs in this container).
+
+    With ``fake=True`` emits a deterministic pseudo-decode (first 16
+    payload bytes hex + byte length as 'dimensions') so the pipeline
+    shape — mapInPandas batch in, typed struct out — is executable and
+    testable end-to-end. With ``fake=False`` raises NotImplementedError
+    through the same code path a real decoder would occupy.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("decoded_header", StringType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                pdf.apply(
+                    lambda r: _decode_payload(r["payload"], r.get("media_type", "")), axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "decoded_header": pdf["payload"].map(lambda b: bytes(b)[:16].hex()),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=out_schema)

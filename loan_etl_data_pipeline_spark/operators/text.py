@@ -1,0 +1,143 @@
+"""Text-analysis operators (EXT E4 — SURVEY.md §2 Part B).
+
+Everything here is built-in-expression composition (JVM-side, codegen) —
+no Python UDFs — so these run at scan speed on 100 TB of documents:
+token statistics, quality heuristics, n-gram-free language ID via
+stopword hits, and md5 document fingerprinting.
+
+Cross-engine notes (the DuckDB oracles mirror these expressions):
+- tokenization is ``split(trim(text), '\\s+')``;
+- all ratio math is double division of exact ints — deterministic;
+- fingerprints are md5 hex (identical output in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def _in_set(x: Column, words: tuple[str, ...]) -> Column:
+    """``x IN (words...)`` as an OR-chain — usable inside HOF lambdas,
+    where ``Column.isin`` raises NOT_ITERABLE on PySpark 4."""
+    return functools.reduce(lambda a, b: a | b, [x == F.lit(w) for w in words])
+
+#: stopword sets used by both quality scoring and language ID; kept tiny
+#: and hardcoded so the SQL oracle can inline the identical lists.
+STOPWORDS_EN = ("the", "and", "of", "to", "in", "a", "is")
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "que", "y"),
+}
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokenization, the shared contract for all text ops."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(col), r"\s+")
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document size/token statistics (narrow projection, no shuffle)."""
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    return df.select(
+        id_col,
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (nonspace.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+    )
+
+
+def text_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-heuristic ratios used for corpus filtering.
+
+    All are cheap char-class counts over the scan; at 100 TB this is the
+    classic "score then filter" first stage of a training-data pipeline.
+    """
+    lower = F.lower(F.col(text_col))
+    n_chars = F.length(lower)
+    t = tokens(lower)
+    n_tokens = F.size(t)
+    n_alpha = F.length(F.regexp_replace(lower, r"[^a-z]", ""))
+    n_digit = F.length(F.regexp_replace(lower, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(lower, r"[a-z0-9\s]", ""))
+    n_stop = F.size(F.filter(t, lambda x: _in_set(x, STOPWORDS_EN)))
+    return df.select(
+        id_col,
+        (n_alpha.cast("double") / n_chars.cast("double")).alias("alpha_ratio"),
+        (n_digit.cast("double") / n_chars.cast("double")).alias("digit_ratio"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        F.when(
+            (n_tokens >= 5) & (n_alpha.cast("double") / n_chars.cast("double") > 0.5),
+            F.lit("keep"),
+        ).otherwise(F.lit("drop")).alias("quality_flag"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic stopword-hit language ID (n-gram-heuristic family).
+
+    Scores each language by stopword hits in the token stream and picks
+    the max with a fixed priority order (en > de > fr > es) so ties are
+    deterministic; zero hits anywhere → 'unknown'. Pure expressions —
+    the oracle inlines the same CASE.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+
+    def pred(words: tuple[str, ...]):
+        # closure factory: PySpark introspects lambda arity, so a
+        # `words=words` default would be mistaken for a 2nd lambda var
+        return lambda x: _in_set(x, words)
+
+    hits = {
+        lang: F.size(F.filter(t, pred(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    pred = (
+        F.when(
+            (hits["en"] >= F.greatest(hits["de"], hits["fr"], hits["es"]))
+            & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= F.greatest(hits["fr"], hits["es"])) & (hits["de"] > 0), F.lit("de"))
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] > 0), F.lit("fr"))
+        .when(hits["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.select(
+        id_col,
+        pred.alias("lang_pred"),
+        hits["en"].cast("bigint").alias("hits_en"),
+        hits["de"].cast("bigint").alias("hits_de"),
+        hits["fr"].cast("bigint").alias("hits_fr"),
+        hits["es"].cast("bigint").alias("hits_es"),
+    )
+
+
+def normalize_text(text_col) -> Column:
+    """Canonical form for fingerprinting/dedup: lower, trim, collapse ws."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """md5 fingerprint of the normalized text + a 16-bit shard bucket.
+
+    The bucket prefix is how you'd partition a 100 TB dedup: exact-dup
+    candidates always share a bucket, so the heavy groupBy shuffles on a
+    well-distributed short key.
+    """
+    fp = F.md5(normalize_text(text_col))
+    return df.select(
+        id_col,
+        fp.alias("fp"),
+        F.substring(fp, 1, 4).alias("fp_bucket"),
+    )

@@ -1,0 +1,93 @@
+"""Event-time windowed aggregations + sessionization (EXT E6).
+
+The reference's only "streaming" is a 60 s file-poll sensor
+(reference: airflow/dags/drive_watch_dag.py:48-49); real event-time
+semantics are part of the mandated extension surface. Batch forms live
+here; the Structured Streaming forms (withWatermark + the same window
+exprs) are in streaming/.
+
+Both use only built-in expressions so they run JVM-side; sessionization
+is the classic gaps-and-islands (lag → flag → running sum → group),
+which shuffles once on (user) and is exactly expressible in ANSI SQL for
+the oracle. Spark's native ``session_window`` is used in the streaming
+variant; the batch SQL form is kept here so batch and oracle agree
+term-for-term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    *,
+    duration: str = "1 hour",
+    group_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window count + exact sum per (window, groups).
+
+    Uses ``F.window`` so the same expression lifts directly into
+    Structured Streaming with a watermark. Output window_start is a
+    second-precision string (see queries.py docstring on nanos).
+    """
+    group_cols = group_cols or []
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                f"CAST(SUM(CAST(FLOOR(({value_col}) * 100) AS BIGINT)) AS DOUBLE) / 100"
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    *,
+    gap: str = "30 minutes",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessions per user (gaps-and-islands).
+
+    New session when the gap to the previous event exceeds ``gap``.
+    One shuffle on user; the two window functions share the same
+    partitioning so Catalyst plans a single exchange + sort.
+
+    Output: (user_id, session_start, session_end as strings, n_events,
+    session_id ordinal per user).
+    """
+    w_user = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    prev_ts = F.lag(F.col(ts_col)).over(w_user)
+    flagged = df.withColumn(
+        "__new_session",
+        F.when(prev_ts.isNull(), 1)
+        .when(F.col(ts_col) - prev_ts > F.expr(f"INTERVAL {gap}"), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("__new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    return (
+        sessions.groupBy(user_col, "session_id")
+        .agg(
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

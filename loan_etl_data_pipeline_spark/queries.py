@@ -436,13 +436,401 @@ QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+
+
+# ---------------------------------------------------------------------------
+# Part B — EXT operators (SURVEY.md §2 Part B: dedup, similarity, text,
+# multimodal, windows, JSON) over documents/embeddings/events
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 token statistics over documents (operators/text.py)."""
+    from loan_etl_data_pipeline_spark.operators.text import text_stats
+
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 quality-heuristic scoring over documents (operators/text.py)."""
+    from loan_etl_data_pipeline_spark.operators.text import text_quality
+
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 stopword-hit language ID over documents (operators/text.py)."""
+    from loan_etl_data_pipeline_spark.operators.text import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 md5 document fingerprint + shard bucket (operators/text.py)."""
+    from loan_etl_data_pipeline_spark.operators.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_docs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exact content dedup by normalized-text fingerprint (operators/dedup.py)."""
+    from loan_etl_data_pipeline_spark.operators.dedup import dedup_by_fingerprint
+
+    return dedup_by_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 keep-first dedup of events per (user, event_type) with dup counts.
+
+    Canonical row chosen by (ts, event_id) — a real at-scale dedup: one
+    shuffle on the key, window top-1 + partition count share the sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_all = Window.partitionBy("user_id", "event_type")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            "n_dups",
+        )
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 exact 3-gram Jaccard similarity join over documents (operators/dedup.py)."""
+    from loan_etl_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.05
+    )
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 MinHash+LSH banding near-dup candidates (operators/dedup.py).
+
+    No SQL oracle: signatures use xxhash64, which DuckDB cannot
+    reproduce — correctness is covered by tests/test_dedup.py (candidate
+    set ⊇ high-Jaccard pairs from the exact q_ngram_jaccard baseline).
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 64-bit SimHash fingerprints (operators/dedup.py). Rows-only check
+    (xxhash64-based); determinism + Hamming properties covered in tests."""
+    from loan_etl_data_pipeline_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 exact top-5 cosine neighbors for query vectors vec_id < 10
+    (operators/similarity.py broadcast-crossjoin + window top-k)."""
+    from loan_etl_data_pipeline_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3 embedding-cosine near-dup pairs >= 0.3 (operators/similarity.py)."""
+    from loan_etl_data_pipeline_spark.operators.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 approximate top-k via random-hyperplane LSH buckets — the 100 TB
+    scale path (operators/similarity.py). Rows-only check; recall vs the
+    exact q_knn_bruteforce baseline is asserted in tests/test_similarity.py."""
+    from loan_etl_data_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, n_planes=8)
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 hourly tumbling windows per event_type (operators/windows.py)."""
+    from loan_etl_data_pipeline_spark.operators.windows import tumbling_window_agg
+
+    return tumbling_window_agg(
+        load_table(spark, sf_dir, "events"), group_cols=["event_type"]
+    )
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 30-minute-gap sessionization per user (operators/windows.py)."""
+    from loan_etl_data_pipeline_spark.operators.windows import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 JSON field extraction + per-group stats (operators/json_ops.py)."""
+    from loan_etl_data_pipeline_spark.operators.json_ops import props_stats
+
+    return props_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 binary-column metadata extraction via Arrow mapInPandas
+    (operators/multimodal.py) — the one deliberate Python-UDF-path query;
+    the oracle recomputes byte size + sha256 natively in DuckDB."""
+    from loan_etl_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_media_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_meta(attach_binary_payload(docs))
+
+
+_STOP_EN_SQL = "'the', 'and', 'of', 'to', 'in', 'a', 'is'"
+
+ORACLE_PART_B: dict[str, str] = {
+    "q_text_stats": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS avg_token_len
+        FROM documents
+    """,
+    "q_text_quality": f"""
+        WITH b AS (
+            SELECT doc_id, lower(text) AS lt,
+                   CAST(length(lower(text)) AS DOUBLE) AS n_chars,
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_tokens,
+                   CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                   CAST(length(regexp_replace(lower(text), '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+                   CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+                   CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        x -> x IN ({_STOP_EN_SQL}))) AS DOUBLE) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id,
+               n_alpha / n_chars AS alpha_ratio,
+               n_digit / n_chars AS digit_ratio,
+               n_punct / n_chars AS punct_ratio,
+               n_stop / n_tokens AS stopword_ratio,
+               CASE WHEN n_tokens >= 5 AND n_alpha / n_chars > 0.5
+                    THEN 'keep' ELSE 'drop' END AS quality_flag
+        FROM b
+    """,
+    "q_lang_id": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS hits_en,
+                   CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+                   CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS hits_fr,
+                   CAST(len(list_filter(toks, x -> x IN ('el','los','las','que','y'))) AS BIGINT) AS hits_es
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) AND hits_en > 0 THEN 'en'
+                    WHEN hits_de >= greatest(hits_fr, hits_es) AND hits_de > 0 THEN 'de'
+                    WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                    WHEN hits_es > 0 THEN 'es'
+                    ELSE 'unknown' END AS lang_pred,
+               hits_en, hits_de, hits_fr, hits_es
+        FROM h
+    """,
+    "q_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 4) AS fp_bucket
+        FROM documents
+    """,
+    "q_docs_dedup": """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_id,
+               count(*) AS dup_count
+        FROM documents
+        GROUP BY 1
+    """,
+    "q_dedup_events": """
+        SELECT user_id, event_type, first_event_id,
+               strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_ts, n_dups
+        FROM (
+            SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts ASC, event_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY user_id, event_type) AS n_dups
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "q_ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, list_distinct(
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [] END) AS gs
+            FROM toks
+        ), posts AS (
+            SELECT doc_id AS id, UNNEST(gs) AS ngram FROM grams
+        ), sizes AS (
+            SELECT id, count(*) AS sz FROM posts GROUP BY id
+        ), inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_size
+            FROM posts a JOIN posts b ON a.ngram = b.ngram AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter_size,
+               CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+               CAST(inter_size AS DOUBLE)
+                 / CAST((sa.sz + sb.sz - inter_size) AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.id
+        JOIN sizes sb ON id_b = sb.id
+        WHERE CAST(inter_size AS DOUBLE)
+                 / CAST((sa.sz + sb.sz - inter_size) AS DOUBLE) >= 0.05
+    """,
+    "q_knn_bruteforce": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        ex AS (
+            SELECT q.query_id, c.neighbor_id,
+                   CAST(UNNEST(q.qe) AS DOUBLE) AS x,
+                   CAST(UNNEST(c.ce) AS DOUBLE) AS y
+            FROM q CROSS JOIN c
+            WHERE q.query_id <> c.neighbor_id
+        ), sums AS (
+            SELECT query_id, neighbor_id,
+                   SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+                   SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS qn_s,
+                   SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS cn_s
+            FROM ex GROUP BY query_id, neighbor_id
+        ), cos AS (
+            SELECT query_id, neighbor_id,
+                   (CAST(dot_s AS DOUBLE) / 1e12)
+                     / (sqrt(CAST(qn_s AS DOUBLE) / 1e12) * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) AS cosine
+            FROM sums
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM cos
+        ) WHERE rank <= 5
+    """,
+    "q_embedding_neardup": """
+        WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        ex AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+                   CAST(UNNEST(b.embedding) AS DOUBLE) AS y
+            FROM v a CROSS JOIN v b
+            WHERE a.vec_id < b.vec_id
+        ), sums AS (
+            SELECT id_a, id_b,
+                   SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+                   SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS an_s,
+                   SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS bn_s
+            FROM ex GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b,
+               (CAST(dot_s AS DOUBLE) / 1e12)
+                 / (sqrt(CAST(an_s AS DOUBLE) / 1e12) * sqrt(CAST(bn_s AS DOUBLE) / 1e12)) AS cosine
+        FROM sums
+        WHERE (CAST(dot_s AS DOUBLE) / 1e12)
+                 / (sqrt(CAST(an_s AS DOUBLE) / 1e12) * sqrt(CAST(bn_s AS DOUBLE) / 1e12)) >= 0.3
+    """,
+    "q_event_windows": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(FLOOR((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q_sessions": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                        WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                        ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "q_json_extract": """
+        SELECT event_type,
+               count(k) AS n_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(SUM(k) AS DOUBLE) / count(k) AS avg_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM (
+            SELECT event_type,
+                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        ) GROUP BY event_type
+    """,
+    "q_multimodal_meta": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+}
+
+QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_text_stats": q_text_stats,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_docs_dedup": q_docs_dedup,
+    "q_dedup_events": q_dedup_events,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_neardup": q_minhash_neardup,
+    "q_simhash": q_simhash,
+    "q_knn_bruteforce": q_knn_bruteforce,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_lsh_topk": q_lsh_topk,
+    "q_event_windows": q_event_windows,
+    "q_sessions": q_sessions,
+    "q_json_extract": q_json_extract,
+    "q_multimodal_meta": q_multimodal_meta,
+}
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(QUERIES_PART_A)
+    out.update(QUERIES_PART_B)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(ORACLE_PART_A)
+    out.update(ORACLE_PART_B)
     return out
