@@ -66,17 +66,36 @@ def dedup_by_fingerprint(
 
 
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, ngram) postings of distinct word n-grams per document."""
-    t = tokens(F.lower(F.col(text_col)))
-    grams = F.when(
-        F.size(t) >= n,
-        F.expr(
-            f"transform(sequence(0, size(split(trim(lower({text_col})), '\\\\s+')) - {n}), "
-            f"i -> concat_ws(' ', slice(split(trim(lower({text_col})), '\\\\s+'), i + 1, {n})))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("ngram")
+    """(id, ngram) postings of distinct word n-grams per document.
+
+    posexplode + window leads, NOT a ``transform(sequence(...))`` array
+    expression: higher-order functions are CodegenFallback and the
+    interpreted lambda re-evaluates the regex ``split`` once per gram
+    index (measured: one 27 s single-thread regex task at sf0.1). This
+    form splits each document exactly once, stays in codegen end to
+    end, and its window shuffle re-spreads a few-big-files scan across
+    the cluster — the distinct() that follows needs a shuffle anyway.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    if n == 1:
+        return toks.select("id", F.col("tok").alias("ngram")).distinct()
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("tok", i).over(w).alias(f"__t{i}") for i in range(1, n)]
+    grams = toks.select("id", "tok", *lead_cols)
+    # a doc with fewer than n tokens yields no grams (trailing windows
+    # are cut by the null check on the furthest lead)
+    return (
+        grams.filter(F.col(f"__t{n - 1}").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(
+                " ", "tok", *[f"__t{i}" for i in range(1, n)]
+            ).alias("ngram"),
+        )
+        .distinct()
     )
 
 
@@ -98,12 +117,19 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, inter_size, size_a, size_b, jaccard) with
     id_a < id_b and jaccard >= threshold.
     """
-    posts = word_ngrams(df, id_col, text_col, n).persist()
+    # join on the 8-byte gram hash, not the gram string — same pairs
+    # (collisions only shave Jaccard by ~n_grams²/2⁶⁴), much smaller
+    # shuffle rows; at corpus scale the string never leaves the scan
+    posts = (
+        word_ngrams(df, id_col, text_col, n)
+        .select("id", F.xxhash64("ngram").alias("gh"))
+        .persist()
+    )
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = posts.select(F.col("id").alias("id_a"), "ngram")
-    b = posts.select(F.col("id").alias("id_b"), "ngram")
+    a = posts.select(F.col("id").alias("id_a"), "gh")
+    b = posts.select(F.col("id").alias("id_b"), "gh")
     inter = (
-        a.join(b, "ngram")
+        a.join(b, "gh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter_size"))
@@ -173,7 +199,16 @@ def minhash_signatures(
         ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_minhash_params(num_perm))
     ]
-    return hashed.groupBy("id").agg(*aggs)
+    # pack into ONE array column: downstream plans (banding, pair
+    # verify) stay 2-column instead of 64/128-column — wide plans cost
+    # seconds of codegen compile alone and bloat every shuffle row
+    return (
+        hashed.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id", F.array(*[f"mh_{i}" for i in range(num_perm)]).alias("sig")
+        )
+    )
 
 
 def minhash_near_duplicates(
@@ -200,18 +235,17 @@ def minhash_near_duplicates(
     sig = minhash_signatures(
         df, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size
     ).persist()
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band_no"), band_cols[b].alias("band_key"))
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_key"),
+                    )
                     for b in range(bands)
                 ]
             )
@@ -229,15 +263,19 @@ def minhash_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
-    sig_a = sig.select(F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_perm)])
-    sig_b = sig.select(F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_perm)])
-    matches = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_perm)
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # est jaccard = fraction of matching signature rows; the zip_with
+    # runs only on the (small) candidate set, never the corpus
+    matches = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
     )
     return (
         cands.join(sig_a, "id_a")
         .join(sig_b, "id_b")
-        .select("id_a", "id_b", (matches / F.lit(num_perm)).alias("est_jaccard"))
+        .select(
+            "id_a", "id_b", (matches / F.lit(num_perm)).alias("est_jaccard")
+        )
     )
 
 

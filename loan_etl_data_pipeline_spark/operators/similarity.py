@@ -3,48 +3,92 @@
 The embeddings table is ``(vec_id bigint, embedding array<float>, label
 int)``. Three tiers:
 
-- :func:`cosine_topk_bruteforce` — exact top-k via broadcast cross join +
-  array arithmetic + per-query window. The correctness baseline; right
-  answer whenever the *query* side is small (the common case: a batch of
-  probe vectors against a 100 TB corpus — the corpus side streams, the
-  query side broadcasts, no corpus shuffle at all).
-- :func:`cosine_neardup_pairs` — all pairs above a similarity threshold
-  (embedding-space near-dup detection).
-- :func:`lsh_topk` — the scale path: random-hyperplane signature →
-  Hamming-bucket candidate join → exact re-rank of candidates only.
+- :func:`cosine_topk_bruteforce` — exact top-k. The query side is a
+  small probe batch (the common case against a 100 TB corpus): it is
+  collected + broadcast, and the corpus streams through ONE
+  Arrow-batched numpy kernel (`mapInPandas`) that emits a per-batch
+  local top-k; a final tiny window merges local top-ks into the global
+  answer. No corpus shuffle, no per-pair rows materialized.
+- :func:`cosine_neardup_pairs` — all pairs above a threshold via
+  block-pair `applyInPandas`: each vector is replicated to B block
+  pairs, so the shuffle is B×n rows (never n²) and every block pair is
+  a vectorized (n/B)² numpy kernel. B is the parallelism/memory knob.
+- :func:`lsh_topk` — the approximate scale path: deterministic
+  random-hyperplane signatures computed INSIDE the same corpus kernel
+  (no signature join at all); per query only equal-signature candidates
+  get the exact cosine re-rank.
 
-Determinism: cosine is computed as exact integer sums of
-``floor((x*y)*1e12)`` picowei units — one IEEE multiply per element and
-a tie-free floor are bit-identical in any engine and any accumulation
-order, so rankings (and the DuckDB oracle comparison) are exact. See
-queries.py module docstring for why naive double sums / decimal casts
-are not portable.
+Why numpy kernels and not `zip_with`/`aggregate` expressions: Spark's
+higher-order array functions are CodegenFallback — evaluated
+interpreted, one object-allocating lambda walk per pair — measured
+~0.5 ms/pair, i.e. 300+ s for a 2 M-pair near-dup join at sf0.1. The
+Arrow kernel does the same math 100×+ faster and is the idiomatic
+Spark answer for dense-vector math.
+
+Determinism (the oracle contract): every dot product is the exact
+int64 sum of ``floor((x*y)*1e12)`` — one IEEE multiply and a tie-free
+floor per element are bit-identical in numpy, the JVM, and DuckDB, and
+integer addition is associative, so results do not depend on batch or
+partition boundaries. Cosine is then
+``(dot/1e12) / (sqrt(qq) * sqrt(cc))`` evaluated in that fixed order.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
-#: scaled-integer cosine fragments shared with the SQL oracles
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(FLOOR((x * y) * 1e12) AS BIGINT)), "
-    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+from loan_etl_data_pipeline_spark.session import ensure_worker_imports
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
 )
 
 
-def _cosine_expr(a: str, b: str, na: str, nb: str):
-    """cos = (dot/1e12) / (sqrt(na) * sqrt(nb)) — all doubles, fixed op order."""
-    dot = _DOT.format(a=a, b=b)
-    return F.expr(
-        f"(CAST({dot} AS DOUBLE) / 1e12) / (sqrt({na}) * sqrt({nb}))"
+def _mat(series: pd.Series) -> np.ndarray:
+    """Stack an Arrow list<float> column into an (n, d) float64 matrix."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _floored_self_dot(m: np.ndarray) -> np.ndarray:
+    """int64 sum_j floor((x_j*x_j)*1e12) per row — exact, order-free."""
+    return np.floor((m * m) * 1e12).astype(np.int64).sum(axis=1)
+
+
+def _floored_cross_dot(a: np.ndarray, b: np.ndarray, chunk: int = 256) -> np.ndarray:
+    """(na, nb) int64 matrix of sum_j floor((a_j*b_j)*1e12).
+
+    Chunked over rows of ``a`` to bound the (chunk, nb, d) temporary.
+    """
+    out = np.empty((a.shape[0], b.shape[0]), dtype=np.int64)
+    for s in range(0, a.shape[0], chunk):
+        e = min(s + chunk, a.shape[0])
+        prod = a[s:e, None, :] * b[None, :, :]
+        out[s:e] = np.floor(prod * 1e12).astype(np.int64).sum(axis=2)
+    return out
+
+
+def _cosine_matrix(dots: np.ndarray, qq: np.ndarray, cc: np.ndarray) -> np.ndarray:
+    """cos = (dot/1e12) / (sqrt(qq/1e12) * sqrt(cc/1e12)), fixed op order."""
+    return (dots.astype(np.float64) / 1e12) / (
+        np.sqrt(qq.astype(np.float64) / 1e12)[:, None]
+        * np.sqrt(cc.astype(np.float64) / 1e12)[None, :]
     )
-
-
-def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
-    """Attach ||v||² as a double computed from exact scaled-integer sums."""
-    sq = _DOT.format(a=vec_col, b=vec_col)
-    return df.withColumn(out, F.expr(f"CAST({sq} AS DOUBLE) / 1e12"))
 
 
 def cosine_topk_bruteforce(
@@ -57,34 +101,50 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Plan shape: broadcast(queries) × corpus → narrow cosine projection →
-    window top-k partitioned by query. The corpus is scanned once with
-    no shuffle; the only shuffle is the (n_queries × corpus) candidate
-    stream hashed by query id for the top-k, and Catalyst turns the
-    row_number filter into a per-partition top-k under AQE.
+    Plan: collect the (small) query batch to the driver, broadcast it,
+    stream the corpus through a numpy kernel that keeps only a local
+    top-k per query per batch, then window-merge local top-ks. Local
+    top-k → global top-k is exact because per-pair cosine is
+    deterministic and max is monotone under union.
 
     Output: (query_id, neighbor_id, cosine, rank); self-pairs excluded;
-    ties broken by neighbor_id for determinism.
+    ties broken by neighbor_id ascending.
     """
-    q = queries_df.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
-    q = _with_norm(q, "q_vec", "q_norm")
-    c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
-    c = _with_norm(c, "c_vec", "c_norm")
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine_expr("q_vec", "c_vec", "q_norm", "c_norm"))
-    )
+    ensure_worker_imports(queries_df.sparkSession)
+    q_rows = queries_df.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qq = _floored_self_dot(q_mat)
+    sc = corpus_df.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, qq))
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_, qq_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = _mat(pdf[vec_col])
+            cc = _floored_self_dot(c_mat)
+            cos = _cosine_matrix(_floored_cross_dot(q_mat_, c_mat), qq_, cc)
+            # exclude self-pairs
+            cos[q_ids_[:, None] == c_ids[None, :]] = -np.inf
+            kk = min(k, cos.shape[1])
+            # local top-k per query: sort by (-cosine, neighbor_id)
+            order = np.lexsort((c_ids[None, :].repeat(len(q_ids_), 0), -cos), axis=1)
+            top = order[:, :kk]
+            rows = {
+                "query_id": np.repeat(q_ids_, kk),
+                "neighbor_id": c_ids[top].ravel(),
+                "cosine": np.take_along_axis(cos, top, axis=1).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[np.isfinite(out["cosine"])]
+
+    local = corpus_df.select(id_col, vec_col).mapInPandas(_scan, schema=_PAIR_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -96,31 +156,83 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """All embedding pairs with cosine >= threshold (near-dup detection).
 
-    O(n²) candidate space — correct baseline for verification; at corpus
-    scale run :func:`lsh_topk`-style bucketing first and only pair within
-    buckets.
+    Block-nested-loop: vectors land in ``n_blocks`` hash blocks; every
+    unordered block pair (i <= j) becomes one `applyInPandas` group that
+    numpy-scores its (n/B)×(n/B) pair matrix. Each vector is shuffled to
+    exactly B groups, so total shuffle is B×n rows and compute is the
+    same n²/2 pair scores — but vectorized and spread over B(B+1)/2
+    parallel tasks. Raise ``n_blocks`` for bigger corpora (tune so one
+    block pair's matrix fits executor memory).
+
+    Output: (id_a, id_b, cosine) with id_a < id_b.
     """
+    ensure_worker_imports(df.sparkSession)
+    spark = df.sparkSession
     v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "ba int, bb int",
     )
-    v = _with_norm(v, "vec", "norm")
-    a = v.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a")
+    # side 0 rows feed the "a" matrix of group (ba, bb); side 1 the "b".
+    left = v.join(F.broadcast(pairs), v.blk == pairs.ba).select(
+        "ba", "bb", "id", "vec", F.lit(0).alias("side")
     )
-    b = v.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b")
+    right = v.join(F.broadcast(pairs), v.blk == pairs.bb).select(
+        "ba", "bb", "id", "vec", F.lit(1).alias("side")
     )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    tagged = left.unionByName(right)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
+
+    def _score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype=np.int64),
+                    "id_b": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        a_ids = a["id"].to_numpy(dtype=np.int64)
+        b_ids = b["id"].to_numpy(dtype=np.int64)
+        a_m, b_m = _mat(a["vec"]), _mat(b["vec"])
+        cos = _cosine_matrix(
+            _floored_cross_dot(a_m, b_m), _floored_self_dot(a_m), _floored_self_dot(b_m)
+        )
+        mask = cos >= threshold
+        if ba == bb:
+            # diagonal group: both sides are the same rows — strict id
+            # order keeps each unordered pair once and kills self-pairs
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ia, ib = np.nonzero(mask)
+        xa, xb = a_ids[ia], b_ids[ib]
+        # off-diagonal blocks are disjoint but ids are unordered across
+        # them — normalize so id_a < id_b always
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(xa, xb),
+                "id_b": np.maximum(xa, xb),
+                "cosine": cos[ia, ib],
+            }
+        )
+
+    return tagged.groupBy("ba", "bb").applyInPandas(_score, schema=out_schema)
 
 
 #: deterministic pseudo-random hyperplanes: plane p, dim d weight derived
@@ -134,6 +246,23 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
+def _plane_matrix(dim: int, n_planes: int) -> np.ndarray:
+    return np.stack([np.asarray(_hyperplane(dim, p)) for p in range(n_planes)])
+
+
+def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-LSH signature per row, as an int64 bitmask.
+
+    Bit p is set iff the exact int64 sum of floor((x_j*w_pj)*1e12) is
+    positive — associative integer math, so signatures are identical on
+    any engine/partitioning (a plain float dot would flip sign bits for
+    near-orthogonal vectors depending on summation order).
+    """
+    dots = _floored_cross_dot(m, planes)  # (n, n_planes) int64
+    bits = (dots > 0).astype(np.int64)
+    return (bits << np.arange(planes.shape[0], dtype=np.int64)[None, :]).sum(axis=1)
+
+
 def lsh_signatures(
     df: DataFrame,
     *,
@@ -143,20 +272,24 @@ def lsh_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH signature as one integer per vector."""
-    v = F.col(vec_col).cast("array<double>")
-    bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in _hyperplane(dim, p)])
-        dot = F.expr(
-            f"aggregate(zip_with(cast({vec_col} as array<double>), "
-            f"array({', '.join(repr(w) + 'D' for w in _hyperplane(dim, p))}), "
-            "(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0)))
-        _ = plane, v
-    return df.select(
-        F.col(id_col).alias("id"), sum(bits).alias("sig")
-    )
+    ensure_worker_imports(df.sparkSession)
+    planes = _plane_matrix(dim, n_planes)
+    sc = df.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+    schema = StructType([StructField("id", LongType()), StructField("sig", LongType())])
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "sig": _signatures(_mat(pdf[vec_col]), bp.value),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_scan, schema=schema)
 
 
 def lsh_topk(
@@ -169,42 +302,61 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: equal-signature bucket join, exact re-rank inside.
+    """Approximate top-k: candidates = equal LSH signature, exact re-rank.
 
-    The scale path: corpus signatures are computed once (narrow, no
-    shuffle), the join key is a 16-bit bucket → candidate set is ~n/2¹⁶
-    of the corpus per query, then the exact cosine re-rank runs only on
-    candidates. Recall is tunable via n_planes (fewer planes → bigger
-    buckets → higher recall, more compute).
+    Signatures for BOTH sides are computed inside one corpus kernel (the
+    query batch and plane matrix are broadcast), so there is no
+    signature table and no join — the corpus is read once, each batch
+    scores only its signature-matching candidates per query, and a tiny
+    window merges local winners. Recall is tunable via ``n_planes``
+    (fewer planes → bigger buckets → higher recall, more compute).
     """
-    qs = lsh_signatures(queries_df, dim=dim, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
-    cs = lsh_signatures(corpus_df, dim=dim, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
-    q = (
-        queries_df.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-        )
-        .join(qs.withColumnRenamed("id", "query_id"), "query_id")
-        .withColumnRenamed("sig", "q_sig")
-    )
-    q = _with_norm(q, "q_vec", "q_norm")
-    c = (
-        corpus_df.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("c_vec"),
-        )
-        .join(cs.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
-        .withColumnRenamed("sig", "c_sig")
-    )
-    c = _with_norm(c, "c_vec", "c_norm")
-    pairs = (
-        F.broadcast(q)
-        .join(c, F.col("q_sig") == F.col("c_sig"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine_expr("q_vec", "c_vec", "q_norm", "c_norm"))
-    )
+    ensure_worker_imports(corpus_df.sparkSession)
+    planes = _plane_matrix(dim, n_planes)
+    q_rows = queries_df.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_sig = _signatures(q_mat, planes)
+    qq = _floored_self_dot(q_mat)
+    sc = corpus_df.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_sig, qq, planes))
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_, q_sig_, qq_, planes_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = _mat(pdf[vec_col])
+            c_sig = _signatures(c_mat, planes_)
+            cc = _floored_self_dot(c_mat)
+            frames = []
+            for qi in range(len(q_ids_)):
+                cand = np.nonzero((c_sig == q_sig_[qi]) & (c_ids != q_ids_[qi]))[0]
+                if len(cand) == 0:
+                    continue
+                cos = _cosine_matrix(
+                    _floored_cross_dot(q_mat_[qi : qi + 1], c_mat[cand]),
+                    qq_[qi : qi + 1],
+                    cc[cand],
+                )[0]
+                order = np.lexsort((c_ids[cand], -cos))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids_[qi],
+                            "neighbor_id": c_ids[cand][order],
+                            "cosine": cos[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    local = corpus_df.select(id_col, vec_col).mapInPandas(_scan, schema=_PAIR_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -9,7 +9,46 @@ keeping the same one-call surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Arrow-kernel operators (mapInPandas/applyInPandas) cloudpickle
+    closures that reference module-level helpers BY MODULE NAME; workers
+    then need the package on their own sys.path, which they do not
+    inherit from the driver process. Zip the package once per session
+    and ship it with ``addPyFile`` — works in local and cluster mode,
+    regardless of the driver's working directory.
+    """
+    flag = "spark.app.loanEtl.pyfilesShipped"
+    try:
+        if spark.conf.get(flag) == "yes":
+            return
+    except Exception:
+        pass
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, tmp = tempfile.mkstemp(suffix=".zip")
+    os.close(fd)
+    zpath = os.path.join(
+        tempfile.gettempdir(), "loan_etl_data_pipeline_spark_pyfiles.zip"
+    )
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark.conf.set(flag, "yes")
 
 
 def create_session(
@@ -45,6 +84,19 @@ def create_session(
     if master:
         builder = builder.master(master)
 
+    # The JVM sizes its JIT pool from cgroup-visible CPUs and can come
+    # up with a SINGLE C2 thread; whole-stage-codegen classes then queue
+    # for tens of seconds and run interpreted meanwhile (measured 20-30×
+    # slowdowns on wide aggregate plans). Give the JIT a real pool.
+    builder = builder.config(
+        "spark.driver.extraJavaOptions", "-XX:CICompilerCount=12"
+    )
+    # Shuffle/spill files on tmpfs when available: local mode on a
+    # virtual disk sees multi-second uninterruptible-IO stalls; a real
+    # cluster overrides local dirs via its manager config anyway.
+    if master and master.startswith("local") and os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+
     builder = (
         builder.config("spark.sql.session.timeZone", tz)
         # AQE: runtime shuffle-partition coalescing + skew-join splitting;
@@ -54,6 +106,12 @@ def create_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for any toPandas()/pandas_udf boundary we do cross.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # JVM (not ICU) case mapping for UTF8_BINARY lower()/upper():
+        # identical for ASCII and spares a ~1M-codepoint ICU table build
+        # in a static initializer that runs interpreted (45-60 s!) when
+        # the C2 compile queue is deep — measured poisoning every text
+        # query that first touches lower() after a codegen-heavy query.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         # The driver testdata stores event timestamps as parquet
         # TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read
         # them as raw long nanos and convert (sources/tables.py).
