@@ -57,6 +57,9 @@ def main() -> None:
         n = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # operators that persist() intermediates (minhash/ngram dedup)
+        # would otherwise hold executor memory across unrelated queries
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

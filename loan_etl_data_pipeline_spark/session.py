@@ -112,6 +112,15 @@ def create_session(
         # the C2 compile queue is deep — measured poisoning every text
         # query that first touches lower() after a codegen-heavy query.
         .config("spark.sql.icu.caseMappings.enabled", "false")
+        # Align Spark's codegen fallback with HotSpot's compile refusal:
+        # the JVM never JIT-compiles methods > 8000 bytecodes
+        # (DontCompileHugeMethods), but Spark only abandons whole-stage
+        # codegen at 65535 — generated methods in between run INTERPRETED
+        # forever. Measured: a 6-query wide-agg/join sequence went from
+        # 200 s+ (base) to 26 s with this; compiling the monsters instead
+        # (-XX:-DontCompileHugeMethods) was 59 s. The non-codegen Volcano
+        # path with compiled small methods wins decisively.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # The driver testdata stores event timestamps as parquet
         # TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read
         # them as raw long nanos and convert (sources/tables.py).

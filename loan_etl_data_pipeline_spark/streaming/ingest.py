@@ -1,0 +1,149 @@
+"""Streaming ingestion — the reference's file-watch loop, Spark-native.
+
+The reference implements streaming in the control plane: an Airflow
+sensor pokes a Drive folder every 60 s, keeps a seen-file-id list in an
+Airflow Variable, and processes each new file exactly once
+(reference: airflow/dags/google_drive_sensor.py:25-48 poke+seen-set,
+airflow/dags/drive_watch_dag.py:45-50 poke_interval/timeout,
+airflow/dags/spark_etl_dag.py:23 max_active_runs=1). Structured
+Streaming's file source gives all three semantics natively:
+
+- ST1 source polling   → ``readStream`` file source + processing-time
+  trigger (or ``availableNow`` for drain-and-stop batch catch-up);
+- ST2 exactly-once/file → the source's checkpointed processed-file log
+  replaces the Airflow Variable seen-set;
+- ST3 one run at a time → a StreamingQuery serializes its own triggers.
+
+At 100 TB the file source is the right shape: listing is incremental
+(``latestFirst``/``maxFilesPerTrigger`` bound each micro-batch), state
+lives in the checkpoint (HDFS/S3), and each micro-batch is a normal
+batch DataFrame so the whole batch operator library applies via
+``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from loan_etl_data_pipeline_spark.plans.etl import clean
+
+
+def stream_etl(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: StructType,
+    ts_col: str = "timestamp",
+    trigger_seconds: float | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+) -> StreamingQuery:
+    """Continuous reference-parity ETL over a landing directory.
+
+    Each discovered CSV/CSV.GZ is read exactly once (checkpointed file
+    log), cleaned with the batch `clean` pipeline inside ``foreachBatch``,
+    and appended as Parquet. ``on_batch(cleaned_df, batch_id)`` is the
+    notification hook standing in for the reference's email step
+    (reference: airflow/dags/drive_watch_dag.py:214-288) — out-of-engine
+    side effects stay callbacks, exactly as SURVEY.md §7 M5 prescribes.
+
+    A streaming file source requires an explicit schema — there is no
+    inferSchema double-scan on an unbounded source, which is the
+    explicit-schema fast path SURVEY.md §1.3 calls for anyway.
+    """
+    reader = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("pathGlobFilter", "*.csv*")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.csv(input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = clean(batch_df, ts_col)
+        cleaned.write.mode("append").parquet(output_dir)
+        if on_batch is not None:
+            on_batch(cleaned, batch_id)
+
+    writer = raw.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def streaming_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling/sliding aggregation with late-data bound (E6).
+
+    Works on a streaming OR batch DataFrame (same plan — that is the
+    point of the unified API; tests assert batch/stream result parity).
+    The watermark caps state: windows older than max(event time) −
+    watermark are finalized and evicted, which is what makes unbounded
+    aggregation viable at 100 TB/day ingest.
+    """
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(win.alias("win"), F.col(event_type_col)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col(value_col) * 100)).alias("sum_value_c"),
+    ).select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        event_type_col,
+        "n_events",
+        "sum_value_c",
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user with a inactivity gap (E6 session form).
+
+    ``session_window`` keeps per-key state until the watermark passes the
+    session's end + gap; without the watermark a streaming session agg
+    would grow state forever.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("sess"), F.col(user_col)
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("sess.start").alias("sess_start"),
+        F.col("sess.end").alias("sess_end"),
+        user_col,
+        "n_events",
+    )
