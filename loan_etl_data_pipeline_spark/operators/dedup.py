@@ -28,6 +28,20 @@ import pyspark.sql.functions as F
 from loan_etl_data_pipeline_spark.operators.text import normalize_text, tokens
 
 
+def release_intermediates(df: DataFrame) -> None:
+    """Unpersist the cached intermediates backing an operator result.
+
+    ``ngram_jaccard_pairs`` and ``minhash_near_duplicates`` persist()
+    their postings/signature frames (referenced 2-3× by the returned
+    plan); Spark has no expression-scoped cache, so the blocks live
+    until the session ends unless released. Call this once the result
+    has been fully materialized (collected/written). No-op for frames
+    without registered intermediates.
+    """
+    for cached in getattr(df, "_persisted_intermediates", ()):
+        cached.unpersist()
+
+
 def dedup_exact(
     df: DataFrame,
     keys: list[str],
@@ -41,8 +55,20 @@ def dedup_exact(
     (SURVEY.md §4.1 determinism stance). Equivalent to the reference's
     seen-file-id dedup generalized to rows (reference:
     airflow/dags/google_drive_sensor.py:33-46 keeps first-seen ids).
+
+    Raises ``ValueError`` when no order can be derived (keys cover every
+    column and ``order_by`` was not given): ``row_number`` over an
+    unordered window is nondeterministic — if any row will do, say so
+    explicitly with ``order_by=[F.lit(1)]`` (or use ``df.distinct()``,
+    which is the right operator when keys == all columns).
     """
     order_by = order_by or [F.asc(c) for c in df.columns if c not in keys]
+    if not order_by:
+        raise ValueError(
+            "dedup_exact: keys cover all columns, leaving no order_by to pick "
+            "the surviving row deterministically; use df.distinct() instead, "
+            "or pass order_by explicitly"
+        )
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -145,32 +171,11 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter_size", "size_a", "size_b", "jaccard")
     )
+    out._persisted_intermediates = [posts]  # release_intermediates(out)
     return out
 
 
 # --- MinHash ---------------------------------------------------------------
-
-#: Mersenne prime modulus for the universal hash family.
-_MINHASH_PRIME = (1 << 61) - 1
-
-
-def _minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p.
-
-    Generated by a fixed LCG so signatures are reproducible across runs
-    and clusters without any RNG state. Ranges are chosen overflow-free
-    for ANSI-mode int64 arithmetic: x < 2^32 and a < 2^30 keep
-    a*x < 2^62, and b < 2^61 keeps a*x + b < 2^63.
-    """
-    params = []
-    state = seed
-    for _ in range(num_perm):
-        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        a = state % ((1 << 30) - 1) + 1
-        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        b = state % _MINHASH_PRIME
-        params.append((a, b))
-    return params
 
 
 def minhash_signatures(
@@ -184,20 +189,25 @@ def minhash_signatures(
     """MinHash signature per document over word-shingle sets.
 
     One explode + one groupBy: shingles are hashed JVM-side with
-    xxhash64, each permutation is an affine rehash, and ``min`` is a
+    xxhash64, each "permutation" i is a seeded re-hash
+    ``xxhash64(h, i)`` of that 64-bit shingle hash, and ``min`` is a
     partial-aggregatable function — so the shuffle carries only
     (id, 64×bigint), never the shingles.
+
+    Seeded re-hashing (not an affine ``(a*h+b) mod p`` family): with
+    shingle hashes bounded far below the modulus, an affine map wraps
+    only 0-2 times and stays *nearly monotone* in h — the per-row min
+    is then decided by the smallest raw hash instead of a fresh random
+    order, which skews P[sig match] far from the true Jaccard (measured
+    est 0.53 on a 0.89-Jaccard pair). ``xxhash64(h, i)`` is a full-
+    avalanche mix per i, restoring min-wise independence, and stays
+    overflow-free by construction.
     """
     posts = word_ngrams(df, id_col, text_col, shingle_size)
-    # 32-bit shingle hash: keeps the ANSI-safe overflow bound in
-    # _minhash_params while leaving pair-collision odds negligible
-    h = (F.xxhash64("ngram").bitwiseAND(F.lit((1 << 32) - 1))).alias("h")
-    hashed = posts.select("id", h)
+    hashed = posts.select("id", F.xxhash64("ngram").alias("h"))
     aggs = [
-        F.min(
-            (F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_minhash_params(num_perm))
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_perm)
     ]
     # pack into ONE array column: downstream plans (banding, pair
     # verify) stay 2-column instead of 64/128-column — wide plans cost
@@ -270,13 +280,15 @@ def minhash_near_duplicates(
     matches = F.expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
     )
-    return (
+    out = (
         cands.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .select(
             "id_a", "id_b", (matches / F.lit(num_perm)).alias("est_jaccard")
         )
     )
+    out._persisted_intermediates = [sig]  # release_intermediates(out)
+    return out
 
 
 def simhash_fingerprints(

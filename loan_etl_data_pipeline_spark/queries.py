@@ -129,53 +129,56 @@ def q_top3_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_split_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/P5 timestamp→date/time strings (reference: airflow/dags/etl/pyspark_etl.py:30-31).
 
-    Narrow projection — no shuffle at all; stays in one codegen stage.
+    Runs the library operator (operators/cleaning.py split_timestamp) on
+    the events table. Narrow projection — no shuffle at all; stays in
+    one codegen stage.
     """
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd").alias("ts_date"),
-        F.date_format("ts", "HH:mm:ss").alias("ts_time"),
-    )
+    from loan_etl_data_pipeline_spark.operators.cleaning import split_timestamp
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    return split_timestamp(
+        ev, ts_col="ts", date_col="ts_date", time_col="ts_time"
+    ).select("event_id", "ts_date", "ts_time")
 
 
 def q_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/P4 multi-format tolerant parse (reference: airflow/dags/etl/pyspark_etl.py:25-29).
 
     Round-trips o_orderdate through the three accepted string formats
-    (picked by o_orderkey % 3) and back via first-success-wins
-    try_to_timestamp coalesce — exercising the format-priority contract.
+    (picked by o_orderkey % 3) and back via the library's
+    first-success-wins parse (operators/cleaning.py
+    parse_timestamp_multi) — exercising the format-priority contract.
+    Shape guards mean each row attempts exactly one parse.
     """
+    from loan_etl_data_pipeline_spark.operators.cleaning import parse_timestamp_multi
+
     o = load_table(spark, sf_dir, "orders")
     s = (
         F.when(o.o_orderkey % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
         .when(o.o_orderkey % 3 == 1, F.date_format("o_orderdate", "MM/dd/yyyy HH:mm:ss"))
         .otherwise(F.date_format("o_orderdate", "dd-MM-yyyy HH:mm:ss"))
     )
-    parsed = F.coalesce(
-        F.try_to_timestamp(F.col("ts_str"), F.lit("yyyy-MM-dd HH:mm:ss")),
-        F.try_to_timestamp(F.col("ts_str"), F.lit("MM/dd/yyyy HH:mm:ss")),
-        F.try_to_timestamp(F.col("ts_str"), F.lit("dd-MM-yyyy HH:mm:ss")),
-    )
-    return (
-        o.select("o_orderkey", s.alias("ts_str"))
-        .select(
-            "o_orderkey",
-            "ts_str",
-            F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed_str"),
-        )
+    return o.select("o_orderkey", s.alias("ts_str")).select(
+        "o_orderkey",
+        "ts_str",
+        F.date_format(parse_timestamp_multi("ts_str"), "yyyy-MM-dd HH:mm:ss").alias(
+            "parsed_str"
+        ),
     )
 
 
 def q_mode_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P3 + G2 end-to-end mode-imputation (reference: airflow/dags/etl/pyspark_etl.py:14-21).
 
-    Synthesizes nulls from o_orderstatus deterministically, computes the
-    null-inclusive mode (scalar → driver, the one collect() this engine
-    allows), and re-injects it via when/isNull/lit exactly like the
-    reference. At 100 TB the mode scan is one partial+final agg over a
-    ~3-value histogram.
+    Synthesizes nulls from o_orderstatus deterministically, then runs
+    the library operator (operators/cleaning.py fill_nulls_with_mode,
+    single-job melt-based column_modes underneath): null-inclusive mode
+    → scalar to driver → when/isNull/lit re-injection, exactly the
+    reference semantics. At 100 TB the mode scan is one partial+final
+    agg over a ~3-value histogram.
     """
+    from loan_etl_data_pipeline_spark.operators.cleaning import fill_nulls_with_mode
+
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         "o_orderkey",
@@ -185,20 +188,9 @@ def q_mode_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_orderstatus"))
         .alias("status_n"),
     )
-    top = (
-        base.groupBy("status_n")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc_nulls_first("status_n"))
-        .limit(1)
-        .collect()
+    return fill_nulls_with_mode(base, cols=["status_n"]).select(
+        "o_orderkey", F.col("status_n").alias("status_filled")
     )
-    mode_val = top[0]["status_n"]
-    filled = (
-        F.when(F.col("status_n").isNull(), F.lit(mode_val)).otherwise(F.col("status_n"))
-        if mode_val is not None
-        else F.col("status_n")
-    )
-    return base.select("o_orderkey", filled.alias("status_filled"))
 
 
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,13 +542,40 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 approximate top-k via random-hyperplane LSH buckets — the 100 TB
-    scale path (operators/similarity.py). Rows-only check; recall vs the
-    exact q_knn_bruteforce baseline is asserted in tests/test_similarity.py."""
+    """E3 approximate top-k via banded (OR-amplified) random-hyperplane
+    LSH — the 100 TB scale path (operators/similarity.py).
+
+    With bands=16 × 2 planes, candidate recall vs exact brute force is
+    1.0 on this data (measured across sf0.001-0.01; floor asserted in
+    tests/test_similarity.py), and since the in-bucket re-rank uses the
+    same deterministic floored-int64 cosine, the output is bit-identical
+    to q_knn_bruteforce — so it shares that exact oracle.
+    """
     from loan_etl_data_pipeline_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, n_planes=8)
+    return lsh_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, bands=16, planes_per_band=2
+    )
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3 near-dup pairs via banded-LSH buckets + exact in-bucket
+    re-rank (operators/similarity.py cosine_neardup_lsh) — replaces the
+    O(n²)-compute exact pair scan at scale. Measured recall 1.0 vs the
+    exact operator at threshold 0.4 on this data → shares the exact
+    SQL oracle; set-equality on a synthetic high-threshold corpus is
+    asserted in tests/test_similarity.py.
+    """
+    from loan_etl_data_pipeline_spark.operators.similarity import cosine_neardup_lsh
+
+    return cosine_neardup_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        dim=64,
+        bands=16,
+        planes_per_band=2,
+    )
 
 
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,6 +772,56 @@ ORACLE_PART_B: dict[str, str] = {
         WHERE (CAST(dot_s AS DOUBLE) / 1e12)
                  / (sqrt(CAST(an_s AS DOUBLE) / 1e12) * sqrt(CAST(bn_s AS DOUBLE) / 1e12)) >= 0.3
     """,
+    "q_lsh_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        ex AS (
+            SELECT q.query_id, c.neighbor_id,
+                   CAST(UNNEST(q.qe) AS DOUBLE) AS x,
+                   CAST(UNNEST(c.ce) AS DOUBLE) AS y
+            FROM q CROSS JOIN c
+            WHERE q.query_id <> c.neighbor_id
+        ), sums AS (
+            SELECT query_id, neighbor_id,
+                   SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+                   SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS qn_s,
+                   SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS cn_s
+            FROM ex GROUP BY query_id, neighbor_id
+        ), cos AS (
+            SELECT query_id, neighbor_id,
+                   (CAST(dot_s AS DOUBLE) / 1e12)
+                     / (sqrt(CAST(qn_s AS DOUBLE) / 1e12) * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) AS cosine
+            FROM sums
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM cos
+        ) WHERE rank <= 5
+    """,
+    "q_embedding_neardup_lsh": """
+        WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        ex AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(UNNEST(a.embedding) AS DOUBLE) AS x,
+                   CAST(UNNEST(b.embedding) AS DOUBLE) AS y
+            FROM v a CROSS JOIN v b
+            WHERE a.vec_id < b.vec_id
+        ), sums AS (
+            SELECT id_a, id_b,
+                   SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+                   SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS an_s,
+                   SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS bn_s
+            FROM ex GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b,
+               (CAST(dot_s AS DOUBLE) / 1e12)
+                 / (sqrt(CAST(an_s AS DOUBLE) / 1e12) * sqrt(CAST(bn_s AS DOUBLE) / 1e12)) AS cosine
+        FROM sums
+        WHERE (CAST(dot_s AS DOUBLE) / 1e12)
+                 / (sqrt(CAST(an_s AS DOUBLE) / 1e12) * sqrt(CAST(bn_s AS DOUBLE) / 1e12)) >= 0.4
+    """,
     "q_event_windows": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
@@ -814,6 +883,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_lsh_topk": q_lsh_topk,
     "q_event_windows": q_event_windows,
     "q_sessions": q_sessions,

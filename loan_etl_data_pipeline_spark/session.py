@@ -84,18 +84,39 @@ def create_session(
     if master:
         builder = builder.master(master)
 
-    # The JVM sizes its JIT pool from cgroup-visible CPUs and can come
-    # up with a SINGLE C2 thread; whole-stage-codegen classes then queue
-    # for tens of seconds and run interpreted meanwhile (measured 20-30×
-    # slowdowns on wide aggregate plans). Give the JIT a real pool.
-    builder = builder.config(
-        "spark.driver.extraJavaOptions", "-XX:CICompilerCount=12"
-    )
-    # Shuffle/spill files on tmpfs when available: local mode on a
-    # virtual disk sees multi-second uninterruptible-IO stalls; a real
-    # cluster overrides local dirs via its manager config anyway.
-    if master and master.startswith("local") and os.path.isdir("/dev/shm"):
-        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    # Local-mode-only tunings, all measured in the single-JVM sandbox.
+    # Gated on an explicit local master so a cluster deployment
+    # (master=None → spark-submit / cluster manager config) gets stock
+    # defaults unless it opts in via extra_conf.
+    if master and master.startswith("local"):
+        # The JVM sizes its JIT pool from cgroup-visible CPUs and can
+        # come up with a SINGLE C2 thread; whole-stage-codegen classes
+        # then queue for tens of seconds and run interpreted meanwhile
+        # (measured 20-30× slowdowns on wide aggregate plans). Give the
+        # JIT a real pool.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", "-XX:CICompilerCount=12"
+        )
+        # Shuffle/spill files on tmpfs when available: local mode on a
+        # virtual disk sees multi-second uninterruptible-IO stalls; a
+        # real cluster overrides local dirs via its manager config.
+        if os.path.isdir("/dev/shm"):
+            builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+        # JVM (not ICU) case mapping for UTF8_BINARY lower()/upper():
+        # identical for ASCII and spares a ~1M-codepoint ICU table build
+        # in a static initializer that runs interpreted (45-60 s!) when
+        # the C2 compile queue is deep — measured poisoning every text
+        # query that first touches lower() after a codegen-heavy query.
+        builder = builder.config("spark.sql.icu.caseMappings.enabled", "false")
+        # Align Spark's codegen fallback with HotSpot's compile refusal:
+        # the JVM never JIT-compiles methods > 8000 bytecodes
+        # (DontCompileHugeMethods), but Spark only abandons whole-stage
+        # codegen at 65535 — generated methods in between run INTERPRETED
+        # forever. Measured: a 6-query wide-agg/join sequence went from
+        # 200 s+ (base) to 26 s with this; compiling the monsters instead
+        # (-XX:-DontCompileHugeMethods) was 59 s. The non-codegen Volcano
+        # path with compiled small methods wins decisively.
+        builder = builder.config("spark.sql.codegen.hugeMethodLimit", "8000")
 
     builder = (
         builder.config("spark.sql.session.timeZone", tz)
@@ -106,21 +127,6 @@ def create_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for any toPandas()/pandas_udf boundary we do cross.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # JVM (not ICU) case mapping for UTF8_BINARY lower()/upper():
-        # identical for ASCII and spares a ~1M-codepoint ICU table build
-        # in a static initializer that runs interpreted (45-60 s!) when
-        # the C2 compile queue is deep — measured poisoning every text
-        # query that first touches lower() after a codegen-heavy query.
-        .config("spark.sql.icu.caseMappings.enabled", "false")
-        # Align Spark's codegen fallback with HotSpot's compile refusal:
-        # the JVM never JIT-compiles methods > 8000 bytecodes
-        # (DontCompileHugeMethods), but Spark only abandons whole-stage
-        # codegen at 65535 — generated methods in between run INTERPRETED
-        # forever. Measured: a 6-query wide-agg/join sequence went from
-        # 200 s+ (base) to 26 s with this; compiling the monsters instead
-        # (-XX:-DontCompileHugeMethods) was 59 s. The non-codegen Volcano
-        # path with compiled small methods wins decisively.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # The driver testdata stores event timestamps as parquet
         # TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read
         # them as raw long nanos and convert (sources/tables.py).

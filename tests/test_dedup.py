@@ -1,0 +1,125 @@
+"""Property tests for the sketch-based dedup operators (E2).
+
+These cover the queries with no DuckDB oracle (xxhash64 has no DuckDB
+equivalent): q_minhash_neardup and q_simhash. Verification strategy:
+
+- MinHash banding candidates must be a SUPERSET of the exact high-Jaccard
+  pairs computed by the oracle-checked ``ngram_jaccard_pairs`` (the
+  documents testdata contains real near-dups, Jaccard 0.97-0.99).
+  Detection probability per pair at Jaccard s with 16 bands x 4 rows is
+  1-(1-s^4)^16 — ≥ 0.988 at s = 0.7 and ~1 at the actual 0.9+ pairs;
+  hashes and data are deterministic, so the assertion is stable.
+- MinHash est_jaccard must track the exact Jaccard (|err| bounded by a
+  few times the 64-permutation stderr ≈ sqrt(s(1-s)/64) ≤ 0.063).
+- SimHash must be deterministic across runs, and Hamming distance must
+  separate a lightly-perturbed document from an unrelated one.
+- dedup_exact: deterministic survivor + the empty-orderBy guard.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from loan_etl_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    hamming_distance,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    release_intermediates,
+    simhash_fingerprints,
+)
+from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    """Exact n-gram Jaccard pairs (threshold 0.5) keyed by (id_a, id_b)."""
+    df = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in df.collect()}
+    release_intermediates(df)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def minhash_pairs(docs):
+    df = minhash_near_duplicates(docs)
+    rows = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in df.collect()}
+    release_intermediates(df)
+    return rows
+
+
+def test_minhash_candidates_superset_of_high_jaccard(exact_pairs, minhash_pairs):
+    high = {p for p, j in exact_pairs.items() if j >= 0.7}
+    assert high, "testdata should contain near-duplicate documents"
+    missing = high - set(minhash_pairs)
+    assert not missing, f"MinHash banding missed high-Jaccard pairs: {missing}"
+
+
+def test_minhash_estimate_tracks_exact_jaccard(exact_pairs, minhash_pairs):
+    checked = 0
+    for pair, j in exact_pairs.items():
+        if pair in minhash_pairs:
+            assert abs(minhash_pairs[pair] - j) <= 0.25, (
+                f"{pair}: est={minhash_pairs[pair]:.3f} exact={j:.3f}"
+            )
+            checked += 1
+    assert checked >= len([j for j in exact_pairs.values() if j >= 0.7])
+
+
+def _synthetic_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy stone bridge near the river"
+    )
+    perturbed = base.replace("mossy stone", "ancient wooden")
+    unrelated = (
+        "quantum flux capacitors destabilize rapidly under intense gamma "
+        "radiation unless shielded by layered boron carbide plating arrays"
+    )
+    return spark.createDataFrame(
+        [(1, base), (2, perturbed), (3, unrelated)], "doc_id long, text string"
+    )
+
+
+def test_simhash_deterministic_and_hamming_separates(spark):
+    df = _synthetic_docs(spark)
+    fp1 = {r["id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    fp2 = {r["id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    assert fp1 == fp2, "SimHash must be deterministic"
+
+    pairs = spark.createDataFrame(
+        [(fp1[1], fp1[2]), (fp1[1], fp1[3])], "a long, b long"
+    ).select(hamming_distance("a", "b").alias("d"))
+    d_similar, d_unrelated = [r["d"] for r in pairs.collect()]
+    assert d_similar < d_unrelated, (
+        f"hamming(similar)={d_similar} should be < hamming(unrelated)={d_unrelated}"
+    )
+    assert d_similar <= 16, f"near-dup hamming too large: {d_similar}"
+
+
+def test_simhash_on_documents_rowcount(docs):
+    out = simhash_fingerprints(docs)
+    assert out.count() == docs.count()
+    assert out.columns == ["id", "simhash"]
+
+
+def test_dedup_exact_keeps_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [("u1", "click", 3), ("u1", "click", 1), ("u1", "view", 2), ("u2", "click", 9)],
+        "user string, action string, seq long",
+    )
+    out = dedup_exact(df, ["user", "action"], order_by=[F.asc("seq")])
+    got = {(r["user"], r["action"]): r["seq"] for r in out.collect()}
+    assert got == {("u1", "click"): 1, ("u1", "view"): 2, ("u2", "click"): 9}
+
+
+def test_dedup_exact_rejects_empty_order(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="order_by"):
+        dedup_exact(df, ["k", "v"])

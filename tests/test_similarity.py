@@ -1,0 +1,88 @@
+"""Recall and guard tests for the similarity operators (E3).
+
+- ``lsh_topk`` (banded, OR-amplified) recall vs the exact
+  ``cosine_topk_bruteforce`` baseline: asserted ≥ 0.8; measured 1.0 at
+  the query defaults (bands=16 × 2 planes) on the driver testdata —
+  which is what lets q_lsh_topk share the brute-force oracle.
+- ``cosine_neardup_lsh`` at a production-style high threshold on a
+  synthetic corpus with REAL near-duplicates (the driver embeddings max
+  out at cosine ≈ 0.51): pair set must equal the exact
+  ``cosine_neardup_pairs`` output exactly — banding finds every pair,
+  and the in-bucket re-rank reproduces the identical floored-int64
+  cosine. planes_per_band=6 here demonstrates actual pruning (64
+  buckets per band) rather than the wide demo buckets the sf queries
+  use.
+- The driver-collect cap on the query batch raises a clear error.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from loan_etl_data_pipeline_spark.operators.similarity import (
+    cosine_neardup_lsh,
+    cosine_neardup_pairs,
+    cosine_topk_bruteforce,
+    lsh_topk,
+)
+from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(queries, emb, k=5)
+    approx = lsh_topk(queries, emb, dim=64, k=5, bands=16, planes_per_band=2)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"LSH top-k recall {recall:.2f} below floor 0.8"
+
+
+def _neardup_corpus(spark):
+    """200 base vectors + 40 perturbed near-dup copies (cosine ≥ ~0.95).
+
+    Deterministic RNG: the high-cosine pairs are exactly
+    (i, 1000+i) for i < 40, plus whatever the exact operator finds.
+    """
+    rng = np.random.default_rng(7)
+    dim = 32
+    base = rng.normal(size=(200, dim))
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(200)]
+    for i in range(40):
+        noise = rng.normal(size=dim) * 0.08 * np.linalg.norm(base[i]) / np.sqrt(dim)
+        rows.append((1000 + i, (base[i] + noise).astype(np.float32).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), dim
+
+
+def test_neardup_lsh_equals_exact_at_high_threshold(spark):
+    df, dim = _neardup_corpus(spark)
+    exact = cosine_neardup_pairs(df, threshold=0.9, n_blocks=4)
+    approx = cosine_neardup_lsh(
+        df, threshold=0.9, dim=dim, bands=16, planes_per_band=6
+    )
+    exact_rows = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
+    approx_rows = {(r["id_a"], r["id_b"]): r["cosine"] for r in approx.collect()}
+    assert len(exact_rows) >= 40, "corpus should contain the planted near-dups"
+    assert set(approx_rows) == set(exact_rows), (
+        f"missed={set(exact_rows) - set(approx_rows)} "
+        f"spurious={set(approx_rows) - set(exact_rows)}"
+    )
+    for pair, cos in exact_rows.items():
+        assert approx_rows[pair] == cos, f"{pair}: cosine mismatch (non-deterministic?)"
+
+
+def test_bruteforce_query_batch_cap(spark, emb):
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_bruteforce(emb, emb, k=5, max_queries=10)
+
+
+def test_lsh_topk_query_batch_cap(spark, emb):
+    with pytest.raises(ValueError, match="max_queries"):
+        lsh_topk(emb, emb, dim=64, k=5, max_queries=10)
