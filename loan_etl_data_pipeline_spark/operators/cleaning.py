@@ -150,13 +150,18 @@ def column_modes_per_column(df: DataFrame, cols: list[str] | None = None) -> dic
     deterministic tie-break. Kept for parity tests and as the bench
     counterpoint to :func:`column_modes`. Returns values in their native
     type (not stringified).
+
+    Tie-break contract (shared with :func:`column_modes`, whose melted
+    histogram only sees strings): count DESC, then value ASC *in string
+    order*, nulls first — the reference's bare
+    ``orderBy(desc("count")).limit(1)`` left ties arbitrary.
     """
     modes: dict = {}
     for c in cols if cols is not None else df.columns:
         top = (
             df.groupBy(c)
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc_nulls_first(c))
+            .orderBy(F.desc("cnt"), F.asc_nulls_first(F.col(c).cast("string")))
             .limit(1)
             .collect()
         )
