@@ -91,6 +91,42 @@ def _cosine_matrix(dots: np.ndarray, qq: np.ndarray, cc: np.ndarray) -> np.ndarr
     )
 
 
+#: Slack for the BLAS prefilter in _threshold_pairs_exact. The floored
+#: cosine differs from the float BLAS cosine by ≤ ~d·1e-12/‖x‖‖y‖ from
+#: floor quantization plus ~1e-13 BLAS rounding — orders of magnitude
+#: below this margin for any sanely-scaled embedding.
+_PREFILTER_MARGIN = 1e-4
+
+
+def _threshold_pairs_exact(
+    a: np.ndarray, b: np.ndarray, threshold: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ia, ib, cosine) for all cross pairs with floored-cosine ≥ threshold.
+
+    Two-phase: a BLAS matmul on unit-normalized rows finds candidates
+    above ``threshold − margin`` (one dgemm instead of the O(n²d)
+    explicit floor/astype temporaries — ~50× less memory traffic), then
+    ONLY those pairs are re-scored with the exact order-free
+    floored-int64 arithmetic that defines the operator's output. The
+    returned cosines are bit-identical to scoring every pair exactly.
+    """
+    an = np.linalg.norm(a, axis=1)
+    bn = np.linalg.norm(b, axis=1)
+    an[an == 0] = 1.0
+    bn[bn == 0] = 1.0
+    fast = (a / an[:, None]) @ (b / bn[:, None]).T
+    ia, ib = np.nonzero(fast >= threshold - _PREFILTER_MARGIN)
+    if len(ia) == 0:
+        return ia, ib, np.array([], dtype=np.float64)
+    dots = np.floor((a[ia] * b[ib]) * 1e12).astype(np.int64).sum(axis=1)
+    cos = (dots.astype(np.float64) / 1e12) / (
+        np.sqrt(_floored_self_dot(a)[ia].astype(np.float64) / 1e12)
+        * np.sqrt(_floored_self_dot(b)[ib].astype(np.float64) / 1e12)
+    )
+    keep = cos >= threshold
+    return ia[keep], ib[keep], cos[keep]
+
+
 #: Hard cap on the driver-collected query batch: at 64 float64 dims a
 #: batch this size is ~35 MB on the driver — comfortably broadcastable.
 #: Callers with more probes should join/batch instead of brute-force.
@@ -239,15 +275,12 @@ def cosine_neardup_pairs(
         a_ids = a["id"].to_numpy(dtype=np.int64)
         b_ids = b["id"].to_numpy(dtype=np.int64)
         a_m, b_m = _mat(a["vec"]), _mat(b["vec"])
-        cos = _cosine_matrix(
-            _floored_cross_dot(a_m, b_m), _floored_self_dot(a_m), _floored_self_dot(b_m)
-        )
-        mask = cos >= threshold
+        ia, ib, cos = _threshold_pairs_exact(a_m, b_m, threshold)
         if ba == bb:
             # diagonal group: both sides are the same rows — strict id
             # order keeps each unordered pair once and kills self-pairs
-            mask &= a_ids[:, None] < b_ids[None, :]
-        ia, ib = np.nonzero(mask)
+            keep = a_ids[ia] < b_ids[ib]
+            ia, ib, cos = ia[keep], ib[keep], cos[keep]
         xa, xb = a_ids[ia], b_ids[ib]
         # off-diagonal blocks are disjoint but ids are unordered across
         # them — normalize so id_a < id_b always
@@ -255,7 +288,7 @@ def cosine_neardup_pairs(
             {
                 "id_a": np.minimum(xa, xb),
                 "id_b": np.maximum(xa, xb),
-                "cosine": cos[ia, ib],
+                "cosine": cos,
             }
         )
 
@@ -501,11 +534,10 @@ def cosine_neardup_lsh(
             return empty
         ids = pdf["id"].to_numpy(dtype=np.int64)
         m = _mat(pdf["vec"])
-        cos = _cosine_matrix(_floored_cross_dot(m, m), _floored_self_dot(m), _floored_self_dot(m))
-        mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
-        ia, ib = np.nonzero(mask)
+        ia, ib, cos = _threshold_pairs_exact(m, m, threshold)
+        keep = ids[ia] < ids[ib]
         return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib], "cosine": cos[ia, ib]}
+            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "cosine": cos[keep]}
         )
 
     scored = banded.groupBy("band_no", "band_key").applyInPandas(
