@@ -1,0 +1,228 @@
+"""IVF (inverted-file) approximate nearest neighbor search (EXT E3).
+
+The second scale path for similarity search next to sign-LSH
+(operators/similarity.py): a data-dependent coarse quantizer. Train C
+centroids with a few Lloyd iterations, assign each corpus vector to its
+nearest centroid (its *cell*), and at query time probe only the
+``n_probe`` cells nearest the query — exact re-rank inside probed cells.
+
+Spark-first shape, mirroring ``lsh_topk``:
+
+- **Training** is O(iters) jobs, each ONE corpus scan emitting per-batch
+  partial sums: (cell, count, int64-floored sum vector). Only
+  C×partitions tiny rows reach the driver; the corpus never shuffles.
+- **Search** is ONE corpus scan: the centroid matrix and query batch are
+  broadcast, each Arrow batch assigns its rows to cells inline (no
+  assignment table, no join), scores rows in probed cells, and emits
+  per-batch local top-ks; a tiny window merges winners.
+- At 100 TB you would persist the trained centroids and the per-cell
+  parquet layout (partitionBy(cell)) so probes prune at the scan; the
+  in-kernel assignment here keeps the demo single-pass.
+
+Determinism (same contract as operators/similarity.py): assignments use
+exact int64 floored dot products (argmin ties → lowest cell index),
+centroid accumulation sums ``floor(x*1e9)`` in int64 — associative, so
+training is bit-identical under any partitioning — and final cosines
+are the exact floored values the brute-force oracle computes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from loan_etl_data_pipeline_spark.session import ensure_worker_imports
+from loan_etl_data_pipeline_spark.operators.similarity import (
+    MAX_QUERY_BATCH,
+    _PAIR_SCHEMA,
+    _collect_query_batch,
+    _cosine_matrix,
+    _floored_cross_dot,
+    _floored_self_dot,
+    _mat,
+)
+
+#: Fixed-point scale for centroid accumulation: floor(x*1e9) in int64.
+#: 2^63/1e9 ≈ 9.2e9 total magnitude per dimension — room for ~1e9 rows
+#: of unit-scale values per partial; partials combine in Python ints.
+_ACC_SCALE = 1e9
+
+
+def _assign_cells(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid index per row, exact and partitioning-independent.
+
+    dist² = ‖x‖² − 2x·c + ‖c‖²; the ‖x‖² term is constant per row, so
+    argmin uses ``‖c‖² − 2x·c`` with the x·c term as exact floored int64.
+    np.argmin breaks ties toward the lowest cell index.
+    """
+    dots = _floored_cross_dot(m, centroids).astype(np.float64) / 1e12
+    cc = _floored_self_dot(centroids).astype(np.float64) / 1e12
+    return np.argmin(cc[None, :] - 2.0 * dots, axis=1)
+
+
+def train_ivf_centroids(
+    corpus_df: DataFrame,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means: returns the (n_cells, dim) centroids.
+
+    Init = the ``n_cells`` vectors with the smallest ids (deterministic,
+    no RNG). Each iteration scans the corpus once; per Arrow batch the
+    kernel emits (cell, count, Σ floor(x*1e9)) partials, combined
+    exactly on the driver (Python ints — no overflow, no float order
+    dependence). Empty cells keep their previous centroid.
+    """
+    ensure_worker_imports(corpus_df.sparkSession)
+    init_rows = (
+        corpus_df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(n_cells).collect()
+    )
+    if len(init_rows) < n_cells:
+        raise ValueError(
+            f"corpus has only {len(init_rows)} rows; need >= n_cells={n_cells}"
+        )
+    centroids = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+
+    sc = corpus_df.sparkSession.sparkContext
+    partial_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(LongType())),
+        ]
+    )
+    data = corpus_df.select(vec_col)
+
+    for _ in range(iters):
+        bc = sc.broadcast(centroids)
+
+        def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cents = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = _mat(pdf[vec_col])
+                cells = _assign_cells(m, cents)
+                fixed = np.floor(m * _ACC_SCALE).astype(np.int64)
+                out = []
+                for c in np.unique(cells):
+                    rows = fixed[cells == c]
+                    out.append((int(c), len(rows), rows.sum(axis=0).tolist()))
+                yield pd.DataFrame(out, columns=["cell", "n", "s"])
+
+        partials = data.mapInPandas(_partials, schema=partial_schema).collect()
+        counts = [0] * n_cells
+        sums = [[0] * dim for _ in range(n_cells)]
+        for r in partials:
+            counts[r["cell"]] += r["n"]
+            s = sums[r["cell"]]
+            for j, v in enumerate(r["s"]):
+                s[j] += v
+        new = centroids.copy()
+        for c in range(n_cells):
+            if counts[c] > 0:
+                new[c] = np.array(
+                    [float(v) / _ACC_SCALE / counts[c] for v in sums[c]]
+                )
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_BATCH,
+) -> DataFrame:
+    """Approximate top-k: probe the ``n_probe`` nearest cells, exact re-rank.
+
+    Pass precomputed ``centroids`` to skip training (the 100 TB pattern:
+    train once on a sample, reuse across queries). Recall rises with
+    ``n_probe`` (== n_cells ⇒ exhaustive ⇒ identical to brute force).
+
+    Output: (query_id, neighbor_id, cosine, rank) — same schema and
+    deterministic floored-cosine values as ``cosine_topk_bruteforce``.
+    """
+    ensure_worker_imports(corpus_df.sparkSession)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus_df, dim=dim, n_cells=n_cells, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    q_rows = _collect_query_batch(queries_df, id_col, vec_col, max_queries)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qq = _floored_self_dot(q_mat)
+    # probe set per query: n_probe nearest centroids by the same exact
+    # distance ordering the corpus assignment uses
+    cc = _floored_self_dot(centroids).astype(np.float64) / 1e12
+    qdots = _floored_cross_dot(q_mat, centroids).astype(np.float64) / 1e12
+    probe = np.argsort(cc[None, :] - 2.0 * qdots, axis=1, kind="stable")[:, :n_probe]
+
+    sc = corpus_df.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, qq, probe, centroids))
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_, qq_, probe_, cents = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = _mat(pdf[vec_col])
+            cells = _assign_cells(c_mat, cents)
+            cc_ = _floored_self_dot(c_mat)
+            frames = []
+            for qi in range(len(q_ids_)):
+                in_probe = np.isin(cells, probe_[qi])
+                cand = np.nonzero(in_probe & (c_ids != q_ids_[qi]))[0]
+                if len(cand) == 0:
+                    continue
+                cos = _cosine_matrix(
+                    _floored_cross_dot(q_mat_[qi : qi + 1], c_mat[cand]),
+                    qq_[qi : qi + 1],
+                    cc_[cand],
+                )[0]
+                order = np.lexsort((c_ids[cand], -cos))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids_[qi],
+                            "neighbor_id": c_ids[cand][order],
+                            "cosine": cos[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    local = corpus_df.select(id_col, vec_col).mapInPandas(_scan, schema=_PAIR_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -127,6 +127,33 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+#: BPE-ish pre-tokenization pattern (the GPT-2-family shape: apostrophe
+#: contractions, space-prefixed letter runs, digit runs, punctuation
+#: runs, whitespace runs). Alternation + char classes only, so Java
+#: (Spark) and RE2 (DuckDB) segment identically — verified by test.
+BPE_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9'\s]+|\s+"
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace words and BPE-ish segments.
+
+    The segment count approximates LLM token cost far better than word
+    count (digit runs, punctuation, and contractions segment apart);
+    ``bpe_per_word`` is the classic corpus-quality signal (≫1.3 for
+    English suggests noisy/code/numeric text). Both are single
+    ``regexp_count`` expressions — codegen, no shuffle, scan speed.
+    """
+    lower = F.lower(F.col(text_col))
+    n_words = F.size(tokens(lower))
+    n_bpe = F.regexp_count(lower, F.lit(BPE_PATTERN))
+    return df.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / n_words.cast("double")).alias("bpe_per_word"),
+    )
+
+
 def normalize_text(text_col) -> Column:
     """Canonical form for fingerprinting/dedup: lower, trim, collapse ws."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col

@@ -457,6 +457,36 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 token counting: whitespace words + BPE-ish regex segments
+    (operators/text.py token_counts)."""
+    from loan_etl_data_pipeline_spark.operators.text import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3-adjacent embedding profile: per-label count + deterministic
+    norm aggregates (floored-int64 self-dot → sqrt → floored-cents sum),
+    entirely JVM-side via the `aggregate` HOF — a one-pass scan profile
+    you run before picking similarity thresholds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_sq = (
+        "cast(aggregate(embedding, 0L, (acc, x) -> acc + "
+        "cast(floor(cast(x as double)*cast(x as double)*1e12) as bigint)) as double)/1e12"
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.expr(
+            f"cast(sum(cast(floor(sqrt({norm_sq}) * 100) as bigint)) as double)/100"
+        ).alias("sum_norm"),
+        F.expr(
+            f"cast(sum(cast(floor(sqrt({norm_sq}) * 100) as bigint)) as double)/100"
+            f" / count(1)"
+        ).alias("avg_norm"),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 md5 document fingerprint + shard bucket (operators/text.py)."""
     from loan_etl_data_pipeline_spark.operators.text import fingerprint
@@ -578,6 +608,25 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 approximate top-k via an IVF coarse quantizer (operators/ivf.py)
+    — the data-dependent ANN scale path next to q_lsh_topk's hyperplanes.
+
+    No SQL oracle: the answer depends on the trained cell layout
+    (deterministic, but not expressible in DuckDB). Verified by
+    tests/test_similarity.py: recall ≥ 0.8 vs the exact brute-force
+    baseline (measured 0.88-0.90 at n_probe=4/16 on this near-uniform
+    testdata; real clustered corpora probe far fewer cells for the same
+    recall) and bit-identical centroids under repartitioning.
+    """
+    from loan_etl_data_pipeline_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, n_cells=16, n_probe=4
+    )
+
+
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 hourly tumbling windows per event_type (operators/windows.py)."""
     from loan_etl_data_pipeline_spark.operators.windows import tumbling_window_agg
@@ -667,6 +716,31 @@ ORACLE_PART_B: dict[str, str] = {
                     ELSE 'unknown' END AS lang_pred,
                hits_en, hits_de, hits_fr, hits_es
         FROM h
+    """,
+    "q_token_counts": r"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9''\s]+|\s+')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_bpe_tokens,
+               CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS bpe_per_word
+        FROM b
+    """,
+    "q_embedding_stats": """
+        WITH n AS (
+            SELECT label,
+                   sqrt(CAST(list_sum(list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1e12) AS BIGINT))) AS DOUBLE)/1e12) AS nrm
+            FROM embeddings
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               CAST(SUM(CAST(FLOOR(nrm * 100) AS BIGINT)) AS DOUBLE)/100 AS sum_norm,
+               CAST(SUM(CAST(FLOOR(nrm * 100) AS BIGINT)) AS DOUBLE)/100 / count(1) AS avg_norm
+        FROM n GROUP BY label
     """,
     "q_fingerprint": """
         SELECT doc_id,
@@ -875,6 +949,8 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
+    "q_token_counts": q_token_counts,
+    "q_embedding_stats": q_embedding_stats,
     "q_fingerprint": q_fingerprint,
     "q_docs_dedup": q_docs_dedup,
     "q_dedup_events": q_dedup_events,
@@ -885,6 +961,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_lsh_topk": q_lsh_topk,
+    "q_ivf_topk": q_ivf_topk,
     "q_event_windows": q_event_windows,
     "q_sessions": q_sessions,
     "q_json_extract": q_json_extract,

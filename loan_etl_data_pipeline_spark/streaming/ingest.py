@@ -122,6 +122,29 @@ def streaming_event_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup, streaming or batch (E1 in stream form).
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — per-key state is held
+    only until the watermark passes, so state is bounded by (keys seen
+    within the watermark horizon), the only viable contract for an
+    unbounded 100 TB/day stream (a plain ``dropDuplicates`` on a stream
+    keeps ALL keys forever). Batch: plain ``dropDuplicates`` on the same
+    keys gives the identical key set, which is what the parity test
+    asserts. Generalizes the reference's seen-file-id dedup from files
+    to events (reference: airflow/dags/google_drive_sensor.py:33-46).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def streaming_sessionize(
     events: DataFrame,
     *,

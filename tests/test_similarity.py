@@ -78,6 +78,36 @@ def test_neardup_lsh_equals_exact_at_high_threshold(spark):
         assert approx_rows[pair] == cos, f"{pair}: cosine mismatch (non-deterministic?)"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    from loan_etl_data_pipeline_spark.operators.ivf import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(queries, emb, k=5)
+    approx = ivf_topk(queries, emb, dim=64, k=5, n_cells=16, n_probe=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"IVF top-k recall {recall:.2f} below floor 0.8"
+    # probing every cell must reproduce brute force exactly (same
+    # deterministic floored cosine, exhaustive candidates)
+    full = ivf_topk(queries, emb, dim=64, k=5, n_cells=16, n_probe=16)
+    full_rows = sorted(map(tuple, full.collect()))
+    assert full_rows == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_training_partitioning_independent(spark, emb):
+    """Centroid accumulation is exact int64 — repartitioning the corpus
+    (different Arrow batch boundaries, different partial order) must
+    yield bit-identical centroids."""
+    import numpy as np
+
+    from loan_etl_data_pipeline_spark.operators.ivf import train_ivf_centroids
+
+    a = train_ivf_centroids(emb.repartition(3), dim=64, n_cells=8, iters=2)
+    b = train_ivf_centroids(emb.repartition(11), dim=64, n_cells=8, iters=2)
+    assert np.array_equal(a, b)
+
+
 def test_bruteforce_query_batch_cap(spark, emb):
     with pytest.raises(ValueError, match="max_queries"):
         cosine_topk_bruteforce(emb, emb, k=5, max_queries=10)

@@ -21,6 +21,7 @@ from pyspark.sql.types import (
 
 from loan_etl_data_pipeline_spark.streaming import (
     stream_etl,
+    streaming_dedup,
     streaming_event_counts,
     streaming_sessionize,
 )
@@ -173,6 +174,33 @@ def test_sessionize_stream_matches_batch(spark, events_batch, tmp_path):
     assert len(got) > 0
     for r in got:
         assert want[(r.user_id, r.sess_start)] == (r.sess_end, r.n_events)
+
+
+def test_streaming_dedup_matches_batch(spark, events_batch, tmp_path):
+    """Duplicate events dropped exactly once, stream == batch key set."""
+    dup = events_batch.unionByName(events_batch)  # every event twice
+    keys = ["user_id", "event_type", "ts"]
+    want = sorted(
+        (r.user_id, r.event_type, r.ts) for r in streaming_dedup(dup, keys).collect()
+    )
+    assert len(want) == events_batch.count()
+
+    stream = _stream_from(spark, dup, tmp_path, "dedup")
+    q = (
+        streaming_dedup(stream, keys)
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.event_type, r.ts)
+        for r in spark.sql("select * from deduped").collect()
+    )
+    assert got == want
 
 
 def test_user_sessions_batch_semantics(spark, events_batch):
