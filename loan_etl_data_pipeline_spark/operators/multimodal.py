@@ -88,6 +88,50 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_batches, schema=META_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    frame_size: int = 64,
+    every_k: int = 4,
+    max_frames: int | None = 16,
+) -> DataFrame:
+    """Frame sampling: one blob row in, one row per sampled frame out.
+
+    The video pattern: treat the payload as fixed-size frames, keep
+    every ``k``-th, cap at ``max_frames``. A real deployment replaces
+    the byte-slicing with a container demuxer (av/ffmpeg) inside the
+    SAME kernel — the Spark plumbing (blob row → many frame rows via
+    mapInPandas, frame_no for downstream ordering/joins) is the part
+    that matters at scale: frames explode 10-100× the row count, so
+    sample INSIDE the scan kernel, never materialize all frames first.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                picked = range(0, max(len(b) // frame_size, 1), every_k)
+                if max_frames is not None:
+                    picked = list(picked)[:max_frames]
+                for fno in picked:
+                    ids.append(mid)
+                    nos.append(fno)
+                    frames.append(b[fno * frame_size : (fno + 1) * frame_size])
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.select("media_id", "payload").mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
 def _decode_payload(payload: bytes, media_type: str):  # pragma: no cover - stub
     raise NotImplementedError(
         "media decode requires PIL/librosa/av which are not in this "

@@ -10,7 +10,48 @@ so throughput scales with executors — cap parallelism with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str = "org.postgresql.Driver",
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Read a JDBC table (the reverse of :func:`write_jdbc`).
+
+    Without partitioning options the whole table arrives through ONE
+    connection on one task — fine for dimension tables, a bottleneck for
+    facts. Pass ``partition_column``/bounds/``num_partitions`` to split
+    the scan into range predicates executed in parallel, the standard
+    Spark JDBC scale path.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 4))
+        )
+    if user is not None:
+        reader = reader.option("user", user)
+    if password is not None:
+        reader = reader.option("password", password)
+    return reader.load()
 
 
 def write_jdbc(
