@@ -259,6 +259,53 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join fact⋈dimension (TPC-H-Q14-style): promo revenue share.
+
+    part is small enough to broadcast at any SF where it fits (~MBs per
+    million parts); the lineitem scan streams through one broadcast hash
+    join with zero shuffle of the fact side, and the date filter + 4-col
+    projection push to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    ).join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type").startswith("PROMO"), F.lit(1)).otherwise(F.lit(0))
+    return joined.agg(
+        _dsum("l_extendedprice * (1 - l_discount)", "total_revenue"),
+        F.sum(
+            promo
+            * F.expr(
+                "cast(floor((l_extendedprice * (1 - l_discount)) * 100) as bigint)"
+            )
+        ).alias("promo_cents"),
+    )
+
+
+def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big⋈big shuffle join: lineitem⋈orders on orderkey, rollup by priority.
+
+    Neither side broadcasts at 100 TB — this is the sort-merge/shuffle-
+    hash path: both sides repartition on the join key once (AQE picks
+    the strategy and coalesces), then one partial+final agg on ~5 groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum("l_extendedprice * (1 - l_discount)", "revenue"),
+        )
+    )
+
+
 def q_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops (A.7): distinct nation keys appearing in customers ∪ suppliers."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -386,6 +433,22 @@ ORACLE_PART_A: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
     """,
+    "q_promo_revenue": """
+        SELECT CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount))) * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_revenue,
+               SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                        ELSE 0 END) AS promo_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+    "q_order_revenue": """
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount))) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     "q_union_nations": """
         SELECT DISTINCT nationkey FROM (
             SELECT c_nationkey AS nationkey FROM customer
@@ -422,6 +485,8 @@ QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_filter_project": q_filter_project,
     "q_pricing_summary": q_pricing_summary,
     "q_region_rollup": q_region_rollup,
+    "q_promo_revenue": q_promo_revenue,
+    "q_order_revenue": q_order_revenue,
     "q_union_nations": q_union_nations,
     "q_top_orders_per_cust": q_top_orders_per_cust,
     "q_count_distinct": q_count_distinct,
