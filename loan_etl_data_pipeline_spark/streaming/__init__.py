@@ -4,7 +4,8 @@ from loan_etl_data_pipeline_spark.streaming.ingest import (
     stream_etl,
     streaming_dedup,
     streaming_event_counts,
+    streaming_running_totals,
     streaming_sessionize,
 )
 
-__all__ = ["stream_etl", "streaming_dedup", "streaming_event_counts", "streaming_sessionize"]
+__all__ = ["stream_etl", "streaming_dedup", "streaming_event_counts", "streaming_running_totals", "streaming_sessionize"]

@@ -28,7 +28,7 @@ from typing import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from loan_etl_data_pipeline_spark.plans.etl import clean
 
@@ -143,6 +143,77 @@ def streaming_dedup(
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def streaming_running_totals(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: running per-key event count + value total.
+
+    The shape Spark's built-in aggregations can't express directly on a
+    stream in update-per-batch form: arbitrary per-key state carried
+    across micro-batches via ``applyInPandasWithState`` (Arrow-batched;
+    state = one (count, cents) pair per key, checkpointed, restored on
+    restart — asserted by the two-batch restart test). Values accumulate
+    as floored cents (int64) so totals are exact and order-independent,
+    matching the engine-wide determinism contract.
+
+    Batch parity: on a non-streaming frame the same running totals are
+    just a groupBy — the test asserts the final stream state equals the
+    batch aggregate.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    if not events.isStreaming:
+        return events.groupBy(F.col(user_col).alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(f"cast(floor({value_col} * 100) as bigint)")).alias(
+                "total_cents"
+            ),
+        )
+
+    def _update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np_floor_cents(pdf[value_col]))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    def np_floor_cents(series) -> int:
+        import numpy as np
+
+        return int(np.floor(series.to_numpy(dtype=np.float64) * 100).astype(np.int64).sum())
+
+    return (
+        events.select(F.col(user_col).cast("long").alias(user_col), value_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def streaming_sessionize(

@@ -23,6 +23,7 @@ from loan_etl_data_pipeline_spark.streaming import (
     stream_etl,
     streaming_dedup,
     streaming_event_counts,
+    streaming_running_totals,
     streaming_sessionize,
 )
 
@@ -201,6 +202,49 @@ def test_streaming_dedup_matches_batch(spark, events_batch, tmp_path):
         for r in spark.sql("select * from deduped").collect()
     )
     assert got == want
+
+
+def test_running_totals_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-key state accumulates across
+    micro-batches AND across query restarts (checkpointed state),
+    converging to the batch groupBy answer."""
+    schema = "user_id long, value double"
+    b1 = spark.createDataFrame([(1, 1.0), (1, 2.5), (2, 3.0)], schema)
+    b2 = spark.createDataFrame([(1, 0.5), (2, 1.25), (2, 2.0)], schema)
+    src = str(tmp_path / "rt_src")
+    ckpt = str(tmp_path / "rt_ckpt")
+
+    def run():
+        # foreachBatch sink: supports checkpoint recovery (memory sink
+        # does not), which is exactly what this test exercises
+        emitted: dict = {}
+
+        def sink(df, _bid):
+            for r in df.collect():
+                emitted[r.user_id] = (r.n_events, r.total_cents)
+
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = (
+            streaming_running_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    got1 = run()
+    assert got1 == {1: (2, 350), 2: (1, 300)}
+
+    b2.coalesce(1).write.mode("append").parquet(src)
+    got2 = run()  # same checkpoint: state restored, only new file read
+
+    want = {r.user_id: (r.n_events, r.total_cents)
+            for r in streaming_running_totals(b1.unionByName(b2)).collect()}
+    assert got2 == want == {1: (3, 400), 2: (3, 625)}
 
 
 def test_user_sessions_batch_semantics(spark, events_batch):
