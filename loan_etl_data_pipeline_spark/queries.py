@@ -38,33 +38,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
+from loan_etl_data_pipeline_spark.functions.deterministic import davg as _davg
+from loan_etl_data_pipeline_spark.functions.deterministic import dsum as _dsum
 from loan_etl_data_pipeline_spark.sources.tables import load_table
-
-
-def _dsum_sql(expr: str) -> str:
-    """Order-independent, engine-identical sum of a double expression.
-
-    ``expr * 100`` is one IEEE multiply — bit-identical in Spark and
-    DuckDB — and ``floor`` is tie-free, so per-row cents are the exact
-    same integers in both engines; the bigint sum is then exact and
-    associative. (Casting doubles to DECIMAL is NOT portable: values
-    whose shortest decimal form lands on a half-boundary round HALF_UP
-    in Spark but half-even in DuckDB.) Semantics: sum of floored cents.
-    """
-    return f"CAST(SUM(CAST(FLOOR(({expr}) * 100) AS BIGINT)) AS DOUBLE) / 100"
-
-
-def _davg_sql(expr: str, count_expr: str) -> str:
-    """Deterministic mean: exact floored-cents sum / count, in double."""
-    return f"{_dsum_sql(expr)} / count({count_expr})"
-
-
-def _dsum(expr: str, alias: str):
-    return F.expr(_dsum_sql(expr)).alias(alias)
-
-
-def _davg(expr: str, count_expr: str, alias: str):
-    return F.expr(_davg_sql(expr, count_expr)).alias(alias)
 
 
 # ---------------------------------------------------------------------------
