@@ -48,6 +48,32 @@ def discover_input_files(
     return out
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str | None = "gzip",
+    header: bool = True,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """Write CSV(.gz) — the write-side of the reference's gzip step.
+
+    The reference gzips landed files driver-side with ``gzip.open`` +
+    ``copyfileobj`` (reference: airflow/dags/drive_watch_dag.py:95-101);
+    here the codec is applied by each writing task (``compression``
+    option), so compression scales with executors and never funnels
+    through one process. ``single_file=True`` coalesces to one part —
+    only for small exports; a 100 TB result stays many parts.
+    """
+    if single_file:
+        df = df.coalesce(1)
+    writer = df.write.option("header", header).mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
 def read_csv(
     spark: SparkSession,
     paths: str | list[str],

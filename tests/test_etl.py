@@ -131,6 +131,18 @@ def test_read_csv_explicit_schema_skips_inference(spark, landing_dir):
     assert df.count() == 4
 
 
+def test_write_csv_gzip_round_trip(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.sources.csv import write_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = str(tmp_path / "gz_out")
+    write_csv(df, out, compression="gzip", single_file=True)
+    parts = [f for f in os.listdir(out) if f.endswith(".csv.gz")]
+    assert len(parts) == 1  # task-side codec, single coalesced part
+    back = read_csv(spark, os.path.join(out, parts[0]))
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+
 def test_cli_main(spark, landing_dir, tmp_path, capsys):
     from loan_etl_data_pipeline_spark.__main__ import main
 
