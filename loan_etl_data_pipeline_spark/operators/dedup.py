@@ -94,35 +94,25 @@ def dedup_by_fingerprint(
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, ngram) postings of distinct word n-grams per document.
 
-    posexplode + window leads, NOT a ``transform(sequence(...))`` array
-    expression: higher-order functions are CodegenFallback and the
-    interpreted lambda re-evaluates the regex ``split`` once per gram
-    index (measured: one 27 s single-thread regex task at sf0.1). This
-    form splits each document exactly once, stays in codegen end to
-    end, and its window shuffle re-spreads a few-big-files scan across
-    the cluster — the distinct() that follows needs a shuffle anyway.
+    MLlib's ``NGram`` transformer builds the gram array row-locally on
+    the JVM (a compiled Scala function over the token array) — zero
+    shuffle before the ``distinct``. The two rejected alternatives,
+    both measured: a ``transform(sequence(...))`` higher-order
+    expression is CodegenFallback AND CollapseProject makes the
+    interpreted lambda re-evaluate the regex split once per gram index
+    (27 s single-thread at sf0.1); posexplode + window ``lead`` stays
+    in codegen but forces a full shuffle of every token on doc id
+    before grams even exist — equal speed locally, strictly worse at
+    cluster scale. A doc with fewer than n tokens yields no grams
+    (NGram emits an empty array), matching the window form's semantics.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    from pyspark.ml.feature import NGram
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
     )
-    if n == 1:
-        return toks.select("id", F.col("tok").alias("ngram")).distinct()
-    w = Window.partitionBy("id").orderBy("pos")
-    lead_cols = [F.lead("tok", i).over(w).alias(f"__t{i}") for i in range(1, n)]
-    grams = toks.select("id", "tok", *lead_cols)
-    # a doc with fewer than n tokens yields no grams (trailing windows
-    # are cut by the null check on the furthest lead)
-    return (
-        grams.filter(F.col(f"__t{n - 1}").isNotNull())
-        .select(
-            "id",
-            F.concat_ws(
-                " ", "tok", *[f"__t{i}" for i in range(1, n)]
-            ).alias("ngram"),
-        )
-        .distinct()
-    )
+    grams = NGram(n=n, inputCol="toks", outputCol="grams").transform(base)
+    return grams.select("id", F.explode("grams").alias("ngram")).distinct()
 
 
 def ngram_jaccard_pairs(
