@@ -1,0 +1,123 @@
+"""Ordered joins Spark lacks as built-ins: as-of (nearest-event) join.
+
+Neither the reference (which has no joins at all — SURVEY.md §2 A.3) nor
+stock Spark SQL offers an as-of join, yet it is the workhorse of
+event/feature alignment in training-data pipelines ("the user's most
+recent purchase before this click"). The naive Spark formulation —
+equi-join on the key, filter ``r.ts <= l.ts``, then a max-per-left-row
+window — materializes every (left, right-history) pair before pruning:
+O(|L| x avg-history) shuffle rows, quadratic per key at corpus scale.
+
+This implementation is the single-shuffle union-scan form:
+
+1. tag both sides and union them on (key, ts) — shuffle carries each
+   row exactly once;
+2. one window per key ordered by (ts, side): a running
+   ``last(right-payload, ignorenulls)`` carries the most recent right
+   row forward past every left row;
+3. keep the left rows; their carried struct IS the as-of match.
+
+Cost is one exchange of |L|+|R| rows and a linear per-partition scan —
+the same shape as sessionization (operators/windows.py), so it scales
+to skewed keys the same way (a single hot key degrades to a sorted
+linear scan, never a pairwise blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: attach the nearest right row per key.
+
+    For each left row, pick the right row with the same ``on`` key and
+    the greatest ``right_ts`` <= ``left_ts`` (``direction="backward"``,
+    inclusive) or the smallest ``right_ts`` >= ``left_ts``
+    (``"forward"``). Unmatched left rows keep nulls in the right
+    columns (left-join semantics; left row count is preserved).
+
+    ``tolerance`` (an SQL interval string like ``"1 hour"``) voids
+    matches farther than that from the left timestamp.
+
+    Every non-key right column is emitted as ``<name><suffix>``
+    (including the right timestamp), so callers never get silent name
+    collisions.
+
+    Determinism: if several right rows share (key, ts), the greatest
+    payload struct (field-wise comparison) wins — a documented total
+    order, unlike pandas ``merge_asof``'s positional pick. Null left
+    timestamps match nothing.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lpay = [c for c in left.columns if c not in keys]
+    rpay = [c for c in right.columns if c not in keys]
+
+    r_struct = F.struct(*[F.col(c).alias(c) for c in rpay])
+    l_struct = F.struct(*[F.col(c).alias(c) for c in lpay])
+    r_type = right.select(r_struct.alias("s")).schema["s"].dataType
+    l_type = left.select(l_struct.alias("s")).schema["s"].dataType
+
+    r_side = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        r_struct.alias("__rpay"),
+        F.lit(None).cast(l_type).alias("__lpay"),
+    )
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_type).alias("__rpay"),
+        l_struct.alias("__lpay"),
+    )
+    unioned = r_side.unionByName(l_side)
+
+    # At equal ts the right row must be visited first so the match is
+    # inclusive; asc_nulls_first on the payload makes right-side ties a
+    # total order (left rows all have a null __rpay and a distinct
+    # __side, so the null never competes).
+    ts_order = F.asc("__ts") if direction == "backward" else F.desc("__ts")
+    w = Window.partitionBy(*keys).orderBy(
+        ts_order, F.asc("__side"), F.asc_nulls_first("__rpay")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = (
+        unioned.withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .withColumn(
+            "__match",
+            F.when(F.col("__ts").isNotNull(), F.col("__match")).otherwise(
+                F.lit(None).cast(r_type)
+            ),
+        )
+    )
+
+    if tolerance is not None:
+        gap_ok = (
+            F.col("__ts") - F.col(f"__match.{right_ts}") <= F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col(f"__match.{right_ts}") - F.col("__ts") <= F.expr(f"INTERVAL {tolerance}")
+        )
+        carried = carried.withColumn(
+            "__match", F.when(gap_ok, F.col("__match")).otherwise(F.lit(None).cast(r_type))
+        )
+
+    return carried.select(
+        *keys,
+        *[F.col(f"__lpay.{c}").alias(c) for c in lpay],
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in rpay],
+    )

@@ -1,0 +1,103 @@
+"""As-of join (operators/joins.py): semantics, ties, tolerance, determinism.
+
+The sf-scale cross-engine check is q_asof_purchase vs DuckDB's native
+ASOF LEFT JOIN (tests/test_oracle_parity.py); these unit tests pin the
+edge semantics that oracle rows can't isolate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from loan_etl_data_pipeline_spark.operators.joins import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts(10)),   # matches r@10 (inclusive)
+            (2, "u1", _ts(25)),   # matches r@20
+            (3, "u1", _ts(5)),    # before all rights -> null
+            (4, "u2", _ts(30)),   # u2 has no rights -> null
+            (5, "u1", None),      # null ts -> null match, row kept
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(10), 100.0),
+            ("u1", _ts(20), 200.0),
+            ("u1", _ts(40), 400.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    return left, right
+
+
+def _collect(df):
+    return {r["event_id"]: r for r in df.collect()}
+
+
+def test_backward_inclusive_and_nulls(frames):
+    left, right = frames
+    got = _collect(asof_join(left, right, on="user_id"))
+    assert len(got) == 5  # left row count preserved
+    assert got[1]["value_r"] == 100.0 and got[1]["ts_r"] == _ts(10)  # inclusive
+    assert got[2]["value_r"] == 200.0
+    assert got[3]["value_r"] is None  # before all right rows
+    assert got[4]["value_r"] is None  # key with no right side
+    assert got[5]["value_r"] is None and got[5]["ts_r"] is None  # null left ts
+
+
+def test_forward(frames):
+    left, right = frames
+    got = _collect(asof_join(left, right, on="user_id", direction="forward"))
+    assert got[1]["value_r"] == 100.0  # inclusive at equal ts
+    assert got[2]["value_r"] == 400.0  # next right after 25 is 40
+    assert got[3]["value_r"] == 100.0
+    assert got[4]["value_r"] is None
+
+
+def test_tolerance_voids_stale_matches(frames):
+    left, right = frames
+    got = _collect(asof_join(left, right, on="user_id", tolerance="4 minutes"))
+    assert got[1]["value_r"] == 100.0  # gap 0 <= 4m
+    assert got[2]["value_r"] is None  # gap 5m > 4m
+    assert got[2]["ts_r"] is None  # whole struct voided, not just one field
+
+
+def test_right_ties_pick_greatest_payload(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), 1.0), ("u1", _ts(10), 9.0), ("u1", _ts(10), 5.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    for n in (1, 3):
+        got = _collect(asof_join(left.repartition(n), right.repartition(n), on="user_id"))
+        assert got[1]["value_r"] == 9.0  # greatest (ts, value) struct, any partitioning
+
+
+def test_suffix_and_bad_direction(frames):
+    left, right = frames
+    out = asof_join(left, right, on="user_id", suffix="_p")
+    assert set(out.columns) == {"user_id", "event_id", "ts", "ts_p", "value_p"}
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="user_id", direction="nearest")
+
+
+def test_single_shuffle_plan(frames):
+    left, right = frames
+    plan = asof_join(left, right, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    # union-scan form: exactly one exchange (the window's key partitioning);
+    # a join-based formulation would show 2+ plus a join node
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
