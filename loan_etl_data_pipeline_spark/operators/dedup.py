@@ -313,3 +313,67 @@ def simhash_fingerprints(
 def hamming_distance(col_a, col_b):
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(F.col(col_a).bitwiseXOR(F.col(col_b)))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    max_block_group: int = 1000,
+) -> DataFrame:
+    """All document pairs within ``max_hamming`` SimHash bits — exactly.
+
+    Pigeonhole banding (Manku/Jain/Sarma's web-dedup scheme, re-expressed
+    as DataFrame ops): split the 64-bit fingerprint into
+    ``max_hamming + 1`` blocks; two fingerprints within ``max_hamming``
+    bits of each other must agree *exactly* on at least one block, so an
+    equality self-join on (block_no, block_bits) generates every
+    qualifying pair — this is a guarantee, not an approximation; only
+    the exact ``bit_count(xor)`` filter then decides. Shuffle key is a
+    short int pair, candidate groups are tiny on real data, and
+    ``max_block_group`` guards the degenerate block (e.g. near-empty
+    docs all hashing to block 0) the same way the MinHash banding does.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks  # last block absorbs the remainder bits
+    fp = simhash_fingerprints(df, id_col, text_col).persist()
+    blocks = [
+        F.struct(
+            F.lit(b).alias("block_no"),
+            F.shiftrightunsigned("simhash", b * width)
+            .bitwiseAND(
+                F.lit(-1 if b == n_blocks - 1 else (1 << width) - 1).cast("long")
+            )
+            .alias("block_bits"),
+        )
+        for b in range(n_blocks)
+    ]
+    banded = fp.select("id", F.explode(F.array(*blocks)).alias("bk")).select(
+        "id", "bk.block_no", "bk.block_bits"
+    )
+    sized = banded.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("block_no", "block_bits"))
+    ).filter(F.col("__n") <= max_block_group)
+    a = sized.select(F.col("id").alias("id_a"), "block_no", "block_bits")
+    b = sized.select(F.col("id").alias("id_b"), "block_no", "block_bits")
+    cands = (
+        a.join(b, ["block_no", "block_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    out = (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming_distance("fp_a", "fp_b").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    out._persisted_intermediates = [fp]  # release_intermediates(out)
+    return out

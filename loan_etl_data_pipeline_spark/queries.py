@@ -594,6 +594,29 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 SimHash near-dup pairs via pigeonhole banding (operators/dedup.py
+    simhash_near_duplicates).
+
+    No SQL oracle (xxhash64 fingerprints), but the operator is *exact*
+    by construction — pairs within hamming<=3 must share one of 4
+    16-bit blocks — and tests/test_dedup.py asserts set-equality
+    against a brute-force all-pairs Hamming scan.
+
+    k=3 (Manku et al.'s web-dedup operating point for 64-bit
+    fingerprints) keeps block keys 16 bits wide, so banding groups stay
+    ~corpus/65536 and the join is linear; wider k shrinks blocks
+    exponentially (k=8 -> 7-bit blocks = 128 distinct keys) and goes
+    quadratic. Past ~10M docs you'd extend to Manku's permute-and-sort
+    tables (wider sorted prefixes), same DataFrame shape.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 exact top-5 cosine neighbors for query vectors vec_id < 10
     (operators/similarity.py broadcast-crossjoin + window top-k)."""
@@ -682,6 +705,36 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loan_etl_data_pipeline_spark.operators.windows import sessionize
 
     return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 as-of join (operators/joins.py): each click event matched to the
+    user's most recent purchase at-or-before it.
+
+    Single-shuffle union-scan plan (no per-key pairwise blowup — see the
+    module docstring); the oracle is DuckDB's *native* ASOF LEFT JOIN,
+    so the semantics are checked against an independent first-class
+    implementation, not a SQL re-derivation. Deterministic because
+    (user_id, ts) is unique in the testdata and value passes through
+    unaggregated.
+    """
+    from loan_etl_data_pipeline_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, purchases, on="user_id", suffix="_p")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("ts_p", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value_p").alias("purchase_value"),
+    )
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,6 +1018,16 @@ ORACLE_PART_B: dict[str, str] = {
                count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
     """,
+    "q_asof_purchase": """
+        SELECT l.event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               r.value AS purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
     "q_json_extract": """
         SELECT event_type,
                count(k) AS n_k,
@@ -998,6 +1061,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_neardup": q_minhash_neardup,
     "q_simhash": q_simhash,
+    "q_simhash_pairs": q_simhash_pairs,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1005,6 +1069,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_topk": q_ivf_topk,
     "q_event_windows": q_event_windows,
     "q_sessions": q_sessions,
+    "q_asof_purchase": q_asof_purchase,
     "q_json_extract": q_json_extract,
     "q_multimodal_meta": q_multimodal_meta,
 }

@@ -109,6 +109,46 @@ def test_simhash_on_documents_rowcount(docs):
     assert out.columns == ["id", "simhash"]
 
 
+def test_simhash_near_duplicates_equals_bruteforce(docs, spark):
+    """Pigeonhole banding is exact: result == all pairs with hamming <= k.
+
+    Brute force computed driver-side over the collected fingerprints
+    (500 docs -> 125k pairs, trivial locally) — the operator must
+    produce exactly that set, in any partitioning.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import simhash_near_duplicates
+
+    k = 8
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    ids = sorted(fps)
+    expected = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= k
+    }
+    assert expected, "testdata should contain simhash near-dups at k=8"
+
+    out = simhash_near_duplicates(docs.repartition(7), max_hamming=k)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    release_intermediates(out)
+    assert got == expected
+
+
+def test_simhash_near_duplicates_skew_guard(spark):
+    """A degenerate corpus (all-identical docs) trips max_block_group and
+    yields no pairs instead of a quadratic blowup."""
+    from loan_etl_data_pipeline_spark.operators.dedup import simhash_near_duplicates
+
+    df = spark.createDataFrame(
+        [(i, "same text everywhere again") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = simhash_near_duplicates(df, max_hamming=3, max_block_group=10)
+    assert out.count() == 0
+    release_intermediates(out)
+
+
 def test_dedup_exact_keeps_deterministic_survivor(spark):
     df = spark.createDataFrame(
         [("u1", "click", 3), ("u1", "click", 1), ("u1", "view", 2), ("u2", "click", 9)],
