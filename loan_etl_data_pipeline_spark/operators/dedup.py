@@ -78,16 +78,33 @@ def dedup_exact(
 
 
 def dedup_by_fingerprint(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    keep_text: bool = False,
 ) -> DataFrame:
-    """Exact content dedup: md5(normalized text) → keep min id, count dups."""
+    """Exact content dedup: md5(normalized text) → keep min id, count dups.
+
+    With ``keep_text`` the surviving row's text rides the same shuffle
+    via ``min_by`` (deterministic — ids are the tie-break), which is
+    strictly cheaper than the join-back a caller would otherwise need:
+    one text-bearing shuffle instead of an agg shuffle plus a join.
+    """
+    aggs = [
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    ]
+    if keep_text:
+        aggs.append(F.min_by(text_col, F.col(id_col)).alias(text_col))
     return (
-        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(
-            F.min(id_col).alias("keep_id"),
-            F.count(F.lit(1)).alias("dup_count"),
+        df.select(
+            F.col(id_col),
+            *([F.col(text_col)] if keep_text else []),
+            F.md5(normalize_text(text_col)).alias("fp"),
         )
+        .groupBy("fp")
+        .agg(*aggs)
     )
 
 

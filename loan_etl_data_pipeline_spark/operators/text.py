@@ -55,11 +55,19 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def text_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def text_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Quality-heuristic ratios used for corpus filtering.
 
     All are cheap char-class counts over the scan; at 100 TB this is the
     classic "score then filter" first stage of a training-data pipeline.
+    ``keep_cols`` pass through untouched so callers can filter on
+    ``quality_flag`` without a join back to the source rows.
     """
     lower = F.lower(F.col(text_col))
     n_chars = F.length(lower)
@@ -71,6 +79,7 @@ def text_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     n_stop = F.size(F.filter(t, lambda x: _in_set(x, STOPWORDS_EN)))
     return df.select(
         id_col,
+        *keep_cols,
         (n_alpha.cast("double") / n_chars.cast("double")).alias("alpha_ratio"),
         (n_digit.cast("double") / n_chars.cast("double")).alias("digit_ratio"),
         (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
@@ -134,7 +143,13 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 BPE_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9'\s]+|\s+"
 
 
-def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Token counting two ways: whitespace words and BPE-ish segments.
 
     The segment count approximates LLM token cost far better than word
@@ -148,6 +163,7 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     n_bpe = F.regexp_count(lower, F.lit(BPE_PATTERN))
     return df.select(
         id_col,
+        *keep_cols,
         n_words.cast("bigint").alias("n_words"),
         n_bpe.cast("bigint").alias("n_bpe_tokens"),
         (n_bpe.cast("double") / n_words.cast("double")).alias("bpe_per_word"),

@@ -1,0 +1,65 @@
+"""Corpus-preparation plan: the training-data pipeline as ONE DataFrame.
+
+The reference's only pipeline is loans-CSV → clean → insights
+(reference: airflow/dags/etl/pyspark_etl.py:48-64); this is the
+equivalent composed plan for the LLM-data side of the engine
+(SURVEY.md §2 Part B): quality-score → exact-dedup → language-filter →
+token-budget, all built from the operator library (operators/text.py,
+operators/dedup.py) so every stage is the same code the standalone
+queries certify.
+
+Plan shape (and why it scales — two shuffles total):
+
+1. **quality filter** — pure char-class expressions on the scan
+   (text_quality with passthrough, no join-back); junk is dropped
+   before anything pays a shuffle for it.
+2. **exact dedup** — ONE shuffle: groupBy on md5(normalized text) with
+   ``min``/``min_by`` so the surviving row rides the agg instead of a
+   join-back. Near-dup tiers (MinHash/SimHash) are deliberately
+   separate operators — at 100 TB you run them as their own stage over
+   this plan's output.
+3. **language filter** — stopword-hit lang-id via explode + partial
+   agg (the shuffle carries (id, 4 ints) per partition, never tokens),
+   joined back on id (the second shuffle).
+4. **token stats** — pure expressions appended to the survivors.
+
+All shuffles key on doc_id or the fingerprint — well-distributed, no
+skew hazard; nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from loan_etl_data_pipeline_spark.operators.dedup import dedup_by_fingerprint
+from loan_etl_data_pipeline_spark.operators.text import lang_id, text_quality, token_counts
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Filter + dedup + annotate a document table for training use.
+
+    Keeps documents that (a) pass the quality heuristic
+    (operators/text.py text_quality: >= 5 tokens, > 0.5 alpha ratio),
+    (b) survive exact dedup (lowest id per normalized-text fingerprint
+    wins), and (c) are identified as one of ``langs``. Output one row
+    per surviving document:
+    (id, lang_pred, n_words, n_bpe_tokens, bpe_per_word).
+    """
+    q = text_quality(df, id_col, text_col, keep_cols=(text_col,)).filter(
+        F.col("quality_flag") == "keep"
+    )
+    deduped = dedup_by_fingerprint(q, id_col, text_col, keep_text=True).select(
+        F.col("keep_id").alias(id_col), text_col
+    )
+    lang = lang_id(deduped, id_col, text_col).select(id_col, "lang_pred")
+    if langs:
+        lang = lang.filter(F.col("lang_pred").isin(*langs))
+    survivors = deduped.join(lang, id_col)
+    return token_counts(survivors, id_col, text_col, keep_cols=("lang_pred",))

@@ -707,6 +707,20 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed plan (plans/corpus.py prepare_corpus): quality
+    filter → exact dedup → language filter → token stats, end to end.
+
+    Certifies the *composition* of the library operators the standalone
+    queries already certify individually — the oracle mirrors the same
+    four stages as chained CTEs. Two shuffles total (see the plan
+    module docstring).
+    """
+    from loan_etl_data_pipeline_spark.plans.corpus import prepare_corpus
+
+    return prepare_corpus(load_table(spark, sf_dir, "documents"), langs=("en",))
+
+
 def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8 as-of join (operators/joins.py): each click event matched to the
     user's most recent purchase at-or-before it.
@@ -1018,6 +1032,44 @@ ORACLE_PART_B: dict[str, str] = {
                count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
     """,
+    "q_corpus_prep": r"""
+        WITH q AS (
+            SELECT doc_id, text FROM documents
+            WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 5
+              AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                  / CAST(length(lower(text)) AS DOUBLE) > 0.5
+        ), d AS (
+            SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+            FROM q
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ), h AS (
+            SELECT doc_id, text,
+                   CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS hits_en,
+                   CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+                   CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS hits_fr,
+                   CAST(len(list_filter(toks, x -> x IN ('el','los','las','que','y'))) AS BIGINT) AS hits_es
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM d)
+        ), l AS (
+            SELECT doc_id, text,
+                   CASE WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) AND hits_en > 0 THEN 'en'
+                        WHEN hits_de >= greatest(hits_fr, hits_es) AND hits_de > 0 THEN 'de'
+                        WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                        WHEN hits_es > 0 THEN 'es'
+                        ELSE 'unknown' END AS lang_pred
+            FROM h
+        )
+        SELECT doc_id, lang_pred, n_words, n_bpe_tokens,
+               CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS bpe_per_word
+        FROM (
+            SELECT doc_id, lang_pred,
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9''\s]+|\s+')) AS BIGINT) AS n_bpe_tokens
+            FROM l WHERE lang_pred = 'en'
+        )
+    """,
     "q_asof_purchase": """
         SELECT l.event_id, l.user_id,
                strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
@@ -1069,6 +1121,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_topk": q_ivf_topk,
     "q_event_windows": q_event_windows,
     "q_sessions": q_sessions,
+    "q_corpus_prep": q_corpus_prep,
     "q_asof_purchase": q_asof_purchase,
     "q_json_extract": q_json_extract,
     "q_multimodal_meta": q_multimodal_meta,
