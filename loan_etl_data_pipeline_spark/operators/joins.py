@@ -29,6 +29,66 @@ from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: float = 0.0,
+    upper: float = 0.0,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval join: right rows with ``right_ts`` in
+    [``left_ts + lower``, ``left_ts + upper``] seconds, per key (inner).
+
+    Stock Spark plans a key-equi-join plus a time filter, which
+    materializes every same-key pair before filtering — quadratic per
+    key. This is the bucketized form: time is binned at width
+    ``upper - lower``, so a left row's window overlaps at most two
+    bins; the left side explodes to those bins (×2, no shuffle to
+    build), the join key becomes (key, bin) — equality only, one
+    shuffle — and the exact BETWEEN filters inside the matched bins.
+    Work is proportional to matches per bin neighborhood, not to
+    same-key history. Right columns get ``suffix`` (like asof_join).
+    """
+    if upper <= lower:
+        raise ValueError(f"need upper > lower, got [{lower}, {upper}]")
+    keys = [on] if isinstance(on, str) else list(on)
+    width = float(upper - lower)
+    rpay = [c for c in right.columns if c not in keys]
+
+    def _epoch(df: DataFrame, col: str):
+        # numeric event-time passes through; timestamp/ntz go through
+        # unix_micros (ntz is reinterpreted in the session TZ — pin UTC,
+        # as create_session does, for cluster-portable binning)
+        if df.schema[col].dataType.simpleString().startswith("timestamp"):
+            return F.unix_micros(F.col(col).cast("timestamp")).cast("double") / 1e6
+        return F.col(col).cast("double")
+
+    l_epoch = _epoch(left, left_ts)
+    lo_bin = F.floor((l_epoch + F.lit(lower)) / F.lit(width)).cast("long")
+    hi_bin = F.floor((l_epoch + F.lit(upper)) / F.lit(width)).cast("long")
+    l_binned = left.withColumn("__le", l_epoch).withColumn(
+        "__bin", F.explode(F.array_distinct(F.array(lo_bin, hi_bin)))
+    )
+    r_binned = right.select(
+        *keys,
+        F.floor(_epoch(right, right_ts) / F.lit(width)).cast("long").alias("__bin"),
+        _epoch(right, right_ts).alias("__re"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rpay],
+    )
+    return (
+        l_binned.join(r_binned, [*keys, "__bin"])
+        .filter(
+            (F.col("__re") >= F.col("__le") + F.lit(lower))
+            & (F.col("__re") <= F.col("__le") + F.lit(upper))
+        )
+        .drop("__bin", "__le", "__re")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

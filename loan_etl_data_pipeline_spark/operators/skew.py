@@ -1,0 +1,55 @@
+"""Skew mitigation: salted joins for heavy-hitter keys.
+
+The engine's first line of defense is AQE (session.py turns on
+``spark.sql.adaptive.skewJoin``), which splits oversized sort-merge
+partitions at runtime. But AQE can only split what it can see: it works
+on map-output sizes of a *shuffle* join, after the skewed partition was
+already written, and it cannot help when the planner picked a
+shuffled-hash join without runtime stats, when one key is hot enough
+that even a split partition re-skews downstream, or in aggregations
+over exploded intermediates. Salting removes the hotspot *before* the
+shuffle: the big side scatters each key across ``salt`` sub-keys, the
+small side replicates ``salt``× , and the join key becomes
+(key, salt) — perfectly sharding a hot key at the cost of inflating the
+small side by the salt factor.
+
+Rule of thumb at 100 TB: broadcast if the small side fits (no shuffle
+at all) > AQE skew-split (free, automatic) > salted join (this module,
+when a key is pathological) — in that order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``big`` ⋈ ``small`` on ``on`` with the hot keys sharded.
+
+    The salt for a big-side row is a deterministic hash of the whole
+    row (stable under task retries — a ``rand()`` salt would not be),
+    taken modulo ``salt``; the small side is replicated ``salt`` times
+    via a literal-array explode (rows × salt, no shuffle to build).
+    Supports the join types where replicate-right is sound for
+    row-preservation: inner and left.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}); for right/"
+            "full joins salt the other side or fall back to AQE skew handling"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    b = big.withColumn("__salt", salt_expr)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return b.join(s, [*keys, "__salt"], how).drop("__salt")

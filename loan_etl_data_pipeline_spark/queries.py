@@ -306,6 +306,73 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (A.4 "absent in reference; built-in if needed"):
+    region→nation rollup of customer counts + balances in ONE pass.
+
+    ``rollup`` computes all three grain levels (region+nation, region,
+    grand total) in a single shuffle via Expand — vs three separate
+    aggregation jobs. ``grouping_id`` disambiguates a NULL group value
+    from a rollup subtotal. Broadcast dims as in q_region_rollup.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum("c_acctbal", "sum_acctbal"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts as (status × priority) cross-tab.
+
+    Explicit pivot values keep the plan a single partial+final agg with
+    conditional counts (no extra distinct-values job, stable schema at
+    any SF — exactly what the SQL oracle spells out as FILTER aggs).
+    """
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count()
+    )
+    renames = {p: f"n_p{p[0]}" for p in prios}  # '1-URGENT' -> n_p1 ...
+    out = pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in prios],
+    )
+    return out
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic running total (A.5): cumulative spend per customer over
+    order history.
+
+    One shuffle on o_custkey; the running sum accumulates exact floored
+    cents (bigint), so the result is independent of partitioning and
+    bit-identical in the oracle — a raw double running sum would not be.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.expr("cast(floor(o_totalprice * 100) as bigint)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (F.sum(cents).over(w).cast("double") / 100).alias("running_spend"),
+    )
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: users + exact event count per event type."""
     ev = load_table(spark, sf_dir, "events")
@@ -450,7 +517,42 @@ ORACLE_PART_A: dict[str, str] = {
     """,
 }
 
+ORACLE_PART_A_ANALYTIC: dict[str, str] = {
+    "q_rollup_acctbal": """
+        SELECT r_name, n_name, count(*) AS n_customers,
+               CAST(SUM(CAST(FLOOR((c_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_acctbal,
+               CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "q_pivot_status": """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_p1,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_p2,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_p3,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_p4,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_p5
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_running_revenue": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+                 AS running_spend
+        FROM orders
+    """,
+}
+
+
 QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_rollup_acctbal": q_rollup_acctbal,
+    "q_pivot_status": q_pivot_status,
+    "q_running_revenue": q_running_revenue,
     "q_orders_by_priority": q_orders_by_priority,
     "q_lineitem_stats": q_lineitem_stats,
     "q_mode_returnflag": q_mode_returnflag,
@@ -748,6 +850,36 @@ def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.date_format("ts_p", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.col("value_p").alias("purchase_value"),
+    )
+
+
+def q_range_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 bucketized range join (operators/joins.py range_join): clicks
+    within ±5 minutes of each error event, per user.
+
+    The oracle states the semantics as a plain inequality join; the
+    Spark plan is the binned equality join (one shuffle on
+    (user, time-bin), exact BETWEEN inside bins) — same rows, linear
+    instead of per-key-quadratic.
+    """
+    from loan_etl_data_pipeline_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = range_join(
+        errors, clicks, on="user_id", lower=-300.0, upper=300.0, suffix="_c"
+    )
+    near = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_nearby_clicks"))
+    return (
+        errors.join(near, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks"),
+        )
     )
 
 
@@ -1080,6 +1212,16 @@ ORACLE_PART_B: dict[str, str] = {
              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
+    "q_range_clicks": """
+        SELECT e.event_id, any_value(e.user_id) AS user_id,
+               count(c.user_id) AS n_nearby_clicks
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.ts >= e.ts - INTERVAL 5 MINUTE
+         AND c.ts <= e.ts + INTERVAL 5 MINUTE
+        GROUP BY e.event_id
+    """,
     "q_json_extract": """
         SELECT event_type,
                count(k) AS n_k,
@@ -1123,6 +1265,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessions": q_sessions,
     "q_corpus_prep": q_corpus_prep,
     "q_asof_purchase": q_asof_purchase,
+    "q_range_clicks": q_range_clicks,
     "q_json_extract": q_json_extract,
     "q_multimodal_meta": q_multimodal_meta,
 }
@@ -1138,5 +1281,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(ORACLE_PART_A)
+    out.update(ORACLE_PART_A_ANALYTIC)
     out.update(ORACLE_PART_B)
     return out

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pyspark.sql.functions as F
 import pytest
 
 from loan_etl_data_pipeline_spark.operators.joins import asof_join
@@ -92,6 +93,36 @@ def test_suffix_and_bad_direction(frames):
     assert set(out.columns) == {"user_id", "event_id", "ts", "ts_p", "value_p"}
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="user_id", direction="nearest")
+
+
+def test_range_join_matches_naive(spark):
+    """Binned range join == naive equi-join + BETWEEN filter, including
+    windows that straddle a bin boundary."""
+    import random
+
+    from loan_etl_data_pipeline_spark.operators.joins import range_join
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, f"u{rng.randrange(4)}", _ts(rng.randrange(0, 59))) for i in range(40)],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(f"u{rng.randrange(4)}", _ts(rng.randrange(0, 59)), float(i)) for i in range(60)],
+        "user_id string, ts timestamp, value double",
+    )
+    got = range_join(left, right, on="user_id", lower=-180.0, upper=300.0)
+    naive = (
+        left.join(right.selectExpr("user_id", "ts AS ts_r", "value AS value_r"), "user_id")
+        .filter(
+            (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 180 SECONDS"))
+            & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 300 SECONDS"))
+        )
+    )
+    key = lambda r: (r["event_id"], r["ts_r"], r["value_r"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+    with pytest.raises(ValueError, match="upper > lower"):
+        range_join(left, right, on="user_id", lower=5.0, upper=5.0)
 
 
 def test_single_shuffle_plan(frames):
