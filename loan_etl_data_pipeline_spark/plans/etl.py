@@ -70,4 +70,52 @@ def run_etl(
     return insights
 
 
-__all__ = ["run_etl", "clean", "TS_FORMATS"]
+def run_etl_incremental(
+    spark: SparkSession,
+    input_path: str | list[str],
+    output_path: str,
+    ts_col: str = "timestamp",
+    *,
+    partition_col: str = "date",
+    schema=None,
+    insights_path: str | None = None,
+) -> dict:
+    """Partition-aware incremental run of the same pipeline.
+
+    Output parquet is partitioned by the derived ``date`` column and
+    written with *dynamic* partition overwrite: re-running with a new
+    batch replaces only the date partitions present in that batch and
+    leaves every other partition's files untouched — the daily-append
+    contract a real pipeline needs. (The reference instead rmtree's the
+    entire output dir before every run — reference:
+    airflow/dags/spark_etl_dag.py:63-69 — so one bad batch deletes all
+    history.) Rows with unparseable timestamps land in the null
+    partition (``__HIVE_DEFAULT_PARTITION__``), preserved like any
+    other. At 100 TB, date partitioning is also what makes downstream
+    time-filtered scans prune to the touched days.
+    """
+    raw = read_csv(spark, input_path, schema=schema)
+    cleaned = clean(raw, ts_col)
+
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    cleaned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cleaned.write.mode("overwrite").partitionBy(partition_col).parquet(
+            output_path
+        )
+        insights = generate_insights(cleaned)
+    finally:
+        cleaned.unpersist()
+        if prev is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, prev)
+
+    if insights_path:
+        write_insights_json(insights, insights_path)
+    return insights
+
+
+__all__ = ["run_etl", "run_etl_incremental", "clean", "TS_FORMATS"]

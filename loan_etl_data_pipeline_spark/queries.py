@@ -306,6 +306,24 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user estimates per event type
+    (functions/sketches.py) — the pre-aggregatable scale path next to
+    q_count_distinct's exact shuffle.
+
+    No SQL oracle: DuckDB's approx_count_distinct is a different HLL
+    with different estimates. Verified by tests/test_sketches.py
+    (estimates within 5% of exact; split-then-merge == single pass).
+    """
+    from loan_etl_data_pipeline_spark.functions.sketches import (
+        distinct_sketches,
+        estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return estimate(distinct_sketches(ev, "event_type", "user_id"))
+
+
 def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets (A.4 "absent in reference; built-in if needed"):
     region→nation rollup of customer counts + balances in ONE pass.
@@ -550,6 +568,7 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
 
 
 QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_approx_users": q_approx_users,
     "q_rollup_acctbal": q_rollup_acctbal,
     "q_pivot_status": q_pivot_status,
     "q_running_revenue": q_running_revenue,

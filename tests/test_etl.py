@@ -166,3 +166,51 @@ def test_cli_empty_dir(tmp_path, capsys):
     rc = main([str(empty), str(tmp_path / "never")])
     assert rc == 1
     assert json.loads(capsys.readouterr().out) == {"status": "no_files"}
+
+
+def test_incremental_overwrites_only_touched_partitions(spark, tmp_path):
+    """run_etl_incremental: a new batch replaces its own date partitions
+    and leaves other dates' files byte-identical (the reference rmtree's
+    everything, spark_etl_dag.py:63-69)."""
+    from loan_etl_data_pipeline_spark.plans.etl import run_etl_incremental
+
+    out = str(tmp_path / "warehouse")
+    batch1 = tmp_path / "b1.csv"
+    batch1.write_text(
+        "loan_id,timestamp,loan_amount\n"
+        "1,2024-01-15 10:00:00,100.0\n"
+        "2,2024-01-16 11:00:00,200.0\n"
+    )
+    run_etl_incremental(spark, str(batch1), out)
+
+    d1 = os.path.join(out, "date=2024-01-15")
+    snap = {
+        f: os.path.getmtime(os.path.join(d1, f))
+        for f in os.listdir(d1)
+        if f.endswith(".parquet")
+    }
+    assert snap, "day-1 partition should exist"
+
+    # second batch touches only 2024-01-16 (restated) — day 1 must survive
+    batch2 = tmp_path / "b2.csv"
+    batch2.write_text(
+        "loan_id,timestamp,loan_amount\n3,2024-01-16 12:00:00,999.0\n"
+    )
+    run_etl_incremental(spark, str(batch2), out)
+
+    after = {
+        f: os.path.getmtime(os.path.join(d1, f))
+        for f in os.listdir(d1)
+        if f.endswith(".parquet")
+    }
+    assert after == snap, "untouched partition files must remain identical"
+    rows = {
+        r["loan_id"]: r for r in spark.read.parquet(out).collect()
+    }
+    assert sorted(rows) == [1, 3]  # loan 2 replaced by batch 2's day-16 data
+    assert rows[3]["loan_amount"] == 999.0
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper()
+        == "STATIC"
+    )

@@ -1,0 +1,48 @@
+"""HLL sketches (functions/sketches.py): accuracy vs exact, and the
+mergeability contract that makes them useful as pre-aggregated tables."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from loan_etl_data_pipeline_spark.functions.sketches import (
+    distinct_sketches,
+    estimate,
+    merge_sketches,
+)
+from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_estimates_track_exact(events):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in estimate(distinct_sketches(events, "event_type", "user_id")).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(3, 0.05 * n), f"{t}: est {est[t]} vs exact {n}"
+
+
+def test_split_then_merge_equals_single_pass(events):
+    """Daily sketches unioned == one global sketch, bit-for-bit estimates —
+    the property that lets a 100 TB pipeline persist sketch tables."""
+    daily = distinct_sketches(
+        events.withColumn("day", F.to_date("ts")), ["day", "event_type"], "user_id"
+    )
+    merged = estimate(merge_sketches(daily, "event_type"))
+    single = estimate(distinct_sketches(events, "event_type", "user_id"))
+    got = {r["event_type"]: r["approx_distinct"] for r in merged.collect()}
+    want = {r["event_type"]: r["approx_distinct"] for r in single.collect()}
+    assert got == want
