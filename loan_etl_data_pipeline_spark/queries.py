@@ -715,6 +715,29 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 near-dup clusters: connected components (operators/graph.py —
+    iterative min-label propagation with per-round localCheckpoint) over
+    the exact Jaccard>=0.5 pair graph.
+
+    The oracle computes the same transitive closure with a recursive
+    CTE over the same pair CTEs q_ngram_jaccard already certifies —
+    i.e. an iterative Spark algorithm checked against DuckDB recursion.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_intermediates,
+    )
+    from loan_etl_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    out = connected_components(pairs, "id_a", "id_b")
+    release_intermediates(pairs)
+    return out
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 SimHash near-dup pairs via pigeonhole banding (operators/dedup.py
     simhash_near_duplicates).
@@ -1055,6 +1078,43 @@ ORACLE_PART_B: dict[str, str] = {
         WHERE CAST(inter_size AS DOUBLE)
                  / CAST((sa.sz + sb.sz - inter_size) AS DOUBLE) >= 0.05
     """,
+    "q_dup_components": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, list_distinct(
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [] END) AS gs
+            FROM toks
+        ), posts AS (
+            SELECT doc_id AS id, UNNEST(gs) AS ngram FROM grams
+        ), sizes AS (
+            SELECT id, count(*) AS sz FROM posts GROUP BY id
+        ), inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_size
+            FROM posts a JOIN posts b ON a.ngram = b.ngram AND a.id < b.id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON id_a = sa.id
+            JOIN sizes sb ON id_b = sb.id
+            WHERE CAST(inter_size AS DOUBLE)
+                    / CAST((sa.sz + sb.sz - inter_size) AS BIGINT) >= 0.5
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ), reach(id, label) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+        )
+        SELECT id, min(label) AS component FROM reach GROUP BY id
+    """,
     "q_knn_bruteforce": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
         c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
@@ -1275,6 +1335,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_neardup": q_minhash_neardup,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_dup_components": q_dup_components,
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
