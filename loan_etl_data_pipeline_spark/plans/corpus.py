@@ -36,6 +36,53 @@ from loan_etl_data_pipeline_spark.operators.dedup import dedup_by_fingerprint
 from loan_etl_data_pipeline_spark.operators.text import lang_id, text_quality, token_counts
 
 
+def remove_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.7,
+    method: str = "minhash",
+) -> DataFrame:
+    """Drop all but one document per near-duplicate cluster.
+
+    Composition of the certified pieces: candidate pairs from the
+    sketch tier (``minhash`` banding at corpus scale, or exact
+    ``jaccard`` for small/verification runs), clustered into connected
+    components (operators/graph.py), keeping each component's min-id
+    representative. The join back is a left-anti on the loser set —
+    losers ≪ corpus, so the anti join broadcasts on real data.
+
+    This is the standard fuzzy-dedup shape (pairs → components →
+    representative): pairwise "drop the higher id" alone is not
+    transitive — A~B, B~C without A~C would keep both A and C or drop
+    documents inconsistently across partitions.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+        release_intermediates,
+    )
+    from loan_etl_data_pipeline_spark.operators.graph import connected_components
+
+    if method == "minhash":
+        pairs = minhash_near_duplicates(df, id_col, text_col)
+        edges = pairs.filter(F.col("est_jaccard") >= threshold)
+    elif method == "jaccard":
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold)
+        edges = pairs
+    else:
+        raise ValueError(f"method must be 'minhash' or 'jaccard', got {method!r}")
+
+    comps = connected_components(edges, "id_a", "id_b")
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    out = df.join(losers, id_col, "left_anti")
+    release_intermediates(pairs)
+    return out
+
+
 def prepare_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

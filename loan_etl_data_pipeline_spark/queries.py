@@ -306,6 +306,28 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles of lineitem quantity (cents-exact).
+
+    ``percentile`` over bigint cents: rank selection + one linear
+    interpolation on exact integers — bit-identical to DuckDB's
+    ``quantile_cont`` (verified), unlike raw-double percentiles whose
+    inputs already differ. At scale you'd swap in ``approx_percentile``
+    (t-digest, mergeable) the same way q_approx_users does for
+    count-distinct; the exact form is the oracle-able baseline.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "percentile(cast(floor(l_quantity*100) as bigint), array(0.25, 0.5, 0.75, 0.99))"
+    )
+    return li.groupBy("l_returnflag").agg(
+        (q[0] / 100).alias("p25"),
+        (q[1] / 100).alias("p50"),
+        (q[2] / 100).alias("p75"),
+        (q[3] / 100).alias("p99"),
+    )
+
+
 def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-user estimates per event type
     (functions/sketches.py) — the pre-aggregatable scale path next to
@@ -545,6 +567,18 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
     """,
+    "q_quantiles": """
+        WITH q AS (
+            SELECT l_returnflag,
+                   quantile_cont(CAST(FLOOR(l_quantity*100) AS BIGINT),
+                                 [0.25, 0.5, 0.75, 0.99]) AS qs
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               qs[1] / 100 AS p25, qs[2] / 100 AS p50,
+               qs[3] / 100 AS p75, qs[4] / 100 AS p99
+        FROM q
+    """,
     "q_pivot_status": """
         SELECT o_orderstatus,
                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_p1,
@@ -568,6 +602,7 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
 
 
 QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_quantiles": q_quantiles,
     "q_approx_users": q_approx_users,
     "q_rollup_acctbal": q_rollup_acctbal,
     "q_pivot_status": q_pivot_status,

@@ -34,6 +34,39 @@ def test_prepare_corpus_stages(spark):
     assert out[6]["n_bpe_tokens"] >= out[6]["n_words"]  # BPE segments >= words
 
 
+def test_remove_near_duplicates(spark):
+    """One survivor (min id) per near-dup cluster, uniques untouched —
+    including the transitive A~B~C case pairwise dropping gets wrong."""
+    from loan_etl_data_pipeline_spark.plans.corpus import remove_near_duplicates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy stone bridge near the river"
+    )
+    v2 = base.replace("mossy stone", "mossy wooden")
+    v3 = v2.replace("lazy dog", "lazy cat")  # near v2; A~B~C chain
+    unique = (
+        "quantum flux capacitors destabilize rapidly under intense gamma "
+        "radiation unless shielded by layered boron carbide plating arrays"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, v2), (3, v3), (9, unique)], "doc_id long, text string"
+    )
+    for method in ("jaccard", "minhash"):
+        out = sorted(
+            r["doc_id"]
+            for r in remove_near_duplicates(
+                df, threshold=0.5, method=method
+            ).collect()
+        )
+        assert out == [1, 9], f"{method}: got {out}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        remove_near_duplicates(df, method="simhash")
+
+
 def test_prepare_corpus_no_lang_filter(spark):
     df = spark.createDataFrame(
         [(3, "der hund und die katze sind das beste team in der stadt")],
