@@ -95,6 +95,65 @@ def test_suffix_and_bad_direction(frames):
         asof_join(left, right, on="user_id", direction="nearest")
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property check against an independent implementation: pandas
+    ``merge_asof`` (both directions, with and without tolerance) on
+    randomized frames. (key, ts) kept unique on the right so the two
+    implementations' tie rules can't diverge."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    for trial in range(3):
+        keys = ["u1", "u2", "u3"]
+        left_pd = pd.DataFrame(
+            {
+                "event_id": range(30),
+                "user_id": [rng.choice(keys) for _ in range(30)],
+                "ts": [_ts(rng.randrange(0, 59)) for _ in range(30)],
+            }
+        )
+        right_rows = {
+            (k, _ts(m))
+            for k in keys
+            for m in rng.sample(range(0, 59), rng.randrange(1, 12))
+        }
+        right_pd = pd.DataFrame(
+            [(k, t, float(hash((k, t)) % 1000)) for k, t in sorted(right_rows)],
+            columns=["user_id", "ts", "value"],
+        )
+        for direction, tolerance in [
+            ("backward", None),
+            ("forward", None),
+            ("backward", "7 minutes"),
+        ]:
+            expected = pd.merge_asof(
+                left_pd.sort_values("ts", kind="stable"),
+                right_pd.sort_values("ts", kind="stable"),
+                on="ts",
+                by="user_id",
+                direction=direction,
+                tolerance=pd.Timedelta("7 minutes") if tolerance else None,
+                suffixes=("", "_r"),
+            )
+            exp = {
+                r.event_id: (None if pd.isna(r.value) else r.value)
+                for r in expected.itertuples()
+            }
+            got = {
+                r["event_id"]: r["value_r"]
+                for r in asof_join(
+                    spark.createDataFrame(left_pd),
+                    spark.createDataFrame(right_pd),
+                    on="user_id",
+                    direction=direction,
+                    tolerance=tolerance,
+                ).collect()
+            }
+            assert got == exp, f"trial {trial} {direction} tol={tolerance}"
+
+
 def test_range_join_matches_naive(spark):
     """Binned range join == naive equi-join + BETWEEN filter, including
     windows that straddle a bin boundary."""
