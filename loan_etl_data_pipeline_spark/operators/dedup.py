@@ -357,7 +357,7 @@ def simhash_near_duplicates(
     """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks  # last block absorbs the remainder bits
-    fp = simhash_fingerprints(df, id_col, text_col).persist()
+    fp = simhash_fingerprints(df, id_col, text_col)
     blocks = [
         F.struct(
             F.lit(b).alias("block_no"),
@@ -369,28 +369,27 @@ def simhash_near_duplicates(
         )
         for b in range(n_blocks)
     ]
-    banded = fp.select("id", F.explode(F.array(*blocks)).alias("bk")).select(
-        "id", "bk.block_no", "bk.block_bits"
-    )
+    # the fingerprint rides the banded rows (+8 bytes/row) so the exact
+    # Hamming check happens inside the band join — no candidate-set
+    # distinct followed by two fingerprint joins (measured 2 extra
+    # shuffles and ~40% of the operator's wall time)
+    banded = fp.select(
+        "id", "simhash", F.explode(F.array(*blocks)).alias("bk")
+    ).select("id", "simhash", "bk.block_no", "bk.block_bits")
     sized = banded.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("block_no", "block_bits"))
     ).filter(F.col("__n") <= max_block_group)
-    a = sized.select(F.col("id").alias("id_a"), "block_no", "block_bits")
-    b = sized.select(F.col("id").alias("id_b"), "block_no", "block_bits")
-    cands = (
+    a = sized.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "block_no", "block_bits"
+    )
+    b = sized.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "block_no", "block_bits"
+    )
+    return (
         a.join(b, ["block_no", "block_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    fa = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"))
-    fb = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"))
-    out = (
-        cands.join(fa, "id_a")
-        .join(fb, "id_b")
         .withColumn("hamming", hamming_distance("fp_a", "fp_b").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
-    out._persisted_intermediates = [fp]  # release_intermediates(out)
-    return out
