@@ -81,6 +81,7 @@ def read_csv(
     schema: StructType | None = None,
     header: bool = True,
     sampling_ratio: float | None = None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Read CSV(.gz) file(s) into a DataFrame.
 
@@ -90,8 +91,25 @@ def read_csv(
     the scale path: a single scan, and predicate/column pruning can be
     planned before any data is read. ``sampling_ratio`` bounds the
     inference scan when you want inference but not a full extra pass.
+
+    ``corrupt_col`` (requires ``schema``) quarantines malformed lines
+    instead of silently null-padding them: parses run PERMISSIVE, rows
+    that failed land with their raw text in that column (filter
+    ``IS NOT NULL`` to route them to a dead-letter sink; everything
+    else of the row is null). The reference would crash or silently
+    mangle a bad landed file; at pipeline scale you want the batch to
+    finish AND the bad lines accounted for.
     """
     reader = spark.read.option("header", header)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        from pyspark.sql.types import StringType
+
+        schema = StructType(schema.fields).add(corrupt_col, StringType())
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if schema is not None:
         reader = reader.schema(schema)
     else:

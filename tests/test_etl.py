@@ -214,3 +214,23 @@ def test_incremental_overwrites_only_touched_partitions(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper()
         == "STATIC"
     )
+
+
+def test_read_csv_corrupt_record_quarantine(spark, tmp_path):
+    """Malformed lines land in the corrupt column; good rows parse clean."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("a,b\n1,2\nnot_a_number,5\n3,4\n")
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    df = read_csv(spark, str(p), schema=schema, corrupt_col="_bad").cache()
+    good = df.filter("_bad IS NULL").select("a", "b")
+    bad = df.filter("_bad IS NOT NULL")
+    assert sorted(map(tuple, good.collect())) == [(1, 2), (3, 4)]
+    assert [r["_bad"] for r in bad.collect()] == ["not_a_number,5"]
+    df.unpersist()
+
+    with pytest.raises(ValueError, match="corrupt_col requires"):
+        read_csv(spark, str(p), corrupt_col="_bad")
