@@ -23,7 +23,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     LongType,
     StringType,
     StructField,
@@ -171,3 +173,49 @@ def decode_stub(df: DataFrame, *, fake: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def embed_media(df: DataFrame, *, dim: int = 64) -> DataFrame:
+    """Embedding extraction kernel: blob row in, (media_id, vec) out.
+
+    The bridge from the multimodal layer to the similarity layer: the
+    output column is the same ``array<float>`` shape as the
+    ``embeddings`` table, so it feeds ``cosine_topk_bruteforce`` /
+    ``lsh_topk`` / ``ivf_topk`` (operators/similarity.py, operators/
+    ivf.py) unchanged — dedup-by-embedding over raw media is this
+    kernel plus ``cosine_neardup_lsh``. The embedder itself is a
+    deterministic stand-in (sha256-expanded payload bytes → floats in
+    [-1, 1]); a real deployment swaps in a model-inference call inside
+    the SAME mapInPandas kernel — batch shape, schema, and partitioning
+    (inherit, or repartition by size first) are the parts that matter
+    at scale, and they are what this function pins down.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for payload in pdf["payload"]:
+                raw = b""
+                seed = hashlib.sha256(bytes(payload)).digest()
+                counter = 0
+                while len(raw) < 2 * dim:
+                    raw += hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+                    counter += 1
+                vecs.append(
+                    [
+                        int.from_bytes(raw[2 * i : 2 * i + 2], "big", signed=True)
+                        / 32768.0
+                        for i in range(dim)
+                    ]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
+
+    return df.select("media_id", "payload").mapInPandas(_batches, schema=EMBED_SCHEMA)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pyspark.sql.functions as F
 import pytest
 
 from loan_etl_data_pipeline_spark.operators.multimodal import (
@@ -51,3 +52,44 @@ def test_decode_stub_fake_path(media):
 def test_decode_stub_real_path_raises(media):
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         decode_stub(media, fake=False).collect()
+
+
+def test_embed_media_feeds_similarity_search(spark, sf_dir):
+    """multimodal blob → embedding kernel → ANN top-k, end to end: the
+    output schema matches the embeddings table so the similarity
+    operators run on it unchanged."""
+    from loan_etl_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        embed_media,
+    )
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    emb = embed_media(attach_binary_payload(docs)).withColumnRenamed(
+        "media_id", "vec_id"
+    )
+    assert dict(emb.dtypes)["embedding"] == "array<float>"
+    # deterministic across runs/partitionings
+    a = sorted(map(tuple, emb.select("vec_id", F.col("embedding")[0]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            embed_media(attach_binary_payload(docs.repartition(5)))
+            .withColumnRenamed("media_id", "vec_id")
+            .select("vec_id", F.col("embedding")[0])
+            .collect(),
+        )
+    )
+    assert a == b
+
+    topk = cosine_topk_bruteforce(emb.filter(F.col("vec_id") < 3), emb, k=4)
+    rows = topk.collect()
+    assert {r["query_id"] for r in rows} <= {0, 1, 2}
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per_q.values())
