@@ -1,4 +1,4 @@
-"""Public expression helpers (deterministic cross-engine arithmetic)."""
+"""Public expression helpers (deterministic cross-engine arithmetic + sketches)."""
 
 from loan_etl_data_pipeline_spark.functions.deterministic import (
     davg,
@@ -6,5 +6,13 @@ from loan_etl_data_pipeline_spark.functions.deterministic import (
     dsum,
     dsum_sql,
 )
+from loan_etl_data_pipeline_spark.functions.sketches import (
+    distinct_sketches,
+    estimate,
+    merge_sketches,
+)
 
-__all__ = ["dsum", "dsum_sql", "davg", "davg_sql"]
+__all__ = [
+    "dsum", "dsum_sql", "davg", "davg_sql",
+    "distinct_sketches", "merge_sketches", "estimate",
+]

@@ -20,3 +20,9 @@ __all__ = [
     "generate_insights",
     "write_insights_json",
 ]
+
+from loan_etl_data_pipeline_spark.operators.joins import asof_join, range_join
+from loan_etl_data_pipeline_spark.operators.skew import salted_join
+from loan_etl_data_pipeline_spark.operators.graph import connected_components
+
+__all__ += ["asof_join", "range_join", "salted_join", "connected_components"]

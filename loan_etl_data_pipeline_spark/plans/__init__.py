@@ -1,3 +1,4 @@
-from loan_etl_data_pipeline_spark.plans.etl import run_etl
+from loan_etl_data_pipeline_spark.plans.etl import run_etl, run_etl_incremental
+from loan_etl_data_pipeline_spark.plans.corpus import prepare_corpus, remove_near_duplicates
 
-__all__ = ["run_etl"]
+__all__ = ["run_etl", "run_etl_incremental", "prepare_corpus", "remove_near_duplicates"]

@@ -1,4 +1,18 @@
-from loan_etl_data_pipeline_spark.sources.csv import read_csv, discover_input_files
+from loan_etl_data_pipeline_spark.sources.csv import read_csv, discover_input_files, write_csv
 from loan_etl_data_pipeline_spark.sources.tables import load_table, TABLES
+from loan_etl_data_pipeline_spark.sources.bucketed import write_bucketed, read_bucketed
+from loan_etl_data_pipeline_spark.sources.layout import write_sorted
+from loan_etl_data_pipeline_spark.sources.landing import (
+    GoogleDriveClient,
+    LocalDirClient,
+    land_new_files,
+    list_all_files,
+)
+from loan_etl_data_pipeline_spark.sources.excel import excel_to_csv
 
-__all__ = ["read_csv", "discover_input_files", "load_table", "TABLES"]
+__all__ = [
+    "read_csv", "write_csv", "discover_input_files", "load_table", "TABLES",
+    "write_bucketed", "read_bucketed", "write_sorted",
+    "GoogleDriveClient", "LocalDirClient", "land_new_files", "list_all_files",
+    "excel_to_csv",
+]

@@ -241,3 +241,27 @@ def streaming_sessionize(
         user_col,
         "n_events",
     )
+
+
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static join: attach a slowly-changing dimension to every
+    micro-batch (the streaming face of the engine's broadcast joins).
+
+    Spark re-plans the static side each micro-batch, so a dimension
+    refreshed in place is picked up on the next trigger without
+    restarting the query. ``broadcast`` keeps each micro-batch
+    shuffle-free (the stream side never repartitions — at 100 TB/day
+    that is the difference between a map-only enrich and a per-trigger
+    shuffle); disable it only when the dimension is too big to fit,
+    which usually means it belongs in a stream-stream join with
+    watermarks instead. Left join: stream rows without a dimension row
+    pass through with nulls rather than silently dropping.
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on, "left")

@@ -257,3 +257,33 @@ def test_user_sessions_batch_semantics(spark, events_batch):
     assert rows[(1, "2024-01-01T00:05:00")] == 2
     assert rows[(1, "2024-01-01T01:10:00")] == 1
     assert rows[(2, "2024-01-01T02:59:59")] == 2
+
+
+def test_streaming_enrich_matches_batch(spark, events_batch, tmp_path):
+    from loan_etl_data_pipeline_spark.streaming.ingest import streaming_enrich
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (3, "silver")], "user_id long, segment string"
+    )
+    want = sorted(
+        (r.user_id, r.event_type, r.segment)
+        for r in streaming_enrich(events_batch, dim, "user_id").collect()
+    )
+    stream = _stream_from(spark, events_batch, tmp_path, "enrich")
+    q = (
+        streaming_enrich(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.event_type, r.segment)
+        for r in spark.sql("select * from enriched").collect()
+    )
+    assert got == want
+    # user 2 has no dimension row and must still be present (left join)
+    assert any(u == 2 and s is None for u, _, s in got)
