@@ -8,19 +8,22 @@ token-budget, all built from the operator library (operators/text.py,
 operators/dedup.py) so every stage is the same code the standalone
 queries certify.
 
-Plan shape (and why it scales — two shuffles total):
+Plan shape (and why it scales — three exchanges planned, the dedup
+one reused at runtime; measured: AQE shows 1 ReusedExchange and the
+documents file is scanned once per consumer of the un-shuffled stage):
 
 1. **quality filter** — pure char-class expressions on the scan
    (text_quality with passthrough, no join-back); junk is dropped
    before anything pays a shuffle for it.
-2. **exact dedup** — ONE shuffle: groupBy on md5(normalized text) with
+2. **exact dedup** — groupBy on md5(normalized text) with
    ``min``/``min_by`` so the surviving row rides the agg instead of a
    join-back. Near-dup tiers (MinHash/SimHash) are deliberately
    separate operators — at 100 TB you run them as their own stage over
    this plan's output.
 3. **language filter** — stopword-hit lang-id via explode + partial
-   agg (the shuffle carries (id, 4 ints) per partition, never tokens),
-   joined back on id (the second shuffle).
+   agg (that shuffle carries (id, 4 ints) per partition, never
+   tokens), joined back on id; the join's dedup-side input reuses the
+   stage-2 shuffle files (ReusedExchange) instead of recomputing.
 4. **token stats** — pure expressions appended to the survivors.
 
 All shuffles key on doc_id or the fingerprint — well-distributed, no

@@ -892,8 +892,8 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Certifies the *composition* of the library operators the standalone
     queries already certify individually — the oracle mirrors the same
-    four stages as chained CTEs. Two shuffles total (see the plan
-    module docstring).
+    four stages as chained CTEs. Three planned exchanges, dedup's
+    reused at runtime (see the plan module docstring).
     """
     from loan_etl_data_pipeline_spark.plans.corpus import prepare_corpus
 
