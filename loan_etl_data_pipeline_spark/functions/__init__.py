@@ -11,8 +11,10 @@ from loan_etl_data_pipeline_spark.functions.sketches import (
     estimate,
     merge_sketches,
 )
+from loan_etl_data_pipeline_spark.functions.splits import hash_split, split_bucket_hex
 
 __all__ = [
     "dsum", "dsum_sql", "davg", "davg_sql",
     "distinct_sketches", "merge_sketches", "estimate",
+    "hash_split", "split_bucket_hex",
 ]

@@ -1,0 +1,50 @@
+"""Deterministic dataset splits: hash-bucketing, not randomSplit.
+
+``DataFrame.randomSplit`` draws per-row randoms seeded per *partition*:
+re-run the pipeline with different parallelism, file order, or after a
+repartition and rows silently migrate between train and test —
+train/test leakage that no downstream check will catch. The portable
+contract is a pure function of the row's key: bucket =
+md5(key || salt), split by threshold. Same key → same split, forever,
+on any engine (md5 hex is identical in Spark and DuckDB, so the
+assignment is oracle-checkable), across any partitioning, and adding
+new data never reshuffles old assignments.
+
+The threshold compares the first 4 hex chars as a *string* against a
+precomputed hex literal — no hex→int conversion needed anywhere, which
+keeps the expression portable. Granularity is 1/65536 ≈ 0.0015%.
+Changing ``salt`` re-rolls every assignment (use one salt per
+experiment); keying on a stable business id (not a synthetic row
+number) is what makes the split survive reprocessing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def split_bucket_hex(key_col, salt: str = "") -> Column:
+    """First 4 hex chars of md5(key || salt) — the split coordinate."""
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 4)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    train_frac: float = 0.8,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append ``split_col`` ∈ {'train', 'test'} keyed on ``key_col``."""
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0, 1), got {train_frac}")
+    threshold = format(round(train_frac * 65536), "04x")
+    return df.withColumn(
+        split_col,
+        F.when(split_bucket_hex(key_col, salt) < F.lit(threshold), "train").otherwise(
+            "test"
+        ),
+    )

@@ -306,6 +306,19 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split (functions/splits.py hash_split):
+    md5-bucketed on doc_id, so the assignment is a pure function of the
+    key — engine-portable (the oracle computes the identical md5-prefix
+    rule) and immune to the partitioning-dependent drift of
+    ``randomSplit``.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id", train_frac=0.8, salt="r2")
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles of lineitem quantity (cents-exact).
 
@@ -567,6 +580,13 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
     """,
+    "q_hash_split": """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 4)
+                         < 'cccd'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    """,
     "q_quantiles": """
         WITH q AS (
             SELECT l_returnflag,
@@ -602,6 +622,7 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
 
 
 QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_hash_split": q_hash_split,
     "q_quantiles": q_quantiles,
     "q_approx_users": q_approx_users,
     "q_rollup_acctbal": q_rollup_acctbal,

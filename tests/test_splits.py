@@ -1,0 +1,41 @@
+"""hash_split (functions/splits.py): determinism, fraction, salt.
+
+Cross-engine assignment equality is q_hash_split vs the DuckDB oracle
+(tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from loan_etl_data_pipeline_spark.functions.splits import hash_split
+
+
+def _assignments(df, **kw):
+    return {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", **kw).collect()}
+
+
+def test_fraction_and_partitioning_invariance(spark):
+    df = spark.range(0, 5000).selectExpr("id AS doc_id")
+    a = _assignments(df, train_frac=0.8, salt="s")
+    b = _assignments(df.repartition(13), train_frac=0.8, salt="s")
+    assert a == b, "assignment must not depend on partitioning"
+    frac = sum(v == "train" for v in a.values()) / len(a)
+    assert abs(frac - 0.8) < 0.02
+
+
+def test_assignment_is_stable_under_data_growth(spark):
+    """New rows never move old rows between splits (the randomSplit bug)."""
+    small = spark.range(0, 1000).selectExpr("id AS doc_id")
+    big = spark.range(0, 5000).selectExpr("id AS doc_id")
+    a_small = _assignments(small, salt="s")
+    a_big = _assignments(big, salt="s")
+    assert all(a_big[k] == v for k, v in a_small.items())
+
+
+def test_salt_rerolls(spark):
+    df = spark.range(0, 2000).selectExpr("id AS doc_id")
+    a = _assignments(df, salt="exp1")
+    b = _assignments(df, salt="exp2")
+    assert a != b
+    with pytest.raises(ValueError, match="train_frac"):
+        hash_split(df, "doc_id", train_frac=1.5)
