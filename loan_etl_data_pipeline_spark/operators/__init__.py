@@ -24,5 +24,6 @@ __all__ = [
 from loan_etl_data_pipeline_spark.operators.joins import asof_join, range_join
 from loan_etl_data_pipeline_spark.operators.skew import salted_join
 from loan_etl_data_pipeline_spark.operators.graph import connected_components
+from loan_etl_data_pipeline_spark.operators.packing import pack_documents
 
-__all__ += ["asof_join", "range_join", "salted_join", "connected_components"]
+__all__ += ["asof_join", "range_join", "salted_join", "connected_components", "pack_documents"]

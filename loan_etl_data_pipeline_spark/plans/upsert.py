@@ -1,0 +1,69 @@
+"""Key-level upsert into partitioned parquet (merge-by-key).
+
+Plain parquet has no MERGE: the reference's answer is "delete
+everything and rewrite" (reference: airflow/dags/spark_etl_dag.py:63-69),
+and even our incremental sink (plans/etl.py run_etl_incremental)
+replaces whole partitions with whatever the new batch contains. This
+is the finer-grained op a dimension/state table needs: update-or-insert
+individual keys while rewriting ONLY the partitions the update batch
+touches.
+
+Mechanics: (1) list the distinct partition values in the updates —
+that's a tiny driver-side collect of partition keys, not data; (2) read
+just those partitions of the existing table (partition pruning does
+this for free); (3) anti-join out the old versions of updated keys,
+union the updates; (4) eagerly materialize (``localCheckpoint``) —
+Spark refuses to overwrite a path it is still reading from, and the
+checkpoint severs that read — then dynamic-partition-overwrite the
+touched partitions.
+
+Honesty note: this is the parquet-only approximation of what Delta/
+Iceberg do transactionally. A crash between materialize and commit can
+leave touched partitions stale-or-new (never half-written — the
+parquet committer is atomic per partition directory), and concurrent
+writers are not coordinated. At 100 TB with many writers, use a table
+format; the operator's *plan shape* (prune → merge → rewrite touched
+partitions) is identical there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    *,
+    key_cols: list[str] | str,
+    partition_col: str,
+) -> None:
+    """Upsert ``updates`` into the parquet table at ``table_dir``.
+
+    Rows whose ``key_cols`` match an existing row replace it; new keys
+    append. Only partitions present in ``updates`` are rewritten.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    existing = spark.read.parquet(table_dir).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = (
+        existing.join(updates.select(key_cols).distinct(), key_cols, "left_anti")
+        .unionByName(updates)
+        .localCheckpoint()  # sever the self-read before overwriting
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, prev)

@@ -306,6 +306,21 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 sequence packing (operators/packing.py): documents binned into
+    512-token packs by per-partition best-fit-decreasing.
+
+    No SQL oracle — pack composition is legitimately
+    partitioning-dependent (any distributed packing is); the invariants
+    that are NOT (every doc exactly once, no pack over budget,
+    oversized docs isolated, fill density) are asserted in
+    tests/test_packing.py.
+    """
+    from loan_etl_data_pipeline_spark.operators.packing import pack_documents
+
+    return pack_documents(load_table(spark, sf_dir, "documents"), budget=512)
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/test split (functions/splits.py hash_split):
     md5-bucketed on doc_id, so the assignment is a pure function of the
@@ -622,6 +637,7 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
 
 
 QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_pack_docs": q_pack_docs,
     "q_hash_split": q_hash_split,
     "q_quantiles": q_quantiles,
     "q_approx_users": q_approx_users,

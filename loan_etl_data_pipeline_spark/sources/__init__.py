@@ -9,10 +9,11 @@ from loan_etl_data_pipeline_spark.sources.landing import (
     list_all_files,
 )
 from loan_etl_data_pipeline_spark.sources.excel import excel_to_csv
+from loan_etl_data_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
 
 __all__ = [
     "read_csv", "write_csv", "discover_input_files", "load_table", "TABLES",
     "write_bucketed", "read_bucketed", "write_sorted",
     "GoogleDriveClient", "LocalDirClient", "land_new_files", "list_all_files",
-    "excel_to_csv",
+    "excel_to_csv", "read_jsonl", "write_jsonl",
 ]

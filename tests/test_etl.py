@@ -234,3 +234,33 @@ def test_read_csv_corrupt_record_quarantine(spark, tmp_path):
 
     with pytest.raises(ValueError, match="corrupt_col requires"):
         read_csv(spark, str(p), corrupt_col="_bad")
+
+
+def test_jsonl_round_trip_and_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from loan_etl_data_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id long, text string")
+    out = str(tmp_path / "jl")
+    write_jsonl(df, out, compression="gzip", single_file=True)
+    parts = [f for f in os.listdir(out) if f.endswith(".json.gz")]
+    assert len(parts) == 1
+    back = read_jsonl(spark, out)
+    assert sorted(map(tuple, back.select("id", "text").collect())) == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"id": 1, "text": "ok"}\n{not json at all\n')
+    schema = StructType([StructField("id", LongType()), StructField("text", StringType())])
+    # cache first: Spark disallows queries touching ONLY the corrupt
+    # column on raw JSON/CSV (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    got = read_jsonl(spark, str(bad), schema=schema, corrupt_col="_bad").cache()
+    assert got.filter("_bad IS NULL").count() == 1
+    assert [r["_bad"] for r in got.filter("_bad IS NOT NULL").collect()] == [
+        "{not json at all"
+    ]
+    with pytest.raises(ValueError, match="corrupt_col requires"):
+        read_jsonl(spark, str(bad), corrupt_col="_bad")
