@@ -41,7 +41,9 @@ def hash_split(
     """Append ``split_col`` ∈ {'train', 'test'} keyed on ``key_col``."""
     if not 0.0 < train_frac < 1.0:
         raise ValueError(f"train_frac must be in (0, 1), got {train_frac}")
-    threshold = format(round(train_frac * 65536), "04x")
+    # clamp to [1, 65535]: round() at the extremes would yield '0000'
+    # (nothing trains) or the 5-char '10000' (string compare breaks)
+    threshold = format(min(max(round(train_frac * 65536), 1), 65535), "04x")
     return df.withColumn(
         split_col,
         F.when(split_bucket_hex(key_col, salt) < F.lit(threshold), "train").otherwise(

@@ -70,8 +70,13 @@ def range_join(
     l_epoch = _epoch(left, left_ts)
     lo_bin = F.floor((l_epoch + F.lit(lower)) / F.lit(width)).cast("long")
     hi_bin = F.floor((l_epoch + F.lit(upper)) / F.lit(width)).cast("long")
+    # probe lo, lo+1, hi (deduped): in exact arithmetic the window spans
+    # at most two bins, but (l+upper)/w can land one ulp past a boundary
+    # while (l+lower)/w lands one before — including the middle bin
+    # costs nothing after array_distinct and removes that FP miss case
     l_binned = left.withColumn("__le", l_epoch).withColumn(
-        "__bin", F.explode(F.array_distinct(F.array(lo_bin, hi_bin)))
+        "__bin",
+        F.explode(F.array_distinct(F.array(lo_bin, lo_bin + F.lit(1), hi_bin))),
     )
     r_binned = right.select(
         *keys,

@@ -46,6 +46,15 @@ def merge_upsert(
     append. Only partitions present in ``updates`` are rewritten.
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    dup = (
+        updates.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_upsert: updates contain duplicate keys — collapse them first "
+            "(e.g. dedup_exact with a recency order), or the table would "
+            "silently keep multiple versions of one key"
+        )
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]

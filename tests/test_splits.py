@@ -39,3 +39,13 @@ def test_salt_rerolls(spark):
     assert a != b
     with pytest.raises(ValueError, match="train_frac"):
         hash_split(df, "doc_id", train_frac=1.5)
+
+
+def test_extreme_fractions_stay_valid(spark):
+    """frac→1 must approach all-train (the unclamped threshold '10000'
+    used to INVERT to all-test via 5-char string compare), frac→0 all-test."""
+    df = spark.range(0, 2000).selectExpr("id AS doc_id")
+    hi = _assignments(df, train_frac=0.99999)
+    lo = _assignments(df, train_frac=0.00001)
+    assert sum(v == "train" for v in hi.values()) / len(hi) > 0.99
+    assert sum(v == "train" for v in lo.values()) < 5

@@ -56,3 +56,18 @@ def test_upsert_twice_is_idempotent(spark, tmp_path):
     merge_upsert(spark, table, updates, key_cols="k", partition_col="day")
     rows = spark.read.parquet(table).collect()
     assert len(rows) == 1 and rows[0]["v"] == 2.0
+
+
+def test_duplicate_update_keys_rejected(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "state3")
+    spark.createDataFrame(
+        [(1, "2024-01-01", 1.0)], "k long, day string, v double"
+    ).write.partitionBy("day").parquet(table)
+    dup_updates = spark.createDataFrame(
+        [(1, "2024-01-01", 2.0), (1, "2024-01-01", 3.0)],
+        "k long, day string, v double",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, table, dup_updates, key_cols="k", partition_col="day")
