@@ -298,6 +298,67 @@ def minhash_near_duplicates(
     return out
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Candidates from MinHash banding, verified with EXACT Jaccard.
+
+    The production LSH shape: the sketch only *proposes* pairs (cheap,
+    scales); the exact n-gram Jaccard then *decides* — computed only
+    for the candidate set, never all pairs, by joining candidates back
+    to the gram postings (candidate list is small → broadcast into the
+    postings joins; cost is O(candidate grams), not O(corpus²)).
+
+    Output: (id_a, id_b, jaccard) with exact jaccard >= threshold —
+    identical to the exhaustive ``ngram_jaccard_pairs`` at the same
+    threshold whenever banding recall at that threshold is 1 (the
+    detection probability at s=0.7 with 16×4 banding is ≥ 0.988/pair;
+    tests/test_dedup.py asserts the superset on the testdata, which is
+    what lets the driver hold this query to the exact-pairs oracle).
+    """
+    cands = minhash_near_duplicates(
+        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_size=shingle_size
+    ).select("id_a", "id_b")
+    posts = (
+        word_ngrams(df, id_col, text_col, shingle_size)
+        .select("id", F.xxhash64("ngram").alias("gh"))
+        .persist()
+    )
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pa = posts.select(F.col("id").alias("id_a"), "gh")
+    pb = posts.select(F.col("id").alias("id_b"), "gh")
+    inter = (
+        pa.join(F.broadcast(cands), "id_a")
+        .join(pb, ["id_b", "gh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter_size")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    out._persisted_intermediates = [posts]  # release_intermediates(out)
+    return out
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -779,6 +779,21 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(load_table(spark, sf_dir, "documents"))
 
 
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 sketch-propose / exact-verify near-dup pairs (operators/dedup.py
+    minhash_verified_pairs) — the production LSH shape, held to the
+    EXACT Jaccard oracle: banding recall at 0.7 is 1.0 on this data
+    (superset asserted in tests/test_dedup.py), and the verify step
+    computes true Jaccard only over candidates, so output == the
+    exhaustive pair join at the same threshold.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 64-bit SimHash fingerprints (operators/dedup.py). Rows-only check
     (xxhash64-based); determinism + Hamming properties covered in tests."""
@@ -885,6 +900,21 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         bands=16,
         planes_per_band=2,
+    )
+
+
+def q_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 IVF with n_probe == n_cells: probing every cell makes the
+    index provably exhaustive, so the result is bit-identical to
+    q_knn_bruteforce and shares its exact oracle — certifying the IVF
+    machinery (training, cell routing, re-rank) end to end; q_ivf_topk
+    keeps the approximate n_probe=4 configuration as the scale demo.
+    """
+    from loan_etl_data_pipeline_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, n_cells=16, n_probe=16
     )
 
 
@@ -1150,6 +1180,35 @@ ORACLE_PART_B: dict[str, str] = {
         WHERE CAST(inter_size AS DOUBLE)
                  / CAST((sa.sz + sb.sz - inter_size) AS DOUBLE) >= 0.05
     """,
+    "q_minhash_verified": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, list_distinct(
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [] END) AS gs
+            FROM toks
+        ), posts AS (
+            SELECT doc_id AS id, UNNEST(gs) AS ngram FROM grams
+        ), sizes AS (
+            SELECT id, count(*) AS sz FROM posts GROUP BY id
+        ), inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_size
+            FROM posts a JOIN posts b ON a.ngram = b.ngram AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(inter_size AS DOUBLE)
+                 / CAST((sa.sz + sb.sz - inter_size) AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.id
+        JOIN sizes sb ON id_b = sb.id
+        WHERE CAST(inter_size AS DOUBLE)
+                 / CAST((sa.sz + sb.sz - inter_size) AS DOUBLE) >= 0.7
+    """,
     "q_dup_components": """
         WITH RECURSIVE toks AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
@@ -1394,7 +1453,13 @@ ORACLE_PART_B: dict[str, str] = {
     """,
 }
 
+# probing every cell makes IVF exhaustive — the oracle is exactly the
+# brute-force one (see q_ivf_exhaustive docstring)
+ORACLE_PART_B["q_ivf_exhaustive"] = ORACLE_PART_B["q_knn_bruteforce"]
+
 QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_minhash_verified": q_minhash_verified,
+    "q_ivf_exhaustive": q_ivf_exhaustive,
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
