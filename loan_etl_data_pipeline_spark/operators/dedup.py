@@ -192,8 +192,13 @@ def minhash_signatures(
     *,
     num_perm: int = 64,
     shingle_size: int = 3,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document over word-shingle sets.
+
+    ``hashed`` optionally supplies precomputed (id, h=xxhash64(shingle))
+    postings so a caller that also needs the postings (e.g. the
+    exact-verify pass) scans the corpus once, not twice.
 
     One explode + one groupBy: shingles are hashed JVM-side with
     xxhash64, each "permutation" i is a seeded re-hash
@@ -210,8 +215,9 @@ def minhash_signatures(
     avalanche mix per i, restoring min-wise independence, and stays
     overflow-free by construction.
     """
-    posts = word_ngrams(df, id_col, text_col, shingle_size)
-    hashed = posts.select("id", F.xxhash64("ngram").alias("h"))
+    if hashed is None:
+        posts = word_ngrams(df, id_col, text_col, shingle_size)
+        hashed = posts.select("id", F.xxhash64("ngram").alias("h"))
     aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_perm)
@@ -237,6 +243,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_size: int = 3,
     max_band_group: int = 1000,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs.
 
@@ -250,7 +257,8 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(
-        df, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size
+        df, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size,
+        hashed=hashed,
     ).persist()
     banded = sig.select(
         "id",
@@ -323,20 +331,24 @@ def minhash_verified_pairs(
     tests/test_dedup.py asserts the superset on the testdata, which is
     what lets the driver hold this query to the exact-pairs oracle).
     """
-    cands = minhash_near_duplicates(
-        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_size=shingle_size
-    ).select("id_a", "id_b")
+    # ONE corpus scan: these hashed postings feed both the signature
+    # aggregation (via the hashed= pass-through) and the verify joins
     posts = (
         word_ngrams(df, id_col, text_col, shingle_size)
-        .select("id", F.xxhash64("ngram").alias("gh"))
+        .select("id", F.xxhash64("ngram").alias("h"))
         .persist()
     )
+    cands_raw = minhash_near_duplicates(
+        df, id_col, text_col, num_perm=num_perm, bands=bands,
+        shingle_size=shingle_size, hashed=posts,
+    )
+    cands = cands_raw.select("id_a", "id_b")
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    pa = posts.select(F.col("id").alias("id_a"), "gh")
-    pb = posts.select(F.col("id").alias("id_b"), "gh")
+    pa = posts.select(F.col("id").alias("id_a"), "h")
+    pb = posts.select(F.col("id").alias("id_b"), "h")
     inter = (
         pa.join(F.broadcast(cands), "id_a")
-        .join(pb, ["id_b", "gh"])
+        .join(pb, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter_size"))
     )
@@ -355,7 +367,13 @@ def minhash_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    out._persisted_intermediates = [posts]  # release_intermediates(out)
+    # include the signature cache persisted inside the banding call —
+    # .select() on cands dropped its attribute, so propagate from the
+    # raw frame or release_intermediates(out) would leak it
+    out._persisted_intermediates = [
+        posts,
+        *getattr(cands_raw, "_persisted_intermediates", []),
+    ]
     return out
 
 

@@ -102,7 +102,7 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     direction: str = "backward",
-    tolerance: str | None = None,
+    tolerance: str | float | None = None,
     suffix: str = "_r",
 ) -> DataFrame:
     """Left as-of join: attach the nearest right row per key.
@@ -113,8 +113,9 @@ def asof_join(
     (``"forward"``). Unmatched left rows keep nulls in the right
     columns (left-join semantics; left row count is preserved).
 
-    ``tolerance`` (an SQL interval string like ``"1 hour"``) voids
-    matches farther than that from the left timestamp.
+    ``tolerance`` voids matches farther than that from the left
+    timestamp — an SQL interval string (``"1 hour"``) for timestamp
+    columns, a number in the column's unit for numeric event-time.
 
     Every non-key right column is emitted as ``<name><suffix>``
     (including the right timestamp), so callers never get silent name
@@ -172,11 +173,24 @@ def asof_join(
     )
 
     if tolerance is not None:
-        gap_ok = (
-            F.col("__ts") - F.col(f"__match.{right_ts}") <= F.expr(f"INTERVAL {tolerance}")
+        # timestamp ts columns take an interval string; numeric
+        # event-time takes a numeric tolerance (same unit as the column)
+        if left.schema[left_ts].dataType.simpleString().startswith("timestamp"):
+            bound = F.expr(f"INTERVAL {tolerance}")
+        else:
+            try:
+                bound = F.lit(float(tolerance))
+            except (TypeError, ValueError) as exc:
+                raise ValueError(
+                    f"numeric {left_ts!r} needs a numeric tolerance in the "
+                    f"column's unit, got {tolerance!r}"
+                ) from exc
+        gap = (
+            F.col("__ts") - F.col(f"__match.{right_ts}")
             if direction == "backward"
-            else F.col(f"__match.{right_ts}") - F.col("__ts") <= F.expr(f"INTERVAL {tolerance}")
+            else F.col(f"__match.{right_ts}") - F.col("__ts")
         )
+        gap_ok = gap <= bound
         carried = carried.withColumn(
             "__match", F.when(gap_ok, F.col("__match")).otherwise(F.lit(None).cast(r_type))
         )

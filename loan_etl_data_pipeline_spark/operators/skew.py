@@ -34,12 +34,17 @@ def salted_join(
 ) -> DataFrame:
     """Join ``big`` ⋈ ``small`` on ``on`` with the hot keys sharded.
 
-    The salt for a big-side row is a deterministic hash of the whole
-    row (stable under task retries — a ``rand()`` salt would not be),
-    taken modulo ``salt``; the small side is replicated ``salt`` times
-    via a literal-array explode (rows × salt, no shuffle to build).
-    Supports the join types where replicate-right is sound for
-    row-preservation: inner and left.
+    The salt mixes a whole-row hash with a per-row ordinal
+    (``monotonically_increasing_id``), so even fully duplicate rows —
+    the common ``fact.select(key)`` shape — scatter across shards; a
+    row-hash alone would send every identical row to one shard and
+    leave the hotspot intact. The ordinal makes a row's salt *value*
+    vary across retries/partitionings, but never the *result*: the
+    small side carries every salt value, so each big row still meets
+    exactly its key matches whatever shard it lands in. The small side
+    is replicated ``salt`` times via a literal-array explode (rows ×
+    salt, no shuffle to build). Supports the join types where
+    replicate-right is sound for row-preservation: inner and left.
     """
     if how not in ("inner", "left"):
         raise ValueError(
@@ -47,7 +52,10 @@ def salted_join(
             "full joins salt the other side or fall back to AQE skew handling"
         )
     keys = [on] if isinstance(on, str) else list(on)
-    salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    salt_expr = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns], F.monotonically_increasing_id()),
+        F.lit(salt),
+    )
     b = big.withColumn("__salt", salt_expr)
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -44,6 +44,14 @@ def merge_upsert(
 
     Rows whose ``key_cols`` match an existing row replace it; new keys
     append. Only partitions present in ``updates`` are rewritten.
+
+    Precondition: ``partition_col`` must be functionally determined by
+    the key (a key never changes partitions between versions) — this
+    is what makes the partition-pruned merge sound. An update that
+    moves a key to a different partition value would leave the old
+    partition's version in place (only touched partitions are read);
+    the same is true of every partition-pruned merge, including
+    Delta/Iceberg MERGEs whose ON clause pins the partition.
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     dup = (
@@ -58,9 +66,13 @@ def merge_upsert(
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
-    existing = spark.read.parquet(table_dir).filter(
-        F.col(partition_col).isin(touched)
-    )
+    # isin() never matches NULL (SQL semantics) — without the explicit
+    # isNull branch, an update batch touching the null partition would
+    # overwrite it WITHOUT merging, silently deleting its other keys
+    cond = F.col(partition_col).isin([t for t in touched if t is not None])
+    if any(t is None for t in touched):
+        cond = cond | F.col(partition_col).isNull()
+    existing = spark.read.parquet(table_dir).filter(cond)
     merged = (
         existing.join(updates.select(key_cols).distinct(), key_cols, "left_anti")
         .unionByName(updates)

@@ -104,9 +104,13 @@ def read_csv(
     if corrupt_col is not None:
         if schema is None:
             raise ValueError("corrupt_col requires an explicit schema")
-        from pyspark.sql.types import StringType
+        from pyspark.sql.types import StringType, StructField
 
-        schema = StructType(schema.fields).add(corrupt_col, StringType())
+        # copy the field list — StructType(schema.fields) aliases the
+        # caller's list, and .add() would mutate their schema in place
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
         reader = reader.option("mode", "PERMISSIVE").option(
             "columnNameOfCorruptRecord", corrupt_col
         )

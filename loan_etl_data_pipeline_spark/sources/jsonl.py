@@ -13,7 +13,7 @@ corrupt-column contract as ``read_csv``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StringType, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def read_jsonl(
@@ -33,7 +33,11 @@ def read_jsonl(
     if corrupt_col is not None:
         if schema is None:
             raise ValueError("corrupt_col requires an explicit schema")
-        schema = StructType(schema.fields).add(corrupt_col, StringType())
+        # copy the field list — .add() on a shared list would mutate the
+        # caller's schema (same contract as read_csv)
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
         reader = reader.option("mode", "PERMISSIVE").option(
             "columnNameOfCorruptRecord", corrupt_col
         )

@@ -109,7 +109,13 @@ def land_new_files(
     for f in list_all_files(client):
         if f["id"] in seen:
             continue
-        local_path = os.path.join(landing_dir, f["name"])
+        # remote names are untrusted: flatten to a basename so a name
+        # containing '/' or '..' can neither escape landing_dir nor
+        # abort the poll on a missing subdirectory
+        safe_name = os.path.basename(f["name"].replace("\\", "/"))
+        if not safe_name or safe_name in (".", ".."):
+            continue
+        local_path = os.path.join(landing_dir, safe_name)
         client.fetch(f["id"], local_path)
         compressed_path = None
         if compress and not f["name"].endswith(".gz"):

@@ -191,3 +191,21 @@ def test_single_shuffle_plan(frames):
     # a join-based formulation would show 2+ plus a join node
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_asof_numeric_event_time_with_tolerance(spark):
+    """Numeric ts columns work end to end, including numeric tolerance
+    (an interval string against numeric ts raises a clear error)."""
+    left = spark.createDataFrame(
+        [(1, "u", 100.0), (2, "u", 500.0)], "event_id long, k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("u", 90.0, 7.0), ("u", 480.0, 9.0)], "k string, ts double, v double"
+    )
+    got = {
+        r["event_id"]: r["v_r"]
+        for r in asof_join(left, right, on="k", tolerance=15.0).collect()
+    }
+    assert got == {1: 7.0, 2: None}  # gap 10 <= 15 matches; gap 20 voided
+    with pytest.raises(ValueError, match="numeric tolerance"):
+        asof_join(left, right, on="k", tolerance="1 hour").collect()

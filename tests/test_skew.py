@@ -40,11 +40,18 @@ def test_left_matches_plain_join(spark, skewed):
     assert _sorted_rows(salted) == _sorted_rows(plain)
 
 
-def test_hot_key_is_sharded(skewed):
+def test_hot_key_is_sharded_even_for_duplicate_rows(skewed):
+    """The worst case is fully identical rows (fact.select(key)): a pure
+    row-hash salt would put them ALL in one shard — the ordinal in the
+    salt is what spreads them."""
     big, _ = skewed
-    salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
+    dup_rows = big.select("k")  # every 'hot' row now byte-identical
+    salt_expr = F.pmod(
+        F.xxhash64(*[F.col(c) for c in dup_rows.columns], F.monotonically_increasing_id()),
+        F.lit(8),
+    )
     per_shard = (
-        big.withColumn("__salt", salt_expr)
+        dup_rows.withColumn("__salt", salt_expr)
         .filter(F.col("k") == "hot")
         .groupBy("__salt")
         .count()
@@ -53,6 +60,14 @@ def test_hot_key_is_sharded(skewed):
     assert len(per_shard) == 8  # hot key actually spread over all shards
     counts = [r["count"] for r in per_shard]
     assert max(counts) < 9_000 * 0.3  # no shard holds the old hotspot
+
+
+def test_duplicate_row_join_still_correct(spark, skewed):
+    _, small = skewed
+    dup_big = spark.createDataFrame([("hot",)] * 500 + [("cold",)] * 5, "k string")
+    plain = dup_big.join(small, "k")
+    salted = salted_join(dup_big, small, "k", salt=8)
+    assert _sorted_rows(salted) == _sorted_rows(plain)
 
 
 def test_unsupported_how_raises(skewed):
