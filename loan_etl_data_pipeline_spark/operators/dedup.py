@@ -331,12 +331,14 @@ def minhash_verified_pairs(
     tests/test_dedup.py asserts the superset on the testdata, which is
     what lets the driver hold this query to the exact-pairs oracle).
     """
-    # ONE corpus scan: these hashed postings feed both the signature
-    # aggregation (via the hashed= pass-through) and the verify joins
-    posts = (
-        word_ngrams(df, id_col, text_col, shingle_size)
-        .select("id", F.xxhash64("ngram").alias("h"))
-        .persist()
+    # shared postings definition for the signature aggregation and the
+    # verify joins — deliberately NOT persisted: measured at sf0.1 the
+    # codegen'd scan→gram→hash recompute (2.6 s) beats caching the 2.5M
+    # postings rows (4.2 s warm; the cache store/load costs more than
+    # the re-scans). On an IO-bound cluster pass a persisted frame as
+    # ``hashed`` to flip that trade.
+    posts = word_ngrams(df, id_col, text_col, shingle_size).select(
+        "id", F.xxhash64("ngram").alias("h")
     )
     cands_raw = minhash_near_duplicates(
         df, id_col, text_col, num_perm=num_perm, bands=bands,
@@ -367,13 +369,12 @@ def minhash_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # include the signature cache persisted inside the banding call —
-    # .select() on cands dropped its attribute, so propagate from the
-    # raw frame or release_intermediates(out) would leak it
-    out._persisted_intermediates = [
-        posts,
-        *getattr(cands_raw, "_persisted_intermediates", []),
-    ]
+    # propagate the signature cache persisted inside the banding call —
+    # .select() on cands dropped its attribute, and without this
+    # release_intermediates(out) would leak it
+    out._persisted_intermediates = list(
+        getattr(cands_raw, "_persisted_intermediates", [])
+    )
     return out
 
 
