@@ -30,6 +30,39 @@ def split_bucket_hex(key_col, salt: str = "") -> Column:
     return F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 4)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — ``sampleBy`` without the
+    partitioning/seed drift.
+
+    Keeps a row iff its md5 bucket falls under its stratum's fraction
+    (strata absent from ``fractions`` are dropped, matching
+    ``sampleBy``). Same key+salt → same decision on any engine or
+    partitioning, so downsampling a corpus (e.g. capping an
+    over-represented language) is reproducible and auditable. Same
+    1/65536 granularity as :func:`hash_split`.
+    """
+    bucket = split_bucket_hex(key_col, salt)
+    cond = None
+    for stratum, frac in fractions.items():
+        if frac <= 0.0:
+            continue  # stratum fully dropped
+        branch = F.col(strata_col) == stratum
+        if frac < 1.0:  # frac >= 1 keeps the whole stratum exactly
+            thr = format(min(max(round(frac * 65536), 1), 65535), "04x")
+            branch = branch & (bucket < F.lit(thr))
+        cond = branch if cond is None else (cond | branch)
+    if cond is None:
+        raise ValueError("fractions must keep at least one stratum")
+    return df.filter(cond)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -189,3 +189,47 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         fp.alias("fp"),
         F.substring(fp, 1, 4).alias("fp_bucket"),
     )
+
+
+def token_df_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-statistics quality signal: per-document token document-frequency.
+
+    The two-stage stats-then-score shape every learned quality filter
+    uses, kept in exact integer arithmetic so it stays oracle-checkable
+    (a log-prob/perplexity variant is the same plan with a log() in the
+    final projection — libm ulps differ across engines, so the oracled
+    form sticks to ratios of exact ints):
+
+    1. **stats pass** — document frequency of every distinct token
+       (explode distinct tokens → groupBy token): one shuffle keyed on
+       token; partial aggs absorb the "the"-style heavy hitters before
+       the wire.
+    2. **score pass** — postings re-join the DF table on token and
+       aggregate per document. The DF table is vocabulary-sized —
+       broadcast it when the vocab fits (typical), else AQE's skew
+       split handles the hot tokens.
+
+    Low ``mean_df`` / high ``rare_ratio`` flags gibberish and
+    boilerplate-free noise; high ``mean_df`` flags templated text.
+    Output: (id, n_distinct_tokens, sum_df, mean_df, rare_ratio).
+    """
+    p = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    dfreq = p.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    return (
+        p.join(F.broadcast(dfreq), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+            F.sum("dfc").cast("bigint").alias("sum_df"),
+            (F.sum("dfc").cast("double") / F.count(F.lit(1))).alias("mean_df"),
+            (
+                F.sum(F.when(F.col("dfc") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rare_ratio"),
+        )
+    )

@@ -699,6 +699,36 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 corpus-statistics scorer (operators/text.py token_df_stats):
+    per-document token document-frequency aggregates — the two-stage
+    stats-then-score pattern, in exact int arithmetic so the composed
+    plan (DF table → broadcast re-join → per-doc agg) is oracle-checked.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import token_df_stats
+
+    return token_df_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 deterministic stratified sampling (functions/splits.py
+    stratified_sample): downsample click/view events to fixed fractions
+    keyed on event_id — reproducible on any engine/partitioning, unlike
+    ``sampleBy``'s per-partition seeded draws. Oracle applies the same
+    md5-bucket rule.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_sample(
+        ev,
+        "event_id",
+        "event_type",
+        {"click": 0.25, "view": 0.5, "purchase": 1.0},
+        salt="s1",
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3-adjacent embedding profile: per-label count + deterministic
     norm aggregates (floored-int64 self-dot → sqrt → floored-cents sum),
@@ -1113,6 +1143,32 @@ ORACLE_PART_B: dict[str, str] = {
                CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS bpe_per_word
         FROM b
     """,
+    "q_token_df": r"""
+        WITH p AS (
+            SELECT doc_id,
+                   UNNEST(list_distinct(
+                       regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
+            FROM documents
+        ), dfreq AS (
+            SELECT tok, count(*) AS dfc FROM p GROUP BY tok
+        )
+        SELECT p.doc_id,
+               count(*) AS n_distinct_tokens,
+               CAST(SUM(dfc) AS BIGINT) AS sum_df,
+               CAST(SUM(dfc) AS DOUBLE) / count(*) AS mean_df,
+               CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS rare_ratio
+        FROM p JOIN dfreq USING (tok)
+        GROUP BY p.doc_id
+    """,
+    "q_stratified_sample": """
+        SELECT event_id, event_type FROM events
+        WHERE (event_type = 'click'
+               AND substr(md5(CAST(event_id AS VARCHAR) || 's1'), 1, 4) < '4000')
+           OR (event_type = 'view'
+               AND substr(md5(CAST(event_id AS VARCHAR) || 's1'), 1, 4) < '8000')
+           OR event_type = 'purchase'
+    """,
     "q_embedding_stats": """
         WITH n AS (
             SELECT label,
@@ -1464,6 +1520,8 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
     "q_token_counts": q_token_counts,
+    "q_token_df": q_token_df,
+    "q_stratified_sample": q_stratified_sample,
     "q_embedding_stats": q_embedding_stats,
     "q_fingerprint": q_fingerprint,
     "q_docs_dedup": q_docs_dedup,

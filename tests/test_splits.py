@@ -49,3 +49,30 @@ def test_extreme_fractions_stay_valid(spark):
     lo = _assignments(df, train_frac=0.00001)
     assert sum(v == "train" for v in hi.values()) / len(hi) > 0.99
     assert sum(v == "train" for v in lo.values()) < 5
+
+
+def test_stratified_sample(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(4000)] + [(9999, "c")],
+        "doc_id long, s string",
+    )
+    out = stratified_sample(df, "doc_id", "s", {"a": 0.5, "b": 1.0}, salt="x")
+    rows = out.collect()
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r["s"], []).append(r["doc_id"])
+    assert "c" not in by_s  # unlisted stratum dropped
+    assert len(by_s["b"]) == 2000  # frac 1.0 keeps everything
+    assert abs(len(by_s["a"]) / 2000 - 0.5) < 0.05
+    # deterministic under repartitioning
+    again = stratified_sample(
+        df.repartition(7), "doc_id", "s", {"a": 0.5, "b": 1.0}, salt="x"
+    ).collect()
+    assert sorted((r["doc_id"]) for r in again) == sorted(r["doc_id"] for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one stratum"):
+        stratified_sample(df, "doc_id", "s", {"a": 0.0})
