@@ -27,3 +27,12 @@ from loan_etl_data_pipeline_spark.operators.graph import connected_components
 from loan_etl_data_pipeline_spark.operators.packing import pack_documents
 
 __all__ += ["asof_join", "range_join", "salted_join", "connected_components", "pack_documents"]
+
+from loan_etl_data_pipeline_spark.operators.dedup import ngram_decontaminate
+from loan_etl_data_pipeline_spark.operators.text import (
+    chunk_documents,
+    redact_pii,
+    repetition_stats,
+)
+
+__all__ += ["ngram_decontaminate", "chunk_documents", "redact_pii", "repetition_stats"]

@@ -473,3 +473,43 @@ def simhash_near_duplicates(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def ngram_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    word n-grams with an evaluation set.
+
+    The standard pre-training hygiene pass (the GPT-3 appendix /
+    OpenWebText 13-gram rule, here with configurable ``n``): any train
+    document containing ``min_hits`` or more distinct n-grams that also
+    appear anywhere in the eval corpus is reported, with its hit count,
+    so callers can anti-join it away or audit the overlaps.
+
+    Plan shape for 100 TB of train data: the eval side is benchmarks —
+    tiny by construction — so its distinct gram set is explicitly
+    ``broadcast()``: the train postings stream through a map-side hash
+    semi-join and a partial-agg count keyed on doc id. The train corpus
+    is NEVER shuffled on gram text. (If the eval side ever outgrew
+    broadcast, drop the hint and Spark falls back to a shuffle join on
+    the gram string — same semantics; the oracle joins on the identical
+    string either way, which is why grams are joined raw rather than
+    pre-hashed: xxhash64 would shave shuffle bytes in the fallback but
+    costs exactness and cross-engine checkability.)
+    """
+    train_posts = word_ngrams(train_df, id_col, text_col, n)
+    eval_grams = word_ngrams(eval_df, id_col, text_col, n).select("ngram").distinct()
+    return (
+        train_posts.join(F.broadcast(eval_grams), "ngram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .select(F.col("id").alias(id_col), "n_hits")
+    )

@@ -233,3 +233,170 @@ def token_df_stats(
             ).alias("rare_ratio"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style repetition signals for corpus filtering.
+
+    Per document: fraction of tokens that are the single most common
+    token (``top_token_frac``), fraction covered by the most frequent
+    word 2-gram (``top_2gram_frac``), distinct-token fraction, and the
+    duplicate-line fraction over ``line_sep``-separated lines
+    (degenerate 0.0 for single-line documents). High values flag
+    boilerplate, keyword stuffing, and template spam — the classic
+    repetition cut of the Gopher/MassiveText quality rules.
+
+    Plan shape (the at-scale answer): explode tokens / 2-grams /
+    lines, count per (doc, unit), then a per-doc max+sum rollup —
+    three explode→partial-agg chains, every shuffle keyed by (doc,
+    unit) then doc, so heavy hitters collapse map-side before the
+    wire. No Python, no HOF lambdas (array filter()/aggregate() HOFs
+    are CodegenFallback — interpreted — and O(n²) per doc for mode
+    counting; measured slower at every scale that matters). Only
+    counts and fractions are output — never the argmax unit itself,
+    which would be tie-unstable across engines.
+    """
+    from pyspark.ml.feature import NGram
+
+    lower = F.lower(F.col(text_col))
+    base = df.select(F.col(id_col), tokens(lower).alias("toks"), lower.alias("__txt"))
+
+    tok_rows = base.select(id_col, F.explode("toks").alias("u"))
+    tok_counts = tok_rows.groupBy(id_col, "u").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_tok = tok_counts.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+        F.max("c").cast("bigint").alias("top_token_cnt"),
+    )
+
+    grams = NGram(n=2, inputCol="toks", outputCol="grams").transform(base)
+    gram_rows = grams.select(id_col, F.explode_outer("grams").alias("u"))
+    gram_counts = gram_rows.groupBy(id_col, "u").agg(
+        F.count(F.when(F.col("u").isNotNull(), 1)).alias("c")
+    )
+    per_doc_gram = gram_counts.groupBy(id_col).agg(
+        F.max("c").cast("bigint").alias("top_2gram_cnt")
+    )
+
+    lines = base.select(
+        id_col,
+        F.explode(F.split("__txt", line_sep, -1)).alias("u"),
+    ).filter(F.length(F.trim("u")) > 0)
+    line_counts = lines.groupBy(id_col, "u").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_line = line_counts.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_line_cnt"),
+    )
+
+    nt = F.col("n_tokens").cast("double")
+    return (
+        per_doc_tok.join(per_doc_gram, id_col, "left")
+        .join(per_doc_line, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            (F.col("n_distinct_tokens").cast("double") / nt).alias("distinct_token_frac"),
+            (F.col("top_token_cnt").cast("double") / nt).alias("top_token_frac"),
+            (
+                F.coalesce(F.col("top_2gram_cnt"), F.lit(0)).cast("double") * 2.0 / nt
+            ).alias("top_2gram_frac"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+            (
+                F.coalesce(F.col("dup_line_cnt"), F.lit(0)).cast("double")
+                / F.coalesce(F.col("n_lines"), F.lit(0)).cast("double")
+            ).alias("dup_line_frac"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+
+    The pre-training / RAG chunker: token window of ``chunk_tokens``
+    sliding by ``chunk_tokens - overlap``. Emits one row per chunk with
+    a 0-based ``chunk_idx``, the chunk text (tokens re-joined with a
+    single space), and its token count; the final chunk may be short.
+
+    Plan shape: tokenize once, ``explode(sequence(...))`` over chunk
+    START offsets, then ``slice`` + ``array_join`` on the exploded
+    row. sequence/explode/slice are all codegen expressions — no HOF
+    lambda (a transform() over starts would fall back to interpreted
+    eval), no shuffle at all: chunking is a pure per-row flatMap, so
+    at 100 TB it runs entirely inside the scan stage.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col), *keep_cols, tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunk = F.slice("__toks", F.col("__start") + 1, chunk_tokens)
+    return (
+        base.select(id_col, *keep_cols, "__toks", F.explode(starts).alias("__start"))
+        .select(
+            id_col,
+            *keep_cols,
+            (F.col("__start") / stride).cast("bigint").alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
+#: Redaction patterns, applied in order. Alternation + char classes
+#: only — no backreferences or lookaround — so Java (Spark) and RE2
+#: (DuckDB) match identically; the email pattern must run before the
+#: bare-IP pattern so the host part of an address is never half-eaten.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Redact email / IPv4 / phone-shaped spans, with per-kind counts.
+
+    The standard pre-training scrub pass: each pattern is counted
+    (``regexp_count``) then replaced with its placeholder, all as
+    chained codegen expressions over the scan — no shuffle, no Python.
+    Counts are computed on the ORIGINAL text so an earlier replacement
+    can't hide a later pattern's span; replacement chains in the
+    declared order on the text itself.
+    """
+    src = F.col(text_col)
+    counts = [
+        F.regexp_count(src, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = src
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(id_col, *keep_cols, red.alias("text_redacted"), *counts)

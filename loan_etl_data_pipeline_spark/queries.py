@@ -729,6 +729,75 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 Gopher-style repetition signals (operators/text.py
+    repetition_stats): most-common-token fraction, top-2-gram coverage,
+    distinct-token fraction, duplicate-line fraction — the classic
+    MassiveText repetition cut, as explode→partial-agg chains keyed by
+    (doc, unit) then doc. Oracle mirrors every count as exact ints.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E9 token-window chunking with overlap (operators/text.py
+    chunk_documents): 32-token chunks sliding by 24 — the RAG /
+    pre-training chunker as a pure per-row flatMap (sequence + explode
+    + slice, all codegen, zero shuffle). Oracle builds the identical
+    windows with range + list_slice.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 PII scrub (operators/text.py redact_pii): email/IPv4/phone
+    redaction with per-kind counts, chained codegen regexes over the
+    scan. The fixture plants one of each span per row (built
+    deterministically from doc_id) so every pattern is exercised with
+    nonzero counts; counts are taken on the original text.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-867-53"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(planted)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ benchmark decontamination (operators/dedup.py
+    ngram_decontaminate): train docs (doc_id % 20 != 0) sharing any
+    distinct 5-gram with the eval slice (doc_id % 20 == 0), with hit
+    counts. Eval gram set is broadcast — the train corpus never
+    shuffles on gram text. Oracle runs the identical split + 5-gram
+    join in DuckDB.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import ngram_decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        n=5,
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3-adjacent embedding profile: per-label count + deterministic
     norm aggregates (floored-int64 self-dot → sqrt → floored-cents sum),
@@ -1507,6 +1576,121 @@ ORACLE_PART_B: dict[str, str] = {
                sha256(text) AS sha256
         FROM documents
     """,
+    "q_repetition": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents
+        ), tok_rows AS (
+            SELECT doc_id, UNNEST(t) AS u FROM toks
+        ), tc AS (
+            SELECT doc_id, u, count(*) AS c FROM tok_rows GROUP BY 1, 2
+        ), per_tok AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+                   CAST(max(c) AS BIGINT) AS top_cnt
+            FROM tc GROUP BY 1
+        ), grams AS (
+            SELECT doc_id, CASE WHEN len(t) >= 2
+                        THEN list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i+1])
+                        ELSE [] END AS gs
+            FROM toks
+        ), gc AS (
+            SELECT doc_id, u, count(*) AS c
+            FROM (SELECT doc_id, UNNEST(gs) AS u FROM grams) GROUP BY 1, 2
+        ), per_gram AS (
+            SELECT doc_id, max(c) AS top2 FROM gc GROUP BY 1
+        ), lf AS (
+            SELECT doc_id, u
+            FROM (SELECT doc_id,
+                         UNNEST(string_split_regex(lower(text), '\n')) AS u
+                  FROM documents)
+            WHERE len(trim(u)) > 0
+        ), lc AS (
+            SELECT doc_id, u, count(*) AS c FROM lf GROUP BY 1, 2
+        ), per_line AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_cnt
+            FROM lc GROUP BY 1
+        )
+        SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens,
+               CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_token_frac,
+               CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+               COALESCE(top2, 0) * 2.0 / n_tokens AS top_2gram_frac,
+               CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(COALESCE(dup_cnt, 0) AS DOUBLE)
+                 / CAST(COALESCE(n_lines, 0) AS DOUBLE) AS dup_line_frac
+        FROM per_tok t
+        LEFT JOIN per_gram g USING (doc_id)
+        LEFT JOIN per_line l USING (doc_id)
+    """,
+    "q_chunk_docs": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents
+        ), starts AS (
+            SELECT doc_id, t,
+                   UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 24)) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(s / 24 AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text,
+               CAST(len(list_slice(t, s + 1, s + 32)) AS BIGINT) AS chunk_tokens
+        FROM starts
+    """,
+    "q_redact_pii": r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com via 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7 call 555-867-53'
+                        || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g')
+                 AS text_redacted,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_email,
+               CAST(len(regexp_extract_all(text,
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+                 AS n_ip,
+               CAST(len(regexp_extract_all(text,
+                   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT)
+                 AS n_phone
+        FROM aug
+    """,
+    "q_decontaminate": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, list_distinct(
+                     CASE WHEN len(t) >= 5
+                          THEN list_transform(range(1, len(t) - 3),
+                                              i -> t[i] || ' ' || t[i+1] || ' '
+                                                || t[i+2] || ' ' || t[i+3] || ' '
+                                                || t[i+4])
+                          ELSE [] END) AS gs
+            FROM toks
+        ), posts AS (
+            SELECT doc_id, UNNEST(gs) AS ngram FROM grams
+        ), ev AS (
+            SELECT DISTINCT ngram FROM posts WHERE doc_id % 20 = 0
+        ), tr AS (
+            SELECT doc_id, ngram FROM posts WHERE doc_id % 20 <> 0
+        )
+        SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM tr JOIN ev USING (ngram)
+        GROUP BY 1
+        HAVING count(*) >= 1
+    """,
 }
 
 # probing every cell makes IVF exhaustive — the oracle is exactly the
@@ -1522,6 +1706,10 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_counts": q_token_counts,
     "q_token_df": q_token_df,
     "q_stratified_sample": q_stratified_sample,
+    "q_repetition": q_repetition,
+    "q_chunk_docs": q_chunk_docs,
+    "q_redact_pii": q_redact_pii,
+    "q_decontaminate": q_decontaminate,
     "q_embedding_stats": q_embedding_stats,
     "q_fingerprint": q_fingerprint,
     "q_docs_dedup": q_docs_dedup,

@@ -1,0 +1,132 @@
+"""Unit tests for the round-2 text extensions: repetition stats,
+token-window chunking, PII redaction, and n-gram decontamination —
+edge semantics the sf0.001 oracle parity run can't reach (multi-line
+documents, short docs, overlap reconstruction, min_hits)."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from loan_etl_data_pipeline_spark.operators.dedup import ngram_decontaminate
+from loan_etl_data_pipeline_spark.operators.text import (
+    chunk_documents,
+    redact_pii,
+    repetition_stats,
+)
+
+
+def test_repetition_multiline_dup_lines(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\nalpha beta\ngamma"),  # 2 of 3 lines are dups
+            (2, "one two three four"),  # single line, no dups
+            (3, "spam spam spam spam"),  # one token repeated
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    assert got[1]["n_lines"] == 3
+    assert got[1]["dup_line_frac"] == pytest.approx(2 / 3)
+    assert got[2]["n_lines"] == 1
+    assert got[2]["dup_line_frac"] == 0.0
+    # doc 3: 4 tokens, all "spam" → top token frac 1.0, distinct 1/4,
+    # top 2-gram "spam spam" occurs 3 times → covers 6/4 (can exceed 1
+    # because occurrences overlap — documented, monotone signal)
+    assert got[3]["top_token_frac"] == 1.0
+    assert got[3]["distinct_token_frac"] == pytest.approx(1 / 4)
+    assert got[3]["top_2gram_frac"] == pytest.approx(6 / 4)
+    # whitespace-splitting ignores the newline boundary inside tokens:
+    # doc 1 has 5 tokens, "alpha" twice
+    assert got[1]["n_tokens"] == 5
+    assert got[1]["top_token_frac"] == pytest.approx(2 / 5)
+
+
+def test_chunk_documents_reconstruction_and_overlap(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 2 over 10 tokens → starts 0,2,4,6,8 → 5 chunks
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk_text"] == "w2 w3 w4 w5"
+    # final chunk is short (2 tokens), never empty
+    assert rows[-1]["chunk_text"] == "w8 w9"
+    assert rows[-1]["chunk_tokens"] == 2
+    # consecutive chunks agree on the overlap region
+    for a, b in zip(rows, rows[1:]):
+        assert a["chunk_text"].split()[2:] == b["chunk_text"].split()[: len(
+            a["chunk_text"].split()[2:]
+        )]
+    # every token is covered at least once, in order
+    seen = []
+    for r in rows:
+        for w in r["chunk_text"].split():
+            if not seen or w != seen[-1] and w not in seen:
+                seen.append(w)
+    assert seen == words
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "")], "doc_id int, text string")
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(df, chunk_tokens=8).collect()
+    }
+    assert rows[(1, 0)]["chunk_text"] == "a b"
+    assert rows[(1, 0)]["chunk_tokens"] == 2
+    # empty text still yields exactly one (empty-ish) chunk row
+    assert (2, 0) in rows and len(rows) == 2
+
+
+def test_chunk_documents_validates_params(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_redact_pii_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co and 10.0.0.1 and 555-123-4567 twice 555.123.4567"),
+            (2, "clean text with version 1.2 and year 2024"),
+            # the email's host must not be half-eaten by the IP pass
+            (3, "u@191.168.1.10.example.com"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ip"] == 1 and got[1]["n_phone"] == 2
+    assert got[1]["text_redacted"] == "mail <EMAIL> and <IP> and <PHONE> twice <PHONE>"
+    assert got[2]["n_email"] == 0 and got[2]["n_ip"] == 0 and got[2]["n_phone"] == 0
+    assert got[2]["text_redacted"] == got[2]["text_redacted"]  # untouched shape
+    assert got[3]["text_redacted"] == "<EMAIL>"
+
+
+def test_decontaminate_min_hits_and_isolation(spark):
+    train = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h"),  # shares 5-grams with eval doc 1
+            (11, "z y x w v u t s"),  # shares nothing
+            (12, "a b c d e only"),  # exactly one shared 5-gram
+        ],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id int, text string")
+
+    hits = {r["doc_id"]: r["n_hits"] for r in ngram_decontaminate(train, ev, n=5).collect()}
+    # doc 10: grams abcde,bcdef,cdefg,defgh all appear in eval → 4 hits
+    assert hits == {10: 4, 12: 1}
+
+    strict = {
+        r["doc_id"]: r["n_hits"]
+        for r in ngram_decontaminate(train, ev, n=5, min_hits=2).collect()
+    }
+    assert strict == {10: 4}
