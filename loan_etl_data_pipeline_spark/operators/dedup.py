@@ -112,8 +112,8 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, ngram) postings of distinct word n-grams per document.
 
     MLlib's ``NGram`` transformer builds the gram array row-locally on
-    the JVM (a compiled Scala function over the token array) — zero
-    shuffle before the ``distinct``. The two rejected alternatives,
+    the JVM (a compiled Scala function over the token array) — the
+    whole operator is shuffle-free. The two rejected alternatives,
     both measured: a ``transform(sequence(...))`` higher-order
     expression is CodegenFallback AND CollapseProject makes the
     interpreted lambda re-evaluate the regex split once per gram index
@@ -129,7 +129,13 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
     )
     grams = NGram(n=n, inputCol="toks", outputCol="grams").transform(base)
-    return grams.select("id", F.explode("grams").alias("ngram")).distinct()
+    # per-doc gram dedup is row-local (array_distinct before the
+    # explode), NOT a distinct() after it — a global distinct would
+    # shuffle every posting on (id, ngram) before any consumer runs;
+    # this way the postings leave the scan stage already deduped and
+    # the n-gram family's first shuffle is whatever the consumer
+    # actually needs (band key, gram join key, doc id).
+    return grams.select("id", F.explode(F.array_distinct("grams")).alias("ngram"))
 
 
 def ngram_jaccard_pairs(
