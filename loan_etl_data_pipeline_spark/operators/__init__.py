@@ -36,3 +36,7 @@ from loan_etl_data_pipeline_spark.operators.text import (
 )
 
 __all__ += ["ngram_decontaminate", "chunk_documents", "redact_pii", "repetition_stats"]
+
+from loan_etl_data_pipeline_spark.operators.quantize import quantize_embeddings, quantized_topk
+
+__all__ += ["quantize_embeddings", "quantized_topk"]

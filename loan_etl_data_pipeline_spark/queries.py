@@ -798,6 +798,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 int8-quantized top-k (operators/quantize.py): symmetric
+    per-vector quantization (floor(x/scale + 0.5) — portable, tie-free)
+    then top-5 by quantized cosine for probes vec_id < 10. Integer dot
+    products are exact in any engine, so the whole quantize→score→rank
+    pipeline is oracle-checked bit-for-bit against DuckDB.
+    """
+    from loan_etl_data_pipeline_spark.operators.quantize import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = quantize_embeddings(emb)
+    return quantized_topk(qemb.filter(F.col("vec_id") < 10), qemb, k=5)
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3-adjacent embedding profile: per-label count + deterministic
     norm aggregates (floored-int64 self-dot → sqrt → floored-cents sum),
@@ -1666,6 +1683,34 @@ ORACLE_PART_B: dict[str, str] = {
                  AS n_phone
         FROM aug
     """,
+    "q_quantized_topk": """
+        WITH q8 AS (
+            SELECT vec_id,
+                   list_transform(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       x -> CASE WHEN list_max(list_transform(embedding,
+                                      y -> abs(CAST(y AS DOUBLE)))) = 0.0
+                                 THEN CAST(0 AS BIGINT)
+                                 ELSE CAST(floor(x / (list_max(list_transform(embedding,
+                                      y -> abs(CAST(y AS DOUBLE)))) / 127.0) + 0.5)
+                                      AS BIGINT) END) AS q
+            FROM embeddings
+        ), scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   list_inner_product(a.q, b.q)
+                     / (sqrt(list_inner_product(a.q, a.q))
+                        * sqrt(list_inner_product(b.q, b.q))) AS qcosine
+            FROM q8 a JOIN q8 b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 10
+        ), ranked AS (
+            SELECT query_id, neighbor_id, qcosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcosine DESC, neighbor_id) AS rnk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, qcosine, CAST(rnk AS BIGINT) AS rank
+        FROM ranked WHERE rnk <= 5
+    """,
     "q_decontaminate": r"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -1710,6 +1755,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunk_docs": q_chunk_docs,
     "q_redact_pii": q_redact_pii,
     "q_decontaminate": q_decontaminate,
+    "q_quantized_topk": q_quantized_topk,
     "q_embedding_stats": q_embedding_stats,
     "q_fingerprint": q_fingerprint,
     "q_docs_dedup": q_docs_dedup,
