@@ -240,6 +240,39 @@ def minhash_signatures(
     )
 
 
+def band_postings(
+    sig_df: DataFrame, *, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """Explode (id, sig) into LSH band postings (id, band_no, band_key, sig).
+
+    One codegen explode per row — ``band_key`` is the xxhash64 of the
+    band's signature slice, so postings are fixed-width regardless of
+    shingle count. The sig rides along so an index built from these
+    rows is self-contained for estimate-verify (fraction of matching
+    signature positions) without a join back to document text.
+    """
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError("bands must divide num_perm")
+    return sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+        "sig",
+    ).select("id", "bk.band_no", "bk.band_key", "sig")
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -261,27 +294,13 @@ def minhash_near_duplicates(
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
-    rows_per_band = num_perm // bands
     sig = minhash_signatures(
         df, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size,
         hashed=hashed,
     ).persist()
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_no"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band_no", "bk.band_key")
+    banded = band_postings(sig, num_perm=num_perm, bands=bands).select(
+        "id", "band_no", "band_key"
+    )
     # skew guard: drop pathological band groups
     sized = banded.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("band_no", "band_key"))
@@ -519,3 +538,109 @@ def ngram_decontaminate(
         .filter(F.col("n_hits") >= min_hits)
         .select(F.col("id").alias(id_col), "n_hits")
     )
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+    max_band_group: int = 1000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Dedup a new document batch against a persistent MinHash LSH index.
+
+    THE shape continuous corpus building needs at 100 TB: the
+    accumulated corpus is never re-scanned — only its band-posting
+    index (``band_postings`` rows: id, band_no, band_key, sig) is
+    joined against the delta. Matching is sketch-level (estimated
+    Jaccard from signature agreement ≥ ``threshold``), i.e. the index
+    retains NO document text — exactly what a production dedup service
+    stores.
+
+    A new document is dropped when it matches the index, or an
+    earlier (smaller-id) document of the same batch — a deterministic,
+    order-free rule that parallelizes (no sequential greedy pass).
+    Like any transitive near-dup removal, a chain A~B~C with B dropped
+    still drops C via B: acceptable for near-dup semantics and
+    identical to what the batch remove-near-duplicates plan does.
+
+    Returns ``(kept_df, dropped_df, new_index_df)``:
+
+    - ``kept_df`` — the surviving rows of ``new_df`` (all columns);
+    - ``dropped_df`` — (id, match_id, est_jaccard), best match per
+      dropped doc (highest estimate, smallest match_id tie-break);
+    - ``new_index_df`` — index_df ∪ postings of the kept docs: feed it
+      to the next batch. At scale, write it as a table bucketed by
+      (band_no, band_key) (sources/bucketed.py) so the per-batch join
+      never shuffles the index side; the delta postings are small and
+      sort into the bucket layout cheaply.
+
+    Plan shape: one corpus-free scan of the delta (shingle → sign →
+    band), a band-key equality join delta↔(index ∪ delta) with the
+    standard ``max_band_group`` skew guard, and estimate-verify only on
+    candidates. No shuffle touches document text.
+    """
+    sig = minhash_signatures(
+        new_df, id_col, text_col, num_perm=num_perm, shingle_size=shingle_size
+    )
+    new_posts = band_postings(sig, num_perm=num_perm, bands=bands).persist()
+
+    if index_df is None:
+        all_posts = new_posts
+    else:
+        all_posts = index_df.select("id", "band_no", "band_key", "sig").unionByName(
+            new_posts
+        )
+
+    # skew guard on the probe side of the join (degenerate band keys)
+    sized = all_posts.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("band_no", "band_key"))
+    ).filter(F.col("__n") <= max_band_group)
+
+    probe = new_posts.select(
+        F.col("id").alias("new_id"), "band_no", "band_key",
+        F.col("sig").alias("sig_new"),
+    )
+    target = sized.select(
+        F.col("id").alias("match_id"), "band_no", "band_key",
+        F.col("sig").alias("sig_match"),
+    )
+    matches = F.expr(
+        "size(filter(zip_with(sig_new, sig_match, (x, y) -> x = y), v -> v))"
+    )
+    cand = (
+        probe.join(target, ["band_no", "band_key"])
+        .filter(F.col("match_id") < F.col("new_id"))
+        .select("new_id", "match_id", "sig_new", "sig_match")
+        .distinct()
+        .select(
+            "new_id", "match_id", (matches / F.lit(num_perm)).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("est_jaccard"), F.asc("match_id")
+    )
+    dropped = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("new_id").alias(id_col), "match_id", "est_jaccard")
+    )
+    dropped_ids = dropped.select(id_col)
+    kept = new_df.join(dropped_ids, id_col, "left_anti")
+    kept_posts = new_posts.join(
+        dropped_ids.select(F.col(id_col).alias("id")), "id", "left_anti"
+    )
+    new_index = (
+        kept_posts
+        if index_df is None
+        else index_df.select("id", "band_no", "band_key", "sig").unionByName(kept_posts)
+    )
+    for frame in (kept, dropped, new_index):
+        frame._persisted_intermediates = [new_posts]  # release_intermediates()
+    return kept, dropped, new_index

@@ -910,6 +910,36 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 incremental dedup against a persistent MinHash LSH index
+    (operators/dedup.py minhash_dedup_incremental): even doc_ids arrive
+    first (building the index), odd doc_ids dedup against index + batch.
+    No SQL oracle (xxhash64 sketches), but the one-shot case is proven
+    equal to the banded pair set and cross-batch semantics are unit
+    tested (tests/test_dedup.py).
+
+    Output: one row per dropped doc with its best match and batch no.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        release_intermediates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 == 1)
+    kept1, dropped1, idx = minhash_dedup_incremental(b1, None, threshold=0.7)
+    kept2, dropped2, _ = minhash_dedup_incremental(b2, idx, threshold=0.7)
+    out = dropped1.withColumn("batch", F.lit(1)).unionByName(
+        dropped2.withColumn("batch", F.lit(2))
+    )
+    out._persisted_intermediates = [
+        *getattr(dropped1, "_persisted_intermediates", ()),
+        *getattr(dropped2, "_persisted_intermediates", ()),
+    ]
+    return out
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 64-bit SimHash fingerprints (operators/dedup.py). Rows-only check
     (xxhash64-based); determinism + Hamming properties covered in tests."""
@@ -1762,6 +1792,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_events": q_dedup_events,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_neardup": q_minhash_neardup,
+    "q_incremental_dedup": q_incremental_dedup,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_dup_components": q_dup_components,

@@ -163,3 +163,58 @@ def test_dedup_exact_rejects_empty_order(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     with pytest.raises(ValueError, match="order_by"):
         dedup_exact(df, ["k", "v"])
+
+
+# --- incremental dedup against a persistent index --------------------------
+
+
+def test_incremental_dedup_cross_batch(spark):
+    from loan_etl_data_pipeline_spark.operators.dedup import minhash_dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    # doc 10 duplicates indexed doc 1; doc 11 is novel; doc 12 duplicates 11
+    batch2 = spark.createDataFrame(
+        [
+            (10, base),
+            (11, "a genuinely novel document mentioning quantized embeddings"),
+            (12, "a genuinely novel document mentioning quantized embeddings"),
+        ],
+        "doc_id long, text string",
+    )
+    kept1, dropped1, idx = minhash_dedup_incremental(batch1, None, threshold=0.7)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+    assert dropped1.count() == 0
+
+    kept2, dropped2, idx2 = minhash_dedup_incremental(batch2, idx, threshold=0.7)
+    d2 = {r["doc_id"]: r["match_id"] for r in dropped2.collect()}
+    assert d2 == {10: 1, 12: 11}
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
+    # index grows by exactly the kept docs
+    idx_ids = {r["id"] for r in idx2.select("id").distinct().collect()}
+    assert idx_ids == {1, 2, 11}
+
+
+def test_incremental_dedup_oneshot_equals_banded_pairs(docs, spark):
+    """With everything in one batch, the dropped set must be exactly
+    {id_b : some banded pair (id_a < id_b) has est_jaccard >= thr}."""
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_near_duplicates,
+        release_intermediates,
+    )
+
+    pairs = minhash_near_duplicates(docs)
+    expected = {
+        r["id_b"] for r in pairs.collect() if r["est_jaccard"] >= 0.7
+    }
+    release_intermediates(pairs)
+
+    kept, dropped, _ = minhash_dedup_incremental(docs, None, threshold=0.7)
+    got = {r["doc_id"] for r in dropped.collect()}
+    assert got == expected
+    assert kept.count() + len(got) == docs.count()
+    release_intermediates(dropped)
