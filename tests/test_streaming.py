@@ -287,3 +287,58 @@ def test_streaming_enrich_matches_batch(spark, events_batch, tmp_path):
     assert got == want
     # user 2 has no dimension row and must still be present (left join)
     assert any(u == 2 and s is None for u, _, s in got)
+
+
+def test_streaming_upsert_converges_and_is_idempotent(spark, tmp_path):
+    """File stream → merge-per-micro-batch: latest row per key wins,
+    untouched partitions stay byte-stable, and a checkpointed restart
+    with no new files changes nothing."""
+    from loan_etl_data_pipeline_spark.streaming.ingest import streaming_upsert
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k LONG, day STRING, v DOUBLE, seq LONG"
+
+    (src / "a.json").write_text(
+        '{"k":1,"day":"d1","v":10.0,"seq":1}\n'
+        '{"k":2,"day":"d1","v":20.0,"seq":1}\n'
+        '{"k":3,"day":"d2","v":30.0,"seq":1}\n'
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = streaming_upsert(
+        stream, table, ckpt, key_cols="k", partition_col="day",
+        seq_col="seq", available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # second file: update k=2 (two versions in ONE batch — seq 3 wins),
+    # insert k=7; k=3's partition is untouched
+    (src / "b.json").write_text(
+        '{"k":2,"day":"d1","v":21.0,"seq":2}\n'
+        '{"k":2,"day":"d1","v":22.0,"seq":3}\n'
+        '{"k":7,"day":"d1","v":70.0,"seq":2}\n'
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = streaming_upsert(
+        stream, table, ckpt, key_cols="k", partition_col="day",
+        seq_col="seq", available_now=True,
+    )
+    q.awaitTermination(120)
+
+    rows = {r["k"]: r for r in spark.read.parquet(table).collect()}
+    assert sorted(rows) == [1, 2, 3, 7]
+    assert rows[2]["v"] == 22.0 and rows[2]["seq"] == 3
+    assert rows[1]["v"] == 10.0 and rows[3]["v"] == 30.0 and rows[7]["v"] == 70.0
+
+    # restart with the same checkpoint and no new files: no-op
+    before = {r["k"]: tuple(r) for r in spark.read.parquet(table).collect()}
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = streaming_upsert(
+        stream, table, ckpt, key_cols="k", partition_col="day",
+        seq_col="seq", available_now=True,
+    )
+    q.awaitTermination(120)
+    after = {r["k"]: tuple(r) for r in spark.read.parquet(table).collect()}
+    assert after == before
