@@ -83,3 +83,74 @@ def hash_split(
             "test"
         ),
     )
+
+
+def expand_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Epoch-expand a corpus mixture: repeat each stratum ``weight`` times.
+
+    The pre-training mixing primitive (domain/source reweighting): a
+    stratum with weight 2.5 contributes two full copies of every row
+    plus a deterministic 50% sample as the third — so the EXACT set of
+    rows a mixture feeds the trainer is reproducible on any engine or
+    partitioning, auditable, and stable as new data lands (same
+    md5-bucket contract as :func:`hash_split`; the fractional draw
+    re-keys on salt+stratum so strata draw independently). Strata
+    absent from ``weights`` are dropped, matching
+    :func:`stratified_sample`.
+
+    Plan shape: one CASE over the weight table + one
+    ``explode(sequence(...))`` — a pure per-row flatMap in the scan
+    stage, zero shuffle; the trainer-side global shuffle stays where it
+    belongs (a sort by md5, e.g. write_sorted on md5(key, epoch salt)).
+    ``copy_col`` (0-based) disambiguates the copies downstream.
+    """
+    import math
+
+    n_full_expr = None
+    thr_expr = None  # fractional-copy hex threshold, '' = no fractional copy
+    for stratum, w in weights.items():
+        if w < 0.0:
+            raise ValueError(f"negative mixture weight for {stratum!r}: {w}")
+        n_full, frac = int(math.floor(w)), w - math.floor(w)
+        # threshold as a Python-side lowercase hex literal (the
+        # stratified_sample convention — md5 hex is lowercase, so the
+        # comparison must never see an engine-generated uppercase digit)
+        thr = (
+            format(min(max(round(frac * 65536), 1), 65535), "04x") if frac > 0 else ""
+        )
+        branch = F.col(strata_col) == stratum
+        n_full_expr = (
+            F.when(branch, n_full)
+            if n_full_expr is None
+            else n_full_expr.when(branch, n_full)
+        )
+        thr_expr = (
+            F.when(branch, thr) if thr_expr is None else thr_expr.when(branch, thr)
+        )
+    if n_full_expr is None:
+        raise ValueError("weights must not be empty")
+    n_full_c = n_full_expr.otherwise(F.lit(0))  # unknown stratum → no copies
+    thr_c = thr_expr.otherwise(F.lit(""))
+
+    key = F.col(key_col).cast("string")
+    out = (
+        df.withColumn("__nf", n_full_c)
+        .withColumn("__thr", thr_c)
+        # emit candidates 0..n_full (the last is the fractional copy);
+        # a weight-0/unknown stratum emits only the candidate 0, which
+        # the filter below drops ('' threshold keeps nothing)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__nf"))))
+    )
+    # copy < n_full → unconditional; copy == n_full → fractional draw,
+    # bucketed on (key, stratum, salt) so strata sample independently
+    bucket = F.substring(F.md5(F.concat(key, F.col(strata_col), F.lit(salt))), 1, 4)
+    keep = (F.col(copy_col) < F.col("__nf")) | (bucket < F.col("__thr"))
+    return out.filter(keep).drop("__nf", "__thr")

@@ -602,22 +602,31 @@ def minhash_dedup_incremental(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("band_no", "band_key"))
     ).filter(F.col("__n") <= max_band_group)
 
-    probe = new_posts.select(
-        F.col("id").alias("new_id"), "band_no", "band_key",
-        F.col("sig").alias("sig_new"),
+    probe = new_posts.select(F.col("id").alias("new_id"), "band_no", "band_key")
+    target = sized.select(F.col("id").alias("match_id"), "band_no", "band_key")
+    # dedup candidates as bare 16-byte id pairs, THEN attach signatures:
+    # a distinct over sig-carrying rows would shuffle ~1 KB per
+    # candidate (2×num_perm bigints). The per-id signature view is the
+    # postings filtered to band 0 — exactly one row per id, zero
+    # additional shuffle to build.
+    cand_pairs = (
+        probe.join(target, ["band_no", "band_key"])
+        .filter(F.col("match_id") < F.col("new_id"))
+        .select("new_id", "match_id")
+        .distinct()
     )
-    target = sized.select(
-        F.col("id").alias("match_id"), "band_no", "band_key",
-        F.col("sig").alias("sig_match"),
+    sig_new_v = new_posts.filter(F.col("band_no") == 0).select(
+        F.col("id").alias("new_id"), F.col("sig").alias("sig_new")
+    )
+    sig_match_v = all_posts.filter(F.col("band_no") == 0).select(
+        F.col("id").alias("match_id"), F.col("sig").alias("sig_match")
     )
     matches = F.expr(
         "size(filter(zip_with(sig_new, sig_match, (x, y) -> x = y), v -> v))"
     )
     cand = (
-        probe.join(target, ["band_no", "band_key"])
-        .filter(F.col("match_id") < F.col("new_id"))
-        .select("new_id", "match_id", "sig_new", "sig_match")
-        .distinct()
+        cand_pairs.join(sig_new_v, "new_id")
+        .join(sig_match_v, "match_id")
         .select(
             "new_id", "match_id", (matches / F.lit(num_perm)).alias("est_jaccard")
         )

@@ -798,6 +798,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 corpus-mixture epoch expansion (functions/splits.py
+    expand_mixture): en×2.5, fr×1.0, de×0.25, other languages dropped —
+    full copies plus a deterministic md5-bucketed fractional copy, a
+    pure flatMap (zero shuffle). Oracle replays the identical CASE +
+    range + md5-threshold rule.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import expand_mixture
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = expand_mixture(
+        d, "doc_id", "lang", {"en": 2.5, "fr": 1.0, "de": 0.25}, salt="s2"
+    )
+    return out.select("doc_id", "lang", F.col("copy_idx").cast("bigint").alias("copy_idx"))
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 int8-quantized top-k (operators/quantize.py): symmetric
     per-vector quantization (floor(x/scale + 0.5) — portable, tie-free)
@@ -1713,6 +1729,24 @@ ORACLE_PART_B: dict[str, str] = {
                  AS n_phone
         FROM aug
     """,
+    "q_mixture": """
+        WITH w AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1
+                             WHEN 'de' THEN 0 ELSE 0 END AS nf,
+                   CASE lang WHEN 'en' THEN '8000' WHEN 'fr' THEN ''
+                             WHEN 'de' THEN '4000' ELSE '' END AS thr
+            FROM documents
+        ), c AS (
+            SELECT doc_id, lang, nf, thr,
+                   UNNEST(range(0, nf + 1)) AS copy_idx
+            FROM w
+        )
+        SELECT doc_id, lang, CAST(copy_idx AS BIGINT) AS copy_idx
+        FROM c
+        WHERE copy_idx < nf
+           OR substr(md5(CAST(doc_id AS VARCHAR) || lang || 's2'), 1, 4) < thr
+    """,
     "q_quantized_topk": """
         WITH q8 AS (
             SELECT vec_id,
@@ -1786,6 +1820,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_redact_pii": q_redact_pii,
     "q_decontaminate": q_decontaminate,
     "q_quantized_topk": q_quantized_topk,
+    "q_mixture": q_mixture,
     "q_embedding_stats": q_embedding_stats,
     "q_fingerprint": q_fingerprint,
     "q_docs_dedup": q_docs_dedup,

@@ -76,3 +76,66 @@ def test_stratified_sample(spark):
 
     with _pytest.raises(ValueError, match="at least one stratum"):
         stratified_sample(df, "doc_id", "s", {"a": 0.0})
+
+
+# --- corpus mixture expansion ----------------------------------------------
+
+
+def test_expand_mixture_copy_counts(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import expand_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 400 else "b" if i < 500 else "c") for i in range(600)],
+        "id long, src string",
+    )
+    out = expand_mixture(df, "id", "src", {"a": 2.5, "b": 1.0}, salt="t")
+    rows = out.groupBy("src").count().collect()
+    got = {r["src"]: r["count"] for r in rows}
+    # a: 400 keys × (2 full + ~50% fractional) ≈ 1000; b: exactly 100;
+    # c: dropped entirely
+    assert got.get("b") == 100
+    assert "c" not in got
+    assert 400 * 2 < got["a"] < 400 * 3
+    assert abs(got["a"] - 1000) < 80  # binomial noise bound, deterministic data
+
+    # copies of the same key are identical rows apart from copy_idx,
+    # and copy_idx values are dense from 0
+    per_key = {}
+    for r in out.filter("src = 'a'").collect():
+        per_key.setdefault(r["id"], []).append(r["copy_idx"])
+    for copies in per_key.values():
+        assert sorted(copies) == list(range(len(copies)))
+        assert len(copies) in (2, 3)
+
+
+def test_expand_mixture_deterministic_and_partition_invariant(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import expand_mixture
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(300)], "id long, src string"
+    )
+    a = sorted(map(tuple, expand_mixture(df, "id", "src", {"x": 0.3}, salt="s").collect()))
+    b = sorted(
+        map(
+            tuple,
+            expand_mixture(
+                df.repartition(13), "id", "src", {"x": 0.3}, salt="s"
+            ).collect(),
+        )
+    )
+    assert a == b and 0 < len(a) < 300
+    # different salt → different draw
+    c = sorted(map(tuple, expand_mixture(df, "id", "src", {"x": 0.3}, salt="u").collect()))
+    assert c != a
+
+
+def test_expand_mixture_rejects_bad_weights(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import expand_mixture
+
+    df = spark.createDataFrame([(1, "x")], "id long, src string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expand_mixture(df, "id", "src", {"x": -0.5})
+    with _pytest.raises(ValueError):
+        expand_mixture(df, "id", "src", {})
