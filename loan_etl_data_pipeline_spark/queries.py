@@ -441,6 +441,44 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic trailing-window aggregate (A.5): per-customer spend over
+    the trailing 30 days, as a RANGE frame over integer epoch-days.
+
+    RANGE (value-based) framing makes same-day ties frame-identical in
+    every engine — no row-order ambiguity — and the accumulation is
+    exact floored cents. One shuffle on o_custkey, same as any
+    per-entity window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    cents = F.expr("cast(floor(o_totalprice * 100) as bigint)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (F.sum(cents).over(w).cast("double") / 100).alias("rolling_30d_spend"),
+    )
+
+
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (A.3): customers with no URGENT-priority order —
+    the NOT EXISTS shape, planned as a LeftAnti with the filter pushed
+    below the join (urgent-only rows ever shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: users + exact event count per event type."""
     ev = load_table(spark, sf_dir, "events")
@@ -633,6 +671,24 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
                  AS running_spend
         FROM orders
     """,
+    "q_rolling_revenue": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY datediff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE))
+                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+                 AS rolling_30d_spend
+        FROM orders
+    """,
+    "q_cust_no_orders": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+    """,
 }
 
 
@@ -644,6 +700,8 @@ QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup_acctbal": q_rollup_acctbal,
     "q_pivot_status": q_pivot_status,
     "q_running_revenue": q_running_revenue,
+    "q_rolling_revenue": q_rolling_revenue,
+    "q_cust_no_orders": q_cust_no_orders,
     "q_orders_by_priority": q_orders_by_priority,
     "q_lineitem_stats": q_lineitem_stats,
     "q_mode_returnflag": q_mode_returnflag,
