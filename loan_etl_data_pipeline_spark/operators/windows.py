@@ -91,3 +91,72 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def resample_timeseries(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    unit: str = "day",
+) -> DataFrame:
+    """Regularize an irregular per-key series onto a calendar spine.
+
+    The time-series normalization step (feature tables, per-entity
+    training sequences): every key gets one row per ``unit`` period
+    between its first and last observation; periods with no
+    observation carry the previous period's value forward
+    (``is_observed`` distinguishes real from filled rows).
+
+    Semantics, all deterministic:
+    - collapse to one observation per (key, period): latest ``ts_col``
+      wins, value descending breaks exact-timestamp ties (total order);
+    - spine = ``sequence(min_period, max_period, interval 1 unit)`` —
+      a per-key flatMap off a 2-column aggregate, NOT a cartesian with
+      a global calendar table (which would join every key against the
+      full corpus span);
+    - forward fill = ``last(value, ignorenulls) OVER rows-preceding`` —
+      never null, since each key's first period is observed.
+
+    Plan shape: every stage — collapse, bounds, spine join, fill window
+    — shuffles on the key (or key+period), so at 100 TB it's ~3
+    key-partitioned exchanges of pre-aggregated rows; the spine explode
+    multiplies rows only AFTER aggregation, on (key, span) pairs.
+    """
+    if unit not in ("day", "week", "month"):
+        raise ValueError(f"unsupported resample unit: {unit!r}")
+    period = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    w_collapse = Window.partitionBy(key_col, "period").orderBy(
+        F.desc(ts_col), F.desc(value_col)
+    )
+    obs = (
+        df.select(F.col(key_col), period.alias("period"), F.col(ts_col), F.col(value_col))
+        .withColumn("__rn", F.row_number().over(w_collapse))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "period", F.col(value_col).alias("__v"))
+    )
+    spine = (
+        obs.groupBy(key_col)
+        .agg(F.min("period").alias("__lo"), F.max("period").alias("__hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"interval 1 {unit}"))
+            ).alias("period"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(obs, [key_col, "period"], "left")
+        .select(
+            key_col,
+            "period",
+            F.last("__v", ignorenulls=True).over(w_fill).alias(value_col),
+            F.col("__v").isNotNull().alias("is_observed"),
+        )
+    )

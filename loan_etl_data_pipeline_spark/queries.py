@@ -479,6 +479,34 @@ def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/windows.py
+    resample_timeseries): monthly spend per customer (< 50) on a gap-
+    free calendar spine, forward-filled, exact floored cents. Oracle
+    mirrors collapse → generate_series spine → IGNORE NULLS fill.
+    """
+    from loan_etl_data_pipeline_spark.operators.windows import resample_timeseries
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("spend_cents"),
+        )
+    )
+    out = resample_timeseries(
+        o, "o_custkey", "o_orderdate", "spend_cents", unit="month"
+    )
+    return out.select(
+        "o_custkey",
+        F.date_format("period", "yyyy-MM").alias("month"),
+        "spend_cents",
+        "is_observed",
+    )
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: users + exact event count per event type."""
     ev = load_table(spark, sf_dir, "events")
@@ -682,6 +710,38 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
                  AS rolling_30d_spend
         FROM orders
     """,
+    "q_resample": """
+        WITH obs0 AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+                   o_orderdate,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders WHERE o_custkey < 50
+        ), obs AS (
+            SELECT o_custkey, period, v FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY o_custkey, period
+                           ORDER BY o_orderdate DESC, v DESC) AS rn
+                FROM obs0)
+            WHERE rn = 1
+        ), bounds AS (
+            SELECT o_custkey, min(period) AS lo, max(period) AS hi
+            FROM obs GROUP BY 1
+        ), spine AS (
+            SELECT o_custkey,
+                   CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+                     AS period
+            FROM bounds
+        )
+        SELECT s.o_custkey,
+               strftime(s.period, '%Y-%m') AS month,
+               last_value(o.v IGNORE NULLS) OVER (
+                   PARTITION BY s.o_custkey ORDER BY s.period
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend_cents,
+               o.v IS NOT NULL AS is_observed
+        FROM spine s
+        LEFT JOIN obs o ON s.o_custkey = o.o_custkey AND s.period = o.period
+    """,
     "q_cust_no_orders": """
         SELECT c_custkey, c_name, c_acctbal
         FROM customer c
@@ -702,6 +762,7 @@ QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_running_revenue": q_running_revenue,
     "q_rolling_revenue": q_rolling_revenue,
     "q_cust_no_orders": q_cust_no_orders,
+    "q_resample": q_resample,
     "q_orders_by_priority": q_orders_by_priority,
     "q_lineitem_stats": q_lineitem_stats,
     "q_mode_returnflag": q_mode_returnflag,

@@ -209,3 +209,39 @@ def test_asof_numeric_event_time_with_tolerance(spark):
     assert got == {1: 7.0, 2: None}  # gap 10 <= 15 matches; gap 20 voided
     with pytest.raises(ValueError, match="numeric tolerance"):
         asof_join(left, right, on="k", tolerance="1 hour").collect()
+
+
+# --- calendar resample / gap fill ------------------------------------------
+
+
+def test_resample_fills_gaps_and_flags_observed(spark):
+    from loan_etl_data_pipeline_spark.operators.windows import resample_timeseries
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-03 10:00:00", 10),
+            (1, "2024-01-03 12:00:00", 11),  # same day, later ts wins
+            (1, "2024-01-06 00:00:00", 60),  # 2-day gap before this
+            (2, "2024-02-01 00:00:00", 5),  # single observation
+        ],
+        "k long, ts string, v long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = resample_timeseries(df, "k", "ts", "v", unit="day").collect()
+    got = {(r["k"], str(r["period"])): (r["v"], r["is_observed"]) for r in rows}
+    assert got == {
+        (1, "2024-01-03"): (11, True),
+        (1, "2024-01-04"): (11, False),
+        (1, "2024-01-05"): (11, False),
+        (1, "2024-01-06"): (60, True),
+        (2, "2024-02-01"): (5, True),
+    }
+
+
+def test_resample_rejects_bad_unit(spark):
+    import pytest as _pytest
+
+    from loan_etl_data_pipeline_spark.operators.windows import resample_timeseries
+
+    df = spark.createDataFrame([(1, "2024-01-01", 1)], "k long, ts string, v long")
+    with _pytest.raises(ValueError):
+        resample_timeseries(df, "k", "ts", "v", unit="hour")
