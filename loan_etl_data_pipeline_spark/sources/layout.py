@@ -44,3 +44,95 @@ def write_sorted(
         else df.repartitionByRange(*sort_cols)
     )
     out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def zorder_key(cols, *, bits: int = 16):
+    """Interleaved-bit (Morton / Z-order) key over bounded ints.
+
+    Sorting by this key clusters data so that range predicates on ANY
+    of the participating dimensions skip row groups — the multi-column
+    generalization of :func:`write_sorted` (a single-column sort gives
+    perfect pruning on that column and none on the others; Z-order
+    gives ~√-grade pruning on each).
+
+    Inputs must already be non-negative ints < 2**bits — rank/bin your
+    real columns first (``F.ntile`` per dimension, or fixed binning
+    like epoch-day) so the interleave sees uniform coordinates. The
+    expression is ~``bits × n_cols`` shift/mask/or terms — all codegen,
+    evaluated once per row at write time.
+    """
+    import pyspark.sql.functions as F
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cols)
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + j))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_cols: list[str],
+    bits: int = 16,
+    partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ordered on ``zorder_cols`` (each pre-binned to
+    ``[0, 2**bits)`` by the caller). Same one-shuffle cost as
+    :func:`write_sorted`, but min/max stats stay selective on every
+    participating dimension instead of just the leading one.
+    """
+    key = zorder_key(zorder_cols, bits=bits)
+    tagged = df.withColumn("__z", key)
+    out = (
+        tagged.repartitionByRange(partitions, "__z")
+        if partitions
+        else tagged.repartitionByRange("__z")
+    )
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def compact_files(
+    spark,
+    table_dir: str,
+    out_dir: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | str | None = None,
+) -> int:
+    """Rewrite a many-small-files table into ~``target_file_bytes`` files.
+
+    The small-files problem is the dominant operational tax of
+    streaming/incremental ingestion at scale: every micro-batch append
+    leaves a file, and a year later the NameNode/listing/scheduler all
+    crawl. Compaction = read + repartition to ceil(bytes/target) +
+    rewrite; pass ``sort_cols`` to restore a pruning layout
+    (write_sorted) in the same pass, since the data is being rewritten
+    anyway. Returns the output partition count.
+
+    Writes to ``out_dir`` (swap directories/partitions atomically in
+    the caller's metastore step) — compacting in place would race
+    readers and lose data on failure, the same reason merge_upsert
+    materializes before overwrite.
+    """
+    import math
+
+    df = spark.read.parquet(table_dir)
+    # physical bytes on disk via the Hadoop FileSystem (any scheme —
+    # file:, hdfs:, s3a:), not a Catalyst estimate: compaction sizing
+    # must track real compressed bytes
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    if sort_cols is not None:
+        write_sorted(df, out_dir, sort_cols=sort_cols, partitions=n_out)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
+    return n_out

@@ -60,3 +60,88 @@ def test_sorted_layout_gives_disjoint_rowgroups(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,123456)" in plan
     got = spark.read.parquet(sorted_path).filter("k = 123456").collect()
     assert len(got) == 1
+
+
+# --- Z-order -----------------------------------------------------------------
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from loan_etl_data_pipeline_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame([(3, 1), (0, 2), (7, 7)], "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(["x", "y"], bits=3).alias("z")).collect()
+    }
+    # x=0b011,y=0b001 → bits (y2 x2 y1 x1 y0 x0) = 0b000111 = 7
+    assert got[(3, 1)] == 0b000111
+    # x=0b000,y=0b010 → y1 set at position 3 → 0b001000
+    assert got[(0, 2)] == 0b001000
+    assert got[(7, 7)] == 0b111111
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.sources.layout import write_sorted, write_zordered
+
+    # two independent 0..255 dimensions, scattered write order
+    df = spark.range(0, 200_000).selectExpr(
+        "cast(id * 16547 % 256 as bigint) AS a",
+        "cast(id * 48271 % 256 as bigint) AS b",
+        "id AS payload",
+    )
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "singlesort")
+    write_zordered(df, z_path, zorder_cols=["a", "b"], bits=8, partitions=16)
+    write_sorted(df, s_path, sort_cols="a", partitions=16)
+
+    def hits(path, col, probe):
+        rgs = _rowgroup_ranges(path, col)
+        return sum(1 for lo, hi in rgs if lo <= probe <= hi), len(rgs)
+
+    # single-column sort: perfect on a, useless on b
+    sa, na = hits(s_path, "a", 100)
+    sb, nb = hits(s_path, "b", 100)
+    assert sa <= max(2, na // 8)
+    assert sb == nb  # every row group matches on b
+
+    # z-order: selective on BOTH dimensions
+    za, zn = hits(z_path, "a", 100)
+    zb, _ = hits(z_path, "b", 100)
+    assert za < zn // 2, f"a-dim hits {za}/{zn}"
+    assert zb < zn // 2, f"b-dim hits {zb}/{zn}"
+    # round-trip: same rows
+    assert spark.read.parquet(z_path).count() == 200_000
+
+
+def test_compact_files(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.sources.layout import compact_files
+
+    src = str(tmp_path / "fragmented")
+    # simulate micro-batch appends: 40 tiny files
+    for i in range(10):
+        spark.range(i * 1000, (i + 1) * 1000).selectExpr(
+            "id AS k", "cast(id AS string) AS v"
+        ).repartition(4).write.mode("append").parquet(src)
+    n_files_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files_before >= 40
+
+    out = str(tmp_path / "compacted")
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    n_out = compact_files(spark, src, out, target_file_bytes=total // 2 + 1)
+    n_files_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_out == 2 and n_files_after == 2
+    # content preserved exactly
+    assert sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(out).collect()
+    ) == sorted((r["k"], r["v"]) for r in spark.read.parquet(src).collect())
+
+    # sort_cols variant restores a pruning layout in the same pass
+    out2 = str(tmp_path / "compacted_sorted")
+    compact_files(spark, src, out2, target_file_bytes=total // 2 + 1, sort_cols="k")
+    rgs = sorted(_rowgroup_ranges(out2, "k"))
+    for (lo1, hi1), (lo2, hi2) in zip(rgs, rgs[1:]):
+        assert hi1 <= lo2
