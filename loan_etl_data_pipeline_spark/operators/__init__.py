@@ -40,3 +40,8 @@ __all__ += ["ngram_decontaminate", "chunk_documents", "redact_pii", "repetition_
 from loan_etl_data_pipeline_spark.operators.quantize import quantize_embeddings, quantized_topk
 
 __all__ += ["quantize_embeddings", "quantized_topk"]
+
+from loan_etl_data_pipeline_spark.operators import quality
+from loan_etl_data_pipeline_spark.operators.windows import resample_timeseries
+
+__all__ += ["quality", "resample_timeseries"]

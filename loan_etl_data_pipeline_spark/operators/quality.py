@@ -1,0 +1,91 @@
+"""Data-quality constraint checking — one scan, one row per rule.
+
+The ETL gate the reference never had (its pipeline silently null-fills
+and ships — reference: airflow/dags/etl/pyspark_etl.py:14-21): declare
+constraints, get per-rule violation counts, fail the run or route to
+quarantine on `passed = false`.
+
+Every rule compiles to an aggregate EXPRESSION, so any number of rules
+over a 100 TB table costs exactly ONE scan with partial aggregation
+(`unique` adds a count-distinct Expand over the same pass). The result
+unpivots to (rule, violations, passed) rows — small, loggable, and
+SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    """Violations = rows where ``col`` is null."""
+    return (
+        f"not_null({col})",
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
+    )
+
+
+def unique(cols: list[str] | str) -> tuple[str, Column]:
+    """Violations = surplus rows beyond one per distinct key
+    (null-keyed rows count as a key, matching SQL DISTINCT)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return (
+        f"unique({','.join(cols)})",
+        F.count(F.lit(1)) - F.countDistinct(*[F.struct(*cols)]),
+    )
+
+
+def in_range(col: str, lo, hi) -> tuple[str, Column]:
+    """Violations = non-null rows outside [lo, hi]."""
+    c = F.col(col)
+    return (
+        f"in_range({col},{lo},{hi})",
+        F.sum(F.when(c.isNotNull() & ~c.between(lo, hi), 1).otherwise(0)),
+    )
+
+
+def accepted_values(col: str, values: list) -> tuple[str, Column]:
+    """Violations = non-null rows outside the accepted set."""
+    c = F.col(col)
+    return (
+        f"accepted_values({col})",
+        F.sum(F.when(c.isNotNull() & ~c.isin(*values), 1).otherwise(0)),
+    )
+
+
+def matches(name: str, predicate: Column) -> tuple[str, Column]:
+    """Custom rule: violations = rows where ``predicate`` is false/null."""
+    return (
+        name,
+        F.sum(F.when(F.coalesce(predicate, F.lit(False)), 0).otherwise(1)),
+    )
+
+
+def check_constraints(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Run all rules in one aggregate pass.
+
+    Output: (rule string, violations bigint, passed boolean), one row
+    per rule in declaration order (order restored by sorting on the
+    rule name downstream if needed — the unpivot itself is row-local).
+    """
+    if not rules:
+        raise ValueError("check_constraints: no rules given")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    agged = df.agg(
+        *[expr.cast("bigint").alias(f"__r{i}") for i, (_, expr) in enumerate(rules)]
+    )
+    stack_args = ", ".join(
+        f"'{n}', __r{i}" for i, n in enumerate(names)
+    )
+    return agged.select(
+        F.expr(f"stack({len(rules)}, {stack_args}) as (rule, violations)")
+    ).select(
+        "rule",
+        F.coalesce(F.col("violations"), F.lit(0)).alias("violations"),
+        (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
+    )

@@ -479,6 +479,26 @@ def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint gate (operators/quality.py): four
+    declarative rules over orders compiled into ONE aggregate scan —
+    null check, key uniqueness, value range, accepted set. Oracle runs
+    the identical aggregates and unpivots via UNION ALL.
+    """
+    from loan_etl_data_pipeline_spark.operators import quality
+
+    o = load_table(spark, sf_dir, "orders")
+    return quality.check_constraints(
+        o,
+        [
+            quality.not_null("o_custkey"),
+            quality.unique("o_orderkey"),
+            quality.in_range("o_totalprice", 0, 600000),
+            quality.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        ],
+    )
+
+
 def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization (operators/windows.py
     resample_timeseries): monthly spend per customer (< 50) on a gap-
@@ -710,6 +730,28 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
                  AS rolling_30d_spend
         FROM orders
     """,
+    "q_quality_gate": """
+        WITH m AS (
+            SELECT
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS r0,
+                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS r1,
+                CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                               AND NOT (o_totalprice BETWEEN 0 AND 600000)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+                CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                               AND o_orderstatus NOT IN ('O', 'F', 'P')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS r3
+            FROM orders
+        )
+        SELECT 'not_null(o_custkey)' AS rule, r0 AS violations, r0 = 0 AS passed FROM m
+        UNION ALL
+        SELECT 'unique(o_orderkey)', r1, r1 = 0 FROM m
+        UNION ALL
+        SELECT 'in_range(o_totalprice,0,600000)', r2, r2 = 0 FROM m
+        UNION ALL
+        SELECT 'accepted_values(o_orderstatus)', r3, r3 = 0 FROM m
+    """,
     "q_resample": """
         WITH obs0 AS (
             SELECT o_custkey,
@@ -763,6 +805,7 @@ QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rolling_revenue": q_rolling_revenue,
     "q_cust_no_orders": q_cust_no_orders,
     "q_resample": q_resample,
+    "q_quality_gate": q_quality_gate,
     "q_orders_by_priority": q_orders_by_priority,
     "q_lineitem_stats": q_lineitem_stats,
     "q_mode_returnflag": q_mode_returnflag,

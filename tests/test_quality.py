@@ -1,0 +1,89 @@
+"""Constraint gate (operators/quality.py): violation counting per rule
+family, single-pass plan shape, and edge semantics (nulls, empty input)."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from loan_etl_data_pipeline_spark.operators import quality
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", -5.0),   # out of range
+            (2, "c", 20.0),   # duplicate key
+            (None, "a", 5.0), # null key
+            (5, "zz", None),  # bad status; null value not a range violation
+        ],
+        "k int, status string, v double",
+    )
+
+
+def test_rule_families(spark, frame):
+    out = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in quality.check_constraints(
+            frame,
+            [
+                quality.not_null("k"),
+                quality.unique("k"),
+                quality.in_range("v", 0, 100),
+                quality.accepted_values("status", ["a", "b", "c"]),
+                quality.matches("v_odd_check", F.col("v") >= -5.0),
+            ],
+        ).collect()
+    }
+    assert out["not_null(k)"] == (1, False)
+    # 5 rows, 4 distinct keys (1, 2, None, 5) → 1 surplus
+    assert out["unique(k)"] == (1, False)
+    assert out["in_range(v,0,100)"] == (1, False)
+    assert out["accepted_values(status)"] == (1, False)
+    # null predicate counts as violation (the v=None row)
+    assert out["v_odd_check"] == (1, False)
+
+
+def test_all_pass_and_empty_input(spark):
+    clean = spark.createDataFrame([(1, 5.0), (2, 6.0)], "k int, v double")
+    out = quality.check_constraints(
+        clean, [quality.not_null("k"), quality.unique("k")]
+    ).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in out)
+
+    empty = clean.filter("k < 0")
+    out = quality.check_constraints(
+        empty, [quality.not_null("k"), quality.in_range("v", 0, 1)]
+    ).collect()
+    # empty input: sums are null → coalesced to 0 violations, passing
+    assert all(r["passed"] and r["violations"] == 0 for r in out)
+
+
+def test_rejects_bad_specs(spark, frame):
+    with pytest.raises(ValueError):
+        quality.check_constraints(frame, [])
+    with pytest.raises(ValueError):
+        quality.check_constraints(
+            frame, [quality.not_null("k"), quality.not_null("k")]
+        )
+
+
+def test_single_scan_plan(spark, frame):
+    plan = (
+        quality.check_constraints(
+            frame,
+            [
+                quality.not_null("k"),
+                quality.in_range("v", 0, 100),
+                quality.accepted_values("status", ["a"]),
+            ],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one aggregate over one source scan — rules never multiply scans
+    assert plan.count("Scan ") <= 1
