@@ -45,3 +45,7 @@ from loan_etl_data_pipeline_spark.operators import quality
 from loan_etl_data_pipeline_spark.operators.windows import resample_timeseries
 
 __all__ += ["quality", "resample_timeseries"]
+
+from loan_etl_data_pipeline_spark.operators.diff import table_diff
+
+__all__ += ["table_diff"]

@@ -479,6 +479,30 @@ def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/diff.py table_diff): orders vs a
+    synthetically evolved copy (every 97th key removed, every 13th
+    price bumped, every 101st cloned under a new key) — one full-outer
+    key join, null-safe column compare, delta-sized output. Oracle
+    replays the same evolution and IS DISTINCT FROM comparisons.
+    """
+    from loan_etl_data_pipeline_spark.operators.diff import table_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    survived = o.filter(okey % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(okey % 13 == 0, F.col("o_totalprice") + 1.5).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    added = o.filter(okey % 101 == 0).withColumn(
+        "o_orderkey", okey + 10_000_000
+    )
+    new = survived.unionByName(added)
+    return table_diff(o, new, "o_orderkey")
+
+
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality constraint gate (operators/quality.py): four
     declarative rules over orders compiled into ONE aggregate scan —
@@ -730,6 +754,41 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
                  AS rolling_30d_spend
         FROM orders
     """,
+    "q_table_diff": """
+        WITH newt AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 101 = 0
+        ), j AS (
+            SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+                   concat_ws(',',
+                       CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                            THEN 'o_custkey' END,
+                       CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                            THEN 'o_orderdate' END,
+                       CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                            THEN 'o_orderpriority' END,
+                       CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                            THEN 'o_orderstatus' END,
+                       CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                            THEN 'o_totalprice' END) AS cc
+            FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT COALESCE(kn, ko) AS o_orderkey,
+               CASE WHEN ko IS NULL THEN 'added'
+                    WHEN kn IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type,
+               CASE WHEN ko IS NULL OR kn IS NULL THEN '' ELSE cc END
+                 AS changed_cols
+        FROM j
+        WHERE ko IS NULL OR kn IS NULL OR cc <> ''
+    """,
     "q_quality_gate": """
         WITH m AS (
             SELECT
@@ -806,6 +865,7 @@ QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cust_no_orders": q_cust_no_orders,
     "q_resample": q_resample,
     "q_quality_gate": q_quality_gate,
+    "q_table_diff": q_table_diff,
     "q_orders_by_priority": q_orders_by_priority,
     "q_lineitem_stats": q_lineitem_stats,
     "q_mode_returnflag": q_mode_returnflag,

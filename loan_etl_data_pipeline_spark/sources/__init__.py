@@ -23,3 +23,7 @@ __all__ = [
     "GoogleDriveClient", "LocalDirClient", "land_new_files", "list_all_files",
     "excel_to_csv", "read_jsonl", "write_jsonl",
 ]
+
+from loan_etl_data_pipeline_spark.sources.evolution import read_parquet_evolving
+
+__all__ += ["read_parquet_evolving"]

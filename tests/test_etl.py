@@ -264,3 +264,43 @@ def test_jsonl_round_trip_and_quarantine(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="corrupt_col requires"):
         read_jsonl(spark, str(bad), corrupt_col="_bad")
+
+
+def test_read_parquet_evolving(spark, tmp_path):
+    """Additive schema drift: old files read new columns as null, and a
+    pinned contract schema conforms order/types/missing columns."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from loan_etl_data_pipeline_spark.sources.evolution import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k int, v string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet_evolving(spark, path)
+    rows = {r["k"]: r for r in df.collect()}
+    assert set(df.columns) == {"k", "v", "score"}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+    contract = StructType(
+        [
+            StructField("k", LongType()),       # widened int → long
+            StructField("score", DoubleType()),
+            StructField("note", StringType()),  # not written by anyone yet
+        ]
+    )
+    out = read_parquet_evolving(spark, path, conform_to=contract)
+    assert out.columns == ["k", "score", "note"]
+    assert [f.dataType for f in out.schema.fields] == [
+        LongType(), DoubleType(), StringType()
+    ]
+    got = {r["k"]: r for r in out.collect()}
+    assert got[1]["note"] is None and got[2]["score"] == 9.5
