@@ -111,6 +111,12 @@ def dedup_by_fingerprint(
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, ngram) postings of distinct word n-grams per document.
 
+    CONTRACT: ``id_col`` must uniquely identify rows of ``df``. The
+    per-row dedup below cannot collapse postings across two rows that
+    share an id, so a duplicated id would double-count intersections in
+    every consumer (Jaccard > 1.0, inflated decontamination hits). Run
+    exact dedup first if ids may repeat.
+
     MLlib's ``NGram`` transformer builds the gram array row-locally on
     the JVM (a compiled Scala function over the token array) — the
     whole operator is shuffle-free. The two rejected alternatives,
@@ -591,10 +597,12 @@ def minhash_dedup_incremental(
     new_posts = band_postings(sig, num_perm=num_perm, bands=bands).persist()
 
     if index_df is None:
-        all_posts = new_posts
+        all_posts = new_posts.withColumn("__from_index", F.lit(False))
     else:
-        all_posts = index_df.select("id", "band_no", "band_key", "sig").unionByName(
-            new_posts
+        all_posts = (
+            index_df.select("id", "band_no", "band_key", "sig")
+            .withColumn("__from_index", F.lit(True))
+            .unionByName(new_posts.withColumn("__from_index", F.lit(False)))
         )
 
     # skew guard on the probe side of the join (degenerate band keys)
@@ -603,15 +611,25 @@ def minhash_dedup_incremental(
     ).filter(F.col("__n") <= max_band_group)
 
     probe = new_posts.select(F.col("id").alias("new_id"), "band_no", "band_key")
-    target = sized.select(F.col("id").alias("match_id"), "band_no", "band_key")
+    target = sized.select(
+        F.col("id").alias("match_id"), "band_no", "band_key", "__from_index"
+    )
     # dedup candidates as bare 16-byte id pairs, THEN attach signatures:
     # a distinct over sig-carrying rows would shuffle ~1 KB per
     # candidate (2×num_perm bigints). The per-id signature view is the
     # postings filtered to band 0 — exactly one row per id, zero
     # additional shuffle to build.
+    #
+    # Drop rule, matching the docstring: ANY index match drops the new
+    # doc (regardless of id ordering — the index doc is by definition
+    # earlier), while intra-batch pairs drop only the larger id so the
+    # rule stays deterministic and order-free within a batch.
     cand_pairs = (
         probe.join(target, ["band_no", "band_key"])
-        .filter(F.col("match_id") < F.col("new_id"))
+        .filter(
+            (F.col("__from_index") & (F.col("match_id") != F.col("new_id")))
+            | (~F.col("__from_index") & (F.col("match_id") < F.col("new_id")))
+        )
         .select("new_id", "match_id")
         .distinct()
     )

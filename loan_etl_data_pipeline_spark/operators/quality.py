@@ -79,8 +79,11 @@ def check_constraints(
     agged = df.agg(
         *[expr.cast("bigint").alias(f"__r{i}") for i, (_, expr) in enumerate(rules)]
     )
+    # rule names are interpolated into SQL string literals — double any
+    # single quote so a name like "price isn't negative" can't break
+    # parsing (or inject expression text) via the stack() call.
     stack_args = ", ".join(
-        f"'{n}', __r{i}" for i, n in enumerate(names)
+        "'{}', __r{}".format(n.replace("'", "''"), i) for i, n in enumerate(names)
     )
     return agged.select(
         F.expr(f"stack({len(rules)}, {stack_args}) as (rule, violations)")

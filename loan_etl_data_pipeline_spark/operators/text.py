@@ -310,10 +310,16 @@ def repetition_stats(
                 F.coalesce(F.col("top_2gram_cnt"), F.lit(0)).cast("double") * 2.0 / nt
             ).alias("top_2gram_frac"),
             F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
-            (
+            # guard the 0-line case (empty / whitespace-only text): the
+            # raw 0/0 would be a DIVIDE_BY_ZERO error under ANSI mode,
+            # and the documented degenerate value is 0.0.
+            F.when(
+                F.coalesce(F.col("n_lines"), F.lit(0)) > 0,
                 F.coalesce(F.col("dup_line_cnt"), F.lit(0)).cast("double")
-                / F.coalesce(F.col("n_lines"), F.lit(0)).cast("double")
-            ).alias("dup_line_frac"),
+                / F.col("n_lines").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_frac"),
         )
     )
 
@@ -350,7 +356,13 @@ def chunk_documents(
         F.col(id_col), *keep_cols, tokens(F.lower(F.col(text_col))).alias("__toks")
     )
     n = F.size("__toks")
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    # last useful start is n - overlap - 1: a chunk starting at
+    # s >= n - overlap covers only tokens already covered by the
+    # previous chunk (pure suffix → redundant). greatest(..., 0) keeps
+    # the mandatory first chunk for docs shorter than the overlap.
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
     chunk = F.slice("__toks", F.col("__start") + 1, chunk_tokens)
     return (
         base.select(id_col, *keep_cols, "__toks", F.explode(starts).alias("__start"))

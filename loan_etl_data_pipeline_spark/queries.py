@@ -1903,8 +1903,9 @@ ORACLE_PART_B: dict[str, str] = {
                CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
                COALESCE(top2, 0) * 2.0 / n_tokens AS top_2gram_frac,
                CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines,
-               CAST(COALESCE(dup_cnt, 0) AS DOUBLE)
-                 / CAST(COALESCE(n_lines, 0) AS DOUBLE) AS dup_line_frac
+               CASE WHEN COALESCE(n_lines, 0) > 0
+                    THEN CAST(COALESCE(dup_cnt, 0) AS DOUBLE) / n_lines
+                    ELSE 0.0 END AS dup_line_frac
         FROM per_tok t
         LEFT JOIN per_gram g USING (doc_id)
         LEFT JOIN per_line l USING (doc_id)
@@ -1915,7 +1916,7 @@ ORACLE_PART_B: dict[str, str] = {
             FROM documents
         ), starts AS (
             SELECT doc_id, t,
-                   UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 24)) AS s
+                   UNNEST(range(0, greatest(len(t) - 9, 0) + 1, 24)) AS s
             FROM toks
         )
         SELECT doc_id,

@@ -65,6 +65,14 @@ def zorder_key(cols, *, bits: int = 16):
 
     cols = [F.col(c) if isinstance(c, str) else c for c in cols]
     n = len(cols)
+    if bits * n > 63:
+        # Java long shifts mask the amount mod 64: a shift of 64+k
+        # silently wraps to k and ORs high-dimension bits over low
+        # positions — the layout would cluster on garbage with no error.
+        raise ValueError(
+            f"bits * n_cols = {bits * n} exceeds 63 (bigint key width); "
+            f"lower bits (e.g. bits={63 // n}) or drop a dimension"
+        )
     key = F.lit(0).cast("bigint")
     for b in range(bits):
         for j, c in enumerate(cols):

@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Callable
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import LongType, StructField, StructType
@@ -315,14 +316,24 @@ def streaming_upsert(
         try:
             spark.read.parquet(table_dir).schema  # existence probe
             exists = True
-        except Exception:
+        except AnalysisException:
+            # Missing path OR an unreadable dir (pre-created empty, or a
+            # first write that died before committing footers). Either
+            # way the table holds no committed data, so the create path
+            # below may safely overwrite. Transient FS/permission errors
+            # are NOT AnalysisException and propagate → batch retry.
             exists = False
         if exists:
             merge_upsert(
                 spark, table_dir, latest, key_cols=keys, partition_col=partition_col
             )
         else:
-            latest.write.partitionBy(partition_col).parquet(table_dir)
+            # overwrite, not errorifexists: the probe established there is
+            # no readable table, and a leftover partial directory must not
+            # wedge the stream permanently (idempotent on replay, too).
+            latest.write.mode("overwrite").partitionBy(partition_col).parquet(
+                table_dir
+            )
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -198,6 +198,25 @@ def test_incremental_dedup_cross_batch(spark):
     assert idx_ids == {1, 2, 11}
 
 
+def test_incremental_dedup_drops_new_doc_with_smaller_id(spark):
+    """An index match must drop the new doc regardless of id ordering:
+    a delta doc whose id is SMALLER than its indexed duplicate's id is
+    still the later arrival and must lose."""
+    from loan_etl_data_pipeline_spark.operators.dedup import minhash_dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    batch1 = spark.createDataFrame([(40, base)], "doc_id long, text string")
+    batch2 = spark.createDataFrame(
+        [(3, base), (5, "unrelated text about broadcast joins and shuffles")],
+        "doc_id long, text string",
+    )
+    _, _, idx = minhash_dedup_incremental(batch1, None, threshold=0.7)
+    kept2, dropped2, idx2 = minhash_dedup_incremental(batch2, idx, threshold=0.7)
+    assert {r["doc_id"]: r["match_id"] for r in dropped2.collect()} == {3: 40}
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [5]
+    assert {r["id"] for r in idx2.select("id").distinct().collect()} == {40, 5}
+
+
 def test_incremental_dedup_oneshot_equals_banded_pairs(docs, spark):
     """With everything in one batch, the dropped set must be exactly
     {id_b : some banded pair (id_a < id_b) has est_jaccard >= thr}."""

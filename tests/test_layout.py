@@ -80,6 +80,19 @@ def test_zorder_key_interleaves_bits(spark):
     assert got[(7, 7)] == 0b111111
 
 
+def test_zorder_key_rejects_overflowing_width(spark):
+    """bits × n_cols > 63 would wrap Java's mod-64 shifts and silently
+    interleave garbage; must raise instead."""
+    import pytest
+
+    from loan_etl_data_pipeline_spark.sources.layout import zorder_key
+
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(["a", "b", "c", "d", "e"], bits=16)
+    # 5 dims × 12 bits = 60 is fine
+    zorder_key(["a", "b", "c", "d", "e"], bits=12)
+
+
 def test_zorder_prunes_both_dimensions(spark, tmp_path):
     from loan_etl_data_pipeline_spark.sources.layout import write_sorted, write_zordered
 

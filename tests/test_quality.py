@@ -62,6 +62,13 @@ def test_all_pass_and_empty_input(spark):
     assert all(r["passed"] and r["violations"] == 0 for r in out)
 
 
+def test_rule_name_with_single_quote(spark, frame):
+    out = quality.check_constraints(
+        frame, [quality.matches("v isn't negative", F.col("v") >= 0)]
+    ).collect()
+    assert out[0]["rule"] == "v isn't negative"
+
+
 def test_rejects_bad_specs(spark, frame):
     with pytest.raises(ValueError):
         quality.check_constraints(frame, [])

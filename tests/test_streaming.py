@@ -342,3 +342,27 @@ def test_streaming_upsert_converges_and_is_idempotent(spark, tmp_path):
     q.awaitTermination(120)
     after = {r["k"]: tuple(r) for r in spark.read.parquet(table).collect()}
     assert after == before
+
+
+def test_streaming_upsert_survives_preexisting_empty_table_dir(spark, tmp_path):
+    """A pre-created (or partially-written, footerless) table dir is
+    unreadable but present; the first batch must overwrite it instead of
+    wedging forever on ErrorIfExists."""
+    from loan_etl_data_pipeline_spark.streaming.ingest import streaming_upsert
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = tmp_path / "state"
+    table.mkdir()  # exists, holds no committed parquet
+    (table / "_garbage.tmp").write_text("not parquet")
+    (src / "a.json").write_text('{"k":1,"day":"d1","v":1.0,"seq":1}\n')
+    stream = spark.readStream.schema("k LONG, day STRING, v DOUBLE, seq LONG").json(
+        str(src)
+    )
+    q = streaming_upsert(
+        stream, str(table), str(tmp_path / "ckpt"), key_cols="k",
+        partition_col="day", seq_col="seq", available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(table)).collect()
+    assert len(rows) == 1 and rows[0]["k"] == 1

@@ -44,6 +44,18 @@ def test_repetition_multiline_dup_lines(spark):
     assert got[1]["top_token_frac"] == pytest.approx(2 / 5)
 
 
+def test_repetition_blank_document_is_degenerate_zero(spark):
+    """Whitespace-only text has zero non-empty lines; dup_line_frac is
+    the documented 0.0, not NULL or an ANSI divide-by-zero error."""
+    df = spark.createDataFrame(
+        [(1, "\n  \n"), (2, "actual content here")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_lines"] == 0
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == 0.0
+
+
 def test_chunk_documents_reconstruction_and_overlap(spark):
     words = [f"w{i}" for i in range(10)]
     df = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
@@ -51,13 +63,17 @@ def test_chunk_documents_reconstruction_and_overlap(spark):
         chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
         key=lambda r: r["chunk_idx"],
     )
-    # stride 2 over 10 tokens → starts 0,2,4,6,8 → 5 chunks
-    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    # stride 2 over 10 tokens, last useful start = n - overlap - 1 = 7
+    # → starts 0,2,4,6 → 4 chunks. Starts 8+ would be pure suffixes of
+    # the start-6 chunk (fully redundant) and must NOT be emitted.
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
     assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
     assert rows[1]["chunk_text"] == "w2 w3 w4 w5"
-    # final chunk is short (2 tokens), never empty
-    assert rows[-1]["chunk_text"] == "w8 w9"
-    assert rows[-1]["chunk_tokens"] == 2
+    assert rows[-1]["chunk_text"] == "w6 w7 w8 w9"
+    assert rows[-1]["chunk_tokens"] == 4
+    # no chunk is contained in its predecessor
+    for a, b in zip(rows, rows[1:]):
+        assert not set(b["chunk_text"].split()) <= set(a["chunk_text"].split())
     # consecutive chunks agree on the overlap region
     for a, b in zip(rows, rows[1:]):
         assert a["chunk_text"].split()[2:] == b["chunk_text"].split()[: len(
