@@ -1337,6 +1337,62 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/scd.py scd2_from_history):
+    each user's event_type history collapsed to version rows with
+    valid_from / valid_to / version / is_current, consecutive no-op
+    observations suppressed by a null-safe struct compare. One shuffle:
+    both window passes share the (user_id, ts, event_id) sort. Oracle
+    mirrors the suppression with lag + IS DISTINCT FROM and the same
+    event_id tie-break.
+    """
+    from loan_etl_data_pipeline_spark.operators.scd import scd2_from_history
+
+    dim = scd2_from_history(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        tiebreak_cols="event_id",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return dim.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "version",
+        "is_current",
+    )
+
+
+def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/scd.py point_in_time_join): every
+    event joined to the dimension version active at its timestamp —
+    valid_from inclusive, valid_to exclusive, so an event at the change
+    instant sees the NEW version. Key-equality join with a residual
+    range predicate: partitioned by user_id like any fact-to-dim join.
+    """
+    from loan_etl_data_pipeline_spark.operators.scd import (
+        point_in_time_join,
+        scd2_from_history,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_from_history(
+        ev, "user_id", "event_type", "ts", tiebreak_cols="event_id"
+    ).select("user_id", "event_type", "valid_from", "valid_to", "version")
+    facts = ev.select("event_id", "user_id", "ts")
+    out = point_in_time_join(facts, dim, "user_id", "ts", how="inner")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("event_type").alias("type_at_event"),
+        "version",
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composed plan (plans/corpus.py prepare_corpus): quality
     filter → exact dedup → language filter → token stats, end to end.
@@ -1784,6 +1840,55 @@ ORACLE_PART_B: dict[str, str] = {
                count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
     """,
+    "q_scd2_users": """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER w AS rn,
+                   lag(event_type) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), changes AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        ), v AS (
+            SELECT user_id, event_type, ts,
+                   lead(ts) OVER w2 AS vt,
+                   row_number() OVER w2 AS version
+            FROM changes
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               CAST(version AS BIGINT) AS version,
+               vt IS NULL AS is_current
+        FROM v
+    """,
+    "q_scd2_pit": """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER w AS rn,
+                   lag(event_type) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), changes AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        ), v AS (
+            SELECT user_id, event_type, ts AS vf,
+                   lead(ts) OVER w2 AS vt,
+                   row_number() OVER w2 AS version
+            FROM changes
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT f.event_id, f.user_id,
+               strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               v.event_type AS type_at_event,
+               CAST(v.version AS BIGINT) AS version
+        FROM events f
+        JOIN v ON v.user_id = f.user_id
+              AND v.vf <= f.ts AND (v.vt IS NULL OR f.ts < v.vt)
+    """,
     "q_corpus_prep": r"""
         WITH q AS (
             SELECT doc_id, text FROM documents
@@ -2061,6 +2166,8 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_topk": q_ivf_topk,
     "q_event_windows": q_event_windows,
     "q_sessions": q_sessions,
+    "q_scd2_users": q_scd2_users,
+    "q_scd2_pit": q_scd2_pit,
     "q_corpus_prep": q_corpus_prep,
     "q_asof_purchase": q_asof_purchase,
     "q_range_clicks": q_range_clicks,
