@@ -11,10 +11,17 @@ from loan_etl_data_pipeline_spark.functions.sketches import (
     estimate,
     merge_sketches,
 )
-from loan_etl_data_pipeline_spark.functions.splits import hash_split, split_bucket_hex
+from loan_etl_data_pipeline_spark.functions.splits import (
+    expand_mixture,
+    hash_split,
+    sample_per_key,
+    split_bucket_hex,
+    stratified_sample,
+)
 
 __all__ = [
     "dsum", "dsum_sql", "davg", "davg_sql",
     "distinct_sketches", "merge_sketches", "estimate",
-    "hash_split", "split_bucket_hex",
+    "hash_split", "split_bucket_hex", "stratified_sample",
+    "sample_per_key", "expand_mixture",
 ]

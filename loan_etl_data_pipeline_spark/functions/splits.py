@@ -85,6 +85,44 @@ def hash_split(
     )
 
 
+def sample_per_key(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic cap of at most ``k`` rows per group.
+
+    The per-key reservoir every balanced training set needs (cap
+    events per user, documents per domain, examples per class) —
+    without ``orderBy(rand())``'s partitioning drift. Each row's rank
+    within its group is its position in md5(id || salt) order: a pure
+    function of the row, so the SAME k rows survive on any engine,
+    any partitioning, forever — and re-salting draws an independent
+    sample. ``id_col`` must be unique within a group (it is the
+    reservoir coordinate; ties broken by the id itself).
+
+    Plan shape: one shuffle on ``group_col`` + per-group sort — the
+    same cost as any windowed top-k. For pathologically hot keys
+    (one group ≫ executor memory) pre-thin with a cheap bucket filter
+    first: ``split_bucket_hex(id) < thr`` with thr sized to ~10k·k
+    candidates, then apply this exact cap.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    coord = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(coord.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def expand_mixture(
     df: DataFrame,
     key_col: str,

@@ -49,3 +49,11 @@ __all__ += ["quality", "resample_timeseries"]
 from loan_etl_data_pipeline_spark.operators.diff import table_diff
 
 __all__ += ["table_diff"]
+
+from loan_etl_data_pipeline_spark.operators.scd import (
+    point_in_time_join,
+    scd2_from_history,
+    scd2_merge,
+)
+
+__all__ += ["point_in_time_join", "scd2_from_history", "scd2_merge"]

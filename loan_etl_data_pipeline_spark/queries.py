@@ -932,6 +932,25 @@ def q_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_df_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 corpus stopword discovery (operators/frequent.py
+    heavy_hitters): tokens covering ≥ 1% of all token occurrences, by
+    Misra–Gries propose (per-partition bounded summaries in
+    mapInPandas, zero shuffle) + exact verify on the candidate set
+    only. Output is EXACT — phase 1 only over-proposes — so the oracle
+    is the plain GROUP BY ... HAVING the operator avoids running at
+    scale.
+    """
+    from loan_etl_data_pipeline_spark.operators.frequent import heavy_hitters
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    )
+    return heavy_hitters(toks, "tok", 0.01)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9 deterministic stratified sampling (functions/splits.py
     stratified_sample): downsample click/view events to fixed fractions
@@ -949,6 +968,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"click": 0.25, "view": 0.5, "purchase": 1.0},
         salt="s1",
     )
+
+
+def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 deterministic per-key reservoir (functions/splits.py
+    sample_per_key): at most 8 events per user, ranked by md5(event_id
+    || salt) — the balanced-dataset cap (events per user, docs per
+    domain) as a pure row function: same survivors on any engine or
+    partitioning. One shuffle on user_id, same cost as windowed top-k.
+    Oracle ranks by the identical md5 coordinate.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import sample_per_key
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    return sample_per_key(ev, "user_id", "event_id", 8, salt="s1")
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,6 +1612,26 @@ ORACLE_PART_B: dict[str, str] = {
                AND substr(md5(CAST(event_id AS VARCHAR) || 's1'), 1, 4) < '8000')
            OR event_type = 'purchase'
     """,
+    "q_heavy_tokens": r"""
+        WITH toks AS (
+            SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        ), tot AS (SELECT count(*) AS n FROM toks)
+        SELECT tok, count(*) AS freq
+        FROM toks, tot
+        GROUP BY tok, n
+        HAVING count(*) >= 0.01 * n
+    """,
+    "q_sample_per_key": """
+        SELECT event_id, user_id FROM (
+            SELECT event_id, user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY md5(CAST(event_id AS VARCHAR) || 's1') ASC,
+                                event_id ASC) AS rk
+            FROM events)
+        WHERE rk <= 8
+    """,
     "q_embedding_stats": """
         WITH n AS (
             SELECT label,
@@ -2143,6 +2196,8 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_counts": q_token_counts,
     "q_token_df": q_token_df,
     "q_stratified_sample": q_stratified_sample,
+    "q_sample_per_key": q_sample_per_key,
+    "q_heavy_tokens": q_heavy_tokens,
     "q_repetition": q_repetition,
     "q_chunk_docs": q_chunk_docs,
     "q_redact_pii": q_redact_pii,

@@ -27,3 +27,7 @@ __all__ = [
 from loan_etl_data_pipeline_spark.sources.evolution import read_parquet_evolving
 
 __all__ += ["read_parquet_evolving"]
+
+from loan_etl_data_pipeline_spark.sources.orc import read_orc, write_orc
+
+__all__ += ["read_orc", "write_orc"]

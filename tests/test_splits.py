@@ -139,3 +139,30 @@ def test_expand_mixture_rejects_bad_weights(spark):
         expand_mixture(df, "id", "src", {"x": -0.5})
     with _pytest.raises(ValueError):
         expand_mixture(df, "id", "src", {})
+
+
+def test_sample_per_key_caps_and_is_partition_invariant(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import sample_per_key
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(700)], "id long, g long"
+    )
+    a = sorted(map(tuple, sample_per_key(df, "g", "id", 5, salt="s").collect()))
+    # exactly 5 survivors per group (every group has 100 candidates)
+    assert len(a) == 35
+    from collections import Counter
+
+    assert all(c == 5 for c in Counter(g for _, g in a).values())
+    # same survivors under a different partitioning
+    b = sorted(
+        map(tuple, sample_per_key(df.repartition(13), "g", "id", 5, salt="s").collect())
+    )
+    assert a == b
+    # re-salting draws an independent sample; k >= group size keeps all
+    c = sorted(map(tuple, sample_per_key(df, "g", "id", 5, salt="t").collect()))
+    assert c != a
+    assert len(sample_per_key(df, "g", "id", 100).collect()) == 700
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_per_key(df, "g", "id", 0)
