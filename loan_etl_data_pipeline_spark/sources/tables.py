@@ -33,7 +33,14 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table; normalizes ``events.ts`` to timestamp_ntz."""
+    """Load one testdata table; normalizes ``events.ts`` to timestamp_ntz.
+
+    The driver has shipped ``events.ts`` as parquet TIMESTAMP(NANOS) in
+    some rounds (unsupported by Spark → surfaced as a nanosecond long
+    under ``nanosAsLong``) and plain TIMESTAMP(MICROS) in others, so the
+    normalization dispatches on the type that actually arrives instead
+    of assuming one encoding.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # These confs are dynamic; set them here so the function also works
@@ -43,7 +50,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the session tz, so pin UTC for a tz-independent naive timestamp.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+            return df.withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(path)
