@@ -194,6 +194,66 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram *containment* similarity join.
+
+    Containment ``|A∩B| / min(|A|,|B|)`` catches the asymmetric
+    duplication Jaccard misses: a document embedded verbatim inside a
+    much longer one scores ~1.0 here but near 0 on Jaccard (the union
+    is dominated by the long doc). This is the standard quote/subset
+    detector in training-data dedup.
+
+    Same plan shape as :func:`ngram_jaccard_pairs` — postings self-join
+    on the 8-byte gram hash, intersection counts, sizes re-attached —
+    only the final similarity expression differs, so the two share the
+    scale posture (AQE skew-split on popular grams; hash join keys, the
+    gram string never leaves the scan).
+
+    Output: (id_a, id_b, inter_size, size_a, size_b, containment) with
+    id_a < id_b and containment >= threshold.
+    """
+    posts = (
+        word_ngrams(df, id_col, text_col, n)
+        .select("id", F.xxhash64("ngram").alias("gh"))
+        .persist()
+    )
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = posts.select(F.col("id").alias("id_a"), "gh")
+    b = posts.select(F.col("id").alias("id_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("inter_size").cast("double")
+            / F.least("size_a", "size_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter_size", "size_a", "size_b", "containment")
+    )
+    out._persisted_intermediates = [posts]  # release_intermediates(out)
+    return out
+
+
 # --- MinHash ---------------------------------------------------------------
 
 

@@ -1,0 +1,181 @@
+"""Text retrieval / relevance scoring over the documents table (EXT E4+).
+
+The reference pipeline stops at descriptive stats; a training-data
+pipeline also needs *retrieval-shaped* scoring — "which documents match
+this term set" (corpus slicing, eval-set mining, targeted decontam) and
+"which terms characterize this document" (topic tagging, boilerplate
+discovery). Both are classic IR primitives:
+
+- :func:`bm25_topk` — Okapi BM25 ranking of a fixed small term set
+  against the whole corpus.
+- :func:`tfidf_top_terms` — per-document top-N terms by exact
+  tf/df weight.
+
+Scale design (the interesting part):
+
+``bm25_topk`` never explodes tokens and never shuffles the corpus.
+Because the query term set is small and fixed, per-term term
+frequencies are computed ROW-LOCALLY with ``size(filter(tokens, ...))``
+— one projection over the scan. Corpus statistics (N, Σdl, per-term
+document frequency) come from ONE global aggregate (partial aggs, a
+single scalar row to the driver), idf is computed on the driver from
+those scalars, and the second scan scores + TakeOrdered(k). Two scans,
+zero wide shuffles, O(k) driver result — this survives 100 TB as-is.
+The scan could even be shared via ``.persist()``; it is deliberately
+not, because at 100 TB re-scanning parquet is cheaper than caching the
+corpus, and locally both scans are sub-second.
+
+``tfidf_top_terms`` is the vocabulary-wide variant: it must explode
+(every term matters, not a fixed few), so it pays one shuffle to build
+(doc, term, tf) postings, aggregates document frequency from those
+postings (vocabulary-sized, broadcast back), and ranks per-doc with a
+bounded window. Exact-integer score (``div(tf*1e9, df)``) keeps it
+bit-identical across engines; a log-idf variant is the same plan with
+``ln`` in the final projection.
+
+Determinism contract (mirrored by the DuckDB oracles in queries.py):
+k1=1.5 and b=0.75 are chosen exactly representable in binary64 (so
+k1+1=2.5 and 1-b=0.25 are exact literals both sides); idf arguments are
+exact-int-derived doubles, and ``ln`` is bit-identical between the
+JVM-side plan (driver ``math.log``) and DuckDB (both delegate to the
+platform libm — verified empirically); every double expression is
+written with one fixed association order.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from loan_etl_data_pipeline_spark.operators.text import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 for a fixed small term set.
+
+    Output: (id, per-term tf columns ``tf_<i>``, dl, score) ordered by
+    score desc with an id tie-break. Only documents containing at least
+    one query term are candidates.
+
+    Plan: scan #1 → one global aggregate (N, Σdl, df per term) →
+    driver-side idf; scan #2 → row-local score projection →
+    TakeOrderedAndProject. No explode, no wide shuffle.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    if len(query_terms) != len(set(query_terms)):
+        raise ValueError("query_terms must be distinct")
+
+    arr = tokens(F.lower(F.col(text_col)))
+
+    def _eq(term):
+        # one-arg closure: a two-arg lambda would make F.filter pass the
+        # element INDEX as the second argument
+        return lambda x: x == F.lit(term)
+
+    # bigint casts: DuckDB len()/count() are int64 — keep schemas identical
+    tf_cols = [
+        F.size(F.filter(arr, _eq(t))).cast("bigint").alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(arr).cast("bigint").alias("dl"), *tf_cols
+    )
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    if n == 0:
+        raise ValueError("bm25_topk over an empty corpus")
+    # one double division, same op order as the oracle's
+    # CAST(sum_dl AS DOUBLE) / n
+    avgdl = float(stats["sum_dl"]) / float(n)
+    # BM25+-style idf (always positive): ln((N - df + 0.5)/(df + 0.5) + 1)
+    idf = [
+        math.log((n - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0)
+        for i in range(len(query_terms))
+    ]
+
+    # norm = k1 * ((1-b) + b * (dl/avgdl)); fixed association everywhere
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
+    )
+    per_term = [
+        F.lit(idf[i])
+        * (
+            (F.col(f"tf_{i}").cast("double") * F.lit(k1 + 1.0))
+            / (F.col(f"tf_{i}").cast("double") + norm)
+        )
+        for i in range(len(query_terms))
+    ]
+    score = per_term[0]
+    for s in per_term[1:]:  # left-fold: ((s0 + s1) + s2) ... — oracle mirrors
+        score = score + s
+    any_hit = sum(F.col(f"tf_{i}") for i in range(len(query_terms))) > 0
+
+    return (
+        base.filter(any_hit)
+        .withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``top_n`` terms by exact tf/df weight.
+
+    Output: (id, tok, tf, dfc, score_scaled, rnk) where
+    ``score_scaled = div(tf * 1e9, dfc)`` (exact int64) and ``rnk`` is
+    the dense per-doc rank by (score desc, tok asc). Ties in score are
+    broken by token so the selected set is total-order deterministic.
+
+    Plan: explode → (doc, term) partial-agg postings (shuffle #1, keyed
+    on (doc, term) so the "the"-per-doc combine happens map-side) →
+    vocabulary DF as a second agg over the postings → broadcast DF back
+    onto the postings (no shuffle) → per-doc window (shuffle #2, bounded
+    by per-doc vocabulary). At 100 TB the vocabulary table is the only
+    broadcast and is bounded by vocab size, not corpus size; if the
+    vocab outgrows broadcast, drop the hint and AQE falls back to a
+    shuffle join with skew split on the hot terms.
+    """
+    posts = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = posts.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    scored = posts.join(F.broadcast(dfreq), "tok").withColumn(
+        "score_scaled", F.expr("div(tf * 1000000000, dfc)")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score_scaled"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= top_n)
+        .select("id", "tok", "tf", "dfc", "score_scaled", "rnk")
+    )

@@ -951,6 +951,36 @@ def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", 0.01)
 
 
+#: fixed BM25 probe terms — hardcoded so the oracle can inline them
+BM25_TERMS = ("spark", "join", "window")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 retrieval: Okapi BM25 top-10 docs for a fixed term set
+    (operators/retrieval.py bm25_topk).
+
+    Two corpus scans, zero wide shuffles: per-term tf is computed
+    row-locally (no explode), corpus stats come from one global
+    aggregate, idf on the driver, then score + TakeOrdered. ``ln`` is
+    bit-identical between driver libm and DuckDB (verified), k1=1.5 /
+    b=0.75 are exactly representable, so the whole score is
+    oracle-exact.
+    """
+    from loan_etl_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), list(BM25_TERMS), k=10)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 per-document top-3 characteristic terms by exact tf/df weight
+    (operators/retrieval.py tfidf_top_terms). Integer-scaled score
+    (div(tf*1e9, df)) keeps ranking exact across engines; ties broken
+    by token."""
+    from loan_etl_data_pipeline_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_n=3)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9 deterministic stratified sampling (functions/splits.py
     stratified_sample): downsample click/view events to fixed fractions
@@ -1151,6 +1181,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.05
+    )
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 exact 3-gram *containment* join (operators/dedup.py
+    ngram_containment_pairs): |A∩B|/min(|A|,|B|) ≥ 0.5 — the
+    subset-duplication detector Jaccard misses."""
+    from loan_etl_data_pipeline_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
 
 
@@ -1496,6 +1537,44 @@ def q_range_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks"),
+        )
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 record linkage (operators/joins.py fuzzy_blocked_join):
+    customer pairs in the same nation whose names are within one
+    Levenshtein edit. The nation block bounds the quadratic comparison;
+    Spark's 3-arg levenshtein bails out of the DP past the bound."""
+    from loan_etl_data_pipeline_spark.operators.joins import fuzzy_blocked_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    right = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        fuzzy_blocked_join(
+            left,
+            right,
+            block_on="nk",
+            left_col="name_a",
+            right_col="name_b",
+            max_distance=1,
+        )
+        .filter(F.col("id_a") < F.col("id_b_r"))
+        .select(
+            "id_a",
+            F.col("id_b_r").alias("id_b"),
+            "name_a",
+            F.col("name_b_r").alias("name_b"),
+            F.col("distance").cast("bigint").alias("distance"),
         )
     )
 
@@ -2181,6 +2260,101 @@ ORACLE_PART_B: dict[str, str] = {
         GROUP BY 1
         HAVING count(*) >= 1
     """,
+    # BM25 constants mirror bm25_topk exactly: k1=1.5, b=0.75 (both binary64-
+    # exact, so k1+1=2.5 and 1-b=0.25 are safe literals), idf args are
+    # exact-int-derived, and ln() is the same libm call the driver makes.
+    "q_bm25_search": r"""
+        WITH t AS (
+            SELECT doc_id AS id,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> x = 'spark')) AS tf_0,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> x = 'join')) AS tf_1,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> x = 'window')) AS tf_2
+            FROM documents
+        ), s AS (
+            SELECT count(*) AS n,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+                   sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                   sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                   sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+            FROM t
+        )
+        SELECT id, dl, tf_0, tf_1, tf_2,
+               (((ln((n - df_0 + 0.5)/(df_0 + 0.5) + 1.0)
+                  * ((CAST(tf_0 AS DOUBLE) * 2.5)
+                     / (CAST(tf_0 AS DOUBLE)
+                        + (1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))))
+                 + (ln((n - df_1 + 0.5)/(df_1 + 0.5) + 1.0)
+                    * ((CAST(tf_1 AS DOUBLE) * 2.5)
+                       / (CAST(tf_1 AS DOUBLE)
+                          + (1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))))
+                + (ln((n - df_2 + 0.5)/(df_2 + 0.5) + 1.0)
+                   * ((CAST(tf_2 AS DOUBLE) * 2.5)
+                      / (CAST(tf_2 AS DOUBLE)
+                         + (1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))))
+               ) AS score
+        FROM t, s
+        WHERE tf_0 + tf_1 + tf_2 > 0
+        ORDER BY score DESC, id
+        LIMIT 10
+    """,
+    "q_tfidf_terms": r"""
+        WITH posts AS (
+            SELECT id, tok, count(*) AS tf FROM (
+                SELECT doc_id AS id,
+                       UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                FROM documents) GROUP BY id, tok
+        ), dfreq AS (SELECT tok, count(*) AS dfc FROM posts GROUP BY tok)
+        SELECT id, tok, tf, dfc, score_scaled, rnk FROM (
+            SELECT p.id, p.tok, tf, dfc,
+                   (tf * 1000000000) // dfc AS score_scaled,
+                   row_number() OVER (PARTITION BY p.id
+                                      ORDER BY (tf * 1000000000) // dfc DESC,
+                                               p.tok) AS rnk
+            FROM posts p JOIN dfreq USING (tok)
+        ) WHERE rnk <= 3
+    """,
+    "q_containment": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, list_distinct(
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [] END) AS gs
+            FROM toks
+        ), posts AS (
+            SELECT doc_id AS id, UNNEST(gs) AS ngram FROM grams
+        ), sizes AS (
+            SELECT id, count(*) AS sz FROM posts GROUP BY id
+        ), inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_size
+            FROM posts a JOIN posts b ON a.ngram = b.ngram AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter_size,
+               CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+               CAST(inter_size AS DOUBLE)
+                 / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+        FROM inter
+        JOIN sizes sa ON id_a = sa.id
+        JOIN sizes sb ON id_b = sb.id
+        WHERE CAST(inter_size AS DOUBLE)
+                / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.5
+    """,
+    "q_fuzzy_match": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
 }
 
 # probing every cell makes IVF exhaustive — the oracle is exactly the
@@ -2198,6 +2372,8 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stratified_sample": q_stratified_sample,
     "q_sample_per_key": q_sample_per_key,
     "q_heavy_tokens": q_heavy_tokens,
+    "q_bm25_search": q_bm25_search,
+    "q_tfidf_terms": q_tfidf_terms,
     "q_repetition": q_repetition,
     "q_chunk_docs": q_chunk_docs,
     "q_redact_pii": q_redact_pii,
@@ -2209,6 +2385,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_docs_dedup": q_docs_dedup,
     "q_dedup_events": q_dedup_events,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_containment": q_containment,
     "q_minhash_neardup": q_minhash_neardup,
     "q_incremental_dedup": q_incremental_dedup,
     "q_simhash": q_simhash,
@@ -2226,6 +2403,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_prep": q_corpus_prep,
     "q_asof_purchase": q_asof_purchase,
     "q_range_clicks": q_range_clicks,
+    "q_fuzzy_match": q_fuzzy_match,
     "q_json_extract": q_json_extract,
     "q_multimodal_meta": q_multimodal_meta,
 }

@@ -1,0 +1,156 @@
+"""Retrieval operators (operators/retrieval.py) + blocked fuzzy join +
+n-gram containment: edge semantics the sf-scale oracle rows
+(q_bm25_search, q_tfidf_terms, q_containment, q_fuzzy_match in
+tests/test_oracle_parity.py) can't isolate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from loan_etl_data_pipeline_spark.operators.dedup import ngram_containment_pairs
+from loan_etl_data_pipeline_spark.operators.joins import fuzzy_blocked_join
+from loan_etl_data_pipeline_spark.operators.retrieval import bm25_topk, tfidf_top_terms
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark join window spark"),
+            (2, "join filter merge"),
+            (3, "sort merge scan table row"),
+            (4, "spark spark spark spark spark"),
+            (5, "window"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+class TestBM25:
+    def test_scores_and_order(self, docs):
+        rows = bm25_topk(docs, ["spark", "window"], k=10).collect()
+        ids = [r["id"] for r in rows]
+        # docs 1, 4, 5 contain query terms; 2, 3 must be absent
+        assert set(ids) == {1, 4, 5}
+        # hand-check one score: corpus N=5, dl=[4,3,5,5,1], avgdl=18/5
+        n, avgdl = 5, 18.0 / 5.0
+        idf_spark = math.log((n - 2 + 0.5) / (2 + 0.5) + 1.0)
+        idf_window = math.log((n - 2 + 0.5) / (2 + 0.5) + 1.0)
+        by_id = {r["id"]: r for r in rows}
+        r5 = by_id[5]  # doc 5: tf_window=1, dl=1
+        norm = 1.5 * (0.25 + 0.75 * (1.0 / avgdl))
+        expected = idf_window * ((1.0 * 2.5) / (1.0 + norm))
+        assert r5["score"] == pytest.approx(expected, abs=0, rel=1e-15)
+        assert r5["tf_0"] == 0 and r5["tf_1"] == 1
+        # ordering is score desc
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert idf_spark > 0  # BM25+ idf never negative
+
+    def test_k_truncates_with_id_tiebreak(self, docs):
+        rows = bm25_topk(docs, ["join"], k=1).collect()
+        assert len(rows) == 1
+        # docs 1 and 2 both have tf=1; doc 2 is shorter -> higher score
+        assert rows[0]["id"] == 2
+
+    def test_rejects_bad_inputs(self, docs):
+        with pytest.raises(ValueError, match="at least one"):
+            bm25_topk(docs, [])
+        with pytest.raises(ValueError, match="distinct"):
+            bm25_topk(docs, ["a", "a"])
+
+    def test_empty_corpus_raises(self, docs):
+        with pytest.raises(ValueError, match="empty corpus"):
+            bm25_topk(docs.filter(F.lit(False)), ["spark"])
+
+
+class TestTfidfTopTerms:
+    def test_rank_and_tiebreak(self, spark):
+        # "rare" appears in 1 doc, "common" in both; doc 1 tf equal ->
+        # rare wins by df, and within equal scores tok asc breaks ties
+        df = spark.createDataFrame(
+            [(1, "rare common"), (2, "common zeta alpha")], ["doc_id", "text"]
+        )
+        out = tfidf_top_terms(df, top_n=2)
+        rows = {(r["id"], r["rnk"]): r for r in out.collect()}
+        assert rows[(1, 1)]["tok"] == "rare"
+        assert rows[(1, 2)]["tok"] == "common"
+        # doc 2: alpha and zeta both df=1 tf=1 -> equal score, alpha first
+        assert rows[(2, 1)]["tok"] == "alpha"
+        assert rows[(2, 2)]["tok"] == "zeta"
+
+    def test_score_is_exact_integer_division(self, spark):
+        df = spark.createDataFrame([(1, "x x y"), (2, "y")], ["doc_id", "text"])
+        out = {
+            (r["id"], r["tok"]): r["score_scaled"] for r in tfidf_top_terms(df).collect()
+        }
+        assert out[(1, "x")] == 2 * 1_000_000_000 // 1
+        assert out[(1, "y")] == 1 * 1_000_000_000 // 2
+
+
+class TestContainment:
+    def test_subset_scores_one(self, spark):
+        # doc 2's grams are a strict subset of doc 1's -> containment 1.0,
+        # while Jaccard would be 2/5
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d")], ["doc_id", "text"]
+        )
+        rows = ngram_containment_pairs(df, n=3, threshold=0.5).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        assert r["containment"] == 1.0
+        assert r["inter_size"] == 2 and r["size_a"] == 4 and r["size_b"] == 2
+
+    def test_threshold_filters(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c x y z"), (2, "a b c q r s")], ["doc_id", "text"]
+        )
+        # share only gram "a b c": containment 1/4 < 0.5
+        assert ngram_containment_pairs(df, n=3, threshold=0.5).count() == 0
+        assert ngram_containment_pairs(df, n=3, threshold=0.25).count() == 1
+
+
+class TestFuzzyBlockedJoin:
+    @pytest.fixture(scope="class")
+    def sides(self, spark):
+        left = spark.createDataFrame(
+            [(1, "alpha", "b1"), (2, "beta", "b1"), (3, "alpha", "b2")],
+            ["lid", "lname", "blk"],
+        )
+        right = spark.createDataFrame(
+            [(10, "alphz", "b1"), (11, "alpha", "b2"), (12, "gamma", "b1")],
+            ["rid", "rname", "blk"],
+        )
+        return left, right
+
+    def test_matches_within_block_only(self, sides):
+        left, right = sides
+        out = fuzzy_blocked_join(
+            left,
+            right,
+            block_on="blk",
+            left_col="lname",
+            right_col="rname",
+            max_distance=1,
+        )
+        got = {(r["lid"], r["rid_r"], r["distance"]) for r in out.collect()}
+        # alpha~alphz dist 1 in b1; alpha==alpha dist 0 in b2;
+        # cross-block alpha(b1)/alpha(b2) must NOT pair
+        assert got == {(1, 10, 1), (3, 11, 0)}
+
+    def test_distance_bound_excludes(self, sides):
+        left, right = sides
+        out = fuzzy_blocked_join(
+            left,
+            right,
+            block_on="blk",
+            left_col="lname",
+            right_col="rname",
+            max_distance=0,
+        )
+        assert {(r["lid"], r["rid_r"]) for r in out.collect()} == {(3, 11)}
