@@ -17,11 +17,12 @@ from loan_etl_data_pipeline_spark.functions.splits import (
     sample_per_key,
     split_bucket_hex,
     stratified_sample,
+    weighted_sample,
 )
 
 __all__ = [
     "dsum", "dsum_sql", "davg", "davg_sql",
     "distinct_sketches", "merge_sketches", "estimate",
     "hash_split", "split_bucket_hex", "stratified_sample",
-    "sample_per_key", "expand_mixture",
+    "sample_per_key", "expand_mixture", "weighted_sample",
 ]

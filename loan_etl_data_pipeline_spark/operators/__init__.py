@@ -68,3 +68,8 @@ __all__ += [
     "ngram_containment_pairs",
     "fuzzy_blocked_join",
 ]
+
+from loan_etl_data_pipeline_spark.operators.windows import funnel_counts
+from loan_etl_data_pipeline_spark.operators.quality import iqr_outliers
+
+__all__ += ["funnel_counts", "iqr_outliers"]

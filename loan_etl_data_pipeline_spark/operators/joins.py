@@ -211,6 +211,8 @@ def fuzzy_blocked_join(
     right_col: str,
     max_distance: int = 1,
     suffix: str = "_r",
+    pre_filter=None,
+    stream_partitions: int | None = None,
 ) -> DataFrame:
     """Blocked edit-distance (record-linkage) join.
 
@@ -231,6 +233,20 @@ def fuzzy_blocked_join(
     appended to ``block_on`` when even one block's pairs overflow a
     task.
 
+    ``pre_filter`` (a Column over post-suffix names) is applied BEFORE
+    the distance computation — put cheap pair pruning here (e.g.
+    ``col("id_a") < col("id_b_r")`` for a self-join) so it lands ahead
+    of the levenshtein in the join condition; Catalyst keeps conjuncts
+    in appearance order, so a filter chained after the operator runs
+    the DP on pairs the cheap predicate would have discarded.
+
+    ``stream_partitions``: when the right side broadcasts, join
+    parallelism equals the STREAM (left) side's partition count — a
+    small dirty table read from one parquet file becomes one task doing
+    every comparison. Set this to spread a small left side (round-robin
+    repartition, cheap at that size); leave None for big inputs whose
+    scan parallelism is already right.
+
     Output: all left columns, right payload columns suffixed, and
     ``distance``.
     """
@@ -239,11 +255,20 @@ def fuzzy_blocked_join(
     r = right
     for c in rpay:
         r = r.withColumnRenamed(c, f"{c}{suffix}")
+    if stream_partitions is not None:
+        left = left.repartition(stream_partitions)
+    joined = left.join(r, blocks)
+    if pre_filter is not None:
+        joined = joined.filter(pre_filter)
+    # universally-sound cheap prune: edit distance >= length difference
+    joined = joined.filter(
+        F.abs(F.length(left_col) - F.length(f"{right_col}{suffix}"))
+        <= max_distance
+    )
     dist = F.expr(
         f"levenshtein({left_col}, {right_col}{suffix}, {int(max_distance)})"
     )
     return (
-        left.join(r, blocks)
-        .withColumn("distance", dist)
+        joined.withColumn("distance", dist)
         .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
     )

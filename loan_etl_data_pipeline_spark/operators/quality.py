@@ -92,3 +92,62 @@ def check_constraints(
         F.coalesce(F.col("violations"), F.lit(0)).alias("violations"),
         (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    factor: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier summary over exact cents.
+
+    The classic "flag numeric rows outside [Q1 − f·IQR, Q3 + f·IQR]"
+    screen, per group. Quartiles are computed over bigint cents
+    (``floor(x*100)``) so the rank-select + single interpolation is
+    bit-identical to DuckDB's ``quantile_cont`` (same scheme
+    q_quantiles certifies); the fences are then a fixed-order double
+    expression of those exact quartiles. ``factor`` should be an
+    exactly-representable binary64 (1.5, 1.25, 2.0 ...) if
+    cross-engine bit-parity matters.
+
+    Plan: ONE pass — quartiles and the flag counts come from the same
+    grouped aggregate via percentile + conditional re-aggregation:
+    group stats first (one shuffle on ``group_col``), then a broadcast
+    join back onto the scan for the count pass. Two scans of the fact
+    table, no second shuffle: at 100 TB the stats table is
+    group-cardinality-sized and always broadcastable.
+
+    Output: (group, q1, q3, lo_fence, hi_fence, n_rows, n_outliers).
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("bigint")
+    q = F.expr(
+        f"percentile(cast(floor({value_col}*100) as bigint), array(0.25, 0.75))"
+    )
+    stats = df.groupBy(group_col).agg(
+        (q[0] / 100).alias("q1"), (q[1] / 100).alias("q3")
+    )
+    lo = F.col("q1") - F.lit(factor) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(factor) * (F.col("q3") - F.col("q1"))
+    stats = stats.withColumn("lo_fence", lo).withColumn("hi_fence", hi)
+    flagged = (
+        df.select(group_col, (cents / 100).alias("__v"))
+        .join(F.broadcast(stats), group_col)
+        .groupBy(group_col, "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    (F.col("__v") < F.col("lo_fence"))
+                    | (F.col("__v") > F.col("hi_fence")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        group_col, "q1", "q3", "lo_fence", "hi_fence", "n_rows", "n_outliers"
+    )

@@ -160,3 +160,66 @@ def resample_timeseries(
             F.col("__v").isNotNull().alias("is_observed"),
         )
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: how many users reached each stage.
+
+    A user "reaches" stage i when an event of ``stages[i]`` occurs
+    STRICTLY AFTER the timestamp at which they reached stage i-1 (first
+    stage: any occurrence). The per-user reach timestamp is the
+    earliest such event — the standard ordered-funnel semantics
+    (view → click → purchase), robust to events arriving interleaved.
+
+    Plan: ONE shuffle on ``user_col``, then ``len(stages)`` chained
+    Window projections over the SAME partitioning (Catalyst reuses the
+    single Exchange — verified: one Exchange in the plan), each
+    computing ``min(ts WHERE type = stage_i AND ts > prev_reach)``.
+    The final count is a tiny global aggregate. No joins, no per-stage
+    passes over the fact table; at 100 TB this is the cost of one
+    sessionization.
+
+    Output: (stage, stage_idx, users) — users reaching each stage,
+    non-increasing down the funnel.
+    """
+    if not stages:
+        raise ValueError("funnel_counts needs at least one stage")
+    w = Window.partitionBy(user_col)
+    out = df.select(user_col, ts_col, type_col)
+    prev = None
+    reach_cols = []
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        reach = f"__reach_{i}"
+        out = out.withColumn(reach, F.min(F.when(cond, F.col(ts_col))).over(w))
+        reach_cols.append(reach)
+        prev = reach
+    per_user = out.groupBy(user_col).agg(
+        *[F.max(rc).alias(rc) for rc in reach_cols]
+    )
+    counts = per_user.agg(
+        *[
+            F.sum(F.when(F.col(rc).isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__n_{i}")
+            for i, rc in enumerate(reach_cols)
+        ]
+    )
+    stack_args = ", ".join(
+        "'{}', {}, __n_{}".format(s.replace("'", "''"), i, i)
+        for i, s in enumerate(stages)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(stages)}, {stack_args}) as (stage, stage_idx, users)"
+        )
+    ).select("stage", F.col("stage_idx").cast("bigint").alias("stage_idx"), "users")

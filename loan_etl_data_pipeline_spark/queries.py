@@ -1014,6 +1014,51 @@ def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_per_key(ev, "user_id", "event_id", 8, salt="s1")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 deterministic weighted sampling (functions/splits.py
+    weighted_sample): 200 orders drawn with probability ∝ o_totalprice
+    by Efraimidis–Spirakis priority (md5-uniform, ln(u)/w, global
+    top-k). No shuffle — projection + TakeOrdered. The oracle states
+    the identical priority formula; the selected SET is ulp-robust
+    (measured k-boundary gap ~0.3% relative), so the sample itself is
+    compared, not the raw priorities."""
+    from loan_etl_data_pipeline_spark.functions.splits import weighted_sample
+
+    return weighted_sample(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        "o_totalprice",
+        200,
+        salt="ws1",
+    )
+
+
+def q_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ per-group Tukey-fence outlier screen (operators/quality.py
+    iqr_outliers) on lineitem extendedprice by return flag —
+    cents-exact quartiles (same scheme q_quantiles certifies), fences
+    and counts in one broadcast-stats pass."""
+    from loan_etl_data_pipeline_spark.operators.quality import iqr_outliers
+
+    return iqr_outliers(
+        load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+        "l_returnflag",
+        "l_extendedprice",
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 ordered funnel conversion (operators/windows.py
+    funnel_counts): users reaching view → strictly-later click →
+    strictly-later purchase. One shuffle on user, chained windows over
+    the reused Exchange."""
+    from loan_etl_data_pipeline_spark.operators.windows import funnel_counts
+
+    return funnel_counts(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 Gopher-style repetition signals (operators/text.py
     repetition_stats): most-common-token fraction, top-2-gram coverage,
@@ -1567,8 +1612,11 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             left_col="name_a",
             right_col="name_b",
             max_distance=1,
+            # self-join prune BEFORE the DP (halves the comparisons) and
+            # spread of the single-file stream side across the cores
+            pre_filter=F.col("id_a") < F.col("id_b_r"),
+            stream_partitions=64,
         )
-        .filter(F.col("id_a") < F.col("id_b_r"))
         .select(
             "id_a",
             F.col("id_b_r").alias("id_b"),
@@ -2355,6 +2403,72 @@ ORACLE_PART_B: dict[str, str] = {
           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
+    # E-S priority formula term-for-term with weighted_sample:
+    # u = (first-48-md5-bits + 0.5) / 2^48 (IEEE-exact), priority =
+    # ln(u)/w; the priority is ORDER-ONLY (ulp margin documented there)
+    "q_weighted_sample": """
+        SELECT o_orderkey, o_totalprice FROM (
+            SELECT o_orderkey, o_totalprice,
+                   ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'ws1'), 1, 12))::BIGINT
+                       + 0.5) / 281474976710656.0)
+                     / CAST(o_totalprice AS DOUBLE) AS pri
+            FROM orders
+            WHERE CAST(o_totalprice AS DOUBLE) > 0
+        )
+        ORDER BY pri DESC, o_orderkey
+        LIMIT 200
+    """,
+    "q_outlier_fences": """
+        WITH stats AS (
+            SELECT l_returnflag,
+                   quantile_cont(CAST(FLOOR(l_extendedprice * 100) AS BIGINT), 0.25) / 100 AS q1,
+                   quantile_cont(CAST(FLOOR(l_extendedprice * 100) AS BIGINT), 0.75) / 100 AS q3
+            FROM lineitem
+            GROUP BY l_returnflag
+        ), fences AS (
+            SELECT l_returnflag, q1, q3,
+                   q1 - 1.5 * (q3 - q1) AS lo_fence,
+                   q3 + 1.5 * (q3 - q1) AS hi_fence
+            FROM stats
+        )
+        SELECT f.l_returnflag, q1, q3, lo_fence, hi_fence,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) / 100 < lo_fence
+                               OR CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) / 100 > hi_fence
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+        GROUP BY f.l_returnflag, q1, q3, lo_fence, hi_fence
+    """,
+    "q_funnel": """
+        WITH r0 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS reach0
+            FROM events
+        ), r1 AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts > reach0 THEN ts END)
+                          OVER (PARTITION BY user_id) AS reach1
+            FROM r0
+        ), r2 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > reach1 THEN ts END)
+                          OVER (PARTITION BY user_id) AS reach2
+            FROM r1
+        ), pu AS (
+            SELECT user_id, max(reach0) AS g0, max(reach1) AS g1, max(reach2) AS g2
+            FROM r2 GROUP BY user_id
+        )
+        SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+               CAST(sum(CASE WHEN g0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS users
+        FROM pu
+        UNION ALL
+        SELECT 'click', CAST(1 AS BIGINT),
+               CAST(sum(CASE WHEN g1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM pu
+        UNION ALL
+        SELECT 'purchase', CAST(2 AS BIGINT),
+               CAST(sum(CASE WHEN g2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM pu
+    """,
 }
 
 # probing every cell makes IVF exhaustive — the oracle is exactly the
@@ -2370,6 +2484,8 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_counts": q_token_counts,
     "q_token_df": q_token_df,
     "q_stratified_sample": q_stratified_sample,
+    "q_weighted_sample": q_weighted_sample,
+    "q_outlier_fences": q_outlier_fences,
     "q_sample_per_key": q_sample_per_key,
     "q_heavy_tokens": q_heavy_tokens,
     "q_bm25_search": q_bm25_search,
@@ -2398,6 +2514,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_topk": q_ivf_topk,
     "q_event_windows": q_event_windows,
     "q_sessions": q_sessions,
+    "q_funnel": q_funnel,
     "q_scd2_users": q_scd2_users,
     "q_scd2_pit": q_scd2_pit,
     "q_corpus_prep": q_corpus_prep,

@@ -94,3 +94,17 @@ def test_single_scan_plan(spark, frame):
     )
     # one aggregate over one source scan — rules never multiply scans
     assert plan.count("Scan ") <= 1
+
+
+def test_iqr_outliers_known_values(spark):
+    """Hand-checked Tukey fences on a tiny group + outlier counting."""
+    data = [("g", float(v)) for v in [1, 2, 3, 4, 100]] + [("h", 10.0)]
+    df = spark.createDataFrame(data, "grp string, v double")
+    rows = {r["grp"]: r for r in quality.iqr_outliers(df, "grp", "v").collect()}
+    g = rows["g"]
+    # cents quantiles of [100,200,300,400,10000]: q1=200, q3=400 cents->2,4
+    assert g["q1"] == 2.0 and g["q3"] == 4.0
+    assert g["lo_fence"] == 2.0 - 1.5 * 2.0 and g["hi_fence"] == 4.0 + 1.5 * 2.0
+    assert g["n_rows"] == 5 and g["n_outliers"] == 1  # the 100
+    h = rows["h"]  # single-value group: IQR 0, nothing flagged
+    assert h["n_outliers"] == 0 and h["n_rows"] == 1

@@ -166,3 +166,38 @@ def test_sample_per_key_caps_and_is_partition_invariant(spark):
 
     with _pytest.raises(ValueError):
         sample_per_key(df, "g", "id", 0)
+
+
+def test_weighted_sample_monotone_deterministic(spark):
+    """E-S priority sampling: heavier keys appear more often across
+    independent salts; selection is partition-invariant; w<=0 excluded."""
+    import pytest as _pytest
+    from loan_etl_data_pipeline_spark.functions.splits import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    heavy_hits = 0
+    for salt in ("a", "b", "c"):
+        got = {r["id"] for r in weighted_sample(df, "id", "w", 50, salt=salt).collect()}
+        assert len(got) == 50
+        heavy_hits += sum(1 for i in got if i < 50)
+    # 50 keys at weight 100 vs 450 at weight 1: heavy keys dominate any
+    # plausible draw (expected ~46/50 heavy per draw)
+    assert heavy_hits > 0.6 * 150
+
+    a = sorted(r["id"] for r in weighted_sample(df, "id", "w", 50, salt="a").collect())
+    b = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(17), "id", "w", 50, salt="a").collect()
+    )
+    assert a == b  # partition-invariant
+
+    # zero/negative/null weights never sampled, even with k > n
+    bad = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None)], "id long, w double"
+    )
+    assert {r["id"] for r in weighted_sample(bad, "id", "w", 10).collect()} == {1}
+
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", 0)
