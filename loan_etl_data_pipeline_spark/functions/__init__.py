@@ -18,6 +18,8 @@ from loan_etl_data_pipeline_spark.functions.splits import (
     split_bucket_hex,
     stratified_sample,
     weighted_sample,
+    curriculum_tiles,
+    negative_samples,
 )
 
 __all__ = [
@@ -25,4 +27,5 @@ __all__ = [
     "distinct_sketches", "merge_sketches", "estimate",
     "hash_split", "split_bucket_hex", "stratified_sample",
     "sample_per_key", "expand_mixture", "weighted_sample",
+    "curriculum_tiles", "negative_samples",
 ]

@@ -248,3 +248,104 @@ def weighted_sample(
         .limit(k)
         .drop("__es_priority")
     )
+
+
+def curriculum_tiles(
+    df: DataFrame,
+    score_col: str,
+    n_tiles: int,
+    *,
+    id_col: str,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Equal-population difficulty tiles for curriculum ordering.
+
+    ``ntile(n)`` over (score, id): the id tie-break makes the tile
+    assignment a total-order function of the data — without it, rows
+    sharing a score straddle tile boundaries nondeterministically.
+    The global sort is a range-partition shuffle (Spark samples
+    boundaries), the standard price of any global ranking; for a
+    coarser but shuffle-free alternative bucket on fixed score ranges
+    instead.
+    """
+    from pyspark.sql import Window
+
+    if n_tiles <= 0:
+        raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return df.withColumn(tile_col, F.ntile(n_tiles).over(w).cast("bigint"))
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    *,
+    salt: str = "",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic pseudo-random negatives: ``k`` partners per row.
+
+    Contrastive training needs, for every anchor, a reproducible set of
+    "random other" examples. Sampling them with ``rand()`` or a
+    cross-join both fail at scale (drift / n²); this is the hash-ring
+    construction: every id gets an md5 ring position, the ring is cut
+    into ``n_buckets`` arcs (pure hash of the id — the shuffle key),
+    and each row's negatives are its ``k`` clockwise ring neighbors
+    WITHIN its arc, wrapping around. Positions are uniform and
+    independent of any data attribute, so neighbors are as good as
+    random draws — but a pure function of (id, salt): stable across
+    engines, partitionings and reruns, and re-salting redraws.
+
+    Rows in an arc of size c get ``min(k, c-1)`` negatives (never
+    themselves, never duplicates). Cost: one shuffle on the arc key for
+    the ranking window + one co-keyed self-join — both bounded by arc
+    size ≈ n/n_buckets; scale ``n_buckets`` with the corpus so arcs
+    stay task-sized.
+
+    Output: (``anchor``, ``j`` 1..k, ``neg``) — j is the neighbor index.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from pyspark.sql import Window
+
+    pos = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        pos.alias("__pos"),
+        F.pmod(pos, F.lit(n_buckets)).alias("__bucket"),
+    )
+    w = Window.partitionBy("__bucket").orderBy(F.asc("__pos"), F.asc("__id"))
+    wc = Window.partitionBy("__bucket")
+    numbered = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(wc)
+    )
+    anchors = (
+        numbered.withColumn(
+            "j",
+            F.explode(
+                F.when(
+                    F.col("__cnt") > 1,
+                    F.sequence(F.lit(1), F.least(F.lit(k), F.col("__cnt") - 1)),
+                ).otherwise(F.array())
+            ),
+        )
+        .select(
+            F.col("__id").alias("anchor"),
+            "__bucket",
+            F.col("j").cast("bigint").alias("j"),
+            (
+                F.pmod(F.col("__rn") - 1 + F.col("j"), F.col("__cnt")) + 1
+            ).alias("__nrn"),
+        )
+    )
+    partners = numbered.select("__bucket", F.col("__rn").alias("__nrn"), F.col("__id").alias("neg"))
+    return anchors.join(partners, ["__bucket", "__nrn"]).select("anchor", "j", "neg")

@@ -1059,6 +1059,35 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 curriculum tiling (functions/splits.py curriculum_tiles):
+    documents cut into 10 equal-population length tiles with a doc_id
+    tie-break so assignment is a total-order function of the data."""
+    from loan_etl_data_pipeline_spark.functions.splits import curriculum_tiles
+
+    return curriculum_tiles(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "n_chars",
+        10,
+        id_col="doc_id",
+    )
+
+
+def q_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 deterministic contrastive negatives (functions/splits.py
+    negative_samples): 3 hash-ring neighbors per document, bucketed so
+    both the ranking window and the partner self-join stay arc-local."""
+    from loan_etl_data_pipeline_spark.functions.splits import negative_samples
+
+    return negative_samples(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        3,
+        salt="neg1",
+        n_buckets=32,
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 Gopher-style repetition signals (operators/text.py
     repetition_stats): most-common-token fraction, top-2-gram coverage,
@@ -2439,6 +2468,30 @@ ORACLE_PART_B: dict[str, str] = {
         FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
         GROUP BY f.l_returnflag, q1, q3, lo_fence, hi_fence
     """,
+    "q_curriculum": """
+        SELECT doc_id, n_chars,
+               CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+        FROM documents
+    """,
+    "q_negatives": """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'neg1'), 1, 12))::BIGINT AS pos
+            FROM documents
+        ), num AS (
+            SELECT id, pos, pos % 32 AS bucket,
+                   row_number() OVER (PARTITION BY pos % 32 ORDER BY pos, id) AS rn,
+                   count(*) OVER (PARTITION BY pos % 32) AS cnt
+            FROM base
+        ), anch AS (
+            SELECT id AS anchor, bucket, CAST(j AS BIGINT) AS j,
+                   ((rn - 1 + j) % cnt) + 1 AS nrn
+            FROM num, UNNEST(generate_series(1, least(3, cnt - 1))) AS t(j)
+            WHERE cnt > 1
+        )
+        SELECT anchor, j, n.id AS neg
+        FROM anch JOIN num n ON anch.bucket = n.bucket AND anch.nrn = n.rn
+    """,
     "q_funnel": """
         WITH r0 AS (
             SELECT user_id, ts, event_type,
@@ -2485,6 +2538,8 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_df": q_token_df,
     "q_stratified_sample": q_stratified_sample,
     "q_weighted_sample": q_weighted_sample,
+    "q_curriculum": q_curriculum,
+    "q_negatives": q_negatives,
     "q_outlier_fences": q_outlier_fences,
     "q_sample_per_key": q_sample_per_key,
     "q_heavy_tokens": q_heavy_tokens,

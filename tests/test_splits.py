@@ -201,3 +201,67 @@ def test_weighted_sample_monotone_deterministic(spark):
 
     with _pytest.raises(ValueError):
         weighted_sample(df, "id", "w", 0)
+
+
+def test_curriculum_tiles_balanced_total_order(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import curriculum_tiles
+    import pytest as _pytest
+
+    # 95 rows sharing 10 scores: tie-break must still yield balanced,
+    # reproducible tiles
+    df = spark.createDataFrame([(i, i % 10) for i in range(95)], "id long, s long")
+    a = {r["id"]: r["tile"] for r in curriculum_tiles(df, "s", 10, id_col="id").collect()}
+    from collections import Counter
+
+    sizes = Counter(a.values())
+    assert sorted(sizes.values()) == [9] * 5 + [10] * 5  # 95 = 5*10 + 5*9
+    b = {
+        r["id"]: r["tile"]
+        for r in curriculum_tiles(df.repartition(7), "s", 10, id_col="id").collect()
+    }
+    assert a == b
+    with _pytest.raises(ValueError):
+        curriculum_tiles(df, "s", 0, id_col="id")
+
+
+def test_negative_samples_ring_properties(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import negative_samples
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    out = negative_samples(df, "id", 4, salt="x", n_buckets=8).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor"], []).append(r["neg"])
+    # 300 ids over 8 buckets: every arc has > 5 members, so every anchor
+    # gets exactly 4 distinct non-self negatives
+    assert set(by_anchor) == set(range(300))
+    for a, negs in by_anchor.items():
+        assert len(negs) == 4 and len(set(negs)) == 4 and a not in negs
+
+    # partition-invariant and salt-redrawn
+    again = sorted(
+        (r["anchor"], r["j"], r["neg"])
+        for r in negative_samples(df.repartition(11), "id", 4, salt="x", n_buckets=8).collect()
+    )
+    assert again == sorted((r["anchor"], r["j"], r["neg"]) for r in out)
+    other = sorted(
+        (r["anchor"], r["j"], r["neg"])
+        for r in negative_samples(df, "id", 4, salt="y", n_buckets=8).collect()
+    )
+    assert other != again
+
+    # tiny arcs: 2 ids in 1 bucket -> each gets the single other id
+    tiny = negative_samples(
+        spark.createDataFrame([(1,), (2,)], "id long"), "id", 5, n_buckets=1
+    ).collect()
+    assert {(r["anchor"], r["neg"]) for r in tiny} == {(1, 2), (2, 1)}
+    # singleton corpus -> no negatives, no crash
+    assert (
+        negative_samples(
+            spark.createDataFrame([(1,)], "id long"), "id", 3, n_buckets=1
+        ).count()
+        == 0
+    )
+    with _pytest.raises(ValueError):
+        negative_samples(df, "id", 0)
