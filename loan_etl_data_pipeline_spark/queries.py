@@ -356,6 +356,30 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate grouped percentiles — the scale path next
+    to q_quantiles' exact rank-select, the same way q_approx_users
+    shadows q_count_distinct. ``approx_percentile`` (Greenwald-Khanna,
+    partial-aggregatable: rank error ≤ n/accuracy) over the identical
+    cents domain.
+
+    No SQL oracle: DuckDB's approx_quantile is a different sketch with
+    different estimates. Verified by tests/test_sketches.py: every
+    estimate's true rank is within 1% of the target quantile's rank.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "approx_percentile(cast(floor(l_quantity*100) as bigint),"
+        " array(0.25, 0.5, 0.75, 0.99), 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        (q[0] / 100).alias("p25"),
+        (q[1] / 100).alias("p50"),
+        (q[2] / 100).alias("p75"),
+        (q[3] / 100).alias("p99"),
+    )
+
+
 def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-user estimates per event type
     (functions/sketches.py) — the pre-aggregatable scale path next to
@@ -857,6 +881,7 @@ QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_docs": q_pack_docs,
     "q_hash_split": q_hash_split,
     "q_quantiles": q_quantiles,
+    "q_approx_quantiles": q_approx_quantiles,
     "q_approx_users": q_approx_users,
     "q_rollup_acctbal": q_rollup_acctbal,
     "q_pivot_status": q_pivot_status,

@@ -46,3 +46,26 @@ def test_split_then_merge_equals_single_pass(events):
     got = {r["event_type"]: r["approx_distinct"] for r in merged.collect()}
     want = {r["event_type"]: r["approx_distinct"] for r in single.collect()}
     assert got == want
+
+
+def test_approx_quantiles_rank_error(spark, sf_dir):
+    """GK approx percentiles: each estimate's true rank within 1% of the
+    target quantile rank (the operator's contract at accuracy=10000)."""
+    from loan_etl_data_pipeline_spark.queries import q_approx_quantiles
+
+    rows = q_approx_quantiles(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    for r in rows:
+        flag = r["l_returnflag"]
+        vals = sorted(
+            x["l_quantity"] for x in li.filter(F.col("l_returnflag") == flag).collect()
+        )
+        n = len(vals)
+        for col, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p99", 0.99)]:
+            est = r[col]
+            # the domain is discrete (ties): the estimate is correct when
+            # the TARGET rank falls inside the estimate's tie-group rank
+            # interval, within the sketch's epsilon
+            lo = sum(1 for v in vals if v < est)
+            hi = sum(1 for v in vals if v <= est)
+            assert lo / n - 0.01 <= q <= hi / n + 0.01, (flag, col, lo, hi, n, q)
