@@ -261,6 +261,46 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join (TPC-H-Q5-style): revenue from orders where
+    the customer and supplier share an ASIA nation, by nation.
+
+    The full multi-join playbook in one plan: the date filter pushes to
+    the orders scan; lineitem⋈orders is the one unavoidable big⋈big
+    shuffle (orderkey); supplier and the nation⋈region dimension chain
+    broadcast; customer joins on the already-shuffled custkey side.
+    Catalyst orders the joins from the declared graph — nothing is
+    hand-scheduled except the broadcast hints on the true dimensions.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+    )
+
+
 def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big⋈big shuffle join: lineitem⋈orders on orderkey, rollup by priority.
 
@@ -694,6 +734,21 @@ ORACLE_PART_A: dict[str, str] = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
+    "q_local_supplier": """
+        SELECT n_name,
+               CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount))) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+    """,
     "q_union_nations": """
         SELECT DISTINCT nationkey FROM (
             SELECT c_nationkey AS nationkey FROM customer
@@ -903,6 +958,7 @@ QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_region_rollup": q_region_rollup,
     "q_promo_revenue": q_promo_revenue,
     "q_order_revenue": q_order_revenue,
+    "q_local_supplier": q_local_supplier,
     "q_union_nations": q_union_nations,
     "q_top_orders_per_cust": q_top_orders_per_cust,
     "q_count_distinct": q_count_distinct,

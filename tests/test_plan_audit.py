@@ -1,0 +1,58 @@
+"""Plan-shape audits: the scale properties the docstrings claim, asserted
+against the actual physical plans at sf0.001 (shapes are SF-invariant)."""
+
+from __future__ import annotations
+
+import pytest
+
+from loan_etl_data_pipeline_spark.queries import all_queries
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = all_queries()
+
+    def plan_of(name):
+        return (
+            qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    return plan_of
+
+
+def test_star_join_broadcasts_dimensions(plans):
+    p = plans("q_local_supplier")
+    # supplier + nation⋈region chain broadcast; lineitem⋈orders and
+    # customer remain shuffle joins — never a broadcast of a fact table
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_star_join_pushes_date_filter(plans):
+    p = plans("q_local_supplier")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_filter_project_pushdown(plans):
+    p = plans("q_filter_project")
+    assert "PushedFilters: [" in p and "ReadSchema" in p
+
+
+def test_region_rollup_all_broadcast(plans):
+    p = plans("q_region_rollup")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_bm25_no_wide_shuffle(plans):
+    # scoring scan + TakeOrdered only: no hash-partitioned exchange
+    p = plans("q_bm25_search")
+    assert "Exchange hashpartitioning" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pricing_summary_partial_aggregation(plans):
+    p = plans("q_pricing_summary")
+    # partial + final HashAggregate pair around one exchange
+    assert p.count("HashAggregate") >= 2
+    assert "SortAggregate" not in p
