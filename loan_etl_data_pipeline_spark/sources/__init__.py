@@ -31,3 +31,12 @@ __all__ += ["read_parquet_evolving"]
 from loan_etl_data_pipeline_spark.sources.orc import read_orc, write_orc
 
 __all__ += ["read_orc", "write_orc"]
+
+from loan_etl_data_pipeline_spark.sources.versioned import (
+    list_versions,
+    prune_versions,
+    read_version,
+    write_version,
+)
+
+__all__ += ["list_versions", "prune_versions", "read_version", "write_version"]

@@ -1,0 +1,125 @@
+"""Versioned parquet snapshots: reproducible reads for training runs.
+
+A training pipeline must be able to say "this model was trained on
+corpus snapshot 7" and re-read EXACTLY those bytes later, while
+ingestion keeps appending. Table formats (Delta/Iceberg) solve this
+with manifest-tracked snapshots; this is the same core idea in plain
+parquet + JSON manifests, with no services and no reader lock-in:
+
+    table_dir/
+      v00000001/part-*.parquet        <- immutable snapshot data
+      v00000002/part-*.parquet
+      _versions/00000001.json         <- commit marker, written LAST
+
+A version is visible iff its manifest exists — the data directory is
+written first, the manifest after, so a crashed writer leaves an
+invisible orphan directory, never a half-readable snapshot (the same
+commit-marker protocol as Spark's own _SUCCESS files, made explicit so
+non-Spark readers can honor it too). Snapshots are full copies by
+design: storage-heavier than Delta's delta-encoding but dead simple,
+scheme-agnostic (local/HDFS/S3A via the Hadoop FileSystem API), and
+every version is independently prunable/compactable.
+
+Concurrency contract: ONE writer at a time (the reference pipeline's
+`max_active_runs=1` model — reference: airflow/dags/spark_etl_dag.py:23);
+concurrent readers are always safe, including against an in-flight
+write.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return f"{table_dir}/_versions"
+
+
+def list_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """Committed version numbers, ascending (uncommitted orphans excluded)."""
+    fs, jvm = _fs(spark, table_dir)
+    mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(table_dir))
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            try:
+                out.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def write_version(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next snapshot of ``table_dir``; returns its number.
+
+    Data first, manifest last (the commit point). The write itself is an
+    ordinary distributed parquet write — executors stream partitions;
+    only the tiny manifest goes through the driver.
+    """
+    spark = df.sparkSession
+    versions = list_versions(spark, table_dir)
+    version = (versions[-1] + 1) if versions else 1
+    data_dir = f"{table_dir}/v{version:08d}"
+    df.write.mode("error").parquet(data_dir)
+
+    fs, jvm = _fs(spark, table_dir)
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        f"{_manifest_dir(table_dir)}/{version:08d}.json"
+    )
+    out = fs.create(mpath, False)  # no overwrite: single-writer contract
+    try:
+        manifest = {"version": version, "data_dir": f"v{version:08d}"}
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    return version
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read one committed snapshot (latest when ``version`` is None)."""
+    versions = list_versions(spark, table_dir)
+    if not versions:
+        raise ValueError(f"no committed versions under {table_dir!r}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not committed under {table_dir!r}; have {versions}"
+        )
+    return spark.read.parquet(f"{table_dir}/v{version:08d}")
+
+
+def prune_versions(
+    spark: SparkSession, table_dir: str, keep_last: int
+) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots; returns the dropped.
+
+    Manifest is removed FIRST (the version disappears atomically for
+    readers), data after — the reverse of the commit order, so a crash
+    mid-prune again leaves only invisible orphans.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = list_versions(spark, table_dir)
+    doomed = versions[:-keep_last]
+    fs, jvm = _fs(spark, table_dir)
+    for v in doomed:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{_manifest_dir(table_dir)}/{v:08d}.json"),
+            False,
+        )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table_dir}/v{v:08d}"), True)
+    return doomed

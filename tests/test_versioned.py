@@ -1,0 +1,61 @@
+"""Versioned snapshot tables (sources/versioned.py): commit protocol,
+time travel, orphan invisibility, pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from loan_etl_data_pipeline_spark.sources.versioned import (
+    list_versions,
+    prune_versions,
+    read_version,
+    write_version,
+)
+
+
+@pytest.fixture()
+def table_dir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_snapshots_are_immutable_time_travel(spark, table_dir):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "id long, v string")
+    assert write_version(df1, table_dir) == 1
+    assert write_version(df2, table_dir) == 2
+    assert list_versions(spark, table_dir) == [1, 2]
+    # latest == v2, explicit v1 still reads the ORIGINAL rows
+    assert read_version(spark, table_dir).count() == 3
+    old = {(r["id"], r["v"]) for r in read_version(spark, table_dir, 1).collect()}
+    assert old == {(1, "a"), (2, "b")}
+
+
+def test_uncommitted_orphan_is_invisible(spark, table_dir):
+    df = spark.createDataFrame([(1,)], "id long")
+    write_version(df, table_dir)
+    # simulate a crashed writer: data dir exists, no manifest
+    df.write.parquet(f"{table_dir}/v00000099")
+    assert list_versions(spark, table_dir) == [1]
+    assert read_version(spark, table_dir).count() == 1
+    with pytest.raises(ValueError, match="not committed"):
+        read_version(spark, table_dir, 99)
+
+
+def test_read_empty_table_raises(spark, table_dir):
+    with pytest.raises(ValueError, match="no committed versions"):
+        read_version(spark, table_dir)
+
+
+def test_prune_keeps_newest(spark, table_dir):
+    for i in range(4):
+        write_version(spark.createDataFrame([(i,)], "id long"), table_dir)
+    dropped = prune_versions(spark, table_dir, keep_last=2)
+    assert dropped == [1, 2]
+    assert list_versions(spark, table_dir) == [3, 4]
+    assert not os.path.exists(f"{table_dir}/v00000001")
+    # next write continues the sequence
+    assert write_version(spark.createDataFrame([(9,)], "id long"), table_dir) == 5
+    with pytest.raises(ValueError):
+        prune_versions(spark, table_dir, keep_last=0)
