@@ -61,3 +61,35 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return b.join(s, [*keys, "__salt"], how).drop("__salt")
+
+
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution diagnostics: decide broadcast vs AQE vs salt
+    with numbers instead of folklore.
+
+    Two aggregates — per-key counts (the one real shuffle, partial aggs
+    absorb heavy keys map-side) then a scalar summary over the count
+    distribution. ``skew_ratio`` (max over mean rows-per-key) is the
+    number that picks the strategy: ~1 means uniform (do nothing),
+    tens means AQE's split handles it, hundreds+ on a join key means
+    salt. Quantiles are exact rank-select over the bigint counts (the
+    portable scheme q_quantiles certifies); mean is one exact double
+    division.
+
+    Output: one row (n_keys, n_rows, max_cnt, avg_cnt, p50_cnt,
+    p99_cnt, skew_ratio).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    q = F.expr("percentile(cnt, array(0.5, 0.99))")
+    n_rows = F.sum("cnt").cast("bigint")
+    n_keys = F.count(F.lit(1)).cast("bigint")
+    avg = n_rows.cast("double") / n_keys.cast("double")
+    return counts.agg(
+        n_keys.alias("n_keys"),
+        n_rows.alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        avg.alias("avg_cnt"),
+        q[0].alias("p50_cnt"),
+        q[1].alias("p99_cnt"),
+        (F.max("cnt").cast("double") / avg).alias("skew_ratio"),
+    )

@@ -615,6 +615,15 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 key-distribution diagnostics (operators/skew.py skew_report):
+    rows-per-user summary of the events stream — the measurement that
+    picks broadcast vs AQE vs salting before a join ships."""
+    from loan_etl_data_pipeline_spark.operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), "user_id")
+
+
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: users + exact event count per event type."""
     ev = load_table(spark, sf_dir, "events")
@@ -771,6 +780,20 @@ ORACLE_PART_A: dict[str, str] = {
                count(DISTINCT user_id) AS n_users,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "q_skew_report": """
+        WITH c AS (
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               max(cnt) AS max_cnt,
+               CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cnt,
+               quantile_cont(cnt, 0.5) AS p50_cnt,
+               quantile_cont(cnt, 0.99) AS p99_cnt,
+               CAST(max(cnt) AS DOUBLE)
+                 / (CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS skew_ratio
+        FROM c
     """,
 }
 
@@ -962,6 +985,7 @@ QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_union_nations": q_union_nations,
     "q_top_orders_per_cust": q_top_orders_per_cust,
     "q_count_distinct": q_count_distinct,
+    "q_skew_report": q_skew_report,
 }
 
 

@@ -74,3 +74,16 @@ def test_unsupported_how_raises(skewed):
     big, small = skewed
     with pytest.raises(ValueError, match="salted_join"):
         salted_join(big, small, "k", how="full")
+
+
+def test_skew_report_hand_checked(spark):
+    from loan_etl_data_pipeline_spark.operators.skew import skew_report
+
+    # key a: 6 rows, b: 2, c: 2  -> n_keys=3, n_rows=10, max=6, avg=10/3
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, "k").collect()[0]
+    assert r["n_keys"] == 3 and r["n_rows"] == 10 and r["max_cnt"] == 6
+    assert r["avg_cnt"] == 10.0 / 3.0
+    assert r["p50_cnt"] == 2.0  # counts [2,2,6] median
+    assert r["skew_ratio"] == 6.0 / (10.0 / 3.0)
