@@ -30,6 +30,21 @@ def split_bucket_hex(key_col, salt: str = "") -> Column:
     return F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 4)
 
 
+def md5_coord48(key_col, salt: str = "") -> Column:
+    """First 48 md5 bits of (key || salt) as a bigint in [0, 2^48).
+
+    The shared fine-grained uniform coordinate (weighted_sample's
+    priority source, negative_samples' ring position). One definition
+    on purpose: the DuckDB oracles inline the same
+    ``('0x' || substr(md5(..), 1, 12))::BIGINT`` formula, and the two
+    sides must stay bit-identical.
+    """
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 12), 16, 10
+    ).cast("bigint")
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,
@@ -225,6 +240,12 @@ def weighted_sample(
     Rows with null or non-positive weight are never sampled (they have
     no defined priority — E-S requires w > 0).
 
+    CONTRACT: ``key_col`` must uniquely identify rows. Duplicate keys
+    get bit-identical priorities, so the (priority, key) tie-break
+    cannot order them and a k-boundary duplicate would be chosen by
+    partitioning — run exact dedup first if keys may repeat (same
+    contract as word_ngrams / sample_per_key).
+
     Plan: pure projection + TakeOrderedAndProject — per-partition
     local top-k then a driver merge of k-row heaps; no shuffle, O(k)
     driver memory, 100 TB-safe as-is.
@@ -232,13 +253,7 @@ def weighted_sample(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     w = F.col(weight_col).cast("double")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = md5_coord48(key_col, salt)
     u = (h + F.lit(0.5)) / F.lit(281474976710656.0)  # / 2^48, exact
     priority = F.log(u) / w
     return (
@@ -260,20 +275,68 @@ def curriculum_tiles(
 ) -> DataFrame:
     """Equal-population difficulty tiles for curriculum ordering.
 
-    ``ntile(n)`` over (score, id): the id tie-break makes the tile
-    assignment a total-order function of the data — without it, rows
-    sharing a score straddle tile boundaries nondeterministically.
-    The global sort is a range-partition shuffle (Spark samples
-    boundaries), the standard price of any global ranking; for a
-    coarser but shuffle-free alternative bucket on fixed score ranges
-    instead.
+    Exact ``ntile(n)`` semantics over the (score, id) total order — the
+    id tie-break makes assignment a function of the data, not the
+    partitioning — computed WITHOUT the single-partition window a bare
+    ``Window.orderBy`` compiles to (Exchange SinglePartition = every
+    row through one task; a verified non-starter at scale). Instead,
+    the classic distributed global-rank construction:
+
+    1. range-partition + sort on (score, id) — the same shuffle any
+       global ranking pays, but parallel;
+    2. per-partition row counts (one tiny job, numPartitions rows to
+       the driver) → cumulative offsets broadcast back;
+    3. global rank = partition offset + local row_number, then the
+       ntile arithmetic (first n%t tiles get ⌈n/t⌉ rows) as a plain
+       expression.
+
+    The local row_number's window is partitioned by the materialized
+    partition id, so no further exchange moves data.
     """
     from pyspark.sql import Window
 
     if n_tiles <= 0:
         raise ValueError(f"n_tiles must be positive, got {n_tiles}")
-    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
-    return df.withColumn(tile_col, F.ntile(n_tiles).over(w).cast("bigint"))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(nparts, F.col(score_col).asc(), F.col(id_col).asc())
+        .sortWithinPartitions(F.col(score_col).asc(), F.col(id_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    pid_counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(pid_counts.values())
+    if n == 0:
+        return df.withColumn(tile_col, F.lit(None).cast("bigint"))
+    offsets, acc = {}, 0
+    for pid in sorted(pid_counts):
+        offsets[pid] = acc
+        acc += pid_counts[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    rank = (off_expr + F.row_number().over(w)).cast("bigint")
+    # ntile: first rem tiles have base+1 rows, the rest base
+    base, rem = n // n_tiles, n % n_tiles
+    cut = rem * (base + 1)  # last rank inside the fat tiles
+    if base == 0:  # fewer rows than tiles: tile == rank, like ntile
+        tile = rank
+    else:
+        tile = F.when(
+            rank <= F.lit(cut), F.ceil(rank / F.lit(base + 1))
+        ).otherwise(F.lit(rem) + F.ceil((rank - F.lit(cut)) / F.lit(base)))
+    return (
+        ranged.withColumn(tile_col, tile.cast("bigint"))
+        .drop("__pid")
+    )
 
 
 def negative_samples(
@@ -304,6 +367,11 @@ def negative_samples(
     stay task-sized.
 
     Output: (``anchor``, ``j`` 1..k, ``neg``) — j is the neighbor index.
+
+    CONTRACT: ``id_col`` must uniquely identify rows. A duplicated id
+    occupies two ring slots at the same position, so an anchor could
+    draw itself or the same negative twice — run exact dedup first if
+    ids may repeat (same contract as word_ngrams).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -311,13 +379,7 @@ def negative_samples(
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     from pyspark.sql import Window
 
-    pos = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    pos = md5_coord48(id_col, salt)
     base = df.select(
         F.col(id_col).alias("__id"),
         pos.alias("__pos"),

@@ -265,8 +265,10 @@ def fuzzy_blocked_join(
         F.abs(F.length(left_col) - F.length(f"{right_col}{suffix}"))
         <= max_distance
     )
+    # backtick-quote: non-identifier column names ("first name", "a-b")
+    # must reach the parser as names, not expressions
     dist = F.expr(
-        f"levenshtein({left_col}, {right_col}{suffix}, {int(max_distance)})"
+        f"levenshtein(`{left_col}`, `{right_col}{suffix}`, {int(max_distance)})"
     )
     return (
         joined.withColumn("distance", dist)

@@ -77,7 +77,10 @@ def skew_report(df: DataFrame, key_col: str) -> DataFrame:
     division.
 
     Output: one row (n_keys, n_rows, max_cnt, avg_cnt, p50_cnt,
-    p99_cnt, skew_ratio).
+    p99_cnt, skew_ratio). An EMPTY input still yields its one row, with
+    n_keys = 0 and null summary fields — branch on n_keys, not on
+    skew_ratio (an extra emptiness scan would double the cost of a
+    diagnostic that runs on 100 TB inputs).
     """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
     q = F.expr("percentile(cnt, array(0.5, 0.99))")

@@ -71,9 +71,16 @@ def write_version(df: DataFrame, table_dir: str) -> int:
     versions = list_versions(spark, table_dir)
     version = (versions[-1] + 1) if versions else 1
     data_dir = f"{table_dir}/v{version:08d}"
+    # a previous writer may have crashed AFTER writing this data dir but
+    # BEFORE committing its manifest — an invisible orphan. Under the
+    # single-writer contract it is ours to reclaim; without this the
+    # mode("error") write below would fail forever on the orphan path.
+    fs, jvm = _fs(spark, table_dir)
+    orphan = jvm.org.apache.hadoop.fs.Path(data_dir)
+    if fs.exists(orphan):
+        fs.delete(orphan, True)
     df.write.mode("error").parquet(data_dir)
 
-    fs, jvm = _fs(spark, table_dir)
     mpath = jvm.org.apache.hadoop.fs.Path(
         f"{_manifest_dir(table_dir)}/{version:08d}.json"
     )

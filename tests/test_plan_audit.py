@@ -56,3 +56,11 @@ def test_pricing_summary_partial_aggregation(plans):
     # partial + final HashAggregate pair around one exchange
     assert p.count("HashAggregate") >= 2
     assert "SortAggregate" not in p
+
+
+def test_curriculum_tiles_not_single_partition(plans):
+    # global ntile computed via range partition + offsets, never an
+    # Exchange SinglePartition of the data (the bare Window.orderBy plan)
+    p = plans("q_curriculum")
+    assert "rangepartitioning" in p
+    assert "Exchange SinglePartition" not in p

@@ -59,3 +59,14 @@ def test_prune_keeps_newest(spark, table_dir):
     assert write_version(spark.createDataFrame([(9,)], "id long"), table_dir) == 5
     with pytest.raises(ValueError):
         prune_versions(spark, table_dir, keep_last=0)
+
+
+def test_orphan_is_reclaimed_by_next_writer(spark, table_dir):
+    """A crash between data write and manifest commit must not wedge the
+    table: the next writer reclaims the orphan directory."""
+    write_version(spark.createDataFrame([(1,)], "id long"), table_dir)
+    # crashed writer: v2 data exists, no manifest
+    spark.createDataFrame([(99,)], "id long").write.parquet(f"{table_dir}/v00000002")
+    v = write_version(spark.createDataFrame([(2,), (3,)], "id long"), table_dir)
+    assert v == 2
+    assert {r["id"] for r in read_version(spark, table_dir, 2).collect()} == {2, 3}
