@@ -113,3 +113,49 @@ def prepare_corpus(
         lang = lang.filter(F.col("lang_pred").isin(*langs))
     survivors = deduped.join(lang, id_col)
     return token_counts(survivors, id_col, text_col, keep_cols=("lang_pred",))
+
+
+def prepare_corpus_v2(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    langs: tuple[str, ...] = ("en",),
+    decontam_n: int = 5,
+    n_tiles: int = 10,
+    train_frac: float = 0.8,
+    salt: str = "",
+) -> DataFrame:
+    """The full training-data pipeline, v2: :func:`prepare_corpus` plus
+    benchmark decontamination, curriculum tiling, and the train/test
+    split — every stage the operator library's own certified code.
+
+    quality → exact dedup → language filter → token stats
+    → drop docs sharing any distinct ``decontam_n``-gram with
+      ``eval_df`` (eval grams broadcast; the corpus never shuffles on
+      gram text)
+    → ``n_tiles`` equal-population difficulty tiles over
+      (n_bpe_tokens, id)
+    → md5-bucketed train/test assignment keyed on the document id.
+
+    Output: (id, lang_pred, n_words, n_bpe_tokens, bpe_per_word,
+    tile, split). Everything after the base plan is either a broadcast
+    semi-join, an id-keyed anti join, or the range shuffle any global
+    ranking pays; nothing data-sized reaches the driver (the tile
+    stage's per-partition counts are numPartitions scalars).
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import (
+        curriculum_tiles,
+        hash_split,
+    )
+    from loan_etl_data_pipeline_spark.operators.dedup import ngram_decontaminate
+
+    base = prepare_corpus(df, id_col, text_col, langs=langs)
+    survivors_text = df.select(id_col, text_col).join(
+        base.select(id_col), id_col
+    )
+    hits = ngram_decontaminate(survivors_text, eval_df, id_col, text_col, n=decontam_n)
+    clean = base.join(hits.select(id_col), id_col, "left_anti")
+    tiled = curriculum_tiles(clean, "n_bpe_tokens", n_tiles, id_col=id_col)
+    return hash_split(tiled, id_col, train_frac=train_frac, salt=salt)

@@ -1660,6 +1660,24 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_corpus(load_table(spark, sf_dir, "documents"), langs=("en",))
 
 
+def q_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 full training-data pipeline (plans/corpus.py
+    prepare_corpus_v2): quality → exact dedup → lang filter → token
+    stats → 5-gram decontamination vs the eval slice (doc_id % 20 == 0)
+    → 10 curriculum tiles → md5 train/test split — one composed plan,
+    every stage the certified operator code, oracle-checked end to end.
+    """
+    from loan_etl_data_pipeline_spark.plans.corpus import prepare_corpus_v2
+
+    d = load_table(spark, sf_dir, "documents")
+    return prepare_corpus_v2(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        decontam_n=5,
+        salt="c2",
+    )
+
+
 def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8 as-of join (operators/joins.py): each click event matched to the
     user's most recent purchase at-or-before it.
@@ -2241,6 +2259,74 @@ ORACLE_PART_B: dict[str, str] = {
             FROM l WHERE lang_pred = 'en'
         )
     """,
+    "q_corpus_v2": r"""
+        WITH q AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 20 <> 0
+              AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 5
+              AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                  / CAST(length(lower(text)) AS DOUBLE) > 0.5
+        ), d AS (
+            SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+            FROM q
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ), h AS (
+            SELECT doc_id, text,
+                   CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS hits_en,
+                   CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+                   CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS hits_fr,
+                   CAST(len(list_filter(toks, x -> x IN ('el','los','las','que','y'))) AS BIGINT) AS hits_es
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM d)
+        ), l AS (
+            SELECT doc_id, text,
+                   CASE WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) AND hits_en > 0 THEN 'en'
+                        WHEN hits_de >= greatest(hits_fr, hits_es) AND hits_de > 0 THEN 'de'
+                        WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                        WHEN hits_es > 0 THEN 'es'
+                        ELSE 'unknown' END AS lang_pred
+            FROM h
+        ), base AS (
+            SELECT doc_id, lang_pred, text,
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9''\s]+|\s+')) AS BIGINT) AS n_bpe_tokens
+            FROM l WHERE lang_pred = 'en'
+        ), ev AS (
+            SELECT DISTINCT UNNEST(list_distinct(
+                     CASE WHEN len(t) >= 5
+                          THEN list_transform(range(1, len(t) - 3),
+                                              i -> t[i] || ' ' || t[i+1] || ' '
+                                                || t[i+2] || ' ' || t[i+3] || ' '
+                                                || t[i+4])
+                          ELSE [] END)) AS ngram
+            FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents WHERE doc_id % 20 = 0)
+        ), trposts AS (
+            SELECT doc_id, UNNEST(list_distinct(
+                     CASE WHEN len(t) >= 5
+                          THEN list_transform(range(1, len(t) - 3),
+                                              i -> t[i] || ' ' || t[i+1] || ' '
+                                                || t[i+2] || ' ' || t[i+3] || ' '
+                                                || t[i+4])
+                          ELSE [] END)) AS ngram
+            FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM base)
+        ), hits AS (
+            SELECT DISTINCT trposts.doc_id FROM trposts JOIN ev USING (ngram)
+        ), clean AS (
+            SELECT doc_id, lang_pred, n_words, n_bpe_tokens,
+                   CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS bpe_per_word
+            FROM base WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        ), tiled AS (
+            SELECT *, CAST(ntile(10) OVER (ORDER BY n_bpe_tokens, doc_id) AS BIGINT) AS tile
+            FROM clean
+        )
+        SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'c2'), 1, 4) < 'cccd'
+                       THEN 'train' ELSE 'test' END AS split
+        FROM tiled
+    """,
     "q_asof_purchase": """
         SELECT l.event_id, l.user_id,
                strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
@@ -2678,6 +2764,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd2_users": q_scd2_users,
     "q_scd2_pit": q_scd2_pit,
     "q_corpus_prep": q_corpus_prep,
+    "q_corpus_v2": q_corpus_v2,
     "q_asof_purchase": q_asof_purchase,
     "q_range_clicks": q_range_clicks,
     "q_fuzzy_match": q_fuzzy_match,

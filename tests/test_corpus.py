@@ -73,3 +73,34 @@ def test_prepare_corpus_no_lang_filter(spark):
         "doc_id long, text string",
     )
     assert prepare_corpus(df, langs=()).count() == 1
+
+
+def test_prepare_corpus_v2_stage_semantics(spark):
+    from loan_etl_data_pipeline_spark.plans.corpus import prepare_corpus_v2
+
+    corpus = spark.createDataFrame(
+        [
+            # survives everything -> tiled + split
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            # contaminated: contains the eval doc's 5-gram verbatim
+            (2, "the secret eval phrase is here inside of the training text"),
+            # fails quality (too short)
+            (3, "tiny doc"),
+            # duplicate of 1 (exact) -> deduped away
+            (4, "the quick brown fox jumps over the lazy dog again and again"),
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [(100, "the secret eval phrase is here today")], ["doc_id", "text"]
+    )
+    out = prepare_corpus_v2(corpus, evalset, n_tiles=2, salt="t")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}  # 2 contaminated, 3 junk, 4 duped
+    r = rows[1]
+    assert r["lang_pred"] == "en" and 1 <= r["tile"] <= 2
+    assert r["split"] in ("train", "test")
+    assert set(out.columns) == {
+        "doc_id", "lang_pred", "n_words", "n_bpe_tokens",
+        "bpe_per_word", "tile", "split",
+    }
