@@ -297,11 +297,19 @@ def curriculum_tiles(
 
     if n_tiles <= 0:
         raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    from pyspark import StorageLevel
+
     nparts = df.sparkSession.sparkContext.defaultParallelism
+    # persisted: the counts job below and the caller's final action both
+    # consume this frame — without the persist the ENTIRE upstream plan
+    # runs twice, and a nondeterministic upstream could even change the
+    # sampled range boundaries between the two passes. Release with
+    # operators.dedup.release_intermediates(result) when done.
     ranged = (
         df.repartitionByRange(nparts, F.col(score_col).asc(), F.col(id_col).asc())
         .sortWithinPartitions(F.col(score_col).asc(), F.col(id_col).asc())
         .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pid_counts = {
         r["__pid"]: r["cnt"]
@@ -333,10 +341,9 @@ def curriculum_tiles(
         tile = F.when(
             rank <= F.lit(cut), F.ceil(rank / F.lit(base + 1))
         ).otherwise(F.lit(rem) + F.ceil((rank - F.lit(cut)) / F.lit(base)))
-    return (
-        ranged.withColumn(tile_col, tile.cast("bigint"))
-        .drop("__pid")
-    )
+    out = ranged.withColumn(tile_col, tile.cast("bigint")).drop("__pid")
+    out._persisted_intermediates = [ranged]  # release_intermediates(out)
+    return out
 
 
 def negative_samples(
