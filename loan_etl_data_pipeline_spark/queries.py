@@ -301,6 +301,71 @@ def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way join + top-k by aggregated revenue (TPC-H-Q3-style):
+    the 10 highest-revenue undelivered orders for one market segment.
+
+    Both date filters and the segment filter push to their scans;
+    customer (filtered) broadcasts; lineitem⋈orders shuffles once on
+    orderkey and the groupBy reuses that partitioning (orderkey is in
+    the grouping key). Top-10 is TakeOrdered on the aggregate — exact
+    cents revenue with a total-order tie-break.
+    """
+    cutoff = F.lit("1995-06-01").cast("timestamp_ntz")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery pattern, decorrelated: orders whose
+    price beats their own customer's average. One window over the
+    customer partition (a single shuffle) replaces the per-row
+    subquery a naive engine would re-execute; the average is exact
+    cents-sum / count so the comparison is bit-stable cross-engine.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey")
+    cents = F.expr("cast(floor(o_totalprice*100) as bigint)")
+    avg_cents = (
+        F.sum(cents).over(w).cast("double") / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return (
+        o.withColumn("__c", cents.cast("double"))
+        .withColumn("__avg", avg_cents)
+        .filter(F.col("__c") > F.col("__avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big⋈big shuffle join: lineitem⋈orders on orderkey, rollup by priority.
 
@@ -743,6 +808,31 @@ ORACLE_PART_A: dict[str, str] = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
+    "q_above_avg_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS DOUBLE) AS cents,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE)
+                     / CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS DOUBLE) AS avg_cents
+            FROM orders
+        ) WHERE cents > avg_cents
+    """,
+    "q_ship_priority": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount))) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-06-01'
+          AND l_shipdate > TIMESTAMP '1995-06-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
     "q_local_supplier": """
         SELECT n_name,
                CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount))) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
@@ -982,6 +1072,8 @@ QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_promo_revenue": q_promo_revenue,
     "q_order_revenue": q_order_revenue,
     "q_local_supplier": q_local_supplier,
+    "q_ship_priority": q_ship_priority,
+    "q_above_avg_orders": q_above_avg_orders,
     "q_union_nations": q_union_nations,
     "q_top_orders_per_cust": q_top_orders_per_cust,
     "q_count_distinct": q_count_distinct,
