@@ -40,3 +40,7 @@ from loan_etl_data_pipeline_spark.sources.versioned import (
 )
 
 __all__ += ["list_versions", "prune_versions", "read_version", "write_version"]
+
+from loan_etl_data_pipeline_spark.sources.versioned import version_manifests
+
+__all__ += ["version_manifests"]

@@ -60,12 +60,31 @@ def list_versions(spark: SparkSession, table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def write_version(df: DataFrame, table_dir: str) -> int:
+def version_manifests(spark: SparkSession, table_dir: str) -> dict[int, dict]:
+    """Parsed manifest of every committed version, keyed by number."""
+    fs, jvm = _fs(spark, table_dir)
+    out = {}
+    for v in list_versions(spark, table_dir):
+        p = jvm.org.apache.hadoop.fs.Path(f"{_manifest_dir(table_dir)}/{v:08d}.json")
+        stream = fs.open(p)
+        try:
+            # commons-io rides Spark's classpath; py4j can't fill a Java
+            # byte[] in place from Python, so read JVM-side in one call
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        out[v] = json.loads(data.decode("utf-8"))
+    return out
+
+
+def write_version(df: DataFrame, table_dir: str, *, meta: dict | None = None) -> int:
     """Write ``df`` as the next snapshot of ``table_dir``; returns its number.
 
     Data first, manifest last (the commit point). The write itself is an
     ordinary distributed parquet write — executors stream partitions;
-    only the tiny manifest goes through the driver.
+    only the tiny manifest goes through the driver. ``meta`` keys merge
+    into the manifest (e.g. a streaming batch_id for replay detection —
+    see streaming/ingest.py stream_to_versioned).
     """
     spark = df.sparkSession
     versions = list_versions(spark, table_dir)
@@ -87,6 +106,8 @@ def write_version(df: DataFrame, table_dir: str) -> int:
     out = fs.create(mpath, False)  # no overwrite: single-writer contract
     try:
         manifest = {"version": version, "data_dir": f"v{version:08d}"}
+        if meta:
+            manifest.update(meta)
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         out.close()

