@@ -391,3 +391,44 @@ def stream_to_versioned(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: float = 0.0,
+    upper_seconds: float = 300.0,
+    watermark: str = "1 hour",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream⋈stream interval join: right events within
+    ``[left_ts + lower, left_ts + upper]`` per key — the join type
+    stream-static enrichment can't express (both sides unbounded).
+
+    On streams, BOTH sides are watermarked and the time-interval
+    condition is what lets Spark bound the join state: each side
+    retains only rows whose event time is still within
+    watermark + interval reach of the other — without the interval
+    bound the state would grow forever and Spark rejects the query in
+    append mode. On batch frames the identical join runs as a plain
+    range-condition join, which is what the parity test compares.
+
+    Output: left columns + right payload columns suffixed.
+    """
+    r = right
+    for c in r.columns:
+        if c != on:
+            r = r.withColumnRenamed(c, f"{c}{suffix}")
+    lts, rts = F.col(left_ts), F.col(f"{right_ts}{suffix}")
+    if left.isStreaming or r.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+        r = r.withWatermark(f"{right_ts}{suffix}", watermark)
+    cond = (
+        (rts >= lts + F.expr(f"INTERVAL {float(lower_seconds)} SECONDS"))
+        & (rts <= lts + F.expr(f"INTERVAL {float(upper_seconds)} SECONDS"))
+    )
+    return left.join(r, [left[on] == r[on], cond]).drop(r[on])

@@ -366,3 +366,45 @@ def test_streaming_upsert_survives_preexisting_empty_table_dir(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(str(table)).collect()
     assert len(rows) == 1 and rows[0]["k"] == 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_batch, tmp_path):
+    """Both sides unbounded: clicks joined to views within [0, 1h) per
+    user, stream result == batch result of the identical join."""
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    clicks_b = events_batch.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    views_b = events_batch.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    want = sorted(
+        (r.user_id, r.ts, r.ts_r, r.value_r)
+        for r in stream_stream_interval_join(
+            clicks_b, views_b, lower_seconds=0, upper_seconds=3600
+        ).collect()
+    )
+    assert len(want) > 0  # fixture really exercises the join
+
+    clicks_s = _stream_from(spark, clicks_b, tmp_path, "ssj_clicks")
+    views_s = _stream_from(spark, views_b, tmp_path, "ssj_views")
+    q = (
+        stream_stream_interval_join(
+            clicks_s, views_s, lower_seconds=0, upper_seconds=3600
+        )
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.ts, r.ts_r, r.value_r)
+        for r in spark.sql("select * from ssj").collect()
+    )
+    assert got == want
