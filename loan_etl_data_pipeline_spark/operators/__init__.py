@@ -73,3 +73,19 @@ from loan_etl_data_pipeline_spark.operators.windows import funnel_counts
 from loan_etl_data_pipeline_spark.operators.quality import iqr_outliers
 
 __all__ += ["funnel_counts", "iqr_outliers"]
+
+from loan_etl_data_pipeline_spark.operators.ivf import (
+    build_ivf_index,
+    ivf_topk,
+    ivf_topk_indexed,
+    load_ivf_centroids,
+    train_ivf_centroids,
+)
+
+__all__ += [
+    "build_ivf_index",
+    "ivf_topk",
+    "ivf_topk_indexed",
+    "load_ivf_centroids",
+    "train_ivf_centroids",
+]

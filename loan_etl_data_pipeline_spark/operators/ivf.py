@@ -226,3 +226,148 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def build_ivf_index(
+    corpus_df: DataFrame,
+    index_dir: str,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Persist the IVF index: train once, write the corpus cell-partitioned.
+
+    The "at 100 TB you would persist" note on this module, made real:
+
+    - ``index_dir/centroids`` — the (cell, centroid) table (tiny);
+    - ``index_dir/cells`` — the corpus written ``partitionBy(cell)``,
+      so a probe of p cells reads EXACTLY p directories (parquet
+      partition pruning, asserted by the index test) instead of
+      scanning the corpus.
+
+    Build cost: training scans + one assignment scan + one shuffle-free
+    partitioned write. Returns the centroids for immediate querying.
+    """
+    ensure_worker_imports(corpus_df.sparkSession)
+    centroids = train_ivf_centroids(
+        corpus_df, dim=dim, n_cells=n_cells, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sc = corpus_df.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+    assign_schema = StructType(
+        list(corpus_df.select(id_col, vec_col).schema.fields)
+        + [StructField("cell", IntegerType())]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf["cell"] = _assign_cells(_mat(pdf[vec_col]), cents).astype("int32")
+            yield pdf
+
+    assigned = corpus_df.select(id_col, vec_col).mapInPandas(
+        _assign, schema=assign_schema
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/cells"
+    )
+    spark = corpus_df.sparkSession
+    cent_rows = [(int(c), centroids[c].tolist()) for c in range(len(centroids))]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    return centroids
+
+
+def load_ivf_centroids(spark, index_dir: str) -> np.ndarray:
+    """The trained centroid matrix back from ``index_dir`` (bit-exact —
+    binary64 round-trips through parquet unchanged)."""
+    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    queries_df: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_BATCH,
+) -> DataFrame:
+    """Query a persisted IVF index: only probed cell partitions are read.
+
+    Identical output to :func:`ivf_topk` with the same centroids (the
+    stored assignment is the same deterministic `_assign_cells` the
+    in-kernel variant recomputes) — but the scan is pruned to the union
+    of the queries' probe cells at the PARTITION level, the read-side
+    payoff of building the index at all.
+    """
+    ensure_worker_imports(spark)
+    centroids = load_ivf_centroids(spark, index_dir)
+    q_rows = _collect_query_batch(queries_df, id_col, vec_col, max_queries)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qq = _floored_self_dot(q_mat)
+    cc = _floored_self_dot(centroids).astype(np.float64) / 1e12
+    qdots = _floored_cross_dot(q_mat, centroids).astype(np.float64) / 1e12
+    probe = np.argsort(cc[None, :] - 2.0 * qdots, axis=1, kind="stable")[:, :n_probe]
+
+    needed = sorted({int(c) for row in probe for c in row})
+    corpus = spark.read.parquet(f"{index_dir}/cells").filter(
+        F.col("cell").isin(needed)
+    )
+
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, qq, probe))
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_, qq_, probe_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = _mat(pdf[vec_col])
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            cc_ = _floored_self_dot(c_mat)
+            frames = []
+            for qi in range(len(q_ids_)):
+                in_probe = np.isin(cells, probe_[qi])
+                cand = np.nonzero(in_probe & (c_ids != q_ids_[qi]))[0]
+                if len(cand) == 0:
+                    continue
+                cos = _cosine_matrix(
+                    _floored_cross_dot(q_mat_[qi : qi + 1], c_mat[cand]),
+                    qq_[qi : qi + 1],
+                    cc_[cand],
+                )[0]
+                order = np.lexsort((c_ids[cand], -cos))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids_[qi],
+                            "neighbor_id": c_ids[cand][order],
+                            "cosine": cos[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col, "cell").mapInPandas(
+        _scan, schema=_PAIR_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

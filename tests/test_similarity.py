@@ -116,3 +116,39 @@ def test_bruteforce_query_batch_cap(spark, emb):
 def test_lsh_topk_query_batch_cap(spark, emb):
     with pytest.raises(ValueError, match="max_queries"):
         lsh_topk(emb, emb, dim=64, k=5, max_queries=10)
+
+
+def test_ivf_index_roundtrip_equals_in_kernel(spark, sf_dir, tmp_path):
+    """build_ivf_index -> ivf_topk_indexed must equal ivf_topk with the
+    same centroids, and the pruned read must touch only probed cell
+    partitions."""
+    from loan_etl_data_pipeline_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+    )
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    dim = len(emb.select("embedding").first()[0])
+    idx_dir = str(tmp_path / "ivf")
+
+    cents = build_ivf_index(emb, idx_dir, dim=dim, n_cells=8, iters=2)
+    assert np.array_equal(cents, load_ivf_centroids(spark, idx_dir))
+
+    want = sorted(
+        map(tuple, ivf_topk(
+            queries, emb, dim=dim, k=5, n_cells=8, n_probe=3, centroids=cents
+        ).collect())
+    )
+    got_df = ivf_topk_indexed(spark, idx_dir, queries, k=5, n_probe=3)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want and len(got) > 0
+
+    # partition pruning: the cell filter reaches the scan as a
+    # partition filter, not a post-scan row filter
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell#" in plan or "PartitionFilters: [isnotnull(cell" in plan or "cell IN" in plan
