@@ -58,12 +58,19 @@ from loan_etl_data_pipeline_spark.operators.scd import (
 
 __all__ += ["point_in_time_join", "scd2_from_history", "scd2_merge"]
 
-from loan_etl_data_pipeline_spark.operators.retrieval import bm25_topk, tfidf_top_terms
+from loan_etl_data_pipeline_spark.operators.retrieval import (
+    bm25_topk,
+    bm25_topk_indexed,
+    build_text_index,
+    tfidf_top_terms,
+)
 from loan_etl_data_pipeline_spark.operators.dedup import ngram_containment_pairs
 from loan_etl_data_pipeline_spark.operators.joins import fuzzy_blocked_join
 
 __all__ += [
     "bm25_topk",
+    "bm25_topk_indexed",
+    "build_text_index",
     "tfidf_top_terms",
     "ngram_containment_pairs",
     "fuzzy_blocked_join",

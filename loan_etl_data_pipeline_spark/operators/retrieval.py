@@ -179,3 +179,141 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= top_n)
         .select("id", "tok", "tf", "dfc", "score_scaled", "rnk")
     )
+
+
+def build_text_index(
+    df: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist an inverted index for repeated BM25 search.
+
+    Three tables under ``index_dir``:
+
+    - ``postings`` — (tok, id, tf), written ``partitionBy('bucket')``
+      with ``bucket = pmod(xxhash64(tok), 64)`` and sorted by tok
+      inside each file, so a query's term lookups prune to the terms'
+      buckets at the partition level and to their row groups via
+      min/max on the sorted tok column;
+    - ``doclens`` — (id, dl): per-document token counts;
+    - ``stats`` — one row (n, sum_dl): the BM25 global constants.
+
+    Build cost is the one explode shuffle any inverted index pays.
+    """
+    arr = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(arr).cast("bigint").alias("dl"), arr.alias("__toks")
+    )
+    posts = (
+        base.select("id", F.explode("__toks").alias("tok"))
+        .groupBy("tok", "id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int"))
+    )
+    (
+        posts.repartition("bucket")
+        .sortWithinPartitions("tok", "id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+    base.select("id", "dl").write.mode("overwrite").parquet(f"{index_dir}/doclens")
+    base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over a persisted inverted index — same scores as
+    :func:`bm25_topk` on the indexed corpus, but the read is
+    postings-sized, not corpus-sized: only the query terms' hash-bucket
+    partitions are opened, and within them row-group min/max on the
+    sorted tok column skips unrelated terms. The repeated-search
+    pattern: index once, answer every query from postings.
+
+    Output: (id, dl, tf_0..tf_{n-1}, score) — identical schema and
+    bit-identical scores to the scan-based operator (asserted by test).
+    """
+    import math
+
+    if not query_terms:
+        raise ValueError("bm25_topk_indexed needs at least one query term")
+    if len(query_terms) != len(set(query_terms)):
+        raise ValueError("query_terms must be distinct")
+
+    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    n, sum_dl = stats["n"], stats["sum_dl"]
+    if n == 0:
+        raise ValueError("bm25_topk_indexed over an empty index")
+    avgdl = float(sum_dl) / float(n)
+
+    # the terms' hash buckets, computed by the same JVM xxhash64 that
+    # bucketed the postings (one tiny local job) — filtering on tok
+    # alone would NOT prune the bucket partitions
+    term_buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in query_terms], "tok string"
+            )
+            .select(F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int").alias("b"))
+            .collect()
+        }
+    )
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    hits = posts.filter(
+        F.col("bucket").isin(term_buckets) & F.col("tok").isin(list(query_terms))
+    )
+    # pivot the (tok, id, tf) hits into per-term tf columns; docs absent
+    # from a term's postings get tf=0 exactly like the scan's filter()
+    tf_cols = [
+        F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("tf"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = hits.groupBy("id").agg(*tf_cols)
+    doclens = spark.read.parquet(f"{index_dir}/doclens")
+    base = per_doc.join(doclens, "id")
+
+    # df per term from the same hits (tiny aggregate)
+    df_row = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc")).collect()
+    dfs = {r["tok"]: r["dfc"] for r in df_row}
+    idf = [
+        math.log(
+            (n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) + 1.0
+        )
+        for t in query_terms
+    ]
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
+    )
+    per_term = [
+        F.lit(idf[i])
+        * (
+            (F.col(f"tf_{i}").cast("double") * F.lit(k1 + 1.0))
+            / (F.col(f"tf_{i}").cast("double") + norm)
+        )
+        for i in range(len(query_terms))
+    ]
+    score = per_term[0]
+    for s in per_term[1:]:
+        score = score + s
+    return (
+        base.select("id", "dl", *[f"tf_{i}" for i in range(len(query_terms))])
+        .withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )

@@ -162,3 +162,46 @@ class TestFuzzyBlockedJoin:
             max_distance=0,
         )
         assert {(r["lid"], r["rid_r"]) for r in out.collect()} == {(3, 11)}
+
+
+class TestTextIndex:
+    def test_indexed_bm25_equals_scan(self, spark, sf_dir, tmp_path):
+        """Index-backed BM25 must match the scan operator score-for-score
+        on real data, and the postings read must prune to the query
+        terms' hash-bucket partitions."""
+        from loan_etl_data_pipeline_spark.operators.retrieval import (
+            bm25_topk_indexed,
+            build_text_index,
+        )
+        from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+        docs_df = load_table(spark, sf_dir, "documents")
+        idx = str(tmp_path / "tidx")
+        build_text_index(docs_df, idx)
+        terms = ["spark", "join", "window"]
+        want = sorted(map(tuple, bm25_topk(docs_df, terms, k=10).collect()))
+        got_df = bm25_topk_indexed(spark, idx, terms, k=10)
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want and len(got) == 10
+
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [bucket" in plan or "bucket#" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
+
+    def test_indexed_validation(self, spark, tmp_path):
+        from loan_etl_data_pipeline_spark.operators.retrieval import (
+            bm25_topk_indexed,
+            build_text_index,
+        )
+
+        df = spark.createDataFrame([(1, "a b"), (2, "b c")], ["doc_id", "text"])
+        idx = str(tmp_path / "tiny")
+        build_text_index(df, idx)
+        with pytest.raises(ValueError, match="at least one"):
+            bm25_topk_indexed(spark, idx, [])
+        with pytest.raises(ValueError, match="distinct"):
+            bm25_topk_indexed(spark, idx, ["a", "a"])
+        # a term absent from the corpus scores df=0 docs but still works
+        rows = bm25_topk_indexed(spark, idx, ["b", "zz"], k=5).collect()
+        assert {r["id"] for r in rows} == {1, 2}
