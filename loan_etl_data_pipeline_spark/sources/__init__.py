@@ -44,3 +44,7 @@ __all__ += ["list_versions", "prune_versions", "read_version", "write_version"]
 from loan_etl_data_pipeline_spark.sources.versioned import version_manifests
 
 __all__ += ["version_manifests"]
+
+from loan_etl_data_pipeline_spark.sources.versioned import diff_versions
+
+__all__ += ["diff_versions"]

@@ -151,3 +151,27 @@ def prune_versions(
         )
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table_dir}/v{v:08d}"), True)
     return doomed
+
+
+def diff_versions(
+    spark: SparkSession,
+    table_dir: str,
+    keys: list[str] | str,
+    *,
+    old_version: int,
+    new_version: int | None = None,
+) -> DataFrame:
+    """What changed between two snapshots: versioned time travel ×
+    the CDC table diff (operators/diff.py table_diff).
+
+    The audit query every snapshot pipeline needs — "what did ingestion
+    batch N actually change?" — as one full-outer key join between the
+    two immutable snapshot reads. ``new_version`` defaults to latest.
+    """
+    from loan_etl_data_pipeline_spark.operators.diff import table_diff
+
+    return table_diff(
+        read_version(spark, table_dir, old_version),
+        read_version(spark, table_dir, new_version),
+        keys,
+    )

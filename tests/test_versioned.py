@@ -111,3 +111,19 @@ def test_stream_to_versioned_exactly_once(spark, tmp_path):
     assert list_versions(spark, tbl) == [1, 2]
     assert {r["id"] for r in read_version(spark, tbl).collect()} == {3}
     assert version_manifests(spark, tbl)[2]["batch_id"] == 1
+
+
+def test_diff_versions(spark, table_dir):
+    from loan_etl_data_pipeline_spark.sources.versioned import diff_versions
+
+    write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), table_dir
+    )
+    write_version(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"), table_dir
+    )
+    got = {
+        r["id"]: (r["change_type"], r["changed_cols"])
+        for r in diff_versions(spark, table_dir, "id", old_version=1).collect()
+    }
+    assert got == {1: ("removed", ""), 2: ("changed", "v"), 3: ("added", "")}
