@@ -317,6 +317,7 @@ def curriculum_tiles(
     }
     n = sum(pid_counts.values())
     if n == 0:
+        ranged.unpersist()  # nothing to rank; don't leak the cache entry
         return df.withColumn(tile_col, F.lit(None).cast("bigint"))
     offsets, acc = {}, 0
     for pid in sorted(pid_counts):

@@ -72,6 +72,39 @@ def _assign_cells(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmin(cc[None, :] - 2.0 * dots, axis=1)
 
 
+def _probe_rank_frames(q_ids, q_mat, qq, probe, c_ids, c_mat, cells, k):
+    """Per-batch candidate scoring shared by ivf_topk (cells assigned
+    in-kernel) and ivf_topk_indexed (cells read from the index): for
+    each query, exact floored cosines over candidates in its probed
+    cells, local top-k with the (score desc, id asc) tie-break. ONE
+    implementation on purpose — the indexed variant's bit-equality
+    claim rests on both paths scoring through this code.
+    """
+    cc_ = _floored_self_dot(c_mat)
+    frames = []
+    for qi in range(len(q_ids)):
+        in_probe = np.isin(cells, probe[qi])
+        cand = np.nonzero(in_probe & (c_ids != q_ids[qi]))[0]
+        if len(cand) == 0:
+            continue
+        cos = _cosine_matrix(
+            _floored_cross_dot(q_mat[qi : qi + 1], c_mat[cand]),
+            qq[qi : qi + 1],
+            cc_[cand],
+        )[0]
+        order = np.lexsort((c_ids[cand], -cos))[:k]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": c_ids[cand][order],
+                    "cosine": cos[order],
+                }
+            )
+        )
+    return frames
+
+
 def train_ivf_centroids(
     corpus_df: DataFrame,
     *,
@@ -194,28 +227,9 @@ def ivf_topk(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = _mat(pdf[vec_col])
             cells = _assign_cells(c_mat, cents)
-            cc_ = _floored_self_dot(c_mat)
-            frames = []
-            for qi in range(len(q_ids_)):
-                in_probe = np.isin(cells, probe_[qi])
-                cand = np.nonzero(in_probe & (c_ids != q_ids_[qi]))[0]
-                if len(cand) == 0:
-                    continue
-                cos = _cosine_matrix(
-                    _floored_cross_dot(q_mat_[qi : qi + 1], c_mat[cand]),
-                    qq_[qi : qi + 1],
-                    cc_[cand],
-                )[0]
-                order = np.lexsort((c_ids[cand], -cos))[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids_[qi],
-                            "neighbor_id": c_ids[cand][order],
-                            "cosine": cos[order],
-                        }
-                    )
-                )
+            frames = _probe_rank_frames(
+                q_ids_, q_mat_, qq_, probe_, c_ids, c_mat, cells, k
+            )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
@@ -337,28 +351,9 @@ def ivf_topk_indexed(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = _mat(pdf[vec_col])
             cells = pdf["cell"].to_numpy(dtype=np.int64)
-            cc_ = _floored_self_dot(c_mat)
-            frames = []
-            for qi in range(len(q_ids_)):
-                in_probe = np.isin(cells, probe_[qi])
-                cand = np.nonzero(in_probe & (c_ids != q_ids_[qi]))[0]
-                if len(cand) == 0:
-                    continue
-                cos = _cosine_matrix(
-                    _floored_cross_dot(q_mat_[qi : qi + 1], c_mat[cand]),
-                    qq_[qi : qi + 1],
-                    cc_[cand],
-                )[0]
-                order = np.lexsort((c_ids[cand], -cos))[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids_[qi],
-                            "neighbor_id": c_ids[cand][order],
-                            "cosine": cos[order],
-                        }
-                    )
-                )
+            frames = _probe_rank_frames(
+                q_ids_, q_mat_, qq_, probe_, c_ids, c_mat, cells, k
+            )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 

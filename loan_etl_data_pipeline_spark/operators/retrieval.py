@@ -52,6 +52,27 @@ import pyspark.sql.functions as F
 from loan_etl_data_pipeline_spark.operators.text import tokens
 
 
+def _bm25_score(n_terms: int, idf: list[float], avgdl: float, k1: float, b: float):
+    """The BM25 score Column over (dl, tf_0..tf_{n-1}) — ONE definition
+    shared by the scan and indexed operators; their bit-equality claim
+    rests on both folding through this exact expression order."""
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
+    )
+    per_term = [
+        F.lit(idf[i])
+        * (
+            (F.col(f"tf_{i}").cast("double") * F.lit(k1 + 1.0))
+            / (F.col(f"tf_{i}").cast("double") + norm)
+        )
+        for i in range(n_terms)
+    ]
+    score = per_term[0]
+    for s in per_term[1:]:  # left-fold: ((s0 + s1) + s2)... — oracle mirrors
+        score = score + s
+    return score
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -113,21 +134,7 @@ def bm25_topk(
         for i in range(len(query_terms))
     ]
 
-    # norm = k1 * ((1-b) + b * (dl/avgdl)); fixed association everywhere
-    norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
-    )
-    per_term = [
-        F.lit(idf[i])
-        * (
-            (F.col(f"tf_{i}").cast("double") * F.lit(k1 + 1.0))
-            / (F.col(f"tf_{i}").cast("double") + norm)
-        )
-        for i in range(len(query_terms))
-    ]
-    score = per_term[0]
-    for s in per_term[1:]:  # left-fold: ((s0 + s1) + s2) ... — oracle mirrors
-        score = score + s
+    score = _bm25_score(len(query_terms), idf, avgdl, k1, b)
     any_hit = sum(F.col(f"tf_{i}") for i in range(len(query_terms))) > 0
 
     return (
@@ -202,27 +209,38 @@ def build_text_index(
 
     Build cost is the one explode shuffle any inverted index pays.
     """
+    from pyspark import StorageLevel
+
     arr = tokens(F.lower(F.col(text_col)))
+    # persisted across the three consumers (postings write, doclens
+    # write, stats agg) — otherwise the corpus is scanned and
+    # re-tokenized three times per build; released before returning
+    # since the build is terminal.
     base = df.select(
         F.col(id_col).alias("id"), F.size(arr).cast("bigint").alias("dl"), arr.alias("__toks")
-    )
-    posts = (
-        base.select("id", F.explode("__toks").alias("tok"))
-        .groupBy("tok", "id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int"))
-    )
-    (
-        posts.repartition("bucket")
-        .sortWithinPartitions("tok", "id")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{index_dir}/postings")
-    )
-    base.select("id", "dl").write.mode("overwrite").parquet(f"{index_dir}/doclens")
-    base.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        posts = (
+            base.select("id", F.explode("__toks").alias("tok"))
+            .groupBy("tok", "id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int"))
+        )
+        (
+            posts.repartition("bucket")
+            .sortWithinPartitions("tok", "id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/postings")
+        )
+        base.select("id", "dl").write.mode("overwrite").parquet(
+            f"{index_dir}/doclens"
+        )
+        base.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    finally:
+        base.unpersist()
 
 
 def bm25_topk_indexed(
@@ -244,8 +262,6 @@ def bm25_topk_indexed(
     Output: (id, dl, tf_0..tf_{n-1}, score) — identical schema and
     bit-identical scores to the scan-based operator (asserted by test).
     """
-    import math
-
     if not query_terms:
         raise ValueError("bm25_topk_indexed needs at least one query term")
     if len(query_terms) != len(set(query_terms)):
@@ -297,20 +313,7 @@ def bm25_topk_indexed(
         )
         for t in query_terms
     ]
-    norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
-    )
-    per_term = [
-        F.lit(idf[i])
-        * (
-            (F.col(f"tf_{i}").cast("double") * F.lit(k1 + 1.0))
-            / (F.col(f"tf_{i}").cast("double") + norm)
-        )
-        for i in range(len(query_terms))
-    ]
-    score = per_term[0]
-    for s in per_term[1:]:
-        score = score + s
+    score = _bm25_score(len(query_terms), idf, avgdl, k1, b)
     return (
         base.select("id", "dl", *[f"tf_{i}" for i in range(len(query_terms))])
         .withColumn("score", score)

@@ -145,17 +145,30 @@ def prepare_corpus_v2(
     ranking pays; nothing data-sized reaches the driver (the tile
     stage's per-partition counts are numPartitions scalars).
     """
+    from pyspark import StorageLevel
+
     from loan_etl_data_pipeline_spark.functions.splits import (
         curriculum_tiles,
         hash_split,
     )
     from loan_etl_data_pipeline_spark.operators.dedup import ngram_decontaminate
 
-    base = prepare_corpus(df, id_col, text_col, langs=langs)
+    # persisted: base feeds BOTH the decontamination gram scan and the
+    # anti-join's kept side — unpersisted, the whole quality+dedup+lang
+    # subplan would execute twice per action. Caller releases with
+    # operators.dedup.release_intermediates(result).
+    base = prepare_corpus(df, id_col, text_col, langs=langs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     survivors_text = df.select(id_col, text_col).join(
         base.select(id_col), id_col
     )
     hits = ngram_decontaminate(survivors_text, eval_df, id_col, text_col, n=decontam_n)
     clean = base.join(hits.select(id_col), id_col, "left_anti")
     tiled = curriculum_tiles(clean, "n_bpe_tokens", n_tiles, id_col=id_col)
-    return hash_split(tiled, id_col, train_frac=train_frac, salt=salt)
+    out = hash_split(tiled, id_col, train_frac=train_frac, salt=salt)
+    # propagate the tile stage's persisted handle and add our own
+    out._persisted_intermediates = [base] + list(
+        getattr(tiled, "_persisted_intermediates", ())
+    )
+    return out

@@ -103,7 +103,14 @@ def write_version(df: DataFrame, table_dir: str, *, meta: dict | None = None) ->
     mpath = jvm.org.apache.hadoop.fs.Path(
         f"{_manifest_dir(table_dir)}/{version:08d}.json"
     )
-    out = fs.create(mpath, False)  # no overwrite: single-writer contract
+    # write-to-tmp + rename: a crash mid-write must never leave a torn
+    # NNNNNNNN.json that list_versions would count as committed (rename
+    # is atomic on HDFS and posix local FS; the .tmp name is invisible
+    # to the .json-suffix listing either way)
+    tpath = jvm.org.apache.hadoop.fs.Path(
+        f"{_manifest_dir(table_dir)}/{version:08d}.json.tmp"
+    )
+    out = fs.create(tpath, True)
     try:
         manifest = {"version": version, "data_dir": f"v{version:08d}"}
         if meta:
@@ -111,6 +118,12 @@ def write_version(df: DataFrame, table_dir: str, *, meta: dict | None = None) ->
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         out.close()
+    if not fs.rename(tpath, mpath):  # False = target exists: not sole writer
+        fs.delete(tpath, False)
+        raise RuntimeError(
+            f"version {version} manifest already exists under {table_dir!r} — "
+            "concurrent writer? (single-writer contract violated)"
+        )
     return version
 
 

@@ -345,6 +345,29 @@ def streaming_upsert(
     return writer.start()
 
 
+def _commit_versioned_batch(
+    batch_df: DataFrame, batch_id: int, table_dir: str, run_id: str
+) -> int | None:
+    """Commit one micro-batch as a snapshot unless (run_id, batch_id) is
+    already committed; returns the version written, None when skipped.
+    Module-level so the replay-skip branch is directly unit-testable."""
+    from loan_etl_data_pipeline_spark.sources.versioned import (
+        version_manifests,
+        write_version,
+    )
+
+    spark = batch_df.sparkSession
+    seen = {
+        (m.get("run_id"), m.get("batch_id"))
+        for m in version_manifests(spark, table_dir).values()
+    }
+    if (run_id, batch_id) in seen:
+        return None  # replayed batch, already committed
+    return write_version(
+        batch_df, table_dir, meta={"batch_id": batch_id, "run_id": run_id}
+    )
+
+
 def stream_to_versioned(
     events: DataFrame,
     table_dir: str,
@@ -362,26 +385,20 @@ def stream_to_versioned(
 
     Exactly-once across restarts: foreachBatch can REPLAY a batch whose
     sink action ran but whose checkpoint offset commit did not land.
-    The batch_id is recorded in the snapshot manifest, and a replayed
-    batch whose id is already committed is skipped — the same
+    (batch_id, checkpoint run) is recorded in the snapshot manifest,
+    and a replayed batch already committed is skipped — the same
     manifest-as-commit-marker protocol the writer itself uses, extended
-    one level up. (The manifest scan is one driver-side listing of
-    version-count files per batch: fine for snapshot cadences; not a
-    per-second sink.)
+    one level up. Dedup is scoped to the CHECKPOINT (its dir path):
+    batch_ids restart at 0 when a checkpoint is rebuilt after loss or a
+    second stream targets the same table, and a bare-batch_id dedup
+    would silently discard the whole reload in that scenario — the
+    reprocessed batches must commit as NEW snapshots instead. (The
+    manifest scan is one driver-side listing of version-count files per
+    batch: fine for snapshot cadences; not a per-second sink.)
     """
-    from loan_etl_data_pipeline_spark.sources.versioned import (
-        version_manifests,
-        write_version,
-    )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        seen = {
-            m.get("batch_id") for m in version_manifests(spark, table_dir).values()
-        }
-        if batch_id in seen:
-            return  # replayed batch, already committed
-        write_version(batch_df, table_dir, meta={"batch_id": batch_id})
+        _commit_versioned_batch(batch_df, batch_id, table_dir, checkpoint_dir)
 
     writer = events.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -427,8 +444,9 @@ def stream_stream_interval_join(
     if left.isStreaming or r.isStreaming:
         left = left.withWatermark(left_ts, watermark)
         r = r.withWatermark(f"{right_ts}{suffix}", watermark)
-    cond = (
-        (rts >= lts + F.expr(f"INTERVAL {float(lower_seconds)} SECONDS"))
-        & (rts <= lts + F.expr(f"INTERVAL {float(upper_seconds)} SECONDS"))
-    )
+    # fixed-point interval literals: a bare float repr can format in
+    # exponent notation (1e-05), which Spark's interval grammar rejects
+    lo = f"INTERVAL '{float(lower_seconds):.6f}' SECOND"
+    hi = f"INTERVAL '{float(upper_seconds):.6f}' SECOND"
+    cond = (rts >= lts + F.expr(lo)) & (rts <= lts + F.expr(hi))
     return left.join(r, [left[on] == r[on], cond]).drop(r[on])

@@ -112,6 +112,18 @@ def test_stream_to_versioned_exactly_once(spark, tmp_path):
     assert {r["id"] for r in read_version(spark, tbl).collect()} == {3}
     assert version_manifests(spark, tbl)[2]["batch_id"] == 1
 
+    # the replay-skip branch itself: re-delivering an already-committed
+    # (run, batch_id) must be a no-op...
+    from loan_etl_data_pipeline_spark.streaming.ingest import _commit_versioned_batch
+
+    replay = spark.createDataFrame([(3,)], "id long")
+    assert _commit_versioned_batch(replay, 1, tbl, ckpt) is None
+    assert list_versions(spark, tbl) == [1, 2]
+    # ...while the same batch_id from a DIFFERENT checkpoint generation
+    # (rebuilt checkpoint / second stream) must COMMIT, not be dropped
+    assert _commit_versioned_batch(replay, 1, tbl, ckpt + "_gen2") == 3
+    assert list_versions(spark, tbl) == [1, 2, 3]
+
 
 def test_diff_versions(spark, table_dir):
     from loan_etl_data_pipeline_spark.sources.versioned import diff_versions
