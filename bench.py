@@ -83,6 +83,14 @@ def main() -> None:
         if max(a, b) > 2.0 * min(a, b) and max(a, b) - min(a, b) > 1.0:
             runs[name].append(time_one(name, 3))
 
+    # ...and the headline outliers get one more sample regardless: a
+    # stall that hit BOTH passes of one query (seen: 24s reported for a
+    # 6.5s-isolated plan) passes the disagreement check but dominates
+    # the total; re-timing the 3 slowest is cheap insurance
+    slowest = sorted(runs, key=lambda n: min(runs[n]), reverse=True)[:3]
+    for name in slowest:
+        runs[name].append(time_one(name, "slowest-3"))
+
     timings = {name: min(ts) for name, ts in runs.items()}
     total = round(sum(timings.values()), 4)
     print(
