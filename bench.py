@@ -93,18 +93,32 @@ def main() -> None:
 
     timings = {name: min(ts) for name, ts in runs.items()}
     total = round(sum(timings.values()), 4)
+    # Per-query detail (incl. every raw sample, so the min-of-N
+    # methodology is auditable) goes to a side file + an EARLIER stdout
+    # line; the FINAL stdout line is compact totals-only — the driver's
+    # tail buffer truncated the 82-entry map in round 2 ("parsed": null).
+    detail = {
+        "metric": "per_query_wall_sec",
+        "queries": timings,
+        "samples": {name: ts for name, ts in runs.items()},
+        "sf": sf,
+    }
+    with open(os.path.join(REPO_DIR, "bench_detail.json"), "w") as f:
+        json.dump(detail, f)
+    print(json.dumps(detail))
+    spark.stop()
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

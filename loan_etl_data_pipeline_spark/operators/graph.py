@@ -83,3 +83,108 @@ def connected_components(
             "(diameter too large — use the large-star/small-star variant)"
         )
     return labels.select("id", F.col("label").alias("component"))
+
+
+def _edge_checksum(e: DataFrame):
+    """Order-insensitive fingerprint of an edge set: (count, sum of
+    per-edge hashes). Labels/edges move non-monotonically between
+    alternation rounds, so the decreasing-sum trick from
+    ``connected_components`` doesn't apply — fixed point is detected by
+    the edge MULTISET going stationary, in one cheap action."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    same output contract as :func:`connected_components` (component =
+    min reachable id; singleton nodes absent), but converges in
+    O(log^2 n) rounds INDEPENDENT of graph diameter, where
+    min-label-propagation needs diameter rounds. The scale path for
+    long-chain graphs; for shallow near-dup clusters (diameter 2-3)
+    plain label propagation does fewer, lighter shuffles.
+
+    Per round, two node-keyed groupBy+join pairs over the edge set:
+
+    - large-star: every node ``u`` connects its strictly LARGER
+      neighbors to ``m = min(N(u) + {u})`` — emits ``(v, m)`` for
+      ``v in N(u), v > u`` over the symmetrized edges;
+    - small-star: edges oriented large→small, every node connects its
+      smaller neighbors AND itself to the min — emits ``(v, m)`` for
+      ``v in N⁻(u) + {u}, v != m``.
+
+    Both rules strictly shrink a potential function over edge lengths,
+    and the fixed point is a forest of stars rooted at each component's
+    minimum node: the edge list IS the labeling. Lineage is truncated
+    per round with ``localCheckpoint`` exactly as in the propagation
+    variant.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e0.select(F.col("a").alias("id"))
+        .union(e0.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mn = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        return (
+            sym.join(mn, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.col("b").alias("a"),
+                F.least(F.col("a"), F.col("mn")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        mn = oriented.groupBy("a").agg(F.min("b").alias("mn"))
+        joined = oriented.join(mn, "a")
+        return (
+            joined.select(F.col("b").alias("v"), F.col("mn").alias("m"))
+            .union(joined.select(F.col("a").alias("v"), F.col("mn").alias("m")))
+            .filter(F.col("v") != F.col("m"))
+            .distinct()
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+
+    e = e0
+    prev = _edge_checksum(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in {max_iter} "
+            "alternation rounds"
+        )
+    # stars: every edge (child, root); roots appear only on the b side
+    return (
+        nodes.join(e, nodes.id == e.a, "left")
+        .select("id", F.coalesce("b", "id").alias("component"))
+    )

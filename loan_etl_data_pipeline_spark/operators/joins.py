@@ -261,8 +261,13 @@ def fuzzy_blocked_join(
     if pre_filter is not None:
         joined = joined.filter(pre_filter)
     # universally-sound cheap prune: edit distance >= length difference
+    # (quoted refs, same as the levenshtein expr below — a bare string
+    # through F.col would read a dotted name as a struct path)
     joined = joined.filter(
-        F.abs(F.length(left_col) - F.length(f"{right_col}{suffix}"))
+        F.abs(
+            F.length(F.col(f"`{left_col}`"))
+            - F.length(F.col(f"`{right_col}{suffix}`"))
+        )
         <= max_distance
     )
     # backtick-quote: non-identifier column names ("first name", "a-b")

@@ -236,9 +236,11 @@ def build_text_index(
         base.select("id", "dl").write.mode("overwrite").parquet(
             f"{index_dir}/doclens"
         )
-        base.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-        ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+        _swap_stats(
+            df.sparkSession,
+            index_dir,
+            base.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")),
+        )
     finally:
         base.unpersist()
 
@@ -267,7 +269,7 @@ def bm25_topk_indexed(
     if len(query_terms) != len(set(query_terms)):
         raise ValueError("query_terms must be distinct")
 
-    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    stats = _read_stats(spark, index_dir)
     n, sum_dl = stats["n"], stats["sum_dl"]
     if n == 0:
         raise ValueError("bm25_topk_indexed over an empty index")
@@ -322,6 +324,51 @@ def bm25_topk_indexed(
     )
 
 
+def _read_stats(spark, index_dir: str):
+    """Read the one-row stats table, self-healing a missing/torn copy.
+
+    ``update_text_index`` swaps stats via tmp-write + delete + rename —
+    a crash inside that (sub-millisecond) window leaves no ``stats``
+    dir. Since stats is strictly derivable from ``doclens``, a reader
+    that can't open it recomputes (and does NOT write back: repair is
+    the updater's job, readers stay read-only).
+    """
+    try:
+        return spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    except Exception:
+        return (
+            spark.read.parquet(f"{index_dir}/doclens")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"))
+            .collect()[0]
+        )
+
+
+def _swap_stats(spark, index_dir: str, stats_df: DataFrame) -> None:
+    """Replace ``<index_dir>/stats`` with ``stats_df`` near-atomically.
+
+    ``mode("overwrite")`` deletes the target and then runs a whole
+    Spark job to rewrite it — readers see no stats table for the entire
+    job. Instead: write aside to ``stats.tmp`` (full job, old stats
+    still readable), then delete+rename — two metadata ops, a
+    sub-millisecond window instead of a job-length one. A crash inside
+    that window is healed by :func:`_read_stats` recomputing from
+    doclens, so the index is never wedged.
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/stats.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/stats")
+    if fs.exists(tmp):  # leftover from a crashed predecessor
+        fs.delete(tmp, True)
+    stats_df.coalesce(1).write.parquet(f"{index_dir}/stats.tmp")
+    if fs.exists(final):
+        fs.delete(final, True)
+    if not fs.rename(tmp, final):
+        raise RuntimeError(f"stats swap rename failed under {index_dir!r}")
+
+
 def update_text_index(
     new_df: DataFrame,
     index_dir: str,
@@ -370,7 +417,6 @@ def update_text_index(
             spark.read.parquet(f"{index_dir}/doclens")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"))
         )
-        # stats must be readable the whole time: write aside, then swap
-        stats.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+        _swap_stats(spark, index_dir, stats)
     finally:
         base.unpersist()

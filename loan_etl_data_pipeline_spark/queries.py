@@ -794,9 +794,9 @@ ORACLE_PART_A: dict[str, str] = {
     """,
     "q_promo_revenue": """
         SELECT CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount))) * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_revenue,
-               SUM(CASE WHEN p_type LIKE 'PROMO%'
+               CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                         THEN CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
-                        ELSE 0 END) AS promo_cents
+                        ELSE 0 END) AS BIGINT) AS promo_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1995-09-01'
           AND l_shipdate < TIMESTAMP '1995-10-01'

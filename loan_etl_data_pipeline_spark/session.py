@@ -51,6 +51,28 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     spark.conf.set(flag, "yes")
 
 
+def s3a_conf_map(s3a: dict) -> dict[str, str]:
+    """The exact ``spark.hadoop.fs.s3a.*`` keys an S3/MinIO-backed
+    session needs (replaces the reference's boto3 directory walk,
+    spark_etl_dag.py:79-108, with the Hadoop S3A connector — executors
+    then stream parts in parallel instead of the driver copying files).
+
+    Separated from :func:`create_session` so the wiring is unit-testable
+    without an object store: ``spark.hadoop.*`` prefixed keys are
+    propagated verbatim into the Hadoop ``Configuration`` of a NEW
+    session (they do nothing on ``getOrCreate`` of an existing one).
+    """
+    return {
+        "spark.hadoop.fs.s3a.endpoint": s3a["endpoint"],
+        "spark.hadoop.fs.s3a.access.key": s3a.get("access_key", ""),
+        "spark.hadoop.fs.s3a.secret.key": s3a.get("secret_key", ""),
+        "spark.hadoop.fs.s3a.path.style.access": str(
+            s3a.get("path_style", True)
+        ).lower(),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": "false",
+    }
+
+
 def create_session(
     app_name: str = "loan-etl-spark",
     master: str | None = None,
@@ -135,16 +157,8 @@ def create_session(
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     if s3a:
-        builder = (
-            builder.config("spark.hadoop.fs.s3a.endpoint", s3a["endpoint"])
-            .config("spark.hadoop.fs.s3a.access.key", s3a.get("access_key", ""))
-            .config("spark.hadoop.fs.s3a.secret.key", s3a.get("secret_key", ""))
-            .config(
-                "spark.hadoop.fs.s3a.path.style.access",
-                str(s3a.get("path_style", True)).lower(),
-            )
-            .config("spark.hadoop.fs.s3a.connection.ssl.enabled", "false")
-        )
+        for k, v in s3a_conf_map(s3a).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

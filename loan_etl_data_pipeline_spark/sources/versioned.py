@@ -118,6 +118,20 @@ def write_version(df: DataFrame, table_dir: str, *, meta: dict | None = None) ->
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         out.close()
+    # Concurrent-writer guard, two layers because rename semantics are
+    # filesystem-dependent: HDFS rename returns false when the target
+    # exists, but RawLocalFileSystem delegates to POSIX rename(2), which
+    # silently REPLACES an existing target. The exists() probe below
+    # catches the common lost race on local FS (best-effort — a writer
+    # landing between probe and rename still wins last-writer on local
+    # FS; true mutual exclusion needs HDFS/object-store atomic
+    # create-if-absent, which is where multi-writer deployments run).
+    if fs.exists(mpath):
+        fs.delete(tpath, False)
+        raise RuntimeError(
+            f"version {version} manifest already exists under {table_dir!r} — "
+            "concurrent writer? (single-writer contract violated)"
+        )
     if not fs.rename(tpath, mpath):  # False = target exists: not sole writer
         fs.delete(tpath, False)
         raise RuntimeError(

@@ -345,6 +345,22 @@ def streaming_upsert(
     return writer.start()
 
 
+def _canonical_checkpoint_id(spark, checkpoint_dir: str) -> str:
+    """One spelling per checkpoint: qualified URI via Hadoop Path.
+
+    The exactly-once dedup key is the checkpoint itself, not its
+    spelling — a relative path, trailing slash, or ``file://`` scheme
+    passed on a later restart must still match the manifests written
+    under the original spelling, or replayed batches re-commit as
+    duplicate snapshots.
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs.makeQualified(p).toUri().toString().rstrip("/")
+
+
 def _commit_versioned_batch(
     batch_df: DataFrame, batch_id: int, table_dir: str, run_id: str
 ) -> int | None:
@@ -398,7 +414,8 @@ def stream_to_versioned(
     """
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _commit_versioned_batch(batch_df, batch_id, table_dir, checkpoint_dir)
+        run_id = _canonical_checkpoint_id(batch_df.sparkSession, checkpoint_dir)
+        _commit_versioned_batch(batch_df, batch_id, table_dir, run_id)
 
     writer = events.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir

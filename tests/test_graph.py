@@ -38,3 +38,52 @@ def test_non_convergence_raises(spark):
 def test_self_loop_and_duplicate_edges(spark):
     got = _cc(spark, [(5, 5), (5, 6), (6, 5), (5, 6)])
     assert got == {5: 5, 6: 5}
+
+
+def _cc2(spark, edges, **kw):
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["id"]: r["component"]
+        for r in connected_components_two_phase(df, **kw).collect()
+    }
+
+
+class TestTwoPhase:
+    FIXTURES = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        [(5, 5), (5, 6), (6, 5), (5, 6)],
+        [(i, i + 1) for i in range(12)],
+        # two chains meeting at a high-id hub + an isolated triangle
+        [(100, 1), (100, 2), (1, 50), (2, 60), (7, 8), (8, 9), (7, 9)],
+    ]
+
+    @pytest.mark.parametrize("edges", FIXTURES)
+    def test_equivalent_to_label_propagation(self, spark, edges):
+        assert _cc2(spark, edges) == _cc(spark, edges)
+
+    def test_each_node_labeled_once(self, spark):
+        """Fixed point must be a clean star forest: exactly one label
+        row per node (a non-star artifact would duplicate ids through
+        the final left join)."""
+        from loan_etl_data_pipeline_spark.operators.graph import (
+            connected_components_two_phase,
+        )
+
+        edges = [(i, i + 1) for i in range(40)] + [(100, 3), (101, 100)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = connected_components_two_phase(df).collect()
+        ids = [r["id"] for r in out]
+        assert len(ids) == len(set(ids)) == 43
+        assert {r["component"] for r in out} == {0}
+
+    def test_diameter_independent_round_count(self, spark):
+        """A 64-node path (diameter 63) must converge within a handful
+        of alternation rounds — the property that makes this the scale
+        variant. Propagation would need 63 rounds; cap at 8."""
+        edges = [(i, i + 1) for i in range(64)]
+        got = _cc2(spark, edges, max_iter=8)
+        assert set(got.values()) == {0} and len(got) == 65

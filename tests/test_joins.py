@@ -245,3 +245,27 @@ def test_resample_rejects_bad_unit(spark):
     df = spark.createDataFrame([(1, "2024-01-01", 1)], "k long, ts string, v long")
     with _pytest.raises(ValueError):
         resample_timeseries(df, "k", "ts", "v", unit="hour")
+
+
+def test_fuzzy_join_dotted_column_names(spark):
+    """Both the length prune and the levenshtein must treat a dotted
+    column name as a name, not a struct path (the prune previously went
+    through bare F.col and broke on dots)."""
+    from loan_etl_data_pipeline_spark.operators.joins import fuzzy_blocked_join
+
+    left = spark.createDataFrame(
+        [(1, "x", "smith")], ["lid", "blk", "l.name"]
+    )
+    right = spark.createDataFrame(
+        [(10, "x", "smyth"), (11, "x", "jones")], ["rid", "blk", "r.name"]
+    )
+    out = fuzzy_blocked_join(
+        left,
+        right,
+        block_on="blk",
+        left_col="l.name",
+        right_col="r.name",
+        max_distance=1,
+    )
+    rows = out.collect()
+    assert [(r["lid"], r["rid_r"], r["distance"]) for r in rows] == [(1, 10, 1)]

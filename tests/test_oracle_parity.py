@@ -76,3 +76,27 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 def test_every_query_has_callable():
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+# Types DuckDB can produce that have no Spark equivalent encoding: the
+# driver's value-hash is type-encoding-sensitive, so a HUGEINT SUM over
+# BIGINT (DuckDB's default widening) hash-mismatches a bit-identical
+# Spark bigint.  The repr-based comparison above can never catch this
+# (Python int == int), which is exactly how q_promo_revenue slipped
+# through in round 2 — guard at the type level.
+_FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_produces_no_unhashable_types(name, duck):
+    rows = duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in rows
+        if any(t in typ.upper() for t in _FORBIDDEN_DUCK_TYPES)
+    ]
+    assert not bad, (
+        f"{name}: oracle emits DuckDB-only column types {bad}; wrap the "
+        f"expression in CAST(... AS BIGINT/DOUBLE) so the driver's hash "
+        f"encoding matches Spark's"
+    )

@@ -238,3 +238,56 @@ class TestTextIndexUpdate:
             map(tuple, bm25_topk_indexed(spark, full, terms, k=10).collect())
         )
         assert got_inc == want_scan == got_full and len(got_inc) == 10
+
+
+class TestStatsCrashSafety:
+    def test_update_swaps_stats_without_tmp_leftover(self, spark, tmp_path):
+        from loan_etl_data_pipeline_spark.operators.retrieval import (
+            build_text_index,
+            update_text_index,
+        )
+
+        idx = str(tmp_path / "swap")
+        build_text_index(
+            spark.createDataFrame([(1, "a b"), (2, "b c")], ["doc_id", "text"]),
+            idx,
+        )
+        update_text_index(
+            spark.createDataFrame([(3, "c d")], ["doc_id", "text"]), idx
+        )
+        import os as _os
+
+        assert _os.path.exists(f"{idx}/stats")
+        assert not _os.path.exists(f"{idx}/stats.tmp")
+        row = spark.read.parquet(f"{idx}/stats").collect()[0]
+        assert (row["n"], row["sum_dl"]) == (3, 6)
+
+    def test_reader_self_heals_missing_stats(self, spark, tmp_path):
+        """A crash inside the delete->rename window leaves no stats dir;
+        the reader must recompute from doclens instead of wedging (and
+        stay read-only: no write-back)."""
+        import shutil
+
+        from loan_etl_data_pipeline_spark.operators.retrieval import (
+            bm25_topk_indexed,
+            build_text_index,
+        )
+
+        idx = str(tmp_path / "heal")
+        build_text_index(
+            spark.createDataFrame(
+                [(1, "a b b"), (2, "b c"), (3, "a c c")], ["doc_id", "text"]
+            ),
+            idx,
+        )
+        want = sorted(
+            map(tuple, bm25_topk_indexed(spark, idx, ["b", "c"], k=3).collect())
+        )
+        shutil.rmtree(f"{idx}/stats")
+        got = sorted(
+            map(tuple, bm25_topk_indexed(spark, idx, ["b", "c"], k=3).collect())
+        )
+        assert got == want
+        import os as _os
+
+        assert not _os.path.exists(f"{idx}/stats")

@@ -116,12 +116,19 @@ def test_stream_to_versioned_exactly_once(spark, tmp_path):
     # (run, batch_id) must be a no-op...
     from loan_etl_data_pipeline_spark.streaming.ingest import _commit_versioned_batch
 
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        _canonical_checkpoint_id,
+    )
+
+    # manifests record the CANONICAL checkpoint id, so a replay presented
+    # under any spelling of the same checkpoint must still be skipped
+    run_id = _canonical_checkpoint_id(spark, ckpt + "/")
     replay = spark.createDataFrame([(3,)], "id long")
-    assert _commit_versioned_batch(replay, 1, tbl, ckpt) is None
+    assert _commit_versioned_batch(replay, 1, tbl, run_id) is None
     assert list_versions(spark, tbl) == [1, 2]
     # ...while the same batch_id from a DIFFERENT checkpoint generation
     # (rebuilt checkpoint / second stream) must COMMIT, not be dropped
-    assert _commit_versioned_batch(replay, 1, tbl, ckpt + "_gen2") == 3
+    assert _commit_versioned_batch(replay, 1, tbl, run_id + "_gen2") == 3
     assert list_versions(spark, tbl) == [1, 2, 3]
 
 
@@ -139,3 +146,40 @@ def test_diff_versions(spark, table_dir):
         for r in diff_versions(spark, table_dir, "id", old_version=1).collect()
     }
     assert got == {1: ("removed", ""), 2: ("changed", "v"), 3: ("added", "")}
+
+
+def test_concurrent_manifest_detected_on_local_fs(spark, table_dir, monkeypatch):
+    """POSIX rename(2) silently replaces an existing target, so the
+    rename-returns-false guard never fires on RawLocalFileSystem; the
+    explicit exists() probe must catch the lost race instead of letting
+    a second writer overwrite the first writer's manifest.
+
+    The race window is between the writer's version listing and its
+    rename — simulated by pinning a stale listing while the rival's
+    manifest lands."""
+    from loan_etl_data_pipeline_spark.sources import versioned as V
+
+    write_version(spark.createDataFrame([(1,)], "id long"), table_dir)
+    monkeypatch.setattr(V, "list_versions", lambda *_a, **_k: [1])
+    # rival writer commits version 2 between our (stale) list and rename
+    with open(f"{table_dir}/_versions/00000002.json", "w") as f:
+        f.write('{"version": 2, "data_dir": "v00000002"}')
+    with pytest.raises(RuntimeError, match="single-writer"):
+        V.write_version(spark.createDataFrame([(2,)], "id long"), table_dir)
+    # the rival's manifest survives untouched; the loser's tmp is cleaned
+    with open(f"{table_dir}/_versions/00000002.json") as f:
+        assert '"data_dir": "v00000002"' in f.read()
+    assert not os.path.exists(f"{table_dir}/_versions/00000002.json.tmp")
+
+
+def test_canonical_checkpoint_id_spellings(spark, tmp_path):
+    """Trailing slash / file:// scheme / bare absolute path are the SAME
+    checkpoint — the exactly-once dedup key must not depend on spelling."""
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        _canonical_checkpoint_id,
+    )
+
+    base = str(tmp_path / "ckpt")
+    spellings = [base, base + "/", f"file://{base}", f"file://{base}/"]
+    ids = {_canonical_checkpoint_id(spark, s) for s in spellings}
+    assert len(ids) == 1, ids
