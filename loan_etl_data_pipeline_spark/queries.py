@@ -1046,8 +1046,12 @@ ORACLE_PART_A_ANALYTIC: dict[str, str] = {
 
 
 QUERIES_PART_A: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q_pack_docs": q_pack_docs,
+    # q_hash_split first ON PURPOSE: the first query a fresh session runs
+    # absorbs JVM/codegen/parquet-footer warmup, and hash_split is a thin
+    # single-table projection — putting a heavy composite (pack_docs)
+    # first made the suite's slowest entry look 2× its real cost.
     "q_hash_split": q_hash_split,
+    "q_pack_docs": q_pack_docs,
     "q_quantiles": q_quantiles,
     "q_approx_quantiles": q_approx_quantiles,
     "q_approx_users": q_approx_users,
@@ -1889,6 +1893,288 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_meta(attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 widening: analytics, text-corpus, and composition queries
+# ---------------------------------------------------------------------------
+
+
+def q_components_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 near-dup clusters via the alternating large-star/small-star
+    algorithm (operators/graph.py connected_components_two_phase) over
+    the same exact Jaccard>=0.5 pair graph as q_dup_components — the
+    diameter-independent scale variant, certified against the identical
+    DuckDB recursive-CTE transitive closure.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_intermediates,
+    )
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    out = connected_components_two_phase(pairs, "id_a", "id_b")
+    release_intermediates(pairs)
+    return out
+
+
+def q_neardup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 fuzzy-dedup END PRODUCT: the documents KEPT after
+    pairs→components→min-id-representative removal (plans/corpus.py
+    remove_near_duplicates, jaccard tier so the oracle is exact).
+
+    The oracle recomputes the clusters with the recursive CTE and anti
+    joins the losers — certifying the full removal plan, not just the
+    component labeling.
+    """
+    from loan_etl_data_pipeline_spark.plans.corpus import remove_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_near_duplicates(docs, threshold=0.5, method="jaccard").select(
+        "doc_id", "source"
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ explicit GROUPING SETS — arbitrary grain combinations in one
+    Expand pass, the generalization of q_rollup_acctbal's rollup: here
+    (priority×status), (priority), and grand total, skipping the
+    (status) grain a CUBE would force.
+
+    One shuffle total: Expand multiplies rows by the number of grains
+    map-side, then a single partial+final hash agg — at 100 TB this is
+    3 grains for one scan instead of 3 jobs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice", "revenue"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ per-group Pearson correlation, engine-portable.
+
+    Built-in ``corr`` accumulates doubles in engine-specific order —
+    never bit-stable across engines (or even partitionings). Instead:
+    exact int64 sums of FLOORED units/dollars (overflow-safe to sf≫1,
+    unlike cents whose squares overflow int64 past ~100k rows/group),
+    then one fixed double expression; every double op is IEEE-defined
+    with an identical expression tree on both engines, and sqrt is
+    correctly-rounded per IEEE-754 — so the result is bit-identical.
+    One partial+final agg, no window, no second pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("bigint").alias("x"),
+        F.floor("l_extendedprice").cast("bigint").alias("y"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = "cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)"
+    denx = "sqrt(cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+    deny = "sqrt(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))"
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"({num}) / (({denx}) * ({deny}))").alias("corr_qty_price"),
+    )
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.5+ inter-event gap statistics per user: lag over event time.
+
+    Gaps in exact integer MICROSECONDS (the testdata's native
+    precision) so min/max/sum are integer-exact; the mean is the usual
+    one-double-division contract. Total order (ts, event_id) makes lag
+    deterministic under same-timestamp events. One window shuffle +
+    one agg reusing the same user_id partitioning (no second Exchange).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap", F.col("us") - F.lag("us").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+        F.min("gap").cast("bigint").alias("min_gap_us"),
+        F.max("gap").cast("bigint").alias("max_gap_us"),
+        (F.sum("gap").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_gap_us"
+        ),
+    )
+
+
+def q_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.5+ first/last-touch attribution: each user's earliest and
+    latest event type. Both row_number windows share one (user_id)
+    Exchange (same partition key, opposite sort) and collapse in a
+    single conditional agg — the attribution query every event
+    pipeline runs, with the (ts, event_id) total order making ties
+    deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    asc = Window.partitionBy("user_id").orderBy(
+        F.asc("us"), F.asc("event_id")
+    )
+    desc = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("ra", F.row_number().over(asc))
+        .withColumn("rd", F.row_number().over(desc))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("event_type"))).alias(
+                "first_touch"
+            ),
+            F.max(F.when(F.col("rd") == 1, F.col("event_type"))).alias(
+                "last_touch"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ fixed-width histogram of order totals: bucket = floor(cents
+    / 100000) — $1000 buckets in exact integer arithmetic (built-in
+    ``width_bucket`` is double-boundary-sensitive; integer flooring is
+    portable). Pure projection + one agg; the histogram every profiler
+    needs, partial-aggregated so 100 TB costs one shuffle of ~#buckets
+    rows per task.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.select((cents / F.lit(100000)).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+def q_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ vocabulary profile per corpus source: docs, token
+    occurrences, distinct tokens — the coverage stats a tokenizer/
+    mixture designer reads first. One explode → one partial-agg
+    count + a distinct-agg; Spark plans count_distinct as a two-stage
+    partial distinct (no row replication to one reducer).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    return toks.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("tok").cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ corpus-level top-20 bigrams by occurrence count (exact), the
+    n-gram frequency table LM data work starts from. Bigrams are
+    generated row-locally with zip_with over adjacent token slices
+    (pure codegen, no Python), counted in one partial+final agg, and
+    the top-k is a TakeOrdered with a total-order tie-break on the
+    bigram text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+/E9 RFM customer segmentation: recency (latest order date),
+    frequency (order count), monetary (exact-cents total), each cut
+    into quartiles by ntile over a total order (metric, custkey) — the
+    deterministic-under-ties contract curriculum_tiles certifies.
+    One groupBy shuffle + three cheap windows over the tiny per-customer
+    aggregate (customers ≪ orders, so the windows cost nothing at
+    scale relative to the fact scan).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+    return per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "last_order",
+        "frequency",
+        (F.col("monetary_cents").cast("double") / 100).alias("monetary"),
+        F.ntile(4).over(r_w).cast("bigint").alias("r_tile"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_tile"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_tile"),
+    )
+
+
+_SQL_Q6 = """
+    SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS promo_discount_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (TPC-H Q6 shape): register_tables + spark.sql
+    running the LITERAL SAME ANSI text the oracle runs — certifying
+    that a SQL-only consumer of this engine gets bit-identical results
+    to the DataFrame surface. Catalyst still pushes the three scan
+    predicates into the parquet reader (same plan as the DataFrame
+    form would build).
+    """
+    from loan_etl_data_pipeline_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q6)
 
 
 _STOP_EN_SQL = "'the', 'and', 'of', 'to', 'in', 'a', 'is'"
@@ -2811,6 +3097,159 @@ ORACLE_PART_B: dict[str, str] = {
 # brute-force one (see q_ivf_exhaustive docstring)
 ORACLE_PART_B["q_ivf_exhaustive"] = ORACLE_PART_B["q_knn_bruteforce"]
 
+# the two-phase CC variant must produce the identical transitive closure
+ORACLE_PART_B["q_components_twophase"] = ORACLE_PART_B["q_dup_components"]
+
+# q_neardup_removal: same recursive-closure CTEs, then keep min-id
+# representatives (= ids equal to their component label) + untouched docs
+ORACLE_PART_B["q_neardup_removal"] = (
+    ORACLE_PART_B["q_dup_components"].rsplit("SELECT id, min(label)", 1)[0]
+    + """, comp AS (
+            SELECT id, min(label) AS component FROM reach GROUP BY id
+        )
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    """
+)
+
+ORACLE_ROUND3: dict[str, str] = {
+    "q_grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+               CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+    """,
+    "q_corr_qty_price": """
+        WITH b AS (
+            SELECT l_returnflag,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                   CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+            FROM lineitem
+        ), s AS (
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM b GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 AS corr_qty_price
+        FROM s
+    """,
+    "q_event_gaps": """
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ), g AS (
+            SELECT user_id,
+                   us - lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS gap
+            FROM e
+        )
+        SELECT user_id,
+               CAST(count(*) + 1 AS BIGINT) AS n_events,
+               CAST(min(gap) AS BIGINT) AS min_gap_us,
+               CAST(max(gap) AS BIGINT) AS max_gap_us,
+               CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avg_gap_us
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+    "q_first_last_touch": """
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ), r AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us ASC, event_id ASC) AS ra,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us DESC, event_id DESC) AS rd
+            FROM e
+        )
+        SELECT user_id,
+               max(CASE WHEN ra = 1 THEN event_type END) AS first_touch,
+               max(CASE WHEN rd = 1 THEN event_type END) AS last_touch,
+               count(*) AS n_events
+        FROM r GROUP BY user_id
+    """,
+    "q_price_histogram": """
+        SELECT CAST(FLOOR(CAST(FLOOR(o_totalprice * 100) AS BIGINT) / 100000.0)
+                    AS BIGINT) AS bucket,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+    "q_vocab_by_source": """
+        WITH toks AS (
+            SELECT source, doc_id,
+                   UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               count(*) AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+        FROM toks GROUP BY source
+    """,
+    "q_top_bigrams": """
+        WITH toks AS (
+            SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), bg AS (
+            SELECT UNNEST(CASE WHEN len(t) >= 2
+                               THEN list_transform(range(1, len(t)),
+                                                   i -> t[i] || ' ' || t[i+1])
+                               ELSE [] END) AS bigram
+            FROM toks
+        )
+        SELECT bigram, count(*) AS n FROM bg
+        GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+    "q_rfm_segments": """
+        WITH per AS (
+            SELECT o_custkey AS custkey,
+                   max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order,
+                   count(*) AS frequency,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT custkey, last_order, frequency,
+               CAST(monetary_cents AS DOUBLE) / 100 AS monetary,
+               CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey ASC)
+                    AS BIGINT) AS r_tile,
+               CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey ASC)
+                    AS BIGINT) AS f_tile,
+               CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, custkey ASC)
+                    AS BIGINT) AS m_tile
+        FROM per
+    """,
+    "q_sql_q6": _SQL_Q6,
+}
+ORACLE_PART_B.update(ORACLE_ROUND3)
+
+QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_components_twophase": q_components_twophase,
+    "q_neardup_removal": q_neardup_removal,
+    "q_grouping_sets": q_grouping_sets,
+    "q_corr_qty_price": q_corr_qty_price,
+    "q_event_gaps": q_event_gaps,
+    "q_first_last_touch": q_first_last_touch,
+    "q_price_histogram": q_price_histogram,
+    "q_vocab_by_source": q_vocab_by_source,
+    "q_top_bigrams": q_top_bigrams,
+    "q_rfm_segments": q_rfm_segments,
+    "q_sql_q6": q_sql_q6,
+}
+
 QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_verified": q_minhash_verified,
     "q_ivf_exhaustive": q_ivf_exhaustive,
@@ -2869,6 +3308,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(QUERIES_PART_A)
     out.update(QUERIES_PART_B)
+    out.update(QUERIES_ROUND3)
     return out
 
 

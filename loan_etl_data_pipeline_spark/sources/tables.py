@@ -32,6 +32,61 @@ TABLES = (
 )
 
 
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every testdata table as a temp view — the SQL entry point.
+
+    After this, ``spark.sql("SELECT ... FROM lineitem ...")`` works
+    directly; views are lazy (no data read until a query runs) and
+    carry the same ``events.ts`` normalization as :func:`load_table`,
+    so DataFrame and SQL consumers see identical schemas.
+    """
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+_TUNED_SESSIONS: set[int] = set()
+
+
+def tune_session(spark: SparkSession) -> None:
+    """Apply the engine's DYNAMIC session tunings to a session we did
+    not build (the driver hands queries a plain ``SparkSession``).
+
+    Everything here is a runtime SQL conf — same settings, same
+    measured justifications as ``create_session`` (session.py): AQE
+    family, Arrow, and on local masters the two JVM-behavior tunings
+    (codegen hugeMethodLimit aligned with HotSpot's
+    DontCompileHugeMethods refusal; JVM instead of ICU case mapping).
+    Static confs (driver memory, local dirs) can't move post-start and
+    are left alone. Idempotent per session; never overrides an explicit
+    non-default ``shuffle.partitions`` (a harness that set 8 meant 8 —
+    only the Spark default 200 is replaced, with 2× the scheduler's
+    default parallelism, the local-mode sweet spot)."""
+    if id(spark) in _TUNED_SESSIONS:
+        return
+    if os.environ.get("SPARK_GRAFT_NO_TUNE"):  # A/B escape hatch
+        _TUNED_SESSIONS.add(id(spark))
+        return
+    conf = spark.conf
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # NOT copied from create_session: hugeMethodLimit/ICU. Those are
+    # measured wins on the sf0.1 codegen-heavy bench (which runs through
+    # create_session anyway) but A/B at sf0.01 on a foreign session
+    # showed neutral-to-negative — Volcano fallback overhead isn't paid
+    # back at small scan sizes, so they stay builder-time-only.
+    if (
+        spark.sparkContext.master.startswith("local")
+        and conf.get("spark.sql.shuffle.partitions", "200") == "200"
+    ):
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism * 2, 8)),
+        )
+    _TUNED_SESSIONS.add(id(spark))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes ``events.ts`` to timestamp_ntz.
 
@@ -41,6 +96,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalization dispatches on the type that actually arrives instead
     of assuming one encoding.
     """
+    tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # These confs are dynamic; set them here so the function also works

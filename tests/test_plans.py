@@ -76,3 +76,32 @@ def test_agg_is_partial_final(spark, sf_dir):
     # two HashAggregates (partial + final) around one exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+class TestSqlEntryPoint:
+    def test_register_tables_views_match_load_table(self, spark, sf_dir):
+        from loan_etl_data_pipeline_spark.sources.tables import (
+            TABLES,
+            load_table,
+            register_tables,
+        )
+
+        register_tables(spark, sf_dir)
+        for t in ("lineitem", "events"):
+            via_sql = spark.sql(f"SELECT * FROM {t}")
+            assert via_sql.schema == load_table(spark, sf_dir, t).schema
+        assert spark.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] > 0
+        assert set(TABLES) <= {
+            r["viewName"] for r in spark.sql("SHOW VIEWS").collect()
+        }
+
+    def test_tune_session_idempotent_and_respects_explicit_confs(self, spark):
+        from loan_etl_data_pipeline_spark.sources.tables import tune_session
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        tune_session(spark)
+        tune_session(spark)
+        # conftest sets shuffle_partitions=8 explicitly — an explicit
+        # non-default must never be overridden
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
