@@ -1,0 +1,104 @@
+"""Distributed global ranking without the single-partition window.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY compiles to
+Exchange SinglePartition — every row through one task, a verified
+non-starter at scale. This module is the classic distributed
+construction, factored out of curriculum_tiles (functions/splits.py) so
+every consumer of a global total order shares it:
+
+1. range-partition + sort on the order columns (the same shuffle any
+   global ranking pays, but parallel);
+2. per-partition row counts (one tiny job; numPartitions rows to the
+   driver) → cumulative offsets broadcast back as a literal map;
+3. global rank = partition offset + local row_number, whose window is
+   partitioned by the materialized partition id — no further exchange.
+
+The result is independent of the (sampled, run-varying) range
+boundaries PROVIDED the order columns form a TOTAL order — equal sort
+keys could land on either side of a boundary and would be ranked
+arbitrarily. Callers must include a unique tie-break column; that is
+the same determinism contract every top-k/mode query in this engine
+carries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    *,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """All input columns plus ``rank_col`` = 1-based dense global rank
+    under ``order_by`` (sort-order Columns, e.g. ``F.desc("cnt")``;
+    must be a total order — include a unique tie-break).
+
+    The ranged intermediate is persisted (the counts job and the
+    caller's action both read it; an unpersisted frame would run the
+    whole upstream twice and a nondeterministic upstream could shift
+    range boundaries between passes). It is attached to the result's
+    ``_persisted_intermediates`` for operators.dedup.
+    release_intermediates; bench/driver sessions fall back to
+    clearCache between queries.
+
+    Total rows ranked is attached as ``result._global_rank_n`` (the
+    driver already knows it from the offsets job — callers doing ntile
+    arithmetic need it without a second count job).
+    """
+    from pyspark import StorageLevel
+
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(nparts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pid_counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(pid_counts.values())
+    if n == 0:
+        ranged.unpersist()
+        out = df.withColumn(rank_col, F.lit(None).cast("bigint"))
+        out._global_rank_n = 0
+        return out
+    offsets, acc = {}, 0
+    for pid in sorted(pid_counts):
+        offsets[pid] = acc
+        acc += pid_counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    out = ranged.withColumn(
+        rank_col, (off_expr + F.row_number().over(w)).cast("bigint")
+    ).drop("__pid")
+    out._persisted_intermediates = [ranged]
+    out._global_rank_n = n
+    return out
+
+
+def ntile_from_rank(rank: Column, n: int, n_tiles: int) -> Column:
+    """Exact ``ntile(n_tiles)`` assignment from a 1-based global rank
+    over ``n`` rows — pure arithmetic, no window: the first ``n %
+    n_tiles`` tiles get ``n // n_tiles + 1`` rows, the rest ``n //
+    n_tiles`` (ANSI ntile semantics, verified against both engines).
+    """
+    if n_tiles <= 0:
+        raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    base, rem = n // n_tiles, n % n_tiles
+    if base == 0:  # fewer rows than tiles: tile == rank
+        return rank.cast("bigint")
+    cut = rem * (base + 1)
+    return (
+        F.when(rank <= F.lit(cut), F.ceil(rank / F.lit(base + 1)))
+        .otherwise(F.lit(rem) + F.ceil((rank - F.lit(cut)) / F.lit(base)))
+        .cast("bigint")
+    )

@@ -293,57 +293,27 @@ def curriculum_tiles(
     The local row_number's window is partitioned by the materialized
     partition id, so no further exchange moves data.
     """
-    from pyspark.sql import Window
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
 
     if n_tiles <= 0:
         raise ValueError(f"n_tiles must be positive, got {n_tiles}")
-    from pyspark import StorageLevel
-
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    # persisted: the counts job below and the caller's final action both
-    # consume this frame — without the persist the ENTIRE upstream plan
-    # runs twice, and a nondeterministic upstream could even change the
-    # sampled range boundaries between the two passes. Release with
-    # operators.dedup.release_intermediates(result) when done.
-    ranged = (
-        df.repartitionByRange(nparts, F.col(score_col).asc(), F.col(id_col).asc())
-        .sortWithinPartitions(F.col(score_col).asc(), F.col(id_col).asc())
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = global_rank(
+        df,
+        [F.col(score_col).asc(), F.col(id_col).asc()],
+        rank_col="__rank",
     )
-    pid_counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    n = sum(pid_counts.values())
+    n = ranked._global_rank_n
     if n == 0:
-        ranged.unpersist()  # nothing to rank; don't leak the cache entry
         return df.withColumn(tile_col, F.lit(None).cast("bigint"))
-    offsets, acc = {}, 0
-    for pid in sorted(pid_counts):
-        offsets[pid] = acc
-        acc += pid_counts[pid]
-    off_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-        ),
-        F.col("__pid"),
-    )
-    w = Window.partitionBy("__pid").orderBy(
-        F.col(score_col).asc(), F.col(id_col).asc()
-    )
-    rank = (off_expr + F.row_number().over(w)).cast("bigint")
-    # ntile: first rem tiles have base+1 rows, the rest base
-    base, rem = n // n_tiles, n % n_tiles
-    cut = rem * (base + 1)  # last rank inside the fat tiles
-    if base == 0:  # fewer rows than tiles: tile == rank, like ntile
-        tile = rank
-    else:
-        tile = F.when(
-            rank <= F.lit(cut), F.ceil(rank / F.lit(base + 1))
-        ).otherwise(F.lit(rem) + F.ceil((rank - F.lit(cut)) / F.lit(base)))
-    out = ranged.withColumn(tile_col, tile.cast("bigint")).drop("__pid")
-    out._persisted_intermediates = [ranged]  # release_intermediates(out)
+    out = ranked.withColumn(
+        tile_col, ntile_from_rank(F.col("__rank"), n, n_tiles)
+    ).drop("__rank")
+    out._persisted_intermediates = getattr(
+        ranked, "_persisted_intermediates", []
+    )  # release_intermediates(result) when done
     return out
 
 

@@ -2129,6 +2129,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (customers ≪ orders, so the windows cost nothing at
     scale relative to the fact scan).
     """
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order"),
@@ -2137,17 +2142,30 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
-    return per_cust.select(
+    # customers scale with the fact table, so each quartile cut uses the
+    # distributed global-rank construction + exact ntile arithmetic —
+    # same assignment as ntile() OVER (ORDER BY ...) but never a
+    # single-partition Exchange (three agg-sized range shuffles)
+    cur = per_cust
+    for metric, out_col in (
+        ("last_order", "r_tile"),
+        ("frequency", "f_tile"),
+        ("monetary_cents", "m_tile"),
+    ):
+        cur = global_rank(
+            cur, [F.desc(metric), F.asc("o_custkey")], rank_col="__rk"
+        )
+        cur = cur.withColumn(
+            out_col, ntile_from_rank(F.col("__rk"), cur._global_rank_n, 4)
+        ).drop("__rk")
+    return cur.select(
         F.col("o_custkey").alias("custkey"),
         "last_order",
         "frequency",
         (F.col("monetary_cents").cast("double") / 100).alias("monetary"),
-        F.ntile(4).over(r_w).cast("bigint").alias("r_tile"),
-        F.ntile(4).over(f_w).cast("bigint").alias("f_tile"),
-        F.ntile(4).over(m_w).cast("bigint").alias("m_tile"),
+        "r_tile",
+        "f_tile",
+        "m_tile",
     )
 
 
@@ -2175,6 +2193,228 @@ def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir)
     return spark.sql(_SQL_Q6)
+
+
+def q_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+/A.5+ month-over-month revenue growth: calendar rollup + lag.
+
+    Monthly grain is tiny after the one aggregation shuffle, so the
+    global-order lag window costs nothing (months ≪ rows); growth is a
+    single double division over exact cents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "month",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        "n_orders",
+        (
+            (F.col("cents").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("mom_growth"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.5+ cohort retention matrix: users by first-activity month ×
+    months-since-cohort — the canonical product-analytics query.
+
+    Month index = year*12 + (month-1): pure integer arithmetic, so
+    cohort assignment and offsets are engine-exact. One user-keyed
+    window (min over user) + one distinct agg; the matrix is tiny.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.year("ts") * 12 + (F.month("ts") - 1)).cast("bigint").alias("idx"),
+    )
+    w = Window.partitionBy("user_id")
+    c = ev.withColumn("cidx", F.min("idx").over(w))
+    return (
+        c.groupBy("cidx", (F.col("idx") - F.col("cidx")).alias("months_since"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                (F.col("cidx") / 12).cast("int"),
+                (F.col("cidx") % 12 + 1).cast("int"),
+            ).alias("cohort"),
+            F.col("months_since").cast("bigint").alias("months_since"),
+            "n_users",
+        )
+    )
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ one-pass column profile (the reference's insights report,
+    generalized): row count, per-column null/distinct counts, exact
+    min/max — ONE aggregation job via Spark's Expand-based
+    multi-distinct, not a job per column.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("o_custkey").cast("bigint").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").cast("bigint").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("status_distinct"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias(
+            "priority_distinct"
+        ),
+        (F.min(cents).cast("double") / 100).alias("min_totalprice"),
+        (F.max(cents).cast("double") / 100).alias("max_totalprice"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_order"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order"),
+    )
+
+
+def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ key-gap detection (missing o_orderkey ranges), built
+    SCALE-CORRECTLY: a bare ``lead() OVER (ORDER BY k)`` collapses to
+    one partition, so instead keys are bucketed (k div 2^20), in-bucket
+    gaps use a bucket-partitioned lead, and cross-bucket gaps come from
+    a per-bucket min/max summary (#buckets rows — trivially small)
+    windowed globally. Exactly the segmented-scan decomposition a
+    100 TB key audit needs; results are the same rows a naive global
+    lead would emit.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        # audit one slice of the keyspace (urgent orders) — the driver
+        # testdata's full orderkey range is gapless, which would certify
+        # nothing; a filtered class exercises every gap shape
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    b = o.withColumn("bucket", (F.col("k") / F.lit(1 << 8)).cast("bigint"))
+    win = Window.partitionBy("bucket").orderBy("k")
+    within = (
+        b.withColumn("nk", F.lead("k").over(win))
+        .filter((F.col("nk") - F.col("k")) > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nk") - 1).alias("gap_end"),
+        )
+    )
+    summary = b.groupBy("bucket").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    )
+    swin = Window.orderBy("bucket")
+    across = (
+        summary.withColumn("next_lo", F.lead("lo").over(swin))
+        .filter((F.col("next_lo") - F.col("hi")) > 1)
+        .select(
+            (F.col("hi") + 1).alias("gap_start"),
+            (F.col("next_lo") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        within.unionByName(across)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("bigint")
+            .alias("gap_len"),
+        )
+    )
+
+
+def q_mean_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ rank-based perplexity proxy: rank the vocabulary by corpus
+    frequency (total order: count desc, token asc), then score each doc
+    by its mean token rank — common docs score low, rare-token docs
+    high. The broadcast-vocab two-pass shape of token_df_stats; all
+    integer sums + one double division, so engine-exact. The vocab
+    ranking window is global but runs on the aggregated vocab
+    (≪ corpus), not on token occurrences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocabulary scales with the corpus — rank it with the distributed
+    # range-partition construction, never a single-partition window
+    ranked = global_rank(
+        vocab, [F.desc("cnt"), F.asc("tok")], rank_col="rank"
+    ).select("tok", "rank")
+    return (
+        toks.join(F.broadcast(ranked), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                F.sum("rank").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_rank"),
+        )
+    )
+
+
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 dedup-ops metric: the distribution of near-dup cluster sizes
+    (how much mass dedup will remove, and whether one mega-cluster
+    dominates — the skew signal for the CC and removal stages). Two
+    tiny aggs over the component labeling.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_intermediates,
+    )
+    from loan_etl_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    release_intermediates(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+/E9 incremental aggregate maintenance
+    (operators/incremental.py): three delta batches folded into the
+    running per-returnflag totals — and the oracle is DuckDB's plain
+    GROUP BY over the WHOLE table, certifying that the merge algebra
+    (count/sum add, min/max least/greatest over exact ints) reproduces
+    the one-shot aggregate bit-for-bit regardless of batching.
+    """
+    from loan_etl_data_pipeline_spark.operators.incremental import fold_batches
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
+    batches = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    measures = {
+        "n_items": ("count", None),
+        "qty_cents": ("sum", "qty_c"),
+        "min_price_cents": ("min", "price_c"),
+        "max_price_cents": ("max", "price_c"),
+    }
+    acc = fold_batches(batches, ["l_returnflag"], measures)
+    return acc.select(
+        "l_returnflag",
+        "n_items",
+        (F.col("qty_cents").cast("double") / 100).alias("sum_qty"),
+        (F.col("min_price_cents").cast("double") / 100).alias("min_price"),
+        (F.col("max_price_cents").cast("double") / 100).alias("max_price"),
+    )
 
 
 _STOP_EN_SQL = "'the', 'and', 'of', 'to', 'in', 'a', 'is'"
@@ -3233,7 +3473,102 @@ ORACLE_ROUND3: dict[str, str] = {
         FROM per
     """,
     "q_sql_q6": _SQL_Q6,
+    "q_revenue_mom": """
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT month, CAST(cents AS DOUBLE) / 100 AS revenue, n_orders,
+               (CAST(cents AS DOUBLE)
+                  - CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE))
+                 / CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE)
+                 AS mom_growth
+        FROM m
+    """,
+    "q_cohort_retention": """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(year(ts) * 12 + (month(ts) - 1) AS BIGINT) AS idx
+            FROM events
+        ), c AS (
+            SELECT user_id, idx,
+                   min(idx) OVER (PARTITION BY user_id) AS cidx
+            FROM e
+        )
+        SELECT printf('%04d-%02d', CAST(cidx / 12 AS INT),
+                      CAST(cidx % 12 + 1 AS INT)) AS cohort,
+               CAST(idx - cidx AS BIGINT) AS months_since,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM c GROUP BY cidx, idx - cidx
+    """,
+    "q_profile_orders": """
+        SELECT count(*) AS n_rows,
+               count(o_custkey) AS custkey_nonnull,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS priority_distinct,
+               CAST(min(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS min_totalprice,
+               CAST(max(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS max_totalprice,
+               min(strftime(o_orderdate, '%Y-%m-%d')) AS first_order,
+               max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order
+        FROM orders
+    """,
+    "q_id_gaps": """
+        WITH g AS (
+            SELECT o_orderkey AS k,
+                   lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nk
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+               CAST(nk - k - 1 AS BIGINT) AS gap_len
+        FROM g WHERE nk - k > 1
+    """,
+    "q_incremental_agg": """
+        SELECT l_returnflag, count(*) AS n_items,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS sum_qty,
+               CAST(min(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS min_price,
+               CAST(max(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS max_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_mean_token_rank": """
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ), vocab AS (
+            SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ), ranked AS (
+            SELECT tok,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT)
+                     AS rank
+            FROM vocab
+        )
+        SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(CAST(SUM(r.rank) AS BIGINT) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mean_rank
+        FROM toks t JOIN ranked r ON t.tok = r.tok
+        GROUP BY t.doc_id
+    """,
 }
+ORACLE_ROUND3["q_cluster_sizes"] = (
+    ORACLE_PART_B["q_dup_components"].rsplit("SELECT id, min(label)", 1)[0]
+    + """, comp AS (
+            SELECT id, min(label) AS component FROM reach GROUP BY id
+        ), csize AS (
+            SELECT component, count(*) AS size FROM comp GROUP BY component
+        )
+        SELECT CAST(size AS BIGINT) AS size, count(*) AS n_clusters
+        FROM csize GROUP BY size
+    """
+)
 ORACLE_PART_B.update(ORACLE_ROUND3)
 
 QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3248,6 +3583,13 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_bigrams": q_top_bigrams,
     "q_rfm_segments": q_rfm_segments,
     "q_sql_q6": q_sql_q6,
+    "q_revenue_mom": q_revenue_mom,
+    "q_cohort_retention": q_cohort_retention,
+    "q_profile_orders": q_profile_orders,
+    "q_id_gaps": q_id_gaps,
+    "q_mean_token_rank": q_mean_token_rank,
+    "q_cluster_sizes": q_cluster_sizes,
+    "q_incremental_agg": q_incremental_agg,
 }
 
 QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {

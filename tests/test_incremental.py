@@ -1,0 +1,78 @@
+"""Incremental aggregate maintenance (operators/incremental.py):
+merge algebra, fold associativity, fresh-key passthrough.
+Cross-engine check is q_incremental_agg vs a plain GROUP BY oracle
+(tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from loan_etl_data_pipeline_spark.operators.incremental import (
+    aggregate_batch,
+    fold_batches,
+    merge_aggregates,
+)
+
+MEASURES = {
+    "n": ("count", None),
+    "s": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+def _rows(df):
+    return {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in df.collect()
+    }
+
+
+def test_fold_equals_one_shot(spark):
+    import pyspark.sql.functions as F
+
+    full = spark.createDataFrame(
+        [(i % 4, (i * 7) % 23) for i in range(200)], "k long, v long"
+    )
+    batches = [full.filter(F.col("v") % 3 == i) for i in range(3)]
+    got = _rows(fold_batches(batches, ["k"], MEASURES))
+    want = _rows(aggregate_batch(full, ["k"], MEASURES))
+    assert got == want
+
+
+def test_fold_order_invariant(spark):
+    import pyspark.sql.functions as F
+
+    full = spark.createDataFrame(
+        [(i % 3, i) for i in range(90)], "k long, v long"
+    )
+    batches = [full.filter(F.col("v") % 3 == i) for i in range(3)]
+    fwd = _rows(fold_batches(batches, ["k"], MEASURES))
+    rev = _rows(fold_batches(batches[::-1], ["k"], MEASURES))
+    assert fwd == rev
+
+
+def test_fresh_and_stale_keys_merge(spark):
+    prev_batch = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "k long, v long")
+    delta = spark.createDataFrame([(2, 50), (3, 7)], "k long, v long")
+    prev = aggregate_batch(prev_batch, ["k"], MEASURES)
+    out = _rows(
+        merge_aggregates(
+            prev, aggregate_batch(delta, ["k"], MEASURES), ["k"], MEASURES
+        )
+    )
+    assert out == {
+        1: (2, 30, 10, 20),  # untouched by delta
+        2: (2, 55, 5, 50),  # merged: counts add, min keeps 5, max takes 50
+        3: (1, 7, 7, 7),  # fresh key passes through
+    }
+
+
+def test_unsupported_kind_raises(spark):
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="unsupported measure kind"):
+        aggregate_batch(df, ["k"], {"bad": ("median", "v")})
+
+
+def test_empty_batch_list_raises():
+    with pytest.raises(ValueError, match="at least one"):
+        fold_batches([], ["k"], MEASURES)

@@ -64,3 +64,19 @@ def test_curriculum_tiles_not_single_partition(plans):
     p = plans("q_curriculum")
     assert "rangepartitioning" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_sql_entry_point_pushes_filters(plans):
+    """q_sql_q6 (spark.sql over registered views) must reach the same
+    parquet pushdown a DataFrame plan gets — the SQL surface is not a
+    slower path."""
+    p = plans("q_sql_q6")
+    assert "PushedFilters: [" in p
+    seg = p.split("PushedFilters: [", 1)[1][:300]
+    assert "l_shipdate" in seg and "l_discount" in seg and "l_quantity" in seg, seg
+
+
+def test_mean_token_rank_broadcasts_vocab(plans):
+    """The ranked vocabulary re-joins the token stream as a broadcast —
+    the fact-side explode must not shuffle for the join."""
+    assert "BroadcastHashJoin" in plans("q_mean_token_rank")

@@ -1,0 +1,83 @@
+"""Distributed global rank / ntile (functions/ranking.py): equivalence
+with the single-partition window forms, and the plan guarantee that no
+consumer compiles to Exchange SinglePartition."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from loan_etl_data_pipeline_spark.functions.ranking import (
+    global_rank,
+    ntile_from_rank,
+)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # duplicate scores on purpose: the id tie-break must settle them
+    rows = [(i, (i * 13) % 7) for i in range(97)]
+    return spark.createDataFrame(rows, "id long, score long")
+
+
+def test_rank_matches_single_partition_window(spark, scored):
+    want = {
+        r["id"]: r["rk"]
+        for r in scored.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
+        ).collect()
+    }
+    ranked = global_rank(scored, [F.desc("score"), F.asc("id")], rank_col="rk")
+    got = {r["id"]: r["rk"] for r in ranked.collect()}
+    assert got == want
+    assert ranked._global_rank_n == 97
+
+
+def test_rank_partitioning_invariant(spark, scored):
+    a = global_rank(scored, [F.asc("score"), F.asc("id")], rank_col="rk")
+    b = global_rank(
+        scored.repartition(13), [F.asc("score"), F.asc("id")], rank_col="rk"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ntile_matches_builtin(spark, scored):
+    for t in (1, 4, 7, 96, 97, 200):
+        want = {
+            r["id"]: r["nt"]
+            for r in scored.withColumn(
+                "nt",
+                F.ntile(t).over(Window.orderBy(F.asc("score"), F.asc("id"))),
+            ).collect()
+        }
+        ranked = global_rank(scored, [F.asc("score"), F.asc("id")], rank_col="rk")
+        got = {
+            r["id"]: r["nt"]
+            for r in ranked.withColumn(
+                "nt", ntile_from_rank(F.col("rk"), ranked._global_rank_n, t)
+            ).collect()
+        }
+        assert got == want, f"t={t}"
+
+
+def test_ntile_validation_and_empty(spark):
+    with pytest.raises(ValueError, match="positive"):
+        ntile_from_rank(F.col("x"), 10, 0)
+    empty = spark.createDataFrame([], "id long, score long")
+    ranked = global_rank(empty, [F.asc("score"), F.asc("id")])
+    assert ranked._global_rank_n == 0 and ranked.count() == 0
+
+
+def test_no_single_partition_exchange_in_consumers(spark, sf_dir):
+    """The scale guarantee itself: ranking consumers must not compile to
+    Exchange SinglePartition anywhere in their physical plans."""
+    from loan_etl_data_pipeline_spark.queries import (
+        q_mean_token_rank,
+        q_rfm_segments,
+    )
+
+    for q in (q_mean_token_rank, q_rfm_segments):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, f"{q.__name__}:\n{plan[:2000]}"
