@@ -2384,6 +2384,75 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ unpivot/melt: the wide per-flag pricing aggregate turned
+    long — (l_returnflag, measure, value) — via the built-in
+    ``DataFrame.unpivot`` (Expand-based: one pass, no join/union of
+    re-scans). The reverse direction of q_pivot_status; the oracle
+    spells the same reshape as a UNION ALL, the portable ANSI form.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_extendedprice", "sum_base_price"),
+        _dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "sum_disc_price"],
+        "measure",
+        "value",
+    )
+
+
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ collocation extraction: top bigrams by LIFT (observed pair
+    rate vs independence), the PMI-family signal without the log —
+    ``lift = c_xy * N / (c_x * c_y)`` over exact integer counts is one
+    fixed double expression, engine-bit-identical, where a log-PMI
+    output would inherit the JVM-vs-libm last-ulp ln() divergence.
+
+    Pairs are generated row-locally (zip_with, pure codegen); unigram
+    re-joins are token-keyed shuffles on the aggregated vocab, never on
+    raw occurrences; min-support prunes before the joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    pair_structs = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    toks = docs.select(F.explode(t).alias("tok"))
+    ucnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    total = toks.count()  # one scalar action, exact int
+    bcnt = (
+        docs.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    ua = ucnt.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a")
+    ub = ucnt.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b")
+    lift = (
+        F.col("c_xy").cast("double")
+        * F.lit(float(total))
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    return (
+        bcnt.join(ua, "a")
+        .join(ub, "b")
+        .select(
+            F.concat("a", F.lit(" "), "b").alias("bigram"),
+            F.col("c_xy").alias("n_pair"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2+/E9 incremental aggregate maintenance
     (operators/incremental.py): three delta batches folded into the
@@ -3528,6 +3597,49 @@ ORACLE_ROUND3: dict[str, str] = {
                CAST(nk - k - 1 AS BIGINT) AS gap_len
         FROM g WHERE nk - k > 1
     """,
+    "q_unpivot_pricing": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(FLOOR((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+                   CAST(SUM(CAST(FLOOR((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+                   CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM wide
+    """,
+    "q_bigram_lift": """
+        WITH toks AS (
+            SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), uni AS (
+            SELECT UNNEST(t) AS tok FROM toks
+        ), ucnt AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+        ), n AS (
+            SELECT count(*) AS total FROM uni
+        ), bg AS (
+            SELECT UNNEST(CASE WHEN len(t) >= 2
+                               THEN list_transform(range(1, len(t)),
+                                                   i -> [t[i], t[i+1]])
+                               ELSE [] END) AS p
+            FROM toks
+        ), bcnt AS (
+            SELECT p[1] AS a, p[2] AS b, CAST(count(*) AS BIGINT) AS c_xy
+            FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+        )
+        SELECT a || ' ' || b AS bigram, c_xy AS n_pair,
+               CAST(c_xy AS DOUBLE) * CAST(total AS DOUBLE)
+                 / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+        FROM bcnt
+        JOIN ucnt ua ON a = ua.tok
+        JOIN ucnt ub ON b = ub.tok
+        CROSS JOIN n
+        ORDER BY lift DESC, bigram ASC LIMIT 20
+    """,
     "q_incremental_agg": """
         SELECT l_returnflag, count(*) AS n_items,
                CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
@@ -3590,6 +3702,8 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mean_token_rank": q_mean_token_rank,
     "q_cluster_sizes": q_cluster_sizes,
     "q_incremental_agg": q_incremental_agg,
+    "q_bigram_lift": q_bigram_lift,
+    "q_unpivot_pricing": q_unpivot_pricing,
 }
 
 QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {

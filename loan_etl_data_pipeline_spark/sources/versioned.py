@@ -180,6 +180,20 @@ def prune_versions(
     return doomed
 
 
+def rollback_to(spark: SparkSession, table_dir: str, version: int) -> int:
+    """Restore snapshot ``version`` as a NEW latest version; returns it.
+
+    Roll-forward-style undo: history is never rewritten (the bad
+    versions stay queryable for the post-mortem), readers pinned to
+    "latest" flip atomically with the new manifest commit, and a crash
+    mid-rollback leaves only an invisible orphan — exactly the
+    write_version guarantees, because it IS a write_version of the old
+    snapshot's rows.
+    """
+    src = read_version(spark, table_dir, version)
+    return write_version(src, table_dir, meta={"rollback_of": version})
+
+
 def diff_versions(
     spark: SparkSession,
     table_dir: str,

@@ -183,3 +183,22 @@ def test_canonical_checkpoint_id_spellings(spark, tmp_path):
     spellings = [base, base + "/", f"file://{base}", f"file://{base}/"]
     ids = {_canonical_checkpoint_id(spark, s) for s in spellings}
     assert len(ids) == 1, ids
+
+
+def test_rollback_restores_as_new_version(spark, table_dir):
+    from loan_etl_data_pipeline_spark.sources.versioned import (
+        rollback_to,
+        version_manifests,
+    )
+
+    write_version(spark.createDataFrame([(1, "good")], "id long, v string"), table_dir)
+    write_version(spark.createDataFrame([(2, "bad")], "id long, v string"), table_dir)
+    assert rollback_to(spark, table_dir, 1) == 3
+    # latest now reads the v1 rows; the bad v2 stays queryable
+    assert {(r["id"], r["v"]) for r in read_version(spark, table_dir).collect()} == {
+        (1, "good")
+    }
+    assert {r["id"] for r in read_version(spark, table_dir, 2).collect()} == {2}
+    assert version_manifests(spark, table_dir)[3]["rollback_of"] == 1
+    with pytest.raises(ValueError, match="not committed"):
+        rollback_to(spark, table_dir, 99)
