@@ -2384,6 +2384,37 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+ SUB-document exact dedup: repeated fixed-width token chunks
+    across the corpus — the boilerplate-removal pass real pipelines run
+    between whole-doc dedup and near-dup (repeated headers/footers/
+    navigation). Non-overlapping 4-token windows are built row-locally
+    (sequence + transform, pure codegen), md5-keyed, and each repeated
+    chunk reports its copy count and first host doc — the removal list.
+    One explode + one partial-agg shuffle on the digest; text never
+    shuffles (only 32-char digests + ids).
+    """
+    w = 4
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    starts = F.when(
+        F.size(t) >= w, F.sequence(F.lit(1), F.size(t) - (w - 1), F.lit(w))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(t, s, w), " ")
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("chunk"))
+        .select("doc_id", F.md5("chunk").alias("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 def q_unpivot_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A.4+ unpivot/melt: the wide per-flag pricing aggregate turned
     long — (l_returnflag, measure, value) — via the built-in
@@ -3597,6 +3628,22 @@ ORACLE_ROUND3: dict[str, str] = {
                CAST(nk - k - 1 AS BIGINT) AS gap_len
         FROM g WHERE nk - k > 1
     """,
+    "q_chunk_dedup": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), chunks AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(t) - 4 + 2, 4),
+                          i -> array_to_string(t[i:i+3], ' '))) AS chunk
+            FROM toks
+        )
+        SELECT md5(chunk) AS chunk_md5,
+               count(*) AS n_copies,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM chunks GROUP BY 1 HAVING count(*) > 1
+    """,
     "q_unpivot_pricing": """
         WITH wide AS (
             SELECT l_returnflag,
@@ -3704,6 +3751,7 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_incremental_agg": q_incremental_agg,
     "q_bigram_lift": q_bigram_lift,
     "q_unpivot_pricing": q_unpivot_pricing,
+    "q_chunk_dedup": q_chunk_dedup,
 }
 
 QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -78,6 +78,13 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
+def test_cheap_warmup_query_registered_first():
+    """The driver runs queries in registration order and the first one
+    absorbs JVM/codegen warmup (~4 s) — keep a thin single-table
+    projection there, not a heavy composite."""
+    assert next(iter(QUERIES)) == "q_hash_split"
+
+
 # Types DuckDB can produce that have no Spark equivalent encoding: the
 # driver's value-hash is type-encoding-sensitive, so a HUGEINT SUM over
 # BIGINT (DuckDB's default widening) hash-mismatches a bit-identical
