@@ -2384,6 +2384,132 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ streaming-style anomaly screen, batch form: flag events whose
+    value exceeds mean + 3σ of the TRAILING 50 events of the same type
+    — the monitoring query every event pipeline runs. Moments come from
+    exact integer-cent window sums (n, Σx, Σx²) over a (ts, event_id)
+    total order, variance/σ as one fixed IEEE expression (sqrt is
+    correctly-rounded), so the flag set is engine-exact. One
+    event_type-keyed window shuffle; the trailing frame keeps state
+    O(frame) per key.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    n = F.count(F.lit(1)).over(w).cast("bigint")
+    sx = F.sum("cents").over(w).cast("bigint")
+    sxx = F.sum(F.col("cents") * F.col("cents")).over(w).cast("bigint")
+    mean = sx.cast("double") / n.cast("double")
+    var = (
+        n.cast("double") * sxx.cast("double")
+        - sx.cast("double") * sx.cast("double")
+    ) / (n.cast("double") * n.cast("double"))
+    flagged = (
+        ev.withColumn("n", n)
+        .withColumn("mean_c", mean)
+        .withColumn("sd_c", F.sqrt(var))
+        .filter(
+            (F.col("n") >= 10)
+            & (
+                F.col("cents").cast("double")
+                > F.col("mean_c") + 3.0 * F.col("sd_c")
+            )
+        )
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        (F.col("cents").cast("double") / 100).alias("value"),
+        (F.col("mean_c") / 100).alias("trailing_mean"),
+    )
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ kNN majority-vote classification: each query vector takes the
+    most common label among its exact top-5 cosine neighbors (vote ties
+    → smaller label, the engine-wide total-order contract). Composition
+    of the certified brute-force top-k with a broadcast label join and
+    one tiny vote agg — the eval loop for embedding-quality checks.
+    """
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = cosine_topk_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    votes = (
+        topk.join(F.broadcast(lab), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ per-label centroid (the K-means update step, distributed):
+    mean of each embedding dimension per label over exact floored-int64
+    accumulators — bit-identical on any engine/partitioning, the same
+    determinism scheme train_ivf_centroids uses (operators/ivf.py).
+    Output long-form (label, dim, centroid): array-typed columns hash
+    differently across engines, exploded rows do not.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    s = F.sum(
+        F.floor(F.col("val").cast("double") * 1e12).cast("bigint")
+    ).alias("s")
+    return (
+        ex.groupBy("label", "dim")
+        .agg(s, F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "label",
+            F.col("dim").cast("bigint").alias("dim"),
+            (
+                (F.col("s").cast("double") / 1e12)
+                / F.col("n").cast("double")
+            ).alias("centroid"),
+        )
+    )
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+ dedup-ops metric: exact-duplicate rate per corpus source —
+    which feed is sending copies. One agg; distinct over md5 digests so
+    only 32-char hashes shuffle, never text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("bigint")
+        .alias("n_dups"),
+    )
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1+ SUB-document exact dedup: repeated fixed-width token chunks
     across the corpus — the boilerplate-removal pass real pipelines run
@@ -3752,7 +3878,73 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bigram_lift": q_bigram_lift,
     "q_unpivot_pricing": q_unpivot_pricing,
     "q_chunk_dedup": q_chunk_dedup,
+    "q_knn_classify": q_knn_classify,
+    "q_label_centroids": q_label_centroids,
+    "q_dup_rate_by_source": q_dup_rate_by_source,
+    "q_value_anomalies": q_value_anomalies,
 }
+
+ORACLE_ROUND3["q_knn_classify"] = f"""
+    WITH topk AS ({ORACLE_PART_B["q_knn_bruteforce"]}),
+    votes AS (
+        SELECT t.query_id, CAST(e.label AS BIGINT) AS label,
+               count(*) AS votes
+        FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, label AS predicted_label, votes FROM (
+        SELECT query_id, label, votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, label ASC) AS rn
+        FROM votes
+    ) WHERE rn = 1
+"""
+ORACLE_ROUND3["q_label_centroids"] = """
+    SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+           (CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1e12)
+                               AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+             / CAST(count(*) AS DOUBLE) AS centroid
+    FROM embeddings CROSS JOIN range(64) t(i)
+    GROUP BY label, i
+"""
+ORACLE_ROUND3["q_dup_rate_by_source"] = """
+    SELECT source, count(*) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+    FROM documents GROUP BY source
+"""
+ORACLE_ROUND3["q_value_anomalies"] = """
+    WITH e AS (
+        SELECT event_id, event_type, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), stats AS (
+        SELECT event_id, event_type, cents,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(cents * cents) OVER w AS BIGINT) AS DOUBLE) AS sxx
+        FROM e
+        WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                     ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type,
+           CAST(cents AS DOUBLE) / 100 AS value,
+           (sx / CAST(n AS DOUBLE)) / 100 AS trailing_mean
+    FROM stats
+    WHERE n >= 10
+      AND CAST(cents AS DOUBLE) >
+            sx / CAST(n AS DOUBLE)
+            + 3.0 * sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+"""
+
+for _k in (
+    "q_knn_classify",
+    "q_label_centroids",
+    "q_dup_rate_by_source",
+    "q_value_anomalies",
+):
+    ORACLE_PART_B[_k] = ORACLE_ROUND3[_k]
 
 QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_verified": q_minhash_verified,

@@ -44,27 +44,29 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-_TUNED_SESSIONS: set[int] = set()
+# weak keys: a dead session's id() can be reused by a new SparkSession
+# object, which a plain id-set would wrongly treat as already tuned
+import weakref
+
+_TUNED_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def tune_session(spark: SparkSession) -> None:
     """Apply the engine's DYNAMIC session tunings to a session we did
     not build (the driver hands queries a plain ``SparkSession``).
 
-    Everything here is a runtime SQL conf — same settings, same
-    measured justifications as ``create_session`` (session.py): AQE
-    family, Arrow, and on local masters the two JVM-behavior tunings
-    (codegen hugeMethodLimit aligned with HotSpot's
-    DontCompileHugeMethods refusal; JVM instead of ICU case mapping).
-    Static confs (driver memory, local dirs) can't move post-start and
-    are left alone. Idempotent per session; never overrides an explicit
-    non-default ``shuffle.partitions`` (a harness that set 8 meant 8 —
-    only the Spark default 200 is replaced, with 2× the scheduler's
-    default parallelism, the local-mode sweet spot)."""
-    if id(spark) in _TUNED_SESSIONS:
+    Everything here is a runtime SQL conf with the same measured
+    justification as in ``create_session`` (session.py): the AQE family
+    and Arrow. Static confs (driver memory, local dirs) can't move
+    post-start and are left alone. Idempotent per session; never
+    overrides an explicit non-default ``shuffle.partitions`` (a harness
+    that set 8 meant 8 — only the Spark default 200 is replaced, with
+    2× the scheduler's default parallelism, the local-mode sweet
+    spot)."""
+    if spark in _TUNED_SESSIONS:
         return
     if os.environ.get("SPARK_GRAFT_NO_TUNE"):  # A/B escape hatch
-        _TUNED_SESSIONS.add(id(spark))
+        _TUNED_SESSIONS.add(spark)
         return
     conf = spark.conf
     conf.set("spark.sql.adaptive.enabled", "true")
@@ -84,7 +86,7 @@ def tune_session(spark: SparkSession) -> None:
             "spark.sql.shuffle.partitions",
             str(max(spark.sparkContext.defaultParallelism * 2, 8)),
         )
-    _TUNED_SESSIONS.add(id(spark))
+    _TUNED_SESSIONS.add(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
