@@ -4001,16 +4001,22 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from loan_etl_data_pipeline_spark.queries_tpch import QUERIES_TPCH
+
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(QUERIES_PART_A)
     out.update(QUERIES_PART_B)
     out.update(QUERIES_ROUND3)
+    out.update(QUERIES_TPCH)
     return out
 
 
 def all_oracles() -> dict[str, str]:
+    from loan_etl_data_pipeline_spark.queries_tpch import ORACLE_TPCH
+
     out: dict[str, str] = {}
     out.update(ORACLE_PART_A)
     out.update(ORACLE_PART_A_ANALYTIC)
     out.update(ORACLE_PART_B)
+    out.update(ORACLE_TPCH)
     return out

@@ -80,3 +80,26 @@ def test_mean_token_rank_broadcasts_vocab(plans):
     """The ranked vocabulary re-joins the token stream as a broadcast —
     the fact-side explode must not shuffle for the join."""
     assert "BroadcastHashJoin" in plans("q_mean_token_rank")
+
+
+def test_disjunctive_brackets_still_push_envelope(plans):
+    # OR-of-ANDs alone defeats per-bracket pushdown; the factored-out
+    # quantity envelope must still reach the lineitem parquet scan, and
+    # part must broadcast (never shuffle a fact for a 3-bracket probe)
+    p = plans("q_disjunctive_parts")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p
+    assert "LessThanOrEqual(l_quantity,30.0)" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_argmin_join_back_single_hash_exchange(plans):
+    # min(struct(...)) argmin: exactly ONE hash-partitioned Exchange
+    # (the per-partkey aggregate); supplier/part joins are broadcasts
+    p = plans("q_min_cost_supplier")
+    hash_exchanges = [
+        ln
+        for ln in p.split("\n")
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert p.count("BroadcastHashJoin") >= 3
