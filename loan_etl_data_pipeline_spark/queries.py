@@ -4020,3 +4020,57 @@ def all_oracles() -> dict[str, str]:
     out.update(ORACLE_PART_B)
     out.update(ORACLE_TPCH)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter pattern (functions/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact⋈dim join: revenue per priority for orders of
+    negative-balance customers, with orders pre-filtered through a Bloom
+    filter of the matching custkeys (functions/bloom.py).
+
+    The 100 TB story: when the dim's matching key-set is too big to
+    broadcast as a hash relation but the join only needs membership, the
+    megabit bitmap prunes the fact's SHUFFLE INPUT to ~its final size —
+    Spark's own runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does this
+    automatically in narrow cases; this is the same physics as an
+    explicit, persistable DataFrame step. Bloom false positives only
+    cost shuffle bytes — the exact join still runs, so the result is
+    bit-identical to the unpruned plan, which is exactly what the
+    oracle (a plain join) certifies.
+    """
+    from loan_etl_data_pipeline_spark.functions.bloom import bloom_build, bloom_prune
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    bloom = bloom_build(c, "c_custkey", num_bits=1 << 17, num_hashes=5)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    pruned = bloom_prune(o, "o_custkey", bloom)
+    return (
+        pruned.join(c, pruned.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "revenue"),
+        )
+    )
+
+
+QUERIES_PART_B["q_bloom_prune_join"] = q_bloom_prune_join
+ORACLE_PART_B["q_bloom_prune_join"] = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal < 0
+    GROUP BY o_orderpriority
+"""
