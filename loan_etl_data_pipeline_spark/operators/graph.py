@@ -188,3 +188,82 @@ def connected_components_two_phase(
         nodes.join(e, nodes.id == e.a, "left")
         .select("id", F.coalesce("b", "id").alias("component"))
     )
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, degree) over the undirected, deduplicated edge set.
+
+    Self-loops are dropped and duplicate/reversed edges collapse before
+    counting, so degree is the true undirected degree. Two shuffles
+    (edge dedup, per-node count), both with map-side partials.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """All triangles (x, y, z), each exactly once, x < y < z by node id.
+
+    Degree-oriented wedge counting (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher,
+    build wedges only at each edge's SOURCE, and close them against the
+    oriented edge set. Work is Σ_v outdeg(v)² with outdeg bounded by
+    O(√m) after orientation — a star node of degree d costs d, not d²,
+    which is the difference between "fine" and "last-reducer death" on
+    power-law graphs (every real co-occurrence graph). Joins shuffle on
+    node keys only; the (deg, id) orientation order is a struct compare,
+    entirely codegen.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # consumed twice (degree count + orientation join) and the
+        # upstream edge derivation may be expensive — truncate lineage
+        .localCheckpoint()
+    )
+    deg = degrees(und, "a", "b")
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    withdeg = und.join(da, "a").join(db, "b")
+    a_first = F.struct(F.col("deg_a"), F.col("a")) < F.struct(F.col("deg_b"), F.col("b"))
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
+    ).localCheckpoint()  # consumed three times: both wedge sides + closing
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(y, F.col("x.lo") == F.col("y.lo")).filter(
+        F.struct(F.col("x.deg_hi"), F.col("x.hi"))
+        < F.struct(F.col("y.deg_hi"), F.col("y.hi"))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("c_lo"), F.col("hi").alias("c_hi")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("x.hi") == F.col("c_lo")) & (F.col("y.hi") == F.col("c_hi")),
+    ).select(F.col("x.lo").alias("p"), F.col("x.hi").alias("q"), F.col("y.hi").alias("r"))
+    # re-canonicalize to id order (orientation order is by (degree, id))
+    srt = F.array_sort(F.array("p", "q", "r"))
+    return tri.select(
+        F.element_at(srt, 1).alias("x"),
+        F.element_at(srt, 2).alias("y"),
+        F.element_at(srt, 3).alias("z"),
+    )

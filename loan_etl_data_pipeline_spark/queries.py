@@ -4074,3 +4074,100 @@ ORACLE_PART_B["q_bloom_prune_join"] = """
     WHERE c_acctbal < 0
     GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the co-occurrence graph (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-purchase edges with support >= 2: parts
+    appearing together in at least TWO orders, lower id first. The same
+    shape as a token co-occurrence graph over documents.
+    lineitem⋈lineitem co-partitions on orderkey (one shuffle), then one
+    count-agg on the edge key; the support floor is what separates
+    collocation signal from one-off co-occurrence noise — and it is
+    also the scale lever: the raw pair multiset grows ~quadratically in
+    basket size while repeated pairs stay rare, so the floor collapses
+    the graph (1.2 M → 3.6 k edges at sf0.1) before any graph algorithm
+    runs."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+
+
+def q_copurchase_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ graph diagnostic: degree distribution of the co-purchase
+    graph (operators/graph.py degrees) — the first question about ANY
+    co-occurrence / near-dup graph: is there a hub that will melt the
+    downstream triangle/CC shuffles? Histogram output is ≤max-degree
+    rows, so everything after the per-node count is trivial.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import degrees
+
+    return (
+        degrees(_copurchase_edges(spark, sf_dir), "pa", "pb")
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ triangle count (operators/graph.py triangles): degree-oriented
+    wedge counting — Σ outdeg² with outdeg capped ~O(√m) by the
+    orientation, so the power-law hub that makes naive wedge counting
+    quadratic costs only its min-degree side. The oracle counts the same
+    triangles with id-ordered self-joins (count is orientation-invariant).
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import triangles
+
+    # the lineitem pair-agg is ~300× the size of the surviving edge set;
+    # materialize the edges once for the count + triangle consumers
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    tri = triangles(edges, "pa", "pb")
+    n_e = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_t = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_e.crossJoin(n_t)
+
+
+QUERIES_PART_B["q_copurchase_degrees"] = q_copurchase_degrees
+QUERIES_PART_B["q_copurchase_triangles"] = q_copurchase_triangles
+_COPURCHASE_CTE = """
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+"""
+ORACLE_PART_B["q_copurchase_degrees"] = f"""
+    WITH {_COPURCHASE_CTE},
+    deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+        ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_parts
+    FROM deg GROUP BY degree
+"""
+ORACLE_PART_B["q_copurchase_triangles"] = f"""
+    WITH {_COPURCHASE_CTE}
+    SELECT (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT count(*) FROM pairs e1
+              JOIN pairs e2 ON e2.pa = e1.pb
+              JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
+"""

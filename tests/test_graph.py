@@ -87,3 +87,62 @@ class TestTwoPhase:
         edges = [(i, i + 1) for i in range(64)]
         got = _cc2(spark, edges, max_iter=8)
         assert set(got.values()) == {0} and len(got) == 65
+
+
+class TestTriangles:
+    def _tri_set(self, spark, edge_list):
+        from loan_etl_data_pipeline_spark.operators.graph import triangles
+
+        df = spark.createDataFrame(edge_list, ["src", "dst"])
+        return {tuple(r) for r in triangles(df).collect()}
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        got = self._tri_set(spark, k4)
+        assert got == {(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)}
+
+    def test_path_has_none(self, spark):
+        assert self._tri_set(spark, [(1, 2), (2, 3), (3, 4)]) == set()
+
+    def test_shared_edge(self, spark):
+        # two triangles glued on edge (1,2)
+        got = self._tri_set(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
+        assert got == {(1, 2, 3), (1, 2, 4)}
+
+    def test_duplicate_reversed_and_self_edges_ignored(self, spark):
+        got = self._tri_set(
+            spark, [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)]
+        )
+        assert got == {(1, 2, 3)}
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        nodes = list(range(40))
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+                )
+                if a != b
+            }
+        )
+        es = set(edges)
+        expect = {
+            (x, y, z)
+            for x, y, z in itertools.combinations(sorted(nodes), 3)
+            if (x, y) in es and (y, z) in es and (x, z) in es
+        }
+        assert self._tri_set(spark, edges) == expect
+
+    def test_degrees(self, spark):
+        from loan_etl_data_pipeline_spark.operators.graph import degrees
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (1, 3), (4, 4)], ["src", "dst"]
+        )
+        got = {(r.node, r.degree) for r in degrees(df).collect()}
+        assert got == {(1, 2), (2, 2), (3, 2)}
