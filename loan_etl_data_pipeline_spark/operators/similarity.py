@@ -546,3 +546,83 @@ def cosine_neardup_lsh(
     # a pair surfaces once per matching band; cosine is deterministic
     # (floored-int64 math), so max() == the single exact value
     return scored.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style pruning (Abbas et al. 2023): drop every vector
+    that has a SMALLER-id neighbor at floored-cosine ≥ ``threshold``
+    inside its block; return the surviving rows of ``df``.
+
+    ``block_col`` is the clustering that makes this tractable: SemDeDup
+    uses k-means cluster ids (here: ``train_ivf_centroids`` + in-kernel
+    assignment, the pipeline certified by q_ivf_exhaustive) so only
+    within-cluster pairs are ever scored — Σ cᵢ²/2 pair scores instead
+    of n²/2. Any categorical column works as the block.
+
+    Keep rule: min-id representative, NOT SemDeDup's greedy chain. The
+    greedy chain ("keep v only if no *kept* smaller neighbor") is
+    sequentially dependent — not partition-stable and not expressible
+    as one relational query on any engine. The min-id rule is a pure
+    pairwise predicate (keep v ⟺ ∄ u<v with cos(u,v) ≥ τ), keeps at
+    most as many rows as the chain rule, and is bit-reproducible: the
+    cosine is the floored-int64 dot/norm contract shared with the rest
+    of this module, evaluated here as pure codegen array expressions
+    (zip_with/aggregate — no Python, no kernel).
+
+    Plan: one narrow scan computes each vector's floored self-norm, the
+    self-join shuffles on ``block_col`` only (within-block pairs), and
+    the survivors come back via a broadcast-size anti-join on the
+    dropped ids. Zero-norm vectors never match anything (guarded on
+    both sides of the oracle contract).
+    """
+
+    def _floored_dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: F.floor(
+                    (x.cast("double") * y.cast("double")) * F.lit(1e12)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("_vec"),
+    ).withColumn("_n2", _floored_dot(F.col("_vec"), F.col("_vec")))
+    a = v.select(
+        F.col("_id").alias("ia"),
+        F.col("_blk").alias("blk"),
+        F.col("_vec").alias("va"),
+        F.col("_n2").alias("na"),
+    )
+    b = v.select(
+        F.col("_id").alias("ib"),
+        F.col("_blk").alias("blk"),
+        F.col("_vec").alias("vb"),
+        F.col("_n2").alias("nb"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("ia") < F.col("ib"))
+    dot = _floored_dot(F.col("va"), F.col("vb"))
+    cosine = (dot.cast("double") / F.lit(1e12)) / (
+        F.sqrt(F.col("na").cast("double") / F.lit(1e12))
+        * F.sqrt(F.col("nb").cast("double") / F.lit(1e12))
+    )
+    dropped = (
+        pairs.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .filter(cosine >= F.lit(threshold))
+        .select(F.col("ib").alias(id_col))
+        .distinct()
+    )
+    return df.join(F.broadcast(dropped), id_col, "left_anti")

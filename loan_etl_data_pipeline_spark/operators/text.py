@@ -412,3 +412,134 @@ def redact_pii(
     for _, pat, repl in PII_PATTERNS:
         red = F.regexp_replace(red, pat, repl)
     return df.select(id_col, *keep_cols, red.alias("text_redacted"), *counts)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fp): the winnowing fingerprint set of each document
+    (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+    Document Fingerprinting" — the MOSS algorithm).
+
+    Per document: hash every ``k``-char gram, slide a window of ``w``
+    consecutive gram hashes, keep the minimum of each window, emit the
+    DISTINCT selected hashes. Guarantee: any shared substring of length
+    ≥ k+w-1 between two documents shares at least one fingerprint, so
+    a postings join on ``fp`` finds every such overlap — the
+    plagiarism/near-dup primitive that n-gram Jaccard approximates.
+
+    The gram hash is the first 48 bits of md5 (same formula as
+    functions/splits.py md5_coord48, so any ANSI engine reproduces it:
+    ``('0x' || substr(md5(gram),1,12))::BIGINT``). Selecting the
+    window-min VALUE set (not positions) makes the min's tie-break
+    irrelevant — exact integer MIN is engine- and order-independent.
+
+    Scale: the whole computation is ONE narrow projection — gram
+    hashes, window minima, and per-doc dedup all happen inside array
+    expressions on the document's own row (no explode-then-window, no
+    shuffle at all until a downstream agg/join). 100 TB of documents
+    fingerprint at scan speed.
+
+    Documents shorter than k+w-1 chars have no full window and emit
+    nothing (documented contract, mirrored in oracles).
+    """
+    t = F.col(text_col)
+    n_grams = (F.length(t) - F.lit(k - 1)).cast("int")
+    # Both sequence() calls are guarded with when(): Spark does NOT
+    # promise a Filter protects a Project's expressions from evaluating
+    # on excluded rows (the optimizer reorders deterministic projections
+    # freely), and sequence(a, b) with a > b counts DOWN — a short doc
+    # reaching the expression unguarded is a slice(start=0) crash, not
+    # an empty result.
+    gram_hashes = F.transform(
+        F.when(F.length(t) >= k, F.sequence(F.lit(1), n_grams)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(t, i, F.lit(k))), 1, 12), 16, 10
+        ).cast("long"),
+    )
+
+    def _window_mins(gh):
+        # gh is a HOF lambda VARIABLE (not a named column): CollapseProject
+        # would inline a `withColumn("_gh", ...)` into every slice() below
+        # and re-evaluate the full md5 array PER WINDOW — O(L²) hashing,
+        # measured 93 s for sf0.01 documents vs <1 s with this let-binding
+        # (the outer transform over a 1-element array evaluates the hash
+        # array exactly once per row).
+        return F.array_distinct(
+            F.transform(
+                # 1-based END position of each full window of w hashes
+                F.when(F.size(gh) >= w, F.sequence(F.lit(w), F.size(gh))).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda e: F.array_min(F.slice(gh, e - F.lit(w - 1), w)),
+            )
+        )
+
+    fps = F.flatten(F.transform(F.array(gram_hashes), _window_mins))
+    return (
+        df.filter(F.length(t) >= k + w - 1)
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
+    )
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 20,
+    min_shared: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints — the MOSS overlap-detection join.
+
+    Postings self-join on ``fp`` after dropping *stop fingerprints*
+    (fps present in more than ``max_df`` documents — boilerplate
+    grams): the standard winnowing practice, and the skew guard that
+    bounds the join. Candidate volume is Σ_fp df(fp)² with df ≤
+    ``max_df``, i.e. ≤ max_df · |postings| — linear in corpus size, so
+    the pair generation can never go quadratic no matter how common a
+    gram is. The winnowing theorem makes recall exact for overlaps of
+    length ≥ k+w-1 whose fingerprints survive the df cap.
+
+    Two shuffles end to end: the df-count groupBy on ``fp`` (which also
+    co-locates the self-join) and the pair-count groupBy on (id_a,
+    id_b); both partial-aggregate map-side.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    pairs = rare.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a: F.transform(
+                            "ids", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -4001,6 +4001,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from loan_etl_data_pipeline_spark.queries_curation import QUERIES_CURATION
     from loan_etl_data_pipeline_spark.queries_tpch import QUERIES_TPCH
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -4008,10 +4009,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(QUERIES_PART_B)
     out.update(QUERIES_ROUND3)
     out.update(QUERIES_TPCH)
+    out.update(QUERIES_CURATION)
     return out
 
 
 def all_oracles() -> dict[str, str]:
+    from loan_etl_data_pipeline_spark.queries_curation import ORACLE_CURATION
     from loan_etl_data_pipeline_spark.queries_tpch import ORACLE_TPCH
 
     out: dict[str, str] = {}
@@ -4019,6 +4022,7 @@ def all_oracles() -> dict[str, str]:
     out.update(ORACLE_PART_A_ANALYTIC)
     out.update(ORACLE_PART_B)
     out.update(ORACLE_TPCH)
+    out.update(ORACLE_CURATION)
     return out
 
 
