@@ -555,6 +555,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style pruning (Abbas et al. 2023): drop every vector
     that has a SMALLER-id neighbor at floored-cosine ≥ ``threshold``
@@ -581,7 +582,18 @@ def semantic_dedup(
     the survivors come back via a broadcast-size anti-join on the
     dropped ids. Zero-norm vectors never match anything (guarded on
     both sides of the oracle contract).
+
+    ``parallelism``: optional fan-out before the norm projection — the
+    interpreted HOF dot products are compute-dense per input byte, so
+    a corpus arriving as one parquet split runs single-threaded
+    without it (measured 6.1 s → 1.7 s at 32× on 2 k vectors); at real
+    scale the scan parallelism makes it unnecessary. The pair-scoring
+    parallelism itself is bounded by the number of distinct blocks
+    (the join key) — fine when blocks are many (k-means cells), a
+    skew-salting candidate if a handful of blocks dominate.
     """
+    if parallelism:
+        df = df.repartition(parallelism)
 
     def _floored_dot(a, b):
         return F.aggregate(

@@ -53,7 +53,14 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loan_etl_data_pipeline_spark.operators.text import winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = winnow_fingerprints(docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W)
+    fps = winnow_fingerprints(
+        docs,
+        "doc_id",
+        "text",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fp"),
         F.sum("fp").alias("fp_sum"),
@@ -76,7 +83,14 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return winnow_neardup_pairs(
-        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, max_df=20, min_shared=5
+        docs,
+        "doc_id",
+        "text",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        max_df=20,
+        min_shared=5,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -99,6 +113,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         block_col="label",
+        parallelism=spark.sparkContext.defaultParallelism,
     )
     return kept.select("vec_id", "label")
 
@@ -177,6 +192,61 @@ def q_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts of the per-user event stream: for each
+    (event_type → next event_type) pair, how often it occurs.
+
+    The behavioral-analytics primitive behind funnels and
+    next-action models: one lead() window per user (single shuffle on
+    user_id — the same partitioning sessions/funnels use) then a
+    count per transition pair (≤|types|² rows). Ordering ties on ts
+    are broken by event_id so the sequence — and the oracle — is
+    total-order deterministic.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier variety per (brand, size) for selected part
+    sizes, excluding negative-balance suppliers (TPC-H-Q16-style;
+    partsupp-free adaptation counts suppliers who actually shipped).
+
+    The Q16 shape the catalog lacked: an exclusion ANTI-join feeding a
+    grouped COUNT(DISTINCT) — the anti side broadcasts (it is a
+    filtered dim), the distinct-agg shuffles once on the group key
+    with partial per-partition dedup. The size IN-list reaches the
+    part scan as a pushed filter.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(1, 5, 9))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
 _COPURCHASE_CTE_SQL = """
     li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     cop AS (
@@ -208,6 +278,8 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_pagerank": q_pagerank,
     "q_part_profit": q_part_profit,
+    "q_event_transitions": q_event_transitions,
+    "q_supplier_variety": q_supplier_variety,
 }
 
 #: shared winnowing-fingerprint CTE (grams → 48-bit md5 hashes →
@@ -299,6 +371,26 @@ ORACLE_CURATION: dict[str, str] = {
         {_PR_ITER_SQL.format(cur="p3", prev="p2")}
         SELECT CAST(id AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
         FROM p3 ORDER BY pr DESC, id ASC LIMIT 20
+    """,
+    "q_event_transitions": """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        )
+        SELECT event_type AS from_type, to_type, count(*) AS n
+        FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+    """,
+    "q_supplier_variety": """
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size IN (1, 5, 9)
+          AND NOT EXISTS (SELECT 1 FROM supplier
+                          WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        GROUP BY 1, 2
     """,
     "q_part_profit": f"""
         SELECT n_name AS nation,

@@ -217,6 +217,122 @@ def streaming_running_totals(
     )
 
 
+def streaming_heavy_hitters(
+    events: DataFrame,
+    *,
+    value_col: str = "event_type",
+    capacity: int = 8,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Streaming frequent-items: sharded Misra–Gries summaries carried
+    across micro-batches via ``applyInPandasWithState``.
+
+    Values route to ``pmod(xxhash64(value), n_shards)`` shards, so every
+    occurrence of a value lands in ONE shard whose state is a bounded
+    MG summary (≤ ``capacity`` (item, count) pairs + the shard's exact
+    row total). The MG guarantee therefore holds per shard — and,
+    because routing is total, globally: any value with true frequency
+    > shard_total/capacity is present in its shard's candidate list at
+    every batch boundary. This is the streaming twin of
+    ``operators/frequent.py heavy_hitters`` (whose batch second pass
+    turns candidates into exact counts).
+
+    Determinism contract: an MG summary depends on decrement order, so
+    within each micro-batch the new rows are pre-counted exactly and
+    folded in sorted-value order — the state is then a pure function of
+    the micro-batch partition sequence (checkpointed and replayed
+    identically on restart), not of task scheduling inside a batch.
+
+    Scale: state is O(n_shards · capacity) TOTAL — constant-size, never
+    per-key — and each micro-batch ships one Arrow frame per shard.
+    Output (update mode): one row per surviving (shard, item) per
+    batch, with the MG lower-bound count and the shard total.
+
+    On a non-streaming frame this degrades to the exact per-value
+    count with the same output columns (shard, item, mg_count = exact,
+    shard_total) so batch/stream tests can compare like for like.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, StringType
+
+    shard = F.pmod(F.xxhash64(F.col(value_col).cast("string")), F.lit(n_shards))
+    routed = events.select(
+        shard.cast("long").alias("shard"),
+        F.col(value_col).cast("string").alias("item"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("item", StringType()),
+            StructField("mg_count", LongType()),
+            StructField("shard_total", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("total", LongType()),
+        ]
+    )
+
+    if not routed.isStreaming:
+        totals = routed.groupBy("shard").agg(F.count(F.lit(1)).alias("shard_total"))
+        return (
+            routed.groupBy("shard", "item")
+            .agg(F.count(F.lit(1)).alias("mg_count"))
+            .join(totals, "shard")
+            .select("shard", "item", "mg_count", "shard_total")
+        )
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, total = state.get
+            summary = dict(zip(list(items), list(counts)))
+        else:
+            summary, total = {}, 0
+        batch_counts: dict[str, int] = {}
+        for pdf in pdfs:
+            for v in pdf["item"]:
+                batch_counts[v] = batch_counts.get(v, 0) + 1
+        for v in sorted(batch_counts):
+            c = batch_counts[v]
+            total += c
+            if v in summary:
+                summary[v] += c
+            elif len(summary) < capacity:
+                summary[v] = c
+            else:
+                # Misra–Gries decrement: subtract the bulk-insert count
+                # from every tracked item, dropping those that hit zero;
+                # leftover re-inserts if slots freed up
+                m = min(summary.values())
+                dec = min(c, m)
+                summary = {k: n - dec for k, n in summary.items() if n > dec}
+                if c > dec and len(summary) < capacity:
+                    summary[v] = c - dec
+        state.update((list(summary.keys()), list(summary.values()), total))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(summary),
+                "item": list(summary.keys()),
+                "mg_count": list(summary.values()),
+                "shard_total": [total] * len(summary),
+            }
+        )
+
+    return routed.groupBy("shard").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_sessionize(
     events: DataFrame,
     *,

@@ -103,3 +103,51 @@ def test_argmin_join_back_single_hash_exchange(plans):
     ]
     assert len(hash_exchanges) == 1, hash_exchanges
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_part_profit_one_fact_shuffle_pair(plans):
+    """Q9 shape: part/supplier/nation broadcast; at most the
+    lineitem⋈orders exchange pair + the group agg's exchange survive
+    (at tiny SF orders auto-broadcasts too and only the agg exchange
+    remains — either way the fact table never shuffles twice)."""
+    p = plans("q_part_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_part_profit_pushes_name_filter(plans):
+    p = plans("q_part_profit")
+    assert "StringContains(p_name,widget)" in p, p[:400]
+
+
+def test_winnow_fingerprint_summary_single_wide_shuffle(plans):
+    """Fingerprinting is narrow (array expressions per row): besides
+    the opt-in round-robin fan-out, the only exchange is the final
+    per-doc agg's hashpartitioning."""
+    p = plans("q_winnow_fingerprint")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_semantic_dedup_survivors_via_broadcast_anti(plans):
+    """The dropped-id set comes back as a broadcast anti-join — the
+    corpus is never shuffled for the subtraction."""
+    p = plans("q_semantic_dedup")
+    assert "LeftAnti, BuildRight" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_supplier_variety_anti_is_broadcast(plans):
+    p = plans("q_supplier_variety")
+    assert "LeftAnti, BuildRight" in p
+    # part-size IN-list reaches the parquet scan
+    assert "In(p_size, [1,5,9])" in p, p[:400]
+
+
+def test_event_transitions_single_user_shuffle(plans):
+    """lead() runs on the user_id partitioning; the transition count
+    re-shuffles only the ≤|types|² aggregate."""
+    p = plans("q_event_transitions")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in p

@@ -408,3 +408,82 @@ def test_stream_stream_interval_join_matches_batch(spark, events_batch, tmp_path
         for r in spark.sql("select * from ssj").collect()
     )
     assert got == want
+
+
+def test_streaming_heavy_hitters_guarantee_and_restart(spark, tmp_path):
+    """Sharded Misra–Gries state across micro-batches + restarts: every
+    value with true freq > shard_total/capacity must be in the final
+    candidate set, counts are valid lower bounds, and state survives a
+    checkpointed restart."""
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        streaming_heavy_hitters,
+    )
+
+    schema = "event_type string"
+    # skewed stream: 'hot' dominates, 'warm' frequent, long tail unique
+    b1 = spark.createDataFrame(
+        [("hot",)] * 40 + [("warm",)] * 12 + [(f"t{i}",) for i in range(12)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("hot",)] * 25 + [("warm",)] * 9 + [(f"u{i}",) for i in range(10)], schema
+    )
+    src, ckpt = str(tmp_path / "hh_src"), str(tmp_path / "hh_ckpt")
+
+    def run():
+        final: dict = {}
+
+        def sink(df, _bid):
+            for r in df.collect():
+                final[(r.shard, r.item)] = (r.mg_count, r.shard_total)
+
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = (
+            streaming_heavy_hitters(stream, capacity=4, n_shards=2)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return final
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    got1 = run()
+    assert any(item == "hot" for _, item in got1)
+
+    b2.coalesce(1).write.mode("append").parquet(src)
+    got2 = run()  # restart from checkpoint: state restored
+
+    both = b1.unionByName(b2)
+    exact = {r.item: (r.shard, r.mg_count) for r in
+             streaming_heavy_hitters(both, capacity=4, n_shards=2).collect()}
+    shard_totals = {}
+    for item, (shard, cnt) in exact.items():
+        shard_totals[shard] = shard_totals.get(shard, 0) + cnt
+
+    candidates = {item for (_, item) in got2}
+    for item, (shard, true_cnt) in exact.items():
+        if true_cnt > shard_totals[shard] / 4:
+            assert item in candidates, (item, true_cnt, shard_totals[shard])
+    # MG counts are lower bounds on true counts; shard totals exact
+    for (shard, item), (mg_count, shard_total) in got2.items():
+        if item in exact:
+            assert mg_count <= exact[item][1]
+        assert shard_total == shard_totals[shard]
+
+
+def test_streaming_heavy_hitters_batch_path_is_exact(spark):
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        streaming_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 2 + [("c",)], "event_type string")
+    rows = streaming_heavy_hitters(df, capacity=8, n_shards=2).collect()
+    counts = {r.item: r.mg_count for r in rows}
+    assert counts == {"a": 3, "b": 2, "c": 1}
+    totals = {}
+    for r in rows:
+        totals.setdefault(r.shard, set()).add(r.shard_total)
+    for shard, ts in totals.items():
+        assert len(ts) == 1  # one consistent total per shard
