@@ -192,6 +192,23 @@ def q_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 for 10 probes (operators/pq.py:
+    m=8 subspaces × 64 codewords → 32× smaller scan than floats).
+
+    Rows-only by design, like q_ivf_topk: ADC scores approximate
+    cosine through the trained codebook reconstruction, so no SQL
+    engine can replay them — correctness is pinned by tests/test_pq.py
+    (bit-exact kernel-vs-reference parity, training partitioning
+    invariance, recall floors, exact-re-rank composition).
+    """
+    from loan_etl_data_pipeline_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(q, emb, dim=64, k=5, m=8, ksub=64, iters=3)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition counts of the per-user event stream: for each
     (event_type → next event_type) pair, how often it occurs.
@@ -280,6 +297,7 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_part_profit": q_part_profit,
     "q_event_transitions": q_event_transitions,
     "q_supplier_variety": q_supplier_variety,
+    "q_pq_topk": q_pq_topk,
 }
 
 #: shared winnowing-fingerprint CTE (grams → 48-bit md5 hashes →
