@@ -270,6 +270,33 @@ def build_ivf_index(
         corpus_df, dim=dim, n_cells=n_cells, iters=iters,
         id_col=id_col, vec_col=vec_col,
     )
+    assigned = assign_cells_df(
+        corpus_df, centroids, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/cells"
+    )
+    spark = corpus_df.sparkSession
+    cent_rows = [(int(c), centroids[c].tolist()) for c in range(len(centroids))]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    return centroids
+
+
+def assign_cells_df(
+    corpus_df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment as a row-local
+    Arrow scan — the shared primitive behind the persistent index
+    build and cluster-blocked operators (SemDeDup blocking, per-cell
+    stats). Exact argmin distance with first-occurrence tie-break, so
+    assignments are deterministic under any partitioning."""
+    ensure_worker_imports(corpus_df.sparkSession)
     sc = corpus_df.sparkSession.sparkContext
     bc = sc.broadcast(centroids)
     assign_schema = StructType(
@@ -286,18 +313,9 @@ def build_ivf_index(
             pdf["cell"] = _assign_cells(_mat(pdf[vec_col]), cents).astype("int32")
             yield pdf
 
-    assigned = corpus_df.select(id_col, vec_col).mapInPandas(
+    return corpus_df.select(id_col, vec_col).mapInPandas(
         _assign, schema=assign_schema
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{index_dir}/cells"
-    )
-    spark = corpus_df.sparkSession
-    cent_rows = [(int(c), centroids[c].tolist()) for c in range(len(centroids))]
-    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    return centroids
 
 
 def load_ivf_centroids(spark, index_dir: str) -> np.ndarray:

@@ -192,6 +192,73 @@ def q_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SemDeDup pipeline (Abbas et al. 2023): k-means the
+    embeddings (deterministic Lloyd, operators/ivf.py), block on the
+    learned cell ids, drop within-cell near-dups by the min-id rule,
+    return (vec_id, cell) survivors.
+
+    Rows-only by design — the cell assignment comes from trained
+    centroids no SQL engine can replay; every piece is certified
+    separately (training determinism + probe-all==bruteforce via
+    q_ivf_exhaustive; the keep rule via q_semantic_dedup's oracle;
+    the within-cell guarantee via tests/test_curation.py's
+    brute-force check on the composed output).
+    """
+    from loan_etl_data_pipeline_spark.operators.ivf import (
+        assign_cells_df,
+        train_ivf_centroids,
+    )
+    from loan_etl_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, dim=64, n_cells=16, iters=3)
+    assigned = assign_cells_df(emb, cents)
+    kept = semantic_dedup(
+        assigned,
+        threshold=_SEMANTIC_TAU,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="cell",
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return kept.select("vec_id", F.col("cell").cast("int").alias("cell"))
+
+
+def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding validity gate per label: wrong-dimension, NaN-bearing,
+    and all-zero vectors counted in one narrow scan — the vector twin
+    of the declarative data-quality gate (operators/quality.py), run
+    before any ANN/dedup operator trusts the column.
+
+    All three predicates are array expressions (size / exists(isnan) /
+    array_max(abs)=0), so the scan shuffles only ≤|labels| summary
+    rows; the oracle replays them with DuckDB list lambdas.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.size(e) != 64, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_wrong_dim"),
+        F.sum(
+            F.when(F.exists(e, lambda x: F.isnan(x.cast("double"))), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_with_nan"),
+        F.sum(
+            F.when(
+                F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+                == F.lit(0.0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 for 10 probes (operators/pq.py:
     m=8 subspaces × 64 codewords → 32× smaller scan than floats).
@@ -298,6 +365,8 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_transitions": q_event_transitions,
     "q_supplier_variety": q_supplier_variety,
     "q_pq_topk": q_pq_topk,
+    "q_semdedup_cells": q_semdedup_cells,
+    "q_embedding_quality": q_embedding_quality,
 }
 
 #: shared winnowing-fingerprint CTE (grams → 48-bit md5 hashes →
@@ -389,6 +458,19 @@ ORACLE_CURATION: dict[str, str] = {
         {_PR_ITER_SQL.format(cur="p3", prev="p2")}
         SELECT CAST(id AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
         FROM p3 ORDER BY pr DESC, id ASC LIMIT 20
+    """,
+    "q_embedding_quality": """
+        SELECT label,
+               count(*) AS n_vectors,
+               CAST(SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_wrong_dim,
+               CAST(SUM(CASE WHEN len(list_filter(embedding,
+                                 x -> isnan(CAST(x AS DOUBLE)))) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+               CAST(SUM(CASE WHEN list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) = 0.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        FROM embeddings GROUP BY label
     """,
     "q_event_transitions": """
         WITH s AS (

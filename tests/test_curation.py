@@ -205,3 +205,39 @@ def test_pagerank_dangling_node_keeps_receiving(spark):
     # pr0 = 1e9//2; node1 gets base only; node2 gets base + 85%·pr0//1
     assert got[1] == 150000000
     assert got[2] == 150000000 + (85 * (10**9 // 2)) // 100
+
+
+def test_semdedup_cells_composed_guarantee(spark, sf_dir):
+    """q_semdedup_cells end product: survivors must contain NO
+    within-cell pair at floored-cosine >= tau with distinct ids —
+    verified by brute force over the composed output."""
+    import numpy as np
+
+    from loan_etl_data_pipeline_spark.queries_curation import (
+        _SEMANTIC_TAU,
+        q_semdedup_cells,
+    )
+
+    kept = {r.vec_id: r.cell for r in q_semdedup_cells(spark, sf_dir).collect()}
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert 0 < len(kept) < len(emb)  # something dropped, something survived
+
+    def fcos(a, b):
+        dot = int(np.floor((a * b) * 1e12).astype(np.int64).sum())
+        na = int(np.floor((a * a) * 1e12).astype(np.int64).sum())
+        nb = int(np.floor((b * b) * 1e12).astype(np.int64).sum())
+        if na == 0 or nb == 0:
+            return -1.0
+        return (dot / 1e12) / (np.sqrt(na / 1e12) * np.sqrt(nb / 1e12))
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, cell in kept.items():
+        by_cell.setdefault(cell, []).append(vid)
+    for cell, ids in by_cell.items():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert fcos(emb[a], emb[b]) < _SEMANTIC_TAU, (cell, a, b)
