@@ -331,6 +331,60 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users over a trailing 6-hour sliding window via HLL
+    tumble-merge (functions/sketches.py sliding_distinct): raw events
+    sketched ONCE per hour, sliding answers from kilobyte sketch
+    unions — the pre-aggregate pattern a naive per-window COUNT
+    DISTINCT (width× re-scan of raw rows) cannot match at 100 TB.
+
+    Rows-only by design, like q_approx_users: DuckDB's HLL is a
+    different implementation with different estimates. The
+    merge-equals-direct (lossless-union) and error-vs-exact contracts
+    are pinned in tests/test_sketches.py.
+    """
+    from loan_etl_data_pipeline_spark.functions.sketches import sliding_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_distinct(ev, "ts", "user_id", slide="1 hour", width_slides=6)
+
+
+def q_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 suppliers who were the ONLY returner on multi-supplier
+    orders (TPC-H-Q21-style; adapted — no commit/receipt dates in the
+    testdata, returnflag plays the "failed the order" role).
+
+    Q21's famous shape is EXISTS(another supplier) AND NOT
+    EXISTS(another failing supplier) against the same fact table.
+    Decorrelated the scale-right way: ONE distinct-collapse of
+    lineitem to (orderkey, suppkey, returned), ONE per-order aggregate
+    (n_suppliers, n_returners), and the per-(order,supplier) predicate
+    becomes a filter on the re-join — three passes over co-partitioned
+    orderkey data instead of two correlated subqueries per row.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("ret").alias("n_ret"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_os.join(per_o, "l_orderkey")
+        .filter((F.col("ret") == 1) & (F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "n_orders")
+        .orderBy(F.desc("n_orders"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
 _COPURCHASE_CTE_SQL = """
     li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     cop AS (
@@ -367,6 +421,8 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pq_topk": q_pq_topk,
     "q_semdedup_cells": q_semdedup_cells,
     "q_embedding_quality": q_embedding_quality,
+    "q_sole_returner": q_sole_returner,
+    "q_sliding_users": q_sliding_users,
 }
 
 #: shared winnowing-fingerprint CTE (grams → 48-bit md5 hashes →
@@ -458,6 +514,23 @@ ORACLE_CURATION: dict[str, str] = {
         {_PR_ITER_SQL.format(cur="p3", prev="p2")}
         SELECT CAST(id AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
         FROM p3 ORDER BY pr DESC, id ASC LIMIT 20
+    """,
+    "q_sole_returner": """
+        WITH per_os AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+            FROM lineitem GROUP BY 1, 2
+        ), per_o AS (
+            SELECT l_orderkey, count(*) AS n_supp, SUM(ret) AS n_ret
+            FROM per_os GROUP BY 1
+        )
+        SELECT s_name, count(*) AS n_orders
+        FROM per_os
+        JOIN per_o USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE ret = 1 AND n_supp >= 2 AND n_ret = 1
+        GROUP BY s_name
+        ORDER BY n_orders DESC, s_name ASC LIMIT 10
     """,
     "q_embedding_quality": """
         SELECT label,

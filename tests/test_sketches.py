@@ -69,3 +69,55 @@ def test_approx_quantiles_rank_error(spark, sf_dir):
             lo = sum(1 for v in vals if v < est)
             hi = sum(1 for v in vals if v <= est)
             assert lo / n - 0.01 <= q <= hi / n + 0.01, (flag, col, lo, hi, n, q)
+
+
+def test_sliding_distinct_merge_equals_direct(events):
+    """Each sliding estimate must EQUAL the single-pass sketch estimate
+    over the same trailing span (HLL union of same-lg_k sketches is
+    lossless), and track the exact trailing distinct within HLL error."""
+    from loan_etl_data_pipeline_spark.functions.sketches import sliding_distinct
+
+    got = {
+        r.win_start: r.approx_distinct
+        for r in sliding_distinct(
+            events, "ts", "user_id", slide="1 hour", width_slides=6
+        ).collect()
+    }
+    assert len(got) > 10
+
+    # tumble starts in order; recompute each trailing-6 span directly
+    tumbles = sorted(
+        r.ws
+        for r in events.select(
+            F.window("ts", "1 hour").start.alias("ws")
+        ).distinct().collect()
+    )
+    import random
+
+    rnd = random.Random(7)
+    for idx in rnd.sample(range(len(tumbles)), 8):
+        span = tumbles[max(0, idx - 5) : idx + 1]
+        lo, hi = span[0], tumbles[idx]
+        direct = (
+            events.filter(
+                (F.window("ts", "1 hour").start >= F.lit(lo))
+                & (F.window("ts", "1 hour").start <= F.lit(hi))
+            )
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", F.lit(12))
+                ).cast("bigint")
+            )
+            .collect()[0][0]
+        )
+        assert got[tumbles[idx]] == direct, (tumbles[idx], got[tumbles[idx]], direct)
+        exact = (
+            events.filter(
+                (F.window("ts", "1 hour").start >= F.lit(lo))
+                & (F.window("ts", "1 hour").start <= F.lit(hi))
+            )
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert abs(got[tumbles[idx]] - exact) <= max(3, 0.05 * exact)
