@@ -331,6 +331,26 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted (operators/text.py
+    lang_id) × golden ``lang`` label, one count per cell — the
+    classifier-eval loop every curation heuristic needs before it
+    gates a corpus. ≤|langs|² output rows; the prediction join is on
+    the documents' own key so the matrix costs one aggregate beyond
+    the lang_id scan itself.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users over a trailing 6-hour sliding window via HLL
     tumble-merge (functions/sketches.py sliding_distinct): raw events
@@ -423,6 +443,7 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_quality": q_embedding_quality,
     "q_sole_returner": q_sole_returner,
     "q_sliding_users": q_sliding_users,
+    "q_langid_confusion": q_langid_confusion,
 }
 
 #: shared winnowing-fingerprint CTE (grams → 48-bit md5 hashes →
@@ -514,6 +535,31 @@ ORACLE_CURATION: dict[str, str] = {
         {_PR_ITER_SQL.format(cur="p3", prev="p2")}
         SELECT CAST(id AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
         FROM p3 ORDER BY pr DESC, id ASC LIMIT 20
+    """,
+    "q_langid_confusion": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS hits_en,
+                   len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS hits_de,
+                   len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS hits_fr,
+                   len(list_filter(toks, x -> x IN ('el','los','las','que','y'))) AS hits_es
+            FROM t
+        ), pred AS (
+            SELECT doc_id,
+                   CASE WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) AND hits_en > 0 THEN 'en'
+                        WHEN hits_de >= greatest(hits_fr, hits_es) AND hits_de > 0 THEN 'de'
+                        WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                        WHEN hits_es > 0 THEN 'es'
+                        ELSE 'unknown' END AS lang_pred
+            FROM h
+        )
+        SELECT d.lang, p.lang_pred, count(*) AS n_docs
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2
     """,
     "q_sole_returner": """
         WITH per_os AS (
