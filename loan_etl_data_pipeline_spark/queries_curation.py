@@ -331,6 +331,50 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources: shared
+    distinct tokens and the overlap coefficient |Va∩Vb|/min(|Va|,|Vb|)
+    — the drift diagnostic read before mixing sources (disjoint
+    vocabularies ⇒ a tokenizer trained on one underfits the other;
+    near-1 overlap ⇒ near-duplicate feeds).
+
+    Scale shape: tokens collapse to the (source, token) DISTINCT set
+    first (one shuffle, corpus → vocabulary-sized), the pair join runs
+    on the token key over vocab rows only, and per-source vocab sizes
+    broadcast back — with exact integer counts throughout, so the
+    coefficient is one double division per pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("v").alias("va"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("v").alias("vb"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("va", "vb").cast("double")
+            ).alias("overlap_coef"),
+        )
+    )
+
+
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix: predicted (operators/text.py
     lang_id) × golden ``lang`` label, one count per cell — the
@@ -444,6 +488,7 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sole_returner": q_sole_returner,
     "q_sliding_users": q_sliding_users,
     "q_langid_confusion": q_langid_confusion,
+    "q_vocab_overlap": q_vocab_overlap,
 }
 
 #: shared winnowing-fingerprint CTE (grams → 48-bit md5 hashes →
@@ -535,6 +580,24 @@ ORACLE_CURATION: dict[str, str] = {
         {_PR_ITER_SQL.format(cur="p3", prev="p2")}
         SELECT CAST(id AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
         FROM p3 ORDER BY pr DESC, id ASC LIMIT 20
+    """,
+    "q_vocab_overlap": """
+        WITH vocab AS (
+            SELECT DISTINCT source,
+                   UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ), sizes AS (
+            SELECT source, count(*) AS v FROM vocab GROUP BY source
+        ), shared AS (
+            SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+            FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, n_shared,
+               CAST(n_shared AS DOUBLE) / least(sa.v, sb.v) AS overlap_coef
+        FROM shared
+        JOIN sizes sa ON sa.source = shared.src_a
+        JOIN sizes sb ON sb.source = shared.src_b
     """,
     "q_langid_confusion": """
         WITH t AS (

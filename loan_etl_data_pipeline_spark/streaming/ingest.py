@@ -583,3 +583,95 @@ def stream_stream_interval_join(
     hi = f"INTERVAL '{float(upper_seconds):.6f}' SECOND"
     cond = (rts >= lts + F.expr(lo)) & (rts <= lts + F.expr(hi))
     return left.join(r, [left[on] == r[on], cond]).drop(r[on])
+
+
+def stream_neardup_dedup(
+    docs: DataFrame,
+    *,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    trigger_seconds: float | None = None,
+    **dedup_kwargs,
+):
+    """Continuous corpus building: dedup each arriving micro-batch of
+    documents against the PERSISTENT MinHash band index, append
+    survivors, grow the index — the streaming face of
+    ``operators/dedup.py minhash_dedup_incremental``.
+
+    Layout (both grow one subdirectory per micro-batch):
+
+    - ``out_dir/batch=N`` — surviving rows of batch N;
+    - ``index_dir/batch=N`` — band postings of the survivors (id,
+      band_no, band_key, sig — NO document text, the production index
+      shape).
+
+    Exactly-once on replay: foreachBatch can re-run the last batch
+    after a crash. Every write lands in the batch's OWN subdirectory
+    with ``overwrite``, and the index loaded for batch N explicitly
+    EXCLUDES ``batch=N`` — a replay overwrites its previous partial
+    output instead of matching its own documents against themselves
+    (which would drop every doc of the replayed batch as a
+    self-duplicate).
+
+    At 100 TB the per-batch cost is the delta-only scan plus a
+    band-key join against the index postings — the accumulated corpus
+    text is never re-read, exactly like the batch-incremental
+    operator this wraps (see its docstring for the bucketed-index
+    layout that makes the probe join exchange-free).
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        band_postings,
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    spark = docs.sparkSession
+    sig_kwargs = {
+        k: v
+        for k, v in dedup_kwargs.items()
+        if k in ("num_perm", "shingle_size")
+    }
+    post_kwargs = {
+        k: v for k, v in dedup_kwargs.items() if k in ("num_perm", "bands")
+    }
+
+    def _load_index(exclude_batch: int) -> DataFrame | None:
+        fs_dirs = []
+        import os
+
+        if os.path.isdir(index_dir):
+            fs_dirs = [
+                f"{index_dir}/{d}"
+                for d in sorted(os.listdir(index_dir))
+                if d.startswith("batch=")
+                and d != f"batch={exclude_batch}"
+            ]
+        if not fs_dirs:
+            return None
+        return spark.read.parquet(*fs_dirs)
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        idx = _load_index(bid)
+        kept, _dropped, _ = minhash_dedup_incremental(
+            bdf, idx, id_col, text_col, **dedup_kwargs
+        )
+        kept = kept.localCheckpoint()  # consumed twice: rows + postings
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch={bid}")
+        delta_posts = band_postings(
+            minhash_signatures(kept, id_col, text_col, **sig_kwargs),
+            **post_kwargs,
+        )
+        delta_posts.write.mode("overwrite").parquet(f"{index_dir}/batch={bid}")
+
+    writer = docs.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

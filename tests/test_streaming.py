@@ -487,3 +487,79 @@ def test_streaming_heavy_hitters_batch_path_is_exact(spark):
         totals.setdefault(r.shard, set()).add(r.shard_total)
     for shard, ts in totals.items():
         assert len(ts) == 1  # one consistent total per shard
+
+
+def _neardup_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_BASE = ("the quick brown fox jumps over the lazy dog while the rain "
+         "falls gently on the quiet village roofs at dusk tonight")
+
+
+def test_stream_neardup_dedup_incremental_and_replay(spark, tmp_path):
+    """foreachBatch + persistent band index: intra-batch near-dups drop
+    by min-id, later batches drop against the index without re-reading
+    corpus text, and a same-batch-id reprocess (checkpoint loss) must
+    NOT match documents against their own previous postings."""
+    from loan_etl_data_pipeline_spark.streaming.ingest import stream_neardup_dedup
+
+    b1 = _neardup_docs(
+        spark,
+        [
+            (1, _BASE),
+            (2, _BASE + " extra"),  # near-dup of 1 -> intra-batch drop
+            (3, "completely different text about spark partitions and "
+                "shuffle exchanges during wide aggregations yesterday"),
+        ],
+    )
+    src = str(tmp_path / "nd_src")
+    idx, out, ckpt = (
+        str(tmp_path / "nd_idx"),
+        str(tmp_path / "nd_out"),
+        str(tmp_path / "nd_ckpt"),
+    )
+
+    def run():
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = stream_neardup_dedup(
+            stream,
+            index_dir=idx,
+            out_dir=out,
+            checkpoint_dir=ckpt,
+            threshold=0.6,
+        )
+        q.awaitTermination(120)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run()
+    kept1 = {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert kept1 == {1, 3}
+
+    # batch 2: 10 is a near-dup of indexed doc 1; 11 is novel
+    b2 = _neardup_docs(
+        spark,
+        [
+            (10, _BASE + " again"),
+            (11, "unrelated prose describing mountains rivers forests "
+                 "and the slow migration of clouds across autumn skies"),
+        ],
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    kept2 = {r.doc_id for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert kept2 == {11}
+
+    # checkpoint loss -> batch ids restart at 0 over the SAME files:
+    # the bid=0 reprocess must exclude index_dir/batch=0 (its own prior
+    # postings) or every doc would drop as a self-duplicate
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    kept_replay = {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    # reprocessed batch 0 = ALL files in one batch (b1+b2): 1 survives,
+    # 2/10 drop as near-dups of 1, 3/11 survive -- and crucially none of
+    # them were dropped against their own batch=0/1 index entries...
+    assert 1 in kept_replay and 3 in kept_replay
+    assert 2 not in kept_replay and 10 not in kept_replay
