@@ -24,6 +24,15 @@ Everything stays JVM-side and declarative:
   ``(element_at(bitmap, pos/64 + 1) >> (pos % 64)) & 1`` AND-ed over the
   k hashes. No UDF, no driver collect, no Python in the row path.
 
+Key canonicalization: both sides hash ``cast(key AS STRING)``.
+``xxhash64`` is TYPE-sensitive — xxhash64(5::int) ≠ xxhash64(5::bigint)
+— so hashing the raw columns silently drops EVERY true match when the
+build and probe key types differ (int dim key vs bigint fact key, a
+completely ordinary schema drift; empirically 0/100 matches survived).
+The string form is identical for any integer/string widths, matching
+the equi-join equality the filter stands in for (property-tested with
+mismatched key types).
+
 Guarantees: no false negatives ever (a true match always survives the
 prune — property-tested), false positives at the textbook
 ``(1 - e^(-kn/m))^k`` rate, which only costs shuffle bytes: callers must
@@ -66,9 +75,10 @@ def bloom_build(
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     n_words = num_bits // 64
 
+    canon = F.col(key_col).cast("string")  # type-insensitive hash input
     positions = F.array(
         *[
-            F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(num_bits))
+            F.pmod(F.xxhash64(F.lit(i), canon), F.lit(num_bits))
             for i in range(num_hashes)
         ]
     )
@@ -113,7 +123,7 @@ def bloom_might_contain(key_col: str, *, num_bits: int, num_hashes: int):
     """
     conds = []
     for i in range(num_hashes):
-        pos_sql = f"pmod(xxhash64({i}, `{key_col}`), {num_bits}L)"
+        pos_sql = f"pmod(xxhash64({i}, cast(`{key_col}` as string)), {num_bits}L)"
         word_sql = f"element_at({_BITMAP}, cast({pos_sql} div 64 as int) + 1)"
         bit_sql = f"cast(pmod({pos_sql}, 64) as int)"
         conds.append(f"((shiftright({word_sql}, {bit_sql}) & 1L) = 1L)")
@@ -128,9 +138,16 @@ def bloom_prune(df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
     keys are dropped (they cannot match any equi-join anyway). Callers
     still run the real join afterwards; this only shrinks its input.
     """
-    meta = bloom.select(_NBITS, _NHASH).first()
-    num_bits, num_hashes = int(meta[_NBITS]), int(meta[_NHASH])
-    joined = df.join(F.broadcast(bloom.select(_BITMAP)))
+    # collect the ONE row once: .first() + a later broadcast of the
+    # unpersisted frame would execute the whole build aggregation twice
+    # (scan + explode + bit_or shuffle), doubling the advertised
+    # one-aggregation cost. The driver holds only the bitmap (m/8 bytes).
+    row = bloom.first()
+    num_bits, num_hashes = int(row[_NBITS]), int(row[_NHASH])
+    one = df.sparkSession.createDataFrame(
+        [(list(row[_BITMAP]),)], f"{_BITMAP} array<bigint>"
+    )
+    joined = df.join(F.broadcast(one))
     kept = joined.filter(
         F.col(key_col).isNotNull()
         & bloom_might_contain(key_col, num_bits=num_bits, num_hashes=num_hashes)

@@ -318,6 +318,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge set (e.g. a support floor filtered everything):
+        # empty result, same schema — mirrors connected_components
+        return nodes.select("id", F.lit(0).cast("long").alias("pr"))
     base = ((damping_den - damping_num) * scale) // damping_den
     pr = nodes.select("id", F.lit(scale // n).cast("long").alias("pr"))
     for _ in range(iterations):

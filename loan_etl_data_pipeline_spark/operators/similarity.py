@@ -637,4 +637,8 @@ def semantic_dedup(
         .select(F.col("ib").alias(id_col))
         .distinct()
     )
-    return df.join(F.broadcast(dropped), id_col, "left_anti")
+    # no broadcast hint: the dropped set is UNBOUNDED (a redundant
+    # corpus can drop a large fraction of all ids), and a forced
+    # broadcast of that is a driver/executor OOM; AQE plans the anti-
+    # join as a broadcast exactly when the measured size permits
+    return df.join(dropped, id_col, "left_anti")

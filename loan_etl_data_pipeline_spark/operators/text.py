@@ -522,17 +522,31 @@ def winnow_neardup_pairs(
     gram is. The winnowing theorem makes recall exact for overlaps of
     length ≥ k+w-1 whose fingerprints survive the df cap.
 
-    Two shuffles end to end: the df-count groupBy on ``fp`` (which also
-    co-locates the self-join) and the pair-count groupBy on (id_a,
-    id_b); both partial-aggregate map-side.
+    Postings shuffle on ``fp`` (the df-count Exchange is reused by the
+    semi-join and the post-join collect runs partition-local on the
+    same partitioning) + the pair-count groupBy on (id_a, id_b); both
+    aggregations partial map-side.
     """
     fps = winnow_fingerprints(
         df, id_col, text_col, k=k, w=w, parallelism=parallelism
     )
-    rare = (
+    # Two-pass stop-fingerprint drop: the df COUNT first (constant-size
+    # aggregation buffers), the posting-list collect only AFTER the
+    # semi-join against surviving fps. Collecting ids before the df
+    # filter would materialize one array per fingerprint with NO bound —
+    # a boilerplate gram in 10M docs is an ~80 MB single aggregation
+    # row, the exact skew this operator promises to be immune to. After
+    # the semi-join every list is ≤ max_df elements by construction.
+    keep_fp = (
         fps.groupBy("fp")
-        .agg(F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    rare = (
+        fps.join(keep_fp, "fp")
+        .groupBy("fp")
+        .agg(F.collect_list(id_col).alias("ids"))
     )
     pairs = rare.select(
         F.explode(

@@ -2147,6 +2147,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same assignment as ntile() OVER (ORDER BY ...) but never a
     # single-partition Exchange (three agg-sized range shuffles)
     cur = per_cust
+    cached = []
     for metric, out_col in (
         ("last_order", "r_tile"),
         ("frequency", "f_tile"),
@@ -2155,10 +2156,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = global_rank(
             cur, [F.desc(metric), F.asc("o_custkey")], rank_col="__rk"
         )
+        # withColumn/drop return NEW DataFrames without the Python-side
+        # attribute — carry the persisted frames forward explicitly or
+        # release_intermediates on the result can never unpersist them
+        cached.extend(getattr(cur, "_persisted_intermediates", ()))
         cur = cur.withColumn(
             out_col, ntile_from_rank(F.col("__rk"), cur._global_rank_n, 4)
         ).drop("__rk")
-    return cur.select(
+    out = cur.select(
         F.col("o_custkey").alias("custkey"),
         "last_order",
         "frequency",
@@ -2167,6 +2172,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_tile",
         "m_tile",
     )
+    out._persisted_intermediates = cached
+    return out
 
 
 _SQL_Q6 = """
@@ -2277,12 +2284,14 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8+ key-gap detection (missing o_orderkey ranges), built
     SCALE-CORRECTLY: a bare ``lead() OVER (ORDER BY k)`` collapses to
-    one partition, so instead keys are bucketed (k div 2^20), in-bucket
-    gaps use a bucket-partitioned lead, and cross-bucket gaps come from
-    a per-bucket min/max summary (#buckets rows — trivially small)
-    windowed globally. Exactly the segmented-scan decomposition a
-    100 TB key audit needs; results are the same rows a naive global
-    lead would emit.
+    one partition, so instead keys are bucketed (k div 2^8 here — sized
+    so the sf0.1 keyspace yields hundreds of buckets; at a real 100 TB
+    keyspace widen to ~2^20 so the per-bucket summary stays ≪ keys),
+    in-bucket gaps use a bucket-partitioned lead, and cross-bucket gaps
+    come from a per-bucket min/max summary (#buckets rows) windowed
+    globally. Exactly the segmented-scan decomposition a 100 TB key
+    audit needs; results are the same rows a naive global lead would
+    emit at any bucket width.
     """
     o = (
         load_table(spark, sf_dir, "orders")
@@ -2344,10 +2353,9 @@ def q_mean_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     # vocabulary scales with the corpus — rank it with the distributed
     # range-partition construction, never a single-partition window
-    ranked = global_rank(
-        vocab, [F.desc("cnt"), F.asc("tok")], rank_col="rank"
-    ).select("tok", "rank")
-    return (
+    ranked_full = global_rank(vocab, [F.desc("cnt"), F.asc("tok")], rank_col="rank")
+    ranked = ranked_full.select("tok", "rank")
+    out = (
         toks.join(F.broadcast(ranked), "tok")
         .groupBy("doc_id")
         .agg(
@@ -2357,6 +2365,12 @@ def q_mean_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_rank"),
         )
     )
+    # select() strips the Python-side attribute — re-attach so
+    # release_intermediates(out) can unpersist the ranged frame
+    out._persisted_intermediates = list(
+        getattr(ranked_full, "_persisted_intermediates", ())
+    )
+    return out
 
 
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3724,7 +3738,7 @@ ORACLE_ROUND3: dict[str, str] = {
                    min(idx) OVER (PARTITION BY user_id) AS cidx
             FROM e
         )
-        SELECT printf('%04d-%02d', CAST(cidx / 12 AS INT),
+        SELECT printf('%04d-%02d', CAST(cidx // 12 AS INT),
                       CAST(cidx % 12 + 1 AS INT)) AS cohort,
                CAST(idx - cidx AS BIGINT) AS months_since,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

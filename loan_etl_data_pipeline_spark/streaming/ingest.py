@@ -258,7 +258,11 @@ def streaming_heavy_hitters(
     from pyspark.sql.types import ArrayType, StringType
 
     shard = F.pmod(F.xxhash64(F.col(value_col).cast("string")), F.lit(n_shards))
-    routed = events.select(
+    # null values are ignored in BOTH paths (a null is never a frequent
+    # item any more than it equi-joins); unguarded, a null item reaches
+    # the stateful kernel's sorted() fold and kills the query with a
+    # str-vs-None TypeError
+    routed = events.filter(F.col(value_col).isNotNull()).select(
         shard.cast("long").alias("shard"),
         F.col(value_col).cast("string").alias("item"),
     )
@@ -640,16 +644,23 @@ def stream_neardup_dedup(
     }
 
     def _load_index(exclude_batch: int) -> DataFrame | None:
-        fs_dirs = []
-        import os
-
-        if os.path.isdir(index_dir):
-            fs_dirs = [
-                f"{index_dir}/{d}"
-                for d in sorted(os.listdir(index_dir))
-                if d.startswith("batch=")
-                and d != f"batch={exclude_batch}"
-            ]
+        # Hadoop FS listing, NOT os.listdir: index_dir is s3a://hdfs://
+        # in the deployment this operator exists for, where a local
+        # listing silently returns nothing and every batch would dedup
+        # only against itself (the same reason _canonical_checkpoint_id
+        # goes through the Hadoop Path API).
+        sc = spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        fs_dirs = sorted(
+            st.getPath().toString()
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("batch=")
+            and st.getPath().getName() != f"batch={exclude_batch}"
+        )
         if not fs_dirs:
             return None
         return spark.read.parquet(*fs_dirs)

@@ -87,3 +87,17 @@ def test_validation():
         bloom_build(None, "k", num_bits=100)
     with pytest.raises(ValueError, match="num_hashes"):
         bloom_build(None, "k", num_bits=64, num_hashes=0)
+
+
+def test_no_false_negatives_across_key_types(spark):
+    """xxhash64 is type-sensitive (xxhash64(5::int) != xxhash64(5::bigint));
+    the canonical string cast must make an int-keyed build prune a
+    bigint-keyed probe correctly — before the fix, 0 of the true
+    matches survived."""
+    from loan_etl_data_pipeline_spark.functions.bloom import bloom_build, bloom_prune
+
+    dim = spark.createDataFrame([(i,) for i in range(100)], "k int")
+    fact = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    bloom = bloom_build(dim, "k", num_bits=1 << 12, num_hashes=5)
+    kept = {r.k for r in bloom_prune(fact, "k", bloom).collect()}
+    assert set(range(100)) <= kept  # every true match survives

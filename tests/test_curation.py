@@ -241,3 +241,8 @@ def test_semdedup_cells_composed_guarantee(spark, sf_dir):
         for i, a in enumerate(ids):
             for b in ids[i + 1 :]:
                 assert fcos(emb[a], emb[b]) < _SEMANTIC_TAU, (cell, a, b)
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).collect() == []

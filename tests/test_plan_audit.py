@@ -130,11 +130,13 @@ def test_winnow_fingerprint_summary_single_wide_shuffle(plans):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
 
 
-def test_semantic_dedup_survivors_via_broadcast_anti(plans):
-    """The dropped-id set comes back as a broadcast anti-join — the
-    corpus is never shuffled for the subtraction."""
+def test_semantic_dedup_survivors_via_anti_join(plans):
+    """Survivors come back through a hash anti-join (AQE broadcasts it
+    when the measured dropped-set size permits — no forced hint: the
+    dropped set is unbounded on a redundant corpus), never a
+    nested-loop product."""
     p = plans("q_semantic_dedup")
-    assert "LeftAnti, BuildRight" in p
+    assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
 
 

@@ -563,3 +563,15 @@ def test_stream_neardup_dedup_incremental_and_replay(spark, tmp_path):
     # them were dropped against their own batch=0/1 index entries...
     assert 1 in kept_replay and 3 in kept_replay
     assert 2 not in kept_replay and 10 not in kept_replay
+
+
+def test_streaming_heavy_hitters_ignores_nulls(spark):
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        streaming_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), ("b",)], "event_type string"
+    )
+    rows = streaming_heavy_hitters(df, capacity=4, n_shards=2).collect()
+    assert {r.item: r.mg_count for r in rows} == {"a": 2, "b": 1}
