@@ -331,6 +331,52 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile normalization of document length —
+    quantile normalization across corpus feeds, so a "long doc" means
+    the same thing in every source before mixing.
+
+    Scale-correct construction: ONE distributed global_rank over the
+    total order (source, n_chars, doc_id) — range partitions, never an
+    Exchange SinglePartition — then per-source (offset, count)
+    broadcast back: in-source rank = global rank − source offset,
+    percentile = (r−1)/(cnt−1). A bare percent_rank() OVER (PARTITION
+    BY source ...) puts each source's ENTIRE corpus in one task (a
+    handful of giant sources = a handful of straggler tasks); the
+    oracle runs exactly that window, certifying the decomposition.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ranked_full = global_rank(
+        docs,
+        [F.asc("source"), F.asc("n_chars"), F.asc("doc_id")],
+        rank_col="__gr",
+    )
+    per_src = ranked_full.groupBy("source").agg(
+        F.min("__gr").alias("__off"), F.count(F.lit(1)).alias("__cnt")
+    )
+    out = (
+        ranked_full.join(F.broadcast(per_src), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.when(F.col("__cnt") > 1,
+                   (F.col("__gr") - F.col("__off")).cast("double")
+                   / (F.col("__cnt") - 1).cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("pct_in_source"),
+        )
+    )
+    out._persisted_intermediates = list(
+        getattr(ranked_full, "_persisted_intermediates", ())
+    )
+    return out
+
+
 def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise vocabulary overlap between corpus sources: shared
     distinct tokens and the overlap coefficient |Va∩Vb|/min(|Va|,|Vb|)
@@ -489,6 +535,7 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sliding_users": q_sliding_users,
     "q_langid_confusion": q_langid_confusion,
     "q_vocab_overlap": q_vocab_overlap,
+    "q_quality_percentiles": q_quality_percentiles,
 }
 
 #: shared winnowing-fingerprint CTE (grams → 48-bit md5 hashes →
@@ -580,6 +627,12 @@ ORACLE_CURATION: dict[str, str] = {
         {_PR_ITER_SQL.format(cur="p3", prev="p2")}
         SELECT CAST(id AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
         FROM p3 ORDER BY pr DESC, id ASC LIMIT 20
+    """,
+    "q_quality_percentiles": """
+        SELECT doc_id, source, n_chars,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS pct_in_source
+        FROM documents
     """,
     "q_vocab_overlap": """
         WITH vocab AS (

@@ -104,7 +104,12 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     )
     z_path = str(tmp_path / "zorder")
     s_path = str(tmp_path / "singlesort")
-    write_zordered(df, z_path, zorder_cols=["a", "b"], bits=8, partitions=16)
+    # 32 z-partitions: repartitionByRange SAMPLES its boundaries, and at
+    # 16 partitions only ~4 leading z-bits are cut, leaving the per-dim
+    # hit count hovering exactly at the zn//2 threshold (observed 8/16
+    # flake); 32 cuts ~5 bits and the expectation (~8/32) clears the
+    # threshold with margin on every sampling outcome
+    write_zordered(df, z_path, zorder_cols=["a", "b"], bits=8, partitions=32)
     write_sorted(df, s_path, sort_cols="a", partitions=16)
 
     def hits(path, col, probe):
