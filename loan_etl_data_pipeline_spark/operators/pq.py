@@ -320,3 +320,90 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_cosine", "rank")
     )
+
+
+def build_pq_index(
+    corpus_df: DataFrame,
+    index_dir: str,
+    *,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Persist the PQ index: train once, encode once, query forever.
+
+    - ``index_dir/codebooks`` — (sub, code, centroid) rows (tiny:
+      m·ksub·dsub doubles; binary64 round-trips through parquet
+      unchanged, so reloaded ADC scores are bit-identical);
+    - ``index_dir/codes`` — the 32×-smaller (id, codes) table, the only
+      thing a query scan reads.
+
+    The float corpus is never touched again except by a downstream
+    exact re-rank of ADC candidates. Returns the codebooks.
+    """
+    books = train_pq_codebooks(
+        corpus_df, dim=dim, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    pq_encode(corpus_df, books, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/codes")
+    spark = corpus_df.sparkSession
+    rows = [
+        (s, c, books[s, c].tolist())
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    return books
+
+
+def load_pq_codebooks(spark, index_dir: str) -> np.ndarray:
+    """(m, ksub, dsub) codebooks back from ``index_dir`` — bit-exact."""
+    rows = spark.read.parquet(f"{index_dir}/codebooks").orderBy("sub", "code").collect()
+    m = max(r["sub"] for r in rows) + 1
+    ksub = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["sub"], r["code"]] = np.asarray(r["centroid"], dtype=np.float64)
+    return books
+
+
+def pq_topk_indexed(
+    spark,
+    index_dir: str,
+    queries_df: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_BATCH,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index: reads ONLY the code
+    table (32× smaller than the float corpus) + the kilobyte codebook
+    row set. Identical output to :func:`pq_topk` with the same
+    codebooks — the reload is bit-exact, which the index test pins.
+    """
+    books = load_pq_codebooks(spark, index_dir)
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    # with codebooks AND codes_df supplied, pq_topk touches corpus_df
+    # only for the session handle — the codes frame serves as both
+    return pq_topk(
+        queries_df,
+        codes,
+        k=k,
+        dim=books.shape[0] * books.shape[2],
+        m=books.shape[0],
+        ksub=books.shape[1],
+        codebooks=books,
+        codes_df=codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_queries=max_queries,
+    )

@@ -123,3 +123,29 @@ def test_topk_partitioning_invariant(emb, books):
         ).collect()
     )
     assert a == b
+
+
+def test_persistent_index_round_trip(spark, emb, books, tmp_path):
+    """build_pq_index -> load + query: reloaded codebooks are bit-exact
+    and the indexed top-k equals the in-memory path exactly."""
+    from loan_etl_data_pipeline_spark.operators.pq import (
+        build_pq_index,
+        load_pq_codebooks,
+        pq_topk_indexed,
+    )
+
+    idx = str(tmp_path / "pq_idx")
+    built = build_pq_index(emb, idx, dim=DIM, m=M, ksub=KSUB, iters=3)
+    assert np.array_equal(built, books)  # same deterministic training
+    assert np.array_equal(load_pq_codebooks(spark, idx), books)
+
+    q = emb.filter("vec_id < 5")
+    direct = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_cosine)
+        for r in pq_topk(q, emb, dim=DIM, k=5, codebooks=books).collect()
+    )
+    indexed = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_cosine)
+        for r in pq_topk_indexed(spark, idx, q, k=5).collect()
+    )
+    assert indexed == direct
