@@ -548,6 +548,24 @@ def cosine_neardup_lsh(
     return scored.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
+def floored_dot_expr(a, b):
+    """Codegen Column: Σ floor((aᵢ·bᵢ)·1e12) as int64 — the array-HOF
+    twin of the numpy kernels' floored dot, usable in any join/filter
+    (pure built-ins, engine-portable: the SQL oracle replays it as
+    SUM(CAST(FLOOR((x*y)*1e12) AS BIGINT)) over UNNESTed pairs)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                (x.cast("double") * y.cast("double")) * F.lit(1e12)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     *,
@@ -594,19 +612,7 @@ def semantic_dedup(
     """
     if parallelism:
         df = df.repartition(parallelism)
-
-    def _floored_dot(a, b):
-        return F.aggregate(
-            F.zip_with(
-                a,
-                b,
-                lambda x, y: F.floor(
-                    (x.cast("double") * y.cast("double")) * F.lit(1e12)
-                ).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, z: acc + z,
-        )
+    _floored_dot = floored_dot_expr
 
     v = df.select(
         F.col(id_col).alias("_id"),

@@ -331,6 +331,92 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN hard-negative mining: for each probe vector, the top-3
+    nearest neighbors with a DIFFERENT label — the contrastive-training
+    staple (nearest wrong-class examples are the informative negatives,
+    vs q_negatives' hash-ring random ones).
+
+    The label-inequality theta join compiles to a
+    BroadcastNestedLoopJoin with the 10-row PROBE side broadcast —
+    correct here because the probe batch is capped by construction; at
+    a 1M-probe scale you run the capped-kernel path instead
+    (cosine_topk_bruteforce's scan with the label test in-kernel). The
+    floored-int64 cosine keeps the oracle bit-exact.
+    """
+    from loan_etl_data_pipeline_spark.operators.similarity import floored_dot_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_n2 = emb.withColumn(
+        "n2", floored_dot_expr(F.col("embedding"), F.col("embedding"))
+    )
+    q = with_n2.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+        F.col("n2").alias("qn"),
+    )
+    c = with_n2.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("cvec"),
+        F.col("n2").alias("cn"),
+    )
+    dot = floored_dot_expr(F.col("qvec"), F.col("cvec"))
+    cosine = (dot.cast("double") / F.lit(1e12)) / (
+        F.sqrt(F.col("qn").cast("double") / F.lit(1e12))
+        * F.sqrt(F.col("cn").cast("double") / F.lit(1e12))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qlabel") != F.col("clabel"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: hash-split documents by their
+    near-duplicate COMPONENT, not their own id — the leakage guard
+    every eval needs (an 80/20 doc-id split puts one copy of a
+    near-dup pair in train and its twin in test, inflating eval).
+
+    Composition of certified parts: the Jaccard≥0.5 pair graph →
+    connected components (same construction as q_dup_components;
+    singletons keep their own id as component) → md5-bucket split on
+    the component id (functions/splits.py hash_split) — every member
+    of a component lands on the same side, forever, on any engine.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import hash_split
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_intermediates,
+    )
+    from loan_etl_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    release_intermediates(pairs)
+    labeled = docs.join(
+        comp.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
+    ).withColumn("component", F.coalesce("component", "doc_id"))
+    return hash_split(labeled, "component", train_frac=0.8).select(
+        "doc_id", "component", "split"
+    )
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-source percentile normalization of document length —
     quantile normalization across corpus feeds, so a "long doc" means
@@ -536,7 +622,13 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_langid_confusion": q_langid_confusion,
     "q_vocab_overlap": q_vocab_overlap,
     "q_quality_percentiles": q_quality_percentiles,
+    "q_hard_negatives": q_hard_negatives,
+    "q_leakage_safe_split": q_leakage_safe_split,
 }
+
+# hash_split's md5-bucket threshold for train_frac=0.8 (see
+# functions/splits.py: format(round(0.8 * 65536), "04x"))
+_SPLIT_THR_80 = "cccd"
 
 #: shared winnowing-fingerprint CTE (grams → 48-bit md5 hashes →
 #: window minima → distinct per-doc fp set), the SQL twin of
@@ -627,6 +719,37 @@ ORACLE_CURATION: dict[str, str] = {
         {_PR_ITER_SQL.format(cur="p3", prev="p2")}
         SELECT CAST(id AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
         FROM p3 ORDER BY pr DESC, id ASC LIMIT 20
+    """,
+    "q_hard_negatives": """
+        WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, label AS cl, embedding AS ce
+              FROM embeddings),
+        ex AS (
+            SELECT q.query_id, c.neighbor_id,
+                   CAST(UNNEST(q.qe) AS DOUBLE) AS x,
+                   CAST(UNNEST(c.ce) AS DOUBLE) AS y
+            FROM q JOIN c ON q.ql <> c.cl
+        ), sums AS (
+            SELECT query_id, neighbor_id,
+                   SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+                   SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS qn_s,
+                   SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS cn_s
+            FROM ex GROUP BY query_id, neighbor_id
+        ), cos AS (
+            SELECT query_id, neighbor_id,
+                   (CAST(dot_s AS DOUBLE) / 1e12)
+                     / (sqrt(CAST(qn_s AS DOUBLE) / 1e12)
+                        * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) AS cosine
+            FROM sums
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id ASC)
+                        AS BIGINT) AS rank
+            FROM cos
+        ) WHERE rank <= 3
     """,
     "q_quality_percentiles": """
         SELECT doc_id, source, n_chars,
@@ -740,3 +863,19 @@ ORACLE_CURATION: dict[str, str] = {
         GROUP BY 1, 2
     """,
 }
+
+
+# The components construction is certified by q_dup_components' oracle;
+# reuse that exact SQL as a CTE (import is circular-safe: queries.py
+# only imports this module lazily inside all_queries/all_oracles).
+from loan_etl_data_pipeline_spark.queries import ORACLE_PART_B as _OPB  # noqa: E402
+
+ORACLE_CURATION["q_leakage_safe_split"] = f"""
+    WITH comps AS ({_OPB["q_dup_components"]})
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)
+                                || ''), 1, 4) < '{_SPLIT_THR_80}'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+"""
