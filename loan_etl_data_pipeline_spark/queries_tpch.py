@@ -24,6 +24,11 @@ schema, which has no partsupp/commitdate):
 - scalar-max join-back    (Q15) → 1-row broadcast instead of a global window
 - returned-item top-k     (Q10) → aggregate-then-enrich (dims join the
                                    ~|custkey| aggregate, never the fact table)
+- two-class CASE counts   (Q12) → big-big shuffle join, map-side partial agg
+- outer-join histogram    (Q13) → join-side predicate, partition reuse
+                                   between the join and the first groupBy
+- threshold semi-join     (Q20) → integer cross-multiplied share compare,
+                                   qualifying keys broadcast into left_semi
 """
 
 from __future__ import annotations
@@ -421,7 +426,168 @@ def q_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ship_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-class conditional counts after a fact-fact join
+    (TPC-H-Q12-style; the testdata has no ``l_shipmode``, so the group
+    key is ``l_linestatus`` and the two classes are urgent-vs-other
+    order priority).
+
+    Plan shape: lineitem⋈orders is a genuine big-big join — neither
+    side broadcasts at 100 TB — so it shuffles once on the order key,
+    with the 1996 shipdate filter pushed to the lineitem scan and both
+    scans pruned to 3 columns. The CASE counts are partial-aggregated
+    map-side; the final exchange carries ≤|linestatus| rows.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution by order count, zero-order customers
+    included (TPC-H-Q13-style): LEFT OUTER customer⋈orders with a
+    predicate on the join's right side, then a two-level aggregate.
+
+    The priority filter must live on ``orders`` BEFORE the outer join
+    (a WHERE after it would silently drop the zero-order customers that
+    are the point of the query). Both the join and the first groupBy
+    key on ``custkey``, so Catalyst reuses the join's hash partitioning
+    for the count — one Exchange for the big stage, and the second
+    groupBy (``c_count`` → histogram) exchanges ≤|distinct counts| rows.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than half of a red part's total 1996
+    volume (TPC-H-Q20-style threshold semi-join; adapted — the testdata
+    has no partsupp, so "excess availability" becomes "dominant shipper
+    of at least one part").
+
+    Scale shape: the ``p_name LIKE 'red%'`` part-list broadcasts into
+    the lineitem scan (filter first — ~1/|colors| of the fact rows
+    survive), the (supp, part) aggregate shuffles once on its compound
+    key, and the per-part totals are re-derived FROM that aggregate
+    (≤|parts|·|supps| rows, no second fact scan) and broadcast back.
+    The share compare is cross-multiplied in exact int64
+    (``2·supp_qty > total``) so no engine-dependent division rounds a
+    boundary supplier in or out. Qualifying suppkeys (≤|supplier|)
+    broadcast into a semi-join against the dimension.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .select("l_suppkey", "l_partkey", "l_quantity")
+    )
+    red = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_suppkey", "l_partkey", F.floor("l_quantity").cast("bigint").alias("qi")
+    )
+    per_sp = red.groupBy("l_suppkey", "l_partkey").agg(F.sum("qi").alias("supp_qty"))
+    totals = per_sp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dominant = (
+        per_sp.join(F.broadcast(totals), per_sp.l_partkey == F.col("t_partkey"))
+        .filter(F.lit(2) * F.col("supp_qty") > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).orderBy("s_suppkey")
+
+
 ORACLE_TPCH: dict[str, str] = {
+    "q_ship_mode_counts": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "q_cust_order_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q_excess_shippers": """
+        WITH red AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS qi
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+        ), per_sp AS (
+            SELECT l_suppkey, l_partkey, CAST(SUM(qi) AS BIGINT) AS supp_qty
+            FROM red GROUP BY l_suppkey, l_partkey
+        ), totals AS (
+            SELECT l_partkey AS t_partkey, CAST(SUM(supp_qty) AS BIGINT)
+                     AS total_qty
+            FROM per_sp GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM per_sp JOIN totals ON l_partkey = t_partkey
+            WHERE 2 * supp_qty > total_qty
+        )
+        ORDER BY s_suppkey
+    """,
     "q_returned_revenue": """
         WITH per_cust AS (
             SELECT o_custkey,
@@ -591,4 +757,7 @@ QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_market_share": q_market_share,
     "q_top_supplier": q_top_supplier,
     "q_avg_yearly": q_avg_yearly,
+    "q_ship_mode_counts": q_ship_mode_counts,
+    "q_cust_order_distribution": q_cust_order_distribution,
+    "q_excess_shippers": q_excess_shippers,
 }
