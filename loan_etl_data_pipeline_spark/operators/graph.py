@@ -278,6 +278,7 @@ def pagerank(
     scale: int = 10**9,
     damping_num: int = 85,
     damping_den: int = 100,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """(id, pr) after ``iterations`` rounds of integer fixed-point
     PageRank over the DIRECTED edge set (symmetrize first for an
@@ -300,31 +301,48 @@ def pagerank(
 
     Scale: each round is one join keyed on the edge source + one
     partial-aggregated groupBy on the destination — the same two
-    Exchanges regardless of graph size; ``localCheckpoint`` truncates
-    the growing lineage per round. Overflow bound: num · Σ contrib ≤
+    Exchanges regardless of graph size. The loop-invariant frames
+    (edges, out-degrees, node set) are persist()ed once, not
+    re-derived per round, and — unlike connected components, whose
+    per-round *convergence action* forces a materialization anyway —
+    the pr chain here is linear (each round references the previous
+    exactly once), so lineage grows additively, not exponentially.
+    ``localCheckpoint`` therefore only fires every
+    ``checkpoint_interval`` rounds, purely to keep the planner's input
+    bounded on deep runs; a 3-iteration call runs as ONE job. Release
+    the cached frames via ``operators.dedup.release_intermediates``
+    once the result is materialized. Overflow bound: num · Σ contrib ≤
     num · N · scale must stay under 2^63 (N ≤ ~10^8 at the defaults;
     lower ``scale`` for bigger graphs).
     """
+    from pyspark.storagelevel import StorageLevel
+
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("odeg"))
+    outdeg = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("odeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("u").alias("id"))
         .union(e.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
     if n == 0:
         # empty edge set (e.g. a support floor filtered everything):
         # empty result, same schema — mirrors connected_components
+        for cached in (e, outdeg, nodes):
+            cached.unpersist()
         return nodes.select("id", F.lit(0).cast("long").alias("pr"))
     base = ((damping_den - damping_num) * scale) // damping_den
     pr = nodes.select("id", F.lit(scale // n).cast("long").alias("pr"))
-    for _ in range(iterations):
+    for i in range(iterations):
         inbound = (
             e.join(outdeg, "u")
             .join(pr.withColumnRenamed("id", "u"), "u")
@@ -332,17 +350,14 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        pr = (
-            nodes.join(inbound, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
-                    )
-                ).alias("pr"),
-            )
-            .localCheckpoint()
+        pr = nodes.join(inbound, "id", "left").select(
+            "id",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+            ).alias("pr"),
         )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            pr = pr.localCheckpoint()
+    pr._persisted_intermediates = (e, outdeg, nodes)
     return pr

@@ -113,24 +113,46 @@ def train_ivf_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = 65536,
 ) -> np.ndarray:
     """Deterministic Lloyd k-means: returns the (n_cells, dim) centroids.
 
     Init = the ``n_cells`` vectors with the smallest ids (deterministic,
-    no RNG). Each iteration scans the corpus once; per Arrow batch the
-    kernel emits (cell, count, Σ floor(x*1e9)) partials, combined
-    exactly on the driver (Python ints — no overflow, no float order
-    dependence). Empty cells keep their previous centroid.
+    no RNG). Training runs driver-side over the first ``train_cap``
+    rows by id (ONE TakeOrdered job — centroid training never needs the
+    full corpus, only the cell-assignment scan does); pass
+    ``train_cap=None`` for full-corpus distributed training, where each
+    iteration scans the corpus once and per Arrow batch the kernel
+    emits (cell, count, Σ floor(x*1e9)) partials, combined exactly on
+    the driver (Python ints — no overflow, no float order dependence).
+    Both paths share the exact fixed-point arithmetic: corpora under
+    the cap get bit-identical centroids either way. Empty cells keep
+    their previous centroid.
     """
     ensure_worker_imports(corpus_df.sparkSession)
+    init_n = n_cells if train_cap is None else max(n_cells, train_cap)
     init_rows = (
-        corpus_df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(n_cells).collect()
+        corpus_df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(init_n).collect()
     )
     if len(init_rows) < n_cells:
         raise ValueError(
             f"corpus has only {len(init_rows)} rows; need >= n_cells={n_cells}"
         )
-    centroids = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    centroids = np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in init_rows[:n_cells]]
+    )
+
+    if train_cap is not None:
+        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+        fixed = np.floor(mat * _ACC_SCALE).astype(np.int64)
+        for _ in range(iters):
+            cells = _assign_cells(mat, centroids)
+            new = centroids.copy()
+            for c in np.unique(cells):
+                sel = fixed[cells == c]
+                new[c] = sel.sum(axis=0, dtype=np.int64) / _ACC_SCALE / len(sel)
+            centroids = new
+        return centroids
 
     sc = corpus_df.sparkSession.sparkContext
     partial_schema = StructType(

@@ -1,0 +1,127 @@
+"""Corpus n-gram language-model scoring: the CCNet/KenLM-style quality
+signal, Spark-native.
+
+Production curation pipelines (CCNet, RefinedWeb, FineWeb) score every
+document with a small language model trained on a trusted corpus and
+keep the low-perplexity tail. The model here is a bigram conditional
+model with add-one smoothing — small enough to train inside the engine,
+faithful to the shape of the real thing: a (context, next-token) count
+table plus a vocabulary size.
+
+Cross-engine exactness: probabilities are quantized to integers at the
+moment of creation — ``p9 = ((c12 + 1) * 1e9) div (c1 + V)`` is pure
+int64 arithmetic, so per-document SUMS of p9 are exact under any
+partitioning and any engine, and only the final mean divides (one
+float op). A float log-prob sum would re-associate per partition and
+could never be oracle-checked; callers who want perplexity apply
+``-ln(mean_p)`` to the returned exact mean themselves.
+
+Scale: training is two chained aggregates over the exploded bigram
+stream (the (w1, w2) count table, then its (w1) marginal — the second
+agg reads the first's output, never the corpus). Scoring joins the
+per-document bigram stream against the model on the (w1, w2) key — an
+equality shuffle join on both sides' natural key; the model is NOT
+broadcast because a real vocabulary² table can be arbitrarily large.
+No Python row functions anywhere — tokenize/slice/zip/explode are all
+codegen expressions.
+
+There is no LM / perplexity scoring anywhere in the reference (its
+entire engine is airflow/dags/etl/pyspark_etl.py — 71 lines of
+null-fill + timestamp split); this is EXT surface per SURVEY.md §2
+Part B (E4 text analysis family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_P_SCALE = 10**9
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per bigram OCCURRENCE (multiplicity kept;
+    a repeated bigram scores every time, as in a real LM). Lowercased
+    whitespace tokens, the corpus-wide tokenization contract
+    (operators/text.py tokens())."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), F.explode(pairs).alias("bg"))
+        .select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def bigram_lm_train(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the bigram model: returns (model, vocab_size_df).
+
+    model     = (w1, w2, c12, c1): bigram count and its context
+                marginal — c1 is derived from the c12 aggregate
+                (groupBy w1 over it), NOT a second corpus scan.
+    vocab_df  = 1-row (v: bigint) distinct-token count, the smoothing
+                denominator's V. Kept as a DataFrame so callers can
+                cross-join it without collecting.
+    """
+    bg = _bigrams(df, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy(F.col("w1").alias("m_w1")).agg(F.sum("c12").alias("c1"))
+    model = c12.join(c1, c12.w1 == c1.m_w1).select("w1", "w2", "c12", "c1")
+    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+    vocab_df = (
+        df.select(toks).agg(F.count_distinct(F.col("tok")).cast("bigint").alias("v"))
+    )
+    return model, vocab_df
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    vocab_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a trained model: (id_col, n_bigrams,
+    sum_p9, mean_p9) where per-bigram
+    ``p9 = ((c12 + 1) * 1e9) div (c1 + V)`` (add-one smoothing,
+    quantized at 1e-9) and mean_p9 = sum_p9 / n_bigrams as double.
+
+    Documents with < 2 tokens have no bigrams: they surface with
+    n_bigrams = 0 and NULL mean (a left join from the full doc set —
+    silently dropping them would misread as "filtered by quality").
+    Unseen bigrams get the smoothed floor ((0+1)·1e9) div (c1+V), and
+    unseen contexts (c1 NULL after the left model join) degrade to
+    1e9 div V — the uniform prior.
+    """
+    bg = _bigrams(docs, id_col, text_col)
+    scored = (
+        bg.join(model, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(vocab_df))
+        .select(
+            "__id",
+            F.expr(
+                f"((coalesce(c12, 0L) + 1L) * {_P_SCALE}L)"
+                " div (coalesce(c1, 0L) + v)"
+            ).alias("p9"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("p9").alias("sum_p9")
+    )
+    ids = docs.select(F.col(id_col).alias("__id")).distinct()
+    return (
+        ids.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.col("sum_p9"), F.lit(0)).cast("bigint").alias("sum_p9"),
+            (F.col("sum_p9").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "mean_p9"
+            ),
+        )
+    )

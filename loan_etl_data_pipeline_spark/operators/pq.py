@@ -93,24 +93,54 @@ def train_pq_codebooks(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = 65536,
 ) -> np.ndarray:
     """Deterministic per-subspace Lloyd: returns (m, ksub, dim//m)
-    codebooks. One corpus scan per iteration covers ALL subspaces
-    (each batch emits (subspace, code, n, Σ floor(x·1e9)) partials;
-    driver combines in exact Python ints). Empty codes keep their
-    previous codeword. ``dim`` must divide evenly by ``m``.
+    codebooks. Empty codes keep their previous codeword; ``dim`` must
+    divide evenly by ``m``.
+
+    Training set: the first ``train_cap`` rows by ``id_col`` — ONE
+    TakeOrdered job, then all ``iters`` rounds run driver-side in
+    numpy. Codebook training never needs the full corpus (FAISS trains
+    on ≤ a few hundred samples per centroid); what must scale is the
+    *encode/scan*, which stays a distributed mapInPandas over
+    everything. Pass ``train_cap=None`` to force full-corpus
+    distributed training (one scan per iteration emitting
+    (subspace, code, n, Σ floor(x·1e9)) partials). Both paths use the
+    same exact fixed-point accumulation, so for corpora that fit under
+    the cap they produce bit-identical codebooks.
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
     ensure_worker_imports(corpus_df.sparkSession)
+    init_n = ksub if train_cap is None else max(ksub, train_cap)
     init_rows = (
-        corpus_df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(ksub).collect()
+        corpus_df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(init_n).collect()
     )
     if len(init_rows) < ksub:
         raise ValueError(f"corpus has only {len(init_rows)} rows; need >= {ksub}")
-    init = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    init = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows[:ksub]])
     books = np.stack([s.copy() for s in _split(init, m)])  # (m, ksub, dsub)
+
+    if train_cap is not None:
+        # driver-side exact Lloyd over the bounded sample: identical
+        # arithmetic to the distributed path (int64 sums of
+        # floor(x·1e9)), minus iters× job launches.
+        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+        subs = _split(mat, m)
+        fixed = [np.floor(s * _ACC_SCALE).astype(np.int64) for s in subs]
+        for _ in range(iters):
+            new = books.copy()
+            for s in range(m):
+                codes = _assign_codes(subs[s], books[s])
+                for c in np.unique(codes):
+                    sel = fixed[s][codes == c]
+                    new[s, c] = (
+                        sel.sum(axis=0, dtype=np.int64) / _ACC_SCALE / len(sel)
+                    )
+            books = new
+        return books
 
     sc = corpus_df.sparkSession.sparkContext
     partial_schema = StructType(
