@@ -265,6 +265,88 @@ def weighted_sample(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training-epoch shuffle: every row gets a
+    1-based global ``pos`` under the pseudo-random order
+    (md5_coord48(id || salt), id), and round-robin ``shard`` =
+    (pos-1) mod n_shards — shards are exactly balanced (±1 row) no
+    matter how skewed the key space is.
+
+    This is the "shuffle the corpus before sharding it into training
+    files" step: a real epoch shuffle must be reproducible (restarts,
+    multi-host readers) and must NOT be ``orderBy(rand())`` — per-
+    partition RNG seeding makes that irreproducible under repartition,
+    and a naive global sort + row_number window would funnel all rows
+    through ONE task. Uses functions/ranking.global_rank: a range-
+    partitioned sort plus a per-partition offset map, so the heavy
+    stage stays fully parallel. Re-roll an epoch by changing ``salt``
+    ("epoch0", "epoch1", ...); assignments are a pure function of the
+    id, so the same corpus shuffles identically on any cluster.
+    release_intermediates(result) once materialized (global_rank
+    persists its ranged intermediate).
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    keyed = df.withColumn("__shufkey", md5_coord48(id_col, salt))
+    ranked = global_rank(
+        keyed,
+        [F.col("__shufkey").asc(), F.col(id_col).asc()],
+        rank_col="pos",
+    )
+    out = ranked.withColumn(
+        "shard", ((F.col("pos") - 1) % n_shards).cast("bigint")
+    ).drop("__shufkey")
+    out._persisted_intermediates = getattr(ranked, "_persisted_intermediates", [])
+    return out
+
+
+def token_budget_select(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    *,
+    by: str,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-group selection under a token budget: walk each
+    ``by`` group in ``order_by`` order (default: ``weight_col`` DESC,
+    id ASC — biggest-first; pass a quality score's sort for
+    quality-first) and keep rows while the running Σ weight stays
+    ≤ budget. Adds ``cum_weight`` (the running total INCLUDING the
+    row). A row is kept iff its inclusive running total fits — an
+    oversized head row is simply dropped and everything after it too
+    (the cumsum is already past budget). That prefix rule is what
+    keeps the operator a single window expression; a "skip the big
+    one but keep scanning" greedy knapsack needs per-row state and is
+    not SQL-replayable.
+
+    This is the "fill each source's token quota for the next training
+    mix" step. One window over (by, order) — a single hash-partitioned
+    sort per group, no self-joins, exact integer cumsum.
+    """
+    from pyspark.sql import Window
+
+    order = order_by or [F.col(weight_col).desc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_weight", F.sum(F.col(weight_col).cast("bigint")).over(w))
+        .filter(F.col("cum_weight") <= budget)
+    )
+
+
 def curriculum_tiles(
     df: DataFrame,
     score_col: str,

@@ -99,8 +99,13 @@ def bigram_lm_score(
     1e9 div V — the uniform prior.
     """
     bg = _bigrams(docs, id_col, text_col)
+    # the context marginal joins on w1 ALONE — an unseen bigram whose
+    # context IS known must still see c1 (riding c1 on the (w1, w2)
+    # model row would silently fall back to the uniform prior)
+    contexts = model.groupBy("w1").agg(F.max("c1").alias("c1"))
     scored = (
-        bg.join(model, ["w1", "w2"], "left")
+        bg.join(model.select("w1", "w2", "c12"), ["w1", "w2"], "left")
+        .join(contexts, ["w1"], "left")
         .crossJoin(F.broadcast(vocab_df))
         .select(
             "__id",

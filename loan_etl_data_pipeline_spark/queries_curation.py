@@ -606,6 +606,47 @@ _PR_ITER_SQL = """
     )
 """
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ corpus LM quality scoring (operators/lm.py): train the
+    add-one-smoothed bigram model on documents, score every document
+    against it — the CCNet/KenLM perplexity-filter shape with the
+    probability quantized to int64 at creation (p9 = ((c12+1)·1e9) div
+    (c1+V)), so the per-doc sums are exact and the ENTIRE
+    train→score pipeline carries a full value oracle (a float log-prob
+    could never: partition-order re-association)."""
+    from loan_etl_data_pipeline_spark.operators.lm import (
+        bigram_lm_score,
+        bigram_lm_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model, vocab = bigram_lm_train(d)
+    return bigram_lm_score(d, model, vocab)
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ deterministic training-epoch shuffle (functions/splits.py
+    epoch_shuffle): global pseudo-random position under
+    (md5_coord48(doc_id||'ep0'), doc_id) + round-robin shard — the
+    reproducible alternative to orderBy(rand()) sharding, with the
+    global sort kept parallel via functions/ranking.global_rank."""
+    from loan_etl_data_pipeline_spark.functions.splits import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, "doc_id", n_shards=8, salt="ep0")
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ per-source budget fill (functions/splits.py
+    token_budget_select): biggest-first greedy prefix under a
+    2000-char budget per source — one partitioned window cumsum,
+    exact ints."""
+    from loan_etl_data_pipeline_spark.functions.splits import token_budget_select
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return token_budget_select(d, "n_chars", 2000, by="source")
+
+
 QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_winnow_neardup": q_winnow_neardup,
@@ -624,6 +665,9 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_percentiles": q_quality_percentiles,
     "q_hard_negatives": q_hard_negatives,
     "q_leakage_safe_split": q_leakage_safe_split,
+    "q_bigram_lm": q_bigram_lm,
+    "q_epoch_shuffle": q_epoch_shuffle,
+    "q_token_budget": q_token_budget,
 }
 
 # hash_split's md5-bucket threshold for train_frac=0.8 (see
@@ -654,6 +698,67 @@ _WINNOW_FPS_CTE = f"""
 """
 
 ORACLE_CURATION: dict[str, str] = {
+    "q_bigram_lm": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS l
+            FROM documents
+        ), big AS (
+            SELECT doc_id,
+                   l[CAST(g.i AS INTEGER)] AS w1,
+                   l[CAST(g.i AS INTEGER) + 1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+        ), c12 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM big GROUP BY w1, w2
+        ), c1 AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+        ), vocab AS (
+            SELECT CAST(count(DISTINCT t.tok) AS BIGINT) AS v
+            FROM toks, UNNEST(l) AS t(tok)
+        ), scored AS (
+            SELECT big.doc_id,
+                   ((c12.c12 + 1) * 1000000000) // (c1.c1 + vocab.v) AS p9
+            FROM big
+            JOIN c12 USING (w1, w2)
+            JOIN c1 USING (w1)
+            CROSS JOIN vocab
+        ), per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(p9) AS BIGINT) AS sum_p9
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_bigrams, 0) AS n_bigrams,
+               coalesce(p.sum_p9, 0) AS sum_p9,
+               CAST(p.sum_p9 AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS mean_p9
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "q_epoch_shuffle": """
+        WITH ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR) || 'ep0'), 1, 12))
+                           AS BIGINT) ASC,
+                                doc_id ASC) AS pos
+            FROM documents
+        )
+        SELECT doc_id, pos, (pos - 1) % 8 AS shard FROM ranked
+    """,
+    "q_token_budget": """
+        WITH c AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(SUM(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_weight
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, cum_weight
+        FROM c WHERE cum_weight <= 2000
+    """,
     "q_winnow_fingerprint": f"""
         WITH {_WINNOW_FPS_CTE}
         SELECT doc_id,

@@ -265,3 +265,78 @@ def test_negative_samples_ring_properties(spark):
     )
     with _pytest.raises(ValueError):
         negative_samples(df, "id", 0)
+
+
+# --- epoch_shuffle ---
+
+
+def test_epoch_shuffle_permutation_and_balance(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import epoch_shuffle
+
+    df = spark.range(0, 1000).selectExpr("id AS doc_id")
+    rows = epoch_shuffle(df, "doc_id", n_shards=8, salt="e0").collect()
+    assert sorted(r["pos"] for r in rows) == list(range(1, 1001))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+    # round-robin over 1000 rows and 8 shards: exactly balanced
+    assert sorted(len(v) for v in by_shard.values()) == [125] * 8
+    # it actually shuffles: positions are not the id order
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])][:20] != list(
+        range(20)
+    )
+
+
+def test_epoch_shuffle_deterministic_and_salted(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import epoch_shuffle
+
+    df = spark.range(0, 500).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, "doc_id", n_shards=4, salt="e0").collect()}
+    b = {
+        r["doc_id"]: r["pos"]
+        for r in epoch_shuffle(df.repartition(7), "doc_id", n_shards=4, salt="e0").collect()
+    }
+    c = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, "doc_id", n_shards=4, salt="e1").collect()}
+    assert a == b, "shuffle order must not depend on partitioning"
+    assert a != c, "salt must re-roll the epoch order"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(df, "doc_id", n_shards=0)
+
+
+# --- token_budget_select ---
+
+
+def test_token_budget_prefix_rule(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import token_budget_select
+
+    df = spark.createDataFrame(
+        [
+            # src a, biggest-first walk: 50, 40, 30, 20 → budget 100
+            # keeps 50 (50), 40 (90) and stops: 30 would hit 120
+            (1, "a", 50),
+            (2, "a", 40),
+            (3, "a", 30),
+            (4, "a", 20),
+            # src b: head row alone exceeds the budget → nothing kept
+            (5, "b", 150),
+            (6, "b", 10),
+        ],
+        "doc_id long, source string, n long",
+    )
+    kept = token_budget_select(df, "n", 100, by="source", id_col="doc_id").collect()
+    assert {(r["doc_id"], r["cum_weight"]) for r in kept} == {(1, 50), (2, 90)}
+
+
+def test_token_budget_exact_boundary_and_ties(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, "a", 60), (2, "a", 40), (3, "a", 40)],
+        "doc_id long, source string, n long",
+    )
+    # tie on n=40 breaks by doc_id asc: 60, then 2 (100 == budget, kept),
+    # then 3 (140, dropped)
+    kept = token_budget_select(df, "n", 100, by="source", id_col="doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {1, 2}
