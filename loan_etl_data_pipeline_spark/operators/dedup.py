@@ -194,6 +194,139 @@ def ngram_jaccard_pairs(
     return out
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    ngram: int | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard join accelerated by PREFIX FILTERING
+    (PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+    the exact-answer scale path, complementing MinHash LSH (approximate
+    candidates) and the full postings self-join (exact but joins on
+    EVERY token).
+
+    The filter: order every document's token set by ascending corpus
+    document-frequency (rarest first, ties by token); for Jaccard ≥
+    τ = num/den, two sets must share at least one token inside their
+    first ``|x| − ⌈τ·|x|⌉ + 1`` tokens — so the candidate join runs
+    ONLY on those prefix tokens. Because the prefix holds each set's
+    RAREST tokens, candidate volume collapses: popular tokens (the
+    skew that makes the naive postings join quadratic) never enter the
+    join. Survivors are verified row-locally with the full sets
+    (``array_intersect``) under the integer cross-multiplied test
+    ``den·inter ≥ num·(|A|+|B|−inter)`` — no float threshold, so the
+    pair set is engine-exact and fully oracle-able.
+
+    Threshold is a rational ``threshold_num/threshold_den`` for that
+    exactness. Set elements are tokens, or word ``ngram``-shingles when
+    ``ngram`` is given (built row-locally — token-level sets saturate
+    on small vocabularies, where almost every pair clears any
+    threshold; shingles keep the similarity signal ordinal). Output:
+    (id_a, id_b, inter_size, size_a, size_b, jaccard) with id_a <
+    id_b; jaccard is the one final double division. Plan: one
+    element-keyed join to attach df ranks, one per-doc sort-agg, the
+    prefix-element candidate join, one verify join back to the
+    (id → set) table; every shuffle is keyed on set elements or ids,
+    nothing quadratic in corpus size.
+    """
+    num, den = threshold_num, threshold_den
+    if num <= 0 or den <= 0 or num > den:
+        raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
+    base = tokens(F.lower(F.col(text_col)))
+    if ngram is not None:
+        if ngram < 1:
+            raise ValueError(f"ngram must be >= 1, got {ngram}")
+        items = F.when(
+            F.size(base) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(base) - ngram + 1),
+                lambda i: F.concat_ws(" ", F.slice(base, i, ngram)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        items = base
+    # elements travel as xxhash64 bigints, not strings (same stance as
+    # ngram_jaccard_pairs: collisions only inflate Jaccard by
+    # ~|set|²/2⁶⁴, the exchanges shrink ~10×); the set table is
+    # persisted because four plan branches read it (postings, df-rank
+    # join, and both verify sides) — release via
+    # release_intermediates(result)
+    hashed = F.transform(F.array_distinct(items), lambda s: F.xxhash64(s))
+    sets = (
+        df.select(F.col(id_col).alias("id"), hashed.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .persist()
+    )
+    posts = sets.select("id", F.explode("toks").alias("tok"))
+    dfreq = posts.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    ordered = (
+        posts.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dfc", "tok"))),
+                lambda x: x["tok"],
+            ).alias("stoks")
+        )
+    )
+    sz = F.size("stoks")
+    # prefix length |x| − ⌈(num/den)·|x|⌉ + 1, ceil as exact int math
+    plen = sz - ((F.lit(num) * sz + F.lit(den - 1)) / F.lit(den)).cast("int") + 1
+    prefix = ordered.select(
+        "id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("tok")
+    )
+    cands = (
+        prefix.select(F.col("id").alias("id_a"), "tok")
+        .join(prefix.select(F.col("id").alias("id_b"), "tok"), "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full = sets.select("id", "toks", F.size("toks").alias("sz"))
+    verified = (
+        cands.join(
+            full.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("sz").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            full.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("sz").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "inter_size", F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+        )
+        .filter(
+            F.lit(den) * F.col("inter_size")
+            >= F.lit(num) * (F.col("size_a") + F.col("size_b") - F.col("inter_size"))
+        )
+    )
+    out = verified.select(
+        "id_a",
+        "id_b",
+        "inter_size",
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        (
+            F.col("inter_size").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter_size")).cast("double")
+        ).alias("jaccard"),
+    )
+    out._persisted_intermediates = [sets]  # release_intermediates(out)
+    return out
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -188,6 +188,76 @@ def tfidf_top_terms(
     )
 
 
+def sparse_topk(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w_scale: int = 10**6,
+) -> DataFrame:
+    """Sparse-vector similarity search: top-``k`` corpus documents per
+    query document by the TF-IDF dot product, computed as a postings
+    join — the sparse counterpart to the dense ANN family
+    (operators/similarity.py), and the third retrieval shape after
+    bm25_topk (fixed term set) and tfidf_top_terms (per-doc terms).
+
+    Weights are quantized integers at creation:
+    ``w = div(tf · w_scale, dfc)`` with dfc from the CORPUS postings
+    (queries are scored in the corpus's weight space, the standard IR
+    convention), so per-pair Σ w_q·w_c is exact int64 arithmetic under
+    any partitioning and fully value-oracle-able. Overflow headroom:
+    w ≤ tf·w_scale, so Σ products ≤ shared_terms · (tf·1e6)² — safe to
+    tf ~ 10³ per term at defaults.
+
+    Plan: both sides collapse to (id, tok, tf) postings (one shuffle
+    each, partial-agged), join on the TOKEN key — the classic
+    impact-ordered posting traversal as a relational join; candidate
+    volume is Σ_t q_df(t)·c_df(t), pruned by dropping stop tokens via
+    ``max_df`` in callers if needed. Then one (qid, did) aggregate and
+    a per-query top-k window (bounded by k·|queries|). The corpus
+    side never broadcasts: vocabulary² can be arbitrarily large.
+    Self-matches (same id on both sides) are excluded.
+    """
+    def _posts(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(f"{prefix}id"),
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+            )
+            .groupBy(f"{prefix}id", "tok")
+            .agg(F.count(F.lit(1)).alias(f"{prefix}tf"))
+        )
+
+    c_posts = _posts(corpus_df, "c_")
+    q_posts = _posts(query_df, "q_")
+    dfreq = c_posts.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    cw = c_posts.join(dfreq, "tok").select(
+        "tok", "c_id", F.expr(f"div(c_tf * {w_scale}L, dfc)").alias("c_w")
+    )
+    qw = q_posts.join(dfreq, "tok").select(
+        "tok", "q_id", F.expr(f"div(q_tf * {w_scale}L, dfc)").alias("q_w")
+    )
+    scored = (
+        qw.join(cw, "tok")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(F.col("q_w") * F.col("c_w")).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("corpus_id"),
+            "score",
+            "rnk",
+        )
+    )
+
+
 def build_text_index(
     df: DataFrame,
     index_dir: str,

@@ -647,6 +647,39 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(d, "n_chars", 2000, by="source")
 
 
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ exact 3-gram-shingle-set Jaccard ≥ 1/2 via prefix filtering
+    (operators/dedup.py prefix_jaccard_pairs): the PPJoin-style exact
+    scale path — candidates join only on each set's rarest shingles,
+    the verify is row-local, and the integer cross-multiplied
+    threshold keeps the pair set engine-exact. The oracle replays the
+    same pairs with the naive every-shingle postings join: the filter
+    must be invisible in the result. (Shingles, not tokens: this
+    corpus's small vocabulary makes token SETS of almost any two docs
+    ≥ 1/2-similar — 8.9M pairs at sf0.1 — while 3-gram sets keep the
+    signal: 256 pairs.)"""
+    from loan_etl_data_pipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold_num=1,
+        threshold_den=2,
+        ngram=3,
+    )
+
+
+def q_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+/E4+ sparse-vector retrieval (operators/retrieval.py
+    sparse_topk): TF-IDF dot-product top-5 for probes doc_id < 10 as a
+    token-keyed postings join — the sparse counterpart to the dense
+    ANN family, with integer-quantized weights so the whole
+    score→rank pipeline is value-exact."""
+    from loan_etl_data_pipeline_spark.operators.retrieval import sparse_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return sparse_topk(d.filter(F.col("doc_id") < 10), d, k=5)
+
+
 QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_winnow_neardup": q_winnow_neardup,
@@ -668,6 +701,8 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bigram_lm": q_bigram_lm,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_token_budget": q_token_budget,
+    "q_prefix_jaccard": q_prefix_jaccard,
+    "q_sparse_topk": q_sparse_topk,
 }
 
 # hash_split's md5-bucket threshold for train_frac=0.8 (see
@@ -745,6 +780,72 @@ ORACLE_CURATION: dict[str, str] = {
             FROM documents
         )
         SELECT doc_id, pos, (pos - 1) % 8 AS shard FROM ranked
+    """,
+    "q_prefix_jaccard": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents
+        ), sets AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in generate_series(1, len(t) - 2)])
+                     AS l
+            FROM toks WHERE len(t) >= 3
+        ), posts AS (
+            SELECT doc_id, UNNEST(l) AS tok FROM sets WHERE len(l) > 0
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS inter_size
+            FROM posts a JOIN posts b USING (tok)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), szs AS (
+            SELECT doc_id, CAST(len(l) AS BIGINT) AS sz
+            FROM sets WHERE len(l) > 0
+        )
+        SELECT id_a, id_b, inter_size,
+               sa.sz AS size_a, sb.sz AS size_b,
+               CAST(inter_size AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - inter_size AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN szs sa ON id_a = sa.doc_id
+        JOIN szs sb ON id_b = sb.doc_id
+        WHERE 2 * inter_size >= 1 * (sa.sz + sb.sz - inter_size)
+    """,
+    "q_sparse_topk": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS tok
+            FROM documents
+        ), cp AS (
+            SELECT doc_id AS c_id, tok, CAST(count(*) AS BIGINT) AS c_tf
+            FROM toks GROUP BY doc_id, tok
+        ), qp AS (
+            SELECT doc_id AS q_id, tok, CAST(count(*) AS BIGINT) AS q_tf
+            FROM toks WHERE doc_id < 10 GROUP BY doc_id, tok
+        ), dfq AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM cp GROUP BY tok
+        ), cw AS (
+            SELECT tok, c_id, (c_tf * 1000000) // dfc AS c_w
+            FROM cp JOIN dfq USING (tok)
+        ), qw AS (
+            SELECT tok, q_id, (q_tf * 1000000) // dfc AS q_w
+            FROM qp JOIN dfq USING (tok)
+        ), sc AS (
+            SELECT q_id, c_id, CAST(SUM(q_w * c_w) AS BIGINT) AS score
+            FROM qw JOIN cw USING (tok)
+            WHERE q_id <> c_id
+            GROUP BY q_id, c_id
+        ), r AS (
+            SELECT q_id, c_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY score DESC, c_id ASC) AS rnk
+            FROM sc
+        )
+        SELECT q_id AS query_id, c_id AS corpus_id, score, rnk
+        FROM r WHERE rnk <= 5
     """,
     "q_token_budget": """
         WITH c AS (

@@ -237,3 +237,98 @@ def test_incremental_dedup_oneshot_equals_banded_pairs(docs, spark):
     assert got == expected
     assert kept.count() + len(got) == docs.count()
     release_intermediates(dropped)
+
+
+# --- prefix_jaccard_pairs (PPJoin-style exact set-similarity join) ---
+
+
+def _brute_jaccard_pairs(rows, num, den, ngram=None):
+    """Python reference: exact Jaccard >= num/den over token (or
+    shingle) sets."""
+    sets = {}
+    for i, text in rows:
+        toks = text.strip().lower().split()
+        if ngram:
+            items = {
+                " ".join(toks[j : j + ngram])
+                for j in range(len(toks) - ngram + 1)
+            }
+        else:
+            items = set(toks)
+        if items:
+            sets[i] = items
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            inter = len(a & b)
+            if den * inter >= num * (len(a) + len(b) - inter):
+                out.add((ids[x], ids[y]))
+    return out
+
+
+_PJ_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (4, "completely different words entirely here now"),
+    (5, "quick brown fox"),
+    (6, ""),
+    (7, "solo"),
+    (8, "lorem ipsum dolor sit amet consectetur adipiscing"),
+    (9, "lorem ipsum dolor sit amet consectetur elit"),
+]
+
+
+@pytest.mark.parametrize("num,den", [(1, 2), (3, 4), (1, 1)])
+def test_prefix_jaccard_equals_bruteforce_tokens(spark, num, den):
+    from loan_etl_data_pipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.createDataFrame(_PJ_ROWS, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_pairs(
+            df, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(_PJ_ROWS, num, den)
+
+
+def test_prefix_jaccard_equals_bruteforce_shingles(spark):
+    from loan_etl_data_pipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.createDataFrame(_PJ_ROWS, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_pairs(
+            df, threshold_num=1, threshold_den=2, ngram=3
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(_PJ_ROWS, 1, 2, ngram=3)
+    assert (1, 3) in got  # the exact dup survives shingling
+
+
+def test_prefix_jaccard_values_and_partitioning(spark):
+    from loan_etl_data_pipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.createDataFrame(_PJ_ROWS, "doc_id long, text string")
+    a = sorted(
+        map(tuple, prefix_jaccard_pairs(df, threshold_num=1, threshold_den=2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            prefix_jaccard_pairs(
+                df.repartition(7), threshold_num=1, threshold_den=2
+            ).collect(),
+        )
+    )
+    assert a == b
+    row = next(r for r in a if r[0] == 1 and r[1] == 3)
+    # exact dup: inter == size_a == size_b, jaccard == 1.0
+    assert row[2] == row[3] == row[4] and row[5] == 1.0
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_jaccard_pairs(df, threshold_num=3, threshold_den=2)
+    with pytest.raises(ValueError, match="ngram"):
+        prefix_jaccard_pairs(df, ngram=0)

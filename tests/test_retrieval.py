@@ -291,3 +291,70 @@ class TestStatsCrashSafety:
         import os as _os
 
         assert not _os.path.exists(f"{idx}/stats")
+
+
+# --- sparse_topk (TF-IDF dot-product postings join) ---
+
+
+class TestSparseTopk:
+    def _ref(self, q_rows, c_rows, k=5, w_scale=10**6):
+        from collections import Counter
+
+        c_posts = {i: Counter(t.strip().lower().split()) for i, t in c_rows}
+        q_posts = {i: Counter(t.strip().lower().split()) for i, t in q_rows}
+        dfc = Counter()
+        for tf in c_posts.values():
+            for tok in tf:
+                dfc[tok] += 1
+        out = {}
+        for qid, qtf in q_posts.items():
+            scores = []
+            for cid, ctf in c_posts.items():
+                if cid == qid:
+                    continue
+                s = sum(
+                    (qtf[t] * w_scale // dfc[t]) * (ctf[t] * w_scale // dfc[t])
+                    for t in qtf
+                    if t in ctf and t in dfc
+                )
+                if s:
+                    scores.append((-s, cid))
+            scores.sort()
+            out[qid] = [
+                (cid, -neg, rnk + 1) for rnk, (neg, cid) in enumerate(scores[:k])
+            ]
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from loan_etl_data_pipeline_spark.operators.retrieval import sparse_topk
+
+        c_rows = [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry date"),
+            (4, "elderberry fig"),
+            (5, "apple banana cherry"),
+        ]
+        q_rows = [(1, "apple banana apple"), (5, "apple banana cherry")]
+        cdf = spark.createDataFrame(c_rows, "doc_id long, text string")
+        qdf = spark.createDataFrame(q_rows, "doc_id long, text string")
+        got = {}
+        for r in sparse_topk(qdf, cdf, k=3).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["corpus_id"], r["score"], r["rnk"])
+            )
+        ref = self._ref(q_rows, c_rows, k=3)
+        for qid in ref:
+            assert sorted(got.get(qid, [])) == sorted(ref[qid]), qid
+
+    def test_excludes_self_and_ties_break_by_id(self, spark):
+        from loan_etl_data_pipeline_spark.operators.retrieval import sparse_topk
+
+        rows = [(1, "x y"), (2, "x y"), (3, "x y")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sparse_topk(df.filter("doc_id = 1"), df, k=2).collect()
+        assert [(r["corpus_id"], r["rnk"]) for r in sorted(got, key=lambda r: r["rnk"])] == [
+            (2, 1),
+            (3, 2),
+        ]
+        assert all(r["corpus_id"] != 1 for r in got)
