@@ -1962,6 +1962,22 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ CUBE — all four grains of (returnflag × linestatus) in one
+    Expand pass, completing the rollup / grouping-sets / cube trio.
+    Same one-shuffle shape as q_grouping_sets (Expand multiplies rows
+    map-side, one partial+final hash agg); the 2ᵏ-grain blowup is the
+    reason CUBE on high-cardinality keys is a scale trap — here both
+    keys are ≤3-valued, the one case it's cheap.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_extendedprice", "revenue"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
 def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A.4+ per-group Pearson correlation, engine-portable.
 
@@ -3593,6 +3609,14 @@ ORACLE_PART_B["q_neardup_removal"] = (
 )
 
 ORACLE_ROUND3: dict[str, str] = {
+    "q_cube_returns": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+               CAST(SUM(CAST(FLOOR((l_extendedprice) * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS revenue,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
     "q_grouping_sets": """
         SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
                CAST(SUM(CAST(FLOOR((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
@@ -3874,6 +3898,7 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_components_twophase": q_components_twophase,
     "q_neardup_removal": q_neardup_removal,
     "q_grouping_sets": q_grouping_sets,
+    "q_cube_returns": q_cube_returns,
     "q_corr_qty_price": q_corr_qty_price,
     "q_event_gaps": q_event_gaps,
     "q_first_last_touch": q_first_last_touch,

@@ -153,3 +153,64 @@ def test_event_transitions_single_user_shuffle(plans):
     p = plans("q_event_transitions")
     assert p.count("Exchange hashpartitioning") == 2
     assert "Exchange SinglePartition" not in p
+
+
+@pytest.fixture()
+def plans_no_autobroadcast(spark, sf_dir):
+    """Plans with statistics-driven broadcasting OFF: at test SF every
+    table fits under the threshold, so AQE broadcasts even fact-fact
+    joins — the scale-relevant assertion is what the plan does when
+    nothing auto-broadcasts (explicit F.broadcast() hints still win)."""
+    qs = all_queries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+    def plan_of(name):
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield plan_of
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ship_mode_counts_is_shuffle_join_with_pushdown(plans_no_autobroadcast):
+    # Q12 shape: big-big join with no broadcast hint anywhere — must
+    # compile to a shuffle join once statistics can't flip it, with the
+    # shipdate filter pushed to the lineitem scan and CASE counts
+    # partial-aggregated
+    p = plans_no_autobroadcast("q_ship_mode_counts")
+    assert "BroadcastHashJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_cust_order_distribution_reuses_join_partitioning(plans):
+    # Q13 shape: join on custkey + first groupBy on custkey must share
+    # one partitioning — exactly 2 big exchanges (join sides), plus the
+    # tiny histogram exchange
+    p = plans("q_cust_order_distribution")
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_excess_shippers_broadcasts_filtered_sides(plans):
+    # Q20 shape: part list, per-part totals, and qualifying suppkeys
+    # all broadcast; the only shuffles key on the compound agg
+    p = plans("q_excess_shippers")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_cube_single_expand_pass(plans):
+    p = plans("q_cube_returns")
+    assert p.count("Expand") == 1
+    assert p.count("HashAggregate") >= 2
+
+
+def test_sparse_topk_corpus_never_broadcast(plans_no_autobroadcast):
+    # sparse_topk hints NO broadcasts (vocab² can be arbitrarily
+    # large): with statistics off, every join must be a shuffle join
+    p = plans_no_autobroadcast("q_sparse_topk")
+    assert "BroadcastHashJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
