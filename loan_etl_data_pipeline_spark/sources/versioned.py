@@ -180,6 +180,56 @@ def prune_versions(
     return doomed
 
 
+def vacuum_orphans(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    min_age_seconds: float = 24 * 3600,
+) -> list[int]:
+    """Delete uncommitted orphan data directories (the VACUUM step of
+    the table lifecycle, complementing prune_versions which drops
+    COMMITTED history); returns the reclaimed version numbers.
+
+    Orphans — ``vNNNNNNNN`` directories with no manifest — are left by
+    crashed writers; they're invisible to every reader, but their bytes
+    accumulate forever without this. The ``min_age_seconds`` guard (same
+    retention idea as Delta's VACUUM) is load-bearing: an IN-FLIGHT
+    writer's data directory is indistinguishable from a crash's
+    leftovers, so only directories whose modification time is older
+    than the window are reclaimed — with the one-writer contract, any
+    orphan older than a job's runtime is guaranteed dead. The next
+    version number comes from max(committed, on-disk dirs), so
+    vacuuming never causes a number reuse race it wasn't already safe
+    against (write_version itself reclaims its own target dir).
+    """
+    import time as _time
+
+    fs, jvm = _fs(spark, table_dir)
+    root = jvm.org.apache.hadoop.fs.Path(table_dir)
+    if not fs.exists(root):
+        return []
+    committed = set(list_versions(spark, table_dir))
+    now_ms = _time.time() * 1000.0
+    reclaimed = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (
+            st.isDirectory()
+            and name.startswith("v")
+            and len(name) == 9
+            and name[1:].isdigit()
+        ):
+            continue
+        v = int(name[1:])
+        if v in committed:
+            continue
+        if now_ms - st.getModificationTime() < min_age_seconds * 1000.0:
+            continue
+        fs.delete(st.getPath(), True)
+        reclaimed.append(v)
+    return sorted(reclaimed)
+
+
 def rollback_to(spark: SparkSession, table_dir: str, version: int) -> int:
     """Restore snapshot ``version`` as a NEW latest version; returns it.
 

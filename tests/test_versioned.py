@@ -202,3 +202,26 @@ def test_rollback_restores_as_new_version(spark, table_dir):
     assert version_manifests(spark, table_dir)[3]["rollback_of"] == 1
     with pytest.raises(ValueError, match="not committed"):
         rollback_to(spark, table_dir, 99)
+
+
+def test_vacuum_reclaims_only_old_orphans(spark, table_dir):
+    from loan_etl_data_pipeline_spark.sources.versioned import vacuum_orphans
+
+    write_version(spark.createDataFrame([(1,)], "id long"), table_dir)
+    # two crashed writers' leftovers + one committed version
+    spark.createDataFrame([(98,)], "id long").write.parquet(f"{table_dir}/v00000098")
+    spark.createDataFrame([(99,)], "id long").write.parquet(f"{table_dir}/v00000099")
+    # fresh orphans survive a retention-window vacuum (in-flight writer
+    # protection) ...
+    assert vacuum_orphans(spark, table_dir, min_age_seconds=3600) == []
+    assert os.path.exists(f"{table_dir}/v00000098")
+    # ... and are reclaimed once older than the window
+    assert vacuum_orphans(spark, table_dir, min_age_seconds=0) == [98, 99]
+    assert not os.path.exists(f"{table_dir}/v00000098")
+    assert not os.path.exists(f"{table_dir}/v00000099")
+    # committed data untouched, table still reads
+    assert list_versions(spark, table_dir) == [1]
+    assert read_version(spark, table_dir).count() == 1
+    # non-version dirs (manifests) never touched, idempotent re-run
+    assert vacuum_orphans(spark, table_dir, min_age_seconds=0) == []
+    assert vacuum_orphans(spark, f"{table_dir}/_nonexistent") == []
