@@ -149,6 +149,9 @@ def create_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for any toPandas()/pandas_udf boundary we do cross.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Let Python DataSources (sources/pydatasource.py) receive
+        # pushFilters() — off by default in Spark 4.1.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # The driver testdata stores event timestamps as parquet
         # TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read
         # them as raw long nanos and convert (sources/tables.py).

@@ -1,0 +1,167 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API):
+a deterministic synthetic-corpus generator with real partition pruning.
+
+Why an engine needs this: scale probes. Testing "does this operator
+stay linear at 8× / 64×?" from parquet requires materializing 8×/64×
+the bytes first; a generator source produces any SF on demand, reads
+nothing, and — because every row is a pure function of
+(seed, doc_id) — produces THE SAME corpus at any partition count, so
+probe results are comparable across cluster shapes. The BASELINE.md
+scale probes synthesized frames inline; this packages that pattern as
+a first-class `spark.read.format(...)` source.
+
+What it demonstrates about the source API (the part that matters for
+wrapping real external systems — REST feeds, key-value scans, queue
+backfills):
+
+- **partitions()** splits the keyspace into contiguous doc_id ranges —
+  one `InputPartition` per range, executed in parallel across the
+  cluster like any other scan.
+- **pushFilters()** accepts doc_id range/equality predicates and turns
+  them into partition PRUNING plus per-partition range clamping: a
+  ``doc_id < k`` query reads ceil(k/rows_per_partition) partitions, not
+  all of them, and generates only the surviving range. Everything else
+  (lang/source predicates, ...) is returned unsupported, so Spark
+  re-applies it above the scan — pushdown is an optimization, never a
+  correctness dependency.
+- **read()** yields plain tuples in schema order; workers regenerate
+  rows independently — no driver-side materialization, no shuffle.
+
+Register + use::
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    spark.read.format("synthetic_docs").option("n_rows", 1_000_000)
+         .option("seed", "probe1").load()
+
+Determinism contract: text is built from md5(seed, doc_id, position)
+draws over a fixed vocabulary — language/source assignment and all
+row content are reproducible on any engine that can md5 (the same
+stance as functions/splits.py md5_coord48).
+
+The reference has no custom sources at all (it reads CSVs Airflow
+drops in a directory — reference: airflow/dags/spark_etl_dag.py:46-60);
+this is EXT S-family surface per SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+_VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark "
+    "order data column join small line customer query big the a stream "
+    "group sort window filter vector"
+).split()
+
+_LANGS = ["en", "en", "en", "fr", "de"]  # en-heavy, like real corpora
+
+
+def _h(*parts) -> int:
+    """First 8 md5 bytes of the joined parts as an int — the shared
+    deterministic coordinate (one definition, like md5_coord48)."""
+    return int.from_bytes(
+        hashlib.md5("|".join(str(p) for p in parts).encode()).digest()[:8], "big"
+    )
+
+
+def _row(seed: str, doc_id: int, doc_len: int, n_sources: int) -> tuple:
+    toks = [
+        _VOCAB[_h(seed, doc_id, i) % len(_VOCAB)]
+        for i in range(1 + _h(seed, doc_id, "len") % doc_len)
+    ]
+    text = " ".join(toks)
+    return (
+        doc_id,
+        text,
+        _LANGS[_h(seed, doc_id, "lang") % len(_LANGS)],
+        f"src{_h(seed, doc_id, 'src') % n_sources}",
+        len(text),
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class _SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.seed = str(options.get("seed", "0"))
+        self.doc_len = int(options.get("doc_len", 50))
+        self.n_sources = int(options.get("n_sources", 20))
+        if self.n_rows < 0 or self.n_partitions < 1:
+            raise ValueError("n_rows must be >= 0 and n_partitions >= 1")
+        self.lo, self.hi = 0, self.n_rows  # [lo, hi) after pushdown
+
+    def pushFilters(self, filters):
+        for f in filters:
+            # ColumnPath is a tuple of name parts; top-level doc_id only
+            att = getattr(f, "attribute", None)
+            if att != ("doc_id",):
+                yield f
+            elif isinstance(f, EqualTo) and isinstance(f.value, int):
+                self.lo = max(self.lo, f.value)
+                self.hi = min(self.hi, f.value + 1)
+            elif isinstance(f, LessThan) and isinstance(f.value, int):
+                self.hi = min(self.hi, f.value)
+            elif isinstance(f, LessThanOrEqual) and isinstance(f.value, int):
+                self.hi = min(self.hi, f.value + 1)
+            elif isinstance(f, GreaterThan) and isinstance(f.value, int):
+                self.lo = max(self.lo, f.value + 1)
+            elif isinstance(f, GreaterThanOrEqual) and isinstance(f.value, int):
+                self.lo = max(self.lo, f.value)
+            elif isinstance(f, IsNotNull):
+                pass  # generated ids are never null — accepted, no-op
+            else:
+                yield f  # In/Not/strings... → Spark re-applies above
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        per = -(-self.n_rows // self.n_partitions) or 1
+        out = []
+        for p in range(self.n_partitions):
+            plo, phi = p * per, min((p + 1) * per, self.n_rows)
+            # clamp each range partition to the pushed-down window;
+            # fully-excluded partitions are PRUNED (never scheduled)
+            clo, chi = max(plo, lo), min(phi, hi)
+            if clo < chi:
+                out.append(_RangePartition(clo, chi))
+        # Spark requires >= 1 partition; an empty one keeps the scan valid
+        return out or [_RangePartition(0, 0)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for doc_id in range(partition.lo, partition.hi):
+            yield _row(self.seed, doc_id, self.doc_len, self.n_sources)
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthetic_docs")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        # a DDL string, not StructType.fromDDL: schema() runs in the
+        # data-source worker process, where no SparkSession exists to
+        # parse DDL
+        return "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def reader(self, schema: StructType) -> _SyntheticDocsReader:
+        return _SyntheticDocsReader(self.options)

@@ -1,0 +1,82 @@
+"""Custom Python DataSource (sources/pydatasource.py): registration,
+determinism across partition layouts, and pushFilters partition pruning."""
+
+from __future__ import annotations
+
+import pytest
+
+from loan_etl_data_pipeline_spark.sources.pydatasource import (
+    SyntheticDocsDataSource,
+    _row,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticDocsDataSource)
+    return spark
+
+
+def _load(spark, **opts):
+    r = spark.read.format("synthetic_docs")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_schema_count_and_rows_match_generator(registered):
+    df = _load(registered, n_rows=200, seed="s1")
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) == 200
+    # workers must generate exactly the driver-side pure function
+    assert rows[7] == _row("s1", 7, 50, 20)
+    assert all(r[4] == len(r[1]) for r in rows)
+
+
+def test_deterministic_across_partition_counts_and_reruns(registered):
+    a = sorted(map(tuple, _load(registered, n_rows=300, seed="x").collect()))
+    b = sorted(
+        map(tuple, _load(registered, n_rows=300, seed="x", n_partitions=13).collect())
+    )
+    c = sorted(map(tuple, _load(registered, n_rows=300, seed="x").collect()))
+    assert a == b == c
+    d = sorted(map(tuple, _load(registered, n_rows=300, seed="y").collect()))
+    assert a != d
+
+
+def test_doc_id_pushdown_prunes_partitions(registered):
+    df = _load(registered, n_rows=1000, seed="s1", n_partitions=8)
+    assert df.rdd.getNumPartitions() == 8
+    lt = df.filter("doc_id < 100")
+    assert lt.rdd.getNumPartitions() == 1  # 7 of 8 ranges pruned
+    assert lt.count() == 100
+    eq = df.filter("doc_id = 777")
+    assert eq.rdd.getNumPartitions() == 1
+    assert [r["doc_id"] for r in eq.collect()] == [777]
+    # ranges are 125 wide (1000/8): [200, 400) touches [125,250),
+    # [250,375), [375,500) — 3 survive, 5 pruned
+    mid = df.filter("doc_id >= 200 AND doc_id <= 399")
+    assert mid.rdd.getNumPartitions() == 3
+    assert mid.count() == 200
+
+
+def test_pushdown_is_optimization_not_correctness(registered):
+    # filters the reader does NOT support must still apply (Spark
+    # re-applies everything yielded back from pushFilters)
+    full = _load(registered, n_rows=400, seed="s1")
+    en = full.filter("lang = 'en'").collect()
+    assert 0 < len(en) < 400
+    assert all(r["lang"] == "en" for r in en)
+    both = full.filter("lang = 'en' AND doc_id < 50")
+    got = {r["doc_id"] for r in both.collect()}
+    ref = {r["doc_id"] for r in en if r["doc_id"] < 50}
+    assert got == ref
+
+
+def test_empty_and_out_of_range(registered):
+    assert _load(registered, n_rows=0, seed="s").count() == 0
+    df = _load(registered, n_rows=100, seed="s")
+    assert df.filter("doc_id >= 100").count() == 0
+    assert df.filter("doc_id < 0").count() == 0
