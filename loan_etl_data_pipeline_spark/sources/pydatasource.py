@@ -17,13 +17,14 @@ backfills):
 - **partitions()** splits the keyspace into contiguous doc_id ranges —
   one `InputPartition` per range, executed in parallel across the
   cluster like any other scan.
-- **pushFilters()** accepts doc_id range/equality predicates and turns
+- **pushFilters()** reads doc_id range/equality predicates and turns
   them into partition PRUNING plus per-partition range clamping: a
   ``doc_id < k`` query reads ceil(k/rows_per_partition) partitions, not
-  all of them, and generates only the surviving range. Everything else
-  (lang/source predicates, ...) is returned unsupported, so Spark
-  re-applies it above the scan — pushdown is an optimization, never a
-  correctness dependency.
+  all of them, and generates only the surviving range. EVERY filter —
+  including the ones that informed the clamp — is yielded back as
+  unsupported so Spark re-applies it above the scan: pushdown is an
+  optimization, never a correctness dependency (see the inline comment
+  for the self-join scan-sharing hazard that makes this mandatory).
 - **read()** yields plain tuples in schema order; workers regenerate
   rows independently — no driver-side materialization, no shuffle.
 
@@ -55,9 +56,9 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
-    IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -105,31 +106,52 @@ class _SyntheticDocsReader(DataSourceReader):
         self.seed = str(options.get("seed", "0"))
         self.doc_len = int(options.get("doc_len", 50))
         self.n_sources = int(options.get("n_sources", 20))
+        self.prune = str(options.get("prune", "false")).lower() == "true"
         if self.n_rows < 0 or self.n_partitions < 1:
             raise ValueError("n_rows must be >= 0 and n_partitions >= 1")
         self.lo, self.hi = 0, self.n_rows  # [lo, hi) after pushdown
 
     def pushFilters(self, filters):
+        # Two safety decisions, both load-bearing:
+        #
+        # 1. Every filter is YIELDED BACK (reported unsupported) even
+        #    when it informs the range clamp, so Spark re-applies it
+        #    above the scan — pruning is an optimization, never a
+        #    correctness dependency.
+        # 2. Pruning is OPT-IN (``.option("prune", "true")``). When the
+        #    same load() appears twice in ONE plan (a self-join), each
+        #    branch plans its own reader with the right clamp — but
+        #    Spark 4.1 then reuses the LAST-built Python scan for every
+        #    occurrence of the relation (the scan's equality ignores
+        #    its pushdown state), so whichever branch planned first
+        #    executes with the other branch's partitions. Yield-back
+        #    keeps the dropped-filter half of that bug harmless, but an
+        #    under-pruned branch loses rows no re-applied filter can
+        #    resurrect (observed live: a top-k self-join returned the
+        #    probe-side rows for both sides). Default-off means
+        #    correctness never depends on how many times a load() is
+        #    referenced; opt in per-load when the scan is used once, or
+        #    load() separately per branch (distinct relations are never
+        #    merged).
+        if not self.prune:
+            yield from filters
+            return
         for f in filters:
             # ColumnPath is a tuple of name parts; top-level doc_id only
             att = getattr(f, "attribute", None)
-            if att != ("doc_id",):
-                yield f
-            elif isinstance(f, EqualTo) and isinstance(f.value, int):
-                self.lo = max(self.lo, f.value)
-                self.hi = min(self.hi, f.value + 1)
-            elif isinstance(f, LessThan) and isinstance(f.value, int):
-                self.hi = min(self.hi, f.value)
-            elif isinstance(f, LessThanOrEqual) and isinstance(f.value, int):
-                self.hi = min(self.hi, f.value + 1)
-            elif isinstance(f, GreaterThan) and isinstance(f.value, int):
-                self.lo = max(self.lo, f.value + 1)
-            elif isinstance(f, GreaterThanOrEqual) and isinstance(f.value, int):
-                self.lo = max(self.lo, f.value)
-            elif isinstance(f, IsNotNull):
-                pass  # generated ids are never null — accepted, no-op
-            else:
-                yield f  # In/Not/strings... → Spark re-applies above
+            if att == ("doc_id",):
+                if isinstance(f, EqualTo) and isinstance(f.value, int):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                elif isinstance(f, LessThan) and isinstance(f.value, int):
+                    self.hi = min(self.hi, f.value)
+                elif isinstance(f, LessThanOrEqual) and isinstance(f.value, int):
+                    self.hi = min(self.hi, f.value + 1)
+                elif isinstance(f, GreaterThan) and isinstance(f.value, int):
+                    self.lo = max(self.lo, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual) and isinstance(f.value, int):
+                    self.lo = max(self.lo, f.value)
+            yield f
 
     def partitions(self):
         lo, hi = self.lo, max(self.lo, self.hi)
@@ -150,8 +172,59 @@ class _SyntheticDocsReader(DataSourceReader):
             yield _row(self.seed, doc_id, self.doc_len, self.n_sources)
 
 
+class _SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based micro-batch reader over the same deterministic
+    keyspace: offset = next doc_id, each ``read`` serves one batch of
+    ``rows_per_batch`` ids and advances; rows beyond ``max_rows`` don't
+    exist (yet) — raising max_rows across restarts models a growing
+    feed. Because rows are a pure function of (seed, doc_id),
+    ``readBetweenOffsets`` replays any checkpointed range bit-
+    identically, which is the whole exactly-once story: the offset IS
+    the data. Simple (driver-planned) reader by design — the batch
+    reader above demonstrates partition planning; a high-throughput
+    stream source would move this range logic into
+    DataSourceStreamReader.partitions()."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.seed = str(options.get("seed", "0"))
+        self.doc_len = int(options.get("doc_len", 50))
+        self.n_sources = int(options.get("n_sources", 20))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST iterator, not a generator: Spark's simple-stream
+        # prefetch cache copy.copy()s the iterator it next()s from, and
+        # generators can't be copied (list iterators can, via
+        # __reduce__)
+        return iter(
+            [
+                _row(self.seed, doc_id, self.doc_len, self.n_sources)
+                for doc_id in range(lo, hi)
+            ]
+        )
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        if hi <= lo:
+            return iter([]), {"offset": lo}
+        return self._rows(lo, hi), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["offset"]), int(end["offset"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: regeneration replaces retention
+
+
 class SyntheticDocsDataSource(DataSource):
-    """``spark.read.format("synthetic_docs")`` — see module docstring."""
+    """``spark.read.format("synthetic_docs")`` (batch) and
+    ``spark.readStream.format("synthetic_docs")`` (micro-batch) — see
+    module docstring."""
 
     @classmethod
     def name(cls) -> str:
@@ -165,3 +238,6 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> _SyntheticDocsReader:
         return _SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> _SyntheticDocsStreamReader:
+        return _SyntheticDocsStreamReader(self.options)

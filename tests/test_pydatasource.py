@@ -47,7 +47,7 @@ def test_deterministic_across_partition_counts_and_reruns(registered):
 
 
 def test_doc_id_pushdown_prunes_partitions(registered):
-    df = _load(registered, n_rows=1000, seed="s1", n_partitions=8)
+    df = _load(registered, n_rows=1000, seed="s1", n_partitions=8, prune="true")
     assert df.rdd.getNumPartitions() == 8
     lt = df.filter("doc_id < 100")
     assert lt.rdd.getNumPartitions() == 1  # 7 of 8 ranges pruned
@@ -80,3 +80,69 @@ def test_empty_and_out_of_range(registered):
     df = _load(registered, n_rows=100, seed="s")
     assert df.filter("doc_id >= 100").count() == 0
     assert df.filter("doc_id < 0").count() == 0
+
+
+def test_self_join_filters_survive_scan_sharing(registered):
+    """When the same relation appears twice in ONE plan, Spark builds a
+    single scan from the shared reader's final pushdown state. The
+    reader must (a) never consume a filter and (b) un-clamp on the
+    second pushFilters call, or one branch loses its filter / its rows
+    (found live: a sparse_topk self-join returned 25 000 rows instead
+    of 50)."""
+    df = _load(registered, n_rows=1000, seed="z")
+    q = df.filter("doc_id < 10").selectExpr("doc_id AS qid")
+    full = df.selectExpr("doc_id")
+    import pyspark.sql.functions as F
+
+    # filtered side planned first and last — both orders must be exact
+    assert q.join(full, F.col("qid") != F.col("doc_id")).count() == 10 * 999
+    assert full.join(q, F.col("qid") != F.col("doc_id")).count() == 10 * 999
+    # two different pushable filters in one plan
+    both = (
+        df.filter("doc_id < 10")
+        .selectExpr("doc_id AS a")
+        .join(df.filter("doc_id >= 990").selectExpr("doc_id AS b"), F.col("a") < F.col("b"))
+    )
+    assert both.count() == 10 * 10
+    # with pruning ON, one load() per branch keeps relations distinct —
+    # full pruning AND correct results
+    qa = _load(registered, n_rows=1000, seed="z", prune="true").filter("doc_id < 10")
+    fb = _load(registered, n_rows=1000, seed="z", prune="true").selectExpr(
+        "doc_id AS did"
+    )
+    j3 = qa.join(fb, qa.doc_id != F.col("did"))
+    assert j3.count() == 10 * 999
+
+
+def test_stream_reader_exactly_once_across_restart(registered, tmp_path):
+    """Each availableNow run drains one read() batch and checkpoints
+    its end offset; successive runs must continue EXACTLY where the
+    previous stopped — no dupes, no gaps — including after the feed
+    grows (max_rows raised on the same checkpoint)."""
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(max_rows):
+        got = []
+
+        def sink(bdf, bid):
+            got.extend(r["doc_id"] for r in bdf.collect())
+
+        q = (
+            registered.readStream.format("synthetic_docs")
+            .option("rows_per_batch", 100)
+            .option("max_rows", max_rows)
+            .option("seed", "st1")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    assert run(300) == list(range(0, 100))
+    assert run(300) == list(range(100, 200))
+    assert run(300) == list(range(200, 300))
+    assert run(300) == []  # feed drained: no reprocessing
+    assert run(500) == list(range(300, 400))  # feed grew: continue, not restart
