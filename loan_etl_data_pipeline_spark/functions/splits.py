@@ -331,10 +331,21 @@ def token_budget_select(
 
     This is the "fill each source's token quota for the next training
     mix" step. One window over (by, order) — a single hash-partitioned
-    sort per group, no self-joins, exact integer cumsum.
+    sort per group, no self-joins, exact integer cumsum. The weight
+    column must already be integral: a silent cast here would floor
+    fractional weights toward zero BEFORE summing (200 rows of weight
+    0.9 would cumsum to 0 and all be "under budget"), so non-integer
+    weights are rejected — pre-quantize (e.g. ``floor(w * 1000)`` with
+    a scaled budget) and keep the cumsum exact.
     """
     from pyspark.sql import Window
 
+    wtype = dict(df.dtypes).get(weight_col)
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weight column {weight_col!r} must be integral, got {wtype!r}: "
+            "quantize first (e.g. floor(w*1000) against a scaled budget)"
+        )
     order = order_by or [F.col(weight_col).desc(), F.col(id_col).asc()]
     w = (
         Window.partitionBy(by)

@@ -317,6 +317,10 @@ def pagerank(
     """
     from pyspark.storagelevel import StorageLevel
 
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()

@@ -113,26 +113,37 @@ def train_ivf_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    train_cap: int | None = 65536,
+    train_cap: int | None = 16384,
 ) -> np.ndarray:
     """Deterministic Lloyd k-means: returns the (n_cells, dim) centroids.
 
-    Init = the ``n_cells`` vectors with the smallest ids (deterministic,
-    no RNG). Training runs driver-side over the first ``train_cap``
-    rows by id (ONE TakeOrdered job — centroid training never needs the
-    full corpus, only the cell-assignment scan does); pass
-    ``train_cap=None`` for full-corpus distributed training, where each
-    iteration scans the corpus once and per Arrow batch the kernel
-    emits (cell, count, Σ floor(x*1e9)) partials, combined exactly on
-    the driver (Python ints — no overflow, no float order dependence).
-    Both paths share the exact fixed-point arithmetic: corpora under
-    the cap get bit-identical centroids either way. Empty cells keep
-    their previous centroid.
+    Training runs driver-side over a deterministic pseudo-random sample
+    of ``train_cap`` rows — the first rows under (md5(id), id) order,
+    ONE TakeOrdered job. Hash order, not id order: ids correlate with
+    ingest order/source in real corpora, so an id-prefix sample would
+    train centroids on one source's geometry; the md5 coordinate is
+    uniform over the keyspace and partition-invariant. Init = the first
+    ``n_cells`` sampled vectors (no RNG). Centroid training never needs
+    the full corpus (FAISS trains on ≤ a few hundred rows per
+    centroid); only the cell-ASSIGNMENT scan does. Driver memory is
+    bounded at cap·dim float64 (~134 MB at cap=16384, dim=1024) — size
+    ``train_cap`` to the driver, or pass ``train_cap=None`` for
+    full-corpus distributed training, where each iteration scans the
+    corpus once and per Arrow batch the kernel emits
+    (cell, count, Σ floor(x*1e9)) partials, combined exactly on the
+    driver (Python ints — no overflow, no float order dependence).
+    Both paths share the init rule and the exact fixed-point
+    arithmetic: corpora under the cap get bit-identical centroids
+    either way. Empty cells keep their previous centroid.
     """
     ensure_worker_imports(corpus_df.sparkSession)
     init_n = n_cells if train_cap is None else max(n_cells, train_cap)
+    sample_key = F.md5(F.col(id_col).cast("string"))
     init_rows = (
-        corpus_df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(init_n).collect()
+        corpus_df.select(id_col, vec_col)
+        .orderBy(sample_key.asc(), F.col(id_col).asc())
+        .limit(init_n)
+        .collect()
     )
     if len(init_rows) < n_cells:
         raise ValueError(

@@ -35,15 +35,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from loan_etl_data_pipeline_spark.operators.text import tokens
+
 _P_SCALE = 10**9
 
 
 def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — one row per bigram OCCURRENCE (multiplicity kept;
     a repeated bigram scores every time, as in a real LM). Lowercased
-    whitespace tokens, the corpus-wide tokenization contract
-    (operators/text.py tokens())."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    whitespace tokens via the shared corpus-wide tokenization contract
+    (operators/text.py tokens() — not re-implemented here, so LM vocab
+    can never drift from what the other text operators produce)."""
+    toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
     pairs = F.arrays_zip(
         F.slice(toks, 1, n - 1).alias("w1"),
@@ -71,9 +74,9 @@ def bigram_lm_train(
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c12.groupBy(F.col("w1").alias("m_w1")).agg(F.sum("c12").alias("c1"))
     model = c12.join(c1, c12.w1 == c1.m_w1).select("w1", "w2", "c12", "c1")
-    toks = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok")
+    tok = F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     vocab_df = (
-        df.select(toks).agg(F.count_distinct(F.col("tok")).cast("bigint").alias("v"))
+        df.select(tok).agg(F.count_distinct(F.col("tok")).cast("bigint").alias("v"))
     )
     return model, vocab_df
 

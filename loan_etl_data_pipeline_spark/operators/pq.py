@@ -93,30 +93,38 @@ def train_pq_codebooks(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    train_cap: int | None = 65536,
+    train_cap: int | None = 16384,
 ) -> np.ndarray:
     """Deterministic per-subspace Lloyd: returns (m, ksub, dim//m)
     codebooks. Empty codes keep their previous codeword; ``dim`` must
     divide evenly by ``m``.
 
-    Training set: the first ``train_cap`` rows by ``id_col`` — ONE
-    TakeOrdered job, then all ``iters`` rounds run driver-side in
-    numpy. Codebook training never needs the full corpus (FAISS trains
-    on ≤ a few hundred samples per centroid); what must scale is the
-    *encode/scan*, which stays a distributed mapInPandas over
-    everything. Pass ``train_cap=None`` to force full-corpus
+    Training set: a deterministic pseudo-random sample — the first
+    ``train_cap`` rows under (md5(id), id) order (hash order, not id
+    order: an id-prefix sample would inherit whatever source/ingest
+    bias the ids carry) — ONE TakeOrdered job, then all ``iters``
+    rounds run driver-side in numpy (driver memory bounded at
+    cap·dim float64). Codebook training never needs the full corpus
+    (FAISS trains on ≤ a few hundred samples per centroid); what must
+    scale is the *encode/scan*, which stays a distributed mapInPandas
+    over everything. Pass ``train_cap=None`` to force full-corpus
     distributed training (one scan per iteration emitting
-    (subspace, code, n, Σ floor(x·1e9)) partials). Both paths use the
-    same exact fixed-point accumulation, so for corpora that fit under
-    the cap they produce bit-identical codebooks.
+    (subspace, code, n, Σ floor(x·1e9)) partials). Both paths share
+    the init rule and the exact fixed-point accumulation, so for
+    corpora that fit under the cap they produce bit-identical
+    codebooks.
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
     ensure_worker_imports(corpus_df.sparkSession)
     init_n = ksub if train_cap is None else max(ksub, train_cap)
+    sample_key = F.md5(F.col(id_col).cast("string"))
     init_rows = (
-        corpus_df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(init_n).collect()
+        corpus_df.select(id_col, vec_col)
+        .orderBy(sample_key.asc(), F.col(id_col).asc())
+        .limit(init_n)
+        .collect()
     )
     if len(init_rows) < ksub:
         raise ValueError(f"corpus has only {len(init_rows)} rows; need >= {ksub}")

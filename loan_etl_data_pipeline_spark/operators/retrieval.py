@@ -196,6 +196,7 @@ def sparse_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     w_scale: int = 10**6,
+    w_cap: int = 3 * 10**6,
 ) -> DataFrame:
     """Sparse-vector similarity search: top-``k`` corpus documents per
     query document by the TF-IDF dot product, computed as a postings
@@ -204,12 +205,18 @@ def sparse_topk(
     bm25_topk (fixed term set) and tfidf_top_terms (per-doc terms).
 
     Weights are quantized integers at creation:
-    ``w = div(tf · w_scale, dfc)`` with dfc from the CORPUS postings
-    (queries are scored in the corpus's weight space, the standard IR
-    convention), so per-pair Σ w_q·w_c is exact int64 arithmetic under
-    any partitioning and fully value-oracle-able. Overflow headroom:
-    w ≤ tf·w_scale, so Σ products ≤ shared_terms · (tf·1e6)² — safe to
-    tf ~ 10³ per term at defaults.
+    ``w = least(div(tf · w_scale, dfc), w_cap)`` with dfc from the
+    CORPUS postings (queries are scored in the corpus's weight space,
+    the standard IR convention), so per-pair Σ w_q·w_c is exact int64
+    arithmetic under any partitioning and fully value-oracle-able.
+    ``w_cap`` is the overflow guard, not a tuning knob: without it a
+    df=1 token with tf≈3.5k yields w≈3.5e9 whose square exceeds int64
+    and SUM silently wraps negative, burying the genuinely-best match.
+    At the default cap, Σ products ≤ shared_terms · 9e12 — exact to
+    ~10⁵ shared terms. Semantically it is BM25-style tf saturation: a
+    term's weight stops growing once div(tf·w_scale, dfc) passes the
+    cap, which for real corpora only triggers on degenerate
+    repeated-token documents.
 
     Plan: both sides collapse to (id, tok, tf) postings (one shuffle
     each, partial-agged), join on the TOKEN key — the classic
@@ -234,10 +241,14 @@ def sparse_topk(
     q_posts = _posts(query_df, "q_")
     dfreq = c_posts.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
     cw = c_posts.join(dfreq, "tok").select(
-        "tok", "c_id", F.expr(f"div(c_tf * {w_scale}L, dfc)").alias("c_w")
+        "tok",
+        "c_id",
+        F.expr(f"least(div(c_tf * {w_scale}L, dfc), {w_cap}L)").alias("c_w"),
     )
     qw = q_posts.join(dfreq, "tok").select(
-        "tok", "q_id", F.expr(f"div(q_tf * {w_scale}L, dfc)").alias("q_w")
+        "tok",
+        "q_id",
+        F.expr(f"least(div(q_tf * {w_scale}L, dfc), {w_cap}L)").alias("q_w"),
     )
     scored = (
         qw.join(cw, "tok")

@@ -828,10 +828,12 @@ ORACLE_CURATION: dict[str, str] = {
         ), dfq AS (
             SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM cp GROUP BY tok
         ), cw AS (
-            SELECT tok, c_id, (c_tf * 1000000) // dfc AS c_w
+            SELECT tok, c_id,
+                   LEAST((c_tf * 1000000) // dfc, 3000000) AS c_w
             FROM cp JOIN dfq USING (tok)
         ), qw AS (
-            SELECT tok, q_id, (q_tf * 1000000) // dfc AS q_w
+            SELECT tok, q_id,
+                   LEAST((q_tf * 1000000) // dfc, 3000000) AS q_w
             FROM qp JOIN dfq USING (tok)
         ), sc AS (
             SELECT q_id, c_id, CAST(SUM(q_w * c_w) AS BIGINT) AS score

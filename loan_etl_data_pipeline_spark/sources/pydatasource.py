@@ -109,6 +109,10 @@ class _SyntheticDocsReader(DataSourceReader):
         self.prune = str(options.get("prune", "false")).lower() == "true"
         if self.n_rows < 0 or self.n_partitions < 1:
             raise ValueError("n_rows must be >= 0 and n_partitions >= 1")
+        if self.doc_len < 1 or self.n_sources < 1:
+            # validate at plan time: a zero here would surface as opaque
+            # ZeroDivisionError task failures inside executors
+            raise ValueError("doc_len and n_sources must be >= 1")
         self.lo, self.hi = 0, self.n_rows  # [lo, hi) after pushdown
 
     def pushFilters(self, filters):
@@ -191,6 +195,10 @@ class _SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
         self.seed = str(options.get("seed", "0"))
         self.doc_len = int(options.get("doc_len", 50))
         self.n_sources = int(options.get("n_sources", 20))
+        if self.rows_per_batch < 1 or self.max_rows < 0:
+            raise ValueError("rows_per_batch must be >= 1 and max_rows >= 0")
+        if self.doc_len < 1 or self.n_sources < 1:
+            raise ValueError("doc_len and n_sources must be >= 1")
 
     def initialOffset(self) -> dict:
         return {"offset": 0}

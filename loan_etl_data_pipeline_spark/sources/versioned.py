@@ -195,12 +195,16 @@ def vacuum_orphans(
     accumulate forever without this. The ``min_age_seconds`` guard (same
     retention idea as Delta's VACUUM) is load-bearing: an IN-FLIGHT
     writer's data directory is indistinguishable from a crash's
-    leftovers, so only directories whose modification time is older
-    than the window are reclaimed — with the one-writer contract, any
-    orphan older than a job's runtime is guaranteed dead. The next
-    version number comes from max(committed, on-disk dirs), so
-    vacuuming never causes a number reuse race it wasn't already safe
-    against (write_version itself reclaims its own target dir).
+    leftovers, so only directories whose age exceeds the window are
+    reclaimed — with the one-writer contract, any orphan older than a
+    job's runtime is guaranteed dead. Age is the NEWEST modification
+    time among the directory and the files inside it: object stores
+    (s3a) report directories as synthetic prefixes with mtime 0, so the
+    dir mtime alone would mark an in-flight write "infinitely old" and
+    delete it mid-job; if no timestamp at all is determinable the dir
+    is conservatively skipped. Vacuuming does not change numbering:
+    write_version numbers from the last COMMITTED manifest and reclaims
+    any orphan squatting on its target path itself.
     """
     import time as _time
 
@@ -223,7 +227,12 @@ def vacuum_orphans(
         v = int(name[1:])
         if v in committed:
             continue
-        if now_ms - st.getModificationTime() < min_age_seconds * 1000.0:
+        newest = st.getModificationTime()
+        for child in fs.listStatus(st.getPath()):
+            newest = max(newest, child.getModificationTime())
+        if newest <= 0:  # no determinable age: never guess, never delete
+            continue
+        if now_ms - newest < min_age_seconds * 1000.0:
             continue
         fs.delete(st.getPath(), True)
         reclaimed.append(v)

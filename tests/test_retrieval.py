@@ -312,8 +312,10 @@ class TestSparseTopk:
             for cid, ctf in c_posts.items():
                 if cid == qid:
                     continue
+                cap = 3 * 10**6
                 s = sum(
-                    (qtf[t] * w_scale // dfc[t]) * (ctf[t] * w_scale // dfc[t])
+                    min(qtf[t] * w_scale // dfc[t], cap)
+                    * min(ctf[t] * w_scale // dfc[t], cap)
                     for t in qtf
                     if t in ctf and t in dfc
                 )
@@ -358,3 +360,17 @@ class TestSparseTopk:
             (3, 2),
         ]
         assert all(r["corpus_id"] != 1 for r in got)
+
+    def test_weight_cap_saturates_instead_of_overflowing(self, spark):
+        from loan_etl_data_pipeline_spark.operators.retrieval import sparse_topk
+
+        # a df=1 token repeated 4000x: uncapped w = 4e9, w^2 wraps int64
+        big = "rare " * 4000
+        rows = [(1, big), (2, big), (3, "common x")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sparse_topk(df.filter("doc_id = 1"), df, k=1).collect()
+        assert len(got) == 1 and got[0]["corpus_id"] == 2
+        # saturated score: trailing space makes 'rare' tf=4000 and ''? no —
+        # the exact value is cap^2 * shared_terms-ish; the invariant that
+        # matters is positivity (no silent wrap) and the right winner
+        assert got[0]["score"] > 0

@@ -340,3 +340,15 @@ def test_token_budget_exact_boundary_and_ties(spark):
     # then 3 (140, dropped)
     kept = token_budget_select(df, "n", 100, by="source", id_col="doc_id").collect()
     assert {r["doc_id"] for r in kept} == {1, 2}
+
+
+def test_token_budget_rejects_fractional_weights(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.9)], "doc_id long, source string, n double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integral"):
+        token_budget_select(df, "n", 100, by="source", id_col="doc_id")
