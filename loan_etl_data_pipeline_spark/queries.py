@@ -2495,6 +2495,49 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ kNN-disagreement label-noise screen (confident-learning
+    lite): flag vectors whose exact 5-NN majority label differs from
+    their own — the standard "find mislabeled training examples" pass
+    before a training run. Self-pairs are excluded by
+    cosine_topk_bruteforce, so a point can never vote for itself.
+    Screens the vec_id < 100 probe batch; at corpus scale you run the
+    same composition per IVF cell (the q_semdedup_cells blocking) so
+    the neighbor scan never goes all-pairs.
+    """
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 100)
+    topk = cosine_topk_bruteforce(probes, emb, k=5)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("bigint").alias("nlabel"),
+    )
+    votes = (
+        topk.join(F.broadcast(lab), "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nlabel"))
+    predicted = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("predicted_label"), "votes")
+    )
+    own = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    return (
+        predicted.join(own, "query_id")
+        .filter(F.col("predicted_label") != F.col("label"))
+        .select("query_id", "label", "predicted_label", "votes")
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3+ per-label centroid (the K-means update step, distributed):
     mean of each embedding dimension per label over exact floored-int64
@@ -3918,6 +3961,7 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unpivot_pricing": q_unpivot_pricing,
     "q_chunk_dedup": q_chunk_dedup,
     "q_knn_classify": q_knn_classify,
+    "q_label_noise": q_label_noise,
     "q_label_centroids": q_label_centroids,
     "q_dup_rate_by_source": q_dup_rate_by_source,
     "q_value_anomalies": q_value_anomalies,
@@ -3937,6 +3981,29 @@ ORACLE_ROUND3["q_knn_classify"] = f"""
                                   ORDER BY votes DESC, label ASC) AS rn
         FROM votes
     ) WHERE rn = 1
+"""
+# the q_knn_bruteforce oracle CTE with the probe predicate widened to
+# the label-noise screen's vec_id < 100 batch (string-identical SQL
+# otherwise, so the certified top-k semantics carry over verbatim)
+ORACLE_ROUND3["q_label_noise"] = f"""
+    WITH topk AS ({ORACLE_PART_B["q_knn_bruteforce"].replace("vec_id < 10", "vec_id < 100")}),
+    votes AS (
+        SELECT t.query_id, CAST(e.label AS BIGINT) AS nlabel,
+               count(*) AS votes
+        FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+        GROUP BY 1, 2
+    ), predicted AS (
+        SELECT query_id, nlabel AS predicted_label, votes FROM (
+            SELECT query_id, nlabel, votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, nlabel ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id, CAST(e.label AS BIGINT) AS label,
+           p.predicted_label, p.votes
+    FROM predicted p JOIN embeddings e ON p.query_id = e.vec_id
+    WHERE p.predicted_label <> CAST(e.label AS BIGINT)
 """
 ORACLE_ROUND3["q_label_centroids"] = """
     SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
@@ -3979,6 +4046,7 @@ ORACLE_ROUND3["q_value_anomalies"] = """
 
 for _k in (
     "q_knn_classify",
+    "q_label_noise",
     "q_label_centroids",
     "q_dup_rate_by_source",
     "q_value_anomalies",
