@@ -2538,6 +2538,87 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ two-proportion A/B z-test, engine-portable: variant =
+    user_id mod 2, conversion = the user made MORE purchases than
+    signups (a per-user compare, not "≥1 purchase" — at this data's
+    density every user purchases, p would pool to 1 and the z
+    denominator to 0). All counts are exact int64 from one user-keyed
+    aggregate (map-side partial) + one scalar agg; the z-score is ONE
+    fixed double expression over those ints (explicit casts, one
+    association order — the same portability scheme as
+    q_corr_qty_price, since a built-in variance over doubles would
+    re-associate per partition), with a CASE guard returning NULL when
+    the pooled variance is 0 (Spark ANSI errors on /0, DuckDB returns
+    inf — the guard is what keeps the expression cross-engine).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    v = F.pmod(F.col("user_id"), F.lit(2))
+    counts = per_user.agg(
+        F.sum(F.when(v == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when((v == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(v == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when((v == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    z = F.expr(
+        "CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1"
+        " THEN NULL ELSE"
+        " (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+        " / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+        " * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+        " * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))"
+        " END"
+    )
+    return counts.select("n0", "c0", "n1", "c1", z.alias("z_score"))
+
+
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ per-document token-diversity (Gini impurity) quality signal:
+    1 − Σc²/N² over the token multiset — near 0 for degenerate
+    one-token spam, near 1 for diverse text. The entropy-style signal
+    WITHOUT logs: Σc² and N are exact int64, so unlike −Σp·log p
+    (whose libm and summation order differ across engines) the whole
+    statistic is one IEEE-defined division — fully value-oracle-able.
+    Two partial-agged shuffles: (doc, tok) counts, then per-doc moments.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    posts = (
+        d.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = posts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+    )
+    gini = F.lit(1.0) - (
+        F.col("sumsq").cast("double")
+        / (F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double"))
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_distinct", "sumsq", gini.alias("gini")
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3+ per-label centroid (the K-means update step, distributed):
     mean of each embedding dimension per label over exact floored-int64
@@ -3962,6 +4043,8 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunk_dedup": q_chunk_dedup,
     "q_knn_classify": q_knn_classify,
     "q_label_noise": q_label_noise,
+    "q_ab_test": q_ab_test,
+    "q_token_gini": q_token_gini,
     "q_label_centroids": q_label_centroids,
     "q_dup_rate_by_source": q_dup_rate_by_source,
     "q_value_anomalies": q_value_anomalies,
@@ -4005,6 +4088,53 @@ ORACLE_ROUND3["q_label_noise"] = f"""
     FROM predicted p JOIN embeddings e ON p.query_id = e.vec_id
     WHERE p.predicted_label <> CAST(e.label AS BIGINT)
 """
+ORACLE_ROUND3["q_ab_test"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                         > SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY user_id
+    ), counts AS (
+        SELECT
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM per_user
+    )
+    SELECT n0, c0, n1, c1,
+           CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1
+                THEN NULL ELSE
+           (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+           END AS z_score
+    FROM counts
+"""
+ORACLE_ROUND3["q_token_gini"] = r"""
+    WITH posts AS (
+        SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM posts GROUP BY doc_id, tok
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c * c) AS BIGINT) AS sumsq
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct, sumsq,
+           1.0 - (CAST(sumsq AS DOUBLE)
+                  / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+             AS gini
+    FROM per_doc
+"""
 ORACLE_ROUND3["q_label_centroids"] = """
     SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
            (CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1e12)
@@ -4047,6 +4177,8 @@ ORACLE_ROUND3["q_value_anomalies"] = """
 for _k in (
     "q_knn_classify",
     "q_label_noise",
+    "q_ab_test",
+    "q_token_gini",
     "q_label_centroids",
     "q_dup_rate_by_source",
     "q_value_anomalies",
