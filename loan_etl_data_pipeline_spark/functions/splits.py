@@ -358,6 +358,75 @@ def token_budget_select(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    *,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled (α=0.5) source rebalancing: sample each
+    stratum down so the mix follows w_s ∝ √c_s — the multilingual
+    pre-training staple (big sources damped, small sources up-weighted
+    relative to natural proportions) — targeting ``budget`` total rows.
+
+    Everything stays EXACT integers so the kept set is engine- and
+    partitioning-reproducible end to end:
+
+        s_s      = floor(sqrt(c_s · 10⁶))     (sqrt of an exactly
+                                               representable int is
+                                               correctly rounded IEEE —
+                                               identical on any engine)
+        target_s = (budget · s_s) div Σs      (Σs is an exact INT sum —
+                                               never a float Σ, whose
+                                               association order differs
+                                               per engine/partitioning)
+        thr_s    = (target_s · 65536) div c_s  → 4-hex threshold
+
+    and a row survives iff its md5 split coordinate is under its
+    stratum's threshold (the hash_split/stratified_sample contract —
+    so the draw is stable as data grows and independent across salts).
+    Threshold sampling hits target_s in expectation with 1/65536
+    granularity; an exact-quota variant would need a per-stratum
+    global_rank — this is the scale-correct form. One small aggregate
+    (|strata| rows) broadcast back onto the scan; zero wide shuffles.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    cnt = df.groupBy(F.col(strata_col).alias("__st")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    sq = cnt.withColumn(
+        "__s",
+        F.floor(F.sqrt((F.col("__c") * F.lit(1_000_000)).cast("double"))).cast(
+            "bigint"
+        ),
+    )
+    # __stot, not __S: Spark resolution is case-insensitive, so __S
+    # would collide with sq's __s across the self-derived cross join
+    tot = sq.agg(F.sum("__s").cast("bigint").alias("__stot"))
+    thr = (
+        sq.crossJoin(F.broadcast(tot))
+        .withColumn("__target", F.expr(f"({budget}L * __s) div __stot"))
+        .withColumn(
+            "__thr",
+            # keep-all sentinel is "zzzz", NOT hex(65536): "10000" is 5
+            # chars but sorts BELOW "ffff" lexicographically ('1' < 'f'),
+            # which would drop the high-coordinate rows it meant to keep
+            F.when(F.col("__target") >= F.col("__c"), F.lit("zzzz")).otherwise(
+                F.format_string("%04x", F.expr("(__target * 65536L) div __c"))
+            ),
+        )
+        .select("__st", "__thr")
+    )
+    return (
+        df.join(F.broadcast(thr), df[strata_col] == F.col("__st"))
+        .filter(split_bucket_hex(key_col, salt) < F.col("__thr"))
+        .drop("__st", "__thr")
+    )
+
+
 def curriculum_tiles(
     df: DataFrame,
     score_col: str,

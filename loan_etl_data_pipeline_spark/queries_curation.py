@@ -680,6 +680,37 @@ def q_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_topk(d.filter(F.col("doc_id") < 10), d, k=5)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ temperature-scaled (α=0.5) source rebalancing
+    (functions/splits.py temperature_sample): sample every source down
+    so the mix follows w ∝ √count, targeting 300 rows — the
+    multilingual data-mixing staple, with the weight math in exact
+    integers (isqrt-scaled shares, integer div thresholds) so the kept
+    set is value-oracle-able."""
+    from loan_etl_data_pipeline_spark.functions.splits import temperature_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_sample(d, "doc_id", "source", budget=300, salt="tmix")
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.7 set-op completion: nation keys serving BOTH customers and
+    suppliers (INTERSECT) and customer-only nations (EXCEPT), labeled
+    and unioned — the remaining two of the three relational set
+    operators (q_union_nations covers UNION). Each side collapses to
+    its distinct key set BEFORE the set op, so the exchanges carry
+    ≤|nations| rows."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    )
+    both = c.intersect(s).select(F.lit("both").alias("op"), "nationkey")
+    only_c = c.subtract(s).select(F.lit("customer_only").alias("op"), "nationkey")
+    return both.union(only_c)
+
+
 QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_winnow_neardup": q_winnow_neardup,
@@ -703,6 +734,8 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_budget": q_token_budget,
     "q_prefix_jaccard": q_prefix_jaccard,
     "q_sparse_topk": q_sparse_topk,
+    "q_temperature_mix": q_temperature_mix,
+    "q_set_ops": q_set_ops,
 }
 
 # hash_split's md5-bucket threshold for train_frac=0.8 (see
@@ -848,6 +881,39 @@ ORACLE_CURATION: dict[str, str] = {
         )
         SELECT q_id AS query_id, c_id AS corpus_id, score, rnk
         FROM r WHERE rnk <= 5
+    """,
+    "q_temperature_mix": """
+        WITH cnt AS (
+            SELECT source AS st, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY source
+        ), sq AS (
+            SELECT st, c,
+                   CAST(FLOOR(sqrt(CAST(c * 1000000 AS DOUBLE))) AS BIGINT)
+                     AS s
+            FROM cnt
+        ), tot AS (
+            SELECT CAST(SUM(s) AS BIGINT) AS stot FROM sq
+        ), thr AS (
+            SELECT st,
+                   CASE WHEN (300 * s) // stot >= c THEN 'zzzz'
+                        ELSE printf('%04x', (((300 * s) // stot) * 65536) // c)
+                   END AS t
+            FROM sq CROSS JOIN tot
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr ON d.source = thr.st
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'tmix'), 1, 4) < thr.t
+    """,
+    "q_set_ops": """
+        WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey
+                   FROM customer),
+             s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey
+                   FROM supplier)
+        SELECT 'both' AS op, nationkey
+        FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        UNION ALL
+        SELECT 'customer_only' AS op, nationkey
+        FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
     """,
     "q_token_budget": """
         WITH c AS (

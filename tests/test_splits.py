@@ -352,3 +352,46 @@ def test_token_budget_rejects_fractional_weights(spark):
 
     with _pytest.raises(ValueError, match="integral"):
         token_budget_select(df, "n", 100, by="source", id_col="doc_id")
+
+
+# --- temperature_sample ---
+
+
+def test_temperature_sample_rebalances_toward_sqrt(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import temperature_sample
+
+    # big:small = 6400:100 (64:1); sqrt weights 80:10 (8:1) — the small
+    # source's SHARE must grow from 100/6500 (1.5%) toward 10/90 (11%)
+    rows = [(i, "big") for i in range(6400)] + [(10000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(df, "doc_id", "source", budget=900, salt="t")
+    by = {r[0]: r[1] for r in kept.groupBy("source").count().collect()}
+    total = sum(by.values())
+    assert 700 <= total <= 1100  # budget hit within sampling noise
+    small_share = by.get("small", 0) / total
+    assert 0.06 <= small_share <= 0.16, by  # ~11% target, was 1.5%
+    # determinism + partitioning invariance
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_sample(
+            df.repartition(7), "doc_id", "source", budget=900, salt="t"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_sample_keep_all_and_validation(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import temperature_sample
+
+    # budget >= corpus: every row kept (the "zzzz" sentinel path —
+    # hex(65536) would sort below 'ffff' and silently drop rows)
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], "doc_id long, source string"
+    )
+    kept = temperature_sample(df, "doc_id", "source", budget=10000, salt="t")
+    assert kept.count() == 90
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        temperature_sample(df, "doc_id", "source", budget=-1)
