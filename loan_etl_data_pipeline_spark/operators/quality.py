@@ -151,3 +151,30 @@ def iqr_outliers(
     return flagged.select(
         group_col, "q1", "q3", "lo_fence", "hi_fence", "n_rows", "n_outliers"
     )
+
+
+def observe_metrics(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> tuple[DataFrame, "object"]:
+    """Attach FREE in-flight metrics to a DataFrame via Spark's
+    Observation API: the aggregates piggyback on whatever action the
+    caller was already running (a parquet write, a collect), costing
+    ZERO extra scans — vs the separate `df.count()` / check_constraints
+    pass, which re-reads the input. The production pattern: observe
+    row counts and null/violation counters ON the write itself, then
+    fail-or-alert from the returned Observation after the action.
+
+    Returns ``(observed_df, observation)``; read
+    ``observation.get`` (dict) only AFTER an action ran the plan.
+    Caveats inherent to the API (documented, not worked around):
+    metrics must be aggregate expressions with no distinct, and the
+    values reflect the rows the ACTION actually processed — a limit(k)
+    action observes k rows, not the table.
+    """
+    from pyspark.sql import Observation
+
+    if not metrics:
+        raise ValueError("metrics must not be empty")
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return out, obs

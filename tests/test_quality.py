@@ -108,3 +108,33 @@ def test_iqr_outliers_known_values(spark):
     assert g["n_rows"] == 5 and g["n_outliers"] == 1  # the 100
     h = rows["h"]  # single-value group: IQR 0, nothing flagged
     assert h["n_outliers"] == 0 and h["n_rows"] == 1
+
+
+def test_observe_metrics_free_on_write(spark, tmp_path):
+    """Observation metrics must match a separately-computed aggregate,
+    and be collected by the WRITE action itself (no second scan)."""
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.quality import observe_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, None)], "id long, v double"
+    )
+    observed, obs = observe_metrics(
+        df,
+        "etl_gate",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+            "v_cents": F.sum(F.floor(F.col("v") * 100).cast("bigint")),
+        },
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got == {"n_rows": 4, "n_null_v": 2, "v_cents": 4000}
+    # written data unaffected by the observation
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="metrics"):
+        observe_metrics(df, "empty", {})
