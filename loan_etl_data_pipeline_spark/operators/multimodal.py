@@ -67,6 +67,42 @@ def attach_binary_payload(
     )
 
 
+def read_media_dir(
+    spark,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Read a directory of real media files via Spark's built-in
+    ``binaryFile`` source, normalized to the engine's media contract
+    (media_id, media_type, payload) — the ingestion half that
+    ``attach_binary_payload`` stands in for when no files exist.
+
+    media_id = the fully-qualified file path (stable, re-ingest-safe),
+    media_type = lowercased filename extension. The binaryFile source
+    streams file contents as one row per file with pushed path filters
+    (``glob``, e.g. ``*.jpg``) — at 100 TB you shard by directory
+    layout and the scan parallelizes per file; files larger than
+    ``spark.sql.files.maxPartitionBytes`` still land in ONE row, so
+    cap media size upstream or chunk at ingest.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    raw = r.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    return raw.select(
+        F.col("path").alias("media_id"),
+        F.when(F.col("path").contains("."), ext)
+        .otherwise(F.lit("bin"))
+        .alias("media_type"),
+        F.col("content").alias("payload"),
+    )
+
+
 def extract_media_meta(df: DataFrame) -> DataFrame:
     """byte_size + sha256 per blob via Arrow-batched mapInPandas.
 
@@ -74,6 +110,10 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     batches, run a vectorized/bytes-level Python step, emit a typed
     frame. Partitioning is inherited from the input — repartition by a
     size-balanced key before calling this on skewed blob sizes.
+
+    The output media_id inherits the INPUT's type: synthetic ids are
+    bigint, binaryFile-ingested ids (read_media_dir) are path strings —
+    pinning bigint here would make the real-file path a type crash.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,7 +127,11 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(_batches, schema=META_SCHEMA)
+    id_type = df.schema["media_id"].dataType
+    schema = StructType(
+        [StructField("media_id", id_type)] + [f for f in META_SCHEMA if f.name != "media_id"]
+    )
+    return df.mapInPandas(_batches, schema=schema)
 
 
 FRAME_SCHEMA = StructType(

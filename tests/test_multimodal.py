@@ -144,3 +144,56 @@ class TestRealDecode:
 
         with pytest.raises(NotImplementedError, match="no decoder"):
             _decode_payload(b"RIFF....", "audio/wav")
+
+
+class TestReadMediaDir:
+    def test_binaryfile_ingest_feeds_meta_pipeline(self, spark, tmp_path):
+        """Real files on disk → binaryFile source → media contract →
+        the Arrow meta extractor: bytes and sha256 must match what was
+        written, media_type from the extension, glob filter honored."""
+        import hashlib
+
+        from loan_etl_data_pipeline_spark.operators.multimodal import (
+            extract_media_meta,
+            read_media_dir,
+        )
+
+        d = tmp_path / "media"
+        (d / "sub").mkdir(parents=True)
+        payloads = {
+            "a.jpg": b"\xff\xd8\xffJPEGDATA",
+            "b.wav": b"RIFF\x00\x00WAVE",
+            "sub/c.jpg": b"\xff\xd8\xffNESTED",
+        }
+        for rel, content in payloads.items():
+            (d / rel).write_bytes(content)
+        (d / "notes.txt").write_bytes(b"not media")
+
+        media = read_media_dir(spark, str(d))
+        rows = {r["media_id"].split("/")[-1]: r for r in media.collect()}
+        assert set(rows) == {"a.jpg", "b.wav", "c.jpg", "notes.txt"}
+        assert rows["a.jpg"]["media_type"] == "jpg"
+        assert bytes(rows["b.wav"]["payload"]) == payloads["b.wav"]
+
+        jpgs = read_media_dir(spark, str(d), glob="*.jpg")
+        assert jpgs.count() == 2  # recursive + filtered
+
+        meta = {
+            r["media_id"].split("/")[-1]: r
+            for r in extract_media_meta(jpgs).collect()
+        }
+        assert meta["a.jpg"]["byte_size"] == len(payloads["a.jpg"])
+        assert (
+            meta["c.jpg"]["sha256"]
+            == hashlib.sha256(payloads["sub/c.jpg"]).hexdigest()
+        )
+
+    def test_non_recursive_skips_subdirs(self, spark, tmp_path):
+        from loan_etl_data_pipeline_spark.operators.multimodal import read_media_dir
+
+        d = tmp_path / "m2"
+        (d / "sub").mkdir(parents=True)
+        (d / "top.bin").write_bytes(b"t")
+        (d / "sub" / "deep.bin").write_bytes(b"d")
+        got = read_media_dir(spark, str(d), recursive=False)
+        assert [r["media_id"].split("/")[-1] for r in got.collect()] == ["top.bin"]
