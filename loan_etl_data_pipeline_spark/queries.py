@@ -2538,6 +2538,51 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ long-form covariance matrix over lineitem's numeric columns
+    (quantity, extendedprice, discount×100, tax×100) — engine-portable
+    like q_corr_qty_price: every moment is an exact int64 sum of
+    floored integer units, one scalar aggregate for ALL pairs (10
+    moments in a single scan with map-side partials), then one fixed
+    double expression per cell. Built-in covar_samp over doubles could
+    never oracle-check (per-partition re-association); this can.
+    Output: (col_x, col_y, n, cov) for the upper triangle incl.
+    variances.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": F.floor(F.col("l_quantity")).cast("bigint"),
+        "extendedprice": F.floor(F.col("l_extendedprice")).cast("bigint"),
+        "discount_pct": F.floor(F.col("l_discount") * 100).cast("bigint"),
+        "tax_pct": F.floor(F.col("l_tax") * 100).cast("bigint"),
+    }
+    names = list(cols)
+    b = li.select(*[expr.alias(n) for n, expr in cols.items()])
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for x in names:
+        aggs.append(F.sum(F.col(x)).cast("bigint").alias(f"s_{x}"))
+    for i, x in enumerate(names):
+        for y in names[i:]:
+            aggs.append(
+                F.sum(F.col(x) * F.col(y)).cast("bigint").alias(f"s_{x}_{y}")
+            )
+    moments = b.agg(*aggs)
+    # melt the single moments row to long form; cov = (Σxy − ΣxΣy/n)/(n−1)
+    # written as one fixed expression over exact ints
+    cells = []
+    for i, x in enumerate(names):
+        for y in names[i:]:
+            cells.append(
+                f"'{x}', '{y}', n, "
+                f"(CAST(s_{x}_{y} AS DOUBLE) - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE) / CAST(n AS DOUBLE))"
+                f" / CAST(n - 1 AS DOUBLE)"
+            )
+    stacked = ", ".join(cells)
+    return moments.selectExpr(
+        f"stack({len(cells)}, {stacked}) AS (col_x, col_y, n, cov)"
+    )
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A.4+ two-proportion A/B z-test, engine-portable: variant =
     user_id mod 2, conversion = the user made MORE purchases than
@@ -4045,6 +4090,7 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_label_noise": q_label_noise,
     "q_ab_test": q_ab_test,
     "q_token_gini": q_token_gini,
+    "q_cov_matrix": q_cov_matrix,
     "q_label_centroids": q_label_centroids,
     "q_dup_rate_by_source": q_dup_rate_by_source,
     "q_value_anomalies": q_value_anomalies,
@@ -4088,6 +4134,38 @@ ORACLE_ROUND3["q_label_noise"] = f"""
     FROM predicted p JOIN embeddings e ON p.query_id = e.vec_id
     WHERE p.predicted_label <> CAST(e.label AS BIGINT)
 """
+def _cov_oracle() -> str:
+    """q_cov_matrix oracle, generated from the same pair loop as the
+    Spark side so the double expression shapes can never diverge."""
+    names = ["quantity", "extendedprice", "discount_pct", "tax_pct"]
+    units = {
+        "quantity": "CAST(FLOOR(l_quantity) AS BIGINT)",
+        "extendedprice": "CAST(FLOOR(l_extendedprice) AS BIGINT)",
+        "discount_pct": "CAST(FLOOR(l_discount * 100) AS BIGINT)",
+        "tax_pct": "CAST(FLOOR(l_tax * 100) AS BIGINT)",
+    }
+    sums = [f"CAST(SUM({units[x]}) AS BIGINT) AS s_{x}" for x in names]
+    prods = [
+        f"CAST(SUM({units[x]} * {units[y]}) AS BIGINT) AS s_{x}_{y}"
+        for i, x in enumerate(names)
+        for y in names[i:]
+    ]
+    cells = [
+        f"SELECT '{x}' AS col_x, '{y}' AS col_y, n, "
+        f"(CAST(s_{x}_{y} AS DOUBLE) - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" / CAST(n - 1 AS DOUBLE) AS cov FROM m"
+        for i, x in enumerate(names)
+        for y in names[i:]
+    ]
+    return (
+        "WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        + ", ".join(sums + prods)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(cells)
+    )
+
+
+ORACLE_ROUND3["q_cov_matrix"] = _cov_oracle()
 ORACLE_ROUND3["q_ab_test"] = """
     WITH per_user AS (
         SELECT user_id,
@@ -4179,6 +4257,7 @@ for _k in (
     "q_label_noise",
     "q_ab_test",
     "q_token_gini",
+    "q_cov_matrix",
     "q_label_centroids",
     "q_dup_rate_by_source",
     "q_value_anomalies",
