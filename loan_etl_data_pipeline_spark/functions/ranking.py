@@ -85,6 +85,68 @@ def global_rank(
     return out
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    *,
+    cum_col: str = "cum",
+) -> DataFrame:
+    """All input columns plus ``cum_col`` = inclusive global prefix sum
+    of ``value_col`` under ``order_by`` — the SUM generalization of
+    :func:`global_rank`, with the same construction: range-partition on
+    the order, per-partition local cumsum, per-partition TOTALS (one
+    small collect) turned into additive offsets. A naive
+    ``Window.orderBy(...)`` with no partition key would funnel every
+    row through ONE task; this stays fully parallel. ``value_col``
+    must be integral (exact prefix sums — float prefixes re-associate).
+    Same release contract as global_rank (``_persisted_intermediates``).
+    """
+    from pyspark import StorageLevel
+
+    vtype = dict(df.dtypes).get(value_col)
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"value column {value_col!r} must be integral, got {vtype!r}"
+        )
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(nparts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pid_sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).cast("bigint").alias("s"))
+        .collect()
+    }
+    if not pid_sums:
+        ranged.unpersist()
+        out = df.withColumn(cum_col, F.lit(None).cast("bigint"))
+        out._persisted_intermediates = []
+        return out
+    offsets, acc = {}, 0
+    for pid in sorted(pid_sums):
+        offsets[pid] = acc
+        acc += pid_sums[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col("__pid"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged.withColumn(
+        cum_col, (off_expr + F.sum(value_col).over(w)).cast("bigint")
+    ).drop("__pid")
+    out._persisted_intermediates = [ranged]
+    return out
+
+
 def ntile_from_rank(rank: Column, n: int, n_tiles: int) -> Column:
     """Exact ``ntile(n_tiles)`` assignment from a 1-based global rank
     over ``n`` rows — pure arithmetic, no window: the first ``n %

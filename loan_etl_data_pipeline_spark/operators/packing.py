@@ -97,3 +97,43 @@ def pack_documents(
         )
 
     return counts.mapInPandas(_pack, schema=PACK_SCHEMA)
+
+
+def pack_next_fit(
+    df: DataFrame,
+    *,
+    capacity: int,
+    length_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic concatenation-offset packing: documents are laid
+    end to end in ``id_col`` order and ``pack_id`` = which
+    ``capacity``-sized training sequence each document STARTS in
+    (start_offset div capacity).
+
+    This is the OTHER packing discipline next to
+    :func:`pack_documents`' best-fit bins: real LM pipelines mostly
+    concatenate the corpus and slice fixed-length sequences, letting
+    documents straddle boundaries — and because the layout is a pure
+    function of the global order, it is partitioning-reproducible and
+    fully value-oracle-able, unlike any distributed bin packing. The
+    global prefix sum uses functions/ranking.global_cumsum (range-
+    partitioned, never a single-task window). Release the cached
+    intermediate via operators.dedup.release_intermediates.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    cum = global_cumsum(
+        df, [F.col(id_col).asc()], length_col, cum_col="__cum"
+    )
+    out = (
+        cum.withColumn(
+            "start_offset", (F.col("__cum") - F.col(length_col)).cast("bigint")
+        )
+        .withColumn("pack_id", F.expr(f"start_offset div {capacity}L"))
+        .drop("__cum")
+    )
+    out._persisted_intermediates = getattr(cum, "_persisted_intermediates", [])
+    return out

@@ -545,6 +545,47 @@ def q_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_distinct(ev, "ts", "user_id", slide="1 hour", width_slides=6)
 
 
+def q_sliding_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-6-hour distinct users per hourly tumble — the
+    value-oracle sibling certifying q_sliding_users' HLL semantics:
+    raw events collapse to DISTINCT (hour, user) pairs first (the only
+    corpus-sized shuffle), then each tumble joins the ≤6 preceding
+    tumbles' pair sets. At 100 TB the pair table is the pre-aggregate;
+    the HLL variant replaces it with kilobyte sketches when even pairs
+    are too wide."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    tumbles = pairs.select(F.col("h").alias("th")).distinct()
+    joined = pairs.join(
+        F.broadcast(tumbles),
+        (F.col("h") <= F.col("th"))
+        & (F.col("h") >= F.col("th") - F.expr("INTERVAL 5 HOURS")),
+    )
+    return (
+        joined.groupBy("th")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("th", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_users",
+        )
+    )
+
+
+def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ deterministic concatenation-offset packing
+    (operators/packing.py pack_next_fit): corpus laid end to end in
+    doc_id order, pack_id = start_offset div 2048 chars — the
+    concat-then-slice discipline real LM pipelines use, and the
+    packing variant that CAN carry a full value oracle (q_pack_docs'
+    bin packing is legitimately partitioning-dependent)."""
+    from loan_etl_data_pipeline_spark.operators.packing import pack_next_fit
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_next_fit(d, capacity=2048, length_col="n_chars")
+
+
 def q_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 suppliers who were the ONLY returner on multi-supplier
     orders (TPC-H-Q21-style; adapted — no commit/receipt dates in the
@@ -736,6 +777,8 @@ QUERIES_CURATION: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sparse_topk": q_sparse_topk,
     "q_temperature_mix": q_temperature_mix,
     "q_set_ops": q_set_ops,
+    "q_sliding_users_exact": q_sliding_users_exact,
+    "q_pack_nextfit": q_pack_nextfit,
 }
 
 # hash_split's md5-bucket threshold for train_frac=0.8 (see
@@ -903,6 +946,31 @@ ORACLE_CURATION: dict[str, str] = {
         SELECT d.doc_id, d.source
         FROM documents d JOIN thr ON d.source = thr.st
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'tmix'), 1, 4) < thr.t
+    """,
+    "q_sliding_users_exact": """
+        WITH pairs AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+        ), t AS (
+            SELECT DISTINCT h AS th FROM pairs
+        )
+        SELECT strftime(th, '%Y-%m-%d %H:%M:%S') AS window_end,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+        FROM t JOIN pairs p
+          ON p.h <= th AND p.h >= th - INTERVAL 5 HOUR
+        GROUP BY th
+    """,
+    "q_pack_nextfit": """
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CAST(cum - n_chars AS BIGINT) AS start_offset,
+               (cum - n_chars) // 2048 AS pack_id
+        FROM c
     """,
     "q_set_ops": """
         WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey

@@ -58,3 +58,42 @@ def test_packing_density(docs):
 def test_bad_budget(docs):
     with pytest.raises(ValueError, match="budget"):
         pack_documents(docs, budget=0)
+
+
+# --- pack_next_fit / global_cumsum ---
+
+
+def test_pack_next_fit_matches_sequential_layout(spark):
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+    from loan_etl_data_pipeline_spark.operators.packing import pack_next_fit
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_next_fit(df, capacity=256, length_col="n")
+    got = {r["doc_id"]: (r["start_offset"], r["pack_id"]) for r in out.collect()}
+    release_intermediates(out)
+    # python reference: exact concatenation offsets
+    off = 0
+    for i, n in rows:
+        assert got[i] == (off, off // 256), i
+        off += n
+    # partitioning invariance
+    out2 = pack_next_fit(df.repartition(13), capacity=256, length_col="n")
+    got2 = {r["doc_id"]: (r["start_offset"], r["pack_id"]) for r in out2.collect()}
+    release_intermediates(out2)
+    assert got == got2
+
+
+def test_pack_next_fit_validation_and_empty(spark):
+    import pytest as _pytest
+
+    from loan_etl_data_pipeline_spark.operators.packing import pack_next_fit
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+    with _pytest.raises(ValueError, match="capacity"):
+        pack_next_fit(df, capacity=0, length_col="n")
+    fdf = spark.createDataFrame([(1, 0.5)], "doc_id long, n double")
+    with _pytest.raises(ValueError, match="integral"):
+        pack_next_fit(fdf, capacity=10, length_col="n")
+    empty = df.filter("doc_id < 0")
+    assert pack_next_fit(empty, capacity=10, length_col="n").count() == 0
