@@ -105,6 +105,23 @@ def _probe_rank_frames(q_ids, q_mat, qq, probe, c_ids, c_mat, cells, k):
     return frames
 
 
+def _farthest_point_init(sample: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic farthest-point seeding: first sample row, then
+    repeatedly the row maximizing distance to its nearest chosen seed
+    (first index on exact ties). The greedy 2-approximation to k-center
+    — spreads seeds across the data's extent so Lloyd starts with every
+    dense region owned, the determinism-friendly stand-in for
+    k-means++'s randomized D² sampling."""
+    n = len(sample)
+    chosen = [0]
+    d2 = np.sum((sample - sample[0]) ** 2, axis=1)
+    for _ in range(1, min(k, n)):
+        nxt = int(np.argmax(d2))  # argmax takes the FIRST max index
+        chosen.append(nxt)
+        d2 = np.minimum(d2, np.sum((sample - sample[nxt]) ** 2, axis=1))
+    return sample[chosen].copy()
+
+
 def train_ivf_centroids(
     corpus_df: DataFrame,
     *,
@@ -122,19 +139,19 @@ def train_ivf_centroids(
     ONE TakeOrdered job. Hash order, not id order: ids correlate with
     ingest order/source in real corpora, so an id-prefix sample would
     train centroids on one source's geometry; the md5 coordinate is
-    uniform over the keyspace and partition-invariant. Init = the first
-    ``n_cells`` sampled vectors (no RNG). Centroid training never needs
-    the full corpus (FAISS trains on ≤ a few hundred rows per
-    centroid); only the cell-ASSIGNMENT scan does. Driver memory is
-    bounded at cap·dim float64 (~134 MB at cap=16384, dim=1024) — size
-    ``train_cap`` to the driver, or pass ``train_cap=None`` for
-    full-corpus distributed training, where each iteration scans the
-    corpus once and per Arrow batch the kernel emits
+    uniform over the keyspace and partition-invariant. Init =
+    deterministic farthest-point seeding over the sample (no RNG; see
+    ``_farthest_point_init``). Centroid training never needs the full
+    corpus (FAISS trains on ≤ a few hundred rows per centroid); only
+    the cell-ASSIGNMENT scan does. Driver memory is bounded at cap·dim
+    float64 (~134 MB at cap=16384, dim=1024) — size ``train_cap`` to
+    the driver, or pass ``train_cap=None`` for full-corpus distributed
+    training (init = first n_cells rows under the hash order; no
+    sample exists to spread seeds over), where each iteration scans
+    the corpus once and per Arrow batch the kernel emits
     (cell, count, Σ floor(x*1e9)) partials, combined exactly on the
     driver (Python ints — no overflow, no float order dependence).
-    Both paths share the init rule and the exact fixed-point
-    arithmetic: corpora under the cap get bit-identical centroids
-    either way. Empty cells keep their previous centroid.
+    Empty cells keep their previous centroid.
     """
     ensure_worker_imports(corpus_df.sparkSession)
     init_n = n_cells if train_cap is None else max(n_cells, train_cap)
@@ -149,12 +166,20 @@ def train_ivf_centroids(
         raise ValueError(
             f"corpus has only {len(init_rows)} rows; need >= n_cells={n_cells}"
         )
-    centroids = np.stack(
-        [np.asarray(r[1], dtype=np.float64) for r in init_rows[:n_cells]]
-    )
+    sample = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    if train_cap is not None:
+        # deterministic farthest-point (k-means++-style) seeding over
+        # the sample: an arbitrary-prefix init seeds several centroids
+        # inside one dense region and Lloyd can't escape in few iters
+        # (measured: probe-4/16 recall 0.58 vs ≥0.8 on the test corpus)
+        centroids = _farthest_point_init(sample, n_cells)
+    else:
+        # no sample to seed from on the full-distributed path: first
+        # n_cells rows under the hash order
+        centroids = sample[:n_cells].copy()
 
     if train_cap is not None:
-        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+        mat = sample
         fixed = np.floor(mat * _ACC_SCALE).astype(np.int64)
         for _ in range(iters):
             cells = _assign_cells(mat, centroids)

@@ -78,16 +78,46 @@ def test_neardup_lsh_equals_exact_at_high_threshold(spark):
         assert approx_rows[pair] == cos, f"{pair}: cosine mismatch (non-deterministic?)"
 
 
-def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """The recall contract IVF actually makes: when the data HAS
+    cluster structure, few probes recover nearly all true neighbors.
+    (The sf fixture embeddings are uniform noise — same-label mean
+    cosine 0.019 — where ANY well-balanced quantizer can only reach
+    ~n_probe/n_cells recall; the old ≥0.8-at-4/16 floor on that data
+    was quietly pinning DEGENERATE skewed cells from the arbitrary-
+    prefix init, not retrieval quality.)"""
+    import numpy as np
+
+    from loan_etl_data_pipeline_spark.operators.ivf import ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(16, 64) * 5.0
+    rows = []
+    for i in range(800):
+        c = i % 16
+        rows.append((i, (centers[c] + rng.randn(64) * 0.3).tolist(), c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(queries, df, k=5)
+    approx = ivf_topk(queries, df, dim=64, k=5, n_cells=16, n_probe=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"IVF top-k recall {recall:.2f} below floor 0.9"
+
+
+def test_ivf_topk_uniform_data_coverage_and_exhaustive(spark, emb):
     from loan_etl_data_pipeline_spark.operators.ivf import ivf_topk
 
     queries = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk_bruteforce(queries, emb, k=5)
-    approx = ivf_topk(queries, emb, dim=64, k=5, n_cells=16, n_probe=4)
+    # uniform noise: recall tracks probed-mass; 8/16 probes must beat
+    # the 8/16 coverage floor (sanity that probing ranks cells usefully)
+    approx = ivf_topk(queries, emb, dim=64, k=5, n_cells=16, n_probe=8)
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.8, f"IVF top-k recall {recall:.2f} below floor 0.8"
+    assert recall >= 0.5, f"recall {recall:.2f} under probed-mass floor"
     # probing every cell must reproduce brute force exactly (same
     # deterministic floored cosine, exhaustive candidates)
     full = ivf_topk(queries, emb, dim=64, k=5, n_cells=16, n_probe=16)
