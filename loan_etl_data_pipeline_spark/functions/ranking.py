@@ -116,12 +116,20 @@ def global_cumsum(
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pid_sums = {
-        r["__pid"]: r["s"]
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum(value_col).cast("bigint").alias("s"))
-        .collect()
-    }
+    stats = ranged.groupBy("__pid").agg(
+        F.sum(value_col).cast("bigint").alias("s"),
+        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).alias("nulls"),
+    ).collect()
+    n_null = sum(r["nulls"] for r in stats)
+    if n_null:
+        # NULLs would silently vanish from the prefix (window SUM skips
+        # them), breaking the exact-layout contract — reject up front
+        ranged.unpersist()
+        raise ValueError(
+            f"value column {value_col!r} has {n_null} NULLs: coalesce or "
+            "filter them before the cumsum"
+        )
+    pid_sums = {r["__pid"]: r["s"] for r in stats}
     if not pid_sums:
         ranged.unpersist()
         out = df.withColumn(cum_col, F.lit(None).cast("bigint"))

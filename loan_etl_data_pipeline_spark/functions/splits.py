@@ -394,6 +394,10 @@ def temperature_sample(
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    # NULL strata are dropped EXPLICITLY before counting: they can't
+    # receive a share (the equality join below never matches NULL), and
+    # counting them would silently deflate every real stratum's target
+    df = df.filter(F.col(strata_col).isNotNull())
     cnt = df.groupBy(F.col(strata_col).alias("__st")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )

@@ -93,12 +93,28 @@ def read_media_dir(
     if recursive:
         r = r.option("recursiveFileLookup", "true")
     raw = r.load(path)
-    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    # extension from the BASENAME only — a dot in a directory name or
+    # URI authority (hdfs://nn.prod.example.com/...) must not leak into
+    # the type of an extension-less file
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    ext = F.lower(F.element_at(F.split(fname, r"\."), -1))
+    families = {
+        "image": ("jpg", "jpeg", "png", "gif", "bmp", "webp"),
+        "audio": ("wav", "mp3", "flac", "ogg"),
+        "video": ("mp4", "avi", "mkv", "mov", "webm"),
+    }
+    typed = None
+    for fam, exts in families.items():
+        branch = F.when(ext.isin(*exts), F.concat(F.lit(fam + "/"), ext))
+        typed = branch if typed is None else typed.when(
+            ext.isin(*exts), F.concat(F.lit(fam + "/"), ext)
+        )
+    media_type = F.when(~fname.contains("."), F.lit("bin")).otherwise(
+        typed.otherwise(ext)  # known family → "image/jpg"-style
+    )  # (the "family/ext" form is what decode_images dispatches on)
     return raw.select(
         F.col("path").alias("media_id"),
-        F.when(F.col("path").contains("."), ext)
-        .otherwise(F.lit("bin"))
-        .alias("media_type"),
+        media_type.alias("media_type"),
         F.col("content").alias("payload"),
     )
 

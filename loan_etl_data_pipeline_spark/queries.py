@@ -2607,7 +2607,10 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("conv")
     )
-    v = F.pmod(F.col("user_id"), F.lit(2))
+    # % (remainder, sign of dividend), NOT pmod: the oracle's `%` is
+    # remainder too, so a negative user_id lands outside both variants
+    # IDENTICALLY on both engines instead of diverging
+    v = F.col("user_id") % 2
     counts = per_user.agg(
         F.sum(F.when(v == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
         F.sum(F.when((v == 0) & (F.col("conv") == 1), 1).otherwise(0))

@@ -546,28 +546,39 @@ def q_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sliding_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT trailing-6-hour distinct users per hourly tumble — the
-    value-oracle sibling certifying q_sliding_users' HLL semantics:
-    raw events collapse to DISTINCT (hour, user) pairs first (the only
-    corpus-sized shuffle), then each tumble joins the ≤6 preceding
-    tumbles' pair sets. At 100 TB the pair table is the pre-aggregate;
-    the HLL variant replaces it with kilobyte sketches when even pairs
-    are too wide."""
+    """EXACT distinct users over the trailing 6 OBSERVED hourly tumbles
+    — the value-oracle sibling certifying q_sliding_users' HLL
+    semantics. "Observed tumbles", not a 6-hour time interval: the HLL
+    variant's window is ``rowsBetween(-5, 0)`` over tumbles that EXIST,
+    so on gapped data a calendar-interval twin would count a different
+    window and the certification would be false; this query ranks the
+    distinct tumbles and joins on rank distance, the exact mirror.
+    Raw events collapse to DISTINCT (hour, user) pairs first (the only
+    corpus-sized shuffle). At 100 TB the pair table is the
+    pre-aggregate; the HLL variant replaces it with kilobyte sketches
+    when even pairs are too wide."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     pairs = ev.select(
         F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
     ).distinct()
-    tumbles = pairs.select(F.col("h").alias("th")).distinct()
-    joined = pairs.join(
-        F.broadcast(tumbles),
-        (F.col("h") <= F.col("th"))
-        & (F.col("h") >= F.col("th") - F.expr("INTERVAL 5 HOURS")),
+    tumbles = pairs.select("h").distinct().withColumn(
+        "rk", F.row_number().over(Window.orderBy("h"))
+    )
+    p = pairs.join(F.broadcast(tumbles), "h").select(
+        F.col("rk").alias("prk"), "user_id"
+    )
+    t = tumbles.select(F.col("h").alias("th"), F.col("rk").alias("trk"))
+    joined = p.join(
+        F.broadcast(t),
+        (F.col("prk") <= F.col("trk")) & (F.col("prk") >= F.col("trk") - 5),
     )
     return (
         joined.groupBy("th")
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
         .select(
-            F.date_format("th", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            F.date_format("th", "yyyy-MM-dd HH:mm:ss").alias("latest_tumble"),
             "n_users",
         )
     )
@@ -950,14 +961,16 @@ ORACLE_CURATION: dict[str, str] = {
     "q_sliding_users_exact": """
         WITH pairs AS (
             SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
-        ), t AS (
-            SELECT DISTINCT h AS th FROM pairs
+        ), tumbles AS (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk
+            FROM (SELECT DISTINCT h FROM pairs)
         )
-        SELECT strftime(th, '%Y-%m-%d %H:%M:%S') AS window_end,
+        SELECT strftime(t.h, '%Y-%m-%d %H:%M:%S') AS latest_tumble,
                CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
-        FROM t JOIN pairs p
-          ON p.h <= th AND p.h >= th - INTERVAL 5 HOUR
-        GROUP BY th
+        FROM tumbles t
+        JOIN tumbles pt ON pt.rk <= t.rk AND pt.rk >= t.rk - 5
+        JOIN pairs p ON p.h = pt.h
+        GROUP BY t.h
     """,
     "q_pack_nextfit": """
         WITH c AS (

@@ -172,7 +172,10 @@ class TestReadMediaDir:
         media = read_media_dir(spark, str(d))
         rows = {r["media_id"].split("/")[-1]: r for r in media.collect()}
         assert set(rows) == {"a.jpg", "b.wav", "c.jpg", "notes.txt"}
-        assert rows["a.jpg"]["media_type"] == "jpg"
+        # known families map to the contract decode_images dispatches on
+        assert rows["a.jpg"]["media_type"] == "image/jpg"
+        assert rows["b.wav"]["media_type"] == "audio/wav"
+        assert rows["notes.txt"]["media_type"] == "txt"  # unknown: raw ext
         assert bytes(rows["b.wav"]["payload"]) == payloads["b.wav"]
 
         jpgs = read_media_dir(spark, str(d), glob="*.jpg")
@@ -197,3 +200,19 @@ class TestReadMediaDir:
         (d / "sub" / "deep.bin").write_bytes(b"d")
         got = read_media_dir(spark, str(d), recursive=False)
         assert [r["media_id"].split("/")[-1] for r in got.collect()] == ["top.bin"]
+
+    def test_extension_from_basename_not_path(self, spark, tmp_path):
+        """A dot in a directory name must not corrupt an extension-less
+        file's type (found in review: splitting the full URI on '.')."""
+        from loan_etl_data_pipeline_spark.operators.multimodal import read_media_dir
+
+        d = tmp_path / "dataset.v2"
+        d.mkdir()
+        (d / "README").write_bytes(b"no extension")
+        (d / "img.PNG").write_bytes(b"\x89PNG")
+        rows = {
+            r["media_id"].split("/")[-1]: r["media_type"]
+            for r in read_media_dir(spark, str(d)).collect()
+        }
+        assert rows["README"] == "bin"
+        assert rows["img.PNG"] == "image/png"  # case-insensitive ext
