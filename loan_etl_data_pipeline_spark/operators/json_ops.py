@@ -45,3 +45,28 @@ def props_stats(df: DataFrame, *, group_col: str = "event_type") -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+def props_variant_stats(df: DataFrame, *, group_col: str = "event_type") -> DataFrame:
+    """The same per-group ``$.k`` stats through Spark 4's VARIANT type:
+    ``parse_json`` ONCE into the binary variant encoding, then typed
+    ``try_variant_get`` extraction — the modern engine path for
+    semi-structured columns (one parse regardless of how many fields
+    downstream reads pull; ``get_json_object`` re-parses per call, and
+    ``from_json`` needs the full schema up front, which evolving event
+    payloads don't have). Same null-on-malformed/missing contract as
+    props_stats (try_ semantics), so the two paths are value-identical
+    — which is exactly what q_json_variant's shared-shape oracle pins.
+    """
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        df.select(F.col(group_col), k.alias("k"))
+        .groupBy(group_col)
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )

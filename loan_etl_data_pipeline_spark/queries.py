@@ -1882,6 +1882,17 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return props_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7+ the same props stats through Spark 4's VARIANT type
+    (operators/json_ops.py props_variant_stats): parse once into the
+    binary variant encoding, typed try_variant_get extraction. Shares
+    q_json_extract's oracle shape — the two engine paths must be
+    value-identical."""
+    from loan_etl_data_pipeline_spark.operators.json_ops import props_variant_stats
+
+    return props_variant_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 binary-column metadata extraction via Arrow mapInPandas
     (operators/multimodal.py) — the one deliberate Python-UDF-path query;
@@ -2216,6 +2227,34 @@ def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir)
     return spark.sql(_SQL_Q6)
+
+
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.10+ SQL-defined functions (functions/sqlfuncs.py): the engine's
+    exact-cents and md5-bucket idioms registered via Spark 4's
+    ``CREATE FUNCTION ... RETURN`` and used from pure SQL — expression
+    bodies the optimizer inlines into codegen, NOT Python UDFs. The
+    oracle inlines the identical expression text, certifying the
+    registered bodies."""
+    from loan_etl_data_pipeline_spark.functions.sqlfuncs import (
+        register_sql_functions,
+    )
+    from loan_etl_data_pipeline_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    register_sql_functions(spark)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(SUM(cents(o_totalprice)) AS BIGINT) AS revenue_cents,
+               CAST(SUM(CASE WHEN split_bucket(CAST(o_orderkey AS STRING), 'ab')
+                              < '8000' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bucket_lo_half,
+               int_share(1, CAST(count(*) AS BIGINT), 4) AS quarter_count
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
 
 
 def q_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3764,6 +3803,9 @@ ORACLE_PART_B: dict[str, str] = {
 # probing every cell makes IVF exhaustive — the oracle is exactly the
 # brute-force one (see q_ivf_exhaustive docstring)
 ORACLE_PART_B["q_ivf_exhaustive"] = ORACLE_PART_B["q_knn_bruteforce"]
+# the VARIANT path must produce exactly what the get_json_object path
+# does — one oracle pins both engine routes
+ORACLE_PART_B["q_json_variant"] = ORACLE_PART_B["q_json_extract"]
 
 # the two-phase CC variant must produce the identical transitive closure
 ORACLE_PART_B["q_components_twophase"] = ORACLE_PART_B["q_dup_components"]
@@ -3909,6 +3951,19 @@ ORACLE_ROUND3: dict[str, str] = {
         FROM per
     """,
     "q_sql_q6": _SQL_Q6,
+    # q_sql_udf's oracle inlines the registered SQL-function bodies
+    # (functions/sqlfuncs.py SQL_FUNCTIONS) verbatim
+    "q_sql_udf": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(SUM(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)
+                                          || 'ab'), 1, 4) < '8000'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bucket_lo_half,
+               (1 * CAST(count(*) AS BIGINT)) // 4 AS quarter_count
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
     "q_revenue_mom": """
         WITH m AS (
             SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -4079,6 +4134,7 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_bigrams": q_top_bigrams,
     "q_rfm_segments": q_rfm_segments,
     "q_sql_q6": q_sql_q6,
+    "q_sql_udf": q_sql_udf,
     "q_revenue_mom": q_revenue_mom,
     "q_cohort_retention": q_cohort_retention,
     "q_profile_orders": q_profile_orders,
@@ -4317,6 +4373,7 @@ QUERIES_PART_B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_clicks": q_range_clicks,
     "q_fuzzy_match": q_fuzzy_match,
     "q_json_extract": q_json_extract,
+    "q_json_variant": q_json_variant,
     "q_multimodal_meta": q_multimodal_meta,
 }
 

@@ -138,3 +138,33 @@ def test_observe_metrics_free_on_write(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="metrics"):
         observe_metrics(df, "empty", {})
+
+
+def test_sql_functions_inline_to_codegen(spark):
+    """SQL-defined functions (functions/sqlfuncs.py): registered bodies
+    must compute the shared idioms exactly and leave NO Python UDF in
+    the plan (the body inlines as a plain expression)."""
+    from loan_etl_data_pipeline_spark.functions.sqlfuncs import (
+        register_sql_functions,
+    )
+
+    names = register_sql_functions(spark)
+    assert set(names) == {"cents", "split_bucket", "int_share"}
+    row = spark.sql(
+        "SELECT cents(1.239) AS c, split_bucket('42', 's') AS b,"
+        " int_share(3, 10, 4) AS q"
+    ).collect()[0]
+    import hashlib
+
+    assert row["c"] == 123
+    assert row["b"] == hashlib.md5(b"42s").hexdigest()[:4]
+    assert row["q"] == 3 * 10 // 4
+    plan = (
+        spark.sql("SELECT cents(o) FROM (SELECT 1.5 AS o)")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # idempotent re-registration (CREATE OR REPLACE)
+    register_sql_functions(spark)
