@@ -28,12 +28,10 @@ def parse_json_column(df: DataFrame, col: str, schema: StructType, out: str = "p
     return df.withColumn(out, F.from_json(F.col(col), schema))
 
 
-def props_stats(df: DataFrame, *, group_col: str = "event_type") -> DataFrame:
-    """Per-group stats of the integer ``$.k`` field in ``props``.
-
-    try_cast keeps the null-on-malformed contract under ANSI mode.
-    """
-    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+def _k_stats(df: DataFrame, k, group_col: str) -> DataFrame:
+    """Shared per-group stats shape over an extracted ``k`` expression —
+    ONE definition so the get_json_object and VARIANT paths can never
+    drift apart (their value-identity is oracle-pinned)."""
     return (
         df.select(F.col(group_col), k.alias("k"))
         .groupBy(group_col)
@@ -44,6 +42,16 @@ def props_stats(df: DataFrame, *, group_col: str = "event_type") -> DataFrame:
             F.min("k").cast("bigint").alias("min_k"),
             F.max("k").cast("bigint").alias("max_k"),
         )
+    )
+
+
+def props_stats(df: DataFrame, *, group_col: str = "event_type") -> DataFrame:
+    """Per-group stats of the integer ``$.k`` field in ``props``.
+
+    try_cast keeps the null-on-malformed contract under ANSI mode.
+    """
+    return _k_stats(
+        df, F.expr("try_cast(get_json_object(props, '$.k') AS INT)"), group_col
     )
 
 
@@ -57,16 +65,17 @@ def props_variant_stats(df: DataFrame, *, group_col: str = "event_type") -> Data
     payloads don't have). Same null-on-malformed/missing contract as
     props_stats (try_ semantics), so the two paths are value-identical
     — which is exactly what q_json_variant's shared-shape oracle pins.
+
+    Two deliberate choices keep the contract true on DIRTY input, not
+    just the clean fixtures: ``try_parse_json`` (plain parse_json
+    FAILFASTs the whole job on one malformed row), and extraction as
+    STRING + ``try_cast`` to INT — ``try_variant_get(..., 'int')``
+    would apply cast coercion (2.5→2, true→1) exactly where the
+    get_json_object path yields NULL, silently diverging the two
+    routes on any non-integer k.
     """
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
-    return (
-        df.select(F.col(group_col), k.alias("k"))
-        .groupBy(group_col)
-        .agg(
-            F.count("k").alias("n_k"),
-            F.sum("k").cast("bigint").alias("sum_k"),
-            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
-            F.min("k").cast("bigint").alias("min_k"),
-            F.max("k").cast("bigint").alias("max_k"),
-        )
+    k = F.expr(
+        "try_cast(try_variant_get(try_parse_json(props), '$.k', 'string')"
+        " AS INT)"
     )
+    return _k_stats(df, k, group_col)

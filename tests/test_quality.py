@@ -168,3 +168,29 @@ def test_sql_functions_inline_to_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # idempotent re-registration (CREATE OR REPLACE)
     register_sql_functions(spark)
+
+
+def test_variant_and_json_paths_identical_on_dirty_input(spark):
+    """The q_json_variant/q_json_extract value-identity must survive
+    DIRTY data, not just the clean fixtures: malformed JSON nulls (no
+    FAILFAST), and non-integer k values null on BOTH routes (a typed
+    variant_get would coerce 2.5→2 / true→1 where try_cast nulls —
+    found in review)."""
+    from loan_etl_data_pipeline_spark.operators.json_ops import (
+        props_stats,
+        props_variant_stats,
+    )
+
+    rows = [
+        ("a", "{bad"),
+        ("b", '{"k": 2.5}'),
+        ("b", '{"k": true}'),
+        ("c", '{"k": 7}'),
+        ("c", None),
+        ("d", '{"x": 1}'),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    a = sorted(map(tuple, props_stats(df).collect()))
+    b = sorted(map(tuple, props_variant_stats(df).collect()))
+    assert a == b
+    assert ("c", 1, 7, 7.0, 7, 7) in a  # the one clean int row counts
