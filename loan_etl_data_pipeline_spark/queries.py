@@ -2257,6 +2257,36 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_file_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+ table-file health report: rows per physical parquet file via
+    ``input_file_name()`` — the operational query behind small-file
+    compaction decisions (sources/layout.py compact_small_files): a
+    table whose row count spreads over thousands of tiny files is a
+    scan-overhead problem no logical plan can see. Zero extra
+    aggregation cost: one partial-agged count keyed on (table, file).
+    Oracle note: the driver's correctness gate runs at the fixed
+    sf0.01 dir, so the DuckDB side reads the same files by path with
+    ``filename=true``; basenames compare engine-neutrally.
+    """
+    outs = []
+    for t in ("lineitem", "orders", "documents"):
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        outs.append(
+            df.select(
+                F.lit(t).alias("table_name"),
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                    "file_name"
+                ),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.union(o)
+    return u.groupBy("table_name", "file_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+
+
 def q_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A.4+/A.5+ month-over-month revenue growth: calendar rollup + lag.
 
@@ -3953,6 +3983,24 @@ ORACLE_ROUND3: dict[str, str] = {
     "q_sql_q6": _SQL_Q6,
     # q_sql_udf's oracle inlines the registered SQL-function bodies
     # (functions/sqlfuncs.py SQL_FUNCTIONS) verbatim
+    "q_file_health": """
+        SELECT table_name, file_name, CAST(count(*) AS BIGINT) AS n_rows
+        FROM (
+            SELECT 'lineitem' AS table_name,
+                   split_part(filename, '/', -1) AS file_name
+            FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet',
+                              filename=true)
+            UNION ALL
+            SELECT 'orders', split_part(filename, '/', -1)
+            FROM read_parquet('/root/testdata/sf0.01/orders.parquet',
+                              filename=true)
+            UNION ALL
+            SELECT 'documents', split_part(filename, '/', -1)
+            FROM read_parquet('/root/testdata/sf0.01/documents.parquet',
+                              filename=true)
+        )
+        GROUP BY table_name, file_name
+    """,
     "q_sql_udf": """
         SELECT o_orderpriority,
                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -4135,6 +4183,7 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rfm_segments": q_rfm_segments,
     "q_sql_q6": q_sql_q6,
     "q_sql_udf": q_sql_udf,
+    "q_file_health": q_file_health,
     "q_revenue_mom": q_revenue_mom,
     "q_cohort_retention": q_cohort_retention,
     "q_profile_orders": q_profile_orders,
