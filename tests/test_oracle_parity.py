@@ -52,6 +52,12 @@ QUERIES = all_queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
+    if name == "q_file_health" and not sf_dir.rstrip("/").endswith("sf0.01"):
+        # its oracle reads physical files by path at the driver's fixed
+        # sf0.01 dir (filenames aren't reachable through the views);
+        # parity holds only when this replica runs at that SF — the
+        # driver gate itself always does
+        pytest.skip("q_file_health oracle pins the driver's sf0.01 paths")
     sdf = QUERIES[name](spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = sdf.collect()
