@@ -220,6 +220,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 16,
+    block_col: str | None = None,
 ) -> DataFrame:
     """All embedding pairs with cosine >= threshold (near-dup detection).
 
@@ -231,68 +232,88 @@ def cosine_neardup_pairs(
     parallel tasks. Raise ``n_blocks`` for bigger corpora (tune so one
     block pair's matrix fits executor memory).
 
-    Output: (id_a, id_b, cosine) with id_a < id_b.
+    ``block_col``: optional semantic blocking (e.g. a k-means cell id) —
+    when set, only pairs WITHIN the same ``block_col`` value are scored
+    and the group key becomes (block, ba, bb).  The hash sub-blocking
+    still applies inside each semantic block, so one huge block (a
+    skewed cluster) is spread over B(B+1)/2 tasks instead of melting a
+    single executor — the skew story a plain groupBy(block) kernel
+    would not have.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b
+    (plus ``block_col`` when set).
     """
     ensure_worker_imports(df.sparkSession)
     spark = df.sparkSession
-    v = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+    sel = [F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")]
+    if block_col is not None:
+        sel.append(F.col(block_col).alias("sblk"))
+    v = df.select(*sel).withColumn(
+        "blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
+    )
 
     pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
         "ba int, bb int",
     )
-    # side 0 rows feed the "a" matrix of group (ba, bb); side 1 the "b".
+    grp = ["ba", "bb"] if block_col is None else ["sblk", "ba", "bb"]
+    # side 0 rows feed the "a" matrix of a group; side 1 the "b".
     left = v.join(F.broadcast(pairs), v.blk == pairs.ba).select(
-        "ba", "bb", "id", "vec", F.lit(0).alias("side")
+        *grp, "id", "vec", F.lit(0).alias("side")
     )
     right = v.join(F.broadcast(pairs), v.blk == pairs.bb).select(
-        "ba", "bb", "id", "vec", F.lit(1).alias("side")
+        *grp, "id", "vec", F.lit(1).alias("side")
     )
     tagged = left.unionByName(right)
 
-    out_schema = StructType(
-        [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
-            StructField("cosine", DoubleType()),
-        ]
-    )
+    out_fields = [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+    if block_col is not None:
+        out_fields.insert(
+            0, StructField(block_col, tagged.schema["sblk"].dataType)
+        )
+    out_schema = StructType(out_fields)
 
     def _score(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ba, bb = key
+        ba, bb = key[-2], key[-1]
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
+        empty = {
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+        }
         if len(a) == 0 or len(b) == 0:
-            return pd.DataFrame(
+            out = pd.DataFrame(empty)
+        else:
+            a_ids = a["id"].to_numpy(dtype=np.int64)
+            b_ids = b["id"].to_numpy(dtype=np.int64)
+            a_m, b_m = _mat(a["vec"]), _mat(b["vec"])
+            ia, ib, cos = _threshold_pairs_exact(a_m, b_m, threshold)
+            if ba == bb:
+                # diagonal group: both sides are the same rows — strict
+                # id order keeps each unordered pair once and kills
+                # self-pairs
+                keep = a_ids[ia] < b_ids[ib]
+                ia, ib, cos = ia[keep], ib[keep], cos[keep]
+            xa, xb = a_ids[ia], b_ids[ib]
+            # off-diagonal blocks are disjoint but ids are unordered
+            # across them — normalize so id_a < id_b always
+            out = pd.DataFrame(
                 {
-                    "id_a": np.array([], dtype=np.int64),
-                    "id_b": np.array([], dtype=np.int64),
-                    "cosine": np.array([], dtype=np.float64),
+                    "id_a": np.minimum(xa, xb),
+                    "id_b": np.maximum(xa, xb),
+                    "cosine": cos,
                 }
             )
-        a_ids = a["id"].to_numpy(dtype=np.int64)
-        b_ids = b["id"].to_numpy(dtype=np.int64)
-        a_m, b_m = _mat(a["vec"]), _mat(b["vec"])
-        ia, ib, cos = _threshold_pairs_exact(a_m, b_m, threshold)
-        if ba == bb:
-            # diagonal group: both sides are the same rows — strict id
-            # order keeps each unordered pair once and kills self-pairs
-            keep = a_ids[ia] < b_ids[ib]
-            ia, ib, cos = ia[keep], ib[keep], cos[keep]
-        xa, xb = a_ids[ia], b_ids[ib]
-        # off-diagonal blocks are disjoint but ids are unordered across
-        # them — normalize so id_a < id_b always
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(xa, xb),
-                "id_b": np.maximum(xa, xb),
-                "cosine": cos,
-            }
-        )
+        if block_col is not None:
+            out.insert(0, block_col, pd.Series([key[0]] * len(out)))
+        return out
 
-    return tagged.groupBy("ba", "bb").applyInPandas(_score, schema=out_schema)
+    return tagged.groupBy(*grp).applyInPandas(_score, schema=out_schema)
 
 
 #: deterministic pseudo-random hyperplanes: plane p, dim d weight derived
@@ -574,6 +595,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     block_col: str = "label",
     parallelism: int | None = None,
+    kernel: str = "arrow",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """SemDeDup-style pruning (Abbas et al. 2023): drop every vector
     that has a SMALLER-id neighbor at floored-cosine ≥ ``threshold``
@@ -601,17 +624,52 @@ def semantic_dedup(
     dropped ids. Zero-norm vectors never match anything (guarded on
     both sides of the oracle contract).
 
+    ``kernel`` selects the pair-scoring engine:
+
+    - ``"arrow"`` (default): within-block pairs are scored by the same
+      BLAS block-pair kernel as :func:`cosine_neardup_pairs` (group key
+      (block, ba, bb), ``n_blocks`` hash sub-blocks inside each
+      semantic block).  This is the scale path: the round-3 8× probe
+      measured the HOF route ×10.5 wall at ×8 data (interpreted
+      higher-order functions allocate one lambda walk per element —
+      JVM allocation churn), while the dgemm kernel stays linear; the
+      sub-blocking also means a skewed block spreads over
+      B(B+1)/2 tasks instead of one.  Cosines are bit-identical to the
+      HOF route (shared floored-int64 contract, pinned by
+      tests/test_curation.py's kernel-equivalence test), so the oracle
+      is unchanged.
+    - ``"hof"``: pure codegen-free JVM evaluation via
+      zip_with/aggregate expressions — no Python workers at all, kept
+      for environments where Arrow workers are unavailable and as the
+      independent implementation the equivalence test checks against.
+
     ``parallelism``: optional fan-out before the norm projection — the
     interpreted HOF dot products are compute-dense per input byte, so
     a corpus arriving as one parquet split runs single-threaded
     without it (measured 6.1 s → 1.7 s at 32× on 2 k vectors); at real
-    scale the scan parallelism makes it unnecessary. The pair-scoring
-    parallelism itself is bounded by the number of distinct blocks
-    (the join key) — fine when blocks are many (k-means cells), a
-    skew-salting candidate if a handful of blocks dominate.
+    scale the scan parallelism makes it unnecessary. HOF pair-scoring
+    parallelism is bounded by the number of distinct blocks (the join
+    key); the arrow kernel's by blocks × B(B+1)/2.
     """
-    if parallelism:
+    if kernel not in ("arrow", "hof"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if parallelism and kernel == "hof":
+        # the arrow route redistributes in its own (block, ba, bb) group
+        # shuffle — a pre-repartition would just add a shuffle
         df = df.repartition(parallelism)
+    if kernel == "arrow":
+        pairs = cosine_neardup_pairs(
+            df,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_blocks=n_blocks,
+            block_col=block_col,
+        )
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        # no broadcast hint — same unbounded-dropped-set reasoning as
+        # the hof route below; AQE broadcasts when measured size permits
+        return df.join(dropped, id_col, "left_anti")
     _floored_dot = floored_dot_expr
 
     v = df.select(

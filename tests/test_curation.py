@@ -143,6 +143,33 @@ def test_semantic_dedup_zero_vectors_never_match(spark):
     assert kept == {1, 2}
 
 
+def test_semantic_dedup_kernels_bit_identical(spark):
+    """The arrow (BLAS block-pair) and hof (zip_with/aggregate) routes
+    share the floored-int64 cosine contract — survivors must be
+    IDENTICAL on data dense enough to exercise sub-blocking, near-dups,
+    zero vectors, and multiple blocks."""
+    rng = __import__("random").Random(7)
+    rows = []
+    for i in range(120):
+        v = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+        rows.append((i, i % 3, v))
+        if i % 10 == 0:  # planted near-dup with a larger id
+            rows.append((1000 + i, i % 3, [x * 1.001 for x in v]))
+    rows.append((2000, 0, [0.0] * 8))  # zero vector
+    df = _emb_df(spark, rows)
+    kw = dict(threshold=0.8, block_col="label")
+    arrow = {
+        r["vec_id"]
+        for r in semantic_dedup(df, kernel="arrow", n_blocks=4, **kw).collect()
+    }
+    hof = {
+        r["vec_id"] for r in semantic_dedup(df, kernel="hof", **kw).collect()
+    }
+    assert arrow == hof
+    assert 2000 in arrow  # zero vector survives
+    assert len(arrow) < len(rows)  # planted dups actually dropped
+
+
 def test_semantic_dedup_min_id_rule_not_chain(spark):
     """A(1)~B(2), B~C(3), A!~C: the min-id rule keeps {1, 3}? No —
     C(3) has the smaller-id near neighbor B(2), and B has A(1): both B
