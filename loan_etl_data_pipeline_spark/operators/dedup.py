@@ -283,8 +283,14 @@ def prefix_jaccard_pairs(
         )
     )
     sz = F.size("stoks")
-    # prefix length |x| − ⌈(num/den)·|x|⌉ + 1, ceil as exact int math
-    plen = sz - ((F.lit(num) * sz + F.lit(den - 1)) / F.lit(den)).cast("int") + 1
+    # prefix length |x| − ⌈(num/den)·|x|⌉ + 1, ceil via integer DIV so
+    # the arithmetic is exact at any magnitude (a float division would
+    # only be exact while num·|x|+den−1 < 2^53)
+    plen = (
+        sz
+        - F.expr(f"int(({num} * size(stoks) + {den - 1}) div {den})")
+        + 1
+    )
     prefix = ordered.select(
         "id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("tok")
     )

@@ -309,9 +309,11 @@ def pagerank(
     exactly once), so lineage grows additively, not exponentially.
     ``localCheckpoint`` therefore only fires every
     ``checkpoint_interval`` rounds, purely to keep the planner's input
-    bounded on deep runs; a 3-iteration call runs as ONE job. Release
-    the cached frames via ``operators.dedup.release_intermediates``
-    once the result is materialized. Overflow bound: num · Σ contrib ≤
+    bounded on deep runs. The FINAL pr is eagerly localCheckpoint-ed
+    (one row per node — small) so the loop-invariant caches can be
+    unpersisted before returning: callers carry no release obligation
+    and long-lived sessions don't accumulate storage blocks.
+    Overflow bound: num · Σ contrib ≤
     num · N · scale must stay under 2^63 (N ≤ ~10^8 at the defaults;
     lower ``scale`` for bigger graphs).
     """
@@ -363,5 +365,12 @@ def pagerank(
         )
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
             pr = pr.localCheckpoint()
-    pr._persisted_intermediates = (e, outdeg, nodes)
+    # eager final checkpoint: pr is one small row per node post-agg, and
+    # materializing it here lets the three loop-invariant caches be
+    # released INSIDE the operator — callers (q_pagerank et al.) don't
+    # carry a release obligation, so long-lived sessions don't leak
+    # storage blocks until clearCache
+    pr = pr.localCheckpoint(eager=True)
+    for cached in (e, outdeg, nodes):
+        cached.unpersist()
     return pr

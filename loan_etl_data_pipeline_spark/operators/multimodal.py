@@ -97,7 +97,20 @@ def read_media_dir(
     # URI authority (hdfs://nn.prod.example.com/...) must not leak into
     # the type of an extension-less file
     fname = F.element_at(F.split(F.col("path"), "/"), -1)
-    ext = F.lower(F.element_at(F.split(fname, r"\."), -1))
+    segs = F.split(fname, r"\.")
+    ext = F.lower(F.element_at(segs, -1))
+    # extension-less forms beyond "no dot at all": a trailing-dot name
+    # ("archive.") yields an empty last segment, and a bare dotfile
+    # (".bashrc") has only its leading dot — both are payload of
+    # unknown type, not files with extension "" / "bashrc".  (Today
+    # Hadoop's hidden-file PathFilter drops leading-dot names before
+    # they reach this column; the branch is kept so a source swap that
+    # surfaces them stays correct.)
+    extensionless = (
+        ~fname.contains(".")
+        | (ext == "")
+        | ((F.size(segs) == 2) & (F.element_at(segs, 1) == ""))
+    )
     families = {
         "image": ("jpg", "jpeg", "png", "gif", "bmp", "webp"),
         "audio": ("wav", "mp3", "flac", "ogg"),
@@ -109,7 +122,7 @@ def read_media_dir(
         typed = branch if typed is None else typed.when(
             ext.isin(*exts), F.concat(F.lit(fam + "/"), ext)
         )
-    media_type = F.when(~fname.contains("."), F.lit("bin")).otherwise(
+    media_type = F.when(extensionless, F.lit("bin")).otherwise(
         typed.otherwise(ext)  # known family → "image/jpg"-style
     )  # (the "family/ext" form is what decode_images dispatches on)
     return raw.select(

@@ -42,6 +42,13 @@ from loan_etl_data_pipeline_spark.functions.deterministic import davg as _davg
 from loan_etl_data_pipeline_spark.functions.deterministic import dsum as _dsum
 from loan_etl_data_pipeline_spark.sources.tables import load_table
 
+#: The SF dir the grading driver pins its correctness gate to.  Exactly
+#: one oracle (q_file_health) must read physical files BY PATH (DuckDB
+#: views can't expose filenames), so it is built from this constant —
+#: tests/test_oracle_parity.py asserts the pin still resolves so a
+#: driver SF move fails loudly instead of hash-mismatching.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
 
 # ---------------------------------------------------------------------------
 # Part A — reference-parity operators (SURVEY.md §2 Part A)
@@ -2916,6 +2923,40 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_EN_SQL = "'the', 'and', 'of', 'to', 'in', 'a', 'is'"
 
+# Exact brute-force top-5 cosine oracle, parameterized on the probe
+# bound: q_knn_bruteforce uses vec_id < 10, q_label_noise's screen
+# replays it at vec_id < 100 (a format placeholder, not a post-hoc
+# string replace that could silently no-op or corrupt if the predicate
+# drifted).
+_KNN_TOPK_ORACLE_TMPL = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {probe_bound}),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        ex AS (
+            SELECT q.query_id, c.neighbor_id,
+                   CAST(UNNEST(q.qe) AS DOUBLE) AS x,
+                   CAST(UNNEST(c.ce) AS DOUBLE) AS y
+            FROM q CROSS JOIN c
+            WHERE q.query_id <> c.neighbor_id
+        ), sums AS (
+            SELECT query_id, neighbor_id,
+                   SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+                   SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS qn_s,
+                   SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS cn_s
+            FROM ex GROUP BY query_id, neighbor_id
+        ), cos AS (
+            SELECT query_id, neighbor_id,
+                   (CAST(dot_s AS DOUBLE) / 1e12)
+                     / (sqrt(CAST(qn_s AS DOUBLE) / 1e12) * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) AS cosine
+            FROM sums
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM cos
+        ) WHERE rank <= 5
+    """
+
 ORACLE_PART_B: dict[str, str] = {
     "q_text_stats": """
         SELECT doc_id,
@@ -3159,34 +3200,7 @@ ORACLE_PART_B: dict[str, str] = {
         )
         SELECT id, min(label) AS component FROM reach GROUP BY id
     """,
-    "q_knn_bruteforce": """
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
-        ex AS (
-            SELECT q.query_id, c.neighbor_id,
-                   CAST(UNNEST(q.qe) AS DOUBLE) AS x,
-                   CAST(UNNEST(c.ce) AS DOUBLE) AS y
-            FROM q CROSS JOIN c
-            WHERE q.query_id <> c.neighbor_id
-        ), sums AS (
-            SELECT query_id, neighbor_id,
-                   SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
-                   SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS qn_s,
-                   SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS cn_s
-            FROM ex GROUP BY query_id, neighbor_id
-        ), cos AS (
-            SELECT query_id, neighbor_id,
-                   (CAST(dot_s AS DOUBLE) / 1e12)
-                     / (sqrt(CAST(qn_s AS DOUBLE) / 1e12) * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) AS cosine
-            FROM sums
-        )
-        SELECT query_id, neighbor_id, cosine, rank FROM (
-            SELECT query_id, neighbor_id, cosine,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                                           ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
-            FROM cos
-        ) WHERE rank <= 5
-    """,
+    "q_knn_bruteforce": _KNN_TOPK_ORACLE_TMPL.format(probe_bound=10),
     "q_embedding_neardup": """
         WITH v AS (SELECT vec_id, embedding FROM embeddings),
         ex AS (
@@ -3983,20 +3997,20 @@ ORACLE_ROUND3: dict[str, str] = {
     "q_sql_q6": _SQL_Q6,
     # q_sql_udf's oracle inlines the registered SQL-function bodies
     # (functions/sqlfuncs.py SQL_FUNCTIONS) verbatim
-    "q_file_health": """
+    "q_file_health": f"""
         SELECT table_name, file_name, CAST(count(*) AS BIGINT) AS n_rows
         FROM (
             SELECT 'lineitem' AS table_name,
                    split_part(filename, '/', -1) AS file_name
-            FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet',
+            FROM read_parquet('{DRIVER_SF_DIR}/lineitem.parquet',
                               filename=true)
             UNION ALL
             SELECT 'orders', split_part(filename, '/', -1)
-            FROM read_parquet('/root/testdata/sf0.01/orders.parquet',
+            FROM read_parquet('{DRIVER_SF_DIR}/orders.parquet',
                               filename=true)
             UNION ALL
             SELECT 'documents', split_part(filename, '/', -1)
-            FROM read_parquet('/root/testdata/sf0.01/documents.parquet',
+            FROM read_parquet('{DRIVER_SF_DIR}/documents.parquet',
                               filename=true)
         )
         GROUP BY table_name, file_name
@@ -4223,7 +4237,7 @@ ORACLE_ROUND3["q_knn_classify"] = f"""
 # the label-noise screen's vec_id < 100 batch (string-identical SQL
 # otherwise, so the certified top-k semantics carry over verbatim)
 ORACLE_ROUND3["q_label_noise"] = f"""
-    WITH topk AS ({ORACLE_PART_B["q_knn_bruteforce"].replace("vec_id < 10", "vec_id < 100")}),
+    WITH topk AS ({_KNN_TOPK_ORACLE_TMPL.format(probe_bound=100)}),
     votes AS (
         SELECT t.query_id, CAST(e.label AS BIGINT) AS nlabel,
                count(*) AS votes

@@ -140,6 +140,22 @@ class _SyntheticDocsReader(DataSourceReader):
         if not self.prune:
             yield from filters
             return
+        # A second pushFilters call on the SAME reader (the Spark 4.1
+        # scan-reuse path above, when a prune-enabled load() is
+        # referenced twice in one plan) would otherwise INTERSECT both
+        # branches' ranges — silently losing rows. Reset to the full
+        # range on every call so a shared scan degrades to the widest
+        # clamp either branch asked for... which is still wrong for the
+        # other branch, so on re-invocation disable clamping entirely:
+        # unpruned-but-correct (filters are all re-applied above the
+        # scan per decision 1).
+        if getattr(self, "_push_called", False):
+            self.prune = False
+            self.lo, self.hi = 0, self.n_rows
+            yield from filters
+            return
+        self._push_called = True
+        self.lo, self.hi = 0, self.n_rows
         for f in filters:
             # ColumnPath is a tuple of name parts; top-level doc_id only
             att = getattr(f, "attribute", None)

@@ -216,3 +216,25 @@ class TestReadMediaDir:
         }
         assert rows["README"] == "bin"
         assert rows["img.PNG"] == "image/png"  # case-insensitive ext
+
+    def test_trailing_dot_is_extensionless_and_dotfiles_never_arrive(
+        self, spark, tmp_path
+    ):
+        """'archive.' splits to an empty last segment — an extension-
+        less payload ('bin'), not a file of type "". Leading-dot names
+        ('.bashrc') can't reach the type logic at all: Hadoop's
+        hidden-file PathFilter drops them at the source (asserted here
+        so a future source swap that starts surfacing them trips this
+        test and the dotfile branch of the column logic gets real
+        coverage)."""
+        from loan_etl_data_pipeline_spark.operators.multimodal import read_media_dir
+
+        d = tmp_path / "edge"
+        d.mkdir()
+        (d / ".bashrc").write_bytes(b"dotfile")
+        (d / "archive.").write_bytes(b"trailing dot")
+        rows = {
+            r["media_id"].split("/")[-1]: r["media_type"]
+            for r in read_media_dir(spark, str(d)).collect()
+        }
+        assert rows == {"archive.": "bin"}

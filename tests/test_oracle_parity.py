@@ -50,14 +50,33 @@ ORACLES = all_oracles()
 QUERIES = all_queries()
 
 
+def test_driver_sf_pin_resolves():
+    """q_file_health's oracle is the ONE oracle that reads files by
+    path, derived from queries.DRIVER_SF_DIR.  If the driver ever pins
+    a different SF or relocates testdata, this fails loudly (with the
+    constant to update) instead of a silent hash-mismatch."""
+    import os
+
+    from loan_etl_data_pipeline_spark.queries import DRIVER_SF_DIR
+
+    for t in ("lineitem", "orders", "documents"):
+        assert os.path.exists(f"{DRIVER_SF_DIR}/{t}.parquet"), (
+            f"driver SF pin {DRIVER_SF_DIR} no longer holds {t}.parquet — "
+            "update queries.DRIVER_SF_DIR to the driver's gate dir"
+        )
+    assert DRIVER_SF_DIR in ORACLES["q_file_health"]
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
-    if name == "q_file_health" and not sf_dir.rstrip("/").endswith("sf0.01"):
-        # its oracle reads physical files by path at the driver's fixed
-        # sf0.01 dir (filenames aren't reachable through the views);
+    from loan_etl_data_pipeline_spark.queries import DRIVER_SF_DIR
+
+    if name == "q_file_health" and sf_dir.rstrip("/") != DRIVER_SF_DIR:
+        # its oracle reads physical files by path at the driver's
+        # pinned dir (filenames aren't reachable through the views);
         # parity holds only when this replica runs at that SF — the
         # driver gate itself always does
-        pytest.skip("q_file_health oracle pins the driver's sf0.01 paths")
+        pytest.skip("q_file_health oracle pins the driver's SF paths")
     sdf = QUERIES[name](spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = sdf.collect()
