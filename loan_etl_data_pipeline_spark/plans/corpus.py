@@ -46,6 +46,7 @@ def remove_near_duplicates(
     *,
     threshold: float = 0.7,
     method: str = "minhash",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Drop all but one document per near-duplicate cluster.
 
@@ -60,6 +61,13 @@ def remove_near_duplicates(
     representative): pairwise "drop the higher id" alone is not
     transitive — A~B, B~C without A~C would keep both A and C or drop
     documents inconsistently across partitions.
+
+    ``pairs``: optionally inject a prebuilt (id_a, id_b) edge frame —
+    e.g. a certified materialized snapshot of the pair graph
+    (sources/versioned.py materialize) shared with other consumers.
+    The caller owns the guarantee that its construction parameters
+    match; ``method``/``threshold`` are ignored for edge building when
+    given.
     """
     from loan_etl_data_pipeline_spark.operators.dedup import (
         minhash_near_duplicates,
@@ -68,7 +76,9 @@ def remove_near_duplicates(
     )
     from loan_etl_data_pipeline_spark.operators.graph import connected_components
 
-    if method == "minhash":
+    if pairs is not None:
+        edges = pairs
+    elif method == "minhash":
         pairs = minhash_near_duplicates(df, id_col, text_col)
         edges = pairs.filter(F.col("est_jaccard") >= threshold)
     elif method == "jaccard":

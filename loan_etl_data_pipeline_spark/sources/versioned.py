@@ -275,3 +275,48 @@ def diff_versions(
         read_version(spark, table_dir, new_version),
         keys,
     )
+
+
+def materialize(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    key: str | None = None,
+    meta: dict | None = None,
+) -> DataFrame:
+    """Certified materialized intermediate: write ``df`` as a versioned
+    snapshot and return a DataFrame that SCANS the snapshot — every
+    consumer reads parquet instead of re-deriving ``df``'s plan.
+
+    The problem this solves (the reference's worst habit, generalized):
+    the reference re-executes its whole clean pipeline per insight
+    action (reference: airflow/dags/etl/pyspark_etl.py:38-44, flagged
+    in SURVEY.md §3.1 step 6), and our own composed pipelines have the
+    same shape — e.g. the exact-Jaccard pair graph feeds components,
+    two-phase CC, cluster sizes, near-dup removal AND the leakage-safe
+    split; rebuilding it per consumer is ~5× the build cost for zero
+    new information. At 100 TB the rebuild is hours, and `.persist()`
+    only helps within one session and evicts under pressure — a
+    snapshot is durable, shareable across sessions/jobs, and (being a
+    committed version) exactly reproducible for any later consumer.
+
+    ``key`` enables memoization: when the NEWEST committed version
+    recorded the same key, the write is skipped and that snapshot is
+    read back. The key must fully determine the input data and plan
+    (encode source path + operator parameters); with no key every call
+    writes a fresh version. Manifest-committed like any write_version,
+    so a crashed writer never leaves a half-readable intermediate.
+    """
+    spark = df.sparkSession
+    if key is not None:
+        versions = list_versions(spark, table_dir)
+        if versions:
+            newest = versions[-1]
+            mans = version_manifests(spark, table_dir)
+            if mans.get(newest, {}).get("materialize_key") == key:
+                return read_version(spark, table_dir, newest)
+    m = dict(meta or {})
+    if key is not None:
+        m["materialize_key"] = key
+    v = write_version(df, table_dir, meta=m)
+    return read_version(spark, table_dir, v)

@@ -140,6 +140,46 @@ def test_semantic_dedup_survivors_via_anti_join(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_materialized_pair_graph_consumers_scan_parquet(spark, sf_dir, tmp_path):
+    """materialize() contract: after the snapshot write, a consumer's
+    physical plan is a parquet FileScan of the snapshot — it must NOT
+    re-derive the pair graph (no postings self-join, no xxhash64 gram
+    hashing, no shuffle joins at all for a simple aggregate)."""
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_intermediates,
+    )
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+    from loan_etl_data_pipeline_spark.sources.versioned import materialize
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    snap = materialize(pairs, str(tmp_path / "pairsnap"), key="k1")
+    release_intermediates(pairs)
+
+    import pyspark.sql.functions as F
+
+    consumer = snap.groupBy("id_a").agg(F.count(F.lit(1)).alias("n"))
+    p = consumer._jdf.queryExecution().executedPlan().toString()
+    # (Location strings are truncated to ~100 chars, so match the scan
+    # node + pruned schema, not the snapshot path)
+    assert "FileScan parquet" in p
+    assert "ReadSchema: struct<id_a:bigint>" in p  # column pruning holds
+    assert "xxhash64" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+    # memoization: same key → same snapshot read back, no second write
+    from loan_etl_data_pipeline_spark.sources.versioned import list_versions
+
+    again = materialize(pairs, str(tmp_path / "pairsnap"), key="k1")
+    assert list_versions(spark, str(tmp_path / "pairsnap")) == [1]
+    assert again.count() == snap.count()
+    # different key → a fresh certified version
+    materialize(pairs.limit(1), str(tmp_path / "pairsnap"), key="k2")
+    assert list_versions(spark, str(tmp_path / "pairsnap")) == [1, 2]
+
+
 def test_supplier_variety_anti_is_broadcast(plans):
     p = plans("q_supplier_variety")
     assert "LeftAnti, BuildRight" in p
