@@ -172,29 +172,82 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _container_frames(
+    b: bytes, *, every_k: int, max_frames: int | None, frame_size: int
+) -> list[tuple[int, bytes]]:
+    """REAL frame extraction via PyAV: demux the first video stream,
+    keep every ``k``-th decoded frame, rescale to frame_size² rgb24,
+    return (frame_no, raw rgb24 bytes) pairs. Honest refusal when av
+    is absent — never a silent fake (that's ``mode="bytes"``)."""
+    av = _av_module()
+    if av is None:
+        raise NotImplementedError(
+            "no container demuxer available: install av (PyAV) — this "
+            "container ships none; use mode='bytes' for the plumbing-"
+            "test byte-slicing path"
+        )
+    import io  # noqa: PLC0415
+
+    out: list[tuple[int, bytes]] = []
+    with av.open(io.BytesIO(b)) as container:
+        stream = next((s for s in container.streams if s.type == "video"), None)
+        if stream is None:
+            return out
+        kept = 0
+        for i, frame in enumerate(container.decode(stream)):
+            if i % every_k:
+                continue
+            img = frame.reformat(
+                width=frame_size, height=frame_size, format="rgb24"
+            )
+            out.append((i, bytes(img.planes[0])))
+            kept += 1
+            if max_frames is not None and kept >= max_frames:
+                break
+    return out
+
+
 def sample_frames(
     df: DataFrame,
     *,
     frame_size: int = 64,
     every_k: int = 4,
     max_frames: int | None = 16,
+    mode: str = "bytes",
 ) -> DataFrame:
     """Frame sampling: one blob row in, one row per sampled frame out.
 
-    The video pattern: treat the payload as fixed-size frames, keep
-    every ``k``-th, cap at ``max_frames``. A real deployment replaces
-    the byte-slicing with a container demuxer (av/ffmpeg) inside the
-    SAME kernel — the Spark plumbing (blob row → many frame rows via
-    mapInPandas, frame_no for downstream ordering/joins) is the part
-    that matters at scale: frames explode 10-100× the row count, so
-    sample INSIDE the scan kernel, never materialize all frames first.
+    ``mode="bytes"`` (default): treat the payload as fixed-size frames,
+    keep every ``k``-th, cap at ``max_frames`` — the deterministic
+    plumbing path that runs with no media libs. ``mode="container"``:
+    REAL demux+decode via PyAV when importable on the executors
+    (every ``k``-th decoded frame, rescaled to frame_size² rgb24),
+    per-row NotImplementedError otherwise — mirroring
+    :func:`decode_images`'s PIL stance. Either way the Spark plumbing
+    is identical (blob row → many frame rows via mapInPandas, frame_no
+    for downstream ordering/joins), and that is the part that matters
+    at scale: frames explode 10-100× the row count, so sample INSIDE
+    the scan kernel, never materialize all frames first.
     """
+    if mode not in ("bytes", "container"):
+        raise ValueError(f"mode must be 'bytes' or 'container', got {mode!r}")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, nos, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
+                if mode == "container":
+                    for fno, fb in _container_frames(
+                        b,
+                        every_k=every_k,
+                        max_frames=max_frames,
+                        frame_size=frame_size,
+                    ):
+                        ids.append(mid)
+                        nos.append(fno)
+                        frames.append(fb)
+                    continue
                 picked = range(0, max(len(b) // frame_size, 1), every_k)
                 if max_frames is not None:
                     picked = list(picked)[:max_frames]
@@ -222,13 +275,31 @@ def _pil_image():
         return None
 
 
+def _av_module():
+    """Optional container demuxer: PyAV when installed, else None.
+
+    Same call-time import stance as :func:`_pil_image` — the package
+    must import cleanly on machines without media libs, and executors
+    may have them when the driver doesn't.
+    """
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
+
+
 def _decode_payload(payload: bytes, media_type: str):
     """Real decode when a decoder lib is present; honest error when not.
 
-    Images: PIL (returns ``(width, height, mode)``). Audio/video would
-    ride av/librosa the same way. No deterministic fake here — the fake
-    path lives in :func:`decode_stub` and is clearly labeled; this
-    function is only ever the REAL thing or an explicit refusal.
+    Images: PIL → ``(width, height, mode)``. Video: PyAV demux of the
+    container's first video stream → ``(width, height, codec_name)``.
+    Audio: PyAV → ``(channels, sample_rate, codec_name)`` — the same
+    3-tuple shape so one schema serves all families. No deterministic
+    fake here — the fake path lives in :func:`decode_stub` and is
+    clearly labeled; this function is only ever the REAL thing or an
+    explicit refusal.
     """
     if media_type.startswith("image"):
         Image = _pil_image()
@@ -237,10 +308,29 @@ def _decode_payload(payload: bytes, media_type: str):
 
             with Image.open(io.BytesIO(payload)) as im:
                 return (im.width, im.height, im.mode)
+    elif media_type.startswith(("video", "audio")):
+        av = _av_module()
+        if av is not None:
+            import io  # noqa: PLC0415
+
+            with av.open(io.BytesIO(payload)) as container:
+                want = "video" if media_type.startswith("video") else "audio"
+                stream = next(
+                    (s for s in container.streams if s.type == want), None
+                )
+                if stream is None:
+                    raise ValueError(
+                        f"container has no {want} stream "
+                        f"(media_type={media_type!r})"
+                    )
+                cc = stream.codec_context
+                if want == "video":
+                    return (cc.width, cc.height, cc.name)
+                return (cc.channels, cc.sample_rate, cc.name)
     raise NotImplementedError(
         f"no decoder available for media_type={media_type!r}: install "
-        "PIL (images) / av (video) / librosa (audio) — this container "
-        "ships none of them"
+        "PIL (images) / av (video+audio) — this container ships "
+        "neither"
     )
 
 

@@ -139,11 +139,67 @@ class TestRealDecode:
             M.decode_images(df).collect()
 
     def test_decode_payload_dispatch(self):
-        """_decode_payload: non-image types refuse regardless of PIL."""
-        from loan_etl_data_pipeline_spark.operators.multimodal import _decode_payload
+        """_decode_payload: audio/video types refuse when av is absent,
+        regardless of PIL (PIL only serves the image family)."""
+        from loan_etl_data_pipeline_spark.operators import multimodal as M
 
+        if M._av_module() is not None:
+            pytest.skip("av installed; missing-lib path not reachable here")
         with pytest.raises(NotImplementedError, match="no decoder"):
-            _decode_payload(b"RIFF....", "audio/wav")
+            M._decode_payload(b"RIFF....", "audio/wav")
+
+    def test_container_frames_without_av_raises_cleanly(self):
+        """mode='container' frame sampling must refuse loudly without
+        PyAV — never fall back to byte-slicing (that path is
+        mode='bytes', opted into by name)."""
+        from loan_etl_data_pipeline_spark.operators import multimodal as M
+
+        if M._av_module() is not None:
+            pytest.skip("av installed; missing-lib path not reachable here")
+        with pytest.raises(NotImplementedError, match="install av"):
+            M._container_frames(
+                b"\x00" * 64, every_k=2, max_frames=4, frame_size=8
+            )
+
+    def test_sample_frames_container_mode_with_av(self, spark):
+        """Real demux+decode when PyAV is present — SKIPPED (not
+        failed) on machines without it. Encodes a tiny mp4 with av
+        itself, then asserts stride, cap, and rgb24 frame-byte size
+        through the full mapInPandas kernel."""
+        av = pytest.importorskip("av")
+        import io
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp4") as out:
+            stream = out.add_stream("mpeg4", rate=8)
+            stream.width, stream.height, stream.pix_fmt = 32, 32, "yuv420p"
+            for i in range(12):
+                arr = np.full((32, 32, 3), i * 20, dtype=np.uint8)
+                frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+                for pkt in stream.encode(frame):
+                    out.mux(pkt)
+            for pkt in stream.encode():
+                out.mux(pkt)
+
+        from loan_etl_data_pipeline_spark.operators.multimodal import sample_frames
+
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+        )
+        rows = sample_frames(
+            df, frame_size=8, every_k=4, max_frames=2, mode="container"
+        ).collect()
+        assert [r["frame_no"] for r in rows] == [0, 4]  # stride + cap
+        assert all(len(r["frame"]) == 8 * 8 * 3 for r in rows)  # rgb24
+
+    def test_sample_frames_rejects_unknown_mode(self, spark):
+        from loan_etl_data_pipeline_spark.operators.multimodal import sample_frames
+
+        df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+        with pytest.raises(ValueError, match="mode must be"):
+            sample_frames(df, mode="demux")
 
 
 class TestReadMediaDir:
