@@ -1542,6 +1542,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def _bench_snapshot(df: DataFrame, key: str) -> DataFrame:
+    """Route ``df`` through a key-memoized versioned snapshot when
+    ``SPARK_GRAFT_MATERIALIZE_DIR`` is set; pass it through unchanged
+    otherwise (the driver's self-contained-query contract). Shared by
+    the two multi-consumer intermediates (_jaccard_pair_graph,
+    _copurchase_edges)."""
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
+    if not root:
+        return df
+    import hashlib
+
+    from loan_etl_data_pipeline_spark.sources.versioned import materialize
+
+    table_dir = f"{root}/snap_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    return materialize(df, table_dir, key=key)
+
+
 def _jaccard_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact 3-gram Jaccard≥0.5 pair graph over documents — the ONE
     intermediate five queries consume (components, two-phase CC,
@@ -1567,23 +1586,12 @@ def _jaccard_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_intermediates,
     )
 
-    root = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
-    if not root:
-        return ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
-        )
-    from loan_etl_data_pipeline_spark.sources.versioned import materialize
-
-    import hashlib
-
-    key = f"jaccard_pairs|n=3|t=0.5|{sf_dir.rstrip('/')}"
-    # stable digest (NOT Python's salted hash()) so the snapshot dir —
-    # and therefore the memoization — survives across sessions
-    table_dir = f"{root}/jaccard_pairs_{hashlib.md5(key.encode()).hexdigest()[:12]}"
     pairs = ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
-    out = materialize(pairs, table_dir, key=key)
+    if not os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR"):
+        return pairs
+    out = _bench_snapshot(pairs, f"jaccard_pairs|n=3|t=0.5|{sf_dir.rstrip('/')}")
     release_intermediates(pairs)
     return out
 
@@ -4758,7 +4766,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    return (
+    edges = (
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
@@ -4766,6 +4774,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
+    # Second shared intermediate behind the bench-mode snapshot switch
+    # (see _jaccard_pair_graph): the ~300×-reduction pair-agg feeds
+    # degrees, triangles, AND pagerank — build once, scan thrice.
+    return _bench_snapshot(edges, f"copurchase_edges|support=2|{sf_dir.rstrip('/')}")
 
 
 def q_copurchase_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
