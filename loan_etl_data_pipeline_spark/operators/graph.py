@@ -374,3 +374,54 @@ def pagerank(
     for cached in (e, outdeg, nodes):
         cached.unpersist()
     return pr
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int,
+    rounds: int,
+) -> DataFrame:
+    """``rounds`` rounds of k-core peeling over the UNDIRECTED graph of
+    ``edges`` (one row per unordered edge; symmetrized internally):
+    each round removes every node of degree < k and all its edges.
+    Returns the surviving ``(id, degree)`` with residual degrees.
+
+    Removal is monotone (dropping nodes only lowers degrees), so
+    iterating to a fixed point yields the true k-core (Seidman 1983;
+    Batagelj-Zaversnik peeling). ``rounds`` is FIXED rather than
+    run-to-convergence for the same reason pagerank's iteration count
+    is: a fixed unrolling is exactly replayable as SQL CTE rounds, so
+    the whole iterative computation can be value-oracle-checked.
+    Callers wanting the fixed point run with increasing ``rounds``
+    until the survivor count stops changing (each extra round is one
+    degree-agg + two anti-joins — all keyed on node id, nothing wide).
+
+    Scale: per round, one partial-aggregated degree count and two
+    hash anti-joins against a (shrinking) sub-k node set; lineage is
+    cut per round with localCheckpoint exactly like
+    connected_components. The classic use: prune a near-dup/co-occur
+    graph to its dense cores before clustering, so CC/community
+    rounds run on the structurally-interesting subgraph.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1, got k={k} rounds={rounds}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        low = deg.filter(F.col("d") < k).select("u")
+        e = (
+            e.join(low, "u", "left_anti")
+            .join(low.withColumnRenamed("u", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )

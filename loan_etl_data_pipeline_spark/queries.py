@@ -4842,3 +4842,173 @@ ORACLE_PART_B["q_copurchase_triangles"] = f"""
               JOIN pairs e2 ON e2.pa = e1.pb
               JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: importance resampling, k-core, exact trimmed mean
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT training-data selection: top-100 raw documents by exact
+    hashed-bigram importance score against a target domain
+    (operators/importance.py dsir_select — DSIR, Xie et al. 2023, in
+    the engine-exact rational-weight variant; sources src0/src1 stand
+    in for the curated target corpus).
+
+    The oracle replays the md5-bucket features, add-one-smoothed
+    integer weights, and the (score DESC, id ASC) top-100 in SQL —
+    certifying the entire selection, not just the plumbing.
+    """
+    from loan_etl_data_pipeline_spark.operators.importance import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    raw = docs.filter(~F.col("source").isin("src0", "src1"))
+    return dsir_select(raw, target, "doc_id", "text", top_n=100)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ k-core peeling (operators/graph.py kcore): 3 fixed rounds of
+    removing degree<3 nodes from the co-purchase graph, returning the
+    survivors with residual degrees — the dense-core pruning step that
+    runs before clustering/community detection so those algorithms see
+    only the structurally interesting subgraph.
+
+    Fully value-oracled BECAUSE the round count is fixed: the oracle
+    unrolls the three peel rounds as CTEs (same stance as the int64
+    pagerank unrolling).
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import kcore
+
+    return kcore(_copurchase_edges(spark, sf_dir), "pa", "pb", k=3, rounds=3)
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ robust aggregate: the 5%-trimmed mean of o_totalprice via
+    ONE distributed global_rank (functions/ranking.py — range
+    partitions, never an Exchange SinglePartition) under the total
+    order (o_totalprice, o_orderkey); trim counts are exact integer
+    floor(n·5/100) off each tail, the mean is the portable
+    floor-cent-sum over the kept rows.
+
+    The robust-stats sibling of q_outlier_fences: fences FLAG outliers,
+    the trimmed mean aggregates PAST them — at 100 TB both ride the
+    same one-scan + tiny-summary shape (rank offsets come from a
+    per-partition count job, not a global sort).
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_rank(o, [F.asc("o_totalprice"), F.asc("o_orderkey")])
+    n = ranked._global_rank_n
+    lo = (n * 5) // 100
+    kept = ranked.filter((F.col("rank") > lo) & (F.col("rank") <= n - lo))
+    out = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100
+            / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )
+    # Materialize the 1-row result BEFORE releasing the ranked cache:
+    # global_rank's offsets map is driver-computed from one specific
+    # materialization — unpersisting first and letting the action
+    # re-execute re-SAMPLES the range boundaries under the old offsets
+    # (observed: n_kept wandered 13461-13619 for a 13500-row answer).
+    # Same eager-checkpoint-then-release shape as pagerank.
+    out = out.localCheckpoint(eager=True)
+    release_intermediates(ranked)
+    return out
+
+
+QUERIES_PART_B["q_dsir_select"] = q_dsir_select
+QUERIES_PART_B["q_kcore"] = q_kcore
+QUERIES_PART_B["q_trimmed_mean"] = q_trimmed_mean
+
+ORACLE_PART_B["q_dsir_select"] = """
+    WITH tgt AS (
+        SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')
+    ), raw AS (
+        SELECT doc_id, text FROM documents WHERE source NOT IN ('src0', 'src1')
+    ), raw_toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM raw
+    ), raw_posts AS (
+        SELECT doc_id AS id, substr(md5(t[i] || ' ' || t[i+1]), 1, 3) AS b
+        FROM raw_toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ), tgt_toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM tgt
+    ), tgt_posts AS (
+        SELECT substr(md5(t[i] || ' ' || t[i+1]), 1, 3) AS b
+        FROM tgt_toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ), raw_counts AS (
+        SELECT b, count(*) AS r_cnt FROM raw_posts GROUP BY b
+    ), tgt_counts AS (
+        SELECT b, count(*) AS t_cnt FROM tgt_posts GROUP BY b
+    ), weights AS (
+        SELECT rc.b,
+               (1000000 * (COALESCE(tc.t_cnt, 0) + 1)) // (rc.r_cnt + 1) AS w
+        FROM raw_counts rc LEFT JOIN tgt_counts tc ON rc.b = tc.b
+    ), scored AS (
+        SELECT p.id, CAST(SUM(w.w) AS BIGINT) AS score
+        FROM raw_posts p JOIN weights w ON p.b = w.b
+        GROUP BY p.id
+    )
+    SELECT id AS doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT)
+             AS rank
+    FROM scored
+    ORDER BY score DESC, id ASC
+    LIMIT 100
+"""
+
+ORACLE_PART_B["q_kcore"] = f"""
+    WITH {_COPURCHASE_CTE},
+    e0 AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION
+        SELECT pb AS u, pa AS v FROM pairs
+    ),
+    low0 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) < 3),
+    e1 AS (
+        SELECT u, v FROM e0
+        WHERE u NOT IN (SELECT u FROM low0) AND v NOT IN (SELECT u FROM low0)
+    ),
+    low1 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) < 3),
+    e2 AS (
+        SELECT u, v FROM e1
+        WHERE u NOT IN (SELECT u FROM low1) AND v NOT IN (SELECT u FROM low1)
+    ),
+    low2 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) < 3),
+    e3 AS (
+        SELECT u, v FROM e2
+        WHERE u NOT IN (SELECT u FROM low2) AND v NOT IN (SELECT u FROM low2)
+    )
+    SELECT u AS id, CAST(count(*) AS BIGINT) AS degree
+    FROM e3 GROUP BY u
+"""
+
+ORACLE_PART_B["q_trimmed_mean"] = """
+    WITH ranked AS (
+        SELECT o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+                 AS r,
+               count(*) OVER () AS n
+        FROM orders
+    ), kept AS (
+        SELECT o_totalprice FROM ranked
+        WHERE r > (n * 5) // 100 AND r <= n - (n * 5) // 100
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 / count(*) AS trimmed_mean
+    FROM kept
+"""

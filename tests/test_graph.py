@@ -146,3 +146,44 @@ class TestTriangles:
         )
         got = {(r.node, r.degree) for r in degrees(df).collect()}
         assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_peels_to_known_core(spark):
+    """Triangle+tail graph: the 2-core is exactly the triangle (the
+    tail node peels in round 1, which may drop its neighbor below k in
+    round 2 — the cascade fixed rounds must capture)."""
+    from loan_etl_data_pipeline_spark.operators.graph import kcore
+
+    # triangle 1-2-3, chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["degree"]
+        for r in kcore(edges, k=2, rounds=3).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}  # 5 peels r1, 4 cascades r2
+
+
+def test_kcore_fixed_rounds_match_partial_peel(spark):
+    """rounds=1 stops mid-cascade by design (the oracle-replayable
+    contract): after one round only the leaf is gone."""
+    from loan_etl_data_pipeline_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["id"]: r["degree"] for r in kcore(edges, k=2, rounds=1).collect()}
+    # node 5 (deg 1) removed; 4 survives round 1 with residual degree 1
+    # and 3 still holds its edge to 4 (degree 3) until round 2 peels 4
+    assert got == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_kcore_validates_args(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest
+
+    with pytest.raises(ValueError):
+        kcore(edges, k=0, rounds=1)
