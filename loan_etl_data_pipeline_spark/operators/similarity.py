@@ -596,7 +596,7 @@ def semantic_dedup(
     block_col: str = "label",
     parallelism: int | None = None,
     kernel: str = "arrow",
-    n_blocks: int = 8,
+    n_blocks: int = 4,
 ) -> DataFrame:
     """SemDeDup-style pruning (Abbas et al. 2023): drop every vector
     that has a SMALLER-id neighbor at floored-cosine ≥ ``threshold``
@@ -637,7 +637,12 @@ def semantic_dedup(
       B(B+1)/2 tasks instead of one.  Cosines are bit-identical to the
       HOF route (shared floored-int64 contract, pinned by
       tests/test_curation.py's kernel-equivalence test), so the oracle
-      is unchanged.
+      is unchanged.  ``n_blocks`` trades per-task memory
+      ((block/B)² pair matrix) against replication (each vector
+      shuffles to B groups): the default 4 suits many-small-blocks
+      (k-means cells — measured fastest from sf0.1 through ×64);
+      raise it when individual blocks are large enough that a
+      (block/B)² matrix presses executor memory.
     - ``"hof"``: pure codegen-free JVM evaluation via
       zip_with/aggregate expressions — no Python workers at all, kept
       for environments where Arrow workers are unavailable and as the

@@ -140,6 +140,16 @@ def test_semantic_dedup_survivors_via_anti_join(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_dsir_weights_broadcast_and_topn_is_take_ordered(plans):
+    """dsir_select scale shape: the ≤4096-row bucket-weight table joins
+    the postings as a BROADCAST (never a wide shuffle keyed on the
+    bucket), and the global top-N is a TakeOrderedAndProject, never a
+    full-sort Exchange SinglePartition."""
+    p = plans("q_dsir_select")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_materialized_pair_graph_consumers_scan_parquet(spark, sf_dir, tmp_path):
     """materialize() contract: after the snapshot write, a consumer's
     physical plan is a parquet FileScan of the snapshot — it must NOT
