@@ -5012,3 +5012,151 @@ ORACLE_PART_B["q_trimmed_mean"] = """
              / 100 / count(*) AS trimmed_mean
     FROM kept
 """
+
+
+def q_best_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ QUALITY-keeping fuzzy dedup: per near-dup cluster keep the
+    BEST document (longest text, ties to the smaller doc_id), not the
+    min-id one — what production curation actually does (the min-id
+    rule of q_neardup_removal is the reproducibility baseline; this is
+    the keep-the-best variant layered on the same certified
+    pairs→components machinery, sharing the bench-mode pair-graph
+    snapshot).
+
+    Output: (doc_id, component, n_chars) of the kept representatives —
+    singletons keep themselves. One per-component window over
+    cluster-sized groups (clusters are small by construction; the
+    global partition count is bounded by the doc count, never one
+    task).
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+    from loan_etl_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    pairs = _jaccard_pair_graph(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b")
+    release_intermediates(pairs)
+    labeled = docs.join(
+        comp.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
+    ).withColumn("component", F.coalesce("component", "doc_id"))
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", "n_chars")
+    )
+
+
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT curation scoring: per-document 3-gram NOVELTY against a
+    reference corpus (sources src0/src1) — the fraction of a doc's
+    distinct 3-grams absent from the reference's gram set. The
+    aggregate form of decontamination: instead of dropping overlapping
+    docs, score how much each contributes that the reference doesn't
+    already have (novelty-weighted selection is the standard dedup-
+    aware acquisition heuristic).
+
+    Shuffles are keyed on gram strings (postings join) and doc ids —
+    the reference gram set is corpus-sized, so it joins, never
+    broadcasts; novelty is ONE double division per doc (exact cross-
+    engine).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source").isin("src0", "src1"))
+    raw = docs.filter(~F.col("source").isin("src0", "src1"))
+
+    def _tri(tb):
+        return F.when(
+            F.size(tb) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tb) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tb, i),
+                    F.element_at(tb, i + F.lit(1)),
+                    F.element_at(tb, i + F.lit(2)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    def grams_of(df):
+        base = tokens(F.lower(F.col("text")))
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.flatten(F.transform(F.array(base), _tri)))
+            ).alias("g"),
+        )
+
+    ref_grams = grams_of(ref).select("g").distinct()
+    raw_grams = grams_of(raw)
+    seen = raw_grams.join(
+        ref_grams.withColumn("__hit", F.lit(1)), "g", "left"
+    )
+    return seen.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        (
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("novelty"),
+    )
+
+
+QUERIES_PART_B["q_best_rep_dedup"] = q_best_rep_dedup
+QUERIES_PART_B["q_novelty"] = q_novelty
+
+# q_best_rep_dedup: same recursive-closure CTEs as q_dup_components,
+# then per-component argmax(n_chars, tie min id) over docs with
+# singletons labeled by their own id
+ORACLE_PART_B["q_best_rep_dedup"] = (
+    ORACLE_PART_B["q_dup_components"].rsplit("SELECT id, min(label)", 1)[0]
+    + """, comp AS (
+            SELECT id, min(label) AS component FROM reach GROUP BY id
+        ), labeled AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+                   CAST(length(d.text) AS BIGINT) AS n_chars
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, component, n_chars FROM (
+            SELECT doc_id, component, n_chars,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM labeled
+        ) WHERE rn = 1
+    """
+)
+
+ORACLE_PART_B["q_novelty"] = """
+    WITH ref_toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), ref_grams AS (
+        SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM ref_toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    ), raw_toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE source NOT IN ('src0', 'src1')
+    ), raw_grams AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM raw_toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    )
+    SELECT rg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS novelty
+    FROM raw_grams rg LEFT JOIN ref_grams r ON rg.g = r.g
+    GROUP BY rg.doc_id
+"""
