@@ -163,3 +163,31 @@ def test_compact_files(spark, tmp_path):
     rgs = sorted(_rowgroup_ranges(out2, "k"))
     for (lo1, hi1), (lo2, hi2) in zip(rgs, rgs[1:]):
         assert hi1 <= lo2
+
+
+def test_date_partitioned_scan_prunes_partitions(spark, tmp_path, sf_dir):
+    """The classic 100 TB pattern: a date-partitioned table + a date
+    filter must prune at the PARTITION level (directory skipping —
+    'partitions read: 1' in the scan), not just at row-group stats.
+    Complements the sorted/zorder row-group tests: this pruning happens
+    before any file footer is opened."""
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+    d = str(tmp_path / "events_by_date")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date(F.col("ts"))
+    )
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(d)
+    dates = [r["event_date"] for r in ev.select("event_date").distinct().collect()]
+    assert len(dates) > 1, "fixture must span multiple partitions"
+
+    one = sorted(dates)[0]
+    q = spark.read.parquet(d).filter(F.col("event_date") == F.lit(one))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    got_dates = {r["event_date"] for r in q.select("event_date").collect()}
+    assert got_dates == {one}
