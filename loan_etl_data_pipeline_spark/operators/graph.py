@@ -425,3 +425,47 @@ def kcore(
     return e.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
+
+
+def kcore_converged(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The true k-core: :func:`kcore` iterated until the edge set goes
+    stationary (peeling is monotone, so the first round that removes
+    nothing is the fixed point). Same output contract as ``kcore``;
+    use ``kcore`` directly when you need the fixed-round SQL-replayable
+    form. One extra count action per round is the convergence probe —
+    the same detection economics as connected_components' label sum.
+    """
+    if k < 1 or max_rounds < 1:
+        raise ValueError(f"k and max_rounds must be >= 1, got {k}, {max_rounds}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = e.count()
+    for _ in range(max_rounds):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        low = deg.filter(F.col("d") < k).select("u")
+        e = (
+            e.join(low, "u", "left_anti")
+            .join(low.withColumnRenamed("u", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        cur = e.count()
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"k-core did not converge in {max_rounds} rounds")
+    return e.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )

@@ -187,3 +187,18 @@ def test_kcore_validates_args(spark):
 
     with pytest.raises(ValueError):
         kcore(edges, k=0, rounds=1)
+
+
+def test_kcore_converged_matches_deep_fixed_rounds(spark):
+    """A peel chain long enough that rounds=1 is mid-cascade: the
+    converged form must equal a generously-deep fixed-round run."""
+    from loan_etl_data_pipeline_spark.operators.graph import kcore, kcore_converged
+
+    # triangle core + a 4-node cascade chain hanging off node 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    conv = {r["id"]: r["degree"] for r in kcore_converged(edges, k=2).collect()}
+    deep = {r["id"]: r["degree"] for r in kcore(edges, k=2, rounds=10).collect()}
+    assert conv == deep == {1: 2, 2: 2, 3: 2}
