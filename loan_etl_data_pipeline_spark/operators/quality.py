@@ -94,6 +94,45 @@ def check_constraints(
     )
 
 
+def fk_orphans(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    *,
+    relationship: str | None = None,
+) -> DataFrame:
+    """Referential-integrity audit for one FK edge: ONE row
+    ``(relationship, n_child, n_orphans)`` where an orphan is a
+    NON-NULL child key with no matching parent (NULL keys are not
+    orphans — SQL FK semantics).
+
+    One pass: child keys left-join the DISTINCT parent key set and a
+    single aggregate counts misses — no separate anti-join + count
+    actions. At 100 TB the parent key set either broadcasts (dimension
+    tables) or co-shuffles on the key (fact→fact edges); the output is
+    always one row, so auditing every edge of a schema is a union of
+    tiny frames (see q_fk_audit).
+    """
+    name = relationship or f"{child_key}->{parent_key}"
+    ck = child.select(F.col(child_key).alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+    pk = (
+        parent.select(F.col(parent_key).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return ck.join(pk, "__k", "left").agg(
+        F.lit(name).alias("relationship"),
+        F.count(F.lit(1)).cast("bigint").alias("n_child"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphans"),
+    )
+
+
 def iqr_outliers(
     df: DataFrame,
     group_col: str,

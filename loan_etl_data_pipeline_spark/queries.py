@@ -5160,3 +5160,77 @@ ORACLE_PART_B["q_novelty"] = """
     FROM raw_grams rg LEFT JOIN ref_grams r ON rg.g = r.g
     GROUP BY rg.doc_id
 """
+
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ schema-wide referential-integrity audit (operators/quality.py
+    fk_orphans): every FK edge of the star schema checked in one
+    result — (relationship, n_child, n_orphans) per edge. The
+    data-quality companion to the constraint gate: gates check
+    in-table invariants, this checks BETWEEN-table ones, and at 100 TB
+    each edge is one key-join + 1-row aggregate (dimension key sets
+    broadcast; the lineitem→orders edge co-shuffles on the key).
+    """
+    from loan_etl_data_pipeline_spark.operators.quality import fk_orphans
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    edges = [
+        fk_orphans(o, "o_custkey", c, "c_custkey"),
+        fk_orphans(li, "l_orderkey", o, "o_orderkey"),
+        fk_orphans(li, "l_partkey", p, "p_partkey"),
+        fk_orphans(li, "l_suppkey", s, "s_suppkey"),
+        fk_orphans(c, "c_nationkey", n, "n_nationkey"),
+        fk_orphans(s, "s_nationkey", n, "n_nationkey"),
+        fk_orphans(n, "n_regionkey", r, "r_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+QUERIES_PART_B["q_fk_audit"] = q_fk_audit
+ORACLE_PART_B["q_fk_audit"] = """
+    SELECT 'o_custkey->c_custkey' AS relationship,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_custkey IS NOT NULL
+    UNION ALL
+    SELECT 'l_orderkey->o_orderkey', CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_orderkey IS NOT NULL
+    UNION ALL
+    SELECT 'l_partkey->p_partkey', CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    WHERE l_partkey IS NOT NULL
+    UNION ALL
+    SELECT 'l_suppkey->s_suppkey', CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_suppkey IS NOT NULL
+    UNION ALL
+    SELECT 'c_nationkey->n_nationkey', CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_nationkey IS NOT NULL
+    UNION ALL
+    SELECT 's_nationkey->n_nationkey', CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_nationkey IS NOT NULL
+    UNION ALL
+    SELECT 'n_regionkey->r_regionkey', CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+    WHERE n_regionkey IS NOT NULL
+"""

@@ -194,3 +194,19 @@ def test_variant_and_json_paths_identical_on_dirty_input(spark):
     b = sorted(map(tuple, props_variant_stats(df).collect()))
     assert a == b
     assert ("c", 1, 7, 7.0, 7, 7) in a  # the one clean int row counts
+
+
+def test_fk_orphans_semantics(spark):
+    """NULL child keys are not orphans; duplicate parent keys must not
+    multiply child rows (distinct parent key set); orphans counted
+    exactly."""
+    from loan_etl_data_pipeline_spark.operators.quality import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "k int"
+    )
+    parent = spark.createDataFrame([(1,), (1,), (2,)], "pk int")
+    row = fk_orphans(child, "k", parent, "pk").collect()[0]
+    assert row["relationship"] == "k->pk"
+    assert row["n_child"] == 4  # NULL excluded
+    assert row["n_orphans"] == 1  # only 99
