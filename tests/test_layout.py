@@ -191,3 +191,31 @@ def test_date_partitioned_scan_prunes_partitions(spark, tmp_path, sf_dir):
     )[1].split("]", 1)[0]
     got_dates = {r["event_date"] for r in q.select("event_date").collect()}
     assert got_dates == {one}
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path, sf_dir):
+    """Star-join over a partitioned fact: the partition filter must be
+    DYNAMIC (derived at runtime from the filtered dimension via a
+    reused broadcast), so the fact scan reads only the dimension's
+    surviving partitions — static pruning can't see through a join,
+    and at 100 TB this is the difference between scanning one
+    partition and all of them."""
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+    d = str(tmp_path / "fact_by_priority")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2)], "pr string, lvl int"
+    ).filter(F.col("lvl") == 1)
+    j = fact.join(dim, fact.o_orderpriority == dim.pr).groupBy("pr").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in p
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0]["pr"] == "1-URGENT"
