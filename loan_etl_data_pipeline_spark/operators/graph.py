@@ -469,3 +469,43 @@ def kcore_converged(
     return e.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
+
+
+def connected_components_incremental(
+    prev_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Maintain a components labeling as NEW edges arrive, without
+    re-reading the old edge set: a previous ``(id, component)``
+    labeling is itself a star forest (every node connected to its
+    component root), and CC(star_edges ∪ new_edges) = CC(old_edges ∪
+    new_edges) — stars preserve exactly the old connectivity. So the
+    incremental step runs two-phase CC over |nodes| star edges plus
+    the delta, not the full historical pair graph.
+
+    The dedup-pipeline shape this serves: the banded MinHash index
+    already yields only NEW candidate pairs per ingest batch
+    (incremental_dedup); this closes the loop by folding those pairs
+    into the standing cluster labeling at star-forest cost. Component
+    ids stay min-reachable-id, so labels are stable across batches
+    unless a merge genuinely relabels (two clusters joining keep the
+    smaller root — monotone, never arbitrary).
+    """
+    stars = prev_labels.select(
+        F.col("id").alias("a"), F.col("component").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    delta = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    merged = stars.unionByName(delta)
+    out = connected_components_two_phase(merged, "a", "b", max_iter=max_iter)
+    # roots of singleton components vanish from the star edge set —
+    # restore every previously-known node
+    known = prev_labels.select("id").union(
+        delta.select(F.col("a").alias("id"))
+    ).union(delta.select(F.col("b").alias("id"))).distinct()
+    return known.join(out, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

@@ -202,3 +202,35 @@ def test_kcore_converged_matches_deep_fixed_rounds(spark):
     conv = {r["id"]: r["degree"] for r in kcore_converged(edges, k=2).collect()}
     deep = {r["id"]: r["degree"] for r in kcore(edges, k=2, rounds=10).collect()}
     assert conv == deep == {1: 2, 2: 2, 3: 2}
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """Fold a delta batch into a standing labeling: result must equal
+    CC over the union of ALL edges — including a merge of two old
+    components through a new bridge edge, a brand-new node pair, and
+    untouched old components staying stable."""
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    delta = [(3, 10), (30, 31)]  # bridge {1,2,3}<->{10,11}; new pair
+    prev = connected_components(
+        spark.createDataFrame(old_edges, "src long, dst long")
+    )
+    inc = {
+        r["id"]: r["component"]
+        for r in connected_components_incremental(
+            prev, spark.createDataFrame(delta, "src long, dst long")
+        ).collect()
+    }
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(old_edges + delta, "src long, dst long")
+        ).collect()
+    }
+    assert inc == full
+    assert inc[11] == 1  # merged cluster takes the smaller root
+    assert inc[20] == 20 and inc[21] == 20  # untouched component stable
