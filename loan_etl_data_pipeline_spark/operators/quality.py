@@ -217,3 +217,46 @@ def observe_metrics(
     obs = Observation(name)
     out = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     return out, obs
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant: list[str] | str,
+    dependent: str,
+) -> DataFrame:
+    """Functional-dependency audit: does ``determinant → dependent``
+    hold? Returns ONE row ``(fd, n_groups, n_violating_groups,
+    n_violating_rows)`` where a violating group is a determinant value
+    mapping to >1 distinct dependent value (NULL counts as a value —
+    a determinant that sometimes resolves and sometimes doesn't is a
+    violation worth seeing).
+
+    The in-table sibling of fk_orphans' between-table audit and the
+    discovery half of profile-driven schema inference: run it over
+    candidate FDs (zip→city, key→status, id→n_chars) to find which
+    "should-be-derivable" columns actually drift. One determinant-keyed
+    aggregate with map-side partial aggregation, then a 1-row rollup —
+    at 100 TB the wide row count never leaves the executors.
+    """
+    lhs = [determinant] if isinstance(determinant, str) else list(determinant)
+    name = ",".join(lhs) + "->" + dependent
+    per_group = df.groupBy(*lhs).agg(
+        F.countDistinct(dependent).alias("__nd"),
+        F.sum(
+            F.when(F.col(dependent).isNull(), 1).otherwise(0)
+        ).alias("__nulls"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # a group violates when it has >1 distinct non-null value, or a mix
+    # of null and non-null (countDistinct ignores NULLs, so add them in)
+    viol = (F.col("__nd") + F.when(F.col("__nulls") > 0, 1).otherwise(0)) > 1
+    return per_group.agg(
+        F.lit(name).alias("fd"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias(
+            "n_violating_groups"
+        ),
+        F.sum(F.when(viol, F.col("__n")).otherwise(0)).cast("bigint").alias(
+            "n_violating_rows"
+        ),
+    )

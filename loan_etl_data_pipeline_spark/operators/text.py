@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 
@@ -569,4 +569,69 @@ def winnow_neardup_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Maximal cross-document repeated token spans (suffix-array-style
+    substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" re-expressed relationally).
+
+    A position ``i`` in a document is *covered* when the ``k``-gram
+    starting there occurs in at least ``min_doc_freq`` distinct
+    documents. Runs of consecutive covered positions merge into maximal
+    spans (gaps-and-islands: ``pos - row_number()`` is constant within
+    a run), so the output is one row per repeated region —
+    ``(doc_id, span_start, span_end, n_grams)`` in 1-based token
+    coordinates, ``span_end = max(pos) + k - 1`` — exactly the byte
+    ranges a substring-level deduper would cut.
+
+    Scale shape: gram doc-frequency is a postings aggregate with
+    map-side partial aggregation; the covered-position join is keyed on
+    the gram string (never all-pairs); island merging is a per-document
+    window whose partitions are bounded by document length. Nothing
+    here is quadratic in corpus size — the same plan at 100 TB shuffles
+    once on grams and once on doc ids.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= k
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at("__t", F.col("__i") + F.lit(j)) for j in range(k)]
+    )
+    grams = (
+        base.select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("__t") - (k - 1))).alias(
+                "__i"
+            ),
+            "__t",
+        )
+        .select(id_col, F.col("__i").alias("pos"), gram.alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .drop("grp")
     )

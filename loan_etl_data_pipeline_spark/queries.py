@@ -5234,3 +5234,520 @@ ORACLE_PART_B["q_fk_audit"] = """
     FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
     WHERE n_regionkey IS NOT NULL
 """
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ substring-level dedup (operators/text.py repeated_spans):
+    maximal cross-document repeated 8-gram token spans via
+    gaps-and-islands — the relational form of Lee et al. 2022's
+    suffix-array substring dedup, and the finer-grained sibling of
+    q_chunk_dedup (fixed chunk boundaries) / q_winnow_neardup (sampled
+    fingerprints): this one emits the exact repeated REGIONS a
+    substring deduper would cut. Postings-shaped throughout: one
+    gram-keyed shuffle, one doc-keyed window; nothing all-pairs.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(docs, k=8, min_doc_freq=2)
+
+
+def q_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ declarative quality-rule battery (operators/filters.py
+    rule_battery): the C4/Gopher rule stack as DATA — named
+    (metric, op, threshold) rules compiled into one codegen'd
+    projection with per-rule flags, an all-pass ``keep``, and the
+    first-failing rule as ``fail_reason`` for per-rule hit-rate
+    audits. Zero shuffles; at 100 TB this is the archetypal
+    score-and-filter first pass, and the per-rule flags are what
+    lets you tune thresholds without re-running the corpus.
+    """
+    from loan_etl_data_pipeline_spark.operators.filters import rule_battery
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rule_battery(docs)
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.3+ TPC-H Q11 shape (group-HAVING against a global scalar
+    subquery): parts whose retained revenue exceeds 1/5000 of the
+    corpus total. The comparison is PURE INTEGER — cents·5000 vs
+    total cents — so no cross-engine double-fraction drift, and the
+    global total is a 1-row broadcast (the documented scalar
+    crossJoin shape), never a windowed Exchange SinglePartition.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "cast(floor((l_extendedprice * (1 - l_discount)) * 100) as bigint)"
+        ).alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("cents").alias("value_cents")
+    )
+    total = li.agg(F.sum("cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 5000 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            (F.col("value_cents").cast("double") / 100).alias("value"),
+        )
+    )
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ robust outlier screen: per-priority median + MAD over
+    o_totalprice (floor-cents domain), flagging rows beyond 3·MAD.
+    The median/MAD pair is the robust sibling of q_outlier_fences'
+    IQR fences — resistant to the very outliers it hunts. Exact
+    percentile ↔ quantile_cont is the q_quantiles-certified bridge;
+    deviations are |int − interpolated-midpoint| (multiples of 0.5,
+    exact in doubles), so the 3·MAD comparison is drift-free.
+
+    Groups are low-cardinality (5 priorities), so per-group exact
+    percentiles buffer safely; at 100 TB swap the exact percentile
+    for approx_percentile or per-group global_rank — the surrounding
+    join/agg shape is unchanged.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    med = o.groupBy("prio").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = o.join(F.broadcast(med), "prio").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("prio").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "prio")
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.min("med") / 100).alias("median"),
+            (F.min("mad") / 100).alias("mad_val"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n",
+            "median",
+            "mad_val",
+            "n_outliers",
+        )
+    )
+
+
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ equi-depth (equal-frequency) histogram of o_totalprice in
+    8 buckets via the distributed global_rank — bucket boundaries fall
+    where the DATA is dense, the complement of q_price_histogram's
+    equi-width bins. Bucket assignment is pure integer floor-div over
+    the 1-based rank (((rank−1)·8) div n), so the Spark/DuckDB results
+    are bit-identical; no Exchange SinglePartition anywhere (rank
+    offsets come from the per-partition count job).
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = global_rank(o, [F.asc("cents"), F.asc("o_orderkey")])
+    n = ranked._global_rank_n
+    out = (
+        ranked.withColumn(
+            "bucket", F.expr(f"cast(((rank - 1) * 8) div {n} as bigint)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.min("cents").cast("double") / 100).alias("lo"),
+            (F.max("cents").cast("double") / 100).alias("hi"),
+        )
+    )
+    # Same eager-checkpoint-then-release shape as q_trimmed_mean:
+    # global_rank's offsets are driver-computed from one specific
+    # materialization; releasing first would re-sample range boundaries.
+    out = out.localCheckpoint(eager=True)
+    release_intermediates(ranked)
+    return out
+
+
+QUERIES_PART_B["q_repeated_spans"] = q_repeated_spans
+QUERIES_PART_B["q_filter_battery"] = q_filter_battery
+QUERIES_PART_B["q_important_parts"] = q_important_parts
+QUERIES_PART_B["q_robust_outliers"] = q_robust_outliers
+QUERIES_PART_B["q_equidepth_hist"] = q_equidepth_hist
+
+ORACLE_PART_B["q_repeated_spans"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, i AS pos,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+               || ' ' || t[i+7] AS g
+        FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+    ), dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+        SELECT doc_id, pos FROM grams JOIN dup USING (g)
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM hits
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+"""
+
+ORACLE_PART_B["q_filter_battery"] = """
+    WITH m AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS n_tokens,
+               list_max(list_transform(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> length(x))) AS max_token_len,
+               CAST(length(regexp_replace(lower(text), '\\s', '', 'g'))
+                    AS DOUBLE)
+                 / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS avg_token_len,
+               CAST(len(list_distinct(
+                   regexp_split_to_array(trim(lower(text)), '\\s+')))
+                    AS DOUBLE)
+                 / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS distinct_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           n_tokens >= 10 AS min_tokens,
+           n_tokens <= 100000 AS max_tokens,
+           avg_token_len >= 2.0 AS min_avg_token_len,
+           avg_token_len <= 12.0 AS max_avg_token_len,
+           max_token_len <= 30 AS max_token_len,
+           distinct_ratio >= 0.2 AS min_distinct_ratio,
+           (n_tokens >= 10 AND n_tokens <= 100000
+            AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+            AND max_token_len <= 30 AND distinct_ratio >= 0.2) AS keep,
+           CASE
+               WHEN NOT (n_tokens >= 10) THEN 'min_tokens'
+               WHEN NOT (n_tokens <= 100000) THEN 'max_tokens'
+               WHEN NOT (avg_token_len >= 2.0) THEN 'min_avg_token_len'
+               WHEN NOT (avg_token_len <= 12.0) THEN 'max_avg_token_len'
+               WHEN NOT (max_token_len <= 30) THEN 'max_token_len'
+               WHEN NOT (distinct_ratio >= 0.2) THEN 'min_distinct_ratio'
+           END AS fail_reason
+    FROM m
+"""
+
+ORACLE_PART_B["q_important_parts"] = """
+    WITH c AS (
+        SELECT l_partkey,
+               CAST(floor((l_extendedprice * (1 - l_discount)) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT l_partkey AS part_key,
+           CAST(sum(cents) AS DOUBLE) / 100 AS value
+    FROM c GROUP BY l_partkey
+    HAVING sum(cents) * 5000 > (SELECT sum(cents) FROM c)
+"""
+
+ORACLE_PART_B["q_robust_outliers"] = """
+    WITH c AS (
+        SELECT o_orderpriority AS prio,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), m AS (
+        SELECT prio, quantile_cont(cents, 0.5) AS med
+        FROM c GROUP BY prio
+    ), d AS (
+        SELECT c.prio, c.cents, m.med, abs(c.cents - m.med) AS dev
+        FROM c JOIN m ON c.prio = m.prio
+    ), md AS (
+        SELECT prio, quantile_cont(dev, 0.5) AS mad
+        FROM d GROUP BY prio
+    )
+    SELECT d.prio AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           min(d.med) / 100 AS median,
+           min(md.mad) / 100 AS mad_val,
+           CAST(SUM(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN md ON d.prio = md.prio
+    GROUP BY d.prio
+"""
+
+ORACLE_PART_B["q_equidepth_hist"] = """
+    WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ), r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_orderkey) AS rk
+        FROM c
+    )
+    SELECT CAST(((rk - 1) * 8) // (SELECT count(*) FROM c) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS DOUBLE) / 100 AS lo,
+           CAST(max(cents) AS DOUBLE) / 100 AS hi
+    FROM r GROUP BY 1
+"""
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ functional-dependency audit (operators/quality.py
+    fd_violations): candidate should-hold FDs checked in one result —
+    (fd, n_groups, n_violating_groups, n_violating_rows) per edge. The
+    in-table sibling of q_fk_audit's between-table RI audit; at 100 TB
+    each FD is one determinant-keyed aggregate (map-side combined) + a
+    1-row rollup, so a whole-schema audit is a union of tiny frames.
+    """
+    from loan_etl_data_pipeline_spark.operators.quality import fd_violations
+
+    docs = load_table(spark, sf_dir, "documents")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    edges = [
+        fd_violations(docs, "doc_id", "source"),
+        fd_violations(docs, "source", "lang"),
+        fd_violations(o, "o_orderkey", "o_orderpriority"),
+        fd_violations(li, "l_orderkey", "l_returnflag"),
+        fd_violations(n, "n_nationkey", "n_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ support-pruned token co-occurrence (market-basket 2-itemsets,
+    the a-priori shape): unordered token pairs sharing >=50 documents,
+    with postings-Jaccard strength. The UNORDERED complement of
+    q_top_bigrams/q_bigram_lift's adjacency: collocation by shared
+    context, not word order.
+
+    A-priori pruning IS the scale story: tokens below pair support
+    can't form a frequent pair, so the per-document self-join runs only
+    over support-surviving tokens (the skew guard for hyper-frequent
+    tokens is the df ceiling a caller would add per-corpus); the join
+    is doc-keyed and bounded by per-doc distinct-token counts, never
+    corpus-quadratic.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    min_support = 50
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias(
+            "tok"
+        ),
+    )
+    df_tok = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    keep = df_tok.filter(F.col("df") >= min_support)
+    pruned = dt.join(F.broadcast(keep), "tok")
+    a = pruned.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    b = pruned.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pairs = a.join(b, "doc_id").filter(F.col("tok_a") < F.col("tok_b"))
+    return (
+        pairs.groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_support)
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / (F.col("df_a") + F.col("df_b") - F.col("n_docs"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ time-weighted average of the event value per user — the
+    irregular-sampling aggregate (sensor/position/price streams) where
+    a plain mean over-weights bursts: each reading is weighted by how
+    long it was current (gap to the next event under the total order
+    (ts, event_id); the final open-ended reading drops, the standard
+    last-point exclusion). Weights are exact integer microseconds and
+    contributions are floor(value·gap) in int64, so the cross-engine
+    quotient is drift-free. One user-keyed window + one aggregate —
+    the sessionize partitioning, nothing global.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # ts arrives as TIMESTAMP_NTZ (sources/tables dispatch) —
+        # timestampdiff from the NTZ epoch is the tz-free epoch-µs
+        # (unix_micros rejects NTZ; an NTZ→TZ cast would smuggle the
+        # session timezone into the weights)
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    gap = F.col("next_us") - F.col("us")
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(gap).cast("bigint").alias("total_us"),
+        (
+            F.sum(F.floor(F.col("value") * gap).cast("bigint")).cast("double")
+            / F.sum(gap).cast("double")
+        ).alias("twa"),
+    )
+
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.5+ ratio-to-report: each nation's share of global order
+    revenue. The share window runs over the 25-row PER-NATION
+    AGGREGATE — single partition BY DESIGN (the sliding-distinct
+    stance: a global window is fine when its input is a handful of
+    summary rows, never raw data); the raw scan aggregates cents
+    map-side on the nation key. Shares are exact-int cent ratios in
+    one IEEE division.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("nation_cents"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        (F.col("nation_cents").cast("double") / 100).alias("revenue"),
+        (
+            F.col("nation_cents").cast("double")
+            / F.sum("nation_cents").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+QUERIES_PART_B["q_fd_audit"] = q_fd_audit
+QUERIES_PART_B["q_cooccur"] = q_cooccur
+QUERIES_PART_B["q_time_weighted_avg"] = q_time_weighted_avg
+QUERIES_PART_B["q_revenue_share"] = q_revenue_share
+
+_FD_ORACLE_ONE = """
+    SELECT '{name}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN viol THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN viol THEN n ELSE 0 END) AS BIGINT)
+             AS n_violating_rows
+    FROM (
+        SELECT {lhs},
+               (count(DISTINCT {rhs})
+                + CASE WHEN SUM(CASE WHEN {rhs} IS NULL THEN 1 ELSE 0 END)
+                         > 0 THEN 1 ELSE 0 END) > 1 AS viol,
+               count(*) AS n
+        FROM {table} GROUP BY {lhs}
+    )
+"""
+
+ORACLE_PART_B["q_fd_audit"] = " UNION ALL ".join(
+    _FD_ORACLE_ONE.format(
+        name=f"{lhs}->{rhs}", lhs=lhs, rhs=rhs, table=table
+    )
+    for lhs, rhs, table in [
+        ("doc_id", "source", "documents"),
+        ("source", "lang", "documents"),
+        ("o_orderkey", "o_orderpriority", "orders"),
+        ("l_orderkey", "l_returnflag", "lineitem"),
+        ("n_nationkey", "n_regionkey", "nation"),
+    ]
+)
+
+ORACLE_PART_B["q_cooccur"] = """
+    WITH dt AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     AS tok
+            FROM documents
+        )
+    ), keep AS (
+        SELECT tok, count(*) AS df FROM dt GROUP BY tok
+        HAVING count(*) >= 50
+    ), pruned AS (
+        SELECT dt.doc_id, dt.tok, keep.df FROM dt JOIN keep USING (tok)
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE) / (min(a.df) + min(b.df) - count(*))
+             AS jaccard
+    FROM pruned a JOIN pruned b
+      ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY a.tok, b.tok
+    HAVING count(*) >= 50
+"""
+
+ORACLE_PART_B["q_time_weighted_avg"] = """
+    WITH g AS (
+        SELECT user_id, value,
+               epoch_us(ts) AS us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(next_us - us) AS BIGINT) AS total_us,
+           CAST(sum(CAST(floor(value * (next_us - us)) AS BIGINT))
+                AS DOUBLE)
+             / CAST(sum(next_us - us) AS DOUBLE) AS twa
+    FROM g WHERE next_us IS NOT NULL
+    GROUP BY user_id
+"""
+
+ORACLE_PART_B["q_revenue_share"] = """
+    WITH per_nation AS (
+        SELECT n_name,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                 AS nation_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(nation_cents AS DOUBLE) / 100 AS revenue,
+           CAST(nation_cents AS DOUBLE)
+             / CAST(sum(nation_cents) OVER () AS DOUBLE) AS share
+    FROM per_nation
+"""

@@ -58,3 +58,33 @@ def test_one_exchange_plan(events):
     # chained windows + per-user agg reuse ONE user-keyed Exchange; the
     # only other exchange is the final single-row global aggregate
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """Planted gaps: value 10 held 2s, value 30 held 1s → twa 50/3;
+    the final reading drops (open-ended interval)."""
+    import pyspark.sql.functions as F
+    from loan_etl_data_pipeline_spark.queries import q_time_weighted_avg
+
+    # route through the query's own window logic via a temp parquet dir
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", 7, "c", 10.0, "{}"),
+                (2, "2024-01-01 00:00:02", 7, "c", 30.0, "{}"),
+                (3, "2024-01-01 00:00:03", 7, "c", 99.0, "{}"),
+                (4, "2024-01-01 00:00:05", 8, "c", 5.0, "{}"),
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        rows = {r["user_id"]: r for r in q_time_weighted_avg(spark, d).collect()}
+    assert 8 not in rows  # single reading → no closed interval
+    r = rows[7]
+    assert r["n_intervals"] == 2
+    assert r["total_us"] == 3_000_000
+    # floor(10*2e6) + floor(30*1e6) = 50e6 over 3e6 µs
+    assert r["twa"] == 50_000_000 / 3_000_000

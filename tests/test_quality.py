@@ -210,3 +210,31 @@ def test_fk_orphans_semantics(spark):
     assert row["relationship"] == "k->pk"
     assert row["n_child"] == 4  # NULL excluded
     assert row["n_orphans"] == 1  # only 99
+
+
+def test_fd_violations_mixed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a"), (1, "a"),          # consistent group
+            (2, "a"), (2, "b"),          # two distinct values → violation
+            (3, None), (3, "c"),         # null + value mix → violation
+            (4, None), (4, None),        # consistently null → holds
+        ],
+        "k int, v string",
+    )
+    r = quality.fd_violations(df, "k", "v").collect()[0]
+    assert r["fd"] == "k->v"
+    assert r["n_groups"] == 4
+    assert r["n_violating_groups"] == 2
+    assert r["n_violating_rows"] == 4
+
+
+def test_fd_violations_compound_determinant_holds(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 20), (1, "x", 10)],
+        "a int, b string, c int",
+    )
+    r = quality.fd_violations(df, ["a", "b"], "c").collect()[0]
+    assert r["fd"] == "a,b->c"
+    assert (r["n_groups"], r["n_violating_groups"], r["n_violating_rows"]) \
+        == (2, 0, 0)

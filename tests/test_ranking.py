@@ -81,3 +81,38 @@ def test_no_single_partition_exchange_in_consumers(spark, sf_dir):
     for q in (q_mean_token_rank, q_rfm_segments):
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, f"{q.__name__}:\n{plan[:2000]}"
+
+
+def test_equidepth_bucketing_is_balanced(spark):
+    """q_equidepth_hist's bucket arithmetic: ((rank-1)*B) div n gives
+    bucket sizes within 1 of each other and contiguous value ranges."""
+    import pyspark.sql.functions as F
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        release_intermediates,
+    )
+
+    df = spark.range(103).select(
+        (F.col("id") * 37 % 103).alias("v"), F.col("id").alias("k")
+    )
+    ranked = global_rank(df, [F.asc("v"), F.asc("k")])
+    n = ranked._global_rank_n
+    out = (
+        ranked.withColumn(
+            "bucket", F.expr(f"cast(((rank - 1) * 8) div {n} as bigint)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    release_intermediates(ranked)
+    rows = sorted(out.collect(), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == list(range(8))
+    sizes = [r["cnt"] for r in rows]
+    assert sum(sizes) == 103 and max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]  # contiguous, non-overlapping ranges

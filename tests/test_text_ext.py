@@ -146,3 +146,59 @@ def test_decontaminate_min_hits_and_isolation(spark):
         for r in ngram_decontaminate(train, ev, n=5, min_hits=2).collect()
     }
     assert strict == {10: 4}
+
+
+def test_repeated_spans_planted_duplicate(spark):
+    """Two docs share a 10-token run → each reports one span covering
+    exactly that run (k=4 ⇒ positions p..p+6 covered, span ends +3)."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + shared + " a4 a5"),
+            (2, "b1 b2 " + shared + " b3 b4 b5 b6"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),
+        ],
+        "doc_id long, text string",
+    )
+    from loan_etl_data_pipeline_spark.operators.text import repeated_spans
+
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+        for r in repeated_spans(df, k=4).collect()
+    }
+    # doc 1: shared run at tokens 4..13 → 4-gram starts 4..10 (7 grams)
+    assert rows[1] == (4, 13, 7)
+    # doc 2: shared run at tokens 3..12
+    assert rows[2] == (3, 12, 7)
+    assert 3 not in rows  # unique doc has no repeated span
+
+
+def test_repeated_spans_merges_and_splits_islands(spark):
+    """Two disjoint shared runs in one doc yield two spans, not one."""
+    from loan_etl_data_pipeline_spark.operators.text import repeated_spans
+
+    run_a, run_b = "p1 p2 p3 p4", "q1 q2 q3 q4"
+    df = spark.createDataFrame(
+        [
+            (1, run_a + " z1 z2 z3 " + run_b),
+            (2, run_a + " y1 y2 " + run_b),
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_spans(df, k=4).collect()
+    doc1 = sorted(
+        (r["span_start"], r["span_end"]) for r in out if r["doc_id"] == 1
+    )
+    assert doc1 == [(1, 4), (8, 11)]
+
+
+def test_repeated_spans_within_doc_repeat_not_counted(spark):
+    """doc_freq counts DISTINCT docs: a k-gram repeated only inside one
+    document is not a cross-corpus duplicate."""
+    from loan_etl_data_pipeline_spark.operators.text import repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, "r1 r2 r3 r4 x1 x2 r1 r2 r3 r4"), (2, "u1 u2 u3 u4 u5")],
+        "doc_id long, text string",
+    )
+    assert repeated_spans(df, k=4).count() == 0
