@@ -5751,3 +5751,241 @@ ORACLE_PART_B["q_revenue_share"] = """
              / CAST(sum(nation_cents) OVER () AS DOUBLE) AS share
     FROM per_nation
 """
+
+
+def q_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ group-wise OLS trend: per-priority least-squares slope and
+    intercept of order price (floor-cents) against time (exact epoch
+    DAYS via tz-free NTZ arithmetic). The moment sums n, Σx, Σy, Σxy,
+    Σx² accumulate as EXACT int64 (x≈1e4 days, y≈5e7 cents: far inside
+    64-bit at any SF — the reason NOT to use the engines' float
+    regr_slope accumulators, which drift by summation order), and the
+    closed-form slope/intercept are then a fixed sequence of IEEE ops
+    on exact integers — bit-stable cross-engine. One map-side-combined
+    aggregate; five rows out.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)"
+        ).alias("x"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("y"),
+    )
+    m = o.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = m["n"].cast("double") * m["sxy"].cast("double") - m[
+        "sx"
+    ].cast("double") * m["sy"].cast("double")
+    den = m["n"].cast("double") * m["sxx"].cast("double") - m[
+        "sx"
+    ].cast("double") * m["sx"].cast("double")
+    slope = num / den
+    intercept = (m["sy"].cast("double") - slope * m["sx"].cast("double")) / m[
+        "n"
+    ].cast("double")
+    return m.select(
+        F.col("prio").alias("o_orderpriority"),
+        "n",
+        (slope / 100).alias("slope_per_day"),
+        (intercept / 100).alias("intercept"),
+    )
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ corpus drift monitor: per-token chi-square contributions
+    between a reference slice (src0-src4) and the live slice — the
+    token-distribution drift check run before shipping a new crawl
+    into training (which tokens shifted, not just whether the corpus
+    changed). Expected counts and contributions are a fixed IEEE
+    sequence over exact int64 token counts (no logs — chi-square over
+    KL precisely so the oracle can replay it bit-for-bit). Postings
+    aggregate + 25-row broadcast of the margin totals; top-50 movers
+    by contribution, deterministic tie-break on the token.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens as toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref_srcs = ("src0", "src1", "src2", "src3", "src4")
+    t = docs.select(
+        F.when(F.col("source").isin(*ref_srcs), F.lit("ref"))
+        .otherwise(F.lit("live"))
+        .alias("side"),
+        F.explode(toks(F.lower(F.col("text")))).alias("tok"),
+    )
+    counts = t.groupBy("tok").agg(
+        F.sum(F.when(F.col("side") == "ref", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("side") == "live", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_live"),
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_live").alias("tot_live")
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    row_tot = (F.col("n_ref") + F.col("n_live")).cast("double")
+    grand = (F.col("tot_ref") + F.col("tot_live")).cast("double")
+    e_ref = row_tot * F.col("tot_ref").cast("double") / grand
+    e_live = row_tot * F.col("tot_live").cast("double") / grand
+    chi2 = (F.col("n_ref").cast("double") - e_ref) * (
+        F.col("n_ref").cast("double") - e_ref
+    ) / e_ref + (F.col("n_live").cast("double") - e_live) * (
+        F.col("n_live").cast("double") - e_live
+    ) / e_live
+    return (
+        j.select("tok", "n_ref", "n_live", chi2.alias("chi2"))
+        .orderBy(F.desc("chi2"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ funnel latency: for each adjacent step of the
+    view→click→signup→purchase funnel, the count and exact
+    median/p90 of per-user time-to-convert (first qualifying step
+    event AFTER the user's first prior-step event, in exact integer
+    µs). The timing companion to q_funnel's conversion counts: at
+    100 TB both share the one user-keyed shuffle; quantiles run on
+    step-pair groups of per-user scalars (3 step pairs, the
+    percentile↔quantile_cont certified bridge).
+    """
+    steps = ["view", "click", "signup", "purchase"]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+    firsts = (
+        ev.filter(F.col("et").isin(*steps))
+        .groupBy("user_id")
+        .pivot("et", steps)
+        .agg(F.min("us"))
+    )
+    pairs = None
+    for a, b in zip(steps, steps[1:]):
+        nxt = (
+            ev.filter(F.col("et") == b)
+            .join(
+                firsts.select("user_id", F.col(a).alias("t0")).filter(
+                    F.col("t0").isNotNull()
+                ),
+                "user_id",
+            )
+            .filter(F.col("us") > F.col("t0"))
+            .groupBy("user_id")
+            .agg(F.min(F.col("us") - F.col("t0")).alias("lat"))
+            .agg(
+                F.lit(f"{a}->{b}").alias("step"),
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                F.expr("percentile(lat, 0.5)").alias("p50_us"),
+                F.expr("percentile(lat, 0.9)").alias("p90_us"),
+            )
+        )
+        pairs = nxt if pairs is None else pairs.unionByName(nxt)
+    return pairs
+
+
+QUERIES_PART_B["q_price_trend"] = q_price_trend
+QUERIES_PART_B["q_source_drift"] = q_source_drift
+QUERIES_PART_B["q_funnel_latency"] = q_funnel_latency
+
+ORACLE_PART_B["q_price_trend"] = """
+    WITH m AS (
+        SELECT o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(date_diff('day', TIMESTAMP '1970-01-01',
+                             o_orderdate)) AS sx,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sy,
+               sum(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                   * CAST(floor(o_totalprice * 100) AS BIGINT)) AS sxy,
+               sum(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                   * date_diff('day', TIMESTAMP '1970-01-01',
+                               o_orderdate)) AS sxx
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT prio AS o_orderpriority, n,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100
+             AS slope_per_day,
+           ((CAST(sy AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100
+             AS intercept
+    FROM m
+"""
+
+ORACLE_PART_B["q_source_drift"] = """
+    WITH t AS (
+        SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN 'ref' ELSE 'live' END AS side,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS tok
+        FROM documents
+    ), counts AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN side = 'live' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_live
+        FROM t GROUP BY tok
+    ), totals AS (
+        SELECT sum(n_ref) AS tot_ref, sum(n_live) AS tot_live FROM counts
+    )
+    SELECT tok, n_ref, n_live,
+           (CAST(n_ref AS DOUBLE)
+            - (CAST(n_ref + n_live AS DOUBLE) * CAST(tot_ref AS DOUBLE)
+               / CAST(tot_ref + tot_live AS DOUBLE)))
+           * (CAST(n_ref AS DOUBLE)
+              - (CAST(n_ref + n_live AS DOUBLE) * CAST(tot_ref AS DOUBLE)
+                 / CAST(tot_ref + tot_live AS DOUBLE)))
+           / (CAST(n_ref + n_live AS DOUBLE) * CAST(tot_ref AS DOUBLE)
+              / CAST(tot_ref + tot_live AS DOUBLE))
+           + (CAST(n_live AS DOUBLE)
+              - (CAST(n_ref + n_live AS DOUBLE) * CAST(tot_live AS DOUBLE)
+                 / CAST(tot_ref + tot_live AS DOUBLE)))
+           * (CAST(n_live AS DOUBLE)
+              - (CAST(n_ref + n_live AS DOUBLE) * CAST(tot_live AS DOUBLE)
+                 / CAST(tot_ref + tot_live AS DOUBLE)))
+           / (CAST(n_ref + n_live AS DOUBLE) * CAST(tot_live AS DOUBLE)
+              / CAST(tot_ref + tot_live AS DOUBLE))
+             AS chi2
+    FROM counts, totals
+    ORDER BY chi2 DESC, tok ASC
+    LIMIT 50
+"""
+
+ORACLE_PART_B["q_funnel_latency"] = " UNION ALL ".join(
+    f"""
+    SELECT '{a}->{b}' AS step,
+           CAST(count(*) AS BIGINT) AS n_users,
+           quantile_cont(lat, 0.5) AS p50_us,
+           quantile_cont(lat, 0.9) AS p90_us
+    FROM (
+        SELECT e.user_id,
+               min(epoch_us(e.ts) - f.t0) AS lat
+        FROM events e
+        JOIN (
+            SELECT user_id, min(epoch_us(ts)) AS t0
+            FROM events WHERE event_type = '{a}' GROUP BY user_id
+        ) f ON e.user_id = f.user_id
+        WHERE e.event_type = '{b}' AND epoch_us(e.ts) > f.t0
+        GROUP BY e.user_id
+    )
+    """
+    for a, b in [
+        ("view", "click"), ("click", "signup"), ("signup", "purchase")
+    ]
+)

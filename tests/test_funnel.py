@@ -88,3 +88,29 @@ def test_time_weighted_avg_hand_computed(spark):
     assert r["total_us"] == 3_000_000
     # floor(10*2e6) + floor(30*1e6) = 50e6 over 3e6 µs
     assert r["twa"] == 50_000_000 / 3_000_000
+
+
+def test_price_trend_hand_computed(spark):
+    """Perfect line y = 200 + 100·x cents over three days → slope
+    exactly 1.00 dollars/day, intercept 2.00, per group."""
+    import os, tempfile
+    import pyspark.sql.functions as F
+    from loan_etl_data_pipeline_spark.queries import q_price_trend
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            (i, 1, "O", 2.0 + 1.0 * day, f"1970-01-0{day+1} 00:00:00", "1-URGENT")
+            for i, day in enumerate([0, 1, 2])
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        r = q_price_trend(spark, d).collect()
+    assert len(r) == 1
+    assert r[0]["n"] == 3
+    assert r[0]["slope_per_day"] == 1.0
+    assert r[0]["intercept"] == 2.0
