@@ -5989,3 +5989,89 @@ ORACLE_PART_B["q_funnel_latency"] = " UNION ALL ".join(
         ("view", "click"), ("click", "signup"), ("signup", "purchase")
     ]
 )
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ per-source quota sampling: keep at most 20 documents per
+    source, chosen by ENGINE-PORTABLE deterministic hash order
+    (md5 of the id string, tie-break on the id — the dsir_select
+    hashing stance: no engine-native hash crosses engines). The
+    anti-domination cap every mixture pipeline applies before
+    temperature mixing — a giant crawl slice can't swamp the mix, and
+    the kept set is reproducible run-to-run and engine-to-engine.
+    One source-keyed window; at 100 TB the per-source partitions are
+    exactly the mixture's natural grain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id", F.col("rn").cast("bigint").alias("pick_rank"))
+    )
+
+
+def q_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7+ semi-structured schema profile: key inventory + value-type
+    histogram over the props JSON column per event type — the drift
+    check that catches a producer adding/renaming keys or changing a
+    value's type BEFORE a downstream extract silently nulls out.
+    A single ``from_json`` map projection yields keys and raw values
+    JVM-side (get_json_object needs a literal path, so per-row keys
+    route through the map form); value types come from a try-cast
+    probe cascade. Postings-shaped aggregate on (event_type, key,
+    type).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_json("props", "map<string,string>").alias("m"),
+    )
+    keyed = ev.select(
+        "event_type", F.explode(F.map_keys("m")).alias("key"), "m"
+    )
+    raw = F.element_at("m", F.col("key"))
+    vtype = (
+        F.when(raw.isNull(), F.lit("null"))
+        .when(raw.cast("bigint").isNotNull(), F.lit("integer"))
+        .when(raw.cast("double").isNotNull(), F.lit("double"))
+        .otherwise(F.lit("string"))
+    )
+    return keyed.groupBy(
+        "event_type", "key", vtype.alias("value_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+QUERIES_PART_B["q_source_quota"] = q_source_quota
+QUERIES_PART_B["q_json_keys"] = q_json_keys
+
+ORACLE_PART_B["q_source_quota"] = """
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS pick_rank FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+"""
+
+ORACLE_PART_B["q_json_keys"] = """
+    WITH keyed AS (
+        SELECT event_type, unnest(json_keys(props)) AS key, props
+        FROM events
+    )
+    SELECT event_type, key,
+           CASE
+               WHEN json_extract_string(props, '$.' || key) IS NULL
+                 THEN 'null'
+               WHEN TRY_CAST(json_extract_string(props, '$.' || key)
+                             AS BIGINT) IS NOT NULL THEN 'integer'
+               WHEN TRY_CAST(json_extract_string(props, '$.' || key)
+                             AS DOUBLE) IS NOT NULL THEN 'double'
+               ELSE 'string'
+           END AS value_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM keyed
+    GROUP BY 1, 2, 3
+"""

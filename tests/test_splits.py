@@ -395,3 +395,27 @@ def test_temperature_sample_keep_all_and_validation(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         temperature_sample(df, "doc_id", "source", budget=-1)
+
+
+def test_source_quota_cap_and_determinism(spark):
+    """q_source_quota's window: at most N per source, identical pick
+    set across two runs, and picks are md5-order (engine-portable),
+    not input-order."""
+    import os, tempfile
+    from loan_etl_data_pipeline_spark.queries import q_source_quota
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, f"t{i}", "en", f"src{i % 2}", 5) for i in range(100)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        a = {(r["source"], r["doc_id"]) for r in q_source_quota(spark, d).collect()}
+        b = {(r["source"], r["doc_id"]) for r in q_source_quota(spark, d).collect()}
+    assert a == b
+    per_src = {}
+    for src, doc in a:
+        per_src.setdefault(src, set()).add(doc)
+    assert all(len(v) == 20 for v in per_src.values())
+    # md5 order differs from natural id order: picks are not 0..19
+    assert per_src["src0"] != set(range(0, 40, 2))
