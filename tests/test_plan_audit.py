@@ -264,3 +264,48 @@ def test_sparse_topk_corpus_never_broadcast(plans_no_autobroadcast):
     p = plans_no_autobroadcast("q_sparse_topk")
     assert "BroadcastHashJoin" not in p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_filter_battery_no_shuffle(plans):
+    # one JVM projection over the scan: no exchange, no Python eval
+    # (the stopword HOF lambda is CodegenFallback, so the plan is a
+    # plain Project rather than a WholeStageCodegen span — still
+    # JVM-side and shuffle-free, which is the claim that matters)
+    p = plans("q_filter_battery")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_important_parts_scalar_is_broadcast(plans):
+    # global total reaches the HAVING as a broadcast, not a wide shuffle
+    p = plans("q_important_parts")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cooccur_support_prune_is_broadcast(plans):
+    # surviving-token filter broadcasts onto the postings scan; the
+    # pair join shuffles on doc_id only
+    p = plans("q_cooccur")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_revenue_share_window_over_aggregate_only(plans):
+    # the single-partition window input is the per-nation aggregate:
+    # exactly one SinglePartition exchange, fed by a HashAggregate
+    p = plans("q_revenue_share")
+    assert p.count("Exchange SinglePartition") == 1
+
+
+def test_source_quota_single_source_shuffle(plans):
+    # one source-keyed exchange for the window; no global sort
+    p = plans("q_source_quota")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_repeated_spans_no_cartesian(plans):
+    p = plans("q_repeated_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
