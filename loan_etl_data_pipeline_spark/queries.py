@@ -6075,3 +6075,230 @@ ORACLE_PART_B["q_json_keys"] = """
     FROM keyed
     GROUP BY 1, 2, 3
 """
+
+
+def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ survey-design sampling: Neyman allocation of a 1000-row
+    sample budget across the priority strata (allocate ∝ n_h·σ_h — big
+    AND noisy strata get more). The portability ladder: moment sums
+    are exact int64 over floor-DOLLARS (y² sums at cents would pass
+    2^63 — at 100 TB swap to decimal(38,0) sums, exact in both
+    engines), σ via IEEE sqrt (correctly-rounded per IEEE-754, hence
+    bit-portable — unlike log/exp), weights floor-quantized to int64
+    BEFORE any cross-stratum arithmetic so the largest-remainder split
+    is pure integer: base = (N·w) div W, +1 to the largest remainders
+    (tie: stratum name). One map-side-combined aggregate; the
+    allocation window runs over 5 summary rows.
+    """
+    N = 1000
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.expr("cast(floor(o_totalprice) as bigint)").alias("y"),
+    )
+    m = o.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    var = (
+        m["n_h"].cast("double") * m["ss"].cast("double")
+        - m["s"].cast("double") * m["s"].cast("double")
+    ) / (m["n_h"].cast("double") * m["n_h"].cast("double"))
+    w = m.select(
+        "stratum",
+        "n_h",
+        F.floor(m["n_h"].cast("double") * F.sqrt(var) * 1000)
+        .cast("bigint")
+        .alias("wq"),
+    )
+    win = Window.partitionBy()
+    tot = F.sum("wq").over(win)
+    base = F.expr(f"({N} * wq) div tot")
+    rem = F.expr(f"({N} * wq) % tot")
+    ranked = (
+        w.withColumn("tot", tot)
+        .withColumn("base", base)
+        .withColumn("rem", rem)
+        .withColumn("short", F.lit(N) - F.sum(base).over(win))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.desc("rem"), F.asc("stratum")
+                )
+            ),
+        )
+    )
+    return ranked.select(
+        "stratum",
+        "n_h",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ Zipf coverage curve: what fraction of all corpus tokens the
+    top-10/100/1000 vocabulary entries cover — the tokenizer-budget
+    question (how big a vocab before tail mass is negligible). Token
+    counts aggregate postings-style; the rank/cumsum window runs over
+    the AGGREGATED vocab (tiny, single partition by design — the
+    revenue-share stance); coverage is exact-int division.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens as toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(toks(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = vocab.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cum", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    return ranked.filter(F.col("rk").isin(10, 100, 1000)).select(
+        F.col("rk").cast("bigint").alias("top_k"),
+        F.col("cum").cast("bigint").alias("covered_tokens"),
+        F.col("total").cast("bigint").alias("total_tokens"),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "coverage"
+        ),
+    )
+
+
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10+ join-key skew audit: for each hot join key of the schema,
+    the distribution facts that decide salting / AQE skew-join /
+    broadcast — row count, distinct keys, max per-key count, the top
+    key's share, and the p99 per-key count (certified quantile
+    bridge). The measurement half of operators/skew.py: run THIS to
+    decide which side gets salted before burning a 100 TB shuffle.
+    Each edge is one key-count aggregate + a 1-row summary; counts
+    leave the executors only as 5-number summaries.
+    """
+
+    def one(df, key):
+        counts = (
+            df.select(F.col(key).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return counts.agg(
+            F.lit(key).alias("key"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("cnt").cast("bigint").alias("max_cnt"),
+            (
+                F.max("cnt").cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("top_share"),
+            F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        one(li, "l_orderkey"),
+        one(li, "l_partkey"),
+        one(li, "l_suppkey"),
+        one(o, "o_custkey"),
+        one(ev, "user_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES_PART_B["q_neyman_alloc"] = q_neyman_alloc
+QUERIES_PART_B["q_vocab_coverage"] = q_vocab_coverage
+QUERIES_PART_B["q_key_skew_audit"] = q_key_skew_audit
+
+ORACLE_PART_B["q_neyman_alloc"] = """
+    WITH m AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                 AS s,
+               CAST(sum(CAST(floor(o_totalprice) AS BIGINT)
+                        * CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                 AS ss
+        FROM orders GROUP BY o_orderpriority
+    ), w AS (
+        SELECT stratum, n_h,
+               CAST(floor(CAST(n_h AS DOUBLE) * sqrt(
+                   (CAST(n_h AS DOUBLE) * CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE))
+               ) * 1000) AS BIGINT) AS wq
+        FROM m
+    ), r AS (
+        SELECT stratum, n_h, wq,
+               sum(wq) OVER () AS tot,
+               (1000 * wq) // sum(wq) OVER () AS base,
+               (1000 * wq) % sum(wq) OVER () AS rem
+        FROM w
+    ), k AS (
+        SELECT r.*,
+               1000 - sum(base) OVER () AS short,
+               row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+        FROM r
+    )
+    SELECT stratum, n_h,
+           CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_n
+    FROM k
+"""
+
+ORACLE_PART_B["q_vocab_coverage"] = """
+    WITH vocab AS (
+        SELECT tok, count(*) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     AS tok
+            FROM documents
+        ) GROUP BY tok
+    ), ranked AS (
+        SELECT row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk,
+               sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER () AS total
+        FROM vocab
+    )
+    SELECT CAST(rk AS BIGINT) AS top_k,
+           CAST(cum AS BIGINT) AS covered_tokens,
+           CAST(total AS BIGINT) AS total_tokens,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+    FROM ranked WHERE rk IN (10, 100, 1000)
+"""
+
+_SKEW_ORACLE_ONE = """
+    SELECT '{key}' AS key,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+             AS top_share,
+           quantile_cont(cnt, 0.99) AS p99_cnt
+    FROM (
+        SELECT {key} AS k, CAST(count(*) AS BIGINT) AS cnt
+        FROM {table} WHERE {key} IS NOT NULL GROUP BY {key}
+    )
+"""
+
+ORACLE_PART_B["q_key_skew_audit"] = " UNION ALL ".join(
+    _SKEW_ORACLE_ONE.format(key=k, table=t)
+    for k, t in [
+        ("l_orderkey", "lineitem"),
+        ("l_partkey", "lineitem"),
+        ("l_suppkey", "lineitem"),
+        ("o_custkey", "orders"),
+        ("user_id", "events"),
+    ]
+)

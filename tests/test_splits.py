@@ -419,3 +419,30 @@ def test_source_quota_cap_and_determinism(spark):
     assert all(len(v) == 20 for v in per_src.values())
     # md5 order differs from natural id order: picks are not 0..19
     assert per_src["src0"] != set(range(0, 40, 2))
+
+
+def test_neyman_alloc_sums_to_budget(spark):
+    """Largest-remainder invariants: allocations are non-negative ints
+    summing exactly to the 1000 budget, and the noisier/bigger stratum
+    gets more."""
+    import os, tempfile
+    from loan_etl_data_pipeline_spark.queries import q_neyman_alloc
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = []
+        k = 0
+        # stratum A: 300 rows, low spread; B: 100 rows, high spread
+        for i in range(300):
+            rows.append((k, 1, "O", 100.0 + (i % 3), "1995-01-01 00:00:00", "A")); k += 1
+        for i in range(100):
+            rows.append((k, 1, "O", 100.0 + (i % 2) * 900, "1995-01-01 00:00:00", "B")); k += 1
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        out = {r["stratum"]: r["alloc_n"] for r in q_neyman_alloc(spark, d).collect()}
+    assert sum(out.values()) == 1000
+    assert all(v >= 0 for v in out.values())
+    # B: n_h*sigma = 100*450 = 45000 vs A: 300*~0.8 — B dominates
+    assert out["B"] > out["A"]
