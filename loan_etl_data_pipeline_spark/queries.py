@@ -5389,7 +5389,9 @@ QUERIES_PART_B["q_important_parts"] = q_important_parts
 QUERIES_PART_B["q_robust_outliers"] = q_robust_outliers
 QUERIES_PART_B["q_equidepth_hist"] = q_equidepth_hist
 
-ORACLE_PART_B["q_repeated_spans"] = """
+# shared CTE block: q_repeated_spans and q_dup_mass replay the same
+# island construction (one source of truth so the two oracles can't drift)
+_SPANS_CTES = """
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
         FROM documents
@@ -5410,6 +5412,9 @@ ORACLE_PART_B["q_repeated_spans"] = """
                  AS grp
         FROM hits
     )
+"""
+
+ORACLE_PART_B["q_repeated_spans"] = _SPANS_CTES + """
     SELECT doc_id,
            CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(pos) + 7 AS BIGINT) AS span_end,
@@ -6302,3 +6307,133 @@ ORACLE_PART_B["q_key_skew_audit"] = " UNION ALL ".join(
         ("user_id", "events"),
     ]
 )
+
+
+def q_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ corpus-health headline: per-source DUPLICATED TOKEN MASS —
+    the fraction of each source's tokens lying inside a cross-document
+    repeated span (operators/text.py repeated_spans; islands are
+    maximal, so the mass is exact, never double-counted). THE number a
+    curation run reports before/after substring dedup: which crawl
+    slices are mostly boilerplate. Span tokens aggregate per doc, join
+    the doc's source (id-keyed), then a per-source rollup; exact-int
+    division at the end.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import (
+        repeated_spans,
+        tokens as toks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = repeated_spans(docs, k=8, min_doc_freq=2)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_toks")
+    )
+    base = docs.select(
+        "doc_id", "source", F.size(toks(F.lower(F.col("text")))).alias("n_toks")
+    )
+    j = base.join(per_doc, "doc_id", "left").withColumn(
+        "dup_toks", F.coalesce("dup_toks", F.lit(0))
+    )
+    return j.groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("dup_toks").cast("bigint").alias("dup_tokens"),
+        (
+            F.sum("dup_toks").cast("double")
+            / F.sum("n_toks").cast("double")
+        ).alias("dup_ratio"),
+    )
+
+
+def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ per-dimension embedding statistics — the calibration input
+    for the int8/PQ quantization tiers (operators/quantize.py trains
+    per-dim scales from exactly these): n, mean, variance, min, max
+    per dimension. Floats quantize to floor(x·10⁶) int64 BEFORE any
+    aggregation, so sums are exact and order-independent (float
+    addition is not associative; a 1000-executor re-partition must not
+    change the calibration; at 100 TB row counts, move the xi² sums to
+    decimal(38,0) — exact in both engines — per the q_neyman_alloc
+    ladder). One posexplode + dim-keyed aggregate —
+    dims are the natural partition key and there are only |dim| output
+    rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x6 = F.floor(F.col("x").cast("double") * 1000000).cast("bigint")
+    d = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), x6.alias("xi"))
+    m = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xi").alias("s"),
+        F.sum(F.col("xi") * F.col("xi")).alias("ss"),
+        F.min("xi").alias("mn"),
+        F.max("xi").alias("mx"),
+    )
+    mean = m["s"].cast("double") / m["n"].cast("double") / 1000000
+    var = (
+        (
+            m["n"].cast("double") * m["ss"].cast("double")
+            - m["s"].cast("double") * m["s"].cast("double")
+        )
+        / (m["n"].cast("double") * m["n"].cast("double"))
+        / 1000000
+        / 1000000
+    )
+    return m.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        mean.alias("mean"),
+        var.alias("variance"),
+        (m["mn"].cast("double") / 1000000).alias("min_x"),
+        (m["mx"].cast("double") / 1000000).alias("max_x"),
+    )
+
+
+QUERIES_PART_B["q_dup_mass"] = q_dup_mass
+QUERIES_PART_B["q_dim_stats"] = q_dim_stats
+
+ORACLE_PART_B["q_dup_mass"] = _SPANS_CTES + """
+    , per_doc AS (
+        SELECT doc_id, sum(span_end - span_start + 1) AS dup_toks
+        FROM (
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+            FROM isl GROUP BY doc_id, grp
+        ) GROUP BY doc_id
+    ), base AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS n_toks
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(COALESCE(dup_toks, 0)) AS BIGINT) AS dup_tokens,
+           CAST(sum(COALESCE(dup_toks, 0)) AS DOUBLE)
+             / CAST(sum(n_toks) AS DOUBLE) AS dup_ratio
+    FROM base LEFT JOIN per_doc USING (doc_id)
+    GROUP BY source
+"""
+
+ORACLE_PART_B["q_dim_stats"] = """
+    WITH d AS (
+        SELECT i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xi
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ), m AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               sum(xi) AS s, sum(xi * xi) AS ss,
+               min(xi) AS mn, max(xi) AS mx
+        FROM d GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000 AS mean,
+           (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / 1000000 / 1000000 AS variance,
+           CAST(mn AS DOUBLE) / 1000000 AS min_x,
+           CAST(mx AS DOUBLE) / 1000000 AS max_x
+    FROM m
+"""
