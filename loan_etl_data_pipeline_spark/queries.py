@@ -6437,3 +6437,56 @@ ORACLE_PART_B["q_dim_stats"] = """
            CAST(mx AS DOUBLE) / 1000000 AS max_x
     FROM m
 """
+
+
+def q_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ sequence mining: the entry-path histogram — each user's
+    first three events (under the (ts, event_id) total order) as an
+    ordered path string, counted across users; the product-analytics
+    "how do journeys start" view and the order-sensitive complement
+    of q_event_transitions' Markov pairs. One user-keyed window (the
+    sessionize partitioning), then a path-keyed count whose
+    cardinality is ≤ |event_types|³.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.concat_ws(
+            ">", F.transform(F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ), lambda s: s["event_type"])
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_steps"),
+    )
+    return (
+        paths.filter(F.col("n_steps") == 3)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+QUERIES_PART_B["q_entry_paths"] = q_entry_paths
+
+ORACLE_PART_B["q_entry_paths"] = """
+    WITH firsts AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ), paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path,
+               count(*) AS n_steps
+        FROM firsts WHERE rn <= 3
+        GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths WHERE n_steps = 3
+    GROUP BY path
+"""
