@@ -6490,3 +6490,123 @@ ORACLE_PART_B["q_entry_paths"] = """
     FROM paths WHERE n_steps = 3
     GROUP BY path
 """
+
+
+def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ DETERMINISTIC Poisson bootstrap: the standard error of the
+    mean order price from B=20 hash-seeded resamples. The classic
+    single-pass distributed bootstrap (each row independently enters
+    resample b with Poisson(1) multiplicity), made engine-portable and
+    partition-invariant end to end:
+
+    - multiplicity = inverse-CDF lookup of a 4-hex-char md5 coordinate
+      of (orderkey, b) against fixed lowercase-hex thresholds (the
+      hash_split contract — no engine RNG, no partition dependence);
+      cumulative Poisson(1) cut at 5;
+    - per-resample sums are exact int64 (w·cents);
+    - resample means are floor-quantized to cents BEFORE the
+      cross-resample variance, so the 20-value moment sums are exact
+      integers and the final sqrt is IEEE correctly-rounded.
+
+    One 20× row explode (bounded, map-side), one resample-keyed agg,
+    one 20-row rollup — at 100 TB the explode is the only cost and it
+    never shuffles raw rows twice.
+    """
+    B = 20
+    # cumulative Poisson(1)·65536 as lowercase 4-hex thresholds
+    TH = [("5e31", 0), ("bc5e", 1), ("eb79", 2), ("fb23", 3), ("ff10", 4)]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    e = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b"),
+    )
+    hx = F.substring(
+        F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("b"))), 1, 4
+    )
+    w = F.lit(5)
+    for t, k in reversed(TH):
+        w = F.when(hx < F.lit(t), F.lit(k)).otherwise(w)
+    per_b = (
+        e.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swy"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "b",
+            F.floor(
+                F.col("swy").cast("double") / F.col("sw").cast("double")
+            )
+            .cast("bigint")
+            .alias("m_cents"),
+        )
+    )
+    agg = per_b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_resamples"),
+        F.sum("m_cents").alias("s"),
+        F.sum(F.col("m_cents") * F.col("m_cents")).alias("ss"),
+    )
+    nB = agg["n_resamples"].cast("double")
+    var = (
+        nB * agg["ss"].cast("double") - agg["s"].cast("double") * agg["s"].cast("double")
+    ) / (nB * (nB - 1))
+    return agg.select(
+        "n_resamples",
+        (agg["s"].cast("double") / nB / 100).alias("boot_mean"),
+        (F.sqrt(var) / 100).alias("se"),
+    )
+
+
+QUERIES_PART_B["q_bootstrap_se"] = q_bootstrap_se
+
+ORACLE_PART_B["q_bootstrap_se"] = """
+    WITH e AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               b
+        FROM orders, UNNEST(range(1, 21)) AS u(b)
+    ), wtd AS (
+        SELECT b, cents,
+               CASE
+                   WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                   || CAST(b AS VARCHAR)), 1, 4) < '5e31'
+                     THEN 0
+                   WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                   || CAST(b AS VARCHAR)), 1, 4) < 'bc5e'
+                     THEN 1
+                   WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                   || CAST(b AS VARCHAR)), 1, 4) < 'eb79'
+                     THEN 2
+                   WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                   || CAST(b AS VARCHAR)), 1, 4) < 'fb23'
+                     THEN 3
+                   WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                   || CAST(b AS VARCHAR)), 1, 4) < 'ff10'
+                     THEN 4
+                   ELSE 5
+               END AS w
+        FROM e
+    ), per_b AS (
+        SELECT b,
+               CAST(floor(CAST(sum(w * cents) AS DOUBLE)
+                          / CAST(sum(w) AS DOUBLE)) AS BIGINT) AS m_cents
+        FROM wtd GROUP BY b
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+               sum(m_cents) AS s, sum(m_cents * m_cents) AS ss
+        FROM per_b
+    )
+    SELECT n_resamples,
+           CAST(s AS DOUBLE) / CAST(n_resamples AS DOUBLE) / 100
+             AS boot_mean,
+           sqrt((CAST(n_resamples AS DOUBLE) * CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n_resamples AS DOUBLE)
+                   * (CAST(n_resamples AS DOUBLE) - 1))) / 100 AS se
+    FROM agg
+"""

@@ -446,3 +446,26 @@ def test_neyman_alloc_sums_to_budget(spark):
     assert all(v >= 0 for v in out.values())
     # B: n_h*sigma = 100*450 = 45000 vs A: 300*~0.8 — B dominates
     assert out["B"] > out["A"]
+
+
+def test_bootstrap_se_plausible(spark, sf_dir):
+    """Bootstrap mean tracks the true mean and the SE is positive and
+    near sigma/sqrt(n) (within 3x either way)."""
+    import math
+    import pyspark.sql.functions as F
+    from loan_etl_data_pipeline_spark.queries import q_bootstrap_se
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+    r = q_bootstrap_se(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice*100) as bigint)").alias("c")
+    )
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("c").alias("m"),
+        F.stddev("c").alias("sd"),
+    ).collect()[0]
+    assert r["n_resamples"] == 20
+    assert abs(r["boot_mean"] * 100 - stats["m"]) < 4 * stats["sd"] / math.sqrt(stats["n"]) * 100
+    ref = stats["sd"] / math.sqrt(stats["n"]) / 100
+    assert 0 < r["se"] < 3 * ref + 1e-9
+    assert r["se"] > ref / 3
