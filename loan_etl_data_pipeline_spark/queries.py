@@ -6610,3 +6610,143 @@ ORACLE_PART_B["q_bootstrap_se"] = """
                    * (CAST(n_resamples AS DOUBLE) - 1))) / 100 AS se
     FROM agg
 """
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ global clustering coefficient of the co-purchase graph:
+    3·triangles / wedges, where wedges = Σ d(d−1)/2 over node degrees
+    — how cliquish the collocation structure is (near-1 ⇒ dense
+    communities the CC/k-core passes will collapse; near-0 ⇒ star
+    hubs that need the skew playbook instead). Triangles reuse the
+    degree-oriented kernel (hub wedge fan-out capped ~O(√m)); wedges
+    are one exact-int aggregate over the degree table; ONE double
+    division at the end.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import degrees, triangles
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    tri = triangles(edges, "pa", "pb").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    wed = (
+        degrees(edges, "pa", "pb")
+        .agg(
+            F.sum(
+                F.col("degree") * (F.col("degree") - 1) / 2
+            ).cast("bigint").alias("n_wedges")
+        )
+    )
+    j = tri.crossJoin(wed)
+    return j.select(
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        "n_wedges",
+        (
+            3 * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+        ).alias("clustering_coeff"),
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over edges (Newman 2002) — do hubs
+    link to hubs (assortative, r>0) or to leaves (disassortative,
+    r<0)? Decides whether hub-removal or salting is the right skew
+    response before a 100 TB graph pass. Per the undirected
+    convention each edge contributes BOTH orientations, which makes
+    the two marginals identical; all moment sums are exact int64 over
+    degree pairs (degrees ≤ √(2m); sums far inside 64-bit), and the
+    closed-form correlation is a fixed IEEE sequence — the
+    q_price_trend portability stance on a graph.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import degrees
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = degrees(edges, "pa", "pb").select(
+        F.col("node"), F.col("degree").cast("bigint").alias("d")
+    )
+    both = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    j = (
+        both.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"),
+            "v",
+        )
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("du").alias("sx"),
+        F.sum("dv").alias("sy"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).alias("sxx"),
+        F.sum(F.col("dv") * F.col("dv")).alias("syy"),
+    )
+    nd = m["n"].cast("double")
+    num = nd * m["sxy"].cast("double") - m["sx"].cast("double") * m[
+        "sy"
+    ].cast("double")
+    denx = nd * m["sxx"].cast("double") - m["sx"].cast("double") * m[
+        "sx"
+    ].cast("double")
+    deny = nd * m["syy"].cast("double") - m["sy"].cast("double") * m[
+        "sy"
+    ].cast("double")
+    return m.select(
+        "n", (num / F.sqrt(denx * deny)).alias("assortativity")
+    )
+
+
+QUERIES_PART_B["q_clustering_coeff"] = q_clustering_coeff
+QUERIES_PART_B["q_degree_assortativity"] = q_degree_assortativity
+
+ORACLE_PART_B["q_clustering_coeff"] = f"""
+    WITH {_COPURCHASE_CTE},
+    deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+        ) GROUP BY node
+    ), tri AS (
+        SELECT count(*) AS n_triangles FROM pairs e1
+          JOIN pairs e2 ON e2.pa = e1.pb
+          JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), wed AS (
+        SELECT CAST(sum(degree * (degree - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+           3 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+             AS clustering_coeff
+    FROM tri, wed
+"""
+
+ORACLE_PART_B["q_degree_assortativity"] = f"""
+    WITH {_COPURCHASE_CTE},
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+        ) GROUP BY node
+    ), both_dir AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION ALL SELECT pb AS u, pa AS v FROM pairs
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(a.d) AS sx, sum(b.d) AS sy,
+               sum(a.d * b.d) AS sxy,
+               sum(a.d * a.d) AS sxx, sum(b.d * b.d) AS syy
+        FROM both_dir e
+        JOIN deg a ON e.u = a.node
+        JOIN deg b ON e.v = b.node
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS assortativity
+    FROM m
+"""
