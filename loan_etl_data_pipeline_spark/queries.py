@@ -6750,3 +6750,98 @@ ORACLE_PART_B["q_degree_assortativity"] = f"""
              AS assortativity
     FROM m
 """
+
+
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ privacy audit: k-anonymity / l-diversity facts for the
+    customer table under the quasi-identifier (nation, market
+    segment) with account-balance BRACKET as the sensitive value —
+    the release-gate question before sharing an extract: how many
+    rows sit in equivalence classes smaller than k=10, what k the
+    table actually achieves (min class size), and the worst
+    l-diversity (min distinct sensitive brackets in any class). One
+    QI-keyed aggregate, then a 1-row rollup — class counts never
+    leave the executors row-by-row.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bracket"),
+    )
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("bal_bracket").alias("l"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("sz").cast("bigint").alias("k_achieved"),
+        F.sum(F.when(F.col("sz") < 10, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_k10"),
+        F.min("l").cast("bigint").alias("l_diversity"),
+    )
+
+
+def q_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10+ shuffle planning: forecast the lineitem⋈orders output size
+    WITHOUT executing the join — Σ_k cnt_li(k)·cnt_o(k) over the
+    per-key count tables, plus the largest single-key contribution
+    and its share. The pre-flight a 100 TB join gets before anyone
+    burns the shuffle: the per-key count tables are tiny relative to
+    the facts (map-side combined), the forecast is one key-keyed
+    join of two count tables, and the answer tells you whether to
+    broadcast, salt, or walk away. Exact integers throughout.
+    """
+    li = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("ca"))
+    o = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("cb"))
+    per_key = li.join(o, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("contrib")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+        F.sum("contrib").cast("bigint").alias("forecast_rows"),
+        F.max("contrib").cast("bigint").alias("max_key_rows"),
+        (
+            F.max("contrib").cast("double") / F.sum("contrib").cast("double")
+        ).alias("max_key_share"),
+    )
+
+
+QUERIES_PART_B["q_kanon_audit"] = q_kanon_audit
+QUERIES_PART_B["q_join_size_forecast"] = q_join_size_forecast
+
+ORACLE_PART_B["q_kanon_audit"] = """
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS sz,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                 AS l
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(sz) AS BIGINT) AS k_achieved,
+           CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_below_k10,
+           CAST(min(l) AS BIGINT) AS l_diversity
+    FROM classes
+"""
+
+ORACLE_PART_B["q_join_size_forecast"] = """
+    WITH a AS (
+        SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1
+    ), b AS (
+        SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1
+    ), per_key AS (
+        SELECT a.k, a.ca * b.cb AS contrib FROM a JOIN b ON a.k = b.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_matching_keys,
+           CAST(sum(contrib) AS BIGINT) AS forecast_rows,
+           CAST(max(contrib) AS BIGINT) AS max_key_rows,
+           CAST(max(contrib) AS DOUBLE) / CAST(sum(contrib) AS DOUBLE)
+             AS max_key_share
+    FROM per_key
+"""
