@@ -6845,3 +6845,74 @@ ORACLE_PART_B["q_join_size_forecast"] = """
              AS max_key_share
     FROM per_key
 """
+
+
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ winsorized mean of o_totalprice: values beyond the exact
+    5%/95% rank boundaries CLAMP to the boundary values instead of
+    dropping (the q_trimmed_mean sibling — winsorizing keeps n and
+    dampens rather than deletes the tails). Same machinery: ONE
+    distributed global_rank under the (price, orderkey) total order;
+    the two boundary CENTS values are exact data points selected by
+    integer rank, the clamp is integer min/max, and the mean is the
+    portable floor-cent sum. Same eager-checkpoint-then-release
+    contract as every global_rank consumer.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = global_rank(o, [F.asc("cents"), F.asc("o_orderkey")])
+    n = ranked._global_rank_n
+    lo_rank = max((n * 5) // 100, 1)
+    hi_rank = n - (n * 5) // 100
+    bounds = ranked.filter(
+        F.col("rank").isin(lo_rank, hi_rank)
+    ).agg(
+        F.min(F.when(F.col("rank") == lo_rank, F.col("cents"))).alias("lo_c"),
+        F.min(F.when(F.col("rank") == hi_rank, F.col("cents"))).alias("hi_c"),
+    )
+    clamped = ranked.crossJoin(F.broadcast(bounds)).select(
+        F.greatest(
+            F.least(F.col("cents"), F.col("hi_c")), F.col("lo_c")
+        ).alias("w")
+    )
+    out = clamped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("w").cast("double") / 100 / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )
+    out = out.localCheckpoint(eager=True)
+    release_intermediates(ranked)
+    return out
+
+
+QUERIES_PART_B["q_winsorized_mean"] = q_winsorized_mean
+
+ORACLE_PART_B["q_winsorized_mean"] = """
+    WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ), r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+               (SELECT count(*) FROM c) AS n
+        FROM c
+    ), b AS (
+        SELECT
+            max(CASE WHEN rk = greatest((n * 5) // 100, 1)
+                     THEN cents END) AS lo_c,
+            max(CASE WHEN rk = n - (n * 5) // 100
+                     THEN cents END) AS hi_c
+        FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(greatest(least(cents, hi_c), lo_c)) AS DOUBLE)
+             / 100 / count(*) AS winsorized_mean
+    FROM r, b
+"""
