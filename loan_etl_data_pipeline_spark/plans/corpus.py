@@ -182,3 +182,81 @@ def prepare_corpus_v2(
         getattr(tiled, "_persisted_intermediates", ())
     )
     return out
+
+
+def prepare_corpus_v3(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    *,
+    span_k: int = 8,
+    max_dup_ratio: float = 0.5,
+    quota: int = 20,
+) -> DataFrame:
+    """The round-4 curation pipeline as ONE plan: declarative rule
+    battery → substring-span duplication gate → per-source quota cap.
+
+    1. **rule battery** (operators/filters.py) — the C4/Gopher rule
+       stack as one shuffle-free projection; only ``keep`` rows go on.
+    2. **span gate** (operators/text.py repeated_spans) — per-doc
+       duplicated-token mass over survivors; docs that are more than
+       ``max_dup_ratio`` boilerplate drop. Islands are maximal so the
+       mass is exact, and the gate runs AFTER the battery so the
+       gram postings never pay for junk docs.
+    3. **quota cap** — ≤ ``quota`` docs per source by engine-portable
+       md5 order (the anti-domination step before mixing).
+
+    Output: (source, doc_id, n_toks, dup_ratio, pick_rank). Shuffles:
+    the span stage's gram + doc keys, one source-keyed window — each
+    stage is the SAME certified code its standalone query runs, and
+    the composed plan is oracle-checked end-to-end (q_corpus_v3).
+    """
+    from pyspark.sql import Window
+
+    from loan_etl_data_pipeline_spark.operators.filters import rule_battery
+    from loan_etl_data_pipeline_spark.operators.text import (
+        repeated_spans,
+        tokens,
+    )
+
+    kept = (
+        rule_battery(df, id_col=id_col, text_col=text_col,
+                     keep_cols=(text_col, source_col))
+        .filter(F.col("keep"))
+        .select(id_col, text_col, source_col)
+    )
+    spans = repeated_spans(
+        kept, id_col, text_col, k=span_k, min_doc_freq=2
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_toks")
+    )
+    base = kept.select(
+        id_col,
+        source_col,
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_toks"),
+    )
+    scored = (
+        base.join(per_doc, id_col, "left")
+        .withColumn("dup_toks", F.coalesce("dup_toks", F.lit(0)))
+        .withColumn(
+            "dup_ratio",
+            F.col("dup_toks").cast("double") / F.col("n_toks").cast("double"),
+        )
+        .filter(F.col("dup_ratio") <= max_dup_ratio)
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= quota)
+        .select(
+            source_col,
+            id_col,
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            "dup_ratio",
+            F.col("pick_rank").cast("bigint").alias("pick_rank"),
+        )
+    )

@@ -5391,10 +5391,10 @@ QUERIES_PART_B["q_equidepth_hist"] = q_equidepth_hist
 
 # shared CTE block: q_repeated_spans and q_dup_mass replay the same
 # island construction (one source of truth so the two oracles can't drift)
-_SPANS_CTES = """
+_SPANS_CTES_TMPL = """
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-        FROM documents
+        FROM {src}
     ), grams AS (
         SELECT doc_id, i AS pos,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
@@ -5413,6 +5413,7 @@ _SPANS_CTES = """
         FROM hits
     )
 """
+_SPANS_CTES = _SPANS_CTES_TMPL.format(src="documents")
 
 ORACLE_PART_B["q_repeated_spans"] = _SPANS_CTES + """
     SELECT doc_id,
@@ -5422,9 +5423,10 @@ ORACLE_PART_B["q_repeated_spans"] = _SPANS_CTES + """
     FROM isl GROUP BY doc_id, grp
 """
 
-ORACLE_PART_B["q_filter_battery"] = """
-    WITH m AS (
-        SELECT doc_id,
+# shared battery fragments: q_filter_battery and the corpus-v3 plan
+# replay identical metric expressions and keep-condition (one source of
+# truth so the two oracles can't drift)
+_BATTERY_METRICS_SQL = """
                len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                  AS n_tokens,
                list_max(list_transform(
@@ -5439,6 +5441,14 @@ ORACLE_PART_B["q_filter_battery"] = """
                     AS DOUBLE)
                  / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                  AS distinct_ratio
+"""
+_BATTERY_KEEP_SQL = """(n_tokens >= 10 AND n_tokens <= 100000
+            AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+            AND max_token_len <= 30 AND distinct_ratio >= 0.2)"""
+
+ORACLE_PART_B["q_filter_battery"] = f"""
+    WITH m AS (
+        SELECT doc_id, {_BATTERY_METRICS_SQL}
         FROM documents
     )
     SELECT doc_id,
@@ -5448,9 +5458,7 @@ ORACLE_PART_B["q_filter_battery"] = """
            avg_token_len <= 12.0 AS max_avg_token_len,
            max_token_len <= 30 AS max_token_len,
            distinct_ratio >= 0.2 AS min_distinct_ratio,
-           (n_tokens >= 10 AND n_tokens <= 100000
-            AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
-            AND max_token_len <= 30 AND distinct_ratio >= 0.2) AS keep,
+           {_BATTERY_KEEP_SQL} AS keep,
            CASE
                WHEN NOT (n_tokens >= 10) THEN 'min_tokens'
                WHEN NOT (n_tokens <= 100000) THEN 'max_tokens'
@@ -6916,3 +6924,61 @@ ORACLE_PART_B["q_winsorized_mean"] = """
              / 100 / count(*) AS winsorized_mean
     FROM r, b
 """
+
+
+def q_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 round-4 curation pipeline end-to-end (plans/corpus.py
+    prepare_corpus_v3): rule battery → substring-span duplication gate
+    → per-source quota cap, as ONE plan whose oracle replays every
+    stage from the SAME shared SQL fragments the standalone queries
+    certify (_BATTERY_METRICS_SQL/_BATTERY_KEEP_SQL and
+    _SPANS_CTES_TMPL instantiated over the battery survivors — the
+    fragments can't drift from q_filter_battery/q_repeated_spans).
+    """
+    from loan_etl_data_pipeline_spark.plans.corpus import prepare_corpus_v3
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_corpus_v3(docs)
+
+
+QUERIES_PART_B["q_corpus_v3"] = q_corpus_v3
+
+ORACLE_PART_B["q_corpus_v3"] = (
+    f"""
+    WITH mm AS (
+        SELECT doc_id, text, source, {_BATTERY_METRICS_SQL}
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, text, source FROM mm
+        WHERE {_BATTERY_KEEP_SQL}
+    ), """
+    + _SPANS_CTES_TMPL.format(src="kept").split("WITH ", 1)[1]
+    + """
+    , per_doc AS (
+        SELECT doc_id, sum(span_end - span_start + 1) AS dup_toks
+        FROM (
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+            FROM isl GROUP BY doc_id, grp
+        ) GROUP BY doc_id
+    ), scored AS (
+        SELECT k.source, k.doc_id,
+               len(regexp_split_to_array(trim(lower(k.text)), '\\s+'))
+                 AS n_toks,
+               CAST(COALESCE(p.dup_toks, 0) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(lower(k.text)), '\\s+'))
+                 AS dup_ratio
+        FROM kept k LEFT JOIN per_doc p ON k.doc_id = p.doc_id
+    ), gated AS (
+        SELECT * FROM scored WHERE dup_ratio <= 0.5
+    )
+    SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks, dup_ratio,
+           CAST(rn AS BIGINT) AS pick_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        ) AS rn
+        FROM gated
+    ) WHERE rn <= 20
+"""
+)

@@ -104,3 +104,33 @@ def test_prepare_corpus_v2_stage_semantics(spark):
         "doc_id", "lang_pred", "n_words", "n_bpe_tokens",
         "bpe_per_word", "tile", "split",
     }
+
+def test_prepare_corpus_v3_stage_semantics(spark):
+    from loan_etl_data_pipeline_spark.plans.corpus import prepare_corpus_v3
+
+    boiler = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa"
+    )  # 16 distinct tokens -> 9 shared 8-grams -> one island of mass 16
+    uniq20 = " ".join(f"word{i:02d}" for i in range(20))
+    rows = [
+        # mostly boilerplate: 16 dup + 2 unique = 18 toks, ratio .89 -> gated
+        (1, boiler + " zebra yak", "s1"),
+        # same boilerplate diluted: 36 toks, ratio 16/36 = .44 -> kept
+        (2, boiler + " " + uniq20, "s1"),
+        # fails the rule battery (too short) -> never reaches the span stage
+        (3, "tiny doc", "s1"),
+    ] + [
+        # quota source: 3 clean unique docs, quota=2 -> exactly one dropped
+        (10 + i, " ".join(f"stok{i}{j:02d}" for j in range(12)), "s2")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["doc_id"]: r for r in prepare_corpus_v3(df, quota=2).collect()}
+    assert 1 not in got  # span gate: 16/18 duplicated mass
+    assert 3 not in got  # rule battery: min_tokens
+    assert abs(got[2]["dup_ratio"] - 16 / 36) < 1e-12
+    assert got[2]["n_toks"] == 36
+    s2 = [d for d in got if d >= 10]
+    assert len(s2) == 2  # per-source quota cap
+    assert sorted(got[d]["pick_rank"] for d in s2) == [1, 2]
