@@ -509,3 +509,56 @@ def connected_components_incremental(
     return known.join(out, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    seeds: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Multi-source BFS over the UNDIRECTED graph of ``edges``: minimum
+    hop distance from the ``seeds`` node set (single column ``id``),
+    for every node within ``max_hops``. Returns ``(id, hops)`` with
+    seeds at hop 0. Level-synchronous frontier expansion — the BFS
+    level IS the minimum path length, so a fixed ``max_hops``
+    unrolling is exactly replayable as a bounded recursive SQL CTE
+    (same oracle stance as the unrolled pagerank / kcore rounds).
+
+    Scale: per hop, one frontier⋈edges hash join keyed on node id and
+    one anti-join against the visited set — never the whole graph
+    times itself; the frontier is the working set, lineage cut per
+    round with localCheckpoint. Visited stays partitioned by id so the
+    anti-join co-locates. The classic use here: neighborhood expansion
+    around known-bad documents in a near-dup graph (contamination
+    blast radius) or co-purchase recommendation radius.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(h).cast("bigint"))
+            .localCheckpoint()
+        )
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return visited

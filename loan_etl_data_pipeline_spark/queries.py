@@ -6982,3 +6982,141 @@ ORACLE_PART_B["q_corpus_v3"] = (
     ) WHERE rn <= 20
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: multi-source BFS, Pareto frontier, exact proration
+# ---------------------------------------------------------------------------
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ multi-source BFS (operators/graph.py bfs_hops): minimum hop
+    distance from the partkey%50==0 seed parts over the co-purchase
+    graph, 3 hops — the contamination-blast-radius / recommendation-
+    radius query. Level-synchronous frontier expansion, one keyed join
+    + one anti-join per hop; fully value-oracled because the hop count
+    is fixed (bounded recursive CTE, min(hop) per node — BFS level ==
+    shortest path length).
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import bfs_hops
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    seeds = (
+        edges.select(F.col("pa").alias("id"))
+        .union(edges.select(F.col("pb").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 50 == 0)
+    )
+    return bfs_hops(edges, "pa", "pb", seeds=seeds, max_hops=3)
+
+
+QUERIES_PART_B["q_bfs_hops"] = q_bfs_hops
+
+ORACLE_PART_B["q_bfs_hops"] = f"""
+    WITH RECURSIVE {_COPURCHASE_CTE},
+    sym AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    seeds AS (
+        SELECT DISTINCT u AS id FROM sym WHERE u % 50 = 0
+    ),
+    walk(id, hop) AS (
+        SELECT id, 0 FROM seeds
+        UNION
+        SELECT sym.v, walk.hop + 1
+        FROM walk JOIN sym ON sym.u = walk.id
+        WHERE walk.hop < 3
+    )
+    SELECT id, CAST(min(hop) AS BIGINT) AS hops FROM walk GROUP BY id
+"""
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ skyline query (operators/skyline.py pareto_frontier_2d):
+    parts on the minimizing Pareto frontier of (retail price, size) —
+    no other part is both cheaper-or-equal and smaller-or-equal with
+    one strict. Sort-based linear skyline distributed via the
+    global_rank range-partition playbook (per-partition running min +
+    driver prefix of nparts scalars) — no Exchange SinglePartition, no
+    quadratic self-join. Oracle is the textbook NOT EXISTS dominance
+    form, certifying the staircase construction end-to-end.
+    """
+    from loan_etl_data_pipeline_spark.operators.skyline import pareto_frontier_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_frontier_2d(part, "p_retailprice", "p_size")
+
+
+QUERIES_PART_B["q_pareto_parts"] = q_pareto_parts
+
+ORACLE_PART_B["q_pareto_parts"] = """
+    SELECT p_partkey, p_retailprice, p_size FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+"""
+
+
+def q_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ exact integer allocation (operators/allocate.py
+    largest_remainder): split a 1000-point budget across each order's
+    line items proportional to quantity, Hamilton largest-remainder
+    method — allocations are exact integers summing to exactly 1000
+    per order, so the whole computation (floor shares, remainder
+    ranks, marginal units) value-oracles as SQL windows with zero
+    float drift. Orders sampled by orderkey%997==0 to bound output;
+    the windows are per-order regardless of corpus size.
+    """
+    from loan_etl_data_pipeline_spark.operators.allocate import largest_remainder
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 997 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    return largest_remainder(
+        li, "l_orderkey", "l_quantity", budget=1000, order_col="l_linenumber"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "alloc",
+    )
+
+
+QUERIES_PART_B["q_proration"] = q_proration
+
+ORACLE_PART_B["q_proration"] = """
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem WHERE l_orderkey % 997 = 0
+    ), m AS (
+        SELECT *,
+               sum(qty) OVER (PARTITION BY l_orderkey) AS tot,
+               count(*) OVER (PARTITION BY l_orderkey) AS n
+        FROM li
+    ), f AS (
+        SELECT *,
+               CASE WHEN tot > 0 THEN (1000 * qty) // tot
+                    ELSE 1000 // n END AS fl,
+               CASE WHEN tot > 0 THEN (1000 * qty) % tot ELSE 0 END AS rem
+        FROM m
+    ), r AS (
+        SELECT *,
+               1000 - sum(fl) OVER (PARTITION BY l_orderkey) AS leftover,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY rem DESC, qty DESC, l_linenumber ASC
+               ) AS rk
+        FROM f
+    )
+    SELECT l_orderkey, l_linenumber, qty,
+           CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r
+"""

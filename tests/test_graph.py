@@ -234,3 +234,28 @@ def test_incremental_cc_equals_full_recompute(spark):
     assert inc == full
     assert inc[11] == 1  # merged cluster takes the smaller root
     assert inc[20] == 20 and inc[21] == 20  # untouched component stable
+
+
+def test_bfs_hops_path_graph(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    got = {r["id"]: r["hops"] for r in
+           bfs_hops(edges, seeds=seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # 4,5 beyond the horizon
+
+
+def test_bfs_hops_multi_seed_min_distance(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], ["id"])
+    got = {r["id"]: r["hops"] for r in
+           bfs_hops(edges, seeds=seeds, max_hops=3).collect()}
+    # undirected, two seeds: every node takes the NEARER seed's distance
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
