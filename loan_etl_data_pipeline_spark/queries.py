@@ -7120,3 +7120,223 @@ ORACLE_PART_B["q_proration"] = """
              AS alloc
     FROM r
 """
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ weighted median: the smallest extended price whose
+    cumulative quantity weight reaches half the total — via ONE
+    distributed global_cumsum (functions/ranking.py: range partitions
+    + per-partition offsets, never an Exchange SinglePartition) under
+    the total order (price, orderkey, linenumber). Weights are exact
+    int64 so the crossing test 2·cum >= total is pure integer
+    comparison; the reported value is comparison-selected, never
+    arithmetic — fully engine-portable. Tie values: the crossing group
+    yields the same minimal price under ANY within-group order, so the
+    tie-break only pins determinism, not the answer.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    c = global_cumsum(
+        li,
+        [F.asc("v"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        "w",
+        cum_col="cw",
+    )
+    tot = li.agg(F.sum("w").alias("tot"))
+    out = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cw") >= F.col("tot"))
+        .agg(F.min("v").alias("weighted_median"))
+    )
+    # eager-checkpoint-then-release: global_cumsum's offsets are
+    # driver-computed from one materialization (q_trimmed_mean pattern)
+    out = out.localCheckpoint(eager=True)
+    release_intermediates(c)
+    return out
+
+
+QUERIES_PART_B["q_weighted_median"] = q_weighted_median
+
+ORACLE_PART_B["q_weighted_median"] = """
+    WITH t AS (
+        SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), c AS (
+        SELECT v,
+               sum(w) OVER (
+                   ORDER BY v ASC, l_orderkey ASC, l_linenumber ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cw,
+               (SELECT sum(w) FROM t) AS tot
+        FROM t
+    )
+    SELECT min(v) AS weighted_median FROM c WHERE 2 * cw >= tot
+"""
+
+
+def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ information-theoretic column dependence: mutual information
+    between l_returnflag and l_linestatus plus both marginal entropies
+    — the feature-selection / redundant-column screen (MI ≈ H(Y) means
+    Y is derivable from X; MI ≈ 0 means independent). Every term is
+    ln() over a ratio of EXACT int64 counts (shared-libm ln is
+    bit-identical cross-engine — the BM25 stance), and per-cell terms
+    are floor-quantized to 1e-12 nats BEFORE the final sum so the
+    ≤|X|·|Y|-term addition is exact integer math, immune to engine
+    summation order. One joint count agg (map-side combined), tiny
+    broadcast margins; 1 row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
+    )
+    nxy = li.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("nxy"))
+    nx = li.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("nx"))
+    ny = li.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("ny"))
+    tot = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = (
+        nxy.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    mi_term = (dbl("nxy") / dbl("n")) * F.log(
+        dbl("n") * dbl("nxy") / (dbl("nx") * dbl("ny"))
+    )
+    hx_term = (dbl("nx") / dbl("n")) * F.log(dbl("nx") / dbl("n"))
+    hy_term = (dbl("ny") / dbl("n")) * F.log(dbl("ny") / dbl("n"))
+    q = lambda col: F.floor(col * F.lit(1e12)).cast("bigint")  # noqa: E731
+    mi = j.agg((F.sum(q(mi_term)).cast("double") / 1e12).alias("mi_nats"))
+    hx = (
+        nx.crossJoin(F.broadcast(tot))
+        .agg((-F.sum(q(hx_term)).cast("double") / 1e12).alias("h_returnflag"))
+    )
+    hy = (
+        ny.crossJoin(F.broadcast(tot))
+        .agg((-F.sum(q(hy_term)).cast("double") / 1e12).alias("h_linestatus"))
+    )
+    return mi.crossJoin(hx).crossJoin(hy)
+
+
+QUERIES_PART_B["q_info_gain"] = q_info_gain
+
+ORACLE_PART_B["q_info_gain"] = """
+    WITH li AS (
+        SELECT l_returnflag AS x, l_linestatus AS y FROM lineitem
+    ), nxy AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS nxy FROM li GROUP BY x, y
+    ), nx AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS nx FROM li GROUP BY x
+    ), ny AS (
+        SELECT y, CAST(count(*) AS BIGINT) AS ny FROM li GROUP BY y
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM li
+    ), j AS (
+        SELECT nxy.x, nxy.y, nxy.nxy, nx.nx, ny.ny, tot.n
+        FROM nxy JOIN nx ON nxy.x = nx.x JOIN ny ON nxy.y = ny.y, tot
+    ),
+    mi AS (
+        SELECT CAST(sum(CAST(floor(
+                   (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE)
+                        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+                   * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS mi_nats
+        FROM j
+    ),
+    hx AS (
+        SELECT -CAST(sum(CAST(floor(
+                   (CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS h_returnflag
+        FROM nx, tot
+    ),
+    hy AS (
+        SELECT -CAST(sum(CAST(floor(
+                   (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS h_linestatus
+        FROM ny, tot
+    )
+    SELECT mi.mi_nats, hx.h_returnflag, hy.h_linestatus FROM mi, hx, hy
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ time-series changepoint screen: the day where the CUSUM of
+    daily revenue deviates furthest from the constant-mean model —
+    argmax_t |n·S_t − t·T| where S_t is the cumulative cents through
+    day t (exact int64 via distributed global_cumsum), T the total, n
+    the day count. The scaled statistic n·S_t − t·T IS n·CUSUM_t, so
+    the argmax is identical and stays pure integer (no division until
+    the reported normalized value; overflow bound n·T < 2^63 → swap to
+    decimal(38,0) per the SCALE.md ladder past ~10^5 SF). Day index t
+    comes from a second ones-cumsum on the already-ranged frame (both
+    range shuffles are over the ~2.4k-row daily aggregate, not the
+    fact table). TakeOrdered(1) with earliest-day tie-break.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    c = global_cumsum(daily, [F.asc("day")], "cents", cum_col="s")
+    c2 = global_cumsum(c, [F.asc("day")], "one", cum_col="t")
+    g = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("tot"),
+    )
+    dev = F.col("n") * F.col("s") - F.col("t") * F.col("tot")
+    out = (
+        c2.crossJoin(F.broadcast(g))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            dev.cast("bigint").alias("cusum_scaled"),
+            (dev.cast("double") / F.col("n").cast("double") / 100).alias(
+                "cusum"
+            ),
+        )
+        .orderBy(F.abs(F.col("cusum_scaled")).desc(), F.col("day").asc())
+        .limit(1)
+    )
+    out = out.localCheckpoint(eager=True)
+    release_intermediates(c2)
+    release_intermediates(c)
+    return out
+
+
+QUERIES_PART_B["q_cusum_changepoint"] = q_cusum_changepoint
+
+ORACLE_PART_B["q_cusum_changepoint"] = """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY day
+    ), c AS (
+        SELECT day, cents,
+               sum(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s,
+               row_number() OVER (ORDER BY day) AS t,
+               (SELECT count(*) FROM d) AS n,
+               (SELECT sum(cents) FROM d) AS tot
+        FROM d
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n * s - t * tot AS BIGINT) AS cusum_scaled,
+           CAST(n * s - t * tot AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS cusum
+    FROM c
+    ORDER BY abs(n * s - t * tot) DESC, day ASC LIMIT 1
+"""
