@@ -7340,3 +7340,247 @@ ORACLE_PART_B["q_cusum_changepoint"] = """
     FROM c
     ORDER BY abs(n * s - t * tot) DESC, day ASC LIMIT 1
 """
+
+
+def q_woe_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ credit-scoring feature screen (the loan-domain classic):
+    Weight-of-Evidence and Information-Value of account balance against
+    a default-style label (customer has >= 1 'F'-status order).
+    Balance quintiles come from ONE distributed global_rank +
+    arithmetic ntile (functions/ranking.py — ANSI ntile semantics, no
+    Exchange SinglePartition); per-bin good/bad counts are exact
+    int64; WOE = ln of a ratio of +1-smoothed exact rationals
+    (shared-libm ln, the BM25 stance) and the IV contribution is
+    floor-quantized to 1e-12 before any consumer sums it. One rank
+    pass + one 5-row agg; eager-checkpoint-then-release per the
+    global_rank contract.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bad_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__bad", F.lit(1))
+    )
+    lab = cust.join(bad_keys, "c_custkey", "left").withColumn(
+        "is_bad", F.coalesce("__bad", F.lit(0)).cast("bigint")
+    )
+    ranked = global_rank(lab, [F.asc("c_acctbal"), F.asc("c_custkey")])
+    n = ranked._global_rank_n
+    binned = ranked.withColumn(
+        "bin", ntile_from_rank(F.col("rank"), n, 5)
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_bad").cast("bigint").alias("n_bad"),
+    )
+    tot = binned.agg(
+        F.sum(F.col("n") - F.col("n_bad")).alias("G"),
+        F.sum("n_bad").alias("B"),
+    )
+    j = binned.crossJoin(F.broadcast(tot))
+    good_share = (F.col("n") - F.col("n_bad") + 1).cast("double") / (
+        F.col("G") + 5
+    ).cast("double")
+    bad_share = (F.col("n_bad") + 1).cast("double") / (F.col("B") + 5).cast(
+        "double"
+    )
+    woe = F.log(good_share / bad_share)
+    iv_term = (
+        F.floor((good_share - bad_share) * woe * F.lit(1e12)).cast("double")
+        / 1e12
+    )
+    out = j.select(
+        "bin", "n", "n_bad", woe.alias("woe"), iv_term.alias("iv_term")
+    )
+    out = out.localCheckpoint(eager=True)
+    release_intermediates(ranked)
+    return out
+
+
+QUERIES_PART_B["q_woe_acctbal"] = q_woe_acctbal
+
+ORACLE_PART_B["q_woe_acctbal"] = """
+    WITH lab AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END AS is_bad
+        FROM customer c LEFT JOIN (
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE o_orderstatus = 'F'
+        ) b ON c.c_custkey = b.c_custkey
+    ), binned AS (
+        SELECT CAST(ntile(5) OVER (
+                   ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS bin,
+               is_bad
+        FROM lab
+    ), agg AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(is_bad) AS BIGINT) AS n_bad
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT sum(n - n_bad) AS G, sum(n_bad) AS B FROM agg
+    )
+    SELECT bin, n, n_bad,
+           ln((CAST(n - n_bad + 1 AS DOUBLE) / CAST(G + 5 AS DOUBLE))
+              / (CAST(n_bad + 1 AS DOUBLE) / CAST(B + 5 AS DOUBLE))) AS woe,
+           CAST(floor(
+               (CAST(n - n_bad + 1 AS DOUBLE) / CAST(G + 5 AS DOUBLE)
+                - CAST(n_bad + 1 AS DOUBLE) / CAST(B + 5 AS DOUBLE))
+               * ln((CAST(n - n_bad + 1 AS DOUBLE) / CAST(G + 5 AS DOUBLE))
+                    / (CAST(n_bad + 1 AS DOUBLE) / CAST(B + 5 AS DOUBLE)))
+               * 1e12) AS BIGINT) / 1e12 AS iv_term
+    FROM agg, tot
+"""
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ fraud/entry-error screen: first-significant-digit
+    distribution of order totals vs Benford's law. The digit is
+    extracted from the STRING form of exact floor-cents (never via
+    float log10, whose boundary rounding differs across engines);
+    expected shares ln(1+1/d)/ln(10) and the chi-square contribution
+    are a fixed IEEE sequence over exact int64 counts — bit-stable.
+    One map-side-combined digit agg; 9 rows out.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = o.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("grand_n"))
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.log(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    ) / F.log(F.lit(10.0))
+    exp_n = F.col("grand_n").cast("double") * p
+    chi2 = (F.col("n").cast("double") - exp_n) * (
+        F.col("n").cast("double") - exp_n
+    ) / exp_n
+    return j.select(
+        "digit",
+        "n",
+        exp_n.alias("expected"),
+        chi2.alias("chi2_term"),
+    )
+
+
+QUERIES_PART_B["q_benford_audit"] = q_benford_audit
+
+ORACLE_PART_B["q_benford_audit"] = """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+    ), counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), tot AS (SELECT sum(n) AS grand_n FROM counts)
+    SELECT digit, n,
+           CAST(grand_n AS DOUBLE)
+             * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) AS expected,
+           (CAST(n AS DOUBLE) - CAST(grand_n AS DOUBLE)
+              * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+           * (CAST(n AS DOUBLE) - CAST(grand_n AS DOUBLE)
+              * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+           / (CAST(grand_n AS DOUBLE)
+              * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+             AS chi2_term
+    FROM counts, tot
+"""
+
+
+def q_rrf_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ rank fusion (Cormack et al. reciprocal-rank fusion, the
+    standard retrieval ensemble): fuse two per-nation customer
+    rankings — by exact-cents revenue and by order count — into
+    RRF(c) = Σ 1/(60+rank_i), kept EXACT by integer division
+    div(1e12, 60+rank) so the fused score is a bigint immune to float
+    association; top-3 per nation, custkey tie-break. Windows are all
+    partitioned by nation (never a global sort); the same shape fuses
+    BM25⊕embedding rankings per query at corpus scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w1 = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("cents"), F.asc("c_custkey")
+    )
+    w2 = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("n_orders"), F.asc("c_custkey")
+    )
+    fused = per_cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    ).withColumn(
+        "rrf",
+        F.expr("div(1000000000000, 60 + r1) + div(1000000000000, 60 + r2)"),
+    )
+    w3 = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("rrf"), F.asc("c_custkey")
+    )
+    return (
+        fused.withColumn("pos", F.row_number().over(w3))
+        .filter(F.col("pos") <= 3)
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.col("pos").cast("bigint").alias("pos"),
+            "c_custkey",
+            F.col("rrf").cast("bigint").alias("rrf"),
+        )
+    )
+
+
+QUERIES_PART_B["q_rrf_customers"] = q_rrf_customers
+
+ORACLE_PART_B["q_rrf_customers"] = """
+    WITH per_cust AS (
+        SELECT c.c_nationkey, c.c_custkey,
+               sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ), ranked AS (
+        SELECT c_nationkey, c_custkey,
+               row_number() OVER (PARTITION BY c_nationkey
+                   ORDER BY cents DESC, c_custkey ASC) AS r1,
+               row_number() OVER (PARTITION BY c_nationkey
+                   ORDER BY n_orders DESC, c_custkey ASC) AS r2
+        FROM per_cust
+    ), fused AS (
+        SELECT c_nationkey, c_custkey,
+               1000000000000 // (60 + r1) + 1000000000000 // (60 + r2) AS rrf
+        FROM ranked
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(pos AS BIGINT) AS pos, c_custkey, CAST(rrf AS BIGINT) AS rrf
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                      ORDER BY rrf DESC, c_custkey ASC) AS pos
+        FROM fused
+    ) WHERE pos <= 3
+"""
