@@ -7584,3 +7584,311 @@ ORACLE_PART_B["q_rrf_customers"] = """
         FROM fused
     ) WHERE pos <= 3
 """
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ training-efficiency report: length-bucketed batching waste.
+    Docs are bucketed by token count into width-128 buckets (the
+    sequence-length bucketing trick); per bucket we report doc count,
+    the bucket's max length, and the padding tokens a bucket-local
+    pad-to-max scheme burns — the number a packing run (q_pack_docs)
+    is judged against. Pure integer token counts; one map-side-combined
+    bucket agg. At 100 TB the output stays ≤ max_len/128 rows.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens(F.lower(F.col("text")))).cast("bigint").alias("n_toks")
+    )
+    return (
+        docs.withColumn("bucket", F.expr("div(n_toks, 128)"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_toks").alias("max_toks"),
+            (
+                F.count(F.lit(1)) * F.max("n_toks") - F.sum("n_toks")
+            ).cast("bigint").alias("pad_toks"),
+        )
+    )
+
+
+QUERIES_PART_B["q_padding_waste"] = q_padding_waste
+
+ORACLE_PART_B["q_padding_waste"] = """
+    WITH d AS (
+        SELECT CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                    AS BIGINT) AS n_toks
+        FROM documents
+    )
+    SELECT n_toks // 128 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_toks) AS BIGINT) AS max_toks,
+           CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS pad_toks
+    FROM d GROUP BY bucket
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue in exact floor-cents — the shared spine of the
+    time-series family (CUSUM, Mann-Kendall, autocorrelation, DOW
+    seasonality). Day count is calendar-bounded: it does NOT grow with
+    SF, so downstream pair joins over days are scale-constant even at
+    100 TB (the fact scan is the only size-dependent stage)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+    )
+
+
+_DAILY_CENTS_SQL = """
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY day
+    )
+"""
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ non-parametric trend test: Mann-Kendall S over daily
+    revenue — S = Σ_{i<j} sign(c_j − c_i), a pure INTEGER statistic
+    (no moments, no distribution assumption), with the tie-corrected
+    variance and the continuity-corrected Z as a fixed IEEE sequence
+    over exact int64 ingredients. The day×day pair join is over the
+    calendar-bounded daily aggregate (_daily_cents — day count is
+    SF-invariant), so the quadratic never touches fact-table scale.
+    """
+    d = _daily_cents(spark, sf_dir)
+    a = d.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = d.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.signum(F.col("cb") - F.col("ca")).cast("bigint"))
+            .alias("s_stat")
+        )
+    )
+    nrow = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ties = (
+        d.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("tie_corr")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nrow)).crossJoin(F.broadcast(ties))
+    n = F.col("n_days").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_corr").cast("double")
+    ) / 18.0
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (sd - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (sd + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select("s_stat", "n_days", var_s.alias("var_s"), z.alias("z"))
+
+
+QUERIES_PART_B["q_mann_kendall"] = q_mann_kendall
+
+ORACLE_PART_B["q_mann_kendall"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    nrow AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    ties AS (
+        SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                 AS tie_corr
+        FROM (SELECT count(*) AS t FROM daily GROUP BY cents HAVING count(*) > 1)
+    )
+    SELECT s_stat, n_days,
+           (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)
+              * (2 * CAST(n_days AS DOUBLE) + 5)
+            - CAST(tie_corr AS DOUBLE)) / 18.0 AS var_s,
+           CASE
+             WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1)
+               / sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)
+                         * (2 * CAST(n_days AS DOUBLE) + 5)
+                       - CAST(tie_corr AS DOUBLE)) / 18.0)
+             WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1)
+               / sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)
+                         * (2 * CAST(n_days AS DOUBLE) + 5)
+                       - CAST(tie_corr AS DOUBLE)) / 18.0)
+             ELSE 0.0
+           END AS z
+    FROM s, nrow, ties
+"""
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ autocorrelation function: Pearson r of daily revenue
+    against itself at calendar lags 1..7 days — the weekly-cycle
+    detector feeding q_dow_seasonality. Each lag's five moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate EXACTLY — products are
+    computed in decimal(18,0)×decimal(18,0) so Σxy survives int64
+    overflow at high SF (per the SCALE.md decimal ladder; DuckDB's
+    HUGEINT sums mirror it) — then the closed-form r is a fixed IEEE
+    sequence over the exact moments (the q_price_trend stance).
+    Missing calendar days simply don't pair (calendar join, not
+    row-offset lag). One day-keyed join over the SF-invariant daily
+    aggregate.
+    """
+    d = _daily_cents(spark, sf_dir)
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = d.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = d.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("match_day", F.expr("date_add(da, lag)"))
+        .join(b, F.col("match_day") == F.col("db"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(dec("ca")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("cb")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("ca") * dec("cb")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("ca") * dec("ca")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("cb") * dec("cb")).cast("decimal(38,0)").alias("syy"),
+    )
+    # Deterministic wide-int -> double: DuckDB's 128-bit HUGEINT/DECIMAL
+    # -> DOUBLE cast is NOT correctly rounded (measured: off by 1 ulp on
+    # 2^65-magnitude sums), so BOTH engines instead run the same fixed
+    # IEEE sequence over 2^32 limbs: double(v % 2^32) is exact, the high
+    # limb goes through the correctly-rounded int64 CPU conversion, and
+    # the one add rounds identically. Covers |v| < 2^95 — daily-cents
+    # moments at 100 TB are ~8e27, inside the bound.
+    db = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * db("sxy") - db("sx") * db("sy")
+    den = F.sqrt(n * db("sxx") - db("sx") * db("sx")) * F.sqrt(
+        n * db("syy") - db("sy") * db("sy")
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        (num / den).alias("r"),
+    )
+
+
+QUERIES_PART_B["q_autocorr"] = q_autocorr
+
+ORACLE_PART_B["q_autocorr"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    lags AS (SELECT CAST(i AS INTEGER) AS lag FROM range(1, 8) t(i)),
+    paired AS (
+        SELECT l.lag, a.cents AS ca, b.cents AS cb
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.day = a.day + to_days(l.lag)
+    ),
+    m AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(CAST(ca AS HUGEINT)) AS sx,
+               sum(CAST(cb AS HUGEINT)) AS sy,
+               sum(CAST(ca AS HUGEINT) * cb) AS sxy,
+               sum(CAST(ca AS HUGEINT) * ca) AS sxx,
+               sum(CAST(cb AS HUGEINT) * cb) AS syy
+        FROM paired GROUP BY lag
+    )
+    , md AS (
+        -- limb-split conversion: see the engine-side comment (DuckDB's
+        -- 128-bit -> DOUBLE cast is off by 1 ulp; this sequence is the
+        -- one the engine runs)
+        SELECT lag, n_pairs,
+               CAST(sx % 4294967296 AS DOUBLE)
+                 + CAST(sx // 4294967296 AS DOUBLE) * 4294967296.0 AS dsx,
+               CAST(sy % 4294967296 AS DOUBLE)
+                 + CAST(sy // 4294967296 AS DOUBLE) * 4294967296.0 AS dsy,
+               CAST(sxy % 4294967296 AS DOUBLE)
+                 + CAST(sxy // 4294967296 AS DOUBLE) * 4294967296.0 AS dsxy,
+               CAST(sxx % 4294967296 AS DOUBLE)
+                 + CAST(sxx // 4294967296 AS DOUBLE) * 4294967296.0 AS dsxx,
+               CAST(syy % 4294967296 AS DOUBLE)
+                 + CAST(syy // 4294967296 AS DOUBLE) * 4294967296.0 AS dsyy
+        FROM m
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           (CAST(n_pairs AS DOUBLE) * dsxy - dsx * dsy)
+           / (sqrt(CAST(n_pairs AS DOUBLE) * dsxx - dsx * dsx)
+              * sqrt(CAST(n_pairs AS DOUBLE) * dsyy - dsy * dsy)) AS r
+    FROM md
+"""
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ day-of-week seasonal index: average daily revenue per
+    weekday divided by the overall daily average — the multiplicative
+    seasonal profile (index > 1 ⇒ above-trend weekday). Weekday
+    numbering pinned to 0=Sunday..6 on both engines (Spark dayofweek()
+    is 1-based Sunday; DuckDB dow is 0-based — mapped explicitly, the
+    cross-engine trap). All ratios are fixed IEEE ops on exact int64
+    cents/counts; 7 rows out of the SF-invariant daily aggregate.
+    """
+    d = _daily_cents(spark, sf_dir)
+    per_dow = d.groupBy(
+        (F.dayofweek("day") - 1).cast("bigint").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").alias("cents"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot_days"),
+        F.sum("cents").alias("tot_cents"),
+    )
+    j = per_dow.crossJoin(F.broadcast(tot))
+    avg_day = F.col("cents").cast("double") / F.col("n_days").cast("double")
+    avg_all = F.col("tot_cents").cast("double") / F.col("tot_days").cast(
+        "double"
+    )
+    return j.select(
+        "dow",
+        "n_days",
+        (avg_day / 100).alias("avg_revenue"),
+        (avg_day / avg_all).alias("seasonal_index"),
+    )
+
+
+QUERIES_PART_B["q_dow_seasonality"] = q_dow_seasonality
+
+ORACLE_PART_B["q_dow_seasonality"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    per_dow AS (
+        SELECT CAST(dayofweek(day) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM daily GROUP BY dow
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS tot_days,
+               CAST(sum(cents) AS BIGINT) AS tot_cents
+        FROM daily
+    )
+    SELECT dow, n_days,
+           CAST(cents AS DOUBLE) / CAST(n_days AS DOUBLE) / 100 AS avg_revenue,
+           (CAST(cents AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / (CAST(tot_cents AS DOUBLE) / CAST(tot_days AS DOUBLE))
+             AS seasonal_index
+    FROM per_dow, tot
+"""
