@@ -7122,20 +7122,13 @@ ORACLE_PART_B["q_proration"] = """
 """
 
 
-def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A.4+ weighted median: the smallest extended price whose
-    cumulative quantity weight reaches half the total — via ONE
-    distributed global_cumsum (functions/ranking.py: range partitions
-    + per-partition offsets, never an Exchange SinglePartition) under
-    the total order (price, orderkey, linenumber). Weights are exact
-    int64 so the crossing test 2·cum >= total is pure integer
-    comparison; the reported value is comparison-selected, never
-    arithmetic — fully engine-portable. Tie values: the crossing group
-    yields the same minimal price under ANY within-group order, so the
-    tie-break only pins determinism, not the answer.
-    """
+def _weighted_median_build(spark: SparkSession, sf_dir: str):
+    """Un-checkpointed construction for q_weighted_median — split out so
+    the plan audit can assert the pre-checkpoint physical plan (a
+    localCheckpoint result collapses to Scan ExistingRDD). Returns
+    (result, ranged) — callers must materialize result BEFORE releasing
+    ranged (global_cumsum offset contract)."""
     from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
-    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"),
@@ -7155,6 +7148,24 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(2 * F.col("cw") >= F.col("tot"))
         .agg(F.min("v").alias("weighted_median"))
     )
+    return out, c
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ weighted median: the smallest extended price whose
+    cumulative quantity weight reaches half the total — via ONE
+    distributed global_cumsum (functions/ranking.py: range partitions
+    + per-partition offsets, never an Exchange SinglePartition) under
+    the total order (price, orderkey, linenumber). Weights are exact
+    int64 so the crossing test 2·cum >= total is pure integer
+    comparison; the reported value is comparison-selected, never
+    arithmetic — fully engine-portable. Tie values: the crossing group
+    yields the same minimal price under ANY within-group order, so the
+    tie-break only pins determinism, not the answer.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    out, c = _weighted_median_build(spark, sf_dir)
     # eager-checkpoint-then-release: global_cumsum's offsets are
     # driver-computed from one materialization (q_trimmed_mean pattern)
     out = out.localCheckpoint(eager=True)
@@ -7268,21 +7279,11 @@ ORACLE_PART_B["q_info_gain"] = """
 """
 
 
-def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A.4+ time-series changepoint screen: the day where the CUSUM of
-    daily revenue deviates furthest from the constant-mean model —
-    argmax_t |n·S_t − t·T| where S_t is the cumulative cents through
-    day t (exact int64 via distributed global_cumsum), T the total, n
-    the day count. The scaled statistic n·S_t − t·T IS n·CUSUM_t, so
-    the argmax is identical and stays pure integer (no division until
-    the reported normalized value; overflow bound n·T < 2^63 → swap to
-    decimal(38,0) per the SCALE.md ladder past ~10^5 SF). Day index t
-    comes from a second ones-cumsum on the already-ranged frame (both
-    range shuffles are over the ~2.4k-row daily aggregate, not the
-    fact table). TakeOrdered(1) with earliest-day tie-break.
-    """
+def _cusum_build(spark: SparkSession, sf_dir: str):
+    """Un-checkpointed construction for q_cusum_changepoint (see
+    _weighted_median_build for why). Returns (result, [c2, c]) — the
+    cumsum frames to release after materialization."""
     from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
-    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
 
     daily = (
         load_table(spark, sf_dir, "orders")
@@ -7313,9 +7314,28 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum_scaled")).desc(), F.col("day").asc())
         .limit(1)
     )
+    return out, [c2, c]
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ time-series changepoint screen: the day where the CUSUM of
+    daily revenue deviates furthest from the constant-mean model —
+    argmax_t |n·S_t − t·T| where S_t is the cumulative cents through
+    day t (exact int64 via distributed global_cumsum), T the total, n
+    the day count. The scaled statistic n·S_t − t·T IS n·CUSUM_t, so
+    the argmax is identical and stays pure integer (no division until
+    the reported normalized value; overflow bound n·T < 2^63 → swap to
+    decimal(38,0) per the SCALE.md ladder past ~10^5 SF). Day index t
+    comes from a second ones-cumsum on the already-ranged frame (both
+    range shuffles are over the ~2.4k-row daily aggregate, not the
+    fact table). TakeOrdered(1) with earliest-day tie-break.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    out, frames = _cusum_build(spark, sf_dir)
     out = out.localCheckpoint(eager=True)
-    release_intermediates(c2)
-    release_intermediates(c)
+    for f in frames:
+        release_intermediates(f)
     return out
 
 

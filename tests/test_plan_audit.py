@@ -309,3 +309,72 @@ def test_repeated_spans_no_cartesian(plans):
     p = plans("q_repeated_spans")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pareto_skyline_no_single_partition_exchange(plans):
+    # the staircase runs on range partitions + per-partition windows;
+    # a naive global-window skyline would show Exchange SinglePartition
+    p = plans("q_pareto_parts")
+    assert "Exchange SinglePartition" not in p
+    assert "rangepartitioning" in p
+    # the frontier join back to the base rows is a broadcast, not a
+    # shuffled self-join
+    assert "BroadcastHashJoin" in p
+
+
+def test_weighted_median_no_single_partition_exchange(spark, sf_dir):
+    # assert the PRE-checkpoint plan (the query wrapper collapses to
+    # Scan ExistingRDD after localCheckpoint)
+    from loan_etl_data_pipeline_spark.queries import _weighted_median_build
+
+    out, c = _weighted_median_build(spark, sf_dir)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # the cumsum rides range partitions with __pid-partitioned windows;
+    # SinglePartition exchanges exist only as scalar-aggregate reduces
+    # (sum(w) total, final min) moving nparts rows each
+    assert "rangepartitioning" in p
+    for line in p.splitlines():
+        if "Window " in line:
+            assert "__pid" in line, line
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+    release_intermediates(c)
+
+
+def test_rrf_windows_partitioned_by_nation(plans):
+    # every window carries the nation partition key — no global sort
+    p = plans("q_rrf_customers")
+    assert "Exchange SinglePartition" not in p
+
+
+def test_proration_single_group_shuffle(plans):
+    # all three windows share the l_orderkey partitioning: ONE exchange
+    # on the group key, reused by every window stage
+    p = plans("q_proration")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_cusum_fact_aggregates_before_range_shuffle(spark, sf_dir):
+    # the fact table collapses to the daily aggregate BEFORE the two
+    # tiny range shuffles; no SinglePartition funnel anywhere
+    from loan_etl_data_pipeline_spark.queries import _cusum_build
+
+    out, frames = _cusum_build(spark, sf_dir)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # SinglePartition appears only as the (n, tot) scalar reduce; both
+    # cumsum windows are __pid-partitioned over range partitions
+    assert "rangepartitioning" in p
+    for line in p.splitlines():
+        if "Window " in line:
+            assert "__pid" in line, line
+    assert "TakeOrderedAndProject" in p
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+    for f in frames:
+        release_intermediates(f)
+
+
+def test_benford_single_aggregation_pass(plans):
+    # digit agg (partial+final) + 1-row total broadcast — nothing wide
+    p = plans("q_benford_audit")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
