@@ -7034,20 +7034,27 @@ ORACLE_PART_B["q_bfs_hops"] = f"""
 
 def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A.4+ skyline query (operators/skyline.py pareto_frontier_2d):
-    parts on the minimizing Pareto frontier of (retail price, size) —
-    no other part is both cheaper-or-equal and smaller-or-equal with
-    one strict. Sort-based linear skyline distributed via the
-    global_rank range-partition playbook (per-partition running min +
-    driver prefix of nparts scalars) — no Exchange SinglePartition, no
+    parts on the cheapest-AND-largest Pareto frontier — no other part
+    is both cheaper-or-equal and larger-or-equal with one strict
+    (maximized size enters the minimizing skyline as its negation;
+    the all-minimized orientation degenerates to a single point on
+    this data because the cheapest part is also among the smallest).
+    Sort-based linear skyline distributed via the global_rank
+    range-partition playbook (per-partition running min + driver
+    prefix of nparts scalars) — no Exchange SinglePartition, no
     quadratic self-join. Oracle is the textbook NOT EXISTS dominance
     form, certifying the staircase construction end-to-end.
     """
     from loan_etl_data_pipeline_spark.operators.skyline import pareto_frontier_2d
 
-    part = load_table(spark, sf_dir, "part").select(
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .withColumn("neg_size", (-F.col("p_size")).cast("int"))
+    )
+    return pareto_frontier_2d(part, "p_retailprice", "neg_size").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    return pareto_frontier_2d(part, "p_retailprice", "p_size")
 
 
 QUERIES_PART_B["q_pareto_parts"] = q_pareto_parts
@@ -7056,8 +7063,8 @@ ORACLE_PART_B["q_pareto_parts"] = """
     SELECT p_partkey, p_retailprice, p_size FROM part p
     WHERE NOT EXISTS (
         SELECT 1 FROM part q
-        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
-          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
     )
 """
 
@@ -7911,4 +7918,244 @@ ORACLE_PART_B["q_dow_seasonality"] = f"""
              / (CAST(tot_cents AS DOUBLE) / CAST(tot_days AS DOUBLE))
              AS seasonal_index
     FROM per_dow, tot
+"""
+
+
+def q_del1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ error-tolerant join: all customer-name pairs within edit
+    distance 1, via DELETION NEIGHBORHOODS (FastSS): each name emits
+    itself + every one-char-deletion variant as join keys (substitution
+    pairs share a deletion; insertion pairs hit the shorter string's
+    identity key; dist-0 pairs the identity itself) — candidates come
+    from an EQUI-join on those keys, never a quadratic levenshtein
+    self-join, and the cheap exact verify runs only on candidates.
+    Key fan-out is len+1 per row (bounded), posting lists stay small —
+    the 100 TB shape for typo-tolerant entity resolution. Capped to
+    custkey < 1500 so the oracle's quadratic replay stays cheap.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1500)
+        .select("c_custkey", "c_name")
+    )
+    keys = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i -> "
+                    "concat(substring(c_name, 1, i-1), "
+                    "substring(c_name, i+1, length(c_name))))"
+                ),
+            )
+        ).alias("k"),
+    )
+    a = keys.select(
+        F.col("c_custkey").alias("c1"), F.col("c_name").alias("n1"), "k"
+    )
+    b = keys.select(
+        F.col("c_custkey").alias("c2"), F.col("c_name").alias("n2"), "k"
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("c1") < F.col("c2"))
+        .select("c1", "c2", "n1", "n2")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein(F.col("n1"), F.col("n2")).cast("bigint")
+        )
+        .filter(F.col("dist") <= 1)
+        .select("c1", "c2", "dist")
+    )
+
+
+QUERIES_PART_B["q_del1_join"] = q_del1_join
+
+ORACLE_PART_B["q_del1_join"] = """
+    WITH c AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey < 1500
+    )
+    SELECT a.c_custkey AS c1, b.c_custkey AS c2,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def q_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ item-item collaborative similarity: cosine over binary order
+    baskets, sim(a,b) = co_count / sqrt(n_a·n_b), computed from the
+    support-pruned co-purchase edges (the pair agg collapses ~300×
+    before anything else runs) + per-part order counts — all exact
+    int64 until the one fixed IEEE division; top-5 partners per part,
+    partner-id tie-break, windows partitioned per part (never global).
+    The recsys sibling of q_copurchase_*: same edge spine, scoring
+    semantics on top.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    na = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    sym = edges.union(
+        edges.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "support"
+        )
+    )
+    scored = (
+        sym.join(na.withColumnRenamed("p", "pa"), "pa")
+        .withColumnRenamed("n_orders", "n_a")
+        .join(
+            na.select(F.col("p").alias("pb"), F.col("n_orders").alias("n_b")),
+            "pb",
+        )
+        .withColumn(
+            "sim",
+            F.col("support").cast("double")
+            / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("sim"), F.asc("pb"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 5)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("pb").alias("partner"),
+            "support",
+            "sim",
+        )
+    )
+
+
+QUERIES_PART_B["q_item_sim"] = q_item_sim
+
+ORACLE_PART_B["q_item_sim"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    na AS (
+        SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n_orders
+        FROM li GROUP BY p
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(count(*) AS BIGINT) AS support
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+        SELECT pa, pb, support FROM pairs
+        UNION ALL SELECT pb, pa, support FROM pairs
+    ),
+    scored AS (
+        SELECT s.pa, s.pb, s.support,
+               CAST(s.support AS DOUBLE)
+                 / sqrt(CAST(x.n_orders AS DOUBLE)
+                          * CAST(y.n_orders AS DOUBLE)) AS sim
+        FROM sym s JOIN na x ON s.pa = x.p JOIN na y ON s.pb = y.p
+    )
+    SELECT pa AS part, CAST(pos AS BIGINT) AS pos, pb AS partner,
+           support, sim
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY pa ORDER BY sim DESC, pb ASC) AS pos
+        FROM scored
+    ) WHERE pos <= 5
+"""
+
+
+def _pareto_8020_build(spark: SparkSession, sf_dir: str):
+    """Un-checkpointed construction for q_pareto_8020 (plan-audit
+    hook). Returns (result, [c2, c])."""
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    order = [F.desc("cents"), F.asc("o_custkey")]
+    c = global_cumsum(per_cust, order, "cents", cum_col="cw")
+    c2 = global_cumsum(c, order, "one", cum_col="rk")
+    tot = per_cust.agg(
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+    )
+    out = (
+        c2.crossJoin(F.broadcast(tot))
+        .filter(5 * F.col("cw") >= 4 * F.col("tot"))
+        .agg(
+            F.min("rk").alias("n_top"),
+            F.min(F.col("n_cust")).alias("n_cust"),
+        )
+        .select(
+            "n_top",
+            "n_cust",
+            (F.col("n_top").cast("double") / F.col("n_cust").cast("double"))
+            .alias("share_of_customers"),
+        )
+    )
+    return out, [c2, c]
+
+
+def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ revenue-concentration point (the 80/20 question): the
+    minimum number of top customers covering 80% of revenue, and the
+    customer share they represent. Customers rank by exact-cents
+    revenue through TWO chained global_cumsums (revenue prefix + ones
+    prefix = rank) on one range partitioning; the 80% crossing test is
+    pure integer (5·cum >= 4·total). Eager-checkpoint-then-release per
+    the global_rank contract.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    out, frames = _pareto_8020_build(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for f in frames:
+        release_intermediates(f)
+    return out
+
+
+QUERIES_PART_B["q_pareto_8020"] = q_pareto_8020
+
+ORACLE_PART_B["q_pareto_8020"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ), c AS (
+        SELECT cents,
+               sum(cents) OVER (
+                   ORDER BY cents DESC, o_custkey ASC
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS rk,
+               (SELECT sum(cents) FROM per_cust) AS tot,
+               (SELECT CAST(count(*) AS BIGINT) FROM per_cust) AS n_cust
+        FROM per_cust
+    )
+    SELECT CAST(min(rk) AS BIGINT) AS n_top,
+           min(n_cust) AS n_cust,
+           CAST(min(rk) AS DOUBLE) / CAST(min(n_cust) AS DOUBLE)
+             AS share_of_customers
+    FROM c WHERE 5 * cw >= 4 * tot
 """
