@@ -8159,3 +8159,209 @@ ORACLE_PART_B["q_pareto_8020"] = """
              AS share_of_customers
     FROM c WHERE 5 * cw >= 4 * tot
 """
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ tokenizer induction, round one: the top-20 character-pair
+    merge candidates across the corpus — exactly the statistic the
+    first BPE merge maximizes (Sennrich 2016). Char pairs are emitted
+    ROW-LOCALLY by position arithmetic (substring over a sequence —
+    no char-split array edge cases, no shuffle until the count), then
+    one map-side-combined pair count and a TakeOrdered(20) with a
+    lexicographic tie-break. The same plan at 100 TB: corpus-linear
+    scan, |alphabet|²-bounded aggregate state.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+QUERIES_PART_B["q_bpe_merges"] = q_bpe_merges
+
+ORACLE_PART_B["q_bpe_merges"] = """
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, i, 2))) AS pair
+        FROM toks WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 20
+"""
+
+
+def _ks_test_build(spark: SparkSession, sf_dir: str):
+    """Un-checkpointed construction for q_ks_test (plan-audit hook).
+    Returns (result, [c2, c])."""
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    per_val = o.groupBy(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    c = global_cumsum(per_val, [F.asc("v")], "na", cum_col="ca")
+    c2 = global_cumsum(c, [F.asc("v")], "nb", cum_col="cb")
+    tot = per_val.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    d_scaled = F.abs(F.col("tb") * F.col("ca") - F.col("ta") * F.col("cb"))
+    out = (
+        c2.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(d_scaled).alias("d_scaled"),
+            F.min("ta").alias("n_a"),
+            F.min("tb").alias("n_b"),
+        )
+        .select(
+            "d_scaled",
+            "n_a",
+            "n_b",
+            (
+                F.col("d_scaled").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("d"),
+        )
+    )
+    return out, [c2, c]
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ two-sample Kolmogorov-Smirnov distance between URGENT and
+    LOW order-price distributions — distribution drift as a PURE
+    INTEGER maximum: group by exact cents value first (ECDF steps are
+    per-DISTINCT-value, which also makes tie handling exact), chain
+    two global_cumsums for the per-group cumulative counts, and take
+    max |n_b·F_a_count − n_a·F_b_count| — division into D happens once
+    at the end. Never a SinglePartition sort; the value-grouped frame
+    is the working set. Eager-checkpoint-then-release per the
+    global_rank contract.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    out, frames = _ks_test_build(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for f in frames:
+        release_intermediates(f)
+    return out
+
+
+QUERIES_PART_B["q_ks_test"] = q_ks_test
+
+ORACLE_PART_B["q_ks_test"] = """
+    WITH o AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), per_val AS (
+        SELECT v,
+               CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb
+        FROM o GROUP BY v
+    ), c AS (
+        SELECT v,
+               sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+               sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+               (SELECT sum(na) FROM per_val) AS ta,
+               (SELECT sum(nb) FROM per_val) AS tb
+        FROM per_val
+    )
+    SELECT CAST(max(abs(tb * ca - ta * cb)) AS BIGINT) AS d_scaled,
+           CAST(min(ta) AS BIGINT) AS n_a,
+           CAST(min(tb) AS BIGINT) AS n_b,
+           CAST(max(abs(tb * ca - ta * cb)) AS DOUBLE)
+             / (CAST(min(ta) AS DOUBLE) * CAST(min(tb) AS DOUBLE)) AS d
+    FROM c
+"""
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ inequality decomposition: the Theil T index of customer
+    revenue — T = (1/n)·Σ (x_i/μ)·ln(x_i/μ), the entropy-based
+    concentration measure whose between/within decomposition the
+    revenue-share and 80/20 screens feed into. x_i and n·x_i/Σx are
+    exact-int ratios; each customer's term is ln over that exact
+    rational (shared libm), floor-quantized to 1e-12 BEFORE the final
+    sum (engine summation order can't leak in). One customer agg +
+    1-row broadcast total; 1 row out.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+    )
+    tot = per_cust.agg(
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    j = per_cust.crossJoin(F.broadcast(tot))
+    ratio = (
+        F.col("n").cast("double")
+        * F.col("cents").cast("double")
+        / F.col("tot").cast("double")
+    )
+    term = ratio * F.log(ratio)
+    return j.agg(
+        (
+            F.sum(F.floor(term * F.lit(1e12)).cast("bigint")).cast("double")
+            / 1e12
+            / F.min("n").cast("double")
+        ).alias("theil_t"),
+        F.min("n").alias("n_customers"),
+    )
+
+
+QUERIES_PART_B["q_theil_index"] = q_theil_index
+
+ORACLE_PART_B["q_theil_index"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ), tot AS (
+        SELECT sum(cents) AS tot, CAST(count(*) AS BIGINT) AS n
+        FROM per_cust
+    )
+    SELECT CAST(sum(CAST(floor(
+               (CAST(n AS DOUBLE) * CAST(cents AS DOUBLE)
+                  / CAST(tot AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) * CAST(cents AS DOUBLE)
+                      / CAST(tot AS DOUBLE))
+               * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             / CAST(min(n) AS DOUBLE) AS theil_t,
+           min(n) AS n_customers
+    FROM per_cust, tot
+"""
