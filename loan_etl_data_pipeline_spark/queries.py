@@ -8365,3 +8365,151 @@ ORACLE_PART_B["q_theil_index"] = """
            min(n) AS n_customers
     FROM per_cust, tot
 """
+
+
+def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ 2-D histogram: joint (quantity × extended-price) density of
+    lineitem in fixed bins — the joint-distribution heatmap behind the
+    corr/covariance screens (q_corr_qty_price tells you THAT they
+    covary; this shows WHERE). Bin ids are exact integer division of
+    floor-cents — no float binning boundaries to disagree on; one
+    map-side-combined 2-key agg, ≤ bins² rows out at any SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(l_quantity as bigint)").alias("q"),
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("cents"),
+    )
+    return (
+        li.withColumn("qty_bin", F.expr("div(q, 10)"))
+        .withColumn("price_bin", F.expr("div(cents, 1000000)"))
+        .groupBy("qty_bin", "price_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+QUERIES_PART_B["q_hist2d"] = q_hist2d
+
+ORACLE_PART_B["q_hist2d"] = """
+    SELECT CAST(l_quantity AS BIGINT) // 10 AS qty_bin,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) // 1000000
+             AS price_bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY qty_bin, price_bin
+"""
+
+
+def q_group_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ exact per-group quartiles: Q1/Q2/Q3 of account balance per
+    market segment, type-1 (inverse-ECDF) definition so every quartile
+    is a SELECTED exact value, not an interpolated float: the k-th
+    quartile is the value at rank ceil(k·n/4). Windows are partitioned
+    by segment (rank + pick, never a global sort); group cardinality is
+    the working set. The grouped sibling of the global q_quantiles —
+    and the reason the engine carries BOTH: per-group exact selection
+    stays cheap while groups are bounded; past that you swap to
+    approx_percentile with the same output contract.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.expr("cast(floor(c_acctbal * 100) as bigint)").alias("bal_cents"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("bal_cents"), F.asc("c_custkey")
+    )
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = cust.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    picked = ranked.filter(
+        (F.col("rk") == F.expr("cast(ceil(n * 1 / 4.0) as bigint)"))
+        | (F.col("rk") == F.expr("cast(ceil(n * 2 / 4.0) as bigint)"))
+        | (F.col("rk") == F.expr("cast(ceil(n * 3 / 4.0) as bigint)"))
+    )
+    quart = (
+        F.when(F.col("rk") == F.expr("cast(ceil(n * 1 / 4.0) as bigint)"), 1)
+        .when(F.col("rk") == F.expr("cast(ceil(n * 2 / 4.0) as bigint)"), 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    return picked.select(
+        "c_mktsegment",
+        quart.alias("quartile"),
+        (F.col("bal_cents").cast("double") / 100).alias("value"),
+    )
+
+
+QUERIES_PART_B["q_group_quartiles"] = q_group_quartiles
+
+ORACLE_PART_B["q_group_quartiles"] = """
+    WITH c AS (
+        SELECT c_mktsegment,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               c_custkey
+        FROM customer
+    ), ranked AS (
+        SELECT c_mktsegment, bal_cents,
+               row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY bal_cents ASC, c_custkey ASC) AS rk,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM c
+    )
+    SELECT c_mktsegment,
+           CAST(CASE WHEN rk = CAST(ceil(n * 1 / 4.0) AS BIGINT) THEN 1
+                     WHEN rk = CAST(ceil(n * 2 / 4.0) AS BIGINT) THEN 2
+                     ELSE 3 END AS BIGINT) AS quartile,
+           CAST(bal_cents AS DOUBLE) / 100 AS value
+    FROM ranked
+    WHERE rk = CAST(ceil(n * 1 / 4.0) AS BIGINT)
+       OR rk = CAST(ceil(n * 2 / 4.0) AS BIGINT)
+       OR rk = CAST(ceil(n * 3 / 4.0) AS BIGINT)
+"""
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ graph-shape diagnostic: the MLE power-law exponent of the
+    co-purchase degree distribution, α = 1 + n / Σ ln(d_i / d_min)
+    (Clauset-Shalizi-Newman with d_min = 1 on this graph) — the number
+    that tells you whether the hub tail will melt a shuffle (α < 2 ⇒
+    superlinear hub mass ⇒ salt the join; q_key_skew_audit's
+    theoretical sibling). Per-node terms are ln over exact integer
+    degrees, floor-quantized to 1e-12 before the sum; degrees come
+    from the same support-pruned edge spine as the rest of the graph
+    family. 1 row out.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import degrees
+
+    deg = degrees(_copurchase_edges(spark, sf_dir), "pa", "pb")
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.floor(F.log(F.col("degree").cast("double")) * F.lit(1e12)).cast(
+                "bigint"
+            )
+        ).alias("sum_ln_q"),
+    )
+    return stats.select(
+        "n",
+        (
+            F.lit(1.0)
+            + F.col("n").cast("double")
+            / (F.col("sum_ln_q").cast("double") / 1e12)
+        ).alias("alpha"),
+    )
+
+
+QUERIES_PART_B["q_powerlaw_alpha"] = q_powerlaw_alpha
+
+ORACLE_PART_B["q_powerlaw_alpha"] = f"""
+    WITH {_COPURCHASE_CTE},
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+        ) GROUP BY node
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           1.0 + CAST(count(*) AS DOUBLE)
+             / (CAST(sum(CAST(floor(ln(CAST(degree AS DOUBLE)) * 1e12)
+                              AS BIGINT)) AS DOUBLE) / 1e12) AS alpha
+    FROM deg
+"""
