@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
 
 
 def _fs(spark: SparkSession, path: str):
@@ -320,3 +321,53 @@ def materialize(
         m["materialize_key"] = key
     v = write_version(df, table_dir, meta=m)
     return read_version(spark, table_dir, v)
+
+
+def forget(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    purge_history: bool = False,
+) -> int:
+    """Right-to-be-forgotten delete: commit a new snapshot equal to the
+    latest minus every row whose ``key_col`` appears in ``keys``
+    (single-column DataFrame, any matching name), recording an audit
+    trail in the manifest (``forget: {key_col, n_forgotten}``).
+    Returns the new version number.
+
+    The GDPR trap in every snapshot store: deleting from the HEAD does
+    NOT delete from storage — time travel to any prior version
+    resurrects the rows. ``purge_history=True`` therefore prunes all
+    older snapshots after the commit (prune_versions keep_last=1),
+    making the delete physical; leave it False only when a retention
+    policy elsewhere bounds how long history survives.
+
+    Scale: one key-hashed anti-join (keys shuffle, never the snapshot
+    broadcast — deletion sets can be millions of subjects) + the
+    ordinary distributed snapshot write. Row counts for the audit ride
+    the same two jobs, not extra scans.
+    """
+    cur = read_version(spark, table_dir)
+    if key_col not in cur.columns:
+        raise ValueError(
+            f"key column {key_col!r} not in snapshot columns {cur.columns}"
+        )
+    k = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+    n_before = cur.count()
+    remaining = cur.join(k, key_col, "left_anti")
+    n_after = remaining.count()
+    version = write_version(
+        remaining,
+        table_dir,
+        meta={
+            "forget": {
+                "key_col": key_col,
+                "n_forgotten": n_before - n_after,
+            }
+        },
+    )
+    if purge_history:
+        prune_versions(spark, table_dir, keep_last=1)
+    return version

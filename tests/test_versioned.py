@@ -225,3 +225,56 @@ def test_vacuum_reclaims_only_old_orphans(spark, table_dir):
     # non-version dirs (manifests) never touched, idempotent re-run
     assert vacuum_orphans(spark, table_dir, min_age_seconds=0) == []
     assert vacuum_orphans(spark, f"{table_dir}/_nonexistent") == []
+
+
+def test_forget_head_delete_with_audit(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.sources.versioned import (
+        forget,
+        list_versions,
+        read_version,
+        version_manifests,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], ["user_id", "name"]
+    )
+    write_version(df, t)
+    keys = spark.createDataFrame([(3,), (7,), (99,)], ["id"])
+    v = forget(spark, t, keys, "user_id")
+    assert v == 2
+    got = {r["user_id"] for r in read_version(spark, t).collect()}
+    assert got == set(range(10)) - {3, 7}
+    # audit trail in the manifest; absent key 99 forgets nothing
+    m = version_manifests(spark, t)[2]
+    assert m["forget"] == {"key_col": "user_id", "n_forgotten": 2}
+    # WITHOUT purge: time travel still resurrects (the documented trap)
+    assert read_version(spark, t, 1).count() == 10
+    assert list_versions(spark, t) == [1, 2]
+
+
+def test_forget_purge_history_is_physical(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.sources.versioned import (
+        forget,
+        list_versions,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(6)], ["user_id", "name"]
+    )
+    write_version(df, t)
+    keys = spark.createDataFrame([(0,), (1,)], ["user_id"])
+    forget(spark, t, keys, "user_id", purge_history=True)
+    assert list_versions(spark, t) == [2]  # history physically gone
+    assert read_version(spark, t).count() == 4
+
+
+def test_forget_rejects_unknown_key_col(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.sources.versioned import forget
+
+    t = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1,)], ["a"]), t)
+    with pytest.raises(ValueError):
+        forget(spark, t, spark.createDataFrame([(1,)], ["a"]), "nope")
