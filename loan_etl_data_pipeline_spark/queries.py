@@ -8513,3 +8513,84 @@ ORACLE_PART_B["q_powerlaw_alpha"] = f"""
                               AS BIGINT)) AS DOUBLE) / 1e12) AS alpha
     FROM deg
 """
+
+
+def q_wilson_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ proportion with honest uncertainty: per-brand return rate
+    (share of 'R' lineitems) with the Wilson 95% score interval — the
+    interval that stays sane at small n and rates near 0/1, which is
+    exactly where naive ±1.96·√(pq/n) lies. Counts are exact int64;
+    p-hat, the z²-shrunken center and the half-width are one fixed
+    IEEE sequence per brand (z = 1.96 literal both sides). One
+    fact-side brand join (part broadcast-joined before the agg) and a
+    25-row output.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ret"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    p = F.col("n_ret").cast("double") / nn
+    z2 = F.lit(1.96) * F.lit(1.96)
+    denom = F.lit(1.0) + z2 / nn
+    center = (p + z2 / (2 * nn)) / denom
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (1 - p) / nn + z2 / (4 * nn * nn))
+        / denom
+    )
+    return agg.select(
+        "p_brand",
+        "n",
+        "n_ret",
+        p.alias("rate"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+    )
+
+
+QUERIES_PART_B["q_wilson_returns"] = q_wilson_returns
+
+ORACLE_PART_B["q_wilson_returns"] = """
+    WITH agg AS (
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ret
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, n, n_ret,
+           CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           ((CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE)
+               + 1.96 * 1.96 / (2 * CAST(n AS DOUBLE)))
+            / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+           - (1.96 * sqrt(CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE)
+                            * (1 - CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)
+                          + 1.96 * 1.96
+                            / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))) AS wilson_lo,
+           ((CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE)
+               + 1.96 * 1.96 / (2 * CAST(n AS DOUBLE)))
+            / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+           + (1.96 * sqrt(CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE)
+                            * (1 - CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)
+                          + 1.96 * 1.96
+                            / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))) AS wilson_hi
+    FROM agg
+"""
