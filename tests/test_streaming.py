@@ -575,3 +575,71 @@ def test_streaming_heavy_hitters_ignores_nulls(spark):
     )
     rows = streaming_heavy_hitters(df, capacity=4, n_shards=2).collect()
     assert {r.item: r.mg_count for r in rows} == {"a": 2, "b": 1}
+
+
+def test_stream_scd2_matches_full_rebuild(spark, tmp_path):
+    """Two micro-batches of change events maintain a versioned SCD2
+    dimension identical to one batch rebuild over the union; a replayed
+    batch does not fork history."""
+    from loan_etl_data_pipeline_spark.operators.scd import scd2_from_history
+    from loan_etl_data_pipeline_spark.sources.versioned import (
+        list_versions,
+        read_version,
+    )
+    from loan_etl_data_pipeline_spark.streaming.ingest import stream_scd2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, city string, ts long"
+
+    def run():
+        q = stream_scd2(
+            spark.readStream.schema(schema).json(str(src)),
+            tbl,
+            key_cols="user_id",
+            attr_cols="city",
+            order_col="ts",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(60)
+
+    # batch 0: bootstrap (u1 moves a->b, u2 appears)
+    (src / "b0.json").write_text(
+        '{"user_id": 1, "city": "a", "ts": 10}\n'
+        '{"user_id": 1, "city": "b", "ts": 20}\n'
+        '{"user_id": 2, "city": "x", "ts": 15}\n'
+    )
+    run()
+    assert list_versions(spark, tbl) == [1]
+
+    # batch 1: u1 moves again, u2 no-op repeat, u3 new
+    (src / "b1.json").write_text(
+        '{"user_id": 1, "city": "c", "ts": 30}\n'
+        '{"user_id": 2, "city": "x", "ts": 25}\n'
+        '{"user_id": 3, "city": "y", "ts": 28}\n'
+    )
+    run()
+    assert list_versions(spark, tbl) == [1, 2]
+
+    maintained = read_version(spark, tbl)
+    full = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "x", 15),
+         (1, "c", 30), (2, "x", 25), (3, "y", 28)],
+        schema,
+    )
+    rebuilt = scd2_from_history(full, "user_id", "city", "ts")
+    key = lambda r: (r["user_id"], r["version"])  # noqa: E731
+    got = {key(r): (r["city"], r["valid_from"], r["valid_to"], r["is_current"])
+           for r in maintained.collect()}
+    want = {key(r): (r["city"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in rebuilt.collect()}
+    assert got == want
+    # u2's ts=25 repeat collapsed; u1 has 3 versions
+    assert sum(1 for (u, _) in got if u == 1) == 3
+    assert sum(1 for (u, _) in got if u == 2) == 1
+
+    # restart with no new data: no new snapshot, history not forked
+    run()
+    assert list_versions(spark, tbl) == [1, 2]
