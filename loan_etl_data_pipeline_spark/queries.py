@@ -8594,3 +8594,76 @@ ORACLE_PART_B["q_wilson_returns"] = """
               / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))) AS wilson_hi
     FROM agg
 """
+
+
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ dominant embedding direction (operators/pca.py
+    power_iteration_topdir): 3 exact-int64 power-iteration rounds over
+    the corpus embedding matrix — the seed of PCA whitening /
+    all-but-the-top common-direction removal. Every round (projection,
+    back-projection, max-norm rescale) is integer arithmetic with
+    SIGN-DECOMPOSED divisions (Spark div truncates, DuckDB // floors —
+    they disagree on negatives otherwise), so the full iterative
+    computation value-oracles as three unrolled CTE rounds — the
+    pagerank stance applied to linear algebra. 64 rows out.
+    """
+    from loan_etl_data_pipeline_spark.operators.pca import power_iteration_topdir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_topdir(emb, "vec_id", "embedding", dim=64, iters=3)
+
+
+QUERIES_PART_B["q_power_iteration"] = q_power_iteration
+
+
+def _power_iteration_oracle(iters: int = 3, dim: int = 64) -> str:
+    """Unrolled power-iteration CTE chain (generated, not hand-typed,
+    so round structure can't drift between rounds)."""
+    tdiv = (
+        "CASE WHEN {x} >= 0 THEN ({x}) // {d} "
+        "ELSE -((-({x})) // {d}) END"
+    )
+    ctes = [
+        f"""eq AS (
+        SELECT vec_id AS id, j,
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+                 AS q
+        FROM embeddings, UNNEST(range(1, {dim + 1})) AS t(j)
+    )"""
+    ]
+    prev_v = None
+    for i in range(1, iters + 1):
+        if prev_v is None:
+            s_expr = "sum(q * 1000000)"
+            s_from = "eq"
+        else:
+            s_expr = f"sum(eq.q * {prev_v}.v)"
+            s_from = f"eq JOIN {prev_v} USING (j)"
+        ctes.append(
+            f"s{i} AS (SELECT id, {s_expr} AS s FROM {s_from} GROUP BY id)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT id, {tdiv.format(x='s', d=1000000)} AS sp "
+            f"FROM s{i})"
+        )
+        ctes.append(
+            f"u{i} AS (SELECT j, sum(eq.q * p{i}.sp) AS u "
+            f"FROM eq JOIN p{i} USING (id) GROUP BY j)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT max(abs(u)) // 1000000 + 1 AS d FROM u{i})"
+        )
+        ctes.append(
+            f"v{i} AS (SELECT j, {tdiv.format(x='u', d='d')} AS v "
+            f"FROM u{i}, d{i})"
+        )
+        prev_v = f"v{i}"
+    return (
+        "    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS v "
+        f"FROM {prev_v}"
+    )
+
+
+ORACLE_PART_B["q_power_iteration"] = _power_iteration_oracle()

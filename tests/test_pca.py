@@ -1,0 +1,50 @@
+"""power_iteration_topdir (operators/pca.py): planted-direction
+recovery + determinism. The sf-scale cross-engine check is
+q_power_iteration (generated unrolled-CTE oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from loan_etl_data_pipeline_spark.operators.pca import power_iteration_topdir
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "id long, e array<float>")
+
+
+def test_power_iteration_recovers_planted_direction(spark):
+    # energy concentrated on dim 2; deterministic "noise" elsewhere
+    rows = [
+        (i, [0.01 * ((i * 7 + j) % 5 - 2) if j != 1 else 1.0 + 0.001 * i
+             for j in range(8)])
+        for i in range(40)
+    ]
+    v = {r["dim"]: r["v"] for r in
+         power_iteration_topdir(_vecs(spark, rows), "id", "e", dim=8,
+                                iters=3).collect()}
+    norm = math.sqrt(sum(c * c for c in v.values()))
+    # dominant mass on dim 2, positive under the all-ones start
+    assert v[2] > 0 and v[2] / norm > 0.95
+
+
+def test_power_iteration_deterministic(spark):
+    rows = [(i, [float((i + j) % 3) - 1.0 for j in range(6)])
+            for i in range(20)]
+    df = _vecs(spark, rows)
+    a = sorted((r["dim"], r["v"]) for r in
+               power_iteration_topdir(df, "id", "e", dim=6, iters=2).collect())
+    b = sorted((r["dim"], r["v"]) for r in
+               power_iteration_topdir(df.repartition(7), "id", "e", dim=6,
+                                      iters=2).collect())
+    assert a == b  # partitioning cannot change a single component
+
+
+def test_power_iteration_validates(spark):
+    df = _vecs(spark, [(1, [1.0])])
+    with pytest.raises(ValueError):
+        power_iteration_topdir(df, "id", "e", dim=0, iters=3)
+    with pytest.raises(ValueError):
+        power_iteration_topdir(df, "id", "e", dim=1, iters=0)
