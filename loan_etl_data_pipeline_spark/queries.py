@@ -8667,3 +8667,152 @@ def _power_iteration_oracle(iters: int = 3, dim: int = 64) -> str:
 
 
 ORACLE_PART_B["q_power_iteration"] = _power_iteration_oracle()
+
+
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ difference-in-differences: the causal-inference workhorse
+    on the orders panel — treatment group = URGENT+HIGH priorities,
+    control = the rest; event date 1995-01-01; DiD = (treat_post −
+    treat_pre) − (ctrl_post − ctrl_pre) over mean order value. The
+    four cell means come from ONE map-side-combined aggregate of exact
+    floor-cents sums and counts (never four scans), and the estimate
+    is a fixed IEEE sequence over the eight exact integers. 1 row out
+    with all four cell means exposed (a DiD without its cells is
+    unauditable).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treat"),
+        (F.col("o_orderdate") >= F.lit("1995-01-01")).alias("post"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    agg = o.groupBy("treat", "post").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cell = lambda t, p, c: F.max(  # noqa: E731
+        F.when((F.col("treat") == t) & (F.col("post") == p), F.col(c))
+    )
+    m = agg.agg(
+        cell(True, True, "s").alias("s_tp"), cell(True, True, "n").alias("n_tp"),
+        cell(True, False, "s").alias("s_t0"), cell(True, False, "n").alias("n_t0"),
+        cell(False, True, "s").alias("s_cp"), cell(False, True, "n").alias("n_cp"),
+        cell(False, False, "s").alias("s_c0"), cell(False, False, "n").alias("n_c0"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double") / 100  # noqa: E731
+    return m.select(
+        mean("s_t0", "n_t0").alias("treat_pre"),
+        mean("s_tp", "n_tp").alias("treat_post"),
+        mean("s_c0", "n_c0").alias("ctrl_pre"),
+        mean("s_cp", "n_cp").alias("ctrl_post"),
+        (
+            (mean("s_tp", "n_tp") - mean("s_t0", "n_t0"))
+            - (mean("s_cp", "n_cp") - mean("s_c0", "n_c0"))
+        ).alias("did"),
+    )
+
+
+QUERIES_PART_B["q_did"] = q_did
+
+ORACLE_PART_B["q_did"] = """
+    WITH o AS (
+        SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS treat,
+               o_orderdate >= TIMESTAMP '1995-01-01' AS post,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), agg AS (
+        SELECT treat, post, sum(cents) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o GROUP BY treat, post
+    ), m AS (
+        SELECT
+          max(CASE WHEN treat AND post THEN s END) AS s_tp,
+          max(CASE WHEN treat AND post THEN n END) AS n_tp,
+          max(CASE WHEN treat AND NOT post THEN s END) AS s_t0,
+          max(CASE WHEN treat AND NOT post THEN n END) AS n_t0,
+          max(CASE WHEN NOT treat AND post THEN s END) AS s_cp,
+          max(CASE WHEN NOT treat AND post THEN n END) AS n_cp,
+          max(CASE WHEN NOT treat AND NOT post THEN s END) AS s_c0,
+          max(CASE WHEN NOT treat AND NOT post THEN n END) AS n_c0
+        FROM agg
+    )
+    SELECT
+      CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) / 100 AS treat_pre,
+      CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) / 100 AS treat_post,
+      CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) / 100 AS ctrl_pre,
+      CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) / 100 AS ctrl_post,
+      (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) / 100
+         - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) / 100)
+      - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) / 100
+           - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) / 100) AS did
+    FROM m
+"""
+
+
+def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ discrete-time survival: customer churn hazard by tenure —
+    for each 90-day tenure bucket k, hazard(k) = churners(k) /
+    at_risk(k), where a customer's tenure is last-order minus
+    first-order days (exact timestampdiff), churn happens in their
+    last active bucket, and at_risk(k) counts customers whose tenure
+    reaches bucket k (a suffix count — computed as total minus an
+    EXCLUSIVE prefix, one window over the ≤tenure-bucket-cardinality
+    aggregate, not the customer table). The survival sibling of
+    q_cohort_retention: cohorts ask "how many came back", hazard asks
+    "given they lasted this long, what fraction die now".
+    """
+    spans = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "timestampdiff(DAY, min(o_orderdate), max(o_orderdate))"
+            ).alias("tenure_days")
+        )
+        .select(F.expr("div(tenure_days, 90)").alias("bucket"))
+    )
+    per_bucket = spans.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("churners")
+    )
+    tot = spans.agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "at_risk",
+            F.col("n_cust")
+            - F.coalesce(F.sum("churners").over(w), F.lit(0)),
+        )
+        .select(
+            "bucket",
+            "churners",
+            "at_risk",
+            (
+                F.col("churners").cast("double")
+                / F.col("at_risk").cast("double")
+            ).alias("hazard"),
+        )
+    )
+
+
+QUERIES_PART_B["q_hazard_curve"] = q_hazard_curve
+
+ORACLE_PART_B["q_hazard_curve"] = """
+    WITH spans AS (
+        SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) // 90
+                 AS bucket
+        FROM orders GROUP BY o_custkey
+    ), per_bucket AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS churners
+        FROM spans GROUP BY bucket
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM spans)
+    SELECT bucket, churners,
+           CAST(n_cust - COALESCE(sum(churners) OVER (
+               ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS at_risk,
+           CAST(churners AS DOUBLE)
+             / CAST(n_cust - COALESCE(sum(churners) OVER (
+                   ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS DOUBLE) AS hazard
+    FROM per_bucket, tot
+"""
