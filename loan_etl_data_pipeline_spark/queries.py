@@ -8816,3 +8816,73 @@ ORACLE_PART_B["q_hazard_curve"] = """
                    AND 1 PRECEDING), 0) AS DOUBLE) AS hazard
     FROM per_bucket, tot
 """
+
+
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ robust time-series anomaly screen: days whose revenue sits
+    more than 3.5 robust z-units from the median (Iglewicz-Hoberg
+    modified z, 0.6745·|x−med|/MAD) — with the DECISION in pure
+    integer form: 6745·|cents−med| > 35000·MAD is exactly the 3.5
+    threshold cleared of every float (both sides int64; overflow
+    bound ~1e14·max-cents, decimal ladder past it). Median and MAD
+    are type-1 exact selections over the calendar-bounded daily
+    aggregate (the CUSUM family's SF-invariant spine); the reported z
+    is one fixed IEEE division for humans — the FILTER never touches
+    a float.
+    """
+    daily = _daily_cents(spark, sf_dir)
+    n = daily.count()
+    med = (
+        daily.orderBy(F.asc("cents"), F.asc("day"))
+        .limit((n + 1) // 2)
+        .agg(F.max("cents").alias("med"))
+    )
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "absdev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = (
+        dev.orderBy(F.asc("absdev"), F.asc("day"))
+        .limit((n + 1) // 2)
+        .agg(F.max("absdev").alias("mad"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(6745 * F.col("absdev") > 35000 * F.col("mad"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+            (
+                F.lit(0.6745)
+                * F.col("absdev").cast("double")
+                / F.col("mad").cast("double")
+            ).alias("robust_z"),
+        )
+    )
+
+
+QUERIES_PART_B["q_mad_anomalies"] = q_mad_anomalies
+
+ORACLE_PART_B["q_mad_anomalies"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    nn AS (SELECT count(*) AS n FROM daily),
+    med AS (
+        SELECT max(cents) AS med FROM (
+            SELECT cents FROM daily, nn
+            ORDER BY cents ASC, day ASC LIMIT (SELECT (n + 1) // 2 FROM nn)
+        )
+    ),
+    dev AS (
+        SELECT day, cents, abs(cents - med) AS absdev FROM daily, med
+    ),
+    mad AS (
+        SELECT max(absdev) AS mad FROM (
+            SELECT absdev FROM dev
+            ORDER BY absdev ASC, day ASC LIMIT (SELECT (n + 1) // 2 FROM nn)
+        )
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           0.6745 * CAST(absdev AS DOUBLE) / CAST(mad AS DOUBLE) AS robust_z
+    FROM dev, mad
+    WHERE 6745 * absdev > 35000 * mad
+"""

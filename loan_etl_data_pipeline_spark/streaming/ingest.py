@@ -767,3 +767,39 @@ def stream_scd2(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def stream_pit_enrich(
+    stream: DataFrame,
+    dim_table_dir: str,
+    key_cols,
+    time_col: str,
+    *,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Streaming point-in-time enrich: join each event to the SCD2
+    dimension version ACTIVE AT THE EVENT'S OWN TIMESTAMP — the
+    training-data rule (an event enriched with attributes from its
+    future is label leakage; ``streaming_enrich`` attaches the current
+    version, this attaches the historically-correct one). The natural
+    consumer of a ``stream_scd2``-maintained table.
+
+    The dimension is read fresh from the versioned store's LATEST
+    snapshot at planning time of each micro-batch (stream-static
+    semantics — Spark re-plans the static side per trigger, so newly
+    committed dimension versions are picked up without a restart; the
+    snapshot read is atomic via the manifest, never a torn directory
+    listing). The interval predicate rules out hash equi-join, so the
+    dimension side must stay broadcastable — SCD2 dimensions usually
+    are (entities × versions, not events); set ``broadcast=False``
+    only with AQE sizing room, and expect a per-trigger shuffle.
+    """
+    from loan_etl_data_pipeline_spark.operators.scd import (
+        _as_list,
+        point_in_time_join,
+    )
+    from loan_etl_data_pipeline_spark.sources.versioned import read_version
+
+    dim = read_version(stream.sparkSession, dim_table_dir)
+    d = F.broadcast(dim) if broadcast else dim
+    return point_in_time_join(stream, d, _as_list(key_cols), time_col)

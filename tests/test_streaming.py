@@ -643,3 +643,56 @@ def test_stream_scd2_matches_full_rebuild(spark, tmp_path):
     # restart with no new data: no new snapshot, history not forked
     run()
     assert list_versions(spark, tbl) == [1, 2]
+
+
+def test_stream_pit_enrich_matches_batch_pit(spark, tmp_path):
+    """Streaming events pick up the dimension version valid AT THEIR
+    TIMESTAMP (not the current one) — parity with the batch
+    point_in_time_join over the same data."""
+    from loan_etl_data_pipeline_spark.operators.scd import (
+        point_in_time_join,
+        scd2_from_history,
+    )
+    from loan_etl_data_pipeline_spark.sources.versioned import write_version
+    from loan_etl_data_pipeline_spark.streaming.ingest import stream_pit_enrich
+
+    hist = spark.createDataFrame(
+        [(1, "bronze", 0), (1, "gold", 100), (2, "silver", 50)],
+        "user_id long, tier string, ts long",
+    )
+    dim_dir = str(tmp_path / "dim")
+    write_version(scd2_from_history(hist, "user_id", "tier", "ts"), dim_dir)
+
+    src = tmp_path / "events"
+    src.mkdir()
+    (src / "e.json").write_text(
+        '{"event_id": 10, "user_id": 1, "ts": 40}\n'   # bronze era
+        '{"event_id": 11, "user_id": 1, "ts": 150}\n'  # gold era
+        '{"event_id": 12, "user_id": 2, "ts": 10}\n'   # before first version
+    )
+    events = spark.readStream.schema(
+        "event_id long, user_id long, ts long"
+    ).json(str(src))
+    out_rows = []
+    q = (
+        stream_pit_enrich(events, dim_dir, "user_id", "ts")
+        .writeStream.foreachBatch(
+            lambda df, _bid: out_rows.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["event_id"]: r["tier"] for r in out_rows}
+    assert got == {10: "bronze", 11: "gold", 12: None}
+
+    # exact parity with the batch PIT join on the same inputs
+    batch = spark.createDataFrame(
+        [(10, 1, 40), (11, 1, 150), (12, 2, 10)],
+        "event_id long, user_id long, ts long",
+    )
+    dim = scd2_from_history(hist, "user_id", "tier", "ts")
+    want = {r["event_id"]: r["tier"]
+            for r in point_in_time_join(batch, dim, "user_id", "ts").collect()}
+    assert got == want
