@@ -98,3 +98,56 @@ def power_iteration_topdir(
     return spark.createDataFrame(
         [(j + 1, int(v[j])) for j in range(dim)], f"{'dim'} int, v bigint"
     ).select(F.col("dim").cast("bigint").alias("dim"), "v")
+
+
+def remove_common_direction(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    direction: DataFrame,
+    *,
+    dim: int,
+) -> DataFrame:
+    """All-but-the-top removal, exact-int64: subtract each vector's
+    projection onto ``direction`` (the (dim, v) output of
+    :func:`power_iteration_topdir`), returning (id, j, xq_corrected)
+    at scale 1e6 — the corrected matrix the ANN/near-dup stack can
+    re-quantize from.
+
+    x'_j = x_j − ((x·v)/(v·v))·v_j, computed as staged integer
+    divisions (c = tdiv(1000·(x·v), v·v), then tdiv(c·v_j, 1000)) so
+    no intermediate leaves int64 and both engines replay it exactly —
+    same sign-decomposed-division discipline as the iteration itself.
+    The direction (≤ a few thousand ints) broadcasts; the corpus
+    never shuffles at all — this is a map-side projection.
+    """
+    v_rows = direction.collect()
+    v = {int(r["dim"]): int(r["v"]) for r in v_rows}
+    if len(v) != dim:
+        raise ValueError(f"direction has {len(v)} dims, expected {dim}")
+    vv = sum(c * c for c in v.values())
+    varr = F.array(*[F.lit(v[j + 1]) for j in range(dim)])
+    eq = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).select(
+        "id",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("x").cast("double") * SCALE).cast("bigint").alias("q"),
+    )
+    sgn = "CASE WHEN {x} >= 0 THEN ({x}) div {d} ELSE -((-({x})) div {d}) END"
+    dots = eq.groupBy("id").agg(
+        F.sum(F.col("q") * F.element_at(varr, F.col("j").cast("int")))
+        .alias("d")
+    )
+    c = dots.select(
+        "id", F.expr(sgn.format(x="1000 * d", d=vv)).alias("c")
+    )
+    arr_sql = "array(" + ",".join(str(v[j + 1]) for j in range(dim)) + ")"
+    proj = sgn.format(
+        x=f"c * element_at({arr_sql}, cast(j as int))", d=1000
+    )
+    return (
+        eq.join(F.broadcast(c), "id")
+        .select("id", "j", (F.col("q") - F.expr(proj)).alias("xq_corrected"))
+    )

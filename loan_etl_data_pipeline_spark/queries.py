@@ -8666,6 +8666,13 @@ def _power_iteration_oracle(iters: int = 3, dim: int = 64) -> str:
     )
 
 
+def _power_iteration_ctes(iters: int = 3, dim: int = 64):
+    """(cte_block, final_v_name) for composition oracles (q_abtt)."""
+    full = _power_iteration_oracle(iters, dim)
+    head, _, _tail = full.rpartition("\n    SELECT ")
+    return head, f"v{iters}"
+
+
 ORACLE_PART_B["q_power_iteration"] = _power_iteration_oracle()
 
 
@@ -8886,3 +8893,60 @@ ORACLE_PART_B["q_mad_anomalies"] = f"""
     FROM dev, mad
     WHERE 6745 * absdev > 35000 * mad
 """
+
+
+def q_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ all-but-the-top correction (Mu & Viswanath 2018): remove the
+    corpus-dominant direction (q_power_iteration's output) from the
+    first five probe embeddings, entirely in exact int64 — staged
+    integer divisions keep every intermediate inside int64 and the
+    sign-decomposed form keeps Spark div (truncate) and DuckDB //
+    (floor) in agreement. The oracle replays the WHOLE composition:
+    the three generated power-iteration rounds plus the projection
+    removal, one statement. Map-side projection: the corpus never
+    shuffles; the direction broadcasts.
+    """
+    from loan_etl_data_pipeline_spark.operators.pca import (
+        power_iteration_topdir,
+        remove_common_direction,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vdir = power_iteration_topdir(emb, "vec_id", "embedding", dim=64, iters=3)
+    probes = emb.filter(F.col("vec_id") < 5)
+    out = remove_common_direction(probes, "vec_id", "embedding", vdir, dim=64)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("j").cast("bigint").alias("dim"),
+        "xq_corrected",
+    )
+
+
+QUERIES_PART_B["q_abtt"] = q_abtt
+
+
+def _abtt_oracle() -> str:
+    ctes, vname = _power_iteration_ctes()
+    tdiv = (
+        "CASE WHEN {x} >= 0 THEN ({x}) // {d} ELSE -((-({x})) // {d}) END"
+    )
+    return (
+        ctes
+        + f""",
+    vv AS (SELECT sum(v * v) AS vv FROM {vname}),
+    probe AS (SELECT id, j, q FROM eq WHERE id < 5),
+    dots AS (
+        SELECT id, sum(probe.q * {vname}.v) AS d
+        FROM probe JOIN {vname} USING (j) GROUP BY id
+    ),
+    cc AS (SELECT id, {tdiv.format(x='1000 * d', d='vv')} AS c
+           FROM dots, vv)
+    SELECT probe.id AS vec_id, CAST(j AS BIGINT) AS dim,
+           CAST(q - ({tdiv.format(x='c * v', d='1000')}) AS BIGINT)
+             AS xq_corrected
+    FROM probe JOIN cc USING (id) JOIN {vname} USING (j)
+"""
+    )
+
+
+ORACLE_PART_B["q_abtt"] = _abtt_oracle()

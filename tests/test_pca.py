@@ -48,3 +48,31 @@ def test_power_iteration_validates(spark):
         power_iteration_topdir(df, "id", "e", dim=0, iters=3)
     with pytest.raises(ValueError):
         power_iteration_topdir(df, "id", "e", dim=1, iters=0)
+
+
+def test_remove_common_direction_orthogonalizes(spark):
+    from loan_etl_data_pipeline_spark.operators.pca import (
+        power_iteration_topdir,
+        remove_common_direction,
+    )
+
+    rows = [
+        (i, [1.0 + 0.01 * i if j == 0 else 0.05 * ((i + j) % 3)
+             for j in range(6)])
+        for i in range(30)
+    ]
+    df = _vecs(spark, rows)
+    vdir = power_iteration_topdir(df, "id", "e", dim=6, iters=3)
+    v = {r["dim"]: r["v"] for r in vdir.collect()}
+    corrected = remove_common_direction(df, "id", "e", vdir, dim=6)
+    # residual projection of every corrected vector onto v is ~0
+    # relative to the original projections (bounded by the staged
+    # integer-division granularity: |residual| <= vv/1000 + |v|_1)
+    import collections
+    per_vec = collections.defaultdict(int)
+    for r in corrected.collect():
+        per_vec[r["id"]] += r["xq_corrected"] * v[r["j"]]
+    vv = sum(c * c for c in v.values())
+    bound = vv / 1000 + sum(abs(c) for c in v.values())
+    for residual in per_vec.values():
+        assert abs(residual) <= bound
