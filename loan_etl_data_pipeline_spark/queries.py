@@ -8950,3 +8950,79 @@ def _abtt_oracle() -> str:
 
 
 ORACLE_PART_B["q_abtt"] = _abtt_oracle()
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ auditable clustering (operators/kmeans.py kmeans_int): 2
+    exact-int64 Lloyd rounds, k=8, over the corpus embeddings —
+    deterministic lowest-id init, integer squared-distance argmin with
+    cluster-id tie-break, integer-division centroid means, empty
+    clusters keep their previous centroid. The WHOLE iterative
+    clustering value-oracles as generated unrolled CTE rounds (the
+    float Lloyd in operators/ivf.py stays the routing-throughput path;
+    this is the bit-reproducible variant for curation decisions that
+    feed deletions). 500 assignment rows out at sf0.01.
+    """
+    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_int(emb, "vec_id", "embedding", dim=64, k=8, iters=2)
+    return out.select(F.col("id").alias("vec_id"), "cluster")
+
+
+QUERIES_PART_B["q_kmeans"] = q_kmeans
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Generated unrolled Lloyd rounds (structure can't drift)."""
+    tdiv = (
+        "CASE WHEN {x} >= 0 THEN ({x}) // {d} ELSE -((-({x})) // {d}) END"
+    )
+    ctes = [
+        f"""eq AS (
+        SELECT vec_id AS id, j,
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+                 AS q
+        FROM embeddings, UNNEST(range(1, {dim + 1})) AS t(j)
+    )""",
+        f"""init_ids AS (
+        SELECT id, row_number() OVER (ORDER BY id) - 1 AS cluster
+        FROM (SELECT DISTINCT id FROM eq ORDER BY id LIMIT {k})
+    )""",
+        "c0 AS (SELECT i.cluster, eq.j, eq.q AS c "
+        "FROM eq JOIN init_ids i USING (id))",
+    ]
+    prev = "c0"
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"dist{r} AS (SELECT eq.id, c.cluster, "
+            f"sum((eq.q - c.c) * (eq.q - c.c)) AS dist "
+            f"FROM eq JOIN {prev} c USING (j) GROUP BY eq.id, c.cluster)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT id, cluster FROM ("
+            f"SELECT id, cluster, row_number() OVER ("
+            f"PARTITION BY id ORDER BY dist ASC, cluster ASC) AS rn "
+            f"FROM dist{r}) WHERE rn = 1)"
+        )
+        if r < iters:
+            ctes.append(
+                f"comp{r} AS (SELECT a{r}.cluster, eq.j, "
+                f"{tdiv.format(x='sum(eq.q)', d='count(*)')} AS c "
+                f"FROM eq JOIN a{r} USING (id) GROUP BY a{r}.cluster, eq.j)"
+            )
+            ctes.append(
+                f"c{r} AS (SELECT * FROM comp{r} UNION ALL "
+                f"SELECT {prev}.* FROM {prev} WHERE {prev}.cluster NOT IN "
+                f"(SELECT DISTINCT cluster FROM comp{r}))"
+            )
+            prev = f"c{r}"
+    return (
+        "    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster "
+        f"FROM a{iters}"
+    )
+
+
+ORACLE_PART_B["q_kmeans"] = _kmeans_oracle()
