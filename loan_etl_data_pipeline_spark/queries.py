@@ -9025,4 +9025,132 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64):
+    """(cte_block, final_assignment_name) for composition oracles."""
+    full = _kmeans_oracle(k, iters, dim)
+    head, _, _tail = full.rpartition("\n    SELECT ")
+    return head, f"a{iters}"
+
+
 ORACLE_PART_B["q_kmeans"] = _kmeans_oracle()
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ cluster-quality audit over q_kmeans: per-cluster simplified
+    silhouette — s_i = (b_i − a_i)/max(a_i, b_i) with a_i the SQUARED
+    integer distance to the own post-hoc centroid and b_i the min over
+    the other clusters' centroids (centroid-based silhouette is the
+    linear-cost form — the classic all-pairs silhouette is quadratic
+    and dies first at scale; squared distances keep everything int64).
+    Post-hoc centroids are sign-decomposed integer-division means of
+    the FINAL assignment; per-row ratios floor-quantize to 1e-9 before
+    the per-cluster mean so summation order can't leak. k rows out.
+    """
+    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, dim = 8, 64
+    assign = kmeans_int(
+        emb, "vec_id", "embedding", dim=dim, k=k, iters=2
+    ).localCheckpoint()
+    eq = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "id",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    from loan_etl_data_pipeline_spark.operators.pca import _tdiv
+
+    cent_rows = (
+        eq.join(assign, "id")
+        .groupBy("cluster", "j")
+        .agg(
+            F.sum("q").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .collect()
+    )
+    cent = {
+        (int(r["cluster"]), int(r["j"])): _tdiv(int(r["s"]), int(r["n"]))
+        for r in cent_rows
+    }
+    clusters = sorted({c for c, _ in cent})
+
+    def dist(m):
+        diff = F.col("q") - F.element_at(
+            F.array(*[F.lit(cent[(m, j + 1)]) for j in range(dim)]),
+            F.col("j").cast("int"),
+        )
+        return F.sum(diff * diff).alias(f"d{m}")
+
+    dd = eq.groupBy("id").agg(*[dist(m) for m in clusters]).join(assign, "id")
+    a_expr = F.lit(None).cast("bigint")
+    for m in clusters:
+        a_expr = F.when(F.col("cluster") == m, F.col(f"d{m}")).otherwise(a_expr)
+    b_exprs_by_m = {
+        m: F.least(*[F.col(f"d{o}") for o in clusters if o != m])
+        for m in clusters
+    }
+    b_expr = F.lit(None).cast("bigint")
+    for m in clusters:
+        b_expr = F.when(F.col("cluster") == m, b_exprs_by_m[m]).otherwise(b_expr)
+    s = (
+        (b_expr.cast("double") - a_expr.cast("double"))
+        / F.greatest(a_expr, b_expr).cast("double")
+    )
+    return (
+        dd.withColumn("sq", F.floor(s * F.lit(1e9)).cast("bigint"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum("sq").cast("double") / 1e9 / F.count(F.lit(1))
+            ).alias("mean_silhouette"),
+        )
+    )
+
+
+QUERIES_PART_B["q_silhouette"] = q_silhouette
+
+
+def _silhouette_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    ctes, aname = _kmeans_ctes(k, iters, dim)
+    tdiv = (
+        "CASE WHEN {x} >= 0 THEN ({x}) // {d} ELSE -((-({x})) // {d}) END"
+    )
+    return (
+        ctes
+        + f""",
+    cfin AS (
+        SELECT a.cluster, eq.j,
+               {tdiv.format(x='sum(eq.q)', d='count(*)')} AS c
+        FROM eq JOIN {aname} a USING (id) GROUP BY a.cluster, eq.j
+    ),
+    dfin AS (
+        SELECT eq.id, c.cluster AS m,
+               sum((eq.q - c.c) * (eq.q - c.c)) AS dist
+        FROM eq JOIN cfin c USING (j) GROUP BY eq.id, c.cluster
+    ),
+    sil AS (
+        SELECT a.id, a.cluster,
+               max(CASE WHEN d.m = a.cluster THEN d.dist END) AS a_dist,
+               min(CASE WHEN d.m <> a.cluster THEN d.dist END) AS b_dist
+        FROM {aname} a JOIN dfin d USING (id)
+        GROUP BY a.id, a.cluster
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(
+               (CAST(b_dist AS DOUBLE) - CAST(a_dist AS DOUBLE))
+               / CAST(greatest(a_dist, b_dist) AS DOUBLE) * 1e9)
+               AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS mean_silhouette
+    FROM sil GROUP BY cluster
+"""
+    )
+
+
+ORACLE_PART_B["q_silhouette"] = _silhouette_oracle()
