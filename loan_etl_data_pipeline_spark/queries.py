@@ -9154,3 +9154,114 @@ def _silhouette_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
 
 
 ORACLE_PART_B["q_silhouette"] = _silhouette_oracle()
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ Population Stability Index — THE credit-risk drift monitor
+    (loan-domain standard; the chi-square screen q_source_drift's
+    banking sibling): account balances of the live population (odd
+    custkeys) scored against decile boundaries fitted on the REFERENCE
+    population (even custkeys), PSI = Σ (p_i − q_i)·ln(p_i/q_i). The
+    nine boundaries are type-1 exact selections over the reference
+    (window rank — the boundary set is 9 scalars, fitted once like any
+    model); bin counts are exact int64 with +1 smoothing so empty live
+    bins stay finite; each bin's term is ln over exact-int rationals,
+    1e-12-floor-quantized before the sum. Output: 10 bins + their
+    contributions (a PSI without its bins is unactionable).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("cast(floor(c_acctbal * 100) as bigint)").alias("bal"),
+        (F.col("c_custkey") % 2 == 0).alias("is_ref"),
+    )
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    ref = cust.filter("is_ref")
+    ranked = global_rank(ref, [F.asc("bal"), F.asc("c_custkey")], rank_col="rk")
+    n_ref = ranked._global_rank_n
+    picks = ranked.filter(
+        F.col("rk").isin(*[-(-n_ref * i // 10) for i in range(1, 10)])
+    ).select(F.col("bal").alias("b"))
+    # 9 scalars to the driver (model boundaries), materialized before
+    # the rank cache is released per the global_rank contract
+    bounds = sorted(r["b"] for r in picks.collect())
+    release_intermediates(ranked)
+    bin_expr = F.lit(1)
+    for i, b in enumerate(bounds, start=1):
+        bin_expr = F.when(F.col("bal") > b, F.lit(i + 1)).otherwise(bin_expr)
+    binned = cust.withColumn("bin", bin_expr.cast("bigint"))
+    agg = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_live"),
+    )
+    tot = agg.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_live").alias("t_live")
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + 10).cast(
+        "double"
+    )
+    q = (F.col("n_live") + 1).cast("double") / (F.col("t_live") + 10).cast(
+        "double"
+    )
+    term = (
+        F.floor((p - q) * F.log(p / q) * F.lit(1e12)).cast("bigint").cast(
+            "double"
+        )
+        / 1e12
+    )
+    return j.select("bin", "n_ref", "n_live", term.alias("psi_term"))
+
+
+QUERIES_PART_B["q_psi"] = q_psi
+
+ORACLE_PART_B["q_psi"] = """
+    WITH cust AS (
+        SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal,
+               c_custkey % 2 = 0 AS is_ref
+        FROM customer
+    ), ref AS (SELECT * FROM cust WHERE is_ref),
+    nref AS (SELECT count(*) AS n FROM ref),
+    ranked AS (
+        SELECT bal, row_number() OVER (
+            ORDER BY bal ASC, c_custkey ASC) AS rk
+        FROM ref
+    ), bounds AS (
+        SELECT bal AS b, row_number() OVER (ORDER BY bal, rk) AS i
+        FROM ranked, nref
+        WHERE rk IN (-((-n * 1) // 10), -((-n * 2) // 10),
+                     -((-n * 3) // 10), -((-n * 4) // 10),
+                     -((-n * 5) // 10), -((-n * 6) // 10),
+                     -((-n * 7) // 10), -((-n * 8) // 10),
+                     -((-n * 9) // 10))
+    ), binned AS (
+        SELECT cust.is_ref,
+               CAST(1 + COALESCE((SELECT count(*) FROM bounds
+                                  WHERE cust.bal > bounds.b), 0)
+                    AS BIGINT) AS bin
+        FROM cust
+    ), agg AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ref,
+               CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_live
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT sum(n_ref) AS t_ref, sum(n_live) AS t_live FROM agg
+    )
+    SELECT bin, n_ref, n_live,
+           CAST(floor(
+               (CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE)
+                - CAST(n_live + 1 AS DOUBLE) / CAST(t_live + 10 AS DOUBLE))
+               * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE))
+                    / (CAST(n_live + 1 AS DOUBLE)
+                       / CAST(t_live + 10 AS DOUBLE)))
+               * 1e12) AS BIGINT) / 1e12 AS psi_term
+    FROM agg, tot
+"""
