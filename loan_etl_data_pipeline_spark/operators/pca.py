@@ -24,9 +24,9 @@ Two portability traps handled explicitly:
 The per-round model (one int64 per dimension) lives on the driver
 between rounds — the same bounded-model contract as IVF centroids and
 the bigram-LM weights (dims ≤ a few thousand; NOT per-row state).
-Fan-out per round: one explode-free... rather, one (id,dim)-exploded
-aggregation pair keyed on id then dim — two shuffles of the exploded
-frame per round, nothing quadratic.
+Fan-out per round: one (id,dim)-exploded aggregation pair keyed on id
+then dim — two shuffles of the exploded frame per round, nothing
+quadratic.
 """
 
 from __future__ import annotations
@@ -60,7 +60,6 @@ def power_iteration_topdir(
     """
     if dim < 1 or iters < 1:
         raise ValueError(f"dim and iters must be >= 1, got {dim}/{iters}")
-    spark = df.sparkSession
     eq = (
         df.select(
             F.col(id_col).alias("id"),
@@ -73,6 +72,20 @@ def power_iteration_topdir(
         )
         .localCheckpoint()
     )
+    return dominant_direction_of_quantized(eq, dim=dim, iters=iters)
+
+
+def dominant_direction_of_quantized(
+    eq: DataFrame, *, dim: int, iters: int = 3
+) -> DataFrame:
+    """Power-iteration core over an already-quantized exploded frame
+    ``(id, j, q)`` — the deflation entry point: feed it the
+    ``remove_common_direction`` output (renamed q) to get the SECOND
+    principal direction, and so on down the spectrum. Same contract as
+    :func:`power_iteration_topdir`."""
+    if dim < 1 or iters < 1:
+        raise ValueError(f"dim and iters must be >= 1, got {dim}/{iters}")
+    spark = eq.sparkSession
     v = [SCALE] * dim  # all-ones start at scale 1e6 — sign-deterministic
     sgn_sql = "CASE WHEN {x} >= 0 THEN ({x}) div {d} ELSE -((-({x})) div {d}) END"
     for _ in range(iters):

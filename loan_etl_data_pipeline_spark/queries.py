@@ -8616,53 +8616,64 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_PART_B["q_power_iteration"] = q_power_iteration
 
 
-def _power_iteration_oracle(iters: int = 3, dim: int = 64) -> str:
-    """Unrolled power-iteration CTE chain (generated, not hand-typed,
-    so round structure can't drift between rounds)."""
+def _pi_round_ctes(eq_name: str, prefix: str, iters: int, dim: int):
+    """Power-iteration round CTEs over source ``eq_name`` (an (id, j,
+    q) relation), names prefixed so chains compose (deflation). Returns
+    (cte_list, final_v_name). Generated, not hand-typed, so round
+    structure can't drift."""
     tdiv = (
         "CASE WHEN {x} >= 0 THEN ({x}) // {d} "
         "ELSE -((-({x})) // {d}) END"
     )
-    ctes = [
-        f"""eq AS (
+    ctes = []
+    prev_v = None
+    for i in range(1, iters + 1):
+        if prev_v is None:
+            s_expr = "sum(q * 1000000)"
+            s_from = eq_name
+        else:
+            s_expr = f"sum({eq_name}.q * {prev_v}.v)"
+            s_from = f"{eq_name} JOIN {prev_v} USING (j)"
+        ctes.append(
+            f"{prefix}s{i} AS (SELECT id, {s_expr} AS s FROM {s_from} "
+            f"GROUP BY id)"
+        )
+        ctes.append(
+            f"{prefix}p{i} AS (SELECT id, {tdiv.format(x='s', d=1000000)} "
+            f"AS sp FROM {prefix}s{i})"
+        )
+        ctes.append(
+            f"{prefix}u{i} AS (SELECT j, sum({eq_name}.q * {prefix}p{i}.sp) "
+            f"AS u FROM {eq_name} JOIN {prefix}p{i} USING (id) GROUP BY j)"
+        )
+        ctes.append(
+            f"{prefix}d{i} AS (SELECT max(abs(u)) // 1000000 + 1 AS d "
+            f"FROM {prefix}u{i})"
+        )
+        ctes.append(
+            f"{prefix}v{i} AS (SELECT j, {tdiv.format(x='u', d='d')} AS v "
+            f"FROM {prefix}u{i}, {prefix}d{i})"
+        )
+        prev_v = f"{prefix}v{i}"
+    return ctes, prev_v
+
+
+def _eq_cte(dim: int = 64) -> str:
+    return f"""eq AS (
         SELECT vec_id AS id, j,
                CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
                  AS q
         FROM embeddings, UNNEST(range(1, {dim + 1})) AS t(j)
     )"""
-    ]
-    prev_v = None
-    for i in range(1, iters + 1):
-        if prev_v is None:
-            s_expr = "sum(q * 1000000)"
-            s_from = "eq"
-        else:
-            s_expr = f"sum(eq.q * {prev_v}.v)"
-            s_from = f"eq JOIN {prev_v} USING (j)"
-        ctes.append(
-            f"s{i} AS (SELECT id, {s_expr} AS s FROM {s_from} GROUP BY id)"
-        )
-        ctes.append(
-            f"p{i} AS (SELECT id, {tdiv.format(x='s', d=1000000)} AS sp "
-            f"FROM s{i})"
-        )
-        ctes.append(
-            f"u{i} AS (SELECT j, sum(eq.q * p{i}.sp) AS u "
-            f"FROM eq JOIN p{i} USING (id) GROUP BY j)"
-        )
-        ctes.append(
-            f"d{i} AS (SELECT max(abs(u)) // 1000000 + 1 AS d FROM u{i})"
-        )
-        ctes.append(
-            f"v{i} AS (SELECT j, {tdiv.format(x='u', d='d')} AS v "
-            f"FROM u{i}, d{i})"
-        )
-        prev_v = f"v{i}"
+
+
+def _power_iteration_oracle(iters: int = 3, dim: int = 64) -> str:
+    rounds, final_v = _pi_round_ctes("eq", "", iters, dim)
     return (
         "    WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join([_eq_cte(dim)] + rounds)
         + f"\n    SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS v "
-        f"FROM {prev_v}"
+        f"FROM {final_v}"
     )
 
 
@@ -9265,3 +9276,63 @@ ORACLE_PART_B["q_psi"] = """
                * 1e12) AS BIGINT) / 1e12 AS psi_term
     FROM agg, tot
 """
+
+
+def q_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ second principal direction by DEFLATION: remove the
+    dominant direction from every corpus embedding (q_abtt's
+    projection, applied corpus-wide) and run the exact-int64 power
+    iteration again on the corrected matrix
+    (operators/pca.py dominant_direction_of_quantized — the already-
+    quantized entry point). Two fully-oracled iterative stages
+    composed into ONE generated SQL statement (prefix-named round
+    CTEs chain); with q_power_iteration this is a top-2 PCA stack
+    whose every component is bit-reproducible. 64 rows out.
+    """
+    from loan_etl_data_pipeline_spark.operators.pca import (
+        dominant_direction_of_quantized,
+        power_iteration_topdir,
+        remove_common_direction,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v1 = power_iteration_topdir(emb, "vec_id", "embedding", dim=64, iters=3)
+    corrected = remove_common_direction(emb, "vec_id", "embedding", v1, dim=64)
+    eq2 = corrected.select(
+        "id", "j", F.col("xq_corrected").alias("q")
+    ).localCheckpoint()
+    return dominant_direction_of_quantized(eq2, dim=64, iters=3)
+
+
+QUERIES_PART_B["q_pca2"] = q_pca2
+
+
+def _pca2_oracle(iters: int = 3, dim: int = 64) -> str:
+    r1, v1 = _pi_round_ctes("eq", "", iters, dim)
+    tdiv = (
+        "CASE WHEN {x} >= 0 THEN ({x}) // {d} ELSE -((-({x})) // {d}) END"
+    )
+    removal = [
+        f"vv AS (SELECT sum(v * v) AS vv FROM {v1})",
+        f"""dots AS (
+        SELECT id, sum(eq.q * {v1}.v) AS d
+        FROM eq JOIN {v1} USING (j) GROUP BY id
+    )""",
+        f"cc AS (SELECT id, {tdiv.format(x='1000 * d', d='vv')} AS c "
+        f"FROM dots, vv)",
+        f"""eq2 AS (
+        SELECT eq.id, eq.j,
+               eq.q - ({tdiv.format(x='cc.c * ' + v1 + '.v', d='1000')}) AS q
+        FROM eq JOIN cc USING (id) JOIN {v1} USING (j)
+    )""",
+    ]
+    r2, v2 = _pi_round_ctes("eq2", "b", iters, dim)
+    return (
+        "    WITH "
+        + ",\n    ".join([_eq_cte(dim)] + r1 + removal + r2)
+        + f"\n    SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS v "
+        f"FROM {v2}"
+    )
+
+
+ORACLE_PART_B["q_pca2"] = _pca2_oracle()

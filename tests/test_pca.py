@@ -76,3 +76,36 @@ def test_remove_common_direction_orthogonalizes(spark):
     bound = vv / 1000 + sum(abs(c) for c in v.values())
     for residual in per_vec.values():
         assert abs(residual) <= bound
+
+
+def test_deflated_second_direction_is_distinct(spark):
+    from loan_etl_data_pipeline_spark.operators.pca import (
+        dominant_direction_of_quantized,
+        power_iteration_topdir,
+        remove_common_direction,
+    )
+    import pyspark.sql.functions as F
+    import math
+
+    # energy on dim 1 (strong) and dim 4 (weaker, independent)
+    rows = [
+        (i, [2.0 + 0.01 * i, 0.0, 0.0,
+             (1.0 if i % 2 else -1.0) * (0.8 + 0.01 * i), 0.0, 0.0])
+        for i in range(30)
+    ]
+    df = _vecs(spark, rows)
+    v1df = power_iteration_topdir(df, "id", "e", dim=6, iters=4)
+    corrected = remove_common_direction(df, "id", "e", v1df, dim=6)
+    v2df = dominant_direction_of_quantized(
+        corrected.select("id", "j", F.col("xq_corrected").alias("q")),
+        dim=6, iters=4,
+    )
+    v1 = {r["dim"]: r["v"] for r in v1df.collect()}
+    v2 = {r["dim"]: r["v"] for r in v2df.collect()}
+    n1 = math.sqrt(sum(c * c for c in v1.values()))
+    n2 = math.sqrt(sum(c * c for c in v2.values()))
+    # v1 ~ dim 1, v2 ~ dim 4, near-orthogonal
+    assert abs(v1[1]) / n1 > 0.9
+    assert abs(v2[4]) / n2 > 0.9
+    cos = sum(v1[j] * v2[j] for j in v1) / (n1 * n2)
+    assert abs(cos) < 0.15
