@@ -26,7 +26,7 @@ alternating relabel rules.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 
@@ -562,3 +562,57 @@ def bfs_hops(
         visited = visited.union(nxt).localCheckpoint()
         frontier = nxt.select("id")
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al.) over the
+    UNDIRECTED graph, ``rounds`` fixed: labels start as node ids; each
+    round every node adopts its neighbors' most frequent label with
+    the deterministic tie-break (max count, then MIN label) — the
+    async/random variant converges faster but is unreproducible, and
+    reproducibility is the contract here (fixed unrolling ⇒ the whole
+    community detection value-oracles as SQL CTE rounds, the
+    pagerank/kcore stance). Returns (id, label).
+
+    Scale: per round one edge⋈labels hash join + one (node, label)
+    count agg + one per-node argmax — all keyed on node id, lineage
+    cut per round. Isolated nodes don't appear in ``edges`` and keep
+    their own label by construction. Communities from label prop feed
+    q_modularity the way CC components feed dedup.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        neigh = (
+            e.join(labels, e["v"] == labels["id"])
+            .select(F.col("u").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -9336,3 +9336,160 @@ def _pca2_oracle(iters: int = 3, dim: int = 64) -> str:
 
 
 ORACLE_PART_B["q_pca2"] = _pca2_oracle()
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ community detection (operators/graph.py label_propagation):
+    3 synchronous label-propagation rounds over the co-purchase graph
+    with the deterministic (max count, min label) adoption rule —
+    fills the community slot next to CC (connectivity), k-core
+    (density), and PageRank (centrality). Output: community sizes
+    (label, n_members) — the label is the community's min-ish seed id.
+    Fully value-oracled via 3 unrolled CTE rounds.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import label_propagation
+
+    labels = label_propagation(
+        _copurchase_edges(spark, sf_dir), "pa", "pb", rounds=3
+    )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+QUERIES_PART_B["q_label_prop"] = q_label_prop
+
+
+def _label_prop_oracle(rounds: int = 3) -> str:
+    ctes = [
+        "sym AS (SELECT pa AS u, pb AS v FROM pairs "
+        "UNION SELECT pb, pa FROM pairs)",
+        "l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym)",
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"n{r} AS (SELECT sym.u AS id, {prev}.label, count(*) AS cnt "
+            f"FROM sym JOIN {prev} ON sym.v = {prev}.id "
+            f"GROUP BY sym.u, {prev}.label)"
+        )
+        ctes.append(
+            f"l{r} AS (SELECT id, label FROM ("
+            f"SELECT id, label, row_number() OVER ("
+            f"PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM n{r}) WHERE rn = 1)"
+        )
+        prev = f"l{r}"
+    return (
+        f"    WITH {_COPURCHASE_CTE.strip()},\n    "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT label, CAST(count(*) AS BIGINT) AS n_members "
+        f"FROM {prev} GROUP BY label"
+    )
+
+
+ORACLE_PART_B["q_label_prop"] = _label_prop_oracle()
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ partition quality: Newman modularity of the label-prop
+    communities over the co-purchase graph — Q = Σ_c (e_c/m −
+    (d_c/2m)²), the number that says whether the communities are
+    denser than degree-chance. Exact integers throughout: e_c
+    (within-community edges), d_c (community degree sums), m; the
+    final Q is assembled from per-community terms floor-quantized to
+    1e-12 (engine summation order can't leak). 1 row out; composes
+    the SAME unrolled label-prop rounds in its oracle.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        degrees,
+        label_propagation,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    labels = label_propagation(edges, "pa", "pb", rounds=3)
+    la = labels.select(
+        F.col("id").alias("pa"), F.col("label").alias("ca")
+    )
+    lb = labels.select(
+        F.col("id").alias("pb"), F.col("label").alias("cb")
+    )
+    e_c = (
+        edges.join(la, "pa")
+        .join(lb, "pb")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    d_c = (
+        degrees(edges, "pa", "pb")
+        .join(labels, F.col("node") == F.col("id"))
+        .groupBy("label")
+        .agg(F.sum("degree").cast("bigint").alias("d_sum"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    terms = (
+        d_c.join(e_c, "label", "left")
+        .withColumn("e_in", F.coalesce("e_in", F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "term",
+            F.col("e_in").cast("double") / F.col("m").cast("double")
+            - (
+                F.col("d_sum").cast("double")
+                / (2 * F.col("m")).cast("double")
+            )
+            * (
+                F.col("d_sum").cast("double")
+                / (2 * F.col("m")).cast("double")
+            ),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        (
+            F.sum(F.floor(F.col("term") * F.lit(1e12)).cast("bigint")).cast(
+                "double"
+            )
+            / 1e12
+        ).alias("modularity"),
+    )
+
+
+QUERIES_PART_B["q_modularity"] = q_modularity
+
+ORACLE_PART_B["q_modularity"] = (
+    _label_prop_oracle().rsplit("\n    SELECT ", 1)[0]
+    + """,
+    ec AS (
+        SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+        FROM pairs
+        JOIN l3 la ON pairs.pa = la.id
+        JOIN l3 lb ON pairs.pb = lb.id
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+        ) GROUP BY node
+    ),
+    dc AS (
+        SELECT l3.label, CAST(sum(deg.degree) AS BIGINT) AS d_sum
+        FROM deg JOIN l3 ON deg.node = l3.id GROUP BY l3.label
+    ),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    terms AS (
+        SELECT dc.label, COALESCE(ec.e_in, 0) AS e_in, dc.d_sum, mm.m,
+               CAST(COALESCE(ec.e_in, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+               - (CAST(dc.d_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE))
+                 * (CAST(dc.d_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE))
+                 AS term
+        FROM dc LEFT JOIN ec ON dc.label = ec.label, mm
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(CAST(floor(term * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS modularity
+    FROM terms
+"""
+)

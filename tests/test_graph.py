@@ -259,3 +259,33 @@ def test_bfs_hops_multi_seed_min_distance(spark):
            bfs_hops(edges, seeds=seeds, max_hops=3).collect()}
     # undirected, two seeds: every node takes the NEARER seed's distance
     assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_label_propagation_two_communities(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import label_propagation
+
+    # two triangles bridged by a single edge -> two communities
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        ["src", "dst"],
+    )
+    got = {r["id"]: r["label"] for r in
+           label_propagation(edges, rounds=3).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(a + 1, 8)
+         if (a * b + a + b) % 3 == 0],
+        ["src", "dst"],
+    )
+    a = sorted((r["id"], r["label"]) for r in
+               label_propagation(edges, rounds=2).collect())
+    b = sorted((r["id"], r["label"]) for r in
+               label_propagation(edges.repartition(5), rounds=2).collect())
+    assert a == b
