@@ -616,3 +616,70 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int,
+) -> DataFrame:
+    """Kleinberg HITS over the directed/bipartite edge set, ``rounds``
+    fixed, exact int64 fixed-point: hubs start at 1e6; each round
+    authority(v) = Σ_{u→v} hub(u) then hub(u) = Σ_{u→v} authority(v),
+    each half-step max-norm-rescaled by the integer divisor
+    ``max|score| div 1e6 + 1`` (the power-iteration rescale — scores
+    stay ~±1e6, sums stay inside int64 for degree·1e6 < 2^63). No
+    driver-side state beyond nothing at all: the rescale divisor is
+    computed IN-PLAN via a 1-row cross join, so the unrolled SQL
+    oracle replays the whole computation. Returns
+    (id, authority, hub) for destination/source nodes respectively —
+    dst nodes carry authority, src nodes carry hub; in a bipartite
+    graph those are disjoint id spaces, in a general digraph join
+    them on id. All scores non-negative ⇒ plain integer division
+    (no sign decomposition needed, asserted by construction).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).distinct().localCheckpoint()
+    hub = (
+        e.select(F.col("u").alias("id")).distinct()
+        .withColumn("h", F.lit(1_000_000).cast("bigint"))
+        .localCheckpoint()
+    )
+    auth = None
+    for _ in range(rounds):
+        raw_a = (
+            e.join(hub, e["u"] == hub["id"])
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("h").alias("ra"))
+        )
+        da = raw_a.agg(
+            (F.expr("max(ra) div 1000000") + 1).alias("d")
+        )
+        auth = (
+            raw_a.crossJoin(F.broadcast(da))
+            .select("id", F.expr("ra div d").alias("a"))
+            .localCheckpoint()
+        )
+        raw_h = (
+            e.join(auth, e["v"] == auth["id"])
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.sum("a").alias("rh"))
+        )
+        dh = raw_h.agg(
+            (F.expr("max(rh) div 1000000") + 1).alias("d")
+        )
+        hub = (
+            raw_h.crossJoin(F.broadcast(dh))
+            .select("id", F.expr("rh div d").alias("h"))
+            .localCheckpoint()
+        )
+    return auth.join(hub, "id", "full").select(
+        "id",
+        F.coalesce("a", F.lit(0)).cast("bigint").alias("authority"),
+        F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+    )

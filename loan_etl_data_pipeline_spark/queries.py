@@ -9493,3 +9493,79 @@ ORACLE_PART_B["q_modularity"] = (
     FROM terms
 """
 )
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ link analysis beyond PageRank (operators/graph.py hits):
+    Kleinberg hubs/authorities over the customer→part purchase
+    bipartite graph, 2 exact-int64 rounds — big-basket customers
+    become hubs, parts bought by hubby customers become authorities
+    (the bipartite centrality PageRank's symmetric walk can't give
+    you). In-plan integer max-norm rescale per half-step, so the
+    unrolled CTE oracle replays everything. Top-20 authority parts,
+    id tie-break.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    out = hits(edges, "cust", "part", rounds=2)
+    return (
+        out.filter(F.col("authority") > 0)
+        .select(F.col("id").alias("part"), "authority")
+        .orderBy(F.desc("authority"), F.asc("part"))
+        .limit(20)
+    )
+
+
+QUERIES_PART_B["q_hits"] = q_hits
+
+
+def _hits_oracle(rounds: int = 2) -> str:
+    ctes = [
+        """e AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS v
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        "h0 AS (SELECT DISTINCT u AS id, CAST(1000000 AS BIGINT) AS h FROM e)",
+    ]
+    prev_h = "h0"
+    prev_a = None
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"ra{r} AS (SELECT e.v AS id, sum({prev_h}.h) AS ra "
+            f"FROM e JOIN {prev_h} ON e.u = {prev_h}.id GROUP BY e.v)"
+        )
+        ctes.append(
+            f"da{r} AS (SELECT max(ra) // 1000000 + 1 AS d FROM ra{r})"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT id, ra // d AS a FROM ra{r}, da{r})"
+        )
+        ctes.append(
+            f"rh{r} AS (SELECT e.u AS id, sum(a{r}.a) AS rh "
+            f"FROM e JOIN a{r} ON e.v = a{r}.id GROUP BY e.u)"
+        )
+        ctes.append(
+            f"dh{r} AS (SELECT max(rh) // 1000000 + 1 AS d FROM rh{r})"
+        )
+        ctes.append(
+            f"h{r} AS (SELECT id, rh // d AS h FROM rh{r}, dh{r})"
+        )
+        prev_h, prev_a = f"h{r}", f"a{r}"
+    return (
+        "    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id AS part, CAST(a AS BIGINT) AS authority
+    FROM {prev_a} WHERE a > 0
+    ORDER BY a DESC, id ASC LIMIT 20"""
+    )
+
+
+ORACLE_PART_B["q_hits"] = _hits_oracle()

@@ -289,3 +289,21 @@ def test_label_propagation_deterministic_under_repartition(spark):
     b = sorted((r["id"], r["label"]) for r in
                label_propagation(edges.repartition(5), rounds=2).collect())
     assert a == b
+
+
+def test_hits_bipartite_authorities(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import hits
+
+    # hub 1 buys everything; part 100 is bought by everyone
+    edges = spark.createDataFrame(
+        [(1, 100), (1, 101), (1, 102), (2, 100), (3, 100), (3, 102)],
+        ["cust", "part"],
+    )
+    out = {r["id"]: (r["authority"], r["hub"])
+           for r in hits(edges, "cust", "part", rounds=2).collect()}
+    # part 100 (everyone) outranks 102 (two buyers) outranks 101 (one)
+    assert out[100][0] > out[102][0] > out[101][0]
+    # customer 1 (three baskets incl. every part) is the top hub
+    assert out[1][1] >= out[3][1] >= out[2][1]
+    # bipartite: customers carry no authority, parts no hub
+    assert out[1][0] == 0 and out[100][1] == 0
