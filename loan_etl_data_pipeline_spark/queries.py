@@ -9569,3 +9569,93 @@ def _hits_oracle(rounds: int = 2) -> str:
 
 
 ORACLE_PART_B["q_hits"] = _hits_oracle()
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ TextRank keyword extraction (Mihalcea-Tarau): int64
+    fixed-point PageRank (operators/graph.py pagerank — the SAME
+    oracle-able iteration q_pagerank certifies) over the word
+    ADJACENCY graph: undirected edges between adjacent lowercase
+    tokens with corpus-wide co-adjacency count >= 3 (the support
+    floor is again the scale lever — raw adjacency pairs are
+    corpus-linear, surviving edges are vocabulary-shaped). Top-20
+    keyword nodes by rank, word tie-break (ASCII corpus, so string
+    order agrees cross-engine). Graph-based keywording complements
+    the frequency-based q_tfidf_terms.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import pagerank
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w"),
+        F.col("doc_id"),
+    )
+    nxt = toks.select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("w").alias("w2")
+    )
+    adj = (
+        toks.join(nxt, ["doc_id", "pos"])
+        .filter(F.col("w") != F.col("w2"))
+        .select(
+            F.least("w", "w2").alias("a"), F.greatest("w", "w2").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    sym = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank(sym, iterations=3)
+    return (
+        pr.select(F.col("id").alias("word"), "pr")
+        .orderBy(F.desc("pr"), F.asc("word"))
+        .limit(20)
+    )
+
+
+QUERIES_PART_B["q_textrank"] = q_textrank
+
+_TR_ITER_SQL = """
+    {cur} AS (
+        SELECT nodes.id,
+               150000000 + (85 * COALESCE(agg.s, 0)) // 100 AS pr
+        FROM nodes LEFT JOIN (
+            SELECT e.v AS id, SUM({prev}.pr // odeg.odeg) AS s
+            FROM e
+            JOIN odeg ON e.u = odeg.u
+            JOIN {prev} ON {prev}.id = e.u
+            GROUP BY e.v
+        ) agg ON nodes.id = agg.id
+    )
+"""
+
+ORACLE_PART_B["q_textrank"] = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+        FROM documents
+    ),
+    adj AS (
+        SELECT l[CAST(g.i AS INTEGER)] AS w1,
+               l[CAST(g.i AS INTEGER) + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+        WHERE l[CAST(g.i AS INTEGER)] <> l[CAST(g.i AS INTEGER) + 1]
+    ),
+    und AS (
+        SELECT least(w1, w2) AS a, greatest(w1, w2) AS b
+        FROM adj GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    e AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    odeg AS (SELECT u, count(*) AS odeg FROM e GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS id FROM e),
+    p0 AS (
+        SELECT id, 1000000000 // (SELECT count(*) FROM nodes) AS pr
+        FROM nodes
+    ),
+    {_TR_ITER_SQL.format(cur="p1", prev="p0")},
+    {_TR_ITER_SQL.format(cur="p2", prev="p1")},
+    {_TR_ITER_SQL.format(cur="p3", prev="p2")}
+    SELECT id AS word, CAST(pr AS BIGINT) AS pr
+    FROM p3 ORDER BY pr DESC, word ASC LIMIT 20
+"""
