@@ -13,9 +13,12 @@ pure integer arithmetic, so the whole computation replays as unrolled
 SQL CTEs with a full value oracle.
 
 Two portability traps handled explicitly:
-- Rescales divide SIGN-DECOMPOSED: ``sign(x)·(|x| div d)``. Spark's
-  ``div`` truncates toward zero while DuckDB's ``//`` floors toward
-  −∞ — they disagree on every negative intermediate otherwise.
+- Rescales divide SIGN-DECOMPOSED: ``sign(x)·(|x| div d)``. Both
+  engines' SQL integer division truncates toward zero, but PYTHON's
+  ``//`` floors — and the per-round model arithmetic runs driver-side
+  in Python (``_tdiv`` pins truncation there). The SQL form mirrors
+  the same sign decomposition so all three implementations share ONE
+  stated semantics instead of relying on per-language defaults.
 - s_i is pre-shrunk by 1e6 before the back-projection so u_j stays
   inside int64 up to ~1e5 vectors; past that the u-accumulation swaps
   to decimal(38,0) sums (the SCALE.md ladder) with the divisions

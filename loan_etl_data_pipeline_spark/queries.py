@@ -7933,41 +7933,15 @@ def q_del1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB shape for typo-tolerant entity resolution. Capped to
     custkey < 1500 so the oracle's quadratic replay stays cheap.
     """
+    from loan_etl_data_pipeline_spark.operators.entity import del1_pairs
+
     c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < 1500)
         .select("c_custkey", "c_name")
     )
-    keys = c.select(
-        "c_custkey",
-        "c_name",
-        F.explode(
-            F.array_union(
-                F.array(F.col("c_name")),
-                F.expr(
-                    "transform(sequence(1, length(c_name)), i -> "
-                    "concat(substring(c_name, 1, i-1), "
-                    "substring(c_name, i+1, length(c_name))))"
-                ),
-            )
-        ).alias("k"),
-    )
-    a = keys.select(
-        F.col("c_custkey").alias("c1"), F.col("c_name").alias("n1"), "k"
-    )
-    b = keys.select(
-        F.col("c_custkey").alias("c2"), F.col("c_name").alias("n2"), "k"
-    )
-    return (
-        a.join(b, "k")
-        .filter(F.col("c1") < F.col("c2"))
-        .select("c1", "c2", "n1", "n2")
-        .distinct()
-        .withColumn(
-            "dist", F.levenshtein(F.col("n1"), F.col("n2")).cast("bigint")
-        )
-        .filter(F.col("dist") <= 1)
-        .select("c1", "c2", "dist")
+    return del1_pairs(c, "c_custkey", "c_name").select(
+        F.col("id_a").alias("c1"), F.col("id_b").alias("c2"), "dist"
     )
 
 
@@ -8602,8 +8576,9 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus embedding matrix — the seed of PCA whitening /
     all-but-the-top common-direction removal. Every round (projection,
     back-projection, max-norm rescale) is integer arithmetic with
-    SIGN-DECOMPOSED divisions (Spark div truncates, DuckDB // floors —
-    they disagree on negatives otherwise), so the full iterative
+    SIGN-DECOMPOSED divisions (SQL integer division truncates in both
+    engines but PYTHON's // floors — the driver-side model arithmetic
+    must match, see pca.py _tdiv), so the full iterative
     computation value-oracles as three unrolled CTE rounds — the
     pagerank stance applied to linear algebra. 64 rows out.
     """
@@ -8911,8 +8886,8 @@ def q_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-dominant direction (q_power_iteration's output) from the
     first five probe embeddings, entirely in exact int64 — staged
     integer divisions keep every intermediate inside int64 and the
-    sign-decomposed form keeps Spark div (truncate) and DuckDB //
-    (floor) in agreement. The oracle replays the WHOLE composition:
+    sign-decomposed form pins truncation semantics across Spark SQL,
+    DuckDB, and the driver-side Python (whose // floors). The oracle replays the WHOLE composition:
     the three generated power-iteration rounds plus the projection
     removal, one statement. Map-side projection: the corpus never
     shuffles; the direction broadcasts.
@@ -9245,11 +9220,15 @@ ORACLE_PART_B["q_psi"] = """
     ), bounds AS (
         SELECT bal AS b, row_number() OVER (ORDER BY bal, rk) AS i
         FROM ranked, nref
-        WHERE rk IN (-((-n * 1) // 10), -((-n * 2) // 10),
-                     -((-n * 3) // 10), -((-n * 4) // 10),
-                     -((-n * 5) // 10), -((-n * 6) // 10),
-                     -((-n * 7) // 10), -((-n * 8) // 10),
-                     -((-n * 9) // 10))
+        -- ceil(n*i/10) as (n*i + 9) // 10: operands stay POSITIVE.
+        -- The negated-floor-div ceil trick is a Python-ism — SQL integer
+        -- division TRUNCATES toward zero in BOTH engines, so
+        -- -((-n) // 10) under-counts by one whenever 10 doesn't divide n
+        WHERE rk IN ((n * 1 + 9) // 10, (n * 2 + 9) // 10,
+                     (n * 3 + 9) // 10, (n * 4 + 9) // 10,
+                     (n * 5 + 9) // 10, (n * 6 + 9) // 10,
+                     (n * 7 + 9) // 10, (n * 8 + 9) // 10,
+                     (n * 9 + 9) // 10)
     ), binned AS (
         SELECT cust.is_ref,
                CAST(1 + COALESCE((SELECT count(*) FROM bounds
@@ -9658,4 +9637,57 @@ ORACLE_PART_B["q_textrank"] = f"""
     {_TR_ITER_SQL.format(cur="p3", prev="p2")}
     SELECT id AS word, CAST(pr AS BIGINT) AS pr
     FROM p3 ORDER BY pr DESC, word ASC LIMIT 20
+"""
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ entity resolution end-to-end (plans/entity.py
+    resolve_entities): FastSS deletion-neighborhood blocking →
+    levenshtein verify → connected components → golden record, one
+    composed plan over the capped customer slice — typo'd
+    re-registrations collapse into entities with a
+    provenance-deterministic canonical name (the min member id's, via
+    min-struct, never an arbitrary first()) and max account balance
+    as survivorship. The oracle replays blocking as the certified
+    quadratic equivalent, clustering as the recursive CTE, and the
+    same survivorship rules (DuckDB arg_min).
+    """
+    from loan_etl_data_pipeline_spark.plans.entity import resolve_entities
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1500)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    return resolve_entities(c, "c_custkey", "c_name", "c_acctbal")
+
+
+QUERIES_PART_B["q_entity_resolution"] = q_entity_resolution
+
+ORACLE_PART_B["q_entity_resolution"] = """
+    WITH RECURSIVE c AS (
+        SELECT c_custkey AS id, c_name AS name, c_acctbal AS score
+        FROM customer WHERE c_custkey < 1500
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM c a JOIN c b ON a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+    ), comp AS (
+        SELECT id, min(label) AS component FROM reach GROUP BY id
+    ), labeled AS (
+        SELECT COALESCE(comp.component, c.id) AS entity_id,
+               c.id AS mid, c.name, c.score
+        FROM c LEFT JOIN comp ON c.id = comp.id
+    )
+    SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+           arg_min(name, mid) AS canonical_name,
+           max(score) AS best_score
+    FROM labeled GROUP BY entity_id
 """

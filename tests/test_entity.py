@@ -1,0 +1,29 @@
+"""resolve_entities (plans/entity.py): clustering + survivorship on a
+hand-built registry. SF-scale cross-engine check: q_entity_resolution."""
+
+from __future__ import annotations
+
+from loan_etl_data_pipeline_spark.plans.entity import resolve_entities
+
+
+def test_resolve_entities_merges_typos(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alice smith", 100.0),
+            (2, "alice smyth", 250.0),   # 1 sub from #1
+            (3, "alice smythe", 50.0),   # 1 insert from #2 (chain!)
+            (4, "bob jones", 70.0),
+            (5, "bob jones", 90.0),      # exact duplicate
+            (6, "carol wu", 10.0),       # singleton
+        ],
+        ["id", "name", "bal"],
+    )
+    got = {r["entity_id"]: r for r in
+           resolve_entities(df, "id", "name", "bal").collect()}
+    assert set(got) == {1, 4, 6}
+    # transitive chain 1~2~3 is ONE entity even though lev(1,3)=2
+    assert got[1]["n_members"] == 3
+    assert got[1]["canonical_name"] == "alice smith"  # min member id's name
+    assert got[1]["best_score"] == 250.0              # survivorship max
+    assert got[4]["n_members"] == 2 and got[4]["best_score"] == 90.0
+    assert got[6]["n_members"] == 1 and got[6]["canonical_name"] == "carol wu"
