@@ -683,3 +683,86 @@ def hits(
         F.coalesce("a", F.lit(0)).cast("bigint").alias("authority"),
         F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    seeds: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**9,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Topic-sensitive PageRank (Haveliwala): identical int64
+    fixed-point iteration to :func:`pagerank`, except the teleport
+    mass lands ONLY on the ``seeds`` node set (single-column
+    DataFrame) — rank becomes proximity-to-the-seeds, the
+    related-items / blast-radius score a uniform teleport can't give.
+    Initial mass ``scale div n_seeds`` on seeds, 0 elsewhere; per
+    round pr(v) = [v ∈ seeds]·base + (num·Σ contrib) div den. Exact
+    integers throughout ⇒ unrolled-CTE oracle, same overflow bound as
+    pagerank. Seeds usually fit a broadcast; the iteration shuffles
+    are the same two node-keyed Exchanges per round.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("odeg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sd = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .join(nodes, "id", "semi")
+        .withColumn("__seed", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        for cached in (e, outdeg, nodes, sd):
+            cached.unpersist()
+        raise ValueError("seeds contain no graph nodes")
+    base = ((damping_den - damping_num) * scale) // damping_den
+    flagged = nodes.join(F.broadcast(sd), "id", "left").select(
+        "id", F.coalesce("__seed", F.lit(0)).alias("__seed")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pr = flagged.select(
+        "id",
+        (F.col("__seed") * F.lit(scale // n_seeds)).cast("long").alias("pr"),
+    )
+    for _ in range(iterations):
+        inbound = (
+            e.join(outdeg, "u")
+            .join(pr.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), F.expr("pr div odeg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = flagged.join(inbound, "id", "left").select(
+            "id",
+            (
+                F.col("__seed").cast("long") * F.lit(base)
+                + F.expr(
+                    f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                )
+            ).alias("pr"),
+        )
+    pr = pr.localCheckpoint(eager=True)
+    for cached in (e, outdeg, nodes, sd, flagged):
+        cached.unpersist()
+    return pr

@@ -9691,3 +9691,83 @@ ORACLE_PART_B["q_entity_resolution"] = """
            max(score) AS best_score
     FROM labeled GROUP BY entity_id
 """
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ related-items scoring (operators/graph.py
+    personalized_pagerank): topic-sensitive PageRank over the
+    symmetric co-purchase graph with teleport restricted to the
+    partkey%100==0 seed parts — rank = random-walk proximity to the
+    seed basket, the related-products / contamination-proximity score
+    the uniform-teleport q_pagerank can't express. Same exact-int64
+    iteration ⇒ unrolled-CTE oracle; top-20 NON-seed parts by
+    proximity (the interesting output — seeds trivially rank first),
+    id tie-break.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    und = _copurchase_edges(spark, sf_dir)
+    sym = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).union(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    seeds = (
+        und.select(F.col("pa").alias("id"))
+        .union(und.select(F.col("pb").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 100 == 0)
+    )
+    pr = personalized_pagerank(sym, seeds=seeds, iterations=3)
+    return (
+        pr.filter(F.col("id") % 100 != 0)
+        .select(F.col("id").cast("bigint").alias("part"), F.col("pr"))
+        .orderBy(F.desc("pr"), F.asc("part"))
+        .limit(20)
+    )
+
+
+QUERIES_PART_B["q_ppr"] = q_ppr
+
+_PPR_ITER_SQL = """
+    {cur} AS (
+        SELECT nodes.id,
+               sflag.s_flag * {base}
+                 + (85 * COALESCE(agg.s, 0)) // 100 AS pr
+        FROM nodes
+        JOIN sflag ON nodes.id = sflag.id
+        LEFT JOIN (
+            SELECT e.v AS id, SUM({prev}.pr // odeg.odeg) AS s
+            FROM e
+            JOIN odeg ON e.u = odeg.u
+            JOIN {prev} ON {prev}.id = e.u
+            GROUP BY e.v
+        ) agg ON nodes.id = agg.id
+    )
+"""
+
+ORACLE_PART_B["q_ppr"] = f"""
+    WITH {_COPURCHASE_CTE},
+    e AS (SELECT pa AS u, pb AS v FROM pairs
+          UNION SELECT pb, pa FROM pairs),
+    odeg AS (SELECT u, count(*) AS odeg FROM e GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS id FROM e),
+    seeds AS (SELECT id FROM nodes WHERE id % 100 = 0),
+    sflag AS (
+        SELECT nodes.id,
+               CASE WHEN seeds.id IS NULL THEN 0 ELSE 1 END AS s_flag
+        FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id
+    ),
+    p0 AS (
+        SELECT sflag.id,
+               sflag.s_flag * (1000000000 // (SELECT count(*) FROM seeds))
+                 AS pr
+        FROM sflag
+    ),
+    {_PPR_ITER_SQL.format(cur="p1", prev="p0", base=150000000)},
+    {_PPR_ITER_SQL.format(cur="p2", prev="p1", base=150000000)},
+    {_PPR_ITER_SQL.format(cur="p3", prev="p2", base=150000000)}
+    SELECT CAST(id AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
+    FROM p3 WHERE id % 100 <> 0
+    ORDER BY pr DESC, id ASC LIMIT 20
+"""

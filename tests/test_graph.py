@@ -307,3 +307,31 @@ def test_hits_bipartite_authorities(spark):
     assert out[1][1] >= out[3][1] >= out[2][1]
     # bipartite: customers carry no authority, parts no hub
     assert out[1][0] == 0 and out[100][1] == 0
+
+
+def test_personalized_pagerank_proximity(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+    import pyspark.sql.functions as F
+
+    # path 1-2-3-4-5, seed at 1: rank must decay with distance
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    pr = {r["id"]: r["pr"] for r in
+          personalized_pagerank(edges, seeds=seeds, iterations=4).collect()}
+    # proximity decays with distance; compare same-parity hops (on a
+    # path, walk mass oscillates between parities across finite rounds)
+    assert pr[1] > pr[3] > pr[5]
+    assert pr[2] > pr[4]
+    assert pr[1] > pr[4] and pr[2] > pr[5]
+
+    # seeds outside the graph -> error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            edges, seeds=spark.createDataFrame([(99,)], ["id"]), iterations=1
+        )
