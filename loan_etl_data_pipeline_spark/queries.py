@@ -9771,3 +9771,90 @@ ORACLE_PART_B["q_ppr"] = f"""
     FROM p3 WHERE id % 100 <> 0
     ORDER BY pr DESC, id ASC LIMIT 20
 """
+
+
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ intraday seasonal profile: event count and exact floor-cents
+    value mass per hour-of-day × event type — the q_dow_seasonality
+    sibling on the event stream (when does each funnel stage actually
+    happen). One map-side-combined 2-key agg; ≤ 24·|types| rows at any
+    SF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour("ts").cast("bigint").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            F.sum(F.expr("cast(floor(value * 100) as bigint)")).cast("double")
+            / 100
+        ).alias("sum_value"),
+    )
+
+
+QUERIES_PART_B["q_hourly_profile"] = q_hourly_profile
+
+ORACLE_PART_B["q_hourly_profile"] = """
+    SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ point-process regularity: the Fano factor (variance/mean of
+    daily counts) per event type — Fano ≈ 1 is Poisson-like arrivals,
+    ≫ 1 is bursty (the capacity-planning and bot-detection number).
+    Daily counts are exact ints over days the type was observed
+    (documented choice: structural zero-days belong to the calendar
+    spine q_resample provides); variance from the exact moment sums
+    n·Σx² − (Σx)², one division at the end. Count-squared sums ride
+    the decimal ladder past ~1e9 events/day.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("sx").cast("double") / n
+    var = (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (n * n)
+    return m.select(
+        "event_type",
+        "n_days",
+        mean.alias("mean_daily"),
+        (var / mean).alias("fano"),
+    )
+
+
+QUERIES_PART_B["q_burstiness"] = q_burstiness
+
+ORACLE_PART_B["q_burstiness"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS sx,
+               CAST(sum(c * c) AS BIGINT) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+           ((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))
+           / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
+    FROM m
+"""
