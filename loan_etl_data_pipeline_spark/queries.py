@@ -9858,3 +9858,97 @@ ORACLE_PART_B["q_burstiness"] = """
            / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
     FROM m
 """
+
+
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ conformal prediction (split-conformal, Vovk/Angelopoulos):
+    the 90% prediction half-width for daily revenue under the
+    day-of-week-mean predictor — distribution-free coverage from
+    nothing but a quantile of absolute residuals. Everything is exact
+    integer: the residual |cents_d − mean(dow)| is computed as
+    tdiv(1000·|n_dow·cents_d − sum_dow|, n_dow) (milli-cents — the
+    mean never materializes as a float), and q-hat is the type-1
+    selection at rank ceil(0.9·(n+1)) over (residual, day) — the
+    conformal finite-sample-valid rank. Output: n days, q-hat, and
+    the realized calibration coverage (fixed IEEE division, ≥ 0.9 by
+    construction). Runs on the SF-invariant daily spine.
+    """
+    daily = _daily_cents(spark, sf_dir).withColumn(
+        "dow", (F.dayofweek("day") - 1).cast("bigint")
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dow"),
+        F.sum("cents").alias("s_dow"),
+    )
+    r = (
+        daily.join(F.broadcast(per_dow), "dow")
+        .withColumn(
+            "rq",
+            F.expr(
+                "(1000 * abs(n_dow * cents - s_dow)) div n_dow"
+            ),
+        )
+    )
+    n = r.count()
+    k = -(-(9 * (n + 1)) // 10)  # ceil(0.9*(n+1)), Python floor-div ceil
+    k = min(k, n)
+    qhat = (
+        r.orderBy(F.asc("rq"), F.asc("day"))
+        .limit(k)
+        .agg(F.max("rq").alias("qhat_milli"))
+    )
+    out = (
+        r.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.min("qhat_milli").alias("qhat_milli"),
+            (
+                F.sum(
+                    F.when(F.col("rq") <= F.col("qhat_milli"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+        .select(
+            "n_days",
+            "qhat_milli",
+            (F.col("qhat_milli").cast("double") / 100000).alias(
+                "halfwidth_dollars"
+            ),
+            "coverage",
+        )
+    )
+    return out
+
+
+QUERIES_PART_B["q_conformal"] = q_conformal
+
+ORACLE_PART_B["q_conformal"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    d2 AS (SELECT day, cents, CAST(dayofweek(day) AS BIGINT) AS dow
+           FROM daily),
+    per_dow AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_dow,
+               CAST(sum(cents) AS BIGINT) AS s_dow
+        FROM d2 GROUP BY dow
+    ),
+    r AS (
+        SELECT d2.day,
+               (1000 * abs(per_dow.n_dow * d2.cents - per_dow.s_dow))
+                 // per_dow.n_dow AS rq
+        FROM d2 JOIN per_dow USING (dow)
+    ),
+    nn AS (SELECT count(*) AS n FROM r),
+    qh AS (
+        SELECT max(rq) AS qhat_milli FROM (
+            SELECT rq FROM r, nn
+            ORDER BY rq ASC, day ASC
+            LIMIT (SELECT least((9 * (n + 1) + 9) // 10, n) FROM nn)
+        )
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_days, qh.qhat_milli,
+           CAST(qh.qhat_milli AS DOUBLE) / 100000 AS halfwidth_dollars,
+           CAST((SELECT count(*) FROM r, qh WHERE rq <= qhat_milli)
+                AS DOUBLE) / CAST(nn.n AS DOUBLE) AS coverage
+    FROM nn, qh
+"""
