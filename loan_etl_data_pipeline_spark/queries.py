@@ -9952,3 +9952,114 @@ ORACLE_PART_B["q_conformal"] = f"""
                 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS coverage
     FROM nn, qh
 """
+
+
+def q_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ one-way ANOVA: does day-of-week move daily revenue? F
+    statistic and effect size η² from EXACT integer sums of squares:
+    per group W_g = n_g·Σx² − (Σx)² accumulates in decimal(38,0)
+    (DuckDB HUGEINT mirrors; cents² crosses int64 at sf≳1), the
+    within/total SS are Σ_g W_g div n_g (integer division — the
+    truncation error is < #groups, identical on both engines, and the
+    statistic is insensitive at that granularity), and the final
+    F/η² are fixed IEEE over 2^32-LIMB-SPLIT doubles (the q_autocorr
+    conversion — these integers exceed 2^53, and DuckDB's native
+    128-bit→double cast is off by 1 ulp). The variance-decomposition
+    sibling of q_dow_seasonality (index says HOW MUCH each day
+    shifts; ANOVA says whether the shift beats within-day noise).
+    """
+    daily = _daily_cents(spark, sf_dir).withColumn(
+        "dow", (F.dayofweek("day") - 1).cast("bigint")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    per = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(dec("cents")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("sxx"),
+    )
+    # exact positive integer division kept IN DECIMAL: Spark's `div`
+    # returns BIGINT (quotients here cross 2^63), so divide via
+    # (x - x % n) / n — exact because the numerator is made divisible
+    w_g = F.expr(
+        "cast(((cast(n_g as decimal(38,0)) * sxx - sx * sx)"
+        " - (cast(n_g as decimal(38,0)) * sxx - sx * sx) % n_g) / n_g"
+        " as decimal(38,0))"
+    )
+    within = per.agg(
+        F.sum(w_g).cast("decimal(38,0)").alias("ssw"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("cents")).cast("decimal(38,0)").alias("tsx"),
+        F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("tsxx"),
+    ).select(
+        "n",
+        F.expr(
+            "cast(((cast(n as decimal(38,0)) * tsxx - tsx * tsx)"
+            " - (cast(n as decimal(38,0)) * tsxx - tsx * tsx) % n) / n"
+            " as decimal(38,0))"
+        ).alias("sst"),
+    )
+    j = within.crossJoin(F.broadcast(tot)).withColumn(
+        "ssb", (F.col("sst") - F.col("ssw")).cast("decimal(38,0)")
+    )
+    limb = lambda c: (  # noqa: E731  (the q_autocorr conversion)
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    df_b = (F.col("k") - 1).cast("double")
+    df_w = (F.col("n") - F.col("k")).cast("double")
+    f_stat = (limb("ssb") / df_b) / (limb("ssw") / df_w)
+    return j.select(
+        "n",
+        "k",
+        f_stat.alias("f_stat"),
+        (limb("ssb") / limb("sst")).alias("eta_sq"),
+    )
+
+
+QUERIES_PART_B["q_anova_dow"] = q_anova_dow
+
+ORACLE_PART_B["q_anova_dow"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    d2 AS (SELECT cents, CAST(dayofweek(day) AS BIGINT) AS dow FROM daily),
+    per AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_g,
+               sum(CAST(cents AS HUGEINT)) AS sx,
+               sum(CAST(cents AS HUGEINT) * cents) AS sxx
+        FROM d2 GROUP BY dow
+    ),
+    within AS (
+        SELECT sum((n_g * sxx - sx * sx) // n_g) AS ssw,
+               CAST(count(*) AS BIGINT) AS k
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               (count(*) * sum(CAST(cents AS HUGEINT) * cents)
+                  - sum(CAST(cents AS HUGEINT))
+                    * sum(CAST(cents AS HUGEINT))) // count(*) AS sst
+        FROM d2
+    ),
+    jj AS (
+        SELECT within.k, tot.n, within.ssw, tot.sst,
+               tot.sst - within.ssw AS ssb
+        FROM within, tot
+    ),
+    lims AS (
+        SELECT k, n,
+               CAST(ssw % 4294967296 AS DOUBLE)
+                 + CAST(ssw // 4294967296 AS DOUBLE) * 4294967296.0 AS dssw,
+               CAST(ssb % 4294967296 AS DOUBLE)
+                 + CAST(ssb // 4294967296 AS DOUBLE) * 4294967296.0 AS dssb,
+               CAST(sst % 4294967296 AS DOUBLE)
+                 + CAST(sst // 4294967296 AS DOUBLE) * 4294967296.0 AS dsst
+        FROM jj
+    )
+    SELECT n, k,
+           (dssb / CAST(k - 1 AS DOUBLE)) / (dssw / CAST(n - k AS DOUBLE))
+             AS f_stat,
+           dssb / dsst AS eta_sq
+    FROM lims
+"""
