@@ -9946,7 +9946,8 @@ ORACLE_PART_B["q_conformal"] = f"""
             LIMIT (SELECT least((9 * (n + 1) + 9) // 10, n) FROM nn)
         )
     )
-    SELECT CAST(nn.n AS BIGINT) AS n_days, qh.qhat_milli,
+    SELECT CAST(nn.n AS BIGINT) AS n_days,
+           CAST(qh.qhat_milli AS BIGINT) AS qhat_milli,
            CAST(qh.qhat_milli AS DOUBLE) / 100000 AS halfwidth_dollars,
            CAST((SELECT count(*) FROM r, qh WHERE rq <= qhat_milli)
                 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS coverage
