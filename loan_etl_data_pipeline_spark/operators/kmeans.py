@@ -114,3 +114,83 @@ def kmeans_int(
             )
         cent = new_cent
     return assign.select(F.col("id"), F.col("cluster"))
+
+
+def farthest_first(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    k: int,
+) -> DataFrame:
+    """Gonzalez farthest-first traversal (2-approximate k-center), the
+    diversity-coreset selector for training-data pruning: start from
+    the MIN-id vector (no RNG), then k−1 times pick the point whose
+    squared distance to the chosen set is largest (min-id tie-break)
+    and fold it into the running min-distance column. Returns
+    (pos, id, radius) — radius is the chosen point's exact int64
+    squared distance to the prior set (pos 1 gets 0), i.e. the
+    coverage radius curve that says how fast diversity saturates.
+
+    Everything is exact integer (quantized components, diff·diff
+    distances, integer min/argmax), so the whole k-round traversal
+    replays as generated unrolled SQL. Per round: one map-side
+    distance projection against the newly chosen vector (a dim-int
+    broadcast literal — the bounded-model contract) + one
+    TakeOrdered(1); the running d_min column carries forward with
+    lineage cut per round.
+    """
+    if dim < 1 or k < 1:
+        raise ValueError(f"dim/k must be >= 1, got {dim}/{k}")
+    eq = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(vec_col).alias("pos", "x"),
+        )
+        .select(
+            "id",
+            (F.col("pos") + 1).alias("j"),
+            F.floor(F.col("x").cast("double") * SCALE).cast("bigint").alias("q"),
+        )
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+
+    def vec_of(vid):
+        rows = eq.filter(F.col("id") == vid).collect()
+        return {int(r["j"]): int(r["q"]) for r in rows}
+
+    def dist_to(vec):
+        arr = F.array(*[F.lit(vec.get(j + 1, 0)) for j in range(dim)])
+        diff = F.col("q") - F.element_at(arr, F.col("j").cast("int"))
+        return F.sum(diff * diff)
+
+    first = eq.agg(F.min("id").alias("m")).collect()[0]["m"]
+    if first is None:
+        raise ValueError("empty input")
+    chosen = [(1, first, 0)]
+    dmin = (
+        eq.groupBy("id").agg(dist_to(vec_of(first)).alias("dmin"))
+        .localCheckpoint()
+    )
+    for pos in range(2, k + 1):
+        top = (
+            dmin.orderBy(F.desc("dmin"), F.asc("id")).limit(1).collect()[0]
+        )
+        chosen.append((pos, top["id"], int(top["dmin"])))
+        if pos == k:
+            break
+        newd = eq.groupBy("id").agg(dist_to(vec_of(top["id"])).alias("d2"))
+        dmin = (
+            dmin.join(newd, "id")
+            .select("id", F.least("dmin", "d2").alias("dmin"))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        chosen, "pos long, id long, radius long"
+    ).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("radius").cast("bigint").alias("radius"),
+    )

@@ -10064,3 +10064,71 @@ ORACLE_PART_B["q_anova_dow"] = f"""
            dssb / dsst AS eta_sq
     FROM lims
 """
+
+
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ diversity coreset (operators/kmeans.py farthest_first):
+    Gonzalez k-center traversal, k=6, over the corpus embeddings —
+    the deterministic diverse-subset selector (and its radius curve:
+    how fast marginal diversity collapses) used to prune redundant
+    training vectors. Exact int64 end to end ⇒ the whole greedy
+    traversal replays as generated unrolled SQL (per round: the
+    chosen vector as a scalar-subquery join, the running min-distance
+    fold, one ORDER BY/LIMIT 1 argmax with min-id tie-break).
+    """
+    from loan_etl_data_pipeline_spark.operators.kmeans import farthest_first
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return farthest_first(emb, "vec_id", "embedding", dim=64, k=6)
+
+
+QUERIES_PART_B["q_kcenter"] = q_kcenter
+
+
+def _kcenter_oracle(k: int = 6, dim: int = 64) -> str:
+    ctes = [_eq_cte(dim).replace("vec_id AS id", "vec_id AS id")]
+    ctes.append("c1 AS (SELECT min(id) AS id, CAST(0 AS BIGINT) AS dmin FROM eq)")
+    ctes.append(
+        "v1 AS (SELECT eq.j, eq.q FROM eq, c1 WHERE eq.id = c1.id)"
+    )
+    ctes.append(
+        "d1 AS (SELECT eq.id, sum((eq.q - v1.q) * (eq.q - v1.q)) AS dmin "
+        "FROM eq JOIN v1 USING (j) GROUP BY eq.id)"
+    )
+    for r in range(2, k + 1):
+        ctes.append(
+            f"c{r} AS (SELECT id, dmin FROM d{r - 1} "
+            f"ORDER BY dmin DESC, id ASC LIMIT 1)"
+        )
+        if r < k:
+            ctes.append(
+                f"v{r} AS (SELECT eq.j, eq.q FROM eq, c{r} "
+                f"WHERE eq.id = c{r}.id)"
+            )
+            ctes.append(
+                f"n{r} AS (SELECT eq.id, "
+                f"sum((eq.q - v{r}.q) * (eq.q - v{r}.q)) AS d2 "
+                f"FROM eq JOIN v{r} USING (j) GROUP BY eq.id)"
+            )
+            ctes.append(
+                f"d{r} AS (SELECT d{r - 1}.id, "
+                f"least(d{r - 1}.dmin, n{r}.d2) AS dmin "
+                f"FROM d{r - 1} JOIN n{r} USING (id))"
+            )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS pos, CAST(id AS BIGINT) AS id, "
+        "CAST(0 AS BIGINT) AS radius FROM c1"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), CAST(id AS BIGINT), "
+        f"CAST(dmin AS BIGINT) FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return (
+        "    WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+ORACLE_PART_B["q_kcenter"] = _kcenter_oracle()
