@@ -10132,3 +10132,180 @@ def _kcenter_oracle(k: int = 6, dim: int = 64) -> str:
 
 
 ORACLE_PART_B["q_kcenter"] = _kcenter_oracle()
+
+
+def q_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ intrinsic-dimension estimate (Facco two-NN MLE): for each
+    probe (vec_id < 100), the ratio of its 2nd- to 1st-nearest
+    squared distance gives ln μ_i = (ln d2 − ln d1)/2, and
+    ID ≈ n / Σ ln μ — the embedding-collapse diagnostic (ID ≪ ambient
+    dim means the space is degenerate and ANN recall targets are
+    soft). Distances are exact int64 (quantized diff·diff, self and
+    exact-duplicate zero distances excluded — documented); each
+    probe's ln term is over exact integers (shared libm), floor-
+    quantized to 1e-12 before the sum. Probe set is capped — at
+    corpus scale the candidate side routes through the IVF index like
+    every other kNN consumer.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "id",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    probes = eq.filter(F.col("id") < 100).select(
+        F.col("id").alias("pid"), "j", F.col("q").alias("pq")
+    )
+    d = (
+        probes.join(eq, "j")
+        .filter(F.col("id") != F.col("pid"))
+        .groupBy("pid", "id")
+        .agg(
+            F.sum(
+                (F.col("pq") - F.col("q")) * (F.col("pq") - F.col("q"))
+            ).alias("d2")
+        )
+        .filter(F.col("d2") > 0)
+    )
+    w = Window.partitionBy("pid").orderBy(F.asc("d2"), F.asc("id"))
+    two = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("pid")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2nd"),
+        )
+        .filter(F.col("d2nd").isNotNull())
+    )
+    term = (
+        F.log(F.col("d2nd").cast("double")) - F.log(F.col("d1").cast("double"))
+    ) / 2
+    return two.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / (
+                F.sum(F.floor(term * F.lit(1e12)).cast("bigint")).cast(
+                    "double"
+                )
+                / 1e12
+            )
+        ).alias("intrinsic_dim"),
+    )
+
+
+QUERIES_PART_B["q_intrinsic_dim"] = q_intrinsic_dim
+
+ORACLE_PART_B["q_intrinsic_dim"] = """
+    WITH eq AS (
+        SELECT vec_id AS id, j,
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+                 AS q
+        FROM embeddings, UNNEST(range(1, 65)) AS t(j)
+    ), probes AS (
+        SELECT id AS pid, j, q AS pq FROM eq WHERE id < 100
+    ), d AS (
+        SELECT probes.pid, eq.id,
+               sum((probes.pq - eq.q) * (probes.pq - eq.q)) AS d2
+        FROM probes JOIN eq USING (j)
+        WHERE eq.id <> probes.pid
+        GROUP BY probes.pid, eq.id
+        HAVING sum((probes.pq - eq.q) * (probes.pq - eq.q)) > 0
+    ), two AS (
+        SELECT pid,
+               min(CASE WHEN rn = 1 THEN d2 END) AS d1,
+               min(CASE WHEN rn = 2 THEN d2 END) AS d2nd
+        FROM (
+            SELECT pid, d2, row_number() OVER (
+                PARTITION BY pid ORDER BY d2 ASC, id ASC) AS rn
+            FROM d
+        ) WHERE rn <= 2
+        GROUP BY pid
+        HAVING min(CASE WHEN rn = 2 THEN d2 END) IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(*) AS DOUBLE)
+             / (CAST(sum(CAST(floor(
+                   (ln(CAST(d2nd AS DOUBLE)) - ln(CAST(d1 AS DOUBLE))) / 2
+                   * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS intrinsic_dim
+    FROM two
+"""
+
+
+def q_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ hubness audit: how often each vector lands in other probes'
+    top-5 neighbor lists (k-occurrence) — THE high-dimensional
+    pathology metric (hubs absorb neighbor lists and poison kNN
+    label propagation / retrieval diversity; q_label_noise's failure
+    mode has this as its cause). Exact integer distances and counts;
+    top-10 hubs with id tie-break. Probe set = vec_id < 200; the
+    candidate side routes through the ANN tiers at corpus scale like
+    every kNN consumer.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "id",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    probes = eq.filter(F.col("id") < 200).select(
+        F.col("id").alias("pid"), "j", F.col("q").alias("pq")
+    )
+    d = (
+        probes.join(eq, "j")
+        .filter(F.col("id") != F.col("pid"))
+        .groupBy("pid", "id")
+        .agg(
+            F.sum(
+                (F.col("pq") - F.col("q")) * (F.col("pq") - F.col("q"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.asc("d2"), F.asc("id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_occurrence"))
+        .orderBy(F.desc("k_occurrence"), F.asc("id"))
+        .limit(10)
+    )
+
+
+QUERIES_PART_B["q_hubness"] = q_hubness
+
+ORACLE_PART_B["q_hubness"] = """
+    WITH eq AS (
+        SELECT vec_id AS id, j,
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+                 AS q
+        FROM embeddings, UNNEST(range(1, 65)) AS t(j)
+    ), probes AS (
+        SELECT id AS pid, j, q AS pq FROM eq WHERE id < 200
+    ), d AS (
+        SELECT probes.pid, eq.id,
+               sum((probes.pq - eq.q) * (probes.pq - eq.q)) AS d2
+        FROM probes JOIN eq USING (j)
+        WHERE eq.id <> probes.pid
+        GROUP BY probes.pid, eq.id
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS k_occurrence
+    FROM (
+        SELECT pid, id, row_number() OVER (
+            PARTITION BY pid ORDER BY d2 ASC, id ASC) AS rn
+        FROM d
+    ) WHERE rn <= 5
+    GROUP BY id
+    ORDER BY k_occurrence DESC, id ASC LIMIT 10
+"""
