@@ -10309,3 +10309,181 @@ ORACLE_PART_B["q_hubness"] = """
     GROUP BY id
     ORDER BY k_occurrence DESC, id ASC LIMIT 10
 """
+
+
+def q_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ cumulative gains (lift) curve — the scorecard evaluation
+    classic: customers ranked riskiest-first (ascending balance, the
+    mock score), split into exact ANSI deciles (global_rank +
+    arithmetic ntile, the WOE machinery), and per decile the
+    CUMULATIVE share of true bads ('F'-order customers) captured vs
+    the share of population contacted — random targeting is the
+    diagonal, a working score bows above it. Counts exact int64; the
+    two shares are fixed IEEE divisions; the cumulative window runs
+    over the 10-row decile aggregate, never the customer table.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bad_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__bad", F.lit(1))
+    )
+    lab = cust.join(bad_keys, "c_custkey", "left").withColumn(
+        "is_bad", F.coalesce("__bad", F.lit(0)).cast("bigint")
+    )
+    ranked = global_rank(lab, [F.asc("c_acctbal"), F.asc("c_custkey")])
+    n = ranked._global_rank_n
+    agg = (
+        ranked.withColumn("decile", ntile_from_rank(F.col("rank"), n, 10))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("is_bad").cast("bigint").alias("n_bad"),
+        )
+    )
+    agg = agg.localCheckpoint(eager=True)
+    release_intermediates(ranked)
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = agg.agg(
+        F.sum("n").alias("tot_n"), F.sum("n_bad").alias("tot_bad")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_bad", F.sum("n_bad").over(w))
+        .select(
+            "decile",
+            "n",
+            "n_bad",
+            (
+                F.col("cum_n").cast("double") / F.col("tot_n").cast("double")
+            ).alias("pop_share"),
+            (
+                F.col("cum_bad").cast("double")
+                / F.col("tot_bad").cast("double")
+            ).alias("bad_capture"),
+        )
+    )
+
+
+QUERIES_PART_B["q_gains_curve"] = q_gains_curve
+
+ORACLE_PART_B["q_gains_curve"] = """
+    WITH lab AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END AS is_bad
+        FROM customer c LEFT JOIN (
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE o_orderstatus = 'F'
+        ) b ON c.c_custkey = b.c_custkey
+    ), agg AS (
+        SELECT CAST(ntile(10) OVER (
+                   ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT)
+                 AS decile, is_bad
+        FROM lab
+    ), per AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(is_bad) AS BIGINT) AS n_bad
+        FROM agg GROUP BY decile
+    ), tot AS (SELECT sum(n) AS tot_n, sum(n_bad) AS tot_bad FROM per)
+    SELECT decile, n, n_bad,
+           CAST(sum(n) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(tot_n AS DOUBLE) AS pop_share,
+           CAST(sum(n_bad) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(tot_bad AS DOUBLE) AS bad_capture
+    FROM per, tot
+"""
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ inter-rater agreement: Cohen's κ between the
+    negative-balance screen (rater A: acctbal < 0) and the realized
+    default marker (rater B: has an 'F'-status order) — the
+    chance-corrected answer to "does a trivially cheap balance rule
+    agree with observed outcomes beyond luck". One 2×2 confusion from
+    exact int64 counts, κ = (p_o − p_e)/(1 − p_e) as a fixed IEEE
+    sequence; the confusion cells are exposed (a κ without its table
+    is uninterpretable). 1 row out.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_acctbal") < 0).alias("a")
+    )
+    bad_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__bad", F.lit(1))
+    )
+    lab = cust.join(bad_keys, "c_custkey", "left").select(
+        "a", (F.coalesce("__bad", F.lit(0)) == 1).alias("b")
+    )
+    m = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n00"),
+    )
+    nn = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nn
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (nn * nn)
+    return m.select(
+        "n11", "n10", "n01", "n00",
+        po.alias("p_observed"),
+        ((po - pe) / (1 - pe)).alias("kappa"),
+    )
+
+
+QUERIES_PART_B["q_cohen_kappa"] = q_cohen_kappa
+
+ORACLE_PART_B["q_cohen_kappa"] = """
+    WITH lab AS (
+        SELECT c.c_acctbal < 0 AS a,
+               b.c_custkey IS NOT NULL AS b
+        FROM customer c LEFT JOIN (
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE o_orderstatus = 'F'
+        ) b ON c.c_custkey = b.c_custkey
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n11,
+               CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n10,
+               CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n01,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00
+        FROM lab
+    )
+    SELECT n11, n10, n01, n00,
+           CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS p_observed,
+           (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+               + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                   + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+    FROM m
+"""
