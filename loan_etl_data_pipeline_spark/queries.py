@@ -10487,3 +10487,100 @@ ORACLE_PART_B["q_cohen_kappa"] = """
                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
     FROM m
 """
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Spearman rank correlation between account balance and
+    realized customer revenue — the robust (monotone-invariant)
+    sibling of q_corr_qty_price's Pearson: both variables become
+    EXACT integer ranks through two distributed global_ranks (range
+    partitions, no SinglePartition; ties broken by custkey so the
+    order is total — documented variant of tie-averaged Spearman,
+    identical on both engines), then Pearson's closed form over exact
+    int64 rank moments (Σr₁r₂ ≤ n³ — decimal ladder past ~2e6 rows).
+    Customers without orders count as zero revenue (they get the
+    lowest revenue ranks — exactly the monotone signal sought).
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+    )
+    base = cust.join(rev, "c_custkey", "left").select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce("cents", F.lit(0)).alias("cents"),
+    )
+    r1 = global_rank(
+        base, [F.asc("c_acctbal"), F.asc("c_custkey")], rank_col="r1"
+    )
+    r1 = r1.localCheckpoint(eager=True)
+    release_intermediates(r1)
+    r2 = global_rank(r1, [F.asc("cents"), F.asc("c_custkey")], rank_col="r2")
+    m = r2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r1").alias("s1"),
+        F.sum("r2").alias("s2"),
+        F.sum(F.col("r1") * F.col("r2")).alias("s12"),
+        F.sum(F.col("r1") * F.col("r1")).alias("s11"),
+        F.sum(F.col("r2") * F.col("r2")).alias("s22"),
+    )
+    m = m.localCheckpoint(eager=True)
+    release_intermediates(r2)
+    nn = F.col("n").cast("double")
+    num = nn * F.col("s12").cast("double") - F.col("s1").cast(
+        "double"
+    ) * F.col("s2").cast("double")
+    den = F.sqrt(
+        nn * F.col("s11").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) * F.sqrt(
+        nn * F.col("s22").cast("double")
+        - F.col("s2").cast("double") * F.col("s2").cast("double")
+    )
+    return m.select("n", (num / den).alias("spearman_rho"))
+
+
+QUERIES_PART_B["q_spearman"] = q_spearman
+
+ORACLE_PART_B["q_spearman"] = """
+    WITH base AS (
+        SELECT c.c_custkey, c.c_acctbal, COALESCE(r.cents, 0) AS cents
+        FROM customer c LEFT JOIN (
+            SELECT o_custkey,
+                   sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ) r ON c.c_custkey = r.o_custkey
+    ), ranked AS (
+        SELECT row_number() OVER (
+                   ORDER BY c_acctbal ASC, c_custkey ASC) AS r1,
+               row_number() OVER (
+                   ORDER BY cents ASC, c_custkey ASC) AS r2
+        FROM base
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r1) AS BIGINT) AS s1,
+               CAST(sum(r2) AS BIGINT) AS s2,
+               CAST(sum(r1 * r2) AS BIGINT) AS s12,
+               CAST(sum(r1 * r1) AS BIGINT) AS s11,
+               CAST(sum(r2 * r2) AS BIGINT) AS s22
+        FROM ranked
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+             AS spearman_rho
+    FROM m
+"""
