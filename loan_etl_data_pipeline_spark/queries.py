@@ -10584,3 +10584,79 @@ ORACLE_PART_B["q_spearman"] = """
              AS spearman_rho
     FROM m
 """
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ exact ROC AUC via Mann-Whitney U: does LOW balance predict
+    'F'-order default — AUC = P(random bad ranks below random good on
+    balance) = (Σ ranks of bads − n_b(n_b+1)/2) / (n_b·n_g) over ONE
+    distributed global_rank (ascending balance, custkey tie-break ⇒ a
+    total order, so U is an exact integer — the tie-broken-rank
+    variant of tie-averaged AUC, identical both engines). With
+    q_gains_curve (where the capture accrues) and q_cohen_kappa
+    (agreement at one threshold) this completes the scorecard-metric
+    battery. Integer everything until the one final division.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bad_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__bad", F.lit(1))
+    )
+    lab = cust.join(bad_keys, "c_custkey", "left").withColumn(
+        "is_bad", F.coalesce("__bad", F.lit(0)).cast("bigint")
+    )
+    ranked = global_rank(lab, [F.asc("c_acctbal"), F.asc("c_custkey")])
+    m = ranked.agg(
+        F.sum("is_bad").cast("bigint").alias("n_bad"),
+        F.sum(F.lit(1) - F.col("is_bad")).cast("bigint").alias("n_good"),
+        F.sum(F.col("is_bad") * F.col("rank")).cast("bigint").alias("rank_sum"),
+    )
+    m = m.localCheckpoint(eager=True)
+    release_intermediates(ranked)
+    u = (
+        F.col("rank_sum")
+        - F.expr("(n_bad * (n_bad + 1)) div 2")
+    ).cast("bigint")
+    return m.select(
+        "n_bad",
+        "n_good",
+        u.alias("u_stat"),
+        (
+            u.cast("double")
+            / (F.col("n_bad").cast("double") * F.col("n_good").cast("double"))
+        ).alias("auc"),
+    )
+
+
+QUERIES_PART_B["q_auc"] = q_auc
+
+ORACLE_PART_B["q_auc"] = """
+    WITH lab AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END AS is_bad
+        FROM customer c LEFT JOIN (
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE o_orderstatus = 'F'
+        ) b ON c.c_custkey = b.c_custkey
+    ), ranked AS (
+        SELECT is_bad, row_number() OVER (
+                   ORDER BY c_acctbal ASC, c_custkey ASC) AS rank
+        FROM lab
+    ), m AS (
+        SELECT CAST(sum(is_bad) AS BIGINT) AS n_bad,
+               CAST(sum(1 - is_bad) AS BIGINT) AS n_good,
+               CAST(sum(is_bad * rank) AS BIGINT) AS rank_sum
+        FROM ranked
+    )
+    SELECT n_bad, n_good,
+           CAST(rank_sum - (n_bad * (n_bad + 1)) // 2 AS BIGINT) AS u_stat,
+           CAST(rank_sum - (n_bad * (n_bad + 1)) // 2 AS DOUBLE)
+             / (CAST(n_bad AS DOUBLE) * CAST(n_good AS DOUBLE)) AS auc
+    FROM m
+"""
