@@ -10660,3 +10660,168 @@ ORACLE_PART_B["q_auc"] = """
              / (CAST(n_bad AS DOUBLE) * CAST(n_good AS DOUBLE)) AS auc
     FROM m
 """
+
+
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ privacy-preserving analytics: deterministic pseudonymization
+    — customer keys become md5 surrogate tokens (salted, engine-
+    portable) CONSISTENTLY across tables, so joins still work but raw
+    identifiers never leave the pipeline (the reversible-by-nobody
+    sibling of q_redact_pii's in-text scrubbing and q_kanon_audit's
+    risk report). The query proves referential integrity survives:
+    top-10 pseudonymized customers by exact-cents revenue, computed
+    ENTIRELY in pseudonym space (tokens join orders↔customer), with
+    the real key deliberately absent from the output.
+    """
+    tok = lambda c: F.md5(F.concat(F.lit("pseud1|"), F.col(c).cast("string")))  # noqa: E731
+    cust = load_table(spark, sf_dir, "customer").select(
+        tok("c_custkey").alias("token"), "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        tok("o_custkey").alias("token"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    return (
+        orders.groupBy("token")
+        .agg(F.sum("cents").alias("cents"))
+        .join(cust, "token")
+        .select(
+            "token",
+            "c_mktsegment",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+        )
+        .orderBy(F.desc("cents"), F.asc("token"))
+        .limit(10)
+    )
+
+
+QUERIES_PART_B["q_pseudonymize"] = q_pseudonymize
+
+ORACLE_PART_B["q_pseudonymize"] = """
+    WITH cust AS (
+        SELECT md5('pseud1|' || CAST(c_custkey AS VARCHAR)) AS token,
+               c_mktsegment
+        FROM customer
+    ), o AS (
+        SELECT md5('pseud1|' || CAST(o_custkey AS VARCHAR)) AS token,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT o.token, cust.c_mktsegment,
+           CAST(o.cents AS DOUBLE) / 100 AS revenue
+    FROM o JOIN cust USING (token)
+    ORDER BY o.cents DESC, o.token ASC LIMIT 10
+"""
+
+
+def q_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ statistical disclosure control (the census/bank reporting
+    rule set): nation × order-priority counts published with PRIMARY
+    SUPPRESSION (cells under 5 contributors are withheld as NULL) and
+    base-5 rounding of survivors (round-half-up via integer
+    arithmetic (n+2) div 5 * 5 — no float rounding mode ambiguity).
+    The k-anonymity audit (q_kanon_audit) MEASURES disclosure risk;
+    this op ENFORCES the publication rule. Deterministic, exact ints.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cells = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    )
+    return cells.select(
+        "nationkey",
+        "priority",
+        F.when(F.col("n_raw") < 5, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("(n_raw + 2) div 5 * 5"))
+        .alias("published"),
+        (F.col("n_raw") < 5).alias("suppressed"),
+    )
+
+
+QUERIES_PART_B["q_cell_suppression"] = q_cell_suppression
+
+ORACLE_PART_B["q_cell_suppression"] = """
+    WITH cells AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               o.o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_raw
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT nationkey, priority,
+           CASE WHEN n_raw < 5 THEN NULL
+                ELSE CAST((n_raw + 2) // 5 * 5 AS BIGINT) END AS published,
+           n_raw < 5 AS suppressed
+    FROM cells
+"""
+
+
+def q_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ forecast-accuracy scale (Hyndman MASE): the seasonal-naive
+    (lag-7) forecaster's mean absolute error over daily revenue,
+    scaled by the naive (lag-1) in-sample MAE — MASE < 1 means the
+    weekly pattern genuinely beats persistence, the unit-free way to
+    say "seasonality is exploitable" (the forecast-eval complement of
+    q_dow_seasonality/q_anova_dow which only describe it). Absolute
+    errors are exact int64 cents over CALENDAR joins (gap days simply
+    don't pair); the two MAEs and their ratio are fixed IEEE over
+    exact sums. 1 row out from the SF-invariant daily spine.
+    """
+    d = _daily_cents(spark, sf_dir)
+    a = d.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b7 = d.select(
+        F.expr("date_add(day, 7)").alias("da"), F.col("cents").alias("c7")
+    )
+    b1 = d.select(
+        F.expr("date_add(day, 1)").alias("da"), F.col("cents").alias("c1")
+    )
+    e7 = a.join(b7, "da").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n7"),
+        F.sum(F.abs(F.col("ca") - F.col("c7"))).alias("ae7"),
+    )
+    e1 = a.join(b1, "da").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum(F.abs(F.col("ca") - F.col("c1"))).alias("ae1"),
+    )
+    j = e7.crossJoin(F.broadcast(e1))
+    mae7 = F.col("ae7").cast("double") / F.col("n7").cast("double")
+    mae1 = F.col("ae1").cast("double") / F.col("n1").cast("double")
+    return j.select(
+        "n7",
+        "n1",
+        (mae7 / 100).alias("mae_seasonal"),
+        (mae1 / 100).alias("mae_naive"),
+        (mae7 / mae1).alias("mase"),
+    )
+
+
+QUERIES_PART_B["q_mase"] = q_mase
+
+ORACLE_PART_B["q_mase"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    e7 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n7,
+               CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS ae7
+        FROM daily a JOIN daily b ON a.day = b.day + to_days(7)
+    ),
+    e1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n1,
+               CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS ae1
+        FROM daily a JOIN daily b ON a.day = b.day + to_days(1)
+    )
+    SELECT n7, n1,
+           CAST(ae7 AS DOUBLE) / CAST(n7 AS DOUBLE) / 100 AS mae_seasonal,
+           CAST(ae1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100 AS mae_naive,
+           (CAST(ae7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+             / (CAST(ae1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase
+    FROM e7, e1
+"""
