@@ -10825,3 +10825,179 @@ ORACLE_PART_B["q_mase"] = f"""
              / (CAST(ae1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase
     FROM e7, e1
 """
+
+
+def _abc_build(spark: SparkSession, sf_dir: str):
+    """Un-checkpointed construction for q_abc_parts (plan-audit hook).
+    Returns (result, [c2, c])."""
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr("cast(floor(l_extendedprice * 100) as bigint)")
+            ).alias("cents")
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    order = [F.desc("cents"), F.asc("l_partkey")]
+    c = global_cumsum(per_part, order, "cents", cum_col="cw")
+    c2 = global_cumsum(c, order, "one", cum_col="rk")
+    tot = per_part.agg(
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    cls = (
+        F.when(5 * F.col("cw") <= 4 * F.col("tot"), F.lit("A"))
+        .when(20 * F.col("cw") <= 19 * F.col("tot"), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    out = (
+        c2.crossJoin(F.broadcast(tot))
+        .withColumn("cls", cls)
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            (
+                F.sum("cents").cast("double")
+                / F.min("tot").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
+    return out, [c2, c]
+
+
+def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ ABC inventory classification: parts ranked by exact-cents
+    revenue through chained global_cumsums; class A = the head whose
+    cumulative share stays within 80% (pure integer crossing
+    5·cum ≤ 4·total), B to 95% (20·cum ≤ 19·total), C the tail — the
+    operations-analytics standard that q_pareto_8020 generalizes to
+    one point. Output: per-class part counts and revenue shares.
+    Eager-checkpoint-then-release per the global_rank contract.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    out, frames = _abc_build(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for f in frames:
+        release_intermediates(f)
+    return out
+
+
+QUERIES_PART_B["q_abc_parts"] = q_abc_parts
+
+ORACLE_PART_B["q_abc_parts"] = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), c AS (
+        SELECT cents,
+               sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+               (SELECT sum(cents) FROM per_part) AS tot
+        FROM per_part
+    ), classed AS (
+        SELECT cents,
+               CASE WHEN 5 * cw <= 4 * tot THEN 'A'
+                    WHEN 20 * cw <= 19 * tot THEN 'B'
+                    ELSE 'C' END AS cls,
+               tot
+        FROM c
+    )
+    SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS DOUBLE) / CAST(min(tot) AS DOUBLE)
+             AS revenue_share
+    FROM classed GROUP BY cls
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Wald-Wolfowitz runs test on daily revenue direction: are
+    up/down moves random, or do they streak (momentum) / alternate
+    (mean reversion)? Moves come from lag-1 calendar pairs on the
+    SF-invariant daily spine (zero-change days excluded by contract);
+    runs = 1 + Σ[sign flips], expectation 2·n₊·n₋/n + 1 and its
+    variance from exact int64 counts, z as fixed IEEE. The
+    time-series randomness complement of q_mann_kendall (monotone
+    trend) and q_autocorr (linear memory).
+    """
+    d = _daily_cents(spark, sf_dir)
+    a = d.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = d.select(
+        F.expr("date_add(day, 1)").alias("da"), F.col("cents").alias("cb")
+    )
+    moves = (
+        a.join(b, "da")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "da", (F.col("ca") > F.col("cb")).cast("int").alias("up")
+        )
+    )
+    w = Window.orderBy("da")
+    runs = moves.select(
+        "up", F.lag("up").over(w).alias("prev")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("up").cast("bigint").alias("n_up"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("up") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("bigint").alias("runs"),
+    )
+    nn = F.col("n").cast("double")
+    n1 = F.col("n_up").cast("double")
+    n2 = (F.col("n") - F.col("n_up")).cast("double")
+    mu = 2 * n1 * n2 / nn + 1
+    var = (2 * n1 * n2 * (2 * n1 * n2 - nn)) / (nn * nn * (nn - 1))
+    return runs.select(
+        "n",
+        "n_up",
+        "runs",
+        mu.alias("expected_runs"),
+        ((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
+QUERIES_PART_B["q_runs_test"] = q_runs_test
+
+ORACLE_PART_B["q_runs_test"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    moves AS (
+        SELECT a.day AS da, CASE WHEN a.cents > b.cents THEN 1 ELSE 0 END
+                 AS up
+        FROM daily a JOIN daily b ON a.day = b.day + to_days(1)
+        WHERE a.cents <> b.cents
+    ),
+    lagged AS (
+        SELECT up, lag(up) OVER (ORDER BY da) AS prev FROM moves
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(up) AS BIGINT) AS n_up,
+               CAST(1 + sum(CASE WHEN prev IS NOT NULL AND up <> prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM lagged
+    )
+    SELECT n, n_up, runs,
+           2 * CAST(n_up AS DOUBLE) * CAST(n - n_up AS DOUBLE)
+             / CAST(n AS DOUBLE) + 1 AS expected_runs,
+           (CAST(runs AS DOUBLE)
+              - (2 * CAST(n_up AS DOUBLE) * CAST(n - n_up AS DOUBLE)
+                   / CAST(n AS DOUBLE) + 1))
+           / sqrt((2 * CAST(n_up AS DOUBLE) * CAST(n - n_up AS DOUBLE)
+                   * (2 * CAST(n_up AS DOUBLE) * CAST(n - n_up AS DOUBLE)
+                        - CAST(n AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) - 1))) AS z
+    FROM m
+"""
