@@ -11001,3 +11001,85 @@ ORACLE_PART_B["q_runs_test"] = f"""
                        * (CAST(n AS DOUBLE) - 1))) AS z
     FROM m
 """
+
+
+def q_mus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ monetary-unit sampling (PPS systematic — the bank/audit
+    standard): 100 sampling points placed every T-th cent of total
+    order value (T = total div 100, offset T div 2 — deterministic,
+    no RNG), each order selected as many times as points land in its
+    cumulative-cents interval [cw−cents, cw) — big-ticket orders are
+    proportionally more likely, and an order larger than T is hit
+    multiply (the classic MUS property, preserved as n_hits). The
+    point-count is the pure integer f(cw) − f(cw−cents) with
+    f(x) = 0 if x ≤ off else 1 + (x−off−1) div T (all operands
+    non-negative — truncating div is floor here), over ONE distributed
+    global_cumsum keyed (cents desc, orderkey) for a deterministic
+    unit ordering. Eager-checkpoint-then-release.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    c = global_cumsum(
+        o, [F.desc("cents"), F.asc("o_orderkey")], "cents", cum_col="cw"
+    )
+    tot_row = o.agg(F.sum("cents").alias("tot"))
+    f = (
+        "case when {x} <= off then cast(0 as bigint) "
+        "else 1 + ({x} - off - 1) div step end"
+    )
+    out = (
+        c.crossJoin(F.broadcast(tot_row))
+        .withColumn("step", F.expr("tot div 100"))
+        .withColumn("off", F.expr("(tot div 100) div 2"))
+        .withColumn(
+            "n_hits",
+            F.expr(f.format(x="cw")) - F.expr(f.format(x="cw - cents")),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            "o_orderkey",
+            (F.col("cents").cast("double") / 100).alias("order_value"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    release_intermediates(c)
+    return out
+
+
+QUERIES_PART_B["q_mus_sample"] = q_mus_sample
+
+ORACLE_PART_B["q_mus_sample"] = """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), c AS (
+        SELECT o_orderkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, o_orderkey ASC
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+               (SELECT sum(cents) FROM o) AS tot
+        FROM o
+    ), p AS (
+        SELECT o_orderkey, cents, cw,
+               tot // 100 AS step, (tot // 100) // 2 AS off
+        FROM c
+    )
+    SELECT o_orderkey,
+           CAST(cents AS DOUBLE) / 100 AS order_value,
+           CAST((CASE WHEN cw <= off THEN 0
+                      ELSE 1 + (cw - off - 1) // step END)
+                - (CASE WHEN cw - cents <= off THEN 0
+                        ELSE 1 + (cw - cents - off - 1) // step END)
+                AS BIGINT) AS n_hits
+    FROM p
+    WHERE (CASE WHEN cw <= off THEN 0
+                ELSE 1 + (cw - off - 1) // step END)
+          - (CASE WHEN cw - cents <= off THEN 0
+                  ELSE 1 + (cw - cents - off - 1) // step END) > 0
+"""
