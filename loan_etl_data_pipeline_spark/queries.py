@@ -11083,3 +11083,138 @@ ORACLE_PART_B["q_mus_sample"] = """
           - (CASE WHEN cw - cents <= off THEN 0
                   ELSE 1 + (cw - cents - off - 1) // step END) > 0
 """
+
+
+def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ historical Value-at-Risk + Expected Shortfall: the 5%
+    worst daily revenue CHANGE (lag-1 calendar deltas on the
+    SF-invariant daily spine) and the mean of the tail at-or-beyond
+    it — the risk-desk pair (VaR says where the tail starts, ES says
+    how bad it is inside; ES is the coherent one). VaR is a type-1
+    exact selection (orderBy/limit over deltas — exact int cents,
+    deterministic day tie-break); ES is an exact-cents tail mean. No
+    interpolated percentiles anywhere.
+    """
+    d = _daily_cents(spark, sf_dir)
+    a = d.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = d.select(
+        F.expr("date_add(day, 1)").alias("da"), F.col("cents").alias("cb")
+    )
+    deltas = a.join(b, "da").select(
+        "da", (F.col("ca") - F.col("cb")).alias("delta")
+    )
+    n = deltas.count()
+    k = max(1, (n * 5) // 100)
+    var_row = (
+        deltas.orderBy(F.asc("delta"), F.asc("da"))
+        .limit(k)
+        .agg(
+            F.max("delta").alias("var_cents"),
+            F.sum("delta").alias("tail_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("tail_n"),
+        )
+    )
+    return var_row.select(
+        F.lit(n).cast("bigint").alias("n_days"),
+        (F.col("var_cents").cast("double") / 100).alias("var_95"),
+        (
+            F.col("tail_sum").cast("double")
+            / F.col("tail_n").cast("double")
+            / 100
+        ).alias("expected_shortfall"),
+        "tail_n",
+    )
+
+
+QUERIES_PART_B["q_var_es"] = q_var_es
+
+ORACLE_PART_B["q_var_es"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    deltas AS (
+        SELECT a.day AS da, a.cents - b.cents AS delta
+        FROM daily a JOIN daily b ON a.day = b.day + to_days(1)
+    ),
+    nn AS (SELECT count(*) AS n FROM deltas),
+    tail AS (
+        SELECT max(delta) AS var_cents, sum(delta) AS tail_sum,
+               CAST(count(*) AS BIGINT) AS tail_n
+        FROM (
+            SELECT delta FROM deltas, nn
+            ORDER BY delta ASC, da ASC
+            LIMIT (SELECT greatest(1, (n * 5) // 100) FROM nn)
+        )
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_days,
+           CAST(tail.var_cents AS DOUBLE) / 100 AS var_95,
+           CAST(tail.tail_sum AS DOUBLE) / CAST(tail.tail_n AS DOUBLE) / 100
+             AS expected_shortfall,
+           tail.tail_n
+    FROM nn, tail
+"""
+
+
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Herfindahl-Hirschman concentration per market segment:
+    HHI = Σ share² of customer revenue within each segment — the
+    antitrust/portfolio-concentration number (q_theil_index measures
+    global inequality; HHI answers "is this segment one whale or
+    many minnows"). Σcents² accumulates in decimal(38,0) (customer
+    cents² crosses 2^63 at scale; DuckDB HUGEINT mirrors), and HHI =
+    Σc²/(Σc)² is assembled from 2^32-LIMB-SPLIT doubles (both sums
+    exceed 2^53). Scale-free output in [1/n, 1].
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    m = per.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(dec("cents")).cast("decimal(38,0)").alias("s"),
+        F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("ss"),
+    )
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    return m.select(
+        "c_mktsegment",
+        "n_customers",
+        (limb("ss") / (limb("s") * limb("s"))).alias("hhi"),
+    )
+
+
+QUERIES_PART_B["q_hhi"] = q_hhi
+
+ORACLE_PART_B["q_hhi"] = """
+    WITH per AS (
+        SELECT c.c_mktsegment,
+               sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ), m AS (
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+               sum(CAST(cents AS HUGEINT)) AS s,
+               sum(CAST(cents AS HUGEINT) * cents) AS ss
+        FROM per GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_customers,
+           (CAST(ss % 4294967296 AS DOUBLE)
+              + CAST(ss // 4294967296 AS DOUBLE) * 4294967296.0)
+           / ((CAST(s % 4294967296 AS DOUBLE)
+                 + CAST(s // 4294967296 AS DOUBLE) * 4294967296.0)
+              * (CAST(s % 4294967296 AS DOUBLE)
+                   + CAST(s // 4294967296 AS DOUBLE) * 4294967296.0)) AS hhi
+    FROM m
+"""
