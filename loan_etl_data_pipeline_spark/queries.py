@@ -11218,3 +11218,118 @@ ORACLE_PART_B["q_hhi"] = """
                    + CAST(s // 4294967296 AS DOUBLE) * 4294967296.0)) AS hhi
     FROM m
 """
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ vocabulary-growth curve (Heaps' law): cumulative distinct
+    token count after each fifth of the corpus (docs in doc_id order)
+    plus the two-point log-fit exponent β between the first and last
+    checkpoint — the does-vocabulary-saturate question that sizes
+    tokenizers and predicts OOV decay. Cumulative distinct without
+    re-scanning prefixes: each token's FIRST-SEEN bucket is one
+    min-aggregate over the postings, the curve is a cumulative sum
+    over the 5-row bucket counts, and β = ln(V5/V1)/ln(N5/N1) with
+    every ln over exact integers (shared libm). Token cardinality is
+    the working set; nothing quadratic.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    bucket = (
+        F.least(
+            F.lit(5),
+            F.floor(
+                (F.col("doc_id").cast("double") * 5) / F.lit(float(n_docs))
+            ).cast("bigint")
+            + 1,
+        )
+    )
+    posts = docs.select(
+        bucket.alias("bucket"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    first_seen = posts.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    per_bucket = first_seen.groupBy("fb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    tokens_per_bucket = posts.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("fb").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_bucket.join(
+            tokens_per_bucket,
+            per_bucket["fb"] == tokens_per_bucket["bucket"],
+        )
+        .withColumn("vocab", F.sum("new_types").over(w))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .select(
+            F.col("fb").alias("bucket"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
+    ends = curve.agg(
+        F.min(F.when(F.col("bucket") == 1, F.col("vocab"))).alias("v1"),
+        F.min(F.when(F.col("bucket") == 5, F.col("vocab"))).alias("v5"),
+        F.min(F.when(F.col("bucket") == 1, F.col("cum_tokens"))).alias("t1"),
+        F.min(F.when(F.col("bucket") == 5, F.col("cum_tokens"))).alias("t5"),
+    )
+    beta = (
+        F.log(F.col("v5").cast("double")) - F.log(F.col("v1").cast("double"))
+    ) / (
+        F.log(F.col("t5").cast("double")) - F.log(F.col("t1").cast("double"))
+    )
+    return curve.crossJoin(F.broadcast(ends.select(beta.alias("heaps_beta"))))
+
+
+QUERIES_PART_B["q_heaps_law"] = q_heaps_law
+
+ORACLE_PART_B["q_heaps_law"] = """
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    nn AS (SELECT count(*) AS n FROM docs),
+    posts AS (
+        SELECT least(5, CAST(floor((CAST(doc_id AS DOUBLE) * 5)
+                                   / (SELECT CAST(n AS DOUBLE) FROM nn))
+                             AS BIGINT) + 1) AS bucket,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM docs
+    ),
+    first_seen AS (SELECT tok, min(bucket) AS fb FROM posts GROUP BY tok),
+    per_bucket AS (
+        SELECT fb, CAST(count(*) AS BIGINT) AS new_types
+        FROM first_seen GROUP BY fb
+    ),
+    tpb AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM posts GROUP BY bucket
+    ),
+    curve AS (
+        SELECT per_bucket.fb AS bucket,
+               CAST(sum(new_types) OVER (ORDER BY fb
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab,
+               CAST(sum(n_tokens) OVER (ORDER BY tpb.bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM per_bucket JOIN tpb ON per_bucket.fb = tpb.bucket
+    ),
+    ends AS (
+        SELECT min(CASE WHEN bucket = 1 THEN vocab END) AS v1,
+               min(CASE WHEN bucket = 5 THEN vocab END) AS v5,
+               min(CASE WHEN bucket = 1 THEN cum_tokens END) AS t1,
+               min(CASE WHEN bucket = 5 THEN cum_tokens END) AS t5
+        FROM curve
+    )
+    SELECT curve.bucket, curve.vocab, curve.cum_tokens,
+           (ln(CAST(ends.v5 AS DOUBLE)) - ln(CAST(ends.v1 AS DOUBLE)))
+             / (ln(CAST(ends.t5 AS DOUBLE)) - ln(CAST(ends.t1 AS DOUBLE)))
+             AS heaps_beta
+    FROM curve, ends
+"""
