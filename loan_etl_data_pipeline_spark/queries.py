@@ -11333,3 +11333,181 @@ ORACLE_PART_B["q_heaps_law"] = """
              AS heaps_beta
     FROM curve, ends
 """
+
+
+def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ log-log price elasticity: OLS slope of ln(quantity) on
+    ln(unit price) over lineitem — the econ classic (slope ≈ %Δqty
+    per %Δprice). Unit price is exact integer cents-per-unit
+    (cents div qty — TPC-H extended price is qty·unit so the division
+    is exact); each row's two logs are over exact ints (shared libm),
+    floor-quantized to 1e-6 so ALL five moments accumulate as exact
+    integers — products of quantized logs ride decimal(38,0)/HUGEINT
+    and the closed form runs over 2^32-limb-split doubles. One
+    map-side-combined aggregate; 1 row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(l_quantity as bigint)").alias("qty"),
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("cents"),
+    ).withColumn("ucents", F.expr("cents div qty"))
+    q = lambda col: F.floor(F.log(col.cast("double")) * F.lit(1e6)).cast(  # noqa: E731
+        "bigint"
+    )
+    lx = q(F.col("ucents"))
+    ly = q(F.col("qty"))
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(lx)).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(ly)).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(lx) * dec(ly)).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec(lx) * dec(lx)).cast("decimal(38,0)").alias("sxx"),
+    )
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    nn = F.col("n").cast("double")
+    num = nn * limb("sxy") - limb("sx") * limb("sy")
+    den = nn * limb("sxx") - limb("sx") * limb("sx")
+    return m.select("n", (num / den).alias("elasticity"))
+
+
+QUERIES_PART_B["q_elasticity"] = q_elasticity
+
+ORACLE_PART_B["q_elasticity"] = """
+    WITH li AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), lg AS (
+        SELECT CAST(floor(ln(CAST(cents // qty AS DOUBLE)) * 1e6) AS BIGINT)
+                 AS lx,
+               CAST(floor(ln(CAST(qty AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+        FROM li
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(lx AS HUGEINT)) AS sx,
+               sum(CAST(ly AS HUGEINT)) AS sy,
+               sum(CAST(lx AS HUGEINT) * ly) AS sxy,
+               sum(CAST(lx AS HUGEINT) * lx) AS sxx
+        FROM lg
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE)
+              * (CAST(sxy % 4294967296 AS DOUBLE)
+                   + CAST(sxy // 4294967296 AS DOUBLE) * 4294967296.0)
+            - (CAST(sx % 4294967296 AS DOUBLE)
+                 + CAST(sx // 4294967296 AS DOUBLE) * 4294967296.0)
+              * (CAST(sy % 4294967296 AS DOUBLE)
+                   + CAST(sy // 4294967296 AS DOUBLE) * 4294967296.0))
+           / (CAST(n AS DOUBLE)
+                * (CAST(sxx % 4294967296 AS DOUBLE)
+                     + CAST(sxx // 4294967296 AS DOUBLE) * 4294967296.0)
+              - (CAST(sx % 4294967296 AS DOUBLE)
+                   + CAST(sx // 4294967296 AS DOUBLE) * 4294967296.0)
+                * (CAST(sx % 4294967296 AS DOUBLE)
+                     + CAST(sx // 4294967296 AS DOUBLE) * 4294967296.0))
+             AS elasticity
+    FROM m
+"""
+
+
+def q_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Kaplan-Meier survival curve over customer tenure: S(k) =
+    Π_{j<=k} (1 − h_j) via exp(Σ ln((at_risk−churn)/at_risk)) — the
+    product-limit estimator assembled WITHOUT a float product chain:
+    per-bucket ln over exact-int rationals (shared libm),
+    floor-quantized to 1e-12, cumulatively summed over the ≤30-row
+    bucket aggregate — reported IN LOG SPACE because exp() (unlike ln)
+    measures 1 ulp apart across engines. The curve
+    q_hazard_curve differentiates. Same tenure buckets and at-risk
+    construction as the hazard query (shared contract).
+    """
+    spans = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "timestampdiff(DAY, min(o_orderdate), max(o_orderdate))"
+            ).alias("tenure_days")
+        )
+        .select(F.expr("div(tenure_days, 90)").alias("bucket"))
+    )
+    per_bucket = spans.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("churners")
+    )
+    tot = spans.agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    w_prev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "at_risk",
+            F.col("n_cust")
+            - F.coalesce(F.sum("churners").over(w_prev), F.lit(0)),
+        )
+        # the terminal full-churn bucket (at_risk == churners) would be
+        # ln(0); it is by construction the LAST bucket, so dropping it
+        # before the log leaves every cumulative sum intact
+        .filter(F.col("at_risk") > F.col("churners"))
+        .withColumn(
+            "lnq",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("at_risk") - F.col("churners")).cast("double")
+                    )
+                    - F.log(F.col("at_risk").cast("double"))
+                )
+                * F.lit(1e12)
+            ).cast("bigint"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return base.select(
+        "bucket",
+        "churners",
+        "at_risk",
+        # LOG-survival, not exp(): measured cross-engine, exp() is 1 ulp
+        # off between Spark and DuckDB on identical inputs (ln is not) —
+        # the cumulative integer-quantized log IS exact, so report that
+        # and let consumers exponentiate client-side
+        (F.sum("lnq").over(w_cum).cast("double") / 1e12).alias(
+            "log_survival"
+        ),
+    )
+
+
+QUERIES_PART_B["q_km_curve"] = q_km_curve
+
+ORACLE_PART_B["q_km_curve"] = """
+    WITH spans AS (
+        SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) // 90
+                 AS bucket
+        FROM orders GROUP BY o_custkey
+    ), per_bucket AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS churners
+        FROM spans GROUP BY bucket
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM spans),
+    base AS (
+        SELECT bucket, churners,
+               CAST(n_cust - COALESCE(sum(churners) OVER (
+                   ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+        FROM per_bucket, tot
+    ), lq AS (
+        SELECT bucket, churners, at_risk,
+               CAST(floor((ln(CAST(at_risk - churners AS DOUBLE))
+                           - ln(CAST(at_risk AS DOUBLE))) * 1e12) AS BIGINT)
+                 AS lnq
+        FROM base WHERE at_risk > churners
+    )
+    SELECT bucket, churners, at_risk,
+           CAST(sum(lnq) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12 AS log_survival
+    FROM lq
+"""
