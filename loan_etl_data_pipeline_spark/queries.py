@@ -11511,3 +11511,138 @@ ORACLE_PART_B["q_km_curve"] = """
                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12 AS log_survival
     FROM lq
 """
+
+
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ price-volume decomposition (the FP&A bridge): each year's
+    revenue change split into volume effect (Δqty at last year's
+    realized unit price) and price effect (the remainder) — the
+    convention where volume is valued at prior-year price so the two
+    effects sum EXACTLY to Δrevenue (asserted by construction:
+    price_effect := Δrev − volume_effect). Yearly qty/cents are exact
+    int64; the prior-year unit price is the one rational, applied in
+    a fixed IEEE sequence. Self-join on year-1 over the ≤#years-row
+    aggregate.
+    """
+    yearly = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(F.expr("cast(l_quantity as bigint)")).alias("qty"),
+            F.sum(
+                F.expr("cast(floor(l_extendedprice * 100) as bigint)")
+            ).alias("cents"),
+        )
+    )
+    prev = yearly.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("qty").alias("qty0"),
+        F.col("cents").alias("cents0"),
+    )
+    j = yearly.join(prev, "yr")
+    d_rev = (F.col("cents") - F.col("cents0")).cast("double") / 100
+    unit0 = F.col("cents0").cast("double") / F.col("qty0").cast("double")
+    vol = (F.col("qty") - F.col("qty0")).cast("double") * unit0 / 100
+    return j.select(
+        F.col("yr").cast("bigint").alias("yr"),
+        d_rev.alias("rev_change"),
+        vol.alias("volume_effect"),
+        (d_rev - vol).alias("price_effect"),
+    )
+
+
+QUERIES_PART_B["q_price_volume_mix"] = q_price_volume_mix
+
+ORACLE_PART_B["q_price_volume_mix"] = """
+    WITH yearly AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY yr
+    )
+    SELECT a.yr,
+           CAST(a.cents - b.cents AS DOUBLE) / 100 AS rev_change,
+           CAST(a.qty - b.qty AS DOUBLE)
+             * (CAST(b.cents AS DOUBLE) / CAST(b.qty AS DOUBLE)) / 100
+             AS volume_effect,
+           CAST(a.cents - b.cents AS DOUBLE) / 100
+             - CAST(a.qty - b.qty AS DOUBLE)
+               * (CAST(b.cents AS DOUBLE) / CAST(b.qty AS DOUBLE)) / 100
+             AS price_effect
+    FROM yearly a JOIN yearly b ON a.yr = b.yr + 1
+"""
+
+
+def _peak_concurrency_build(spark: SparkSession, sf_dir: str):
+    """Un-checkpointed construction for q_peak_concurrency (plan-audit
+    hook). Returns (result, [c])."""
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+        ).alias("t")
+    )
+    edges = ev.select(
+        F.col("t"), F.lit(1).cast("bigint").alias("delta")
+    ).union(
+        ev.select(
+            (F.col("t") + 300).alias("t"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    c = global_cumsum(
+        edges, [F.asc("t"), F.asc("delta")], "delta", cum_col="conc"
+    )
+    out = (
+        c.orderBy(F.desc("conc"), F.asc("t"), F.asc("delta"))
+        .limit(1)
+        .select(
+            F.col("conc").alias("peak_concurrency"),
+            F.col("t").cast("bigint").alias("at_second"),
+        )
+    )
+    return out, [c]
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ interval-sweep capacity metric: the maximum number of
+    simultaneously active 5-minute event windows, found by the classic
+    +1/−1 edge sweep — every event opens at its second and closes 300 s
+    later, the running edge sum IS the concurrency, and its max is the
+    sizing number (the sessions/windows family counts activity; this
+    finds the crunch instant). The sweep runs on ONE distributed
+    global_cumsum ordered (t, delta) — ends sort before starts at the
+    same instant (−1 < +1), which pins the closed/open boundary
+    convention identically on both engines. TakeOrdered(1), earliest
+    instant tie-break. Eager-checkpoint-then-release.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    out, frames = _peak_concurrency_build(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    for f in frames:
+        release_intermediates(f)
+    return out
+
+
+QUERIES_PART_B["q_peak_concurrency"] = q_peak_concurrency
+
+ORACLE_PART_B["q_peak_concurrency"] = """
+    WITH ev AS (
+        SELECT date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS t
+        FROM events
+    ), edges AS (
+        SELECT t, CAST(1 AS BIGINT) AS delta FROM ev
+        UNION ALL
+        SELECT t + 300, CAST(-1 AS BIGINT) FROM ev
+    ), c AS (
+        SELECT t, delta,
+               sum(delta) OVER (ORDER BY t ASC, delta ASC
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM edges
+    )
+    SELECT CAST(conc AS BIGINT) AS peak_concurrency,
+           CAST(t AS BIGINT) AS at_second
+    FROM c ORDER BY conc DESC, t ASC, delta ASC LIMIT 1
+"""
