@@ -11646,3 +11646,92 @@ ORACLE_PART_B["q_peak_concurrency"] = """
            CAST(t AS BIGINT) AS at_second
     FROM c ORDER BY conc DESC, t ASC, delta ASC LIMIT 1
 """
+
+
+def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ merchandising coverage: per brand, the share of catalog
+    parts that have ever shipped — dead-stock detection (the
+    complement of every top-seller view). Semi-join membership
+    aggregated map-side; exact counts, one division.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sold = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+        .withColumn("__sold", F.lit(1))
+    )
+    return (
+        part.join(sold, "p_partkey", "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.coalesce("__sold", F.lit(0))).cast("bigint").alias("n_sold"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_sold",
+            (
+                F.col("n_sold").cast("double") / F.col("n_parts").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+QUERIES_PART_B["q_catalog_coverage"] = q_catalog_coverage
+
+ORACLE_PART_B["q_catalog_coverage"] = """
+    WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN s.l_partkey IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_sold,
+           CAST(sum(CASE WHEN s.l_partkey IS NULL THEN 0 ELSE 1 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+    FROM part p LEFT JOIN sold s ON p.p_partkey = s.l_partkey
+    GROUP BY p.p_brand
+"""
+
+
+def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ calendar completeness: how many days inside the order
+    history's span saw ZERO orders — the feed-outage detector
+    (q_id_gaps finds holes in key space; this finds holes in TIME).
+    Span from exact date arithmetic, active days from the daily
+    spine; 1 row: span, active, missing, completeness ratio.
+    """
+    d = _daily_cents(spark, sf_dir)
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_days"),
+        F.expr("timestampdiff(DAY, min(day), max(day)) + 1")
+        .cast("bigint")
+        .alias("span_days"),
+    )
+    return m.select(
+        "span_days",
+        "active_days",
+        (F.col("span_days") - F.col("active_days")).alias("missing_days"),
+        (
+            F.col("active_days").cast("double")
+            / F.col("span_days").cast("double")
+        ).alias("completeness"),
+    )
+
+
+QUERIES_PART_B["q_calendar_gaps"] = q_calendar_gaps
+
+ORACLE_PART_B["q_calendar_gaps"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS active_days,
+               CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+                 AS span_days
+        FROM daily
+    )
+    SELECT span_days, active_days,
+           CAST(span_days - active_days AS BIGINT) AS missing_days,
+           CAST(active_days AS DOUBLE) / CAST(span_days AS DOUBLE)
+             AS completeness
+    FROM m
+"""
