@@ -11735,3 +11735,119 @@ ORACLE_PART_B["q_calendar_gaps"] = f"""
              AS completeness
     FROM m
 """
+
+
+def q_single_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.3+ supply-chain risk: parts observed from EXACTLY ONE supplier
+    (single-source exposure), rolled up to that supplier's nation —
+    where a single site failure takes parts fully offline. Distinct
+    (part, supplier) pairs → HAVING count = 1 → broadcast
+    supplier→nation rollup; exact counts.
+    """
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        ps.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.min("l_suppkey").alias("the_supp"),
+        )
+        .filter(F.col("n_supp") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("the_supp"),
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+    )
+    return (
+        sole.join(F.broadcast(supp), "the_supp")
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("single_sourced_parts"))
+    )
+
+
+QUERIES_PART_B["q_single_source"] = q_single_source
+
+ORACLE_PART_B["q_single_source"] = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    sole AS (
+        SELECT l_partkey, min(l_suppkey) AS the_supp
+        FROM ps GROUP BY l_partkey HAVING count(*) = 1
+    )
+    SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS single_sourced_parts
+    FROM sole JOIN supplier s ON sole.the_supp = s.s_suppkey
+    GROUP BY s.s_nationkey
+"""
+
+
+def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ kNN-distance outlier screen: the 10 most ISOLATED probe
+    embeddings by exact 5th-nearest squared distance — the
+    unsupervised outlier score (Ramaswamy k-distance) and q_hubness's
+    mirror image (hubs absorb neighbor lists, outliers fall out of
+    them; together they bracket the neighborhood pathology). Probe
+    set vec_id < 200; exact int64 distances, id tie-breaks; the
+    candidate side routes through the ANN tiers at corpus scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "id",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    probes = eq.filter(F.col("id") < 200).select(
+        F.col("id").alias("pid"), "j", F.col("q").alias("pq")
+    )
+    d = (
+        probes.join(eq, "j")
+        .filter(F.col("id") != F.col("pid"))
+        .groupBy("pid", "id")
+        .agg(
+            F.sum(
+                (F.col("pq") - F.col("q")) * (F.col("pq") - F.col("q"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.asc("d2"), F.asc("id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 5)
+        .select(F.col("pid").alias("vec_id"), F.col("d2").alias("kdist5"))
+        .orderBy(F.desc("kdist5"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+QUERIES_PART_B["q_knn_outliers"] = q_knn_outliers
+
+ORACLE_PART_B["q_knn_outliers"] = """
+    WITH eq AS (
+        SELECT vec_id AS id, j,
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+                 AS q
+        FROM embeddings, UNNEST(range(1, 65)) AS t(j)
+    ), probes AS (
+        SELECT id AS pid, j, q AS pq FROM eq WHERE id < 200
+    ), d AS (
+        SELECT probes.pid, eq.id,
+               sum((probes.pq - eq.q) * (probes.pq - eq.q)) AS d2
+        FROM probes JOIN eq USING (j)
+        WHERE eq.id <> probes.pid
+        GROUP BY probes.pid, eq.id
+    )
+    SELECT pid AS vec_id, CAST(d2 AS BIGINT) AS kdist5
+    FROM (
+        SELECT pid, d2, row_number() OVER (
+            PARTITION BY pid ORDER BY d2 ASC, id ASC) AS rn
+        FROM d
+    ) WHERE rn = 5
+    ORDER BY kdist5 DESC, vec_id ASC LIMIT 10
+"""
