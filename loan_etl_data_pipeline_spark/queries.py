@@ -11851,3 +11851,115 @@ ORACLE_PART_B["q_knn_outliers"] = """
     ) WHERE rn = 5
     ORDER BY kdist5 DESC, vec_id ASC LIMIT 10
 """
+
+
+def q_dup_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ double-payment screen (the accounts-payable audit classic):
+    order groups with identical (customer, exact cents, order date) —
+    the signature of double-submitted invoices; output each suspect
+    group's size and the lowest two orderkeys as the investigation
+    handle. One exact 3-key agg; HAVING > 1 collapses the output to
+    the suspects only.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+        F.to_date("o_orderdate").alias("day"),
+        "o_orderkey",
+    )
+    return (
+        o.groupBy("o_custkey", "cents", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("o_orderkey").alias("first_key"),
+            # get() is null-tolerant: the aggregate evaluates before the
+            # HAVING filter, and singleton groups have no second element
+            F.get(F.sort_array(F.collect_list("o_orderkey")), F.lit(1)).alias(
+                "second_key"
+            ),
+        )
+        .filter(F.col("n_dups") > 1)
+        .select(
+            "o_custkey",
+            (F.col("cents").cast("double") / 100).alias("amount"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_dups",
+            "first_key",
+            F.col("second_key").cast("bigint").alias("second_key"),
+        )
+    )
+
+
+QUERIES_PART_B["q_dup_invoices"] = q_dup_invoices
+
+ORACLE_PART_B["q_dup_invoices"] = """
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS day,
+               o_orderkey
+        FROM orders
+    )
+    SELECT o_custkey,
+           CAST(cents AS DOUBLE) / 100 AS amount,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST((array_agg(o_orderkey ORDER BY o_orderkey))[2] AS BIGINT)
+             AS second_key
+    FROM o GROUP BY o_custkey, cents, day
+    HAVING count(*) > 1
+"""
+
+
+def q_round_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ round-number bias audit: the share of order totals landing
+    on whole dollars / whole hundreds, against the uniform-cents
+    expectations (1% and 0.01%) — invented or hand-keyed amounts
+    over-index on round numbers (the Benford screen's modular
+    sibling). Pure modular integer tests; exact counts, two fixed
+    IEEE ratios. 1 row out.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents")
+    )
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("cents") % 100 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("whole_dollar"),
+        F.sum(F.when(F.col("cents") % 10000 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("whole_hundred"),
+    )
+    return m.select(
+        "n",
+        "whole_dollar",
+        "whole_hundred",
+        (
+            F.col("whole_dollar").cast("double") / F.col("n").cast("double")
+        ).alias("dollar_share"),
+        (
+            F.col("whole_hundred").cast("double") / F.col("n").cast("double")
+        ).alias("hundred_share"),
+    )
+
+
+QUERIES_PART_B["q_round_amounts"] = q_round_amounts
+
+ORACLE_PART_B["q_round_amounts"] = """
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS whole_dollar,
+               CAST(sum(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS whole_hundred
+        FROM o
+    )
+    SELECT n, whole_dollar, whole_hundred,
+           CAST(whole_dollar AS DOUBLE) / CAST(n AS DOUBLE) AS dollar_share,
+           CAST(whole_hundred AS DOUBLE) / CAST(n AS DOUBLE) AS hundred_share
+    FROM m
+"""
