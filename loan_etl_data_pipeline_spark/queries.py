@@ -10136,7 +10136,7 @@ ORACLE_PART_B["q_kcenter"] = _kcenter_oracle()
 
 def q_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3+ intrinsic-dimension estimate (Facco two-NN MLE): for each
-    probe (vec_id < 100), the ratio of its 2nd- to 1st-nearest
+    probe (vec_id < 50), the ratio of its 2nd- to 1st-nearest
     squared distance gives ln μ_i = (ln d2 − ln d1)/2, and
     ID ≈ n / Σ ln μ — the embedding-collapse diagnostic (ID ≪ ambient
     dim means the space is degenerate and ANN recall targets are
@@ -10158,7 +10158,7 @@ def q_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q"),
     )
-    probes = eq.filter(F.col("id") < 100).select(
+    probes = eq.filter(F.col("id") < 50).select(
         F.col("id").alias("pid"), "j", F.col("q").alias("pq")
     )
     d = (
@@ -10209,7 +10209,7 @@ ORACLE_PART_B["q_intrinsic_dim"] = """
                  AS q
         FROM embeddings, UNNEST(range(1, 65)) AS t(j)
     ), probes AS (
-        SELECT id AS pid, j, q AS pq FROM eq WHERE id < 100
+        SELECT id AS pid, j, q AS pq FROM eq WHERE id < 50
     ), d AS (
         SELECT probes.pid, eq.id,
                sum((probes.pq - eq.q) * (probes.pq - eq.q)) AS d2
@@ -10244,7 +10244,7 @@ def q_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathology metric (hubs absorb neighbor lists and poison kNN
     label propagation / retrieval diversity; q_label_noise's failure
     mode has this as its cause). Exact integer distances and counts;
-    top-10 hubs with id tie-break. Probe set = vec_id < 200; the
+    top-10 hubs with id tie-break. Probe set = vec_id < 100; the
     candidate side routes through the ANN tiers at corpus scale like
     every kNN consumer.
     """
@@ -10259,7 +10259,7 @@ def q_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q"),
     )
-    probes = eq.filter(F.col("id") < 200).select(
+    probes = eq.filter(F.col("id") < 100).select(
         F.col("id").alias("pid"), "j", F.col("q").alias("pq")
     )
     d = (
@@ -10292,7 +10292,7 @@ ORACLE_PART_B["q_hubness"] = """
                  AS q
         FROM embeddings, UNNEST(range(1, 65)) AS t(j)
     ), probes AS (
-        SELECT id AS pid, j, q AS pq FROM eq WHERE id < 200
+        SELECT id AS pid, j, q AS pq FROM eq WHERE id < 100
     ), d AS (
         SELECT probes.pid, eq.id,
                sum((probes.pq - eq.q) * (probes.pq - eq.q)) AS d2
@@ -11789,7 +11789,7 @@ def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     unsupervised outlier score (Ramaswamy k-distance) and q_hubness's
     mirror image (hubs absorb neighbor lists, outliers fall out of
     them; together they bracket the neighborhood pathology). Probe
-    set vec_id < 200; exact int64 distances, id tie-breaks; the
+    set vec_id < 100; exact int64 distances, id tie-breaks; the
     candidate side routes through the ANN tiers at corpus scale.
     """
     emb = load_table(spark, sf_dir, "embeddings")
@@ -11803,7 +11803,7 @@ def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q"),
     )
-    probes = eq.filter(F.col("id") < 200).select(
+    probes = eq.filter(F.col("id") < 100).select(
         F.col("id").alias("pid"), "j", F.col("q").alias("pq")
     )
     d = (
@@ -11835,7 +11835,7 @@ ORACLE_PART_B["q_knn_outliers"] = """
                  AS q
         FROM embeddings, UNNEST(range(1, 65)) AS t(j)
     ), probes AS (
-        SELECT id AS pid, j, q AS pq FROM eq WHERE id < 200
+        SELECT id AS pid, j, q AS pq FROM eq WHERE id < 100
     ), d AS (
         SELECT probes.pid, eq.id,
                sum((probes.pq - eq.q) * (probes.pq - eq.q)) AS d2
