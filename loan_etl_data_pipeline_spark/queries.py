@@ -11963,3 +11963,148 @@ ORACLE_PART_B["q_round_amounts"] = """
            CAST(whole_hundred AS DOUBLE) / CAST(n AS DOUBLE) AS hundred_share
     FROM m
 """
+
+
+def q_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ customer-level burstiness: coefficient of variation of the
+    days between consecutive orders, top-10 burstiest customers with
+    >= 5 gaps — q_burstiness asks it of event types, this of
+    customers (the repeat-purchase regularity / account-takeover
+    signal). Gaps via lag over per-customer windows (orderdate,
+    orderkey total order), CV from exact int64 moment sums with ONE
+    sqrt+division at the end; zero-mean customers (all same-day
+    orders) excluded by contract.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " o_orderdate)"
+        ).alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("d"), F.asc("o_orderkey")
+    )
+    gaps = (
+        o.withColumn("prev", F.lag("d").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("o_custkey", (F.col("d") - F.col("prev")).alias("g"))
+    )
+    m = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sgg"),
+        )
+        .filter((F.col("n_gaps") >= 5) & (F.col("sg") > 0))
+    )
+    nn = F.col("n_gaps").cast("double")
+    mean = F.col("sg").cast("double") / nn
+    var = (
+        nn * F.col("sgg").cast("double")
+        - F.col("sg").cast("double") * F.col("sg").cast("double")
+    ) / (nn * nn)
+    return (
+        m.select(
+            "o_custkey",
+            "n_gaps",
+            mean.alias("mean_gap_days"),
+            (F.sqrt(var) / mean).alias("cv"),
+        )
+        .orderBy(F.desc("cv"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+QUERIES_PART_B["q_interarrival_cv"] = q_interarrival_cv
+
+ORACLE_PART_B["q_interarrival_cv"] = """
+    WITH o AS (
+        SELECT o_custkey,
+               date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         o_orderdate) AS d,
+               o_orderkey
+        FROM orders
+    ), gaps AS (
+        SELECT o_custkey,
+               d - lag(d) OVER (PARTITION BY o_custkey
+                                ORDER BY d ASC, o_orderkey ASC) AS g
+        FROM o
+    ), m AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(g) AS BIGINT) AS sg,
+               CAST(sum(g * g) AS BIGINT) AS sgg
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY o_custkey
+        HAVING count(*) >= 5 AND sum(g) > 0
+    )
+    SELECT o_custkey, n_gaps,
+           CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_days,
+           sqrt((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                   - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+             / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS cv
+    FROM m ORDER BY cv DESC, o_custkey ASC LIMIT 10
+"""
+
+
+def q_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ per-nation order-mix entropy: Shannon entropy of the
+    priority mix of each customer nation — a flat mix (high entropy)
+    vs a specialized one (low), the portfolio-diversity counterpart
+    of q_hhi's concentration (H and HHI bracket the same question
+    from opposite ends). Per-(nation, priority) exact counts; each
+    cell's p·ln p term is ln over exact-int rationals, 1e-12
+    floor-quantized before the per-nation sum. ≤25 rows out.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+    )
+    cells = (
+        o.join(c, "o_custkey")
+        .groupBy("nationkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    tot = cells.groupBy("nationkey").agg(F.sum("k").alias("t"))
+    j = cells.join(tot, "nationkey")
+    term = (F.col("k").cast("double") / F.col("t").cast("double")) * F.log(
+        F.col("k").cast("double") / F.col("t").cast("double")
+    )
+    return j.groupBy("nationkey").agg(
+        F.min("t").cast("bigint").alias("n_orders"),
+        (
+            -F.sum(F.floor(term * F.lit(1e12)).cast("bigint")).cast("double")
+            / 1e12
+        ).alias("mix_entropy"),
+    )
+
+
+QUERIES_PART_B["q_mix_entropy"] = q_mix_entropy
+
+ORACLE_PART_B["q_mix_entropy"] = """
+    WITH cells AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT nationkey, CAST(sum(k) AS BIGINT) AS t
+        FROM cells GROUP BY nationkey
+    )
+    SELECT cells.nationkey,
+           CAST(min(t) AS BIGINT) AS n_orders,
+           -CAST(sum(CAST(floor(
+               (CAST(k AS DOUBLE) / CAST(t AS DOUBLE))
+               * ln(CAST(k AS DOUBLE) / CAST(t AS DOUBLE)) * 1e12)
+               AS BIGINT)) AS DOUBLE) / 1e12 AS mix_entropy
+    FROM cells JOIN tot USING (nationkey)
+    GROUP BY cells.nationkey
+"""
