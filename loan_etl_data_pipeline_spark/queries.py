@@ -12108,3 +12108,162 @@ ORACLE_PART_B["q_mix_entropy"] = """
     FROM cells JOIN tot USING (nationkey)
     GROUP BY cells.nationkey
 """
+
+
+def q_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ repeat-purchase rate by market segment: the share of a
+    segment's ordering customers who came back (2+ orders) and the
+    mean orders per ordering customer — the simplest forward-looking
+    retention number (cohort/hazard say WHEN, this says HOW MANY).
+    Exact counts, two fixed IEEE divisions; 5 rows.
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        per.join(seg, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeat"),
+            F.sum("n_orders").cast("bigint").alias("tot_orders"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            (
+                F.col("n_repeat").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("repeat_rate"),
+            (
+                F.col("tot_orders").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("orders_per_customer"),
+        )
+    )
+
+
+QUERIES_PART_B["q_repeat_rate"] = q_repeat_rate
+
+ORACLE_PART_B["q_repeat_rate"] = """
+    WITH per AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN per.n_orders >= 2 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS repeat_rate,
+           CAST(sum(per.n_orders) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS orders_per_customer
+    FROM per JOIN customer c ON per.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+def q_first_order_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ acquisition-quality signal: Pearson correlation between a
+    customer's FIRST order value and their lifetime revenue — does a
+    big first basket predict a big relationship (the number that
+    prices acquisition incentives). First order by (date, orderkey)
+    total order via per-customer windows; both variables exact int64
+    cents; moments in decimal(38,0)/HUGEINT (products cross 2^63) and
+    the closed form over 2^32-limb-split doubles. 1 row out.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    per = (
+        o.withColumn("rn", F.row_number().over(w))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("cents"))).alias("first_c"),
+            F.sum("cents").alias("ltv_c"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    m = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("first_c")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("ltv_c")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("first_c") * dec("ltv_c")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("first_c") * dec("first_c")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("ltv_c") * dec("ltv_c")).cast("decimal(38,0)").alias("syy"),
+    )
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    nn = F.col("n").cast("double")
+    num = nn * limb("sxy") - limb("sx") * limb("sy")
+    den = F.sqrt(nn * limb("sxx") - limb("sx") * limb("sx")) * F.sqrt(
+        nn * limb("syy") - limb("sy") * limb("sy")
+    )
+    return m.select("n", (num / den).alias("first_ltv_corr"))
+
+
+QUERIES_PART_B["q_first_order_ltv"] = q_first_order_ltv
+
+ORACLE_PART_B["q_first_order_ltv"] = """
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), per AS (
+        SELECT o_custkey,
+               min(CASE WHEN rn = 1 THEN cents END) AS first_c,
+               CAST(sum(cents) AS BIGINT) AS ltv_c
+        FROM (
+            SELECT o_custkey, cents, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+            FROM o
+        ) GROUP BY o_custkey
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(first_c AS HUGEINT)) AS sx,
+               sum(CAST(ltv_c AS HUGEINT)) AS sy,
+               sum(CAST(first_c AS HUGEINT) * ltv_c) AS sxy,
+               sum(CAST(first_c AS HUGEINT) * first_c) AS sxx,
+               sum(CAST(ltv_c AS HUGEINT) * ltv_c) AS syy
+        FROM per
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE)
+              * (CAST(sxy % 4294967296 AS DOUBLE)
+                   + CAST(sxy // 4294967296 AS DOUBLE) * 4294967296.0)
+            - (CAST(sx % 4294967296 AS DOUBLE)
+                 + CAST(sx // 4294967296 AS DOUBLE) * 4294967296.0)
+              * (CAST(sy % 4294967296 AS DOUBLE)
+                   + CAST(sy // 4294967296 AS DOUBLE) * 4294967296.0))
+           / (sqrt(CAST(n AS DOUBLE)
+                     * (CAST(sxx % 4294967296 AS DOUBLE)
+                          + CAST(sxx // 4294967296 AS DOUBLE) * 4294967296.0)
+                   - (CAST(sx % 4294967296 AS DOUBLE)
+                        + CAST(sx // 4294967296 AS DOUBLE) * 4294967296.0)
+                     * (CAST(sx % 4294967296 AS DOUBLE)
+                          + CAST(sx // 4294967296 AS DOUBLE) * 4294967296.0))
+              * sqrt(CAST(n AS DOUBLE)
+                       * (CAST(syy % 4294967296 AS DOUBLE)
+                            + CAST(syy // 4294967296 AS DOUBLE)
+                              * 4294967296.0)
+                     - (CAST(sy % 4294967296 AS DOUBLE)
+                          + CAST(sy // 4294967296 AS DOUBLE) * 4294967296.0)
+                       * (CAST(sy % 4294967296 AS DOUBLE)
+                            + CAST(sy // 4294967296 AS DOUBLE)
+                              * 4294967296.0))) AS first_ltv_corr
+    FROM m
+"""
