@@ -12267,3 +12267,85 @@ ORACLE_PART_B["q_first_order_ltv"] = """
                               * 4294967296.0))) AS first_ltv_corr
     FROM m
 """
+
+
+def q_basket_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ basket-size distribution: how many orders carry k line
+    items — the order-composition histogram behind pick-pack costing
+    and the co-purchase graph's density (q_cust_order_distribution
+    counts orders per customer; this counts items per order). Two
+    map-side-combined aggs, ≤max-basket rows out.
+    """
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    return per.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+QUERIES_PART_B["q_basket_size"] = q_basket_size
+
+ORACLE_PART_B["q_basket_size"] = """
+    WITH per AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n_orders FROM per GROUP BY k
+"""
+
+
+def q_discount_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ discount leakage by year: gross revenue, the revenue
+    foregone to discounts, and the effective discount rate — the
+    margin-bridge input (q_promo_revenue asks WHICH parts get
+    promoted; this asks what discounts COST). Per-row discount cents
+    floor-quantize BEFORE summation (floor(extprice·discount·100) —
+    the double product is the same IEEE op on both engines, and the
+    quantized int sums are order-independent); rate is one fixed IEEE
+    division per year.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("yr"),
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("gross_c"),
+        F.expr(
+            "cast(floor(l_extendedprice * l_discount * 100) as bigint)"
+        ).alias("disc_c"),
+    )
+    return (
+        li.groupBy("yr")
+        .agg(
+            F.sum("gross_c").alias("gross_c"),
+            F.sum("disc_c").alias("disc_c"),
+        )
+        .select(
+            F.col("yr").cast("bigint").alias("yr"),
+            (F.col("gross_c").cast("double") / 100).alias("gross_revenue"),
+            (F.col("disc_c").cast("double") / 100).alias("discount_given"),
+            (
+                F.col("disc_c").cast("double")
+                / F.col("gross_c").cast("double")
+            ).alias("effective_rate"),
+        )
+    )
+
+
+QUERIES_PART_B["q_discount_impact"] = q_discount_impact
+
+ORACLE_PART_B["q_discount_impact"] = """
+    WITH li AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS gross_c,
+               CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)
+                 AS disc_c
+        FROM lineitem
+    )
+    SELECT yr,
+           CAST(sum(gross_c) AS DOUBLE) / 100 AS gross_revenue,
+           CAST(sum(disc_c) AS DOUBLE) / 100 AS discount_given,
+           CAST(sum(disc_c) AS DOUBLE) / CAST(sum(gross_c) AS DOUBLE)
+             AS effective_rate
+    FROM li GROUP BY yr
+"""
