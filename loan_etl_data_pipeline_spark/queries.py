@@ -12349,3 +12349,80 @@ ORACLE_PART_B["q_discount_impact"] = """
              AS effective_rate
     FROM li GROUP BY yr
 """
+
+
+def q_cusum_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ grouped changepoint screen: q_cusum_changepoint's argmax
+    day computed PER MARKET SEGMENT — did every segment shift
+    together (macro cause) or did one move alone (segment-specific
+    cause)? Same scaled integer statistic n·S_t − t·T per segment,
+    but here the windows are PARTITIONED BY SEGMENT over each
+    segment's daily aggregate (≤ segments × days rows — no global
+    machinery needed because the partition key carries the scale);
+    per-segment argmax by window rank, earliest-day tie-break.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    daily = (
+        o.join(seg, "o_custkey")
+        .groupBy("c_mktsegment", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("day")
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy("c_mktsegment")
+    scored = (
+        daily.withColumn("s", F.sum("cents").over(wr))
+        .withColumn("t", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wa))
+        .withColumn("tot", F.sum("cents").over(wa))
+        .withColumn(
+            "dev", F.col("n") * F.col("s") - F.col("t") * F.col("tot")
+        )
+    )
+    pick = Window.partitionBy("c_mktsegment").orderBy(
+        F.abs(F.col("dev")).desc(), F.asc("day")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dev").cast("bigint").alias("cusum_scaled"),
+        )
+    )
+
+
+QUERIES_PART_B["q_cusum_by_segment"] = q_cusum_by_segment
+
+ORACLE_PART_B["q_cusum_by_segment"] = """
+    WITH daily AS (
+        SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS day,
+               sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT c_mktsegment, day,
+               count(*) OVER (PARTITION BY c_mktsegment)
+                 * sum(cents) OVER (PARTITION BY c_mktsegment ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING)
+               - row_number() OVER (PARTITION BY c_mktsegment ORDER BY day)
+                 * sum(cents) OVER (PARTITION BY c_mktsegment) AS dev
+        FROM daily
+    )
+    SELECT c_mktsegment, strftime(day, '%Y-%m-%d') AS day,
+           CAST(dev AS BIGINT) AS cusum_scaled
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY abs(dev) DESC, day ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+"""
