@@ -12426,3 +12426,130 @@ ORACLE_PART_B["q_cusum_by_segment"] = """
         FROM scored
     ) WHERE rn = 1
 """
+
+
+def q_nation_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ market-affinity lift: which customer nations over-index on
+    which part types — lift = observed pair count × grand total /
+    (nation margin × type margin), the q_bigram_lift construction
+    applied to the purchase fact (market intelligence: lift > 1 with
+    support is a real regional preference, not volume). Exact int64
+    counts; support floor 50 keeps noise out; top-20 by lift with
+    (nation, type) tie-break; margins broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, "o_custkey")
+        .join(F.broadcast(p), "l_partkey")
+        .select("nationkey", "p_type")
+    )
+    pairs = base.groupBy("nationkey", "p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    nm = base.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nat")
+    )
+    tm = base.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_typ")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("grand"))
+    j = (
+        pairs.filter(F.col("k") >= 50)
+        .join(F.broadcast(nm), "nationkey")
+        .join(F.broadcast(tm), "p_type")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (
+        F.col("k").cast("double") * F.col("grand").cast("double")
+    ) / (F.col("n_nat").cast("double") * F.col("n_typ").cast("double"))
+    return (
+        j.select("nationkey", "p_type", "k", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("nationkey"), F.asc("p_type"))
+        .limit(20)
+    )
+
+
+QUERIES_PART_B["q_nation_affinity"] = q_nation_affinity
+
+ORACLE_PART_B["q_nation_affinity"] = """
+    WITH base AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, p.p_type
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ), pairs AS (
+        SELECT nationkey, p_type, CAST(count(*) AS BIGINT) AS k
+        FROM base GROUP BY 1, 2 HAVING count(*) >= 50
+    ), nm AS (
+        SELECT nationkey, CAST(count(*) AS BIGINT) AS n_nat
+        FROM base GROUP BY 1
+    ), tm AS (
+        SELECT p_type, CAST(count(*) AS BIGINT) AS n_typ
+        FROM base GROUP BY 1
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS grand FROM base)
+    SELECT nationkey, p_type, k,
+           CAST(k AS DOUBLE) * CAST(grand AS DOUBLE)
+             / (CAST(n_nat AS DOUBLE) * CAST(n_typ AS DOUBLE)) AS lift
+    FROM pairs JOIN nm USING (nationkey) JOIN tm USING (p_type), tot
+    ORDER BY lift DESC, nationkey ASC, p_type ASC LIMIT 20
+"""
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+ storage business case: bytes reclaimable by exact document
+    dedup — total text bytes, bytes in redundant copies (every byte
+    beyond each fingerprint group's first doc), and the savings ratio
+    (the number that justifies running the dedup pipeline at all;
+    q_dup_rate_by_source counts DOCS, storage pays for BYTES).
+    md5-fingerprint groupBy with exact int64 byte sums.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("fp"),
+        F.length("text").cast("bigint").alias("nbytes"),
+    )
+    groups = docs.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("copies"),
+        F.sum("nbytes").alias("grp_bytes"),
+        F.min("nbytes").alias("keep_bytes"),
+    )
+    return groups.agg(
+        F.sum("grp_bytes").cast("bigint").alias("total_bytes"),
+        F.sum(F.col("grp_bytes") - F.col("keep_bytes"))
+        .cast("bigint")
+        .alias("redundant_bytes"),
+        (
+            F.sum(F.col("grp_bytes") - F.col("keep_bytes")).cast("double")
+            / F.sum("grp_bytes").cast("double")
+        ).alias("savings_ratio"),
+    )
+
+
+QUERIES_PART_B["q_dedup_savings"] = q_dedup_savings
+
+ORACLE_PART_B["q_dedup_savings"] = """
+    WITH docs AS (
+        SELECT md5(text) AS fp, CAST(length(text) AS BIGINT) AS nbytes
+        FROM documents
+    ), groups AS (
+        SELECT fp, CAST(sum(nbytes) AS BIGINT) AS grp_bytes,
+               CAST(min(nbytes) AS BIGINT) AS keep_bytes
+        FROM docs GROUP BY fp
+    )
+    SELECT CAST(sum(grp_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(grp_bytes - keep_bytes) AS BIGINT) AS redundant_bytes,
+           CAST(sum(grp_bytes - keep_bytes) AS DOUBLE)
+             / CAST(sum(grp_bytes) AS DOUBLE) AS savings_ratio
+    FROM groups
+"""
