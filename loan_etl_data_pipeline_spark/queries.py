@@ -12553,3 +12553,114 @@ ORACLE_PART_B["q_dedup_savings"] = """
              / CAST(sum(grp_bytes) AS DOUBLE) AS savings_ratio
     FROM groups
 """
+
+
+def q_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.3+ fulfillment SLA by priority: share of line items shipped
+    within 30/60/90 days of order placement — the promise-keeping
+    report behind q_ship_mode_counts' Q12 shape (one fact-fact join
+    on orderkey, exact day diffs, CASE buckets folded into ONE
+    map-side-combined aggregate — never three scans). 5 rows out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.expr("timestampdiff(DAY, o_orderdate, l_shipdate)").alias("lag_d"),
+    )
+    share = lambda d: (  # noqa: E731
+        F.sum(F.when(F.col("lag_d") <= d, 1).otherwise(0)).cast("double")
+        / F.count(F.lit(1))
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        share(30).alias("within_30d"),
+        share(60).alias("within_60d"),
+        share(90).alias("within_90d"),
+    )
+
+
+QUERIES_PART_B["q_fulfillment_sla"] = q_fulfillment_sla
+
+ORACLE_PART_B["q_fulfillment_sla"] = """
+    WITH j AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN lag_d <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS within_30d,
+           CAST(sum(CASE WHEN lag_d <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS within_60d,
+           CAST(sum(CASE WHEN lag_d <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS within_90d
+    FROM j GROUP BY o_orderpriority
+"""
+
+
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ biggest month-over-month movers: the 10 largest absolute
+    revenue swings at the (brand, month) grain — the "what changed"
+    triage view q_revenue_mom aggregates away (totals can be flat
+    while brands churn violently underneath). Exact-cents brand-month
+    aggregate, calendar lag join on month+1 (gap months simply don't
+    pair), TakeOrdered by |Δ| with (brand, month) tie-break.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("cents"),
+        F.trunc("l_shipdate", "month").alias("month"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    bm = (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("p_brand", "month")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    prev = bm.select(
+        "p_brand",
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("cents").alias("cents0"),
+    )
+    return (
+        bm.join(prev, ["p_brand", "month"])
+        .select(
+            "p_brand",
+            F.date_format("month", "yyyy-MM").alias("month"),
+            ((F.col("cents") - F.col("cents0")).cast("double") / 100).alias(
+                "revenue_change"
+            ),
+            (F.col("cents") - F.col("cents0")).alias("delta_c"),
+        )
+        .orderBy(
+            F.abs(F.col("delta_c")).desc(), F.asc("p_brand"), F.asc("month")
+        )
+        .limit(10)
+        .drop("delta_c")
+    )
+
+
+QUERIES_PART_B["q_top_movers"] = q_top_movers
+
+ORACLE_PART_B["q_top_movers"] = """
+    WITH bm AS (
+        SELECT p.p_brand, date_trunc('month', l.l_shipdate) AS month,
+               sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT a.p_brand, strftime(a.month, '%Y-%m') AS month,
+           CAST(a.cents - b.cents AS DOUBLE) / 100 AS revenue_change
+    FROM bm a JOIN bm b
+      ON a.p_brand = b.p_brand AND a.month = b.month + INTERVAL 1 MONTH
+    ORDER BY abs(a.cents - b.cents) DESC, a.p_brand ASC, a.month ASC
+    LIMIT 10
+"""
