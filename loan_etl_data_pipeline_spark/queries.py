@@ -12664,3 +12664,131 @@ ORACLE_PART_B["q_top_movers"] = """
     ORDER BY abs(a.cents - b.cents) DESC, a.p_brand ASC, a.month ASC
     LIMIT 10
 """
+
+
+def q_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ realized-price dispersion per part type: how differently
+    is the SAME kind of part priced across its line items — per type,
+    the exact min/max unit cents and the max/min ratio (price-
+    discipline screen: a wide spread inside one type means leaking
+    margin or stale list prices). Unit cents exact via integer
+    division (extended = qty·unit in TPC-H); pure comparisons until
+    one ratio. ≤|types| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "cast(floor(l_extendedprice * 100) as bigint)"
+            " div cast(l_quantity as bigint)"
+        ).alias("ucents"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    return (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.min("ucents").alias("min_unit_cents"),
+            F.max("ucents").alias("max_unit_cents"),
+            (
+                F.max("ucents").cast("double")
+                / F.min("ucents").cast("double")
+            ).alias("spread_ratio"),
+        )
+    )
+
+
+QUERIES_PART_B["q_effective_spread"] = q_effective_spread
+
+ORACLE_PART_B["q_effective_spread"] = """
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(floor(l_extendedprice * 100) AS BIGINT)
+                 // CAST(l_quantity AS BIGINT) AS ucents
+        FROM lineitem
+    )
+    SELECT p.p_type,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(ucents) AS BIGINT) AS min_unit_cents,
+           CAST(max(ucents) AS BIGINT) AS max_unit_cents,
+           CAST(max(ucents) AS DOUBLE) / CAST(min(ucents) AS DOUBLE)
+             AS spread_ratio
+    FROM li JOIN part p ON li.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+"""
+
+
+def q_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Gini coefficient of customer revenue: G = 2·Σ(rank·x) /
+    (n·Σx) − (n+1)/n over ONE distributed global_rank — the
+    inequality headline q_theil_index decomposes and q_pareto_8020
+    samples at one point (the three together are the full
+    concentration toolkit; token-level Gini exists as q_token_gini —
+    this is the REVENUE side). Σ(rank·cents) rides decimal(38,0)
+    (rank·cents crosses 2^63 at scale) and the closed form runs over
+    2^32-limb-split doubles. Eager-checkpoint-then-release.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+    )
+    ranked = global_rank(per, [F.asc("cents"), F.asc("o_custkey")])
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(
+            F.col("rank").cast("decimal(18,0)")
+            * F.col("cents").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("rs"),
+    )
+    m = m.localCheckpoint(eager=True)
+    release_intermediates(ranked)
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    nn = F.col("n").cast("double")
+    gini = 2 * limb("rs") / (nn * limb("s")) - (nn + 1) / nn
+    return m.select("n", gini.alias("gini"))
+
+
+QUERIES_PART_B["q_gini_customers"] = q_gini_customers
+
+ORACLE_PART_B["q_gini_customers"] = """
+    WITH per AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents, row_number() OVER (
+                   ORDER BY cents ASC, o_custkey ASC) AS rank
+        FROM per
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(cents AS HUGEINT)) AS s,
+               sum(CAST(rank AS HUGEINT) * cents) AS rs
+        FROM ranked
+    )
+    SELECT n,
+           2 * (CAST(rs % 4294967296 AS DOUBLE)
+                  + CAST(rs // 4294967296 AS DOUBLE) * 4294967296.0)
+             / (CAST(n AS DOUBLE)
+                  * (CAST(s % 4294967296 AS DOUBLE)
+                       + CAST(s // 4294967296 AS DOUBLE) * 4294967296.0))
+           - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) AS gini
+    FROM m
+"""
