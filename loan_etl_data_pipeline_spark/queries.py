@@ -12792,3 +12792,72 @@ ORACLE_PART_B["q_gini_customers"] = """
            - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) AS gini
     FROM m
 """
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ external cluster validation: label purity of the oracled
+    k-means clusters — per cluster, the majority ground-truth label,
+    its share, and the cluster size (q_silhouette judges geometry
+    from the inside; purity judges against labels from the outside —
+    an auditable clustering needs both). Majority by (count desc,
+    label asc) window rank; exact counts, one division. The oracle
+    composes the generated Lloyd rounds with the purity rollup in one
+    statement.
+    """
+    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_int(
+        emb, "vec_id", "embedding", dim=64, k=8, iters=2
+    ).localCheckpoint()
+    lab = emb.select(
+        F.col("vec_id").alias("id"), F.col("label").cast("bigint").alias("lbl")
+    )
+    cells = (
+        assign.join(lab, "id")
+        .groupBy("cluster", "lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("k"), F.asc("lbl"))
+    tot = cells.groupBy("cluster").agg(F.sum("k").alias("n"))
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(tot, "cluster")
+        .select(
+            "cluster",
+            F.col("n").cast("bigint").alias("n_members"),
+            F.col("lbl").alias("majority_label"),
+            (F.col("k").cast("double") / F.col("n").cast("double")).alias(
+                "purity"
+            ),
+        )
+    )
+
+
+QUERIES_PART_B["q_cluster_purity"] = q_cluster_purity
+
+ORACLE_PART_B["q_cluster_purity"] = (
+    _kmeans_ctes()[0]
+    + f""",
+    lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl
+            FROM embeddings),
+    cells AS (
+        SELECT a.cluster, lab.lbl, CAST(count(*) AS BIGINT) AS k
+        FROM {_kmeans_ctes()[1]} a JOIN lab USING (id)
+        GROUP BY a.cluster, lab.lbl
+    ),
+    tot AS (SELECT cluster, CAST(sum(k) AS BIGINT) AS n
+            FROM cells GROUP BY cluster)
+    SELECT CAST(cells.cluster AS BIGINT) AS cluster,
+           tot.n AS n_members,
+           cells.lbl AS majority_label,
+           CAST(cells.k AS DOUBLE) / CAST(tot.n AS DOUBLE) AS purity
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster ORDER BY k DESC, lbl ASC) AS rn
+        FROM cells
+    ) cells JOIN tot USING (cluster)
+    WHERE cells.rn = 1
+"""
+)
