@@ -12861,3 +12861,93 @@ ORACLE_PART_B["q_cluster_purity"] = (
     WHERE cells.rn = 1
 """
 )
+
+
+def q_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ Adjusted Rand Index between the oracled k-means partition
+    and the ground-truth labels — purity's chance-corrected sibling
+    (purity rewards many tiny clusters; ARI = 0 for random
+    partitions by construction, the κ of clustering). Every
+    ingredient is an exact integer binomial: Σ C(n_ij,2) over the
+    contingency cells, Σ C(a_i,2), Σ C(b_j,2), C(n,2) — computed as
+    x(x−1) div 2 — and ARI's one division closes it out. Composes
+    the generated Lloyd rounds in its oracle. 1 row out.
+    """
+    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_int(
+        emb, "vec_id", "embedding", dim=64, k=8, iters=2
+    ).localCheckpoint()
+    lab = emb.select(
+        F.col("vec_id").alias("id"), F.col("label").cast("bigint").alias("lbl")
+    )
+    j = assign.join(lab, "id")
+    c2 = lambda c: F.expr(f"({c} * ({c} - 1)) div 2")  # noqa: E731
+    cells = (
+        j.groupBy("cluster", "lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+        .agg(F.sum(c2("nij")).cast("bigint").alias("sum_ij"))
+    )
+    rows_m = (
+        j.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+        .agg(F.sum(c2("a")).cast("bigint").alias("sum_a"))
+    )
+    cols_m = (
+        j.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+        .agg(F.sum(c2("b")).cast("bigint").alias("sum_b"))
+    )
+    tot = j.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = (
+        cells.crossJoin(F.broadcast(rows_m))
+        .crossJoin(F.broadcast(cols_m))
+        .crossJoin(F.broadcast(tot))
+    )
+    nc2 = F.expr("(n * (n - 1)) div 2").cast("double")
+    exp = F.col("sum_a").cast("double") * F.col("sum_b").cast("double") / nc2
+    maxi = (
+        F.col("sum_a").cast("double") + F.col("sum_b").cast("double")
+    ) / 2
+    return m.select(
+        "n",
+        "sum_ij",
+        ((F.col("sum_ij").cast("double") - exp) / (maxi - exp)).alias("ari"),
+    )
+
+
+QUERIES_PART_B["q_ari"] = q_ari
+
+ORACLE_PART_B["q_ari"] = (
+    _kmeans_ctes()[0]
+    + f""",
+    lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl
+            FROM embeddings),
+    jj AS (SELECT a.cluster, lab.lbl
+           FROM {_kmeans_ctes()[1]} a JOIN lab USING (id)),
+    cells AS (
+        SELECT CAST(sum((k * (k - 1)) // 2) AS BIGINT) AS sum_ij FROM (
+            SELECT CAST(count(*) AS BIGINT) AS k
+            FROM jj GROUP BY cluster, lbl)
+    ),
+    rows_m AS (
+        SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT) AS sum_a FROM (
+            SELECT CAST(count(*) AS BIGINT) AS a FROM jj GROUP BY cluster)
+    ),
+    cols_m AS (
+        SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS sum_b FROM (
+            SELECT CAST(count(*) AS BIGINT) AS b FROM jj GROUP BY lbl)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM jj)
+    SELECT tot.n, cells.sum_ij,
+           (CAST(cells.sum_ij AS DOUBLE)
+              - CAST(rows_m.sum_a AS DOUBLE) * CAST(cols_m.sum_b AS DOUBLE)
+                / CAST((n * (n - 1)) // 2 AS DOUBLE))
+           / ((CAST(rows_m.sum_a AS DOUBLE)
+                 + CAST(cols_m.sum_b AS DOUBLE)) / 2
+              - CAST(rows_m.sum_a AS DOUBLE) * CAST(cols_m.sum_b AS DOUBLE)
+                / CAST((n * (n - 1)) // 2 AS DOUBLE)) AS ari
+    FROM cells, rows_m, cols_m, tot
+"""
+)
