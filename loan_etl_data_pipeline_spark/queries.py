@@ -12951,3 +12951,114 @@ ORACLE_PART_B["q_ari"] = (
     FROM cells, rows_m, cols_m, tot
 """
 )
+
+
+def q_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ Normalized Mutual Information between the oracled k-means
+    partition and the labels — the information-theoretic member of
+    the clustering-eval trio (purity: simple; ARI: pair-counting;
+    NMI: information — they disagree exactly when a clustering is
+    gaming one of them). MI and both entropies follow the q_info_gain
+    discipline: ln over exact-int count rationals, per-cell terms
+    1e-12-floor-quantized before summation; NMI = MI/√(H_c·H_l) is
+    the one closing IEEE sequence. Composes the generated Lloyd
+    rounds in its oracle. 1 row out.
+    """
+    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_int(
+        emb, "vec_id", "embedding", dim=64, k=8, iters=2
+    ).localCheckpoint()
+    lab = emb.select(
+        F.col("vec_id").alias("id"), F.col("label").cast("bigint").alias("lbl")
+    )
+    j = assign.join(lab, "id")
+    nxy = j.groupBy("cluster", "lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    nx = j.groupBy("cluster").agg(F.count(F.lit(1)).cast("bigint").alias("nx"))
+    ny = j.groupBy("lbl").agg(F.count(F.lit(1)).cast("bigint").alias("ny"))
+    tot = j.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    q12 = lambda col: F.floor(col * F.lit(1e12)).cast("bigint")  # noqa: E731
+    mi_term = (dbl("nxy") / dbl("nn")) * F.log(
+        dbl("nn") * dbl("nxy") / (dbl("nx") * dbl("ny"))
+    )
+    mi = (
+        nxy.join(F.broadcast(nx), "cluster")
+        .join(F.broadcast(ny), "lbl")
+        .crossJoin(F.broadcast(tot))
+        .agg((F.sum(q12(mi_term)).cast("double") / 1e12).alias("mi"))
+    )
+    hx = nx.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(q12((dbl("nx") / dbl("nn")) * F.log(dbl("nx") / dbl("nn"))))
+            .cast("double")
+            / 1e12
+        ).alias("h_cluster")
+    )
+    hy = ny.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(q12((dbl("ny") / dbl("nn")) * F.log(dbl("ny") / dbl("nn"))))
+            .cast("double")
+            / 1e12
+        ).alias("h_label")
+    )
+    return (
+        mi.crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            "mi",
+            "h_cluster",
+            "h_label",
+            (
+                F.col("mi")
+                / F.sqrt(F.col("h_cluster") * F.col("h_label"))
+            ).alias("nmi"),
+        )
+    )
+
+
+QUERIES_PART_B["q_nmi"] = q_nmi
+
+ORACLE_PART_B["q_nmi"] = (
+    _kmeans_ctes()[0]
+    + f""",
+    lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl
+            FROM embeddings),
+    jj AS (SELECT a.cluster, lab.lbl
+           FROM {_kmeans_ctes()[1]} a JOIN lab USING (id)),
+    nxy AS (SELECT cluster, lbl, CAST(count(*) AS BIGINT) AS nxy
+            FROM jj GROUP BY 1, 2),
+    nx AS (SELECT cluster, CAST(count(*) AS BIGINT) AS nx
+           FROM jj GROUP BY 1),
+    ny AS (SELECT lbl, CAST(count(*) AS BIGINT) AS ny FROM jj GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM jj),
+    mi AS (
+        SELECT CAST(sum(CAST(floor(
+                   (CAST(nxy AS DOUBLE) / CAST(nn AS DOUBLE))
+                   * ln(CAST(nn AS DOUBLE) * CAST(nxy AS DOUBLE)
+                        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+                   * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS mi
+        FROM nxy JOIN nx USING (cluster) JOIN ny USING (lbl), tot
+    ),
+    hx AS (
+        SELECT -CAST(sum(CAST(floor(
+                   (CAST(nx AS DOUBLE) / CAST(nn AS DOUBLE))
+                   * ln(CAST(nx AS DOUBLE) / CAST(nn AS DOUBLE))
+                   * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS h_cluster
+        FROM nx, tot
+    ),
+    hy AS (
+        SELECT -CAST(sum(CAST(floor(
+                   (CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE))
+                   * ln(CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE))
+                   * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS h_label
+        FROM ny, tot
+    )
+    SELECT mi.mi, hx.h_cluster, hy.h_label,
+           mi.mi / sqrt(hx.h_cluster * hy.h_label) AS nmi
+    FROM mi, hx, hy
+"""
+)
