@@ -13062,3 +13062,96 @@ ORACLE_PART_B["q_nmi"] = (
     FROM mi, hx, hy
 """
 )
+
+
+def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ Jensen-Shannon divergence between src0 and src1 unigram
+    distributions — THE symmetric, bounded corpus-distance (KL blows
+    up on unseen tokens; JSD's mixture midpoint never does, which is
+    why corpus-drift papers report it over KL; q_source_drift's
+    chi-square ranks tokens, JSD summarizes the gap in one bounded
+    number). Per-token terms p·ln(2p/(p+q)) use the exact-int
+    rational form (2·c_p·T_q)/(c_p·T_q + c_q·T_p) so ln sees one
+    exact ratio; 1e-12-floor-quantized before the sums; JSD in nats,
+    halved at the end. Absent-side tokens contribute p·ln 2 exactly.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens as toks
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    t = docs.select(
+        "source", F.explode(toks(F.lower(F.col("text")))).alias("tok")
+    )
+    counts = t.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cp"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cq"),
+    )
+    tot = counts.agg(
+        F.sum("cp").alias("tp"), F.sum("cq").alias("tq")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    # ratio p/m = 2·cp·tq / (cp·tq + cq·tp): exact ints (≤ ~2e5·2e5·2)
+    num_p = 2 * F.col("cp") * F.col("tq")
+    num_q = 2 * F.col("cq") * F.col("tp")
+    den = F.col("cp") * F.col("tq") + F.col("cq") * F.col("tp")
+    term_p = (F.col("cp").cast("double") / F.col("tp").cast("double")) * F.log(
+        num_p.cast("double") / den.cast("double")
+    )
+    term_q = (F.col("cq").cast("double") / F.col("tq").cast("double")) * F.log(
+        num_q.cast("double") / den.cast("double")
+    )
+    q12 = lambda col: F.floor(col * F.lit(1e12)).cast("bigint")  # noqa: E731
+    return j.agg(
+        (
+            (
+                F.sum(F.when(F.col("cp") > 0, q12(term_p)).otherwise(0)).cast(
+                    "double"
+                )
+                + F.sum(
+                    F.when(F.col("cq") > 0, q12(term_q)).otherwise(0)
+                ).cast("double")
+            )
+            / 1e12
+            / 2
+        ).alias("jsd_nats"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
+
+
+QUERIES_PART_B["q_jsd_sources"] = q_jsd_sources
+
+ORACLE_PART_B["q_jsd_sources"] = """
+    WITH t AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), counts AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cp,
+               CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cq
+        FROM t GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(cp) AS BIGINT) AS tp,
+               CAST(sum(cq) AS BIGINT) AS tq
+        FROM counts
+    )
+    SELECT (CAST(sum(CASE WHEN cp > 0 THEN CAST(floor(
+                (CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE))
+                * ln(CAST(2 * cp * tq AS DOUBLE)
+                     / CAST(cp * tq + cq * tp AS DOUBLE)) * 1e12)
+                AS BIGINT) ELSE 0 END) AS DOUBLE)
+            + CAST(sum(CASE WHEN cq > 0 THEN CAST(floor(
+                (CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE))
+                * ln(CAST(2 * cq * tp AS DOUBLE)
+                     / CAST(cp * tq + cq * tp AS DOUBLE)) * 1e12)
+                AS BIGINT) ELSE 0 END) AS DOUBLE)) / 1e12 / 2 AS jsd_nats,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM counts, tot
+"""
