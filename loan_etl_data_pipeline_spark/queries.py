@@ -13155,3 +13155,79 @@ ORACLE_PART_B["q_jsd_sources"] = """
            CAST(count(*) AS BIGINT) AS n_tokens
     FROM counts, tot
 """
+
+
+def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ distinct-n diversity (Li et al.'s generation metric, applied
+    corpus-side): distinct-1 and distinct-2 — unique unigrams/bigrams
+    over total — the degenerate-repetition detector for generated or
+    scraped text (mode collapse shows up as distinct-2 cratering
+    before perplexity notices; complements q_repetition's within-doc
+    view with a corpus-wide one). Exact counts, two divisions; grams
+    emitted row-locally.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens as toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni = docs.select(
+        F.explode(toks(F.lower(F.col("text")))).alias("g")
+    )
+    bi = (
+        docs.select(toks(F.lower(F.col("text"))).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i ->"
+                    " concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("g")
+        )
+    )
+    u = uni.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.countDistinct("g").cast("bigint").alias("d1"),
+    )
+    b = bi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+        F.countDistinct("g").cast("bigint").alias("d2"),
+    )
+    return u.crossJoin(b).select(
+        "n1",
+        "d1",
+        (F.col("d1").cast("double") / F.col("n1").cast("double")).alias(
+            "distinct_1"
+        ),
+        "n2",
+        "d2",
+        (F.col("d2").cast("double") / F.col("n2").cast("double")).alias(
+            "distinct_2"
+        ),
+    )
+
+
+QUERIES_PART_B["q_distinct_n"] = q_distinct_n
+
+ORACLE_PART_B["q_distinct_n"] = """
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), uni AS (
+        SELECT unnest(t) AS g FROM toks
+    ), bi AS (
+        SELECT t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+        WHERE len(t) >= 2
+    ), u AS (
+        SELECT CAST(count(*) AS BIGINT) AS n1,
+               CAST(count(DISTINCT g) AS BIGINT) AS d1
+        FROM uni
+    ), b AS (
+        SELECT CAST(count(*) AS BIGINT) AS n2,
+               CAST(count(DISTINCT g) AS BIGINT) AS d2
+        FROM bi
+    )
+    SELECT n1, d1, CAST(d1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS distinct_1,
+           n2, d2, CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS distinct_2
+    FROM u, b
+"""
