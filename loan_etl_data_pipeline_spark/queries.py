@@ -13231,3 +13231,76 @@ ORACLE_PART_B["q_distinct_n"] = """
            n2, d2, CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS distinct_2
     FROM u, b
 """
+
+
+def q_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ embedding anisotropy (Ethayarajh): the mean pairwise cosine
+    across the probe slice — a space where "everything points the
+    same way" (mean cosine ≫ 0) wrecks cosine-based retrieval and is
+    exactly what q_abtt's common-direction removal fixes (this is its
+    before/after meter; intrinsic-dim measures collapse of RANK,
+    anisotropy of DIRECTION). Per-pair cosines are a fixed IEEE
+    sequence over exact int64 dot/norm sums, floor-1e9-quantized
+    before the mean so summation order can't leak. Probe pairs
+    vec_id < 100, id_a < id_b.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "id",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    a = eq.select(F.col("id").alias("ia"), "j", F.col("q").alias("qa"))
+    b = eq.select(F.col("id").alias("ib"), "j", F.col("q").alias("qb"))
+    pairs = (
+        a.join(b, "j")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum(F.col("qa") * F.col("qb")).alias("dot"),
+            F.sum(F.col("qa") * F.col("qa")).alias("na"),
+            F.sum(F.col("qb") * F.col("qb")).alias("nb"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (
+            F.sum(F.floor(cos * F.lit(1e9)).cast("bigint")).cast("double")
+            / 1e9
+            / F.count(F.lit(1))
+        ).alias("mean_cosine"),
+    )
+
+
+QUERIES_PART_B["q_anisotropy"] = q_anisotropy
+
+ORACLE_PART_B["q_anisotropy"] = """
+    WITH eq AS (
+        SELECT vec_id AS id, j,
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+                 AS q
+        FROM embeddings, UNNEST(range(1, 65)) AS t(j)
+        WHERE vec_id < 100
+    ), pairs AS (
+        SELECT a.id AS ia, b.id AS ib,
+               sum(a.q * b.q) AS dot,
+               sum(a.q * a.q) AS na,
+               sum(b.q * b.q) AS nb
+        FROM eq a JOIN eq b ON a.j = b.j AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(floor(
+               CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+               * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS mean_cosine
+    FROM pairs
+"""
