@@ -13304,3 +13304,93 @@ ORACLE_PART_B["q_anisotropy"] = """
                * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS mean_cosine
     FROM pairs
 """
+
+
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ retrieval quality: Mean Reciprocal Rank of the first
+    SAME-LABEL neighbor in exact nearest-neighbor order — the
+    labels-as-relevance eval that turns the kNN stack's recall floors
+    into a ranking score (q_knn_classify asks "is the vote right",
+    MRR asks "how deep must you dig for the first right answer").
+    Neighbor order is the exact int64 distance total order (id
+    tie-break); each probe's reciprocal rank is 1e12-floor-quantized
+    before the mean. Probes vec_id < 100; candidates route through
+    the ANN tiers at corpus scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").cast("bigint").alias("lbl"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "id",
+        "lbl",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    probes = eq.filter(F.col("id") < 100).select(
+        F.col("id").alias("pid"),
+        F.col("lbl").alias("plbl"),
+        "j",
+        F.col("q").alias("pq"),
+    )
+    d = (
+        probes.join(eq, "j")
+        .filter(F.col("id") != F.col("pid"))
+        .groupBy("pid", "plbl", "id", "lbl")
+        .agg(
+            F.sum(
+                (F.col("pq") - F.col("q")) * (F.col("pq") - F.col("q"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.asc("d2"), F.asc("id"))
+    first_hit = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("lbl") == F.col("plbl"))
+        .groupBy("pid")
+        .agg(F.min("rn").cast("bigint").alias("first_rank"))
+    )
+    return first_hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        (
+            F.sum(
+                F.expr("cast(1000000000000 div first_rank as bigint)")
+            ).cast("double")
+            / 1e12
+            / F.count(F.lit(1))
+        ).alias("mrr"),
+    )
+
+
+QUERIES_PART_B["q_mrr"] = q_mrr
+
+ORACLE_PART_B["q_mrr"] = """
+    WITH eq AS (
+        SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl, j,
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+                 AS q
+        FROM embeddings, UNNEST(range(1, 65)) AS t(j)
+    ), probes AS (
+        SELECT id AS pid, lbl AS plbl, j, q AS pq FROM eq WHERE id < 100
+    ), d AS (
+        SELECT probes.pid, probes.plbl, eq.id, eq.lbl,
+               sum((probes.pq - eq.q) * (probes.pq - eq.q)) AS d2
+        FROM probes JOIN eq USING (j)
+        WHERE eq.id <> probes.pid
+        GROUP BY 1, 2, 3, 4
+    ), ranked AS (
+        SELECT pid, plbl, lbl, row_number() OVER (
+                   PARTITION BY pid ORDER BY d2 ASC, id ASC) AS rn
+        FROM d
+    ), first_hit AS (
+        SELECT pid, CAST(min(rn) AS BIGINT) AS first_rank
+        FROM ranked WHERE lbl = plbl GROUP BY pid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(1000000000000 // first_rank) AS DOUBLE) / 1e12
+             / count(*) AS mrr
+    FROM first_hit
+"""
