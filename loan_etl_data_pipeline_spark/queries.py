@@ -13394,3 +13394,136 @@ ORACLE_PART_B["q_mrr"] = """
              / count(*) AS mrr
     FROM first_hit
 """
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ nDCG@10 with binary same-label relevance over the exact
+    neighbor order — the position-weighted retrieval eval (MRR scores
+    only the FIRST hit; nDCG credits every hit, discounted by depth).
+    Per-position gains 1/log2(r+1) are ln-ratio terms over exact ints
+    (shared libm), 1e-12-floor-quantized; IDCG uses the same
+    quantized gain table over the probe's hit count, so the ratio is
+    a fixed IEEE sequence; mean nDCG + precision@10 reported
+    together. Probes vec_id < 100.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").cast("bigint").alias("lbl"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "id",
+        "lbl",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    probes = eq.filter(F.col("id") < 100).select(
+        F.col("id").alias("pid"),
+        F.col("lbl").alias("plbl"),
+        "j",
+        F.col("q").alias("pq"),
+    )
+    d = (
+        probes.join(eq, "j")
+        .filter(F.col("id") != F.col("pid"))
+        .groupBy("pid", "plbl", "id", "lbl")
+        .agg(
+            F.sum(
+                (F.col("pq") - F.col("q")) * (F.col("pq") - F.col("q"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.asc("d2"), F.asc("id"))
+    topk = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    gain = lambda r: F.floor(  # noqa: E731  quantized 1/log2(r+1)
+        F.lit(1e12) / (F.log(r.cast("double") + 1) / F.log(F.lit(2.0)))
+    ).cast("bigint")
+    per = topk.groupBy("pid").agg(
+        F.sum(
+            F.when(F.col("lbl") == F.col("plbl"), gain(F.col("rn"))).otherwise(
+                0
+            )
+        ).alias("dcg_q"),
+        F.sum(F.when(F.col("lbl") == F.col("plbl"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits"),
+    ).filter(F.col("hits") > 0)
+    ideal = per.select(
+        "pid",
+        "dcg_q",
+        "hits",
+        F.expr(
+            "aggregate(sequence(1, int(hits)), 0L, (acc, r) ->"
+            " acc + cast(floor(1e12 / (ln(cast(r as double) + 1)"
+            " / ln(2.0D))) as bigint))"
+        ).alias("idcg_q"),
+    )
+    return ideal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("dcg_q").cast("double")
+                    / F.col("idcg_q").cast("double")
+                    * F.lit(1e9)
+                ).cast("bigint")
+            ).cast("double")
+            / 1e9
+            / F.count(F.lit(1))
+        ).alias("mean_ndcg_10"),
+        (
+            F.sum("hits").cast("double") / (10 * F.count(F.lit(1)))
+        ).alias("precision_at_10"),
+    )
+
+
+QUERIES_PART_B["q_ndcg"] = q_ndcg
+
+ORACLE_PART_B["q_ndcg"] = """
+    WITH eq AS (
+        SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl, j,
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+                 AS q
+        FROM embeddings, UNNEST(range(1, 65)) AS t(j)
+    ), probes AS (
+        SELECT id AS pid, lbl AS plbl, j, q AS pq FROM eq WHERE id < 100
+    ), d AS (
+        SELECT probes.pid, probes.plbl, eq.id, eq.lbl,
+               sum((probes.pq - eq.q) * (probes.pq - eq.q)) AS d2
+        FROM probes JOIN eq USING (j)
+        WHERE eq.id <> probes.pid
+        GROUP BY 1, 2, 3, 4
+    ), topk AS (
+        SELECT pid, plbl, lbl, rn FROM (
+            SELECT pid, plbl, lbl, row_number() OVER (
+                PARTITION BY pid ORDER BY d2 ASC, id ASC) AS rn
+            FROM d
+        ) WHERE rn <= 10
+    ), per AS (
+        SELECT pid,
+               CAST(sum(CASE WHEN lbl = plbl THEN CAST(floor(
+                   1e12 / (ln(CAST(rn AS DOUBLE) + 1) / ln(2.0)))
+                   AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_q,
+               CAST(sum(CASE WHEN lbl = plbl THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hits
+        FROM topk GROUP BY pid HAVING sum(CASE WHEN lbl = plbl
+                                              THEN 1 ELSE 0 END) > 0
+    ), gains AS (
+        SELECT r, CAST(floor(1e12 / (ln(CAST(r AS DOUBLE) + 1) / ln(2.0)))
+                       AS BIGINT) AS g
+        FROM range(1, 11) AS t(r)
+    ), ideal AS (
+        SELECT per.pid, per.dcg_q, per.hits,
+               CAST(sum(gains.g) AS BIGINT) AS idcg_q
+        FROM per JOIN gains ON gains.r <= per.hits
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CAST(floor(CAST(dcg_q AS DOUBLE)
+                / CAST(idcg_q AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / count(*) AS mean_ndcg_10,
+           CAST(sum(hits) AS DOUBLE) / (10 * count(*)) AS precision_at_10
+    FROM ideal
+"""
