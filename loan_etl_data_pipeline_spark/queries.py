@@ -13527,3 +13527,71 @@ ORACLE_PART_B["q_ndcg"] = """
            CAST(sum(hits) AS DOUBLE) / (10 * count(*)) AS precision_at_10
     FROM ideal
 """
+
+
+def q_order_value_cv_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ pricing-consistency screen: coefficient of variation of
+    order value per customer nation — which markets buy erratically
+    (high CV → promotions/seasonality landing unevenly; the grouped
+    dispersion complement of q_group_quartiles' point estimates).
+    Exact cents moments per nation (Σx² in decimal/HUGEINT — crosses
+    2^63 at scale), CV = σ/μ over limb-split doubles. ≤25 rows.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,0)")  # noqa: E731
+    m = (
+        o.join(c, "o_custkey")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec("cents")).cast("decimal(38,0)").alias("s"),
+            F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("ss"),
+        )
+    )
+    limb = lambda col: (  # noqa: E731
+        (F.col(col) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{col} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    nn = F.col("n").cast("double")
+    mean = limb("s") / nn
+    var = (nn * limb("ss") - limb("s") * limb("s")) / (nn * nn)
+    return m.select(
+        "nationkey", "n", (F.sqrt(var) / mean).alias("cv")
+    )
+
+
+QUERIES_PART_B["q_order_value_cv_by_nation"] = q_order_value_cv_by_nation
+
+ORACLE_PART_B["q_order_value_cv_by_nation"] = """
+    WITH m AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                        AS HUGEINT)) AS s,
+               sum(CAST(CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                        AS HUGEINT)
+                   * CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS ss
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT nationkey, n,
+           sqrt((CAST(n AS DOUBLE)
+                   * (CAST(ss % 4294967296 AS DOUBLE)
+                        + CAST(ss // 4294967296 AS DOUBLE) * 4294967296.0)
+                 - (CAST(s % 4294967296 AS DOUBLE)
+                      + CAST(s // 4294967296 AS DOUBLE) * 4294967296.0)
+                   * (CAST(s % 4294967296 AS DOUBLE)
+                        + CAST(s // 4294967296 AS DOUBLE) * 4294967296.0))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / ((CAST(s % 4294967296 AS DOUBLE)
+                 + CAST(s // 4294967296 AS DOUBLE) * 4294967296.0)
+              / CAST(n AS DOUBLE)) AS cv
+    FROM m
+"""
