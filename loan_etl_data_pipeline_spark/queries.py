@@ -13595,3 +13595,125 @@ ORACLE_PART_B["q_order_value_cv_by_nation"] = """
               / CAST(n AS DOUBLE)) AS cv
     FROM m
 """
+
+
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ empirical-Bayes partial pooling: per-brand return rates
+    shrunk toward the portfolio by a method-of-moments Beta prior —
+    the multilevel-model answer to small-sample league tables (a
+    3-for-3 brand must not outrank a 480-of-5000 one; Wilson bounds
+    the uncertainty, shrinkage MOVES the estimate). α,β come from the
+    across-brand moments of raw rates (each rate an exact-int
+    rational; moments 1e-12-floor-quantized before summation), and
+    every brand's shrunk rate (n_ret + α)/(n + α + β) is the same
+    fixed IEEE sequence on both engines. Top-5 shrunk-vs-raw movers
+    by absolute shift, brand tie-break.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    rate = F.col("r").cast("double") / F.col("n").cast("double")
+    q12 = lambda c: F.floor(c * F.lit(1e12)).cast("bigint")  # noqa: E731
+    mom = agg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(q12(rate)).alias("s1"),
+        F.sum(q12(rate * rate)).alias("s2"),
+    ).select(
+        "k",
+        (F.col("s1").cast("double") / 1e12 / F.col("k").cast("double")).alias(
+            "mu"
+        ),
+        (
+            F.col("s2").cast("double") / 1e12 / F.col("k").cast("double")
+        ).alias("m2"),
+    )
+    # MoM Beta: var = m2 - mu^2; common = mu(1-mu)/var - 1; a = mu*common
+    prior = mom.select(
+        "mu",
+        (
+            F.col("mu")
+            * (
+                F.col("mu") * (1 - F.col("mu"))
+                / (F.col("m2") - F.col("mu") * F.col("mu"))
+                - 1
+            )
+        ).alias("alpha"),
+        (
+            (1 - F.col("mu"))
+            * (
+                F.col("mu") * (1 - F.col("mu"))
+                / (F.col("m2") - F.col("mu") * F.col("mu"))
+                - 1
+            )
+        ).alias("beta"),
+    )
+    j = agg.crossJoin(F.broadcast(prior))
+    shrunk = (F.col("r").cast("double") + F.col("alpha")) / (
+        F.col("n").cast("double") + F.col("alpha") + F.col("beta")
+    )
+    out = j.select(
+        "p_brand",
+        "n",
+        rate.alias("raw_rate"),
+        shrunk.alias("shrunk_rate"),
+        (shrunk - rate).alias("shift"),
+    )
+    return out.orderBy(
+        F.abs(F.col("shift")).desc(), F.asc("p_brand")
+    ).limit(5)
+
+
+QUERIES_PART_B["q_eb_shrinkage"] = q_eb_shrinkage
+
+ORACLE_PART_B["q_eb_shrinkage"] = """
+    WITH agg AS (
+        SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(floor(
+                   CAST(r AS DOUBLE) / CAST(n AS DOUBLE) * 1e12)
+                   AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(floor(
+                   (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) * 1e12)
+                   AS BIGINT)) AS BIGINT) AS s2
+        FROM agg
+    ), mm AS (
+        SELECT CAST(s1 AS DOUBLE) / 1e12 / CAST(k AS DOUBLE) AS mu,
+               CAST(s2 AS DOUBLE) / 1e12 / CAST(k AS DOUBLE) AS m2
+        FROM mom
+    ), prior AS (
+        SELECT mu,
+               mu * (mu * (1 - mu) / (m2 - mu * mu) - 1) AS alpha,
+               (1 - mu) * (mu * (1 - mu) / (m2 - mu * mu) - 1) AS beta
+        FROM mm
+    )
+    SELECT p_brand, n,
+           CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+           (CAST(r AS DOUBLE) + alpha)
+             / (CAST(n AS DOUBLE) + alpha + beta) AS shrunk_rate,
+           (CAST(r AS DOUBLE) + alpha)
+             / (CAST(n AS DOUBLE) + alpha + beta)
+           - CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS shift
+    FROM agg, prior
+    ORDER BY abs((CAST(r AS DOUBLE) + alpha)
+                 / (CAST(n AS DOUBLE) + alpha + beta)
+                 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) DESC,
+             p_brand ASC
+    LIMIT 5
+"""
