@@ -378,3 +378,43 @@ def test_benford_single_aggregation_pass(plans):
     p = plans("q_benford_audit")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def _assert_ranged_pid_windows(out, frames):
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in p
+    for line in p.splitlines():
+        if "Window " in line:
+            assert "__pid" in line, line
+    for f in frames:
+        release_intermediates(f)
+
+
+def test_ks_test_rides_range_partitions(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.queries import _ks_test_build
+
+    out, frames = _ks_test_build(spark, sf_dir)
+    _assert_ranged_pid_windows(out, frames)
+
+
+def test_abc_classes_ride_range_partitions(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.queries import _abc_build
+
+    out, frames = _abc_build(spark, sf_dir)
+    _assert_ranged_pid_windows(out, frames)
+
+
+def test_pareto_8020_rides_range_partitions(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.queries import _pareto_8020_build
+
+    out, frames = _pareto_8020_build(spark, sf_dir)
+    _assert_ranged_pid_windows(out, frames)
+
+
+def test_peak_concurrency_rides_range_partitions(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.queries import _peak_concurrency_build
+
+    out, frames = _peak_concurrency_build(spark, sf_dir)
+    _assert_ranged_pid_windows(out, frames)
