@@ -13717,3 +13717,82 @@ ORACLE_PART_B["q_eb_shrinkage"] = """
              p_brand ASC
     LIMIT 5
 """
+
+
+def q_deadweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ assortment deadweight: the tail share of parts that
+    together produce under 1% of revenue — how much catalog exists
+    for nothing (the C-class q_abc_parts bounds, made into one
+    actionable number plus the biggest such part as the cut line).
+    Parts ranked ascending by exact-cents revenue through chained
+    global_cumsums; the 1% crossing is pure integer (100·cum ≤ tot).
+    Eager-checkpoint-then-release.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr("cast(floor(l_extendedprice * 100) as bigint)")
+            ).alias("cents")
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    order = [F.asc("cents"), F.asc("l_partkey")]
+    c = global_cumsum(per, order, "cents", cum_col="cw")
+    c2 = global_cumsum(c, order, "one", cum_col="rk")
+    tot = per.agg(
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    out = (
+        c2.crossJoin(F.broadcast(tot))
+        .filter(100 * F.col("cw") <= F.col("tot"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("deadweight_parts"),
+            F.min("n_parts").alias("n_parts"),
+            F.max("cents").alias("cutline_cents"),
+        )
+        .select(
+            "deadweight_parts",
+            "n_parts",
+            (
+                F.col("deadweight_parts").cast("double")
+                / F.col("n_parts").cast("double")
+            ).alias("catalog_share"),
+            (F.col("cutline_cents").cast("double") / 100).alias(
+                "cutline_revenue"
+            ),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    for f in (c2, c):
+        release_intermediates(f)
+    return out
+
+
+QUERIES_PART_B["q_deadweight"] = q_deadweight
+
+ORACLE_PART_B["q_deadweight"] = """
+    WITH per AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), c AS (
+        SELECT cents,
+               sum(cents) OVER (ORDER BY cents ASC, l_partkey ASC
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+               (SELECT sum(cents) FROM per) AS tot,
+               (SELECT CAST(count(*) AS BIGINT) FROM per) AS n_parts
+        FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS deadweight_parts,
+           min(n_parts) AS n_parts,
+           CAST(count(*) AS DOUBLE) / CAST(min(n_parts) AS DOUBLE)
+             AS catalog_share,
+           CAST(max(cents) AS DOUBLE) / 100 AS cutline_revenue
+    FROM c WHERE 100 * cw <= tot
+"""
