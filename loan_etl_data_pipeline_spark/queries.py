@@ -13796,3 +13796,83 @@ ORACLE_PART_B["q_deadweight"] = """
            CAST(max(cents) AS DOUBLE) / 100 AS cutline_revenue
     FROM c WHERE 100 * cw <= tot
 """
+
+
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ odds ratio with Woolf log-CI: does URGENT priority change
+    the odds of a returned line item — the epidemiology/credit 2×2
+    effect measure (q_cohen_kappa asks agreement, OR asks effect
+    SIZE, and its CI excludes 1 or it doesn't). Haldane-Anscombe +0.5
+    on every cell (finite under zero cells) applied identically on
+    both engines; OR, ln OR, and the 95% bounds in LOG SPACE (the
+    exp() 1-ulp boundary — see q_km_curve) as one fixed IEEE
+    sequence over exact int64 counts. 1 row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_returnflag") == "R").alias("ret")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderpriority") == "1-URGENT").alias("urg")
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    m = j.agg(
+        F.sum(F.when(F.col("urg") & F.col("ret"), 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("urg") & ~F.col("ret"), 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when(~F.col("urg") & F.col("ret"), 1).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when(~F.col("urg") & ~F.col("ret"), 1).otherwise(0))
+        .cast("bigint").alias("d"),
+    )
+    h = lambda col: F.col(col).cast("double") + 0.5  # noqa: E731
+    lor = F.log(h("a") * h("d") / (h("b") * h("c")))
+    se = F.sqrt(1 / h("a") + 1 / h("b") + 1 / h("c") + 1 / h("d"))
+    return m.select(
+        "a", "b", "c", "d",
+        (h("a") * h("d") / (h("b") * h("c"))).alias("odds_ratio"),
+        lor.alias("log_or"),
+        (lor - 1.96 * se).alias("log_ci_lo"),
+        (lor + 1.96 * se).alias("log_ci_hi"),
+    )
+
+
+QUERIES_PART_B["q_odds_ratio"] = q_odds_ratio
+
+ORACLE_PART_B["q_odds_ratio"] = """
+    WITH j AS (
+        SELECT o.o_orderpriority = '1-URGENT' AS urg,
+               l.l_returnflag = 'R' AS ret
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), m AS (
+        SELECT
+          CAST(sum(CASE WHEN urg AND ret THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(sum(CASE WHEN urg AND NOT ret THEN 1 ELSE 0 END) AS BIGINT)
+            AS b,
+          CAST(sum(CASE WHEN NOT urg AND ret THEN 1 ELSE 0 END) AS BIGINT)
+            AS c,
+          CAST(sum(CASE WHEN NOT urg AND NOT ret THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+        FROM j
+    )
+    SELECT a, b, c, d,
+           (CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)
+             / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5))
+             AS odds_ratio,
+           ln((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)
+              / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)))
+             AS log_or,
+           ln((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)
+              / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)))
+           - 1.96 * sqrt(1 / (CAST(a AS DOUBLE) + 0.5)
+                         + 1 / (CAST(b AS DOUBLE) + 0.5)
+                         + 1 / (CAST(c AS DOUBLE) + 0.5)
+                         + 1 / (CAST(d AS DOUBLE) + 0.5)) AS log_ci_lo,
+           ln((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)
+              / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)))
+           + 1.96 * sqrt(1 / (CAST(a AS DOUBLE) + 0.5)
+                         + 1 / (CAST(b AS DOUBLE) + 0.5)
+                         + 1 / (CAST(c AS DOUBLE) + 0.5)
+                         + 1 / (CAST(d AS DOUBLE) + 0.5)) AS log_ci_hi
+    FROM m
+"""
