@@ -13876,3 +13876,86 @@ ORACLE_PART_B["q_odds_ratio"] = """
                          + 1 / (CAST(d AS DOUBLE) + 0.5)) AS log_ci_hi
     FROM m
 """
+
+
+def q_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ activity decay half-life: fit ln(orders per week) against
+    weeks-before-the-last-order and report the implied half-life
+    ln2/|slope| — the one-number answer to "how fast does this book
+    go quiet" (negative slope = growth into the present; near-zero =
+    steady state — the sign is part of the answer). Weekly counts are
+    exact ints on the SF-invariant spine; each week's ln(count) is
+    1e-6-quantized so the OLS moment sums are exact integers; slope
+    is the q_price_trend closed form. 1 row out.
+    """
+    base = load_table(spark, sf_dir, "orders").select("o_orderdate")
+    mx = base.agg(F.max("o_orderdate").alias("mx"))
+    weekly = (
+        base.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("div(timestampdiff(DAY, o_orderdate, mx), 7)").alias("wk")
+        )
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    lq = weekly.select(
+        F.col("wk").cast("bigint").alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("ly"),
+    )
+    m = lq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("x") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nn = F.col("n").cast("double")
+    num = nn * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = nn * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    slope = num / den / 1e6  # per-week ln decay (x counts BACK in time)
+    return m.select(
+        "n",
+        slope.alias("ln_slope_per_week"),
+        (F.log(F.lit(2.0)) / F.abs(slope)).alias("half_life_weeks"),
+    )
+
+
+QUERIES_PART_B["q_half_life"] = q_half_life
+
+ORACLE_PART_B["q_half_life"] = """
+    WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+    weekly AS (
+        SELECT date_diff('day', o_orderdate, mx) // 7 AS wk,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders, mx GROUP BY 1
+    ), lq AS (
+        SELECT CAST(wk AS BIGINT) AS x,
+               CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+        FROM weekly
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(ly) AS BIGINT) AS sy,
+               CAST(sum(x * ly) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM lq
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1e6
+             AS ln_slope_per_week,
+           ln(2.0) / abs((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         / 1e6) AS half_life_weeks
+    FROM m
+"""
