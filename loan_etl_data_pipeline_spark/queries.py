@@ -13959,3 +13959,522 @@ ORACLE_PART_B["q_half_life"] = """
                          / 1e6) AS half_life_weeks
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — statistical tests / text modeling additions
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ chi-square test of independence over the l_returnflag ×
+    l_linestatus contingency table, with Cramér's V effect size — the
+    categorical-association audit (is the return flag independent of
+    line status?). The full r×c grid is materialized (margins cross
+    join, observed left-joined, structural zeros kept — TPC-H's
+    R/A-only-with-F constraint makes those zero cells the entire
+    signal). Each cell term is the exact-int rational
+    (o·N − rt·ct)² / (rt·ct·N) in one fixed double expression,
+    1e-9-floor-quantized before the sum, so the statistic is
+    engine-bit-identical. dof=(r−1)(c−1); V=sqrt(chi2/(N·(min(r,c)−1)))
+    (sqrt is IEEE-correctly-rounded, safe cross-engine).
+
+    100 TB: one partial+final hash agg over the fact scan (two grouping
+    columns projected, everything else pruned); all later frames are
+    ≤ r·c rows. Int64 bound: o·N < 2^63 holds to ~3e9 fact rows per
+    cell pair — beyond that, pre-scale counts (the test statistic is
+    scale-equivariant in distribution terms, and the audit use-case
+    samples anyway).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    )
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rt = cells.groupBy("l_returnflag").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("l_linestatus").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("l_returnflag").cast("bigint").alias("r"),
+        F.countDistinct("l_linestatus").cast("bigint").alias("c"),
+    )
+    grid = (
+        rt.crossJoin(ct)  # r×c rows (≤ tens): the FULL contingency grid
+        .join(cells, ["l_returnflag", "l_linestatus"], "left")
+        .select("rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
+    contrib = (
+        diff * diff / (F.col("rt") * F.col("ct") * F.col("n")).cast("double")
+    )
+    agg = grid.agg(
+        (
+            F.sum(F.floor(contrib * F.lit(1e9)).cast("bigint")).cast("double")
+            / 1e9
+        ).alias("chi2"),
+        F.min("n").alias("n_rows"),
+        F.min("r").alias("n_r"),
+        F.min("c").alias("n_c"),
+    )
+    return agg.select(
+        "n_rows",
+        ((F.col("n_r") - 1) * (F.col("n_c") - 1)).alias("dof"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n_rows").cast("double")
+                * (F.least("n_r", "n_c") - 1).cast("double")
+            )
+        ).alias("cramers_v"),
+    )
+
+
+QUERIES_PART_B["q_chi2_independence"] = q_chi2_independence
+
+ORACLE_PART_B["q_chi2_independence"] = """
+    WITH cells AS (
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS o
+        FROM lineitem GROUP BY 1, 2
+    ), rt AS (
+        SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+    ), ct AS (
+        SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT l_returnflag) AS BIGINT) AS r,
+               CAST(count(DISTINCT l_linestatus) AS BIGINT) AS c
+        FROM cells
+    ), grid AS (
+        SELECT rt.rt, ct.ct, CAST(COALESCE(cells.o, 0) AS BIGINT) AS o
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cells ON cells.l_returnflag = rt.l_returnflag
+                       AND cells.l_linestatus = ct.l_linestatus
+    ), agg AS (
+        SELECT CAST(sum(CAST(FLOOR(
+                   CAST(o * n - rt * ct AS DOUBLE)
+                   * CAST(o * n - rt * ct AS DOUBLE)
+                   / CAST(rt * ct * n AS DOUBLE) * 1e9) AS BIGINT))
+                 AS DOUBLE) / 1e9 AS chi2,
+               min(n) AS n_rows, min(r) AS n_r, min(c) AS n_c
+        FROM grid CROSS JOIN tot
+    )
+    SELECT n_rows, (n_r - 1) * (n_c - 1) AS dof, chi2,
+           sqrt(chi2 / (CAST(n_rows AS DOUBLE)
+                        * CAST(LEAST(n_r, n_c) - 1 AS DOUBLE))) AS cramers_v
+    FROM agg
+"""
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Kendall's τ-b rank correlation between p_size and
+    p_retailprice over a bounded key range — the tie-robust monotone
+    -association measure (Spearman, q_spearman, mis-handles heavy ties;
+    τ-b's denominator corrects both margins). Pairwise concordance is
+    computed on exact ints (size, floored cents), so C/D/tie counters
+    are exact and τ-b is two int-products, one sqrt and one divide.
+
+    100 TB: the pairwise form is O(n²) BY CHOICE on a bounded slice
+    (n=300 → 44 850 pairs, broadcast self-join, no shuffle); corpus
+    -scale τ uses the O(n log n) merge-inversion formulation grouped
+    per key — this query certifies the semantics the fast form must
+    reproduce.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 300)
+        .select(
+            F.col("p_partkey").alias("k"),
+            F.col("p_size").cast("bigint").alias("x"),
+            F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("y"),
+        )
+    )
+    a = p.select(
+        F.col("k").alias("ka"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = p.select(
+        F.col("k").alias("kb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("bigint").alias("conc"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("bigint").alias("disc"),
+        F.sum(F.when(dx == 0, 1).otherwise(0)).cast("bigint").alias("ties_x"),
+        F.sum(F.when(dy == 0, 1).otherwise(0)).cast("bigint").alias("ties_y"),
+    )
+    tau = (F.col("conc") - F.col("disc")).cast("double") / F.sqrt(
+        ((F.col("n0") - F.col("ties_x")) * (F.col("n0") - F.col("ties_y")))
+        .cast("double")
+    )
+    return m.select(
+        "n0", "conc", "disc", "ties_x", "ties_y", tau.alias("tau_b")
+    )
+
+
+QUERIES_PART_B["q_kendall_tau"] = q_kendall_tau
+
+ORACLE_PART_B["q_kendall_tau"] = """
+    WITH p AS (
+        SELECT p_partkey AS k, CAST(p_size AS BIGINT) AS x,
+               CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS y
+        FROM part WHERE p_partkey <= 300
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+               CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_x,
+               CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_y
+        FROM p a JOIN p b ON a.k < b.k
+    )
+    SELECT n0, conc, disc, ties_x, ties_y,
+           CAST(conc - disc AS DOUBLE)
+             / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)) AS tau_b
+    FROM m
+"""
+
+
+def q_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ Dunning log-likelihood-ratio collocations: top-20 adjacent
+    bigrams by the G² statistic over the 2×2 (w1?, w2?) contingency —
+    THE collocation test for corpus work (Dunning 1993): unlike
+    q_bigram_lift's raw lift it doesn't explode on rare pairs, and
+    unlike PMI it rewards evidence mass. Margins are derived from the
+    bigram counts themselves (c1=Σ_b c12, c2=Σ_a c12) so the 2×2 is
+    exactly consistent; each of the four k·ln(k·N/(R·C)) terms gets an
+    exact-int rational ln argument, is 1e-10-floor-quantized, and the
+    int sum ×2 is G². Ranking happens on the quantized INTEGER with a
+    (w1, w2) tie-break, so top-20 membership is deterministic
+    cross-engine.
+
+    100 TB: bigrams are emitted row-locally (transform over the token
+    array, zero shuffle), counted with one partial+final agg; margin
+    re-joins key on the AGGREGATED vocab (not raw occurrences).
+    Int64 bound: k·N < 2^63 needs N ≲ 3e9 bigrams per corpus slice —
+    above that, compute the ln argument as the double ratio
+    (k/N)/((R/N)(C/N)) instead (same value, no big products).
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens as toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = toks(F.lower(F.col("text")))
+    bi = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i ->"
+                    " struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12").alias("n"))
+    j = (
+        c12.filter(F.col("c12") >= 5)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    k11 = F.col("c12")
+    k12 = F.col("c1") - F.col("c12")
+    k21 = F.col("c2") - F.col("c12")
+    k22 = F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")
+    nn = F.col("n")
+
+    def term(k, r, c):
+        # k · ln(k·N / (R·C)), quantized; 0·ln(0)=0 by the k>0 guard
+        q = F.floor(
+            k.cast("double")
+            * F.log((k * nn).cast("double") / (r * c).cast("double"))
+            * F.lit(1e10)
+        ).cast("bigint")
+        return F.when(k > 0, q).otherwise(F.lit(0))
+
+    llr_q = (
+        term(k11, F.col("c1"), F.col("c2"))
+        + term(k12, F.col("c1"), nn - F.col("c2"))
+        + term(k21, nn - F.col("c1"), F.col("c2"))
+        + term(k22, nn - F.col("c1"), nn - F.col("c2"))
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            llr_q.alias("llr_q"),
+        )
+        .orderBy(F.desc("llr_q"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            (F.col("llr_q").cast("double") * 2 / 1e10).alias("llr"),
+        )
+    )
+
+
+QUERIES_PART_B["q_llr_collocations"] = q_llr_collocations
+
+ORACLE_PART_B["q_llr_collocations"] = """
+    WITH toksd AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), bg AS (
+        SELECT UNNEST(CASE WHEN len(t) >= 2
+                           THEN list_transform(range(1, len(t)),
+                                               i -> [t[i], t[i+1]])
+                           ELSE [] END) AS p
+        FROM toksd
+    ), c12 AS (
+        SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bg GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ), c2 AS (
+        SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2
+    ), n AS (
+        SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12
+    ), j AS (
+        SELECT c12.w1, c12.w2, c12.c12, c1.c1, c2.c2, n.n
+        FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+        WHERE c12.c12 >= 5
+    ), q AS (
+        SELECT w1, w2, c12, c1, c2,
+               (CASE WHEN c12 > 0 THEN CAST(FLOOR(
+                    CAST(c12 AS DOUBLE)
+                    * ln(CAST(c12 * n AS DOUBLE) / CAST(c1 * c2 AS DOUBLE))
+                    * 1e10) AS BIGINT) ELSE 0 END
+              + CASE WHEN c1 - c12 > 0 THEN CAST(FLOOR(
+                    CAST(c1 - c12 AS DOUBLE)
+                    * ln(CAST((c1 - c12) * n AS DOUBLE)
+                         / CAST(c1 * (n - c2) AS DOUBLE))
+                    * 1e10) AS BIGINT) ELSE 0 END
+              + CASE WHEN c2 - c12 > 0 THEN CAST(FLOOR(
+                    CAST(c2 - c12 AS DOUBLE)
+                    * ln(CAST((c2 - c12) * n AS DOUBLE)
+                         / CAST((n - c1) * c2 AS DOUBLE))
+                    * 1e10) AS BIGINT) ELSE 0 END
+              + CASE WHEN n - c1 - c2 + c12 > 0 THEN CAST(FLOOR(
+                    CAST(n - c1 - c2 + c12 AS DOUBLE)
+                    * ln(CAST((n - c1 - c2 + c12) * n AS DOUBLE)
+                         / CAST((n - c1) * (n - c2) AS DOUBLE))
+                    * 1e10) AS BIGINT) ELSE 0 END) AS llr_q
+        FROM j
+    )
+    SELECT w1, w2, c12, c1, c2,
+           CAST(llr_q AS DOUBLE) * 2 / 1e10 AS llr
+    FROM q
+    ORDER BY llr_q DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
+def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ multinomial naive-Bayes language classifier — the
+    quality/domain-classifier shape every training-data pipeline runs
+    (CCNet/fastText-style: train a cheap linear model on labeled
+    docs, score the corpus). Train on doc_id%5≠0, score doc_id%5=0:
+    per-(lang,token) Laplace-smoothed log-likelihoods
+    ln((c_lt+1)/(T_l+V)) are exact-int rationals, 1e-12-floor-
+    quantized ONCE per (lang,token), multiplied by integer per-doc
+    counts and int64-summed with the quantized log-prior — the argmax
+    is over exact integers with a min-lang tie-break, so predictions
+    are engine-bit-identical (a float-sum NB would flip argmaxes
+    near ties under reordering).
+
+    100 TB: token counting is one partial+final agg; scoring joins doc
+    tokens to the AGGREGATED (lang,token) table keyed on token (never
+    raw occurrences); the 5-row lang frame broadcasts. Unseen tokens
+    fall out of the left join as the +1 smoothing mass. The model
+    table is reusable/persistable — swap the trained counts without
+    touching the scoring plan. (The testdata's lang labels are random
+    w.r.t. text, so accuracy here sits at chance BY DESIGN — this
+    query certifies the exact cross-engine training/scoring/argmax
+    machinery; tests/test_round4_stats.py proves learning on planted
+    label-token signal via operators/nb.py directly.)
+    """
+    from loan_etl_data_pipeline_spark.operators.nb import nb_score, nb_train
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    ctl, label_frame = nb_train(train, label_col="lang", text_col="text")
+    return nb_score(
+        test,
+        ctl,
+        label_frame,
+        id_col="doc_id",
+        text_col="text",
+        true_label_col="lang",
+    ).select(
+        "doc_id",
+        F.col("true_label").alias("true_lang"),
+        F.col("pred_label").alias("pred_lang"),
+        "correct",
+    )
+
+
+QUERIES_PART_B["q_nb_langid"] = q_nb_langid
+
+ORACLE_PART_B["q_nb_langid"] = """
+    WITH docs AS (
+        SELECT doc_id, lang, lower(text) AS lt FROM documents
+    ), train AS (
+        SELECT * FROM docs WHERE doc_id % 5 <> 0
+    ), test AS (
+        SELECT * FROM docs WHERE doc_id % 5 = 0
+    ), ctl AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS ctl
+        FROM (SELECT lang,
+                     UNNEST(regexp_split_to_array(trim(lt), '\\s+')) AS tok
+              FROM train)
+        GROUP BY lang, tok
+    ), tl AS (
+        SELECT lang, CAST(sum(ctl) AS BIGINT) AS tl FROM ctl GROUP BY lang
+    ), vb AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ctl
+    ), nd AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY lang
+    ), ntr AS (
+        SELECT CAST(count(*) AS BIGINT) AS ntr FROM train
+    ), langs AS (
+        SELECT nd.lang AS pl, tl.tl, vb.v,
+               CAST(FLOOR(ln(CAST(nd.nd AS DOUBLE) / CAST(ntr.ntr AS DOUBLE))
+                          * 1e12) AS BIGINT) AS prior_q
+        FROM nd JOIN tl USING (lang) CROSS JOIN ntr CROSS JOIN vb
+    ), dtok AS (
+        SELECT doc_id, true_lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, lang AS true_lang,
+                     UNNEST(regexp_split_to_array(trim(lt), '\\s+')) AS tok
+              FROM test)
+        GROUP BY doc_id, true_lang, tok
+    ), jt AS (
+        SELECT d.doc_id, d.true_lang, l.pl, l.prior_q,
+               d.cnt * CAST(FLOOR(ln(CAST(COALESCE(c.ctl, 0) + 1 AS DOUBLE)
+                                     / CAST(l.tl + l.v AS DOUBLE))
+                                  * 1e12) AS BIGINT) AS term
+        FROM dtok d CROSS JOIN langs l
+        LEFT JOIN ctl c ON c.lang = l.pl AND c.tok = d.tok
+    ), scores AS (
+        SELECT doc_id, true_lang, pl,
+               CAST(sum(term) AS BIGINT) + prior_q AS score
+        FROM jt GROUP BY doc_id, true_lang, pl, prior_q
+    ), best AS (
+        SELECT doc_id, max(score) AS ms FROM scores GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.true_lang, min(s.pl) AS pred_lang,
+           CAST(CASE WHEN min(s.pl) = s.true_lang THEN 1 ELSE 0 END
+             AS BIGINT) AS correct
+    FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.ms
+    GROUP BY s.doc_id, s.true_lang
+"""
+
+
+def q_ses_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ simple exponential smoothing (α=1/2) of monthly order
+    revenue — the classic forecasting level s_t = αx_t + (1−α)s_{t−1},
+    computed in PURE INTEGER arithmetic: with α=1/2 every weight is a
+    power of two, so each term is cents·2²⁰ ≫ k (an exact int64 shift
+    -divide — no floats, no ln, nothing engine-varying), and the level
+    is one int sum per month. Weights beyond 2⁻⁵⁵ quantize to zero, so
+    the k-cap loses nothing.
+
+    100 TB: monthly totals are one partial+final agg over the fact
+    scan; the month×month prefix join is O(M²) in CALENDAR months
+    (~80 rows regardless of SF) — scale-free by construction. Int64
+    bound: month-revenue·2²⁰ < 2^63 holds to ~9e12 cents/month
+    (~$90 B/month); shrink the 2²⁰ quantizer for ledgers beyond that.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("c").alias("cents"))
+    )
+    m0 = monthly.agg(F.min("ym").alias("m0"))
+    idx = monthly.crossJoin(F.broadcast(m0)).select(
+        (F.col("ym") - F.col("m0") + 1).alias("i"), "cents"
+    )
+    a = idx.select(F.col("i").alias("i"), F.col("cents").alias("ci"))
+    b = idx.select(F.col("i").alias("t"), F.col("cents").alias("ct_cents"))
+    pairs = (
+        b.join(F.broadcast(a), F.col("i") <= F.col("t"))
+        .withColumn(
+            "k",
+            F.when(F.col("i") == 1, F.col("t") - 1).otherwise(
+                F.col("t") - F.col("i") + 1
+            ),
+        )
+        .withColumn(
+            "qterm",
+            F.expr(
+                "(ci * 1048576) div"
+                " shiftleft(cast(1 as bigint), cast(least(k, 62) as int))"
+            ),
+        )
+    )
+    return (
+        pairs.groupBy("t")
+        .agg(F.sum("qterm").alias("lq"), F.min("ct_cents").alias("cents"))
+        .select(
+            F.col("t").alias("month_idx"),
+            (F.col("cents").cast("double") / 100).alias("actual"),
+            (F.col("lq").cast("double") / 1048576 / 100).alias("level"),
+        )
+    )
+
+
+QUERIES_PART_B["q_ses_level"] = q_ses_level
+
+ORACLE_PART_B["q_ses_level"] = """
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), m0 AS (
+        SELECT min(ym) AS m0 FROM monthly
+    ), idx AS (
+        SELECT ym - m0 + 1 AS i, cents FROM monthly, m0
+    ), pairs AS (
+        SELECT b.i AS t, b.cents AS ct_cents, a.i AS i, a.cents AS ci,
+               CASE WHEN a.i = 1 THEN b.i - 1 ELSE b.i - a.i + 1 END AS k
+        FROM idx b JOIN idx a ON a.i <= b.i
+    )
+    SELECT t AS month_idx,
+           CAST(min(ct_cents) AS DOUBLE) / 100 AS actual,
+           CAST(CAST(sum((ci * 1048576)
+                         // (CAST(1 AS BIGINT)
+                             << CAST(LEAST(k, 62) AS INTEGER)))
+                  AS BIGINT) AS DOUBLE) / 1048576 / 100 AS level
+    FROM pairs GROUP BY t
+"""

@@ -1,0 +1,161 @@
+"""Semantic tests for the round-4 statistics / text-modeling queries.
+
+Exact cross-engine parity is covered by tests/test_oracle_parity.py
+(these queries all register oracles); here we assert the STATISTICS
+mean what they claim — ranges, known-answer structure, and
+better-than-baseline behavior — on the driver testdata.
+"""
+
+from __future__ import annotations
+
+import math
+
+from loan_etl_data_pipeline_spark.queries import (
+    q_chi2_independence,
+    q_kendall_tau,
+    q_llr_collocations,
+    q_nb_langid,
+    q_ses_level,
+)
+
+
+def test_chi2_independence_shape(spark, sf_dir):
+    row = q_chi2_independence(spark, sf_dir).collect()[0]
+    # TPC-H semantics force returnflag↔linestatus dependence (R/A only
+    # ship as F), so the statistic must be large and V in (0, 1].
+    assert row.chi2 > 0
+    assert row.dof == 2  # (3-1)(2-1)
+    assert 0.0 < row.cramers_v <= 1.0
+    # V = sqrt(chi2 / (n·min(r-1,c-1))) must be internally consistent
+    assert math.isclose(
+        row.cramers_v, math.sqrt(row.chi2 / (row.n_rows * 1.0)), rel_tol=1e-12
+    )
+
+
+def test_kendall_tau_range_and_counters(spark, sf_dir):
+    n = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter("p_partkey <= 300")
+        .count()
+    )
+    row = q_kendall_tau(spark, sf_dir).collect()[0]
+    n0 = row.n0
+    assert n0 == n * (n - 1) // 2
+    assert -1.0 <= row.tau_b <= 1.0
+    # concordant + discordant + (pairs tied in x or y) == all pairs;
+    # conc/disc exclude ties by construction
+    assert row.conc + row.disc <= n0
+    assert row.ties_x < n0  # p_size has ~50 distinct values → many ties
+    assert row.ties_x > 0
+
+
+def test_kendall_tau_perfect_monotone(spark, tmp_path):
+    # Known answer: y strictly increasing in x → tau_b = 1 exactly.
+    import pyspark.sql.functions as F
+
+    df = spark.range(1, 51).select(
+        F.col("id").alias("p_partkey"),
+        F.col("id").cast("int").alias("p_size"),
+        (F.col("id") * 7).cast("double").alias("p_retailprice"),
+        F.lit("n").alias("p_name"),
+        F.lit("b").alias("p_brand"),
+        F.lit("t").alias("p_type"),
+    )
+    path = str(tmp_path / "part.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    import loan_etl_data_pipeline_spark.sources.tables as tables
+
+    # point load_table at the synthetic dir for this call
+    row = (
+        q_kendall_tau(spark, str(tmp_path)).collect()[0]
+        if hasattr(tables, "load_table")
+        else None
+    )
+    assert row.tau_b == 1.0
+    assert row.disc == 0 and row.ties_x == 0 and row.ties_y == 0
+
+
+def test_llr_collocations_properties(spark, sf_dir):
+    rows = q_llr_collocations(spark, sf_dir).collect()
+    assert len(rows) == 20
+    # scores sorted desc, all non-negative (G² of a 2x2 with consistent
+    # margins is ≥ 0 up to quantization −4e-10 worst case)
+    llrs = [r.llr for r in rows]
+    assert llrs == sorted(llrs, reverse=True)
+    assert all(x >= -1e-9 for x in llrs)
+    # every reported pair respects the min-support gate and margins
+    for r in rows:
+        assert r.c12 >= 5
+        assert r.c1 >= r.c12 and r.c2 >= r.c12
+
+
+def test_nb_langid_query_shape(spark, sf_dir):
+    # the registered query certifies the exact machinery; the testdata
+    # lang labels are random w.r.t. text, so only structure is asserted
+    rows = q_nb_langid(spark, sf_dir).collect()
+    assert rows, "no test docs"
+    assert all(r.doc_id % 5 == 0 for r in rows)
+    labels = {r.true_lang for r in rows}
+    assert all(r.pred_lang in labels for r in rows)
+    assert all(r.correct == int(r.pred_lang == r.true_lang) for r in rows)
+
+
+def test_nb_learns_planted_signal(spark):
+    # plant a token-label signal: label A docs speak {alpha,beta},
+    # label B docs speak {gamma,delta}, with shared filler tokens
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.nb import nb_score, nb_train
+
+    rows = []
+    for i in range(200):
+        lab = "A" if i % 2 == 0 else "B"
+        own = "alpha beta" if lab == "A" else "gamma delta"
+        rows.append((i, lab, f"{own} filler common word {own}"))
+    df = spark.createDataFrame(rows, "id bigint, lab string, text string")
+    train = df.filter(F.col("id") < 150)
+    test = df.filter(F.col("id") >= 150)
+    ctl, lf = nb_train(train, label_col="lab", text_col="text")
+    out = nb_score(
+        test, ctl, lf, id_col="id", text_col="text", true_label_col="lab"
+    ).collect()
+    assert len(out) == 50
+    acc = sum(r.correct for r in out) / len(out)
+    assert acc == 1.0, f"separable classes must classify perfectly: {acc}"
+
+
+def test_nb_tie_breaks_to_smallest_label(spark):
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.nb import nb_score, nb_train
+
+    # two labels with IDENTICAL token distributions and equal priors →
+    # every score ties → pred must be the lexicographically smaller
+    train = spark.createDataFrame(
+        [(0, "x", "tok tok"), (1, "y", "tok tok")],
+        "id bigint, lab string, text string",
+    )
+    test = spark.createDataFrame(
+        [(2, "x", "tok")], "id bigint, lab string, text string"
+    )
+    ctl, lf = nb_train(train, label_col="lab", text_col="text")
+    out = nb_score(
+        test, ctl, lf, id_col="id", text_col="text", true_label_col="lab"
+    ).collect()
+    assert out[0].pred_label == "x"
+
+
+def test_ses_level_semantics(spark, sf_dir):
+    rows = {r.month_idx: r for r in q_ses_level(spark, sf_dir).collect()}
+    assert 1 in rows
+    # s_1 == x_1 exactly (the 2^-0 weight); quantization is exact there
+    assert math.isclose(rows[1].level, rows[1].actual, rel_tol=1e-6)
+    # s_2 == (x_1 + x_2)/2 up to the 2^-20 quantizer
+    if 2 in rows:
+        want = (rows[1].actual + rows[2].actual) / 2
+        assert abs(rows[2].level - want) < 0.01
+    # every level lies within the running min/max envelope (convexity)
+    lo = hi = rows[1].actual
+    for t in sorted(rows):
+        lo, hi = min(lo, rows[t].actual), max(hi, rows[t].actual)
+        assert lo - 0.01 <= rows[t].level <= hi + 0.01
