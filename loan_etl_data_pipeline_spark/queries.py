@@ -8600,6 +8600,11 @@ def _pi_round_ctes(eq_name: str, prefix: str, iters: int, dim: int):
         "CASE WHEN {x} >= 0 THEN ({x}) // {d} "
         "ELSE -((-({x})) // {d}) END"
     )
+    # MATERIALIZED: every CTE here is referenced 2+ times downstream in
+    # the chained/deflated compositions; DuckDB's default inlining
+    # re-evaluates per reference, which goes super-linear in the round
+    # chain (measured: the q_pca2 oracle fell 204 s → 0.1 s at sf0.01).
+    # Values are unaffected — it's purely an evaluation-strategy hint.
     ctes = []
     prev_v = None
     for i in range(1, iters + 1):
@@ -8610,23 +8615,25 @@ def _pi_round_ctes(eq_name: str, prefix: str, iters: int, dim: int):
             s_expr = f"sum({eq_name}.q * {prev_v}.v)"
             s_from = f"{eq_name} JOIN {prev_v} USING (j)"
         ctes.append(
-            f"{prefix}s{i} AS (SELECT id, {s_expr} AS s FROM {s_from} "
-            f"GROUP BY id)"
+            f"{prefix}s{i} AS MATERIALIZED (SELECT id, {s_expr} AS s "
+            f"FROM {s_from} GROUP BY id)"
         )
         ctes.append(
-            f"{prefix}p{i} AS (SELECT id, {tdiv.format(x='s', d=1000000)} "
-            f"AS sp FROM {prefix}s{i})"
+            f"{prefix}p{i} AS MATERIALIZED (SELECT id, "
+            f"{tdiv.format(x='s', d=1000000)} AS sp FROM {prefix}s{i})"
         )
         ctes.append(
-            f"{prefix}u{i} AS (SELECT j, sum({eq_name}.q * {prefix}p{i}.sp) "
+            f"{prefix}u{i} AS MATERIALIZED (SELECT j, "
+            f"sum({eq_name}.q * {prefix}p{i}.sp) "
             f"AS u FROM {eq_name} JOIN {prefix}p{i} USING (id) GROUP BY j)"
         )
         ctes.append(
-            f"{prefix}d{i} AS (SELECT max(abs(u)) // 1000000 + 1 AS d "
-            f"FROM {prefix}u{i})"
+            f"{prefix}d{i} AS MATERIALIZED (SELECT max(abs(u)) // 1000000 "
+            f"+ 1 AS d FROM {prefix}u{i})"
         )
         ctes.append(
-            f"{prefix}v{i} AS (SELECT j, {tdiv.format(x='u', d='d')} AS v "
+            f"{prefix}v{i} AS MATERIALIZED (SELECT j, "
+            f"{tdiv.format(x='u', d='d')} AS v "
             f"FROM {prefix}u{i}, {prefix}d{i})"
         )
         prev_v = f"{prefix}v{i}"
@@ -8634,7 +8641,7 @@ def _pi_round_ctes(eq_name: str, prefix: str, iters: int, dim: int):
 
 
 def _eq_cte(dim: int = 64) -> str:
-    return f"""eq AS (
+    return f"""eq AS MATERIALIZED (
         SELECT vec_id AS id, j,
                CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
                  AS q
@@ -9292,14 +9299,14 @@ def _pca2_oracle(iters: int = 3, dim: int = 64) -> str:
         "CASE WHEN {x} >= 0 THEN ({x}) // {d} ELSE -((-({x})) // {d}) END"
     )
     removal = [
-        f"vv AS (SELECT sum(v * v) AS vv FROM {v1})",
-        f"""dots AS (
+        f"vv AS MATERIALIZED (SELECT sum(v * v) AS vv FROM {v1})",
+        f"""dots AS MATERIALIZED (
         SELECT id, sum(eq.q * {v1}.v) AS d
         FROM eq JOIN {v1} USING (j) GROUP BY id
     )""",
-        f"cc AS (SELECT id, {tdiv.format(x='1000 * d', d='vv')} AS c "
-        f"FROM dots, vv)",
-        f"""eq2 AS (
+        f"cc AS MATERIALIZED (SELECT id, {tdiv.format(x='1000 * d', d='vv')} "
+        f"AS c FROM dots, vv)",
+        f"""eq2 AS MATERIALIZED (
         SELECT eq.id, eq.j,
                eq.q - ({tdiv.format(x='cc.c * ' + v1 + '.v', d='1000')}) AS q
         FROM eq JOIN cc USING (id) JOIN {v1} USING (j)
