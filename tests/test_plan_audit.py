@@ -418,3 +418,38 @@ def test_peak_concurrency_rides_range_partitions(spark, sf_dir):
 
     out, frames = _peak_concurrency_build(spark, sf_dir)
     _assert_ranged_pid_windows(out, frames)
+
+
+def test_chi2_scan_prunes_to_two_columns(plans):
+    p = plans("q_chi2_independence")
+    assert "ReadSchema: struct<l_returnflag:string,l_linestatus:string>" in p
+    assert "SortMergeJoin" not in p  # everything after the agg is tiny
+    assert "Python" not in p
+
+
+def test_llr_collocations_single_text_scan_topk(plans):
+    p = plans("q_llr_collocations")
+    # bigrams generated row-locally: the only scan column is text
+    assert "ReadSchema: struct<text:string>" in p
+    # top-20 via TakeOrdered, never a global sort of the whole vocab
+    assert "TakeOrderedAndProject" in p
+    assert "Python" not in p
+
+
+def test_nb_model_join_is_the_only_wide_join(plans):
+    p = plans("q_nb_langid")
+    # the aggregated (label, token) model joins the doc tokens — that is
+    # the ONE legitimate shuffle join; the label frame must broadcast
+    assert p.count("SortMergeJoin") <= 1
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "Python" not in p
+
+
+def test_ses_level_is_scale_free_after_monthly_agg(plans):
+    p = plans("q_ses_level")
+    # fact scan reads exactly the two needed columns; everything past
+    # the monthly agg operates on O(calendar) rows
+    assert "o_totalprice" in p and "o_orderdate" in p
+    assert "ReadSchema: struct<o_totalprice:double,o_orderdate" in p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
