@@ -260,3 +260,39 @@ def fd_violations(
             "n_violating_rows"
         ),
     )
+
+
+def table_fingerprint(
+    df: DataFrame, canonical: Column, *, bucket_hex_chars: int = 1
+) -> DataFrame:
+    """Bucketed order-insensitive table checksum — the replication /
+    cross-engine validation primitive ("did the copy arrive intact?").
+
+    ``canonical`` must be a deterministic STRING rendering of the row
+    (caller quantizes floats to ints and formats timestamps — raw
+    float/timestamp casts differ across engines). Each row contributes
+    its 40-bit md5 coordinate; per-bucket int64 sums + counts are the
+    fingerprint. Order-insensitive by construction (integer addition
+    commutes), so any partitioning/engine that holds the same multiset
+    of rows produces the identical frame.
+
+    Scale: one partial+final agg, output 16^bucket_hex_chars rows.
+    Int64 bound: ≲ 8e6 rows per bucket (2^40·8e6 < 2^63) — raise
+    ``bucket_hex_chars`` (16× more buckets per char) as tables grow;
+    at 100 TB use 4-5 chars and compare fingerprints shard-wise.
+    """
+    h = F.md5(canonical)
+    coord = F.conv(F.substring(h, 1, 10), 16, 10).cast("bigint")
+    return (
+        df.select(
+            F.substring(h, 33 - bucket_hex_chars, bucket_hex_chars).alias(
+                "bucket"
+            ),
+            coord.alias("coord"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("coord").alias("checksum"),
+        )
+    )

@@ -635,3 +635,174 @@ def repeated_spans(
         )
         .drop("grp")
     )
+
+
+def llr_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent bigrams by Dunning's log-likelihood ratio (G²).
+
+    Margins derive from the bigram counts themselves (c1=Σ_b c12,
+    c2=Σ_a c12) so the 2×2 contingency is exactly consistent; each
+    k·ln(k·N/(R·C)) term takes an exact-int rational ln argument and is
+    1e-10-floor-quantized, and ranking happens on the quantized INTEGER
+    with a (w1, w2) tie-break — deterministic top-k on any engine or
+    partitioning. Bigrams are emitted row-locally (zero shuffle);
+    margin re-joins key on the aggregated vocab. Int64 bound: k·N <
+    2^63 needs N ≲ 3e9 bigrams per slice; beyond that compute the ln
+    argument as (k/N)/((R/N)(C/N)) in doubles.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    bi = (
+        df.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i ->"
+                    " struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12").alias("n"))
+    j = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    k11 = F.col("c12")
+    k12 = F.col("c1") - F.col("c12")
+    k21 = F.col("c2") - F.col("c12")
+    k22 = F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")
+    nn = F.col("n")
+
+    def term(kk, r, c):
+        # kk · ln(kk·N / (R·C)), quantized; 0·ln(0)=0 by the kk>0 guard
+        q = F.floor(
+            kk.cast("double")
+            * F.log((kk * nn).cast("double") / (r * c).cast("double"))
+            * F.lit(1e10)
+        ).cast("bigint")
+        return F.when(kk > 0, q).otherwise(F.lit(0))
+
+    llr_q = (
+        term(k11, F.col("c1"), F.col("c2"))
+        + term(k12, F.col("c1"), nn - F.col("c2"))
+        + term(k21, nn - F.col("c1"), F.col("c2"))
+        + term(k22, nn - F.col("c1"), nn - F.col("c2"))
+    )
+    return (
+        j.select("w1", "w2", "c12", "c1", "c2", llr_q.alias("llr_q"))
+        .orderBy(F.desc("llr_q"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            (F.col("llr_q").cast("double") * 2 / 1e10).alias("llr"),
+        )
+    )
+
+
+def burrows_delta(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    top_k: int = 30,
+) -> DataFrame:
+    """Pairwise Burrows' Delta style distance between groups.
+
+    Z-scores each group's relative frequency of the corpus's ``top_k``
+    most frequent tokens against the across-group distribution;
+    Delta(a,b) = mean |z_a − z_b| over the markers. All-integer until
+    the final z: frequencies are (1e6·c) div T quantized rationals,
+    z numerators/variances exact int64, zero-variance markers z=0,
+    |Δz| 1e-9-floor-quantized before the per-pair mean — deterministic
+    on any engine/partitioning. Everything after the one token-count
+    agg operates on ≤ |groups|·top_k rows.
+    """
+    t = df.select(
+        F.col(group_col).alias("source"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    cst = t.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ts = cst.groupBy("source").agg(F.sum("c").alias("t"))
+    top = (
+        cst.groupBy("tok")
+        .agg(F.sum("c").alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("tok"))
+        .limit(top_k)
+        .select("tok")
+    )
+    grid = (
+        ts.crossJoin(F.broadcast(top))
+        .join(cst, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.expr("(coalesce(c, 0) * 1000000) div t").alias("q"),
+        )
+    )
+    stats = grid.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    z = grid.join(stats, "tok").select(
+        "source",
+        "tok",
+        F.when(
+            F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq") == 0,
+            F.lit(0.0),
+        )
+        .otherwise(
+            (F.col("n") * F.col("q") - F.col("sq")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"))
+                .cast("double")
+            )
+        )
+        .alias("z"),
+    )
+    a = z.select(F.col("source").alias("s1"), "tok", F.col("z").alias("z1"))
+    b = z.select(F.col("source").alias("s2"), "tok", F.col("z").alias("z2"))
+    pairs = a.join(b, "tok").filter(F.col("s1") < F.col("s2"))
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(
+            F.sum(
+                F.floor(F.abs(F.col("z1") - F.col("z2")) * F.lit(1e9)).cast(
+                    "bigint"
+                )
+            ).alias("dq"),
+            F.count(F.lit(1)).cast("bigint").alias("n_markers"),
+        )
+        .select(
+            "s1",
+            "s2",
+            "n_markers",
+            (
+                F.col("dq").cast("double")
+                / F.col("n_markers").cast("double")
+                / 1e9
+            ).alias("delta"),
+        )
+    )

@@ -13988,10 +13988,12 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: one partial+final hash agg over the fact scan (two grouping
     columns projected, everything else pruned); all later frames are
-    ≤ r·c rows. Int64 bound: o·N < 2^63 holds to ~3e9 fact rows per
-    cell pair — beyond that, pre-scale counts (the test statistic is
-    scale-equivariant in distribution terms, and the audit use-case
-    samples anyway).
+    ≤ r·c rows. Int64 bound: the numerator needs o·N and rt·ct < 2^63
+    — exact to ~3e9 fact rows; the denominator is composed as
+    double(rt·ct)·double(N) (a bare rt·ct·N int product overflows at
+    ~3e6 rows already — caught live by scale probe #12). Beyond 3e9,
+    pre-scale counts (the statistic is scale-equivariant in
+    distribution terms, and the audit use-case samples anyway).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus"
@@ -14013,8 +14015,8 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
     )
     diff = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
-    contrib = (
-        diff * diff / (F.col("rt") * F.col("ct") * F.col("n")).cast("double")
+    contrib = diff * diff / (
+        (F.col("rt") * F.col("ct")).cast("double") * F.col("n").cast("double")
     )
     agg = grid.agg(
         (
@@ -14063,7 +14065,8 @@ ORACLE_PART_B["q_chi2_independence"] = """
         SELECT CAST(sum(CAST(FLOOR(
                    CAST(o * n - rt * ct AS DOUBLE)
                    * CAST(o * n - rt * ct AS DOUBLE)
-                   / CAST(rt * ct * n AS DOUBLE) * 1e9) AS BIGINT))
+                   / (CAST(rt * ct AS DOUBLE) * CAST(n AS DOUBLE))
+                   * 1e9) AS BIGINT))
                  AS DOUBLE) / 1e9 AS chi2,
                min(n) AS n_rows, min(r) AS n_r, min(c) AS n_c
         FROM grid CROSS JOIN tot
@@ -14169,77 +14172,10 @@ def q_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     above that, compute the ln argument as the double ratio
     (k/N)/((R/N)(C/N)) instead (same value, no big products).
     """
-    from loan_etl_data_pipeline_spark.operators.text import tokens as toks
+    from loan_etl_data_pipeline_spark.operators.text import llr_collocations
 
     docs = load_table(spark, sf_dir, "documents")
-    t = toks(F.lower(F.col("text")))
-    bi = (
-        docs.select(t.alias("t"))
-        .filter(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1), i ->"
-                    " struct(element_at(t, i) AS w1,"
-                    " element_at(t, i + 1) AS w2))"
-                )
-            ).alias("g")
-        )
-        .select("g.w1", "g.w2")
-    )
-    c12 = bi.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c12")
-    )
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
-    n = c12.agg(F.sum("c12").alias("n"))
-    j = (
-        c12.filter(F.col("c12") >= 5)
-        .join(c1, "w1")
-        .join(c2, "w2")
-        .crossJoin(F.broadcast(n))
-    )
-    k11 = F.col("c12")
-    k12 = F.col("c1") - F.col("c12")
-    k21 = F.col("c2") - F.col("c12")
-    k22 = F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")
-    nn = F.col("n")
-
-    def term(k, r, c):
-        # k · ln(k·N / (R·C)), quantized; 0·ln(0)=0 by the k>0 guard
-        q = F.floor(
-            k.cast("double")
-            * F.log((k * nn).cast("double") / (r * c).cast("double"))
-            * F.lit(1e10)
-        ).cast("bigint")
-        return F.when(k > 0, q).otherwise(F.lit(0))
-
-    llr_q = (
-        term(k11, F.col("c1"), F.col("c2"))
-        + term(k12, F.col("c1"), nn - F.col("c2"))
-        + term(k21, nn - F.col("c1"), F.col("c2"))
-        + term(k22, nn - F.col("c1"), nn - F.col("c2"))
-    )
-    return (
-        j.select(
-            "w1",
-            "w2",
-            "c12",
-            "c1",
-            "c2",
-            llr_q.alias("llr_q"),
-        )
-        .orderBy(F.desc("llr_q"), F.asc("w1"), F.asc("w2"))
-        .limit(20)
-        .select(
-            "w1",
-            "w2",
-            "c12",
-            "c1",
-            "c2",
-            (F.col("llr_q").cast("double") * 2 / 1e10).alias("llr"),
-        )
-    )
+    return llr_collocations(docs, "text", min_count=5, k=20)
 
 
 QUERIES_PART_B["q_llr_collocations"] = q_llr_collocations
@@ -14484,4 +14420,131 @@ ORACLE_PART_B["q_ses_level"] = """
                              << CAST(LEAST(k, 62) AS INTEGER)))
                   AS BIGINT) AS DOUBLE) / 1048576 / 100 AS level
     FROM pairs GROUP BY t
+"""
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ bucketed table fingerprint (operators/quality.py
+    table_fingerprint) over orders — the replication/migration
+    validation primitive: per-bucket (count, 40-bit-md5-coordinate sum)
+    is order- and partitioning-insensitive, so ANY engine holding the
+    same multiset of rows reproduces the frame bit-for-bit — comparing
+    this very query against its DuckDB oracle IS the operator's use
+    case, run cross-engine. Floats enter the canonical string as exact
+    cents, timestamps as formatted strings (raw casts differ across
+    engines); coordinate and bucket use disjoint md5 hex ranges.
+
+    100 TB: one partial+final agg over the scan; 16 rows out. Raise
+    bucket_hex_chars (16× buckets per char) to keep per-bucket sums
+    under 2^63 (~8e6 rows/bucket at 1 char) and compare shard-wise.
+    """
+    from loan_etl_data_pipeline_spark.operators.quality import (
+        table_fingerprint,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    return table_fingerprint(o, canonical)
+
+
+QUERIES_PART_B["q_table_checksum"] = q_table_checksum
+
+ORACLE_PART_B["q_table_checksum"] = """
+    WITH c AS (
+        SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(o_custkey AS VARCHAR) || '|'
+                   || o_orderstatus || '|'
+                   || CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR) || '|'
+                   || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|'
+                   || o_orderpriority) AS h
+        FROM orders
+    )
+    SELECT substr(h, 32, 1) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(h, 1, 10))::BIGINT) AS BIGINT)
+             AS checksum
+    FROM c GROUP BY 1
+"""
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ Burrows' Delta stylometry: pairwise style distance between
+    sources over the corpus's 30 most frequent tokens — the standard
+    authorship/provenance-attribution measure (Burrows 2002): z-score
+    each source's relative frequency of each marker token against the
+    across-source distribution, Delta = mean |z₁−z₂|. Finds
+    same-pipeline/same-author source pairs that topic-level JSD misses
+    because function-word style survives topic shifts.
+
+    Exactness: relative frequencies are PURE-INT quantized rationals
+    ((1e6·c) div T — integer division, no floats); z numerators
+    (n·q − Σq) and variance (n·Σq² − (Σq)²) are exact int64 (bounds:
+    q ≤ 1e6 ⇒ Σq² ≤ n·1e12); zero-variance markers contribute z=0 by
+    the shared CASE guard; |z₁−z₂| is 1e-9-floor-quantized before the
+    per-pair mean. The marker grid is sources × top-tokens with
+    missing counts coalesced to 0 — absence IS a style signal.
+
+    100 TB: token counting is one partial+final agg; everything after
+    operates on ≤ |sources|·30 rows (the pair join is
+    |sources|²-bounded — style analysis is per-corpus-slice, not
+    per-doc).
+    """
+    from loan_etl_data_pipeline_spark.operators.text import burrows_delta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return burrows_delta(docs, "source", "text", top_k=30)
+
+
+QUERIES_PART_B["q_burrows_delta"] = q_burrows_delta
+
+ORACLE_PART_B["q_burrows_delta"] = """
+    WITH t AS (
+        SELECT source,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ), cst AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM t GROUP BY 1, 2
+    ), ts AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS tt FROM cst GROUP BY 1
+    ), top AS (
+        SELECT tok FROM (
+            SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM cst GROUP BY tok
+        ) ORDER BY ct DESC, tok ASC LIMIT 30
+    ), grid AS (
+        SELECT ts.source, top.tok,
+               (COALESCE(cst.c, 0) * 1000000) // ts.tt AS q
+        FROM ts CROSS JOIN top
+        LEFT JOIN cst ON cst.source = ts.source AND cst.tok = top.tok
+    ), stats AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(q * q) AS BIGINT) AS sqq
+        FROM grid GROUP BY tok
+    ), z AS (
+        SELECT grid.source, grid.tok,
+               CASE WHEN stats.n * stats.sqq - stats.sq * stats.sq = 0
+                    THEN 0.0
+                    ELSE CAST(stats.n * grid.q - stats.sq AS DOUBLE)
+                         / sqrt(CAST(stats.n * stats.sqq
+                                     - stats.sq * stats.sq AS DOUBLE))
+               END AS z
+        FROM grid JOIN stats USING (tok)
+    )
+    SELECT a.source AS s1, b.source AS s2,
+           CAST(count(*) AS BIGINT) AS n_markers,
+           CAST(CAST(sum(CAST(FLOOR(abs(a.z - b.z) * 1e9) AS BIGINT))
+                  AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1e9 AS delta
+    FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
 """

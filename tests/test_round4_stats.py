@@ -159,3 +159,83 @@ def test_ses_level_semantics(spark, sf_dir):
     for t in sorted(rows):
         lo, hi = min(lo, rows[t].actual), max(hi, rows[t].actual)
         assert lo - 0.01 <= rows[t].level <= hi + 0.01
+
+
+def test_table_fingerprint_partitioning_invariant(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.quality import (
+        table_fingerprint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    canon = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
+    )
+    a = {r.bucket: (r.n_rows, r.checksum)
+         for r in table_fingerprint(df, canon).collect()}
+    b = {r.bucket: (r.n_rows, r.checksum)
+         for r in table_fingerprint(
+             df.repartition(17, "o_custkey"), canon).collect()}
+    assert a == b  # any partitioning, same multiset → same fingerprint
+
+
+def test_table_fingerprint_detects_single_row_change(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.quality import (
+        table_fingerprint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    canon = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
+    )
+    mutated = df.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == df.agg(
+            F.min("o_orderkey")).collect()[0][0], F.lit("Z"))
+        .otherwise(F.col("o_orderstatus")),
+    )
+    a = {r.bucket: (r.n_rows, r.checksum)
+         for r in table_fingerprint(df, canon).collect()}
+    b = {r.bucket: (r.n_rows, r.checksum)
+         for r in table_fingerprint(mutated, canon).collect()}
+    assert a != b  # a single flipped value must surface
+    # and the damage is localized: at most 2 buckets differ
+    diff = {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+    assert 1 <= len(diff) <= 2
+
+
+def test_burrows_delta_separates_planted_styles(spark):
+    # s_a and s_b share a style (heavy "alpha"), s_c differs (heavy
+    # "omega") — Delta(a,b) must be the smallest pairwise distance
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from loan_etl_data_pipeline_spark.operators.text import burrows_delta
+
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            rows.append((i, "s_a", "alpha alpha alpha beta common word"))
+        elif i % 3 == 1:
+            rows.append((i, "s_b", "alpha alpha alpha gamma common word"))
+        else:
+            rows.append((i, "s_c", "omega omega omega delta common word"))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    d = {(r.s1, r.s2): r.delta
+         for r in burrows_delta(df, "source", "text", top_k=8).collect()}
+    assert set(d) == {("s_a", "s_b"), ("s_a", "s_c"), ("s_b", "s_c")}
+    assert d[("s_a", "s_b")] < d[("s_a", "s_c")]
+    assert d[("s_a", "s_b")] < d[("s_b", "s_c")]
+
+
+def test_burrows_delta_symmetric_zero_on_identical(spark):
+    from loan_etl_data_pipeline_spark.operators.text import burrows_delta
+
+    rows = [(0, "x", "one two three"), (1, "y", "one two three")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = burrows_delta(df, "source", "text", top_k=3).collect()
+    assert len(out) == 1
+    # identical token distributions → every marker variance is 0 → z=0
+    assert out[0].delta == 0.0
