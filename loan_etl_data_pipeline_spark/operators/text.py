@@ -806,3 +806,77 @@ def burrows_delta(
             ).alias("delta"),
         )
     )
+
+
+RAKE_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is")
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    k: int = 20,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases =
+    maximal stopword-free token runs; word score = degree/frequency
+    (degree = Σ lengths of phrases containing the word); phrase score
+    = Σ member word scores. The zero-model keyphrase extractor corpus
+    pipelines run before anything learned.
+
+    Determinism: word scores are (1e6·deg) div freq integer rationals,
+    phrase scores exact int sums, top-k ranked on the quantized int
+    with a phrase tie-break. Segment ids come from one per-doc window
+    (running stopword count); everything downstream is
+    aggregated-vocab-sized. Scale: one doc-keyed window + two
+    partial+final aggs; no raw-occurrence joins.
+    """
+    from pyspark.sql import Window
+
+    tk = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    ).withColumn("stop", F.col("tok").isin(*stopwords))
+    w = Window.partitionBy("doc").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = tk.withColumn("seg", F.sum(F.col("stop").cast("int")).over(w))
+    words = seg.filter(~F.col("stop")).select("doc", "seg", "pos", "tok")
+    phrases = words.groupBy("doc", "seg").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    wp = phrases.select(
+        "doc", "seg", "phrase", "plen",
+        F.explode(F.split("phrase", " ")).alias("tok"),
+    )
+    wstats = wp.groupBy("tok").agg(
+        F.sum("plen").alias("deg"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+    ).withColumn("wq", F.expr("(deg * 1000000) div freq"))
+    pscore = (
+        wp.join(wstats.select("tok", "wq"), "tok")
+        .groupBy("doc", "seg", "phrase")
+        .agg(F.sum("wq").alias("pq"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.min("pq").alias("pq"),
+        )
+        .orderBy(F.desc("pq"), F.asc("phrase"))
+        .limit(k)
+        .select(
+            "phrase",
+            "n_occ",
+            (F.col("pq").cast("double") / 1e6).alias("score"),
+        )
+    )

@@ -14548,3 +14548,158 @@ ORACLE_PART_B["q_burrows_delta"] = """
     FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
     GROUP BY a.source, b.source
 """
+
+
+def q_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ time-decay multi-touch attribution: each purchase's credit
+    splits across the user's prior view/click touches in a 7-day
+    lookback, weighted 2^(−Δ/6h) — the marketing-attribution standard
+    between q_first_last_touch's two extremes (recency matters, but
+    every touch earns). PURE-INTEGER weights: the half-life bucket
+    k = Δµs div 6h·1e6 makes each weight an exact power of two
+    (2^(28−k)); per-conversion shares are (1e9·w) div Σw integer
+    rationals, summed per channel — no floats until the final /1e9, so
+    credit totals are engine/partitioning-exact.
+
+    100 TB: the touch⋈conversion join is user-keyed with the Δ bound
+    as a residual predicate — per-user linear in activity × lookback
+    density; the q_range_clicks time-bin equality join is the named
+    path when user skew makes residual ranges hot. One 5-row output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    conv = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pe"), F.col("us").alias("pus")
+    )
+    touch = base.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("us").alias("tus"),
+    )
+    lookback = 7 * 24 * 3600 * 1_000_000
+    j = touch.join(conv, "user_id").filter(
+        (F.col("tus") < F.col("pus"))
+        & (F.col("pus") - F.col("tus") <= F.lit(lookback))
+    )
+    j = j.withColumn(
+        "k", F.expr(f"(pus - tus) div {6 * 3600 * 1_000_000}")
+    ).withColumn(
+        "w",
+        F.expr("shiftleft(cast(1 as bigint), cast(28 - least(k, 28) as int))"),
+    )
+    tot = j.groupBy("pe").agg(F.sum("w").alias("sw"))
+    shares = j.join(tot, "pe").withColumn(
+        "share_q", F.expr("(w * 1000000000) div sw")
+    )
+    return (
+        shares.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            (F.sum("share_q").cast("double") / 1e9).alias("credited"),
+        )
+    )
+
+
+QUERIES_PART_B["q_decay_attribution"] = q_decay_attribution
+
+ORACLE_PART_B["q_decay_attribution"] = """
+    WITH base AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ), conv AS (
+        SELECT user_id, event_id AS pe, us AS pus
+        FROM base WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_type AS channel, us AS tus
+        FROM base WHERE event_type IN ('view', 'click')
+    ), j AS (
+        SELECT t.channel, c.pe,
+               (c.pus - t.tus) // 21600000000 AS k
+        FROM touch t JOIN conv c USING (user_id)
+        WHERE t.tus < c.pus AND c.pus - t.tus <= 604800000000
+    ), w AS (
+        SELECT channel, pe,
+               (CAST(1 AS BIGINT) << CAST(28 - LEAST(k, 28) AS INTEGER)) AS w
+        FROM j
+    ), tot AS (
+        SELECT pe, CAST(sum(w) AS BIGINT) AS sw FROM w GROUP BY pe
+    )
+    SELECT w.channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(CAST(sum((w.w * 1000000000) // tot.sw) AS BIGINT)
+                AS DOUBLE) / 1e9 AS credited
+    FROM w JOIN tot USING (pe)
+    GROUP BY w.channel
+"""
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ RAKE keyphrase extraction (operators/text.py rake_keywords):
+    top-20 stopword-delimited phrases by degree/frequency word scores —
+    the zero-model keyphrase extractor (Rose et al. 2010) corpus
+    pipelines run before anything learned; complements q_tfidf_terms
+    (single tokens) with multi-word candidates. Integer-exact scoring
+    ((1e6·deg) div freq word rationals, int phrase sums, quantized-int
+    ranking with phrase tie-break) makes the top-20 engine-exact.
+
+    100 TB: one doc-keyed window builds segment ids; phrase/word stats
+    are partial+final aggs; the word-score re-join keys on the
+    aggregated phrase vocab. 20 rows out.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import rake_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_keywords(docs, "text", "doc_id", k=20)
+
+
+QUERIES_PART_B["q_rake_keywords"] = q_rake_keywords
+
+ORACLE_PART_B["q_rake_keywords"] = """
+    WITH d AS (
+        SELECT doc_id AS doc,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+        FROM documents
+    ), tk0 AS (
+        SELECT doc,
+               UNNEST(list_transform(range(1, len(arr) + 1),
+                                     i -> {'pos': i, 'tok': arr[i]})) AS u
+        FROM d
+    ), tk AS (
+        SELECT doc, u.pos AS pos, u.tok AS tok,
+               u.tok IN ('the', 'and', 'of', 'to', 'in', 'a', 'is') AS stop
+        FROM tk0
+    ), seg AS (
+        SELECT doc, pos, tok, stop,
+               SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS seg
+        FROM tk
+    ), phrases AS (
+        SELECT doc, seg,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS plen
+        FROM seg WHERE NOT stop GROUP BY doc, seg
+    ), wp AS (
+        SELECT doc, seg, phrase, plen, UNNEST(string_split(phrase, ' ')) AS tok
+        FROM phrases
+    ), wstats AS (
+        SELECT tok,
+               (CAST(sum(plen) AS BIGINT) * 1000000)
+                 // CAST(count(*) AS BIGINT) AS wq
+        FROM wp GROUP BY tok
+    ), pscore AS (
+        SELECT wp.doc, wp.seg, wp.phrase,
+               CAST(sum(wstats.wq) AS BIGINT) AS pq
+        FROM wp JOIN wstats USING (tok)
+        GROUP BY wp.doc, wp.seg, wp.phrase
+    )
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(pq) AS DOUBLE) / 1e6 AS score
+    FROM pscore
+    GROUP BY phrase
+    ORDER BY min(pq) DESC, phrase ASC LIMIT 20
+"""

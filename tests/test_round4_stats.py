@@ -239,3 +239,90 @@ def test_burrows_delta_symmetric_zero_on_identical(spark):
     assert len(out) == 1
     # identical token distributions → every marker variance is 0 → z=0
     assert out[0].delta == 0.0
+
+
+def test_rake_known_answer(spark):
+    from loan_etl_data_pipeline_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "red apple and green pear"),
+            (2, "red apple in the basket"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.phrase: r for r in rake_keywords(df, "text", "doc_id").collect()}
+    # "red apple" occurs twice; each of red/apple: deg=2+2=4, freq=2
+    # → word score 2.0 each → phrase score 4.0
+    assert rows["red apple"].n_occ == 2
+    assert rows["red apple"].score == 4.0
+    # "green pear": deg=2, freq=1 → 2.0 each → 4.0; occurs once
+    assert rows["green pear"].n_occ == 1
+    assert rows["green pear"].score == 4.0
+    # "basket": lone word after a stopword run → deg=1 freq=1 → 1.0
+    assert rows["basket"].score == 1.0
+
+
+def test_decay_attribution_planted_shares(spark, tmp_path):
+    import datetime
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from loan_etl_data_pipeline_spark.queries import q_decay_attribution
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ev(eid, dt_hours, user, etype):
+        return (
+            eid,
+            t0 + datetime.timedelta(hours=dt_hours),
+            user,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, -1, 7, "view"),    # k=0 → w=2^28
+        ev(2, -13, 7, "click"),  # k=2 → w=2^26
+        ev(3, 0, 7, "purchase"),
+        ev(4, -200, 7, "view"),  # outside the 7-day lookback → ignored
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.channel: r for r in
+           q_decay_attribution(spark, str(tmp_path)).collect()}
+    # shares: 2^28/(2^28+2^26) = 0.8, 2^26/(2^28+2^26) = 0.2
+    assert abs(out["view"].credited - 0.8) < 1e-6
+    assert abs(out["click"].credited - 0.2) < 1e-6
+    assert out["view"].n_touches == 1 and out["click"].n_touches == 1
+
+
+def test_decay_attribution_conserves_credit(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.queries import q_decay_attribution
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+    out = q_decay_attribution(spark, sf_dir).collect()
+    total = sum(r.credited for r in out)
+    # every attributed conversion hands out exactly ≤1 credit (floor
+    # quantization loses < 1e-9 per touch)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    conv = e.filter("event_type = 'purchase'").select("user_id", "us")
+    touch = e.filter("event_type in ('view','click')").select(
+        "user_id", F.col("us").alias("tus"))
+    attributed = (
+        touch.join(conv, "user_id")
+        .filter("tus < us and us - tus <= 604800000000")
+        .select("user_id", "us").distinct().count()
+    )
+    assert attributed > 0
+    assert total <= attributed + 1e-6
+    assert total > attributed - 1  # floors lose ≪ 1 credit in total
