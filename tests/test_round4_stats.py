@@ -326,3 +326,38 @@ def test_decay_attribution_conserves_credit(spark, sf_dir):
     assert attributed > 0
     assert total <= attributed + 1e-6
     assert total > attributed - 1  # floors lose ≪ 1 credit in total
+
+
+def test_table_fingerprint_maintains_incrementally(spark, sf_dir):
+    # checksum components are (count, int sum) — both fold_batches
+    # measures — so the fingerprint of a growing table can be
+    # MAINTAINED from delta batches without rescanning, and must equal
+    # the one-shot fingerprint bit-for-bit
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.incremental import (
+        fold_batches,
+    )
+    from loan_etl_data_pipeline_spark.operators.quality import (
+        table_fingerprint,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    canon = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
+    )
+    h = F.md5(canon)
+    prepared = df.select(
+        F.substring(h, 32, 1).alias("bucket"),
+        F.conv(F.substring(h, 1, 10), 16, 10).cast("bigint").alias("coord"),
+    )
+    batches = [prepared.filter(F.col("coord") % 3 == i) for i in range(3)]
+    folded = fold_batches(
+        batches,
+        ["bucket"],
+        {"n_rows": ("count", None), "checksum": ("sum", "coord")},
+    )
+    inc = {r.bucket: (r.n_rows, r.checksum) for r in folded.collect()}
+    one = {r.bucket: (r.n_rows, r.checksum)
+           for r in table_fingerprint(df, canon).collect()}
+    assert inc == one
