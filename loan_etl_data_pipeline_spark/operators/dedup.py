@@ -879,3 +879,55 @@ def minhash_dedup_incremental(
     for frame in (kept, dropped, new_index):
         frame._persisted_intermediates = [new_posts]  # release_intermediates()
     return kept, dropped, new_index
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries open at tokens whose
+    md5 starts with a fixed nibble pattern (P(boundary) = 1/boundary_mod,
+    expected chunk ≈ boundary_mod tokens) — the storage-dedup discipline
+    (LBFS/rsync family): because boundaries depend on CONTENT, an
+    insertion near the head re-chunks only its neighborhood, where
+    fixed-width windows (q_chunk_dedup) shift every downstream chunk.
+    Stateless per-token test instead of a rolling hash, so chunking is a
+    pure per-row computation; md5 keeps the boundary decision
+    engine-portable (xxhash64 exists only Spark-side).
+
+    Returns (doc, seg, chunk, n_tokens, chunk_md5) — one row per chunk.
+    Scale: boundary flags and positions are row-local; the only shuffle
+    is the per-(doc,seg) collapse riding the doc-keyed window
+    partitioning. Digest-level dedup stats never shuffle text.
+    """
+    from pyspark.sql import Window
+
+    if boundary_mod not in (2, 4, 8, 16):
+        raise ValueError("boundary_mod must divide 16 (first-nibble test)")
+    nibbles = [format(i, "x") for i in range(16 // boundary_mod)]
+    tk = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    ).withColumn(
+        "boundary", F.substring(F.md5(F.col("tok")), 1, 1).isin(*nibbles)
+    )
+    w = Window.partitionBy("doc").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = tk.withColumn("seg", F.sum(F.col("boundary").cast("int")).over(w))
+    chunks = seg.groupBy("doc", "seg").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("chunk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
+    return chunks.withColumn("chunk_md5", F.md5("chunk"))

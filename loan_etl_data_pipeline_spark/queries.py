@@ -14703,3 +14703,175 @@ ORACLE_PART_B["q_rake_keywords"] = """
     GROUP BY phrase
     ORDER BY min(pq) DESC, phrase ASC LIMIT 20
 """
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+ content-defined chunking dedup stats (operators/dedup.py
+    cdc_chunks): chunk boundaries open where a token's md5 first nibble
+    is 0 (expected ~16-token chunks), so an edit re-chunks only its
+    neighborhood — the storage-dedup / incremental-sync discipline
+    (LBFS/rsync family) that fixed-width q_chunk_dedup can't provide
+    (one inserted token shifts every downstream fixed window; the
+    boundary-stability property is asserted in tests). Reports the
+    corpus dedup ledger: chunk count, distinct chunks, duplicated-chunk
+    copies (the reclaimable mass), token totals.
+
+    100 TB: boundary flags are row-local; one doc-keyed window builds
+    segment ids; dedup stats aggregate 32-char digests, text never
+    re-shuffles.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, "doc_id", "text")
+    per = ch.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("bigint").alias("copies"),
+        F.min("n_tokens").alias("toks"),
+    )
+    return per.agg(
+        F.sum("copies").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("copies") - 1).cast("bigint").alias("dup_copies"),
+        F.sum(F.col("copies") * F.col("toks")).cast("bigint").alias(
+            "total_tokens"
+        ),
+        F.sum((F.col("copies") - 1) * F.col("toks")).cast("bigint").alias(
+            "reclaimable_tokens"
+        ),
+    )
+
+
+QUERIES_PART_B["q_cdc_chunks"] = q_cdc_chunks
+
+ORACLE_PART_B["q_cdc_chunks"] = """
+    WITH d AS (
+        SELECT doc_id AS doc,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+        FROM documents
+    ), tk0 AS (
+        SELECT doc,
+               UNNEST(list_transform(range(1, len(arr) + 1),
+                                     i -> {'pos': i, 'tok': arr[i]})) AS u
+        FROM d
+    ), tk AS (
+        SELECT doc, u.pos AS pos, u.tok AS tok,
+               substr(md5(u.tok), 1, 1) = '0' AS boundary
+        FROM tk0
+    ), seg AS (
+        SELECT doc, pos, tok,
+               SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS seg
+        FROM tk
+    ), chunks AS (
+        SELECT doc, seg, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM seg GROUP BY doc, seg
+    ), per AS (
+        SELECT chunk_md5, CAST(count(*) AS BIGINT) AS copies,
+               CAST(min(n_tokens) AS BIGINT) AS toks
+        FROM chunks GROUP BY chunk_md5
+    )
+    SELECT CAST(sum(copies) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(copies - 1) AS BIGINT) AS dup_copies,
+           CAST(sum(copies * toks) AS BIGINT) AS total_tokens,
+           CAST(sum((copies - 1) * toks) AS BIGINT) AS reclaimable_tokens
+    FROM per
+"""
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ Matryoshka-truncation retrieval evaluation: recall@5 of
+    16-dim-truncated cosine top-5 against the full 64-dim top-5 — the
+    dimension-adaptive-retrieval question (MRL-style embeddings: can
+    the cheap prefix slice carry first-stage retrieval, with full-dim
+    re-rank only on its candidates?). Composes the certified
+    brute-force top-k operator twice (the kernel is dimension-agnostic
+    — truncation is one `slice` projection) and joins the result sets;
+    recall is exact integer hits / 5.
+
+    100 TB: truncation cuts the first-stage scan 4× and the dot-product
+    FLOPs 4×; the eval itself touches only 2·k·|probes| id pairs. The
+    measured recall IS the operational answer to "how many probes does
+    the truncated tier need before re-rank".
+    """
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    trunc = lambda df: df.select(  # noqa: E731
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    full_topk = cosine_topk_bruteforce(probes, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    trunc_topk = cosine_topk_bruteforce(trunc(probes), trunc(emb), k=5).select(
+        "query_id", F.col("neighbor_id").alias("tn")
+    )
+    j = full_topk.join(
+        trunc_topk,
+        (full_topk.query_id == trunc_topk.query_id)
+        & (full_topk.neighbor_id == trunc_topk.tn),
+        "left",
+    ).select(full_topk.query_id, "tn")
+    return (
+        j.groupBy("query_id")
+        .agg(F.count("tn").cast("bigint").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / 5).alias("recall_at_5"),
+        )
+    )
+
+
+QUERIES_PART_B["q_matryoshka_recall"] = q_matryoshka_recall
+
+ORACLE_PART_B["q_matryoshka_recall"] = (
+    """
+    WITH full_topk AS ("""
+    + _KNN_TOPK_ORACLE_TMPL.format(probe_bound=10)
+    + """
+    ), tq AS (SELECT vec_id AS query_id, embedding[1:16] AS qe
+              FROM embeddings WHERE vec_id < 10),
+    tc AS (SELECT vec_id AS neighbor_id, embedding[1:16] AS ce
+           FROM embeddings),
+    tex AS (
+        SELECT tq.query_id, tc.neighbor_id,
+               CAST(UNNEST(tq.qe) AS DOUBLE) AS x,
+               CAST(UNNEST(tc.ce) AS DOUBLE) AS y
+        FROM tq CROSS JOIN tc
+        WHERE tq.query_id <> tc.neighbor_id
+    ), tsums AS (
+        SELECT query_id, neighbor_id,
+               SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+               SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS qn_s,
+               SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS cn_s
+        FROM tex GROUP BY query_id, neighbor_id
+    ), tcos AS (
+        SELECT query_id, neighbor_id,
+               (CAST(dot_s AS DOUBLE) / 1e12)
+                 / (sqrt(CAST(qn_s AS DOUBLE) / 1e12)
+                    * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) AS cosine
+        FROM tsums
+    ), trunc_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC,
+                                               neighbor_id ASC) AS rank
+            FROM tcos
+        ) WHERE rank <= 5
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(t.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM full_topk f
+    LEFT JOIN trunc_topk t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+"""
+)

@@ -361,3 +361,59 @@ def test_table_fingerprint_maintains_incrementally(spark, sf_dir):
     one = {r.bucket: (r.n_rows, r.checksum)
            for r in table_fingerprint(df, canon).collect()}
     assert inc == one
+
+
+def test_cdc_chunks_boundary_stability_vs_fixed_width(spark):
+    # THE content-defined property: prepending one token re-chunks only
+    # the head neighborhood — most chunk digests survive. Fixed-width
+    # windows lose (almost) all of them.
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.dedup import cdc_chunks
+
+    base_text = " ".join(f"tok{i}" for i in range(400))
+    edited_text = "inserted " + base_text
+    df = spark.createDataFrame(
+        [(1, base_text), (2, edited_text)], "doc_id bigint, text string"
+    )
+    ch = cdc_chunks(df, "doc_id", "text").select("doc", "chunk_md5").collect()
+    a = {r.chunk_md5 for r in ch if r.doc == 1}
+    b = {r.chunk_md5 for r in ch if r.doc == 2}
+    shared = len(a & b) / len(a)
+    assert shared > 0.8, f"CDC should preserve most chunks: {shared:.2f}"
+    # fixed-width 4-token windows of the same pair shift everywhere
+    def fixed_digests(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + 4]) for i in range(0, len(toks) - 3, 4)
+        }
+    fa, fb = fixed_digests(base_text), fixed_digests(edited_text)
+    assert len(fa & fb) / len(fa) < 0.05
+
+
+def test_cdc_chunks_cover_and_reconstruct(spark):
+    from loan_etl_data_pipeline_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        cdc_chunks(df, "doc_id", "text").collect(), key=lambda r: r.seg
+    )
+    # chunks partition the token stream: concatenation reconstructs it
+    joined = " ".join(r.chunk for r in rows)
+    assert joined == "alpha beta gamma delta epsilon zeta eta theta"
+    assert sum(r.n_tokens for r in rows) == 8
+
+
+def test_matryoshka_recall_bounds_and_identity(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.queries import q_matryoshka_recall
+
+    rows = q_matryoshka_recall(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall_at_5 == r.n_hits / 5
+    # truncation must retain SOME signal on 64-dim vectors
+    assert sum(r.n_hits for r in rows) > 0
