@@ -14875,3 +14875,87 @@ ORACLE_PART_B["q_matryoshka_recall"] = (
     GROUP BY f.query_id
 """
 )
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ calibration audit (reliability curve + per-bin Brier) for
+    the discount-bucket return-rate predictor: train P(return | 
+    discount bucket) on l_orderkey%5≠0, evaluate on the held-out rows —
+    the "are predicted probabilities honest" check every scored-model
+    deployment needs (AUC, q_auc, measures ranking; calibration
+    measures the probabilities themselves). Predicted rates are
+    (1e6·returns) div n integer rationals; per-bin Brier sums
+    (p̂q − y·1e6)² as exact int64 (bound: 1e12·n per bin — decimal
+    ladder past ~9e6 rows/bin); observed rates exact-int rationals.
+
+    100 TB: two partial+final aggs (train buckets, test buckets) and a
+    broadcast join of the ≤11-row model — the evaluation never
+    shuffles the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("bucket"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+    train = li.filter(F.col("ok") % 5 != 0)
+    test = li.filter(F.col("ok") % 5 == 0)
+    model = (
+        train.groupBy("bucket")
+        .agg(F.sum("y").alias("r"), F.count(F.lit(1)).alias("n"))
+        .select("bucket", F.expr("(r * 1000000) div n").alias("pq"))
+    )
+    scored = test.join(F.broadcast(model), "bucket")
+    sq = (F.col("pq") - F.col("y") * 1_000_000)
+    return (
+        scored.groupBy("bucket", "pq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum("y").cast("bigint").alias("n_returned"),
+            F.sum(sq * sq).alias("se_q"),
+        )
+        .select(
+            "bucket",
+            "n_test",
+            (F.col("pq").cast("double") / 1e6).alias("predicted_rate"),
+            (
+                F.col("n_returned").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("observed_rate"),
+            (
+                F.col("se_q").cast("double")
+                / F.col("n_test").cast("double")
+                / 1e12
+            ).alias("brier"),
+        )
+    )
+
+
+QUERIES_PART_B["q_calibration"] = q_calibration
+
+ORACLE_PART_B["q_calibration"] = """
+    WITH li AS (
+        SELECT l_orderkey AS ok,
+               CAST(FLOOR(l_discount * 100) AS BIGINT) AS bucket,
+               CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                 AS BIGINT) AS y
+        FROM lineitem
+    ), model AS (
+        SELECT bucket,
+               (CAST(sum(y) AS BIGINT) * 1000000)
+                 // CAST(count(*) AS BIGINT) AS pq
+        FROM li WHERE ok % 5 <> 0 GROUP BY bucket
+    ), scored AS (
+        SELECT li.bucket, model.pq, li.y
+        FROM li JOIN model USING (bucket)
+        WHERE li.ok % 5 = 0
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(pq AS DOUBLE) / 1e6 AS predicted_rate,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS observed_rate,
+           CAST(CAST(sum((pq - y * 1000000) * (pq - y * 1000000))
+                  AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1e12 AS brier
+    FROM scored GROUP BY bucket, pq
+"""

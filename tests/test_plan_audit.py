@@ -453,3 +453,25 @@ def test_ses_level_is_scale_free_after_monthly_agg(plans):
     assert "ReadSchema: struct<o_totalprice:double,o_orderdate" in p
     assert "SortMergeJoin" not in p
     assert "Python" not in p
+
+
+def test_calibration_model_broadcasts(plans):
+    p = plans("q_calibration")
+    assert "BroadcastHashJoin" in p  # the ≤11-row model never shuffles
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
+
+
+def test_cdc_chunks_single_doc_window(plans):
+    p = plans("q_cdc_chunks")
+    # one doc-keyed window; text never enters a second wide shuffle —
+    # dedup stats aggregate digests
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "Python" not in p
+
+
+def test_rake_single_text_scan(plans):
+    p = plans("q_rake_keywords")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Python" not in p

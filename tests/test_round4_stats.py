@@ -417,3 +417,21 @@ def test_matryoshka_recall_bounds_and_identity(spark, sf_dir):
         assert r.recall_at_5 == r.n_hits / 5
     # truncation must retain SOME signal on 64-dim vectors
     assert sum(r.n_hits for r in rows) > 0
+
+
+def test_calibration_semantics(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.queries import q_calibration
+
+    rows = q_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.predicted_rate <= 1.0
+        assert 0.0 <= r.observed_rate <= 1.0
+        # Brier per bin is bounded by max((1-p)^2, p^2) ≤ 1
+        assert 0.0 <= r.brier <= 1.0
+        # Brier decomposition floor: brier >= (pred - obs)^2 is NOT
+        # generally true per-bin, but brier >= variance of y given the
+        # constant prediction minus quantization: check the identity
+        # brier = p^2 + obs*(1 - 2p) up to the 1e-6 p-quantization
+        p, o = r.predicted_rate, r.observed_rate
+        assert abs(r.brier - (p * p + o * (1 - 2 * p))) < 1e-5
