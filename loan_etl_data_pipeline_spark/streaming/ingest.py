@@ -803,3 +803,80 @@ def stream_pit_enrich(
     dim = read_version(stream.sparkSession, dim_table_dir)
     d = F.broadcast(dim) if broadcast else dim
     return point_in_time_join(stream, d, _as_list(key_cols), time_col)
+
+
+def streaming_fingerprint(
+    stream_df: DataFrame,
+    canonical,
+    table_dir: str,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    trigger_seconds: float | None = None,
+) -> StreamingQuery:
+    """Continuously maintained table fingerprint: each micro-batch's
+    bucketed (count, 40-bit-md5-coordinate sum) deltas
+    (operators/quality.py table_fingerprint) merge into the running
+    fingerprint by plain integer addition — the same commutative
+    algebra that makes the batch operator partitioning-proof makes it
+    STREAM-maintainable with no rescan. The running fingerprint of an
+    append-only stream equals the one-shot fingerprint of everything
+    ingested so far (asserted in tests), which is the continuous
+    replication-validation primitive: compare against the replica's
+    fingerprint at any snapshot without touching row data.
+
+    Exactly-once across restarts via the snapshot-manifest
+    (run_id, batch_id) protocol shared with stream_to_versioned: a
+    replayed batch whose snapshot already committed is skipped, so
+    coordinates are never double-added. Each committed version IS the
+    fingerprint as-of that batch — time travel over integrity states.
+    """
+    from loan_etl_data_pipeline_spark.operators.quality import (
+        table_fingerprint,
+    )
+    from loan_etl_data_pipeline_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        version_manifests,
+        write_version,
+    )
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        run_id = _canonical_checkpoint_id(spark, checkpoint_dir)
+        seen = {
+            (m.get("run_id"), m.get("batch_id"))
+            for m in version_manifests(spark, table_dir).values()
+        }
+        if (run_id, batch_id) in seen:
+            return  # replayed batch: its deltas are already in
+        delta = table_fingerprint(batch_df, canonical)
+        if list_versions(spark, table_dir):
+            merged = (
+                read_version(spark, table_dir)
+                .unionByName(delta)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("n_rows").cast("bigint").alias("n_rows"),
+                    F.sum("checksum").cast("bigint").alias("checksum"),
+                )
+            )
+        else:
+            merged = delta
+        # one deterministic frame per version; tiny (≤ bucket count)
+        write_version(
+            merged.coalesce(1),
+            table_dir,
+            meta={"batch_id": batch_id, "run_id": run_id},
+        )
+
+    writer = stream_df.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -278,3 +278,70 @@ def test_forget_rejects_unknown_key_col(spark, tmp_path):
     write_version(spark.createDataFrame([(1,)], ["a"]), t)
     with pytest.raises(ValueError):
         forget(spark, t, spark.createDataFrame([(1,)], ["a"]), "nope")
+
+
+def test_streaming_fingerprint_matches_one_shot(spark, tmp_path):
+    """The maintained fingerprint after N micro-batches must equal the
+    one-shot batch fingerprint of everything ingested; replays must not
+    double-add; each version is the integrity state as-of its batch."""
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.quality import (
+        table_fingerprint,
+    )
+    from loan_etl_data_pipeline_spark.sources.versioned import (
+        list_versions,
+        read_version,
+    )
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        streaming_fingerprint,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "fp")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.json").write_text('{"id": 1, "v": "x"}\n{"id": 2, "v": "y"}\n')
+
+    canonical = F.concat_ws("|", F.col("id").cast("string"), F.col("v"))
+    stream = spark.readStream.schema("id long, v string").json(str(src))
+    q = streaming_fingerprint(stream, canonical, tbl, checkpoint_dir=ckpt)
+    q.awaitTermination(60)
+    assert list_versions(spark, tbl) == [1]
+
+    (src / "b.json").write_text('{"id": 3, "v": "z"}\n')
+    q = streaming_fingerprint(
+        spark.readStream.schema("id long, v string").json(str(src)),
+        canonical,
+        tbl,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(60)
+    assert list_versions(spark, tbl) == [1, 2]
+
+    # restart with nothing new: no version, no double-add
+    q = streaming_fingerprint(
+        spark.readStream.schema("id long, v string").json(str(src)),
+        canonical,
+        tbl,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(60)
+    assert list_versions(spark, tbl) == [1, 2]
+
+    maintained = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in read_version(spark, tbl).collect()
+    }
+    whole = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, v string"
+    )
+    one_shot = {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in table_fingerprint(whole, canonical).collect()
+    }
+    assert maintained == one_shot
+    assert sum(n for n, _ in maintained.values()) == 3
+    # version 1 is the as-of state after the first batch only
+    v1 = {r.bucket: r.n_rows for r in read_version(spark, tbl, 1).collect()}
+    assert sum(v1.values()) == 2
