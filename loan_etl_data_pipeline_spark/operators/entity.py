@@ -53,3 +53,51 @@ def del1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    window: int = 6,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández–Stolfo merge/purge):
+    records sort by the blocking key, and only pairs within ``window``
+    positions of each other become candidates — O(n·w) candidates
+    instead of O(n²), the OTHER classic ER blocking scheme next to the
+    deletion-neighborhood index (FastSS, plans/entity.py): FastSS
+    recalls any ≤k-edit pair regardless of sort distance but fans out
+    keys; sorted-neighborhood is one sort + a bounded self-join and
+    catches what sorting co-locates (prefix-stable typos).
+
+    Distributed: the total order comes from functions/ranking
+    global_rank (range shuffle, never a single-partition window);
+    candidates join on EQUALITY of an exploded rank offset (w−1
+    fan-out), so there is no range-condition nested loop. Returns
+    (id_a, id_b, key_a, key_b) candidate pairs, id_a ranked before
+    id_b; dedup of equal keys is the caller's verify step.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+
+    ranked = global_rank(
+        df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key")),
+        [F.asc("key"), F.asc("id")],
+    )
+    a = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + (window - 1))
+        ).alias("nbr"),
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("key").alias("key_b"),
+        F.col("rank").alias("nbr"),
+    )
+    out = a.join(b, "nbr").select("id_a", "id_b", "key_a", "key_b")
+    out._persisted_intermediates = getattr(  # noqa: SLF001
+        ranked, "_persisted_intermediates", ()
+    )
+    return out

@@ -27,3 +27,42 @@ def test_resolve_entities_merges_typos(spark):
     assert got[1]["best_score"] == 250.0              # survivorship max
     assert got[4]["n_members"] == 2 and got[4]["best_score"] == 90.0
     assert got[6]["n_members"] == 1 and got[6]["canonical_name"] == "carol wu"
+
+
+def test_sorted_neighborhood_candidates_exact_window(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from loan_etl_data_pipeline_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:03d}") for i in range(1, 11)], "id bigint, key string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(df, "id", "key", window=3).collect()
+    }
+    # sort order == id order here; window 3 → pairs at distance 1 and 2
+    want = {(i, j) for i in range(1, 11) for j in range(1, 11)
+            if 0 < j - i <= 2}
+    assert pairs == want
+
+
+def test_sorted_neighborhood_catches_prefix_typos(spark):
+    from loan_etl_data_pipeline_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme corpx"),  # sorts adjacent to its typo twin
+            (3, "zzz unrelated"),
+        ],
+        "id bigint, key string",
+    )
+    cand = sorted_neighborhood_pairs(df, "id", "key", window=2)
+    matched = cand.filter(F.levenshtein("key_a", "key_b") <= 1).collect()
+    assert {(r.id_a, r.id_b) for r in matched} == {(1, 2)}
