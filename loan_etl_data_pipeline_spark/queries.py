@@ -15074,3 +15074,158 @@ ORACLE_PART_B["q_sorted_blocking"] = """
                     GREATEST(id_a, id_b) AS id_hi
     FROM cand WHERE levenshtein(key_a, key_b) <= 1
 """
+
+
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Matthews correlation coefficient for the deep-discount →
+    return rule (predict R when l_discount ≥ 0.05) — the
+    prevalence-robust single-number classifier score (accuracy lies
+    under imbalance, F1 ignores true negatives; MCC is the 2×2's
+    Pearson φ and the standard third leg after q_auc's ranking and
+    q_cohen_kappa's chance-corrected agreement). Confusion counts are
+    one exact-int aggregate; the numerator and the four denominator
+    margins each fit int64 (≤ n²/4), composed in doubles only for the
+    final products (two IEEE multiplies + sqrt, bit-identical).
+
+    100 TB: one partial+final agg over two projected columns; MCC's
+    int64 bound (n ≲ 3e9 per slice) matches the chi² family's —
+    pre-aggregate per partition-slice beyond it.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") >= 0.05).cast("int").alias("pred"),
+        (F.col("l_returnflag") == "R").cast("int").alias("actual"),
+    )
+    m = li.agg(
+        F.sum(F.expr("pred * actual")).cast("bigint").alias("tp"),
+        F.sum(F.expr("pred * (1 - actual)")).cast("bigint").alias("fp"),
+        F.sum(F.expr("(1 - pred) * actual")).cast("bigint").alias("fn"),
+        F.sum(F.expr("(1 - pred) * (1 - actual)")).cast("bigint").alias("tn"),
+    )
+    num = (F.col("tp") * F.col("tn")).cast("double") - (
+        F.col("fp") * F.col("fn")
+    ).cast("double")
+    den = F.sqrt(
+        ((F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))).cast(
+            "double"
+        )
+        * ((F.col("tn") + F.col("fp")) * (F.col("tn") + F.col("fn"))).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(den == 0, F.lit(0.0)).otherwise(num / den).alias("mcc"),
+    )
+
+
+QUERIES_PART_B["q_mcc"] = q_mcc
+
+ORACLE_PART_B["q_mcc"] = """
+    WITH m AS (
+        SELECT CAST(sum(pred * actual) AS BIGINT) AS tp,
+               CAST(sum(pred * (1 - actual)) AS BIGINT) AS fp,
+               CAST(sum((1 - pred) * actual) AS BIGINT) AS fn,
+               CAST(sum((1 - pred) * (1 - actual)) AS BIGINT) AS tn
+        FROM (
+            SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS actual
+            FROM lineitem
+        )
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                          * CAST((tn + fp) * (tn + fn) AS DOUBLE)) = 0
+                THEN 0.0
+                ELSE (CAST(tp * tn AS DOUBLE) - CAST(fp * fn AS DOUBLE))
+                     / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                            * CAST((tn + fp) * (tn + fn) AS DOUBLE))
+           END AS mcc
+    FROM m
+"""
+
+
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ 1-D Wasserstein-1 (earth mover's) distance between src0 and
+    src1 document-length distributions — the drift measure that knows
+    HOW FAR mass moved (KS, q_ks_test, sees only the max CDF gap; PSI
+    bins arbitrarily; W₁ = ∫|CDF_a − CDF_b| dx is the modern
+    drift-monitoring standard). Over the merged integer support:
+    per-value counts, one ordered cumsum window, each segment
+    contributes |cumA·nB − cumB·nA| · gap — EXACT int64 cross-products
+    (no division until the final /(nA·nB)), so the distance is
+    engine-exact with no quantization at all.
+
+    100 TB: two partial+final aggs to the ≤|distinct values| support
+    table; the window runs over the support, not the rows. Int64
+    bound: cum·n < 2^63 → ~3e9 rows per side.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    per = docs.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = per.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "x",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.lead("x").over(Window.orderBy("x")).alias("nx"),
+    )
+    seg = cum.filter(F.col("nx").isNotNull()).crossJoin(F.broadcast(tot))
+    term = (
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        * (F.col("nx") - F.col("x"))
+    )
+    return seg.agg(
+        F.min("na").alias("n_src0"),
+        F.min("nb").alias("n_src1"),
+        (
+            F.sum(term).cast("double")
+            / (F.min("na") * F.min("nb")).cast("double")
+        ).alias("wasserstein"),
+    )
+
+
+QUERIES_PART_B["q_wasserstein"] = q_wasserstein
+
+ORACLE_PART_B["q_wasserstein"] = """
+    WITH docs AS (
+        SELECT source, n_chars AS x FROM documents
+        WHERE source IN ('src0', 'src1')
+    ), per AS (
+        SELECT x,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+        FROM docs GROUP BY x
+    ), tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb
+        FROM per
+    ), cum AS (
+        SELECT x,
+               CAST(SUM(ca) OVER (ORDER BY x
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY x
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+               lead(x) OVER (ORDER BY x) AS nx
+        FROM per
+    )
+    SELECT min(na) AS n_src0, min(nb) AS n_src1,
+           CAST(CAST(sum(abs(cuma * nb - cumb * na) * (nx - x))
+                  AS BIGINT) AS DOUBLE)
+             / CAST(min(na) * min(nb) AS DOUBLE) AS wasserstein
+    FROM cum CROSS JOIN tot
+    WHERE nx IS NOT NULL
+"""

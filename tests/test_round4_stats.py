@@ -435,3 +435,44 @@ def test_calibration_semantics(spark, sf_dir):
         # brier = p^2 + obs*(1 - 2p) up to the 1e-6 p-quantization
         p, o = r.predicted_rate, r.observed_rate
         assert abs(r.brier - (p * p + o * (1 - 2 * p))) < 1e-5
+
+
+def test_mcc_range_and_consistency(spark, sf_dir):
+    import math as _math
+
+    from loan_etl_data_pipeline_spark.queries import q_mcc
+
+    r = q_mcc(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.mcc <= 1.0
+    n = r.tp + r.fp + r.fn + r.tn
+    assert n == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # MCC is the phi coefficient: mcc^2 * n == chi2 of the same 2x2
+    num = r.tp * r.tn - r.fp * r.fn
+    den = _math.sqrt(
+        float((r.tp + r.fp) * (r.tp + r.fn))
+        * float((r.tn + r.fp) * (r.tn + r.fn))
+    )
+    assert _math.isclose(r.mcc, num / den, rel_tol=1e-12)
+
+
+def test_wasserstein_metric_properties(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.queries import q_wasserstein
+
+    r = q_wasserstein(spark, sf_dir).collect()[0]
+    assert r.wasserstein >= 0.0
+    assert r.n_src0 > 0 and r.n_src1 > 0
+
+
+def test_wasserstein_known_shift(spark, tmp_path):
+    # distributions that differ by a constant shift d have W1 == d
+    from loan_etl_data_pipeline_spark.queries import q_wasserstein
+
+    rows = [(i, "t", "en", "src0", 100 + (i % 5)) for i in range(50)]
+    rows += [(1000 + i, "t", "en", "src1", 107 + (i % 5)) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = q_wasserstein(spark, str(tmp_path)).collect()[0]
+    assert abs(r.wasserstein - 7.0) < 1e-9
