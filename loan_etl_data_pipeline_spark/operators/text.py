@@ -880,3 +880,52 @@ def rake_keywords(
             (F.col("pq").cast("double") / 1e6).alias("score"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    level: int = 6,
+) -> DataFrame:
+    """Per-document deflate compression ratio — the Gopher-style
+    low-entropy screen: templated/repetitive text compresses far below
+    natural prose, and the ratio needs no model, no vocabulary, no
+    corpus pass. Runs as an Arrow `mapInPandas` kernel (zlib is pure
+    per-row CPU — the one legitimate Python tier, batched, never
+    row-at-a-time), so it is partitioning-invariant and linear-scan
+    shaped; no shuffle at all.
+
+    Output: (id, n_bytes, n_compressed, ratio). Registered rows-only
+    (no SQL engine can replay zlib); the semantic contract is pinned by
+    tests instead: repetitive ≪ varied ratio, byte counts exact,
+    partitioning invariance.
+    """
+    import pandas as pd  # noqa: F401
+
+    out_schema = (
+        f"{id_col} bigint, n_bytes bigint, n_compressed bigint, ratio double"
+    )
+    src = df.select(id_col, text_col)
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            enc = pdf[text_col].fillna("").str.encode("utf-8")
+            nb = enc.str.len().astype("int64")
+            nc = enc.map(lambda b: len(zlib.compress(b, level))).astype(
+                "int64"
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio": nc.astype("float64")
+                    / nb.where(nb > 0, 1).astype("float64"),
+                }
+            )
+
+    return src.mapInPandas(kernel, out_schema)

@@ -15229,3 +15229,120 @@ ORACLE_PART_B["q_wasserstein"] = """
     FROM cum CROSS JOIN tot
     WHERE nx IS NOT NULL
 """
+
+
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ per-document compression-ratio quality screen
+    (operators/text.py compression_ratio): deflate ratio as the
+    model-free low-entropy detector (Gopher's repetition family
+    measures specific patterns; compression catches ALL of them at
+    once). Arrow `mapInPandas` zlib kernel — batched Python, the one
+    legitimate Python tier; pure per-row, zero shuffle.
+
+    Registered rows-only: no SQL engine replays zlib, so the driver
+    records the rows-only check and tests/test_round4_stats.py pins the
+    semantics (repetitive ≪ varied, exact byte counts, partitioning
+    invariance).
+    """
+    from loan_etl_data_pipeline_spark.operators.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs, "doc_id", "text")
+
+
+QUERIES_PART_B["q_compress_ratio"] = q_compress_ratio
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ Jaccard link prediction on the co-purchase graph: top-20
+    NON-edges ranked by neighborhood overlap |N(u)∩N(v)| /
+    |N(u)∪N(v)| — the classic structural recommender ("these two parts
+    share buyers-of-the-same-things but were never co-bought"), and
+    the complement of q_item_sim's co-occurrence view: item_sim scores
+    pairs that DO co-occur; link prediction scores pairs that DON'T
+    yet. Common-neighbor counts come from one wedge join on the
+    support-pruned edge set; existing edges leave via an anti-join;
+    the Jaccard is one exact-int division, ranked with a (u, v)
+    tie-break.
+
+    100 TB: the wedge join's fan-out is Σ deg(w)² — bounded by the
+    same support-2 prune + hub guard that protects the triangle count;
+    degrees broadcast (≤|nodes| rows).
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import degrees
+
+    edges = _copurchase_edges(spark, sf_dir)
+    adj = edges.select(F.col("pa").alias("u"), F.col("pb").alias("w")).union(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("w"))
+    )
+    wedge = (
+        adj.select(F.col("u").alias("a"), "w")
+        .join(adj.select(F.col("u").alias("b"), "w"), "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    non_edges = wedge.join(
+        edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    deg = degrees(edges, "pa", "pb").select(
+        "node", F.col("degree").cast("bigint").alias("d")
+    )
+    scored = (
+        non_edges.join(
+            F.broadcast(deg.select(F.col("node").alias("a"),
+                                   F.col("d").alias("da"))), "a"
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"),
+                                   F.col("d").alias("db"))), "b"
+        )
+        .select(
+            "a",
+            "b",
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("a"), F.asc("b")
+    ).limit(20)
+
+
+QUERIES_PART_B["q_link_prediction"] = q_link_prediction
+
+ORACLE_PART_B["q_link_prediction"] = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ), edges AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+        GROUP BY a.p, b.p HAVING count(*) >= 2
+    ), adj AS (
+        SELECT pa AS u, pb AS w FROM edges
+        UNION ALL SELECT pb, pa FROM edges
+    ), wedge AS (
+        SELECT x.u AS a, y.u AS b, CAST(count(*) AS BIGINT) AS cn
+        FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u
+        GROUP BY x.u, y.u
+    ), non_edges AS (
+        SELECT w.a, w.b, w.cn FROM wedge w
+        LEFT JOIN edges e ON e.pa = w.a AND e.pb = w.b
+        WHERE e.pa IS NULL
+    ), deg AS (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+        FROM adj GROUP BY u
+    )
+    SELECT n.a, n.b, n.cn,
+           CAST(n.cn AS DOUBLE) / CAST(da.d + db.d - n.cn AS DOUBLE)
+             AS jaccard
+    FROM non_edges n
+    JOIN deg da ON da.node = n.a
+    JOIN deg db ON db.node = n.b
+    ORDER BY jaccard DESC, n.a ASC, n.b ASC LIMIT 20
+"""

@@ -476,3 +476,46 @@ def test_wasserstein_known_shift(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     r = q_wasserstein(spark, str(tmp_path)).collect()[0]
     assert abs(r.wasserstein - 7.0) < 1e-9
+
+
+def test_compression_ratio_separates_entropy(spark):
+    from loan_etl_data_pipeline_spark.operators.text import compression_ratio
+
+    rep = "spam " * 400
+    varied = " ".join(f"w{i}x{i * 7919 % 104729}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, rep), (2, varied), (3, "")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in
+            compression_ratio(df, "doc_id", "text").collect()}
+    assert rows[1].ratio < 0.05          # pure repetition crushes
+    assert rows[2].ratio > 3 * rows[1].ratio
+    assert rows[1].n_bytes == len(rep.encode())
+    assert rows[3].n_bytes == 0 and rows[3].ratio > 0  # guarded /0
+
+
+def test_compression_ratio_partitioning_invariant(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.operators.text import compression_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id: (r.n_bytes, r.n_compressed)
+         for r in compression_ratio(docs, "doc_id", "text").collect()}
+    b = {r.doc_id: (r.n_bytes, r.n_compressed)
+         for r in compression_ratio(
+             docs.repartition(13), "doc_id", "text").collect()}
+    assert a == b
+
+
+def test_link_prediction_scores_non_edges_only(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.queries import (
+        _copurchase_edges,
+        q_link_prediction,
+    )
+
+    rows = q_link_prediction(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    edges = {(r.pa, r.pb) for r in _copurchase_edges(spark, sf_dir).collect()}
+    for r in rows:
+        assert (r.a, r.b) not in edges
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.cn >= 1
