@@ -15346,3 +15346,83 @@ ORACLE_PART_B["q_link_prediction"] = """
     JOIN deg db ON db.node = n.b
     ORDER BY jaccard DESC, n.a ASC, n.b ASC LIMIT 20
 """
+
+
+def q_token_adaptation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ token adaptation / burstiness (Church 2000, "Empirical
+    estimates of adaptation"): for the 20 most frequent tokens,
+    P(token again | token once) = df₂/df₁ against the independence
+    baseline df₁/N — words are BURSTY (a doc that used a token once
+    reuses it far above chance), and the adaptation ratio is the
+    corpus-linguistics signal that separates topical content words
+    (high adaptation) from function words (near-baseline). Distinct
+    from q_repetition (within-doc run shapes) and q_token_gini
+    (within-doc concentration): this is the cross-document clumping
+    law. All pure exact-int rationals — two divisions per row at the
+    end, no logs, no quantization.
+
+    100 TB: one (doc, token)-count agg → one token agg; top-20 by
+    corpus frequency with a token tie-break (TakeOrdered).
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens as toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(toks(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    per_tok = dt.groupBy("tok").agg(
+        F.sum("c").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df1"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("df2"),
+    )
+    return (
+        per_tok.crossJoin(F.broadcast(ndocs))
+        .orderBy(F.desc("cf"), F.asc("tok"))
+        .limit(20)
+        .select(
+            "tok",
+            "cf",
+            "df1",
+            "df2",
+            (F.col("df2").cast("double") / F.col("df1").cast("double")).alias(
+                "adaptation"
+            ),
+            (F.col("df1").cast("double") / F.col("nd").cast("double")).alias(
+                "baseline"
+            ),
+        )
+    )
+
+
+QUERIES_PART_B["q_token_adaptation"] = q_token_adaptation
+
+ORACLE_PART_B["q_token_adaptation"] = """
+    WITH dt AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id,
+                     UNNEST(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ), nd AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+    ), per_tok AS (
+        SELECT tok, CAST(sum(c) AS BIGINT) AS cf,
+               CAST(count(*) AS BIGINT) AS df1,
+               CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS df2
+        FROM dt GROUP BY tok
+    )
+    SELECT tok, cf, df1, df2,
+           CAST(df2 AS DOUBLE) / CAST(df1 AS DOUBLE) AS adaptation,
+           CAST(df1 AS DOUBLE) / CAST(nd AS DOUBLE) AS baseline
+    FROM per_tok CROSS JOIN nd
+    ORDER BY cf DESC, tok ASC LIMIT 20
+"""

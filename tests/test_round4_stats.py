@@ -519,3 +519,24 @@ def test_link_prediction_scores_non_edges_only(spark, sf_dir):
         assert (r.a, r.b) not in edges
         assert 0.0 < r.jaccard <= 1.0
         assert r.cn >= 1
+
+
+def test_token_adaptation_bursty_vs_uniform(spark, tmp_path):
+    # planted: "bursty" appears 3x in few docs; "spread" once per doc.
+    # adaptation(bursty) must be high, adaptation(spread) exactly 0.
+    from loan_etl_data_pipeline_spark.queries import q_token_adaptation
+
+    rows = []
+    for i in range(40):
+        base = "spread filler" + (" bursty bursty bursty" if i < 10 else "")
+        rows.append((i, base, "en", "s", len(base)))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.tok: r for r in q_token_adaptation(spark, str(tmp_path)).collect()}
+    assert out["spread"].adaptation == 0.0
+    assert out["bursty"].adaptation == 1.0  # every host doc repeats it
+    assert out["spread"].baseline == 1.0
+    assert abs(out["bursty"].baseline - 0.25) < 1e-12
