@@ -14350,6 +14350,10 @@ def q_ses_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~80 rows regardless of SF) — scale-free by construction. Int64
     bound: month-revenue·2²⁰ < 2^63 holds to ~9e12 cents/month
     (~$90 B/month); shrink the 2²⁰ quantizer for ledgers beyond that.
+    Contract note: the decay exponent counts OBSERVATION ranks, which
+    equals calendar distance iff every month has orders (true at every
+    testdata SF — 80/80 months populated, verified); for gappy series
+    compose with resample_timeseries' calendar spine first.
     """
     o = load_table(spark, sf_dir, "orders")
     monthly = (

@@ -475,3 +475,24 @@ def test_rake_single_text_scan(plans):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
     assert "TakeOrderedAndProject" in p
     assert "Python" not in p
+
+
+def test_wasserstein_window_rides_the_support(plans):
+    p = plans("q_wasserstein")
+    # the global-ordered window runs over the aggregated support, and
+    # the fact scan reads only the two needed columns
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in p
+    assert "Python" not in p
+
+
+def test_link_prediction_degree_broadcast(plans):
+    p = plans("q_link_prediction")
+    assert p.count("BroadcastHashJoin") >= 2  # both degree joins
+    assert "Python" not in p
+
+
+def test_target_encoding_category_broadcast(plans):
+    p = plans("q_target_encoding")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # the fact never shuffles
+    assert "Python" not in p
