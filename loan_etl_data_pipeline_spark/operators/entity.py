@@ -80,6 +80,11 @@ def sorted_neighborhood_pairs(
     """
     from loan_etl_data_pipeline_spark.functions.ranking import global_rank
 
+    if window < 2:
+        # window=1 has no pairs — and Spark's sequence(rank+1, rank)
+        # would silently emit a DESCENDING [rank+1, rank] instead of
+        # the empty list, fabricating self/backward candidates
+        raise ValueError("sorted-neighborhood window must be >= 2")
     ranked = global_rank(
         df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key")),
         [F.asc("key"), F.asc("id")],

@@ -501,3 +501,96 @@ def update_text_index(
         _swap_stats(spark, index_dir, stats)
     finally:
         base.unpersist()
+
+
+def bm25_prf(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (RM3-lite): round 1 retrieves
+    ``fb_docs`` top docs for ``query_terms``; the ``fb_terms`` heaviest
+    non-query tokens of that feedback set expand the query; round 2
+    rescores the corpus over the expanded set — the classic recall
+    lever when queries are short (the expansion terms are the corpus's
+    own vocabulary for the topic).
+
+    Exactness: this uses the POSTS-based BM25 shape (term set is
+    data-dependent, so per-term columns can't be fixed), and a posts
+    aggregate sums per-term scores in partitioning order — so each
+    (doc, term) score is 1e-9-floor-quantized to int64 BEFORE the
+    per-doc sum, and every ranking (round-1 top, feedback terms,
+    final top-k) orders on exact ints with id/token tie-breaks.
+    idf keeps the fixed-column oracle's exact expression shape.
+
+    Scale: posts build once (one doc-keyed agg), df table once; both
+    rounds are broadcast-term-set semi-joins against the posts — the
+    corpus scans twice, never self-joins; feedback frames are ≤
+    fb_docs/fb_terms rows.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens as _toks
+
+    spark = df.sparkSession
+    toks = _toks(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    posts = (
+        base.select("id", F.size("t").alias("dl"), F.explode("t").alias("tok"))
+        .groupBy("id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size("t")).cast("bigint").alias("sumdl"),
+    )
+    dfreq = posts.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dfc")
+    )
+
+    def scored(term_df):
+        j = (
+            posts.join(F.broadcast(term_df), "tok")
+            .join(dfreq, "tok")
+            .crossJoin(F.broadcast(stats))
+        )
+        nn = F.col("n").cast("double")
+        idf = F.log(
+            (nn - F.col("dfc").cast("double") + 0.5)
+            / (F.col("dfc").cast("double") + 0.5)
+            + 1.0
+        )
+        avgdl = F.col("sumdl").cast("double") / nn
+        tfd = F.col("tf").cast("double")
+        part = (tfd * 2.5) / (
+            tfd + 1.5 * (0.25 + 0.75 * (F.col("dl").cast("double") / avgdl))
+        )
+        q = F.floor(idf * part * F.lit(1e9)).cast("bigint")
+        return j.groupBy("id").agg(F.sum(q).alias("sq"))
+
+    qterms = spark.createDataFrame([(t,) for t in query_terms], "tok string")
+    top1 = (
+        scored(qterms)
+        .orderBy(F.desc("sq"), F.asc("id"))
+        .limit(fb_docs)
+        .select("id")
+    )
+    fb = (
+        posts.join(F.broadcast(top1), "id")
+        .join(F.broadcast(qterms), "tok", "left_anti")
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("w"))
+        .orderBy(F.desc("w"), F.asc("tok"))
+        .limit(fb_terms)
+        .select("tok")
+    )
+    expanded = qterms.unionByName(fb).distinct()
+    return (
+        scored(expanded)
+        .orderBy(F.desc("sq"), F.asc("id"))
+        .limit(k)
+        .select("id", (F.col("sq").cast("double") / 1e9).alias("score"))
+    )

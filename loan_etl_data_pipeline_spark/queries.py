@@ -15430,3 +15430,79 @@ ORACLE_PART_B["q_token_adaptation"] = """
     FROM per_tok CROSS JOIN nd
     ORDER BY cf DESC, tok ASC LIMIT 20
 """
+
+
+def q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ pseudo-relevance-feedback retrieval (operators/retrieval.py
+    bm25_prf): BM25 round 1 for the fixed query, top-5 non-query
+    feedback terms from the top-10 docs, rescore over the expanded set
+    — RM3-lite, the classic short-query recall lever, composed from
+    the posts-based BM25 with every (doc,term) score int-quantized
+    before per-doc sums so BOTH rounds rank on exact integers.
+    The oracle replays the full two-round pipeline in SQL.
+    """
+    from loan_etl_data_pipeline_spark.operators.retrieval import bm25_prf
+
+    return bm25_prf(
+        load_table(spark, sf_dir, "documents"), list(BM25_TERMS), k=10
+    )
+
+
+QUERIES_PART_B["q_bm25_prf"] = q_bm25_prf
+
+ORACLE_PART_B["q_bm25_prf"] = r"""
+    WITH base AS (
+        SELECT doc_id AS id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), posts AS (
+        SELECT id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT id, len(t) AS dl, UNNEST(t) AS tok FROM base
+        ) GROUP BY id, dl, tok
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(len(t)) AS BIGINT) AS sumdl
+        FROM base
+    ), dfreq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM posts GROUP BY tok
+    ), qterms AS (
+        SELECT UNNEST(['spark', 'join', 'window']) AS tok
+    ), r1 AS (
+        SELECT id, CAST(sum(CAST(FLOOR(
+                 ln((CAST(n AS DOUBLE) - CAST(dfc AS DOUBLE) + 0.5)
+                    / (CAST(dfc AS DOUBLE) + 0.5) + 1.0)
+                 * ((CAST(tf AS DOUBLE) * 2.5)
+                    / (CAST(tf AS DOUBLE)
+                       + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                            / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+                 * 1e9) AS BIGINT)) AS BIGINT) AS sq
+        FROM posts JOIN qterms USING (tok) JOIN dfreq USING (tok)
+        CROSS JOIN stats
+        GROUP BY id
+    ), top1 AS (
+        SELECT id FROM r1 ORDER BY sq DESC, id ASC LIMIT 10
+    ), fb AS (
+        SELECT tok FROM (
+            SELECT p.tok, CAST(sum(p.tf) AS BIGINT) AS w
+            FROM posts p JOIN top1 USING (id)
+            WHERE p.tok NOT IN (SELECT tok FROM qterms)
+            GROUP BY p.tok
+        ) ORDER BY w DESC, tok ASC LIMIT 5
+    ), expanded AS (
+        SELECT tok FROM qterms UNION SELECT tok FROM fb
+    ), r2 AS (
+        SELECT id, CAST(sum(CAST(FLOOR(
+                 ln((CAST(n AS DOUBLE) - CAST(dfc AS DOUBLE) + 0.5)
+                    / (CAST(dfc AS DOUBLE) + 0.5) + 1.0)
+                 * ((CAST(tf AS DOUBLE) * 2.5)
+                    / (CAST(tf AS DOUBLE)
+                       + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                            / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+                 * 1e9) AS BIGINT)) AS BIGINT) AS sq
+        FROM posts JOIN expanded USING (tok) JOIN dfreq USING (tok)
+        CROSS JOIN stats
+        GROUP BY id
+    )
+    SELECT id, CAST(sq AS DOUBLE) / 1e9 AS score
+    FROM r2 ORDER BY sq DESC, id ASC LIMIT 10
+"""

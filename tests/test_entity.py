@@ -66,3 +66,15 @@ def test_sorted_neighborhood_catches_prefix_typos(spark):
     cand = sorted_neighborhood_pairs(df, "id", "key", window=2)
     matched = cand.filter(F.levenshtein("key_a", "key_b") <= 1).collect()
     assert {(r.id_a, r.id_b) for r in matched} == {(1, 2)}
+
+
+def test_sorted_neighborhood_rejects_window_one(spark):
+    import pytest
+
+    from loan_etl_data_pipeline_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, key string")
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "key", window=1)

@@ -374,3 +374,39 @@ class TestSparseTopk:
         # the exact value is cap^2 * shared_terms-ish; the invariant that
         # matters is positivity (no silent wrap) and the right winner
         assert got[0]["score"] > 0
+
+
+def test_bm25_prf_expands_and_stays_deterministic(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.operators.retrieval import bm25_prf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = [(r.id, r.score) for r in
+         bm25_prf(docs, ["spark", "join", "window"], k=10).collect()]
+    b = [(r.id, r.score) for r in
+         bm25_prf(docs.repartition(13), ["spark", "join", "window"],
+                  k=10).collect()]
+    assert a == b  # quantized scores: partitioning can't reorder
+    assert len(a) == 10
+    scores = [s for _, s in a]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_prf_feedback_recalls_related_doc(spark):
+    # doc 3 shares NO query term but is saturated with the feedback
+    # term that dominates the round-1 winners — expansion must pull it
+    # into the final ranking above the unrelated doc 4
+    from loan_etl_data_pipeline_spark.operators.retrieval import bm25_prf
+
+    df = spark.createDataFrame(
+        [
+            (1, "query topic topic filler"),
+            (2, "query topic topic other"),
+            (3, "topic topic topic topic"),
+            (4, "unrelated stuff entirely here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = [r.id for r in
+           bm25_prf(df, ["query"], k=4, fb_docs=2, fb_terms=1).collect()]
+    assert 3 in out
+    assert out.index(3) < out.index(4) if 4 in out else True
