@@ -15506,3 +15506,71 @@ ORACLE_PART_B["q_bm25_prf"] = r"""
     SELECT id, CAST(sq AS DOUBLE) / 1e9 AS score
     FROM r2 ORDER BY sq DESC, id ASC LIMIT 10
 """
+
+
+def q_mirror_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+ cross-source boilerplate-sharing audit: source pairs ranked
+    by how many DISTINCT 4-gram shingles they share — the
+    who-is-mirroring-whom provenance signal behind dedup
+    (q_dup_rate_by_source measures each source's internal dup rate;
+    this measures content flow BETWEEN sources — scrape-of-a-scrape,
+    shared templates, syndication). Gram-level because whole-doc
+    mirrors are trivially caught by q_docs_dedup while fragment
+    sharing survives rewording around the copied spans.
+
+    100 TB: grams emit row-locally and collapse to DISTINCT
+    (gram, source) BEFORE the self-join, so per-gram join fan-out is
+    bounded by |sources|², never by copy counts; digests (xxhash64
+    would be Spark-only — md5 keeps it oracle-able) travel, text does
+    not. Output ≤ |sources|²/2 rows.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens as toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = toks(F.lower(F.col("text")))
+    grams = (
+        docs.select("source", t.alias("t"))
+        .filter(F.size("t") >= 4)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 3), i ->"
+                    " concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+                    " element_at(t, i + 2), element_at(t, i + 3)))"
+                )
+            ).alias("g"),
+        )
+        .select(F.md5("g").alias("h"), "source")
+        .distinct()
+    )
+    a = grams.select("h", F.col("source").alias("s1"))
+    b = grams.select("h", F.col("source").alias("s2"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+
+
+QUERIES_PART_B["q_mirror_sources"] = q_mirror_sources
+
+ORACLE_PART_B["q_mirror_sources"] = """
+    WITH t AS (
+        SELECT source,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT source,
+               md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                   || ' ' || arr[i+3]) AS h
+        FROM t, UNNEST(list_transform(range(1, len(arr) - 2), x -> x))
+               AS r(i)
+        WHERE len(arr) >= 4
+    )
+    SELECT a.source AS s1, b.source AS s2,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+"""

@@ -540,3 +540,25 @@ def test_token_adaptation_bursty_vs_uniform(spark, tmp_path):
     assert out["bursty"].adaptation == 1.0  # every host doc repeats it
     assert out["spread"].baseline == 1.0
     assert abs(out["bursty"].baseline - 0.25) < 1e-12
+
+
+def test_mirror_sources_planted_syndication(spark, tmp_path):
+    # sources A and B share a copied span; C is original — (A,B) must
+    # dominate, and pairs with no shared 4-gram must not appear
+    from loan_etl_data_pipeline_spark.queries import q_mirror_sources
+
+    span = "copied boilerplate navigation footer text here now"
+    rows = [
+        (1, f"alpha beta {span}", "en", "A", 10),
+        (2, f"{span} gamma delta", "en", "B", 10),
+        (3, "completely different words in every position", "en", "C", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {(r.s1, r.s2): r.n_shared_grams
+           for r in q_mirror_sources(spark, str(tmp_path)).collect()}
+    assert ("A", "B") in out and out[("A", "B")] == 4  # 7-token span → 4 grams
+    assert ("A", "C") not in out and ("B", "C") not in out
