@@ -15574,3 +15574,79 @@ ORACLE_PART_B["q_mirror_sources"] = """
     FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
     GROUP BY a.source, b.source
 """
+
+
+def q_coordinated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ coordinated (join-consistent) sampling: orders and lineitem
+    both sampled at 25% by the SAME md5 coordinate of the JOIN KEY, so
+    every sampled lineitem's parent order is sampled by construction —
+    the distributed-systems discipline for downsampling a star schema
+    without orphaning fact rows (independent per-table sampling keeps
+    only p² of joinable pairs and leaves ~(1−p) of sampled children
+    parentless). The query PROVES it: orphans under coordinated
+    sampling (anti-join) = 0, while the same lineitem sample drawn
+    with a DIFFERENT salt shows the orphan mass independent sampling
+    would create. All md5-deterministic — no RNG, replayable on any
+    engine.
+
+    100 TB: two filtered scans + one broadcast-able anti-join on the
+    sampled-orders key set; the sample decision is a row-local hash,
+    pushable all the way into the scan filter.
+    """
+    keep = lambda col, salt: F.substring(  # noqa: E731
+        F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 1
+    ).isin("0", "1", "2", "3")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o_s = o.filter(keep(F.col("o_orderkey"), "c1"))
+    li_coord = li.filter(keep(F.col("l_orderkey"), "c1"))
+    li_indep = li.filter(keep(F.col("l_orderkey"), "c2"))
+    orphans_coord = li_coord.join(
+        o_s, li_coord.l_orderkey == o_s.o_orderkey, "left_anti"
+    )
+    orphans_indep = li_indep.join(
+        o_s, li_indep.l_orderkey == o_s.o_orderkey, "left_anti"
+    )
+    counts = [
+        o_s.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders_sampled")),
+        li_coord.agg(F.count(F.lit(1)).cast("bigint").alias("n_li_coord")),
+        orphans_coord.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans_coord")
+        ),
+        li_indep.agg(F.count(F.lit(1)).cast("bigint").alias("n_li_indep")),
+        orphans_indep.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans_indep")
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
+
+
+QUERIES_PART_B["q_coordinated_sample"] = q_coordinated_sample
+
+ORACLE_PART_B["q_coordinated_sample"] = """
+    WITH o_s AS (
+        SELECT o_orderkey FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || 'c1'), 1, 1)
+              IN ('0', '1', '2', '3')
+    ), li_coord AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || 'c1'), 1, 1)
+              IN ('0', '1', '2', '3')
+    ), li_indep AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || 'c2'), 1, 1)
+              IN ('0', '1', '2', '3')
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM o_s) AS n_orders_sampled,
+           (SELECT CAST(count(*) AS BIGINT) FROM li_coord) AS n_li_coord,
+           (SELECT CAST(count(*) AS BIGINT) FROM li_coord
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_s))
+             AS n_orphans_coord,
+           (SELECT CAST(count(*) AS BIGINT) FROM li_indep) AS n_li_indep,
+           (SELECT CAST(count(*) AS BIGINT) FROM li_indep
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_s))
+             AS n_orphans_indep
+"""

@@ -562,3 +562,16 @@ def test_mirror_sources_planted_syndication(spark, tmp_path):
            for r in q_mirror_sources(spark, str(tmp_path)).collect()}
     assert ("A", "B") in out and out[("A", "B")] == 4  # 7-token span → 4 grams
     assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_coordinated_sample_join_consistency(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.queries import q_coordinated_sample
+
+    r = q_coordinated_sample(spark, sf_dir).collect()[0]
+    assert r.n_orphans_coord == 0  # the whole point
+    # independent sampling orphans ≈ (1-p)=75% of its sampled children
+    assert r.n_orphans_indep > 0.6 * r.n_li_indep
+    # both samples land near p=25%
+    total_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for n in (r.n_li_coord, r.n_li_indep):
+        assert abs(n / total_li - 0.25) < 0.05
