@@ -496,3 +496,26 @@ def test_target_encoding_category_broadcast(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p  # the fact never shuffles
     assert "Python" not in p
+
+
+def test_bm25_prf_broadcast_terms_no_smj(plans):
+    p = plans("q_bm25_prf")
+    # every term set and feedback frame broadcasts; both rounds rank
+    # via TakeOrdered, never a global sort
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("TakeOrderedAndProject") >= 3
+    assert "Python" not in p
+
+
+def test_mirror_sources_digest_join_only(plans):
+    p = plans("q_mirror_sources")
+    # text never joins — the self-join key is the 32-char digest after
+    # the distinct collapse
+    assert "SortMergeJoin" not in p or "md5" not in p.split("SortMergeJoin")[0]
+    assert "Python" not in p
+
+
+def test_coordinated_sample_no_wide_join(plans):
+    p = plans("q_coordinated_sample")
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
