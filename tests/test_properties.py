@@ -84,3 +84,57 @@ def test_bfs_hops_matches_bruteforce(spark, edges, hops):
             dist[v] = h
         frontier = nxt
     assert got == dist
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.text(alphabet="abc", max_size=4)),
+        min_size=1,
+        max_size=30,
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_table_fingerprint_multiset_property(spark, rows, parts):
+    # fingerprints are equal IFF the row multisets are equal, under any
+    # partitioning; independent Python md5 replay is the oracle
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.quality import (
+        table_fingerprint,
+    )
+
+    df = spark.createDataFrame(rows, "k bigint, v string").repartition(parts)
+    canon = F.concat_ws("|", F.col("k").cast("string"), F.col("v"))
+    got = {r.bucket: (r.n_rows, r.checksum)
+           for r in table_fingerprint(df, canon).collect()}
+    want: dict = {}
+    for k, v in rows:
+        h = hashlib.md5(f"{k}|{v}".encode()).hexdigest()
+        b = h[31]
+        n, c = want.get(b, (0, 0))
+        want[b] = (n + 1, c + int(h[:10], 16))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cdc_chunks_reconstruct_property(spark, toks):
+    # chunks always partition the token stream: ordered concatenation
+    # reconstructs the document verbatim, token counts conserve
+    from loan_etl_data_pipeline_spark.operators.dedup import cdc_chunks
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(cdc_chunks(df, "doc_id", "text").collect(),
+                  key=lambda r: r.seg)
+    assert " ".join(r.chunk for r in rows) == text
+    assert sum(r.n_tokens for r in rows) == len(toks)
