@@ -14834,12 +14834,11 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_PART_B["q_matryoshka_recall"] = q_matryoshka_recall
 
-ORACLE_PART_B["q_matryoshka_recall"] = (
-    """
-    WITH full_topk AS ("""
-    + _KNN_TOPK_ORACLE_TMPL.format(probe_bound=10)
-    + """
-    ), tq AS (SELECT vec_id AS query_id, embedding[1:16] AS qe
+# Truncated-embedding top-5 CTE chain (16 of 64 dims), shared by the
+# Matryoshka recall and RBO oracles — keeps rank AS trank so consumers
+# can use either membership or rank.
+_TRUNC_TOPK_SQL = """
+    tq AS (SELECT vec_id AS query_id, embedding[1:16] AS qe
               FROM embeddings WHERE vec_id < 10),
     tc AS (SELECT vec_id AS neighbor_id, embedding[1:16] AS ce
            FROM embeddings),
@@ -14862,14 +14861,24 @@ ORACLE_PART_B["q_matryoshka_recall"] = (
                     * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) AS cosine
         FROM tsums
     ), trunc_topk AS (
-        SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, trank FROM (
             SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
+                   CAST(row_number() OVER (PARTITION BY query_id
                                       ORDER BY cosine DESC,
-                                               neighbor_id ASC) AS rank
+                                               neighbor_id ASC)
+                     AS BIGINT) AS trank
             FROM tcos
-        ) WHERE rank <= 5
-    )
+        ) WHERE trank <= 5
+    )"""
+
+ORACLE_PART_B["q_matryoshka_recall"] = (
+    """
+    WITH full_topk AS ("""
+    + _KNN_TOPK_ORACLE_TMPL.format(probe_bound=10)
+    + """
+    ), """
+    + _TRUNC_TOPK_SQL
+    + """
     SELECT f.query_id,
            CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
            CAST(count(t.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
@@ -15650,3 +15659,106 @@ ORACLE_PART_B["q_coordinated_sample"] = """
             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_s))
              AS n_orphans_indep
 """
+
+
+def q_rbo_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ rank-biased overlap (RBO, Webber et al. 2010) between the
+    full 64-dim and 16-dim-truncated top-5 rankings — the RANK-AWARE
+    companion to q_matryoshka_recall's set overlap: recall@5 can't see
+    that the truncated tier demoted the true #1 to #5, RBO's
+    top-weighted prefix sum can (and with q_mrr/q_ndcg this completes
+    the ranking-evaluation suite). Truncated RBO_min at p=0.9: depth-d
+    agreement X_d = |A_d ∩ B_d| from exact-int rank comparisons; the
+    five p^(d−1) weights are exact decimal literals; the weighted sum
+    is ONE fixed left-to-right expression, bit-identical cross-engine.
+
+    100 TB: composes the certified brute-force kernel twice (same
+    economics as q_matryoshka_recall); the RBO itself touches only
+    2·k·|probes| id/rank pairs.
+    """
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    trunc = lambda df: df.select(  # noqa: E731
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    full = cosine_topk_bruteforce(probes, emb, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ra")
+    )
+    tr = cosine_topk_bruteforce(trunc(probes), trunc(emb), k=5).select(
+        F.col("query_id").alias("tq"),
+        F.col("neighbor_id").alias("tn"),
+        F.col("rank").alias("rb"),
+    )
+    j = full.join(
+        tr,
+        (full.query_id == tr.tq) & (full.neighbor_id == tr.tn),
+        "left",
+    )
+
+    def xd(d):
+        return (
+            F.sum(
+                F.when(
+                    F.col("rb").isNotNull()
+                    & (F.greatest("ra", "rb") <= d),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"x{d}")
+        )
+
+    per = j.groupBy("query_id").agg(xd(1), xd(2), xd(3), xd(4), xd(5))
+    rbo = F.lit(0.1) * (
+        F.col("x1").cast("double") * 1.0 / 1.0
+        + F.col("x2").cast("double") * 0.9 / 2.0
+        + F.col("x3").cast("double") * 0.81 / 3.0
+        + F.col("x4").cast("double") * 0.729 / 4.0
+        + F.col("x5").cast("double") * 0.6561 / 5.0
+    )
+    return per.select(
+        "query_id", F.col("x5").alias("overlap_at_5"), rbo.alias("rbo")
+    )
+
+
+QUERIES_PART_B["q_rbo_truncation"] = q_rbo_truncation
+
+ORACLE_PART_B["q_rbo_truncation"] = (
+    """
+    WITH full_topk AS ("""
+    + _KNN_TOPK_ORACLE_TMPL.format(probe_bound=10)
+    + """
+    ), """
+    + _TRUNC_TOPK_SQL
+    + """
+    SELECT f.query_id,
+           CAST(sum(CASE WHEN t.trank IS NOT NULL
+                          AND GREATEST(f.rank, t.trank) <= 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_5,
+           0.1 * (
+             CAST(sum(CASE WHEN t.trank IS NOT NULL
+                            AND GREATEST(f.rank, t.trank) <= 1
+                           THEN 1 ELSE 0 END) AS DOUBLE) * 1.0 / 1.0
+           + CAST(sum(CASE WHEN t.trank IS NOT NULL
+                            AND GREATEST(f.rank, t.trank) <= 2
+                           THEN 1 ELSE 0 END) AS DOUBLE) * 0.9 / 2.0
+           + CAST(sum(CASE WHEN t.trank IS NOT NULL
+                            AND GREATEST(f.rank, t.trank) <= 3
+                           THEN 1 ELSE 0 END) AS DOUBLE) * 0.81 / 3.0
+           + CAST(sum(CASE WHEN t.trank IS NOT NULL
+                            AND GREATEST(f.rank, t.trank) <= 4
+                           THEN 1 ELSE 0 END) AS DOUBLE) * 0.729 / 4.0
+           + CAST(sum(CASE WHEN t.trank IS NOT NULL
+                            AND GREATEST(f.rank, t.trank) <= 5
+                           THEN 1 ELSE 0 END) AS DOUBLE) * 0.6561 / 5.0
+           ) AS rbo
+    FROM full_topk f
+    LEFT JOIN trunc_topk t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+"""
+)

@@ -575,3 +575,24 @@ def test_coordinated_sample_join_consistency(spark, sf_dir):
     total_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     for n in (r.n_li_coord, r.n_li_indep):
         assert abs(n / total_li - 0.25) < 0.05
+
+
+def test_rbo_bounds_and_consistency_with_recall(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.queries import (
+        q_matryoshka_recall,
+        q_rbo_truncation,
+    )
+
+    rbo = {r.query_id: r for r in q_rbo_truncation(spark, sf_dir).collect()}
+    rec = {r.query_id: r for r in
+           q_matryoshka_recall(spark, sf_dir).collect()}
+    assert set(rbo) == set(rec)
+    # truncated RBO_min at p=0.9 over 5 depths is bounded by
+    # 0.1 * sum(p^(d-1)) = 0.40951
+    for q, r in rbo.items():
+        assert 0.0 <= r.rbo <= 0.40951 + 1e-12
+        # depth-5 agreement equals the recall query's hit count
+        assert r.overlap_at_5 == rec[q].n_hits
+        # identical rankings would give the max; zero overlap gives 0
+        if r.overlap_at_5 == 0:
+            assert r.rbo == 0.0
