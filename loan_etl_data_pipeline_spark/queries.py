@@ -8945,6 +8945,32 @@ def _abtt_oracle() -> str:
 ORACLE_PART_B["q_abtt"] = _abtt_oracle()
 
 
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracled (id, cluster) k-means assignment five queries consume
+    (q_kmeans, q_silhouette, q_cluster_purity, q_ari, q_nmi) — same
+    multi-consumer shape as _jaccard_pair_graph: self-contained rebuild
+    under the driver's correctness gate, ONE certified versioned
+    snapshot when ``SPARK_GRAFT_MATERIALIZE_DIR`` is set (bench mode /
+    composed pipelines). At 100 TB the clustering is the expensive
+    stage and its four validation audits are cheap rollups — rerunning
+    Lloyd per audit is exactly the reference's
+    re-execute-the-pipeline-per-insight habit
+    (reference: airflow/dags/etl/pyspark_etl.py:38-44, SURVEY §3.1
+    step 6) at 1000× the cost."""
+    import os
+
+    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_int(emb, "vec_id", "embedding", dim=64, k=8, iters=2)
+    if not os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR"):
+        # localCheckpoint: every consumer joins `assign` at least twice
+        # downstream; without it the 2-round Lloyd lineage re-executes
+        # per reference
+        return assign.localCheckpoint()
+    return _bench_snapshot(assign, f"kmeans|d=64|k=8|i=2|{sf_dir.rstrip('/')}")
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3+ auditable clustering (operators/kmeans.py kmeans_int): 2
     exact-int64 Lloyd rounds, k=8, over the corpus embeddings —
@@ -8956,10 +8982,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the bit-reproducible variant for curation decisions that
     feed deletions). 500 assignment rows out at sf0.01.
     """
-    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = kmeans_int(emb, "vec_id", "embedding", dim=64, k=8, iters=2)
+    out = _kmeans_assign(spark, sf_dir)
     return out.select(F.col("id").alias("vec_id"), "cluster")
 
 
@@ -9039,13 +9062,9 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FINAL assignment; per-row ratios floor-quantize to 1e-9 before
     the per-cluster mean so summation order can't leak. k rows out.
     """
-    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
-
     emb = load_table(spark, sf_dir, "embeddings")
     k, dim = 8, 64
-    assign = kmeans_int(
-        emb, "vec_id", "embedding", dim=dim, k=k, iters=2
-    ).localCheckpoint()
+    assign = _kmeans_assign(spark, sf_dir)
     eq = emb.select(
         F.col("vec_id").alias("id"),
         F.posexplode("embedding").alias("pos", "x"),
@@ -12811,12 +12830,8 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes the generated Lloyd rounds with the purity rollup in one
     statement.
     """
-    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
-
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = kmeans_int(
-        emb, "vec_id", "embedding", dim=64, k=8, iters=2
-    ).localCheckpoint()
+    assign = _kmeans_assign(spark, sf_dir)
     lab = emb.select(
         F.col("vec_id").alias("id"), F.col("label").cast("bigint").alias("lbl")
     )
@@ -12880,12 +12895,8 @@ def q_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     x(x−1) div 2 — and ARI's one division closes it out. Composes
     the generated Lloyd rounds in its oracle. 1 row out.
     """
-    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
-
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = kmeans_int(
-        emb, "vec_id", "embedding", dim=64, k=8, iters=2
-    ).localCheckpoint()
+    assign = _kmeans_assign(spark, sf_dir)
     lab = emb.select(
         F.col("vec_id").alias("id"), F.col("label").cast("bigint").alias("lbl")
     )
@@ -12971,12 +12982,8 @@ def q_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one closing IEEE sequence. Composes the generated Lloyd
     rounds in its oracle. 1 row out.
     """
-    from loan_etl_data_pipeline_spark.operators.kmeans import kmeans_int
-
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = kmeans_int(
-        emb, "vec_id", "embedding", dim=64, k=8, iters=2
-    ).localCheckpoint()
+    assign = _kmeans_assign(spark, sf_dir)
     lab = emb.select(
         F.col("vec_id").alias("id"), F.col("label").cast("bigint").alias("lbl")
     )

@@ -190,6 +190,34 @@ def test_materialized_pair_graph_consumers_scan_parquet(spark, sf_dir, tmp_path)
     assert list_versions(spark, str(tmp_path / "pairsnap")) == [1, 2]
 
 
+def test_kmeans_assign_bench_snapshot_parity(spark, sf_dir, tmp_path, monkeypatch):
+    """_kmeans_assign bench routing: with SPARK_GRAFT_MATERIALIZE_DIR
+    set, the assignment comes back as a parquet FileScan of the
+    certified snapshot (no Lloyd re-run — no posexplode / distance
+    aggregates in the consumer plan) and its values are identical to
+    the self-contained path the driver's correctness gate runs."""
+    from loan_etl_data_pipeline_spark.queries import _kmeans_assign
+
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE_DIR", raising=False)
+    plain = sorted(map(tuple, _kmeans_assign(spark, sf_dir).collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path))
+    snap = _kmeans_assign(spark, sf_dir)
+    p = snap._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in p
+    assert "posexplode" not in p and "SortMergeJoin" not in p
+    assert sorted(map(tuple, snap.collect())) == plain
+
+    # memoized: a second bench-mode call reads the same version back
+    from loan_etl_data_pipeline_spark.sources.versioned import list_versions
+
+    again = _kmeans_assign(spark, sf_dir)
+    assert sorted(map(tuple, again.collect())) == plain
+    snap_dirs = [d for d in tmp_path.iterdir() if d.name.startswith("snap_")]
+    assert len(snap_dirs) == 1
+    assert list_versions(spark, str(snap_dirs[0])) == [1]
+
+
 def test_supplier_variety_anti_is_broadcast(plans):
     p = plans("q_supplier_variety")
     assert "LeftAnti, BuildRight" in p
