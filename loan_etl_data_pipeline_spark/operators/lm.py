@@ -133,3 +133,119 @@ def bigram_lm_score(
             ),
         )
     )
+
+
+def kneser_ney_train(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train an interpolated Kneser–Ney bigram model (absolute discount
+    D = 3/4) — the smoothing the real perplexity filters use (KenLM is
+    modified KN; add-one over-penalizes frequent contexts with big
+    vocabularies).
+
+    Returns (model, stats):
+
+    model = (w1, w2, c12): the bigram count table — the ONLY corpus-
+            shaped state. Context marginals (c1 = Σ_w2 c12,
+            n1p = N₁₊(w1·)) and the continuation counts
+            (ncont = N₁₊(·w2)) are derived from it by the scorer,
+            never by a second corpus scan.
+    stats = 1 row (nct, v): total bigram TYPES N₁₊(··) and the unigram
+            vocabulary size — the continuation distribution's add-one
+            smoothing denominator (raw KN gives unseen words zero
+            mass; a filter must rank them, not crash on them).
+    """
+    bg = _bigrams(df, id_col, text_col)
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tok = F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    stats = (
+        df.select(tok)
+        .agg(F.count_distinct(F.col("tok")).cast("bigint").alias("v"))
+        .crossJoin(
+            F.broadcast(
+                model.agg(F.count(F.lit(1)).cast("bigint").alias("nct"))
+            )
+        )
+    )
+    return model, stats
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    model: DataFrame,
+    stats: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under interpolated Kneser–Ney with D = 3/4,
+    quantized to integers at creation so the whole train→score
+    pipeline is value-exact under any partitioning (same contract as
+    ``bigram_lm_score``):
+
+        P_KN(w2|w1) = (max(c12 − D, 0) + D·N₁₊(w1·)·P_cont(w2)) / c1
+        P_cont(w2)  = (N₁₊(·w2) + 1) / (N₁₊(··) + V)
+
+    With D = 3/4 everything is rational; cross-multiplying gives the
+    one integer division per bigram:
+
+        p9 = (max(4·c12−3, 0)·(nct+v) + 3·n1p·(ncont+1)) · 1e9
+             div (4·c1·(nct+v))
+
+    computed in DECIMAL(38,0): the numerator is ≤ 4·c12·(nct+v)·1e9 —
+    at a 100 TB corpus (~1e14 bigram tokens, ~1e10 types) that is ~34
+    digits, inside decimal-38 but far past int64 (it already overflows
+    int64 at sf0.01). ``div`` on Spark decimals and ``//`` on DuckDB
+    HUGEINTs truncate identically (verified), so the oracle holds.
+
+    Backoff is total: an unseen bigram in a seen context keeps the
+    discounted continuation mass (c12→0 zeroes the first term), and an
+    unseen CONTEXT (c1 NULL after the left join) degrades to the
+    smoothed continuation distribution itself — every branch stays a
+    rational in the same quantization.
+
+    Scale shape mirrors ``bigram_lm_score``: the model joins on its
+    natural (w1, w2) key and the derived marginals on w1 / w2 — never
+    broadcast (vocabulary² state), no Python row functions.
+    """
+    bg = _bigrams(docs, id_col, text_col)
+    ctx = model.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = model.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    p9 = F.expr(
+        f"""CASE WHEN c1 IS NULL THEN
+            (CAST(coalesce(ncont, 0L) + 1L AS DECIMAL(38,0)) * {_P_SCALE})
+              div CAST(nct + v AS DECIMAL(38,0))
+        ELSE
+            ((CAST(greatest(4L * coalesce(c12, 0L) - 3L, 0L) AS DECIMAL(38,0))
+                * CAST(nct + v AS DECIMAL(38,0))
+              + CAST(3L * n1p AS DECIMAL(38,0))
+                * CAST(coalesce(ncont, 0L) + 1L AS DECIMAL(38,0)))
+             * {_P_SCALE})
+              div (CAST(4L * c1 AS DECIMAL(38,0))
+                   * CAST(nct + v AS DECIMAL(38,0)))
+        END"""
+    ).alias("p9")
+    scored = (
+        bg.join(model, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(stats))
+        .select("__id", p9)
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("p9").alias("sum_p9")
+    )
+    ids = docs.select(F.col(id_col).alias("__id")).distinct()
+    return (
+        ids.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.col("sum_p9"), F.lit(0)).cast("bigint").alias("sum_p9"),
+            (F.col("sum_p9").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "mean_p9"
+            ),
+        )
+    )

@@ -672,6 +672,27 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(d, model, vocab)
 
 
+def q_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ held-out Kneser–Ney quality scoring (operators/lm.py
+    kneser_ney_train/score): train the interpolated-KN bigram model
+    (D = 3/4, add-one-smoothed continuation distribution) on the EVEN
+    doc_ids, score EVERY document — unlike q_bigram_lm's
+    train-on-everything shape, the held-out half exercises all three
+    backoff branches (seen bigram / unseen bigram in a seen context /
+    unseen context) that a real filter meets on fresh crawl data. The
+    per-bigram probability quantizes to int64 at creation through one
+    DECIMAL(38,0) cross-multiplied division, so the whole train→score
+    pipeline carries a full value oracle."""
+    from loan_etl_data_pipeline_spark.operators.lm import (
+        kneser_ney_score,
+        kneser_ney_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model, stats = kneser_ney_train(d.filter(F.col("doc_id") % 2 == 0))
+    return kneser_ney_score(d, model, stats)
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9+ deterministic training-epoch shuffle (functions/splits.py
     epoch_shuffle): global pseudo-random position under
@@ -1229,4 +1250,70 @@ ORACLE_CURATION["q_leakage_safe_split"] = f"""
                                 || ''), 1, 4) < '{_SPLIT_THR_80}'
                 THEN 'train' ELSE 'test' END AS split
     FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+"""
+
+
+QUERIES_CURATION["q_kn_lm"] = q_kn_lm
+# Interpolated Kneser–Ney with D=3/4 over the even-doc_id training half:
+# p9 = (max(4·c12−3,0)·(nct+v) + 3·n1p·(ncont+1))·1e9 // (4·c1·(nct+v)),
+# all HUGEINT (the numerator passes int64 even at sf0.01) — DuckDB //
+# and Spark DECIMAL(38,0) div truncate identically on positives.
+ORACLE_CURATION["q_kn_lm"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents
+    ), tbig AS (
+        SELECT l[CAST(g.i AS INTEGER)] AS w1,
+               l[CAST(g.i AS INTEGER) + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+        WHERE doc_id % 2 = 0
+    ), c12 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM tbig GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1p
+        FROM c12 GROUP BY w1
+    ), cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM c12 GROUP BY w2
+    ), stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM c12) AS nct,
+               (SELECT CAST(count(DISTINCT t.tok) AS BIGINT)
+                FROM toks, UNNEST(l) AS t(tok)
+                WHERE doc_id % 2 = 0) AS v
+    ), sbig AS (
+        SELECT doc_id,
+               l[CAST(g.i AS INTEGER)] AS w1,
+               l[CAST(g.i AS INTEGER) + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+    ), scored AS (
+        SELECT sbig.doc_id,
+               CASE WHEN ctx.c1 IS NULL THEN
+                   (CAST(coalesce(cont.ncont, 0) + 1 AS HUGEINT) * 1000000000)
+                     // CAST(stats.nct + stats.v AS HUGEINT)
+               ELSE
+                   ((CAST(greatest(4 * coalesce(c12.c12, 0) - 3, 0) AS HUGEINT)
+                       * CAST(stats.nct + stats.v AS HUGEINT)
+                     + CAST(3 * ctx.n1p AS HUGEINT)
+                       * CAST(coalesce(cont.ncont, 0) + 1 AS HUGEINT))
+                    * 1000000000)
+                     // (CAST(4 * ctx.c1 AS HUGEINT)
+                         * CAST(stats.nct + stats.v AS HUGEINT))
+               END AS p9
+        FROM sbig
+        LEFT JOIN c12 USING (w1, w2)
+        LEFT JOIN ctx USING (w1)
+        LEFT JOIN cont USING (w2)
+        CROSS JOIN stats
+    ), per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(p9) AS BIGINT) AS sum_p9
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           coalesce(p.sum_p9, 0) AS sum_p9,
+           CAST(p.sum_p9 AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS mean_p9
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """

@@ -87,3 +87,101 @@ def test_partitioning_invariant(spark, tiny):
     a = _score(corpus, m1, v1)
     b = _score(corpus.repartition(11), m2, v2)
     assert a == b
+
+
+# ---- Kneser–Ney (kneser_ney_train / kneser_ney_score) ----------------
+
+
+def _kn_score(docs, model, stats):
+    from loan_etl_data_pipeline_spark.operators.lm import kneser_ney_score
+
+    return {
+        r["doc_id"]: (r["n_bigrams"], r["sum_p9"], r["mean_p9"])
+        for r in kneser_ney_score(docs, model, stats).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def kn(spark, tiny):
+    from loan_etl_data_pipeline_spark.operators.lm import kneser_ney_train
+
+    return kneser_ney_train(tiny)
+
+
+def test_kn_hand_computed(spark, tiny, kn):
+    model, stats = kn
+    st = stats.collect()[0]
+    # bigram types: (a,b), (b,a), (a,c) → nct=3; vocab {a,b,c} → v=3
+    assert (st["nct"], st["v"]) == (3, 3)
+    # ctx(a): c1=3, n1p=2; ctx(b): c1=1, n1p=1
+    # cont: ncont(b)=1, ncont(a)=1, ncont(c)=1; nct+v = 6
+    # p9(a,b) = (max(8-3,0)*6 + 3*2*(1+1))*1e9 // (4*3*6)
+    p_ab = (5 * 6 + 6 * 2) * _P_SCALE // (12 * 6)
+    # p9(b,a) = (max(4-3,0)*6 + 3*1*2)*1e9 // (4*1*6)
+    p_ba = (1 * 6 + 3 * 2) * _P_SCALE // (4 * 6)
+    # p9(a,c) = (max(4-3,0)*6 + 3*2*2)*1e9 // (4*3*6)
+    p_ac = (1 * 6 + 6 * 2) * _P_SCALE // (12 * 6)
+    got = _kn_score(tiny, model, stats)
+    assert got[1] == (3, 2 * p_ab + p_ba, (2 * p_ab + p_ba) / 3)
+    assert got[2] == (1, p_ac, float(p_ac))
+
+
+def test_kn_backoff_branches(spark, tiny, kn):
+    model, stats = kn
+    new = spark.createDataFrame(
+        [(10, "b c"), (11, "z a"), (12, "z q")], "doc_id long, text string"
+    )
+    got = _kn_score(new, model, stats)
+    # (b,c): seen context b (c1=1, n1p=1), unseen bigram → discounted
+    # continuation mass only: (0*6 + 3*1*(ncont(c)+1)=6)*1e9 // (4*1*6)
+    assert got[10] == (1, 6 * _P_SCALE // 24, float(6 * _P_SCALE // 24))
+    # (z,a): unseen context → smoothed continuation (ncont(a)+1) // (nct+v)
+    assert got[11] == (1, 2 * _P_SCALE // 6, float(2 * _P_SCALE // 6))
+    # (z,q): unseen context AND never-seen continuation → 1 // 6
+    assert got[12] == (1, _P_SCALE // 6, float(_P_SCALE // 6))
+
+
+def test_kn_context_mass_at_most_one(spark, kn):
+    # Σ_w2 P_KN(w2|w1) over SEEN w2 plus the reserved mass is ≤ 1:
+    # per context, sum of seen-bigram p9 must stay below 1e9
+    model, stats = kn
+    from pyspark.sql import functions as F
+
+    bg = model.select("w1", "w2")
+    docs = bg.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.concat_ws(" ", "w1", "w2").alias("text"),
+    )
+    from loan_etl_data_pipeline_spark.operators.lm import kneser_ney_score
+
+    scored = kneser_ney_score(docs, model, stats)
+    per_ctx = (
+        scored.join(docs, "doc_id")
+        .select(F.split("text", " ")[0].alias("w1"), "sum_p9")
+        .groupBy("w1")
+        .agg(F.sum("sum_p9").alias("mass"))
+    )
+    assert all(r["mass"] <= _P_SCALE for r in per_ctx.collect())
+
+
+def test_kn_partitioning_invariant(spark):
+    from loan_etl_data_pipeline_spark.operators.lm import (
+        kneser_ney_score,
+        kneser_ney_train,
+    )
+
+    corpus = spark.range(0, 200).selectExpr(
+        "id AS doc_id",
+        "concat('w', id % 7, ' w', id % 5, ' w', id % 3, ' w', id % 7) AS text",
+    )
+    m1, s1 = kneser_ney_train(corpus)
+    m2, s2 = kneser_ney_train(corpus.repartition(13))
+    a = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_p9"])
+        for r in kneser_ney_score(corpus, m1, s1).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_p9"])
+        for r in kneser_ney_score(corpus.repartition(11), m2, s2).collect()
+    }
+    assert a == b
