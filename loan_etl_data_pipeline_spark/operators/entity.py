@@ -55,6 +55,119 @@ def del1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     )
 
 
+def fs_score_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    fields: list[str],
+    m: list[tuple[int, int]],
+    *,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fellegi–Sunter match scoring over blocked candidate pairs — the
+    probabilistic-record-linkage decision layer on top of the two
+    blocking schemes (del1_pairs / sorted_neighborhood_pairs).
+
+    Per comparison field i with match-agreement probability
+    m_i = m[i][0]/m[i][1] (a fixed rational, the analyst's prior) and
+    NON-match agreement probability u_i estimated from the data itself
+    as the chance two random records agree:
+
+        u_i = Σ_v n_v² / n²      (one groupBy per field, n_v = value
+                                  frequency — the classic frequency-
+                                  based u estimate)
+
+    the agreement / disagreement log-weights are
+
+        wa_i = ln(m_i / u_i)          wd_i = ln((1−m_i) / (1−u_i))
+
+    quantized at creation to integers wa9/wd9 = floor(scale·w): ln()
+    over identical doubles is bit-identical across Spark and DuckDB
+    (shared libm — measured), the rational inputs are exact, and the
+    floor makes every later SUM integer-exact under any partitioning,
+    so the whole block→score pipeline carries a full value oracle.
+
+    Returns (id_a, id_b, score9, n_agree): score9 = Σ_i (wa9_i if the
+    pair agrees on field i else wd9_i), agreement NULL-safe (both-NULL
+    agrees). Thresholding into match/review/non-match is the caller's
+    one CASE over score9.
+
+    Scale: u-estimation is one partial-agg shuffle per field over the
+    records (each keyed on that field); scoring joins the pair list to
+    the records TWICE on the record id — the standard ER shape (pairs
+    came from blocking, so |pairs| ≪ n²) — and the k weights travel as
+    a 1-row broadcast. Constant fields are rejected: u_i = 1 makes the
+    disagreement weight ln(x/0).
+    """
+    if len(fields) != len(m) or not fields:
+        raise ValueError("fields and m must align and be non-empty")
+    for num, den in m:
+        if not 0 < num < den:
+            raise ValueError(f"m must be a rational in (0, 1), got {num}/{den}")
+
+    n_df = records.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = n_df
+    for i, f in enumerate(fields):
+        s_i = (
+            records.groupBy(f)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .agg(F.sum(F.expr("c * c")).cast("bigint").alias(f"s{i}"))
+        )
+        stats = stats.crossJoin(F.broadcast(s_i))
+
+    # weights as one select over the 1-row stats: n² in DOUBLE (exact
+    # past int64 is not needed — both engines run the identical IEEE
+    # sequence), ln of rationals, floor-quantize
+    wcols = []
+    for i, (num, den) in enumerate(m):
+        n2 = "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+        wcols.append(
+            F.expr(
+                f"CAST(floor({scale}L * ln((CAST({num} AS DOUBLE) * {n2})"
+                f" / (CAST({den} AS DOUBLE) * CAST(s{i} AS DOUBLE)))) AS BIGINT)"
+            ).alias(f"wa{i}")
+        )
+        wcols.append(
+            F.expr(
+                f"CAST(floor({scale}L * ln((CAST({den - num} AS DOUBLE) * {n2})"
+                f" / (CAST({den} AS DOUBLE) * ({n2} - CAST(s{i} AS DOUBLE)))))"
+                " AS BIGINT)"
+            ).alias(f"wd{i}")
+        )
+    weights = stats.select(*wcols)
+
+    a = records.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f).alias(f"__fa{i}") for i, f in enumerate(fields)],
+    )
+    b = records.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f).alias(f"__fb{i}") for i, f in enumerate(fields)],
+    )
+    agree = [
+        F.col(f"__fa{i}").eqNullSafe(F.col(f"__fb{i}")) for i in range(len(fields))
+    ]
+    score = None
+    n_agree = None
+    for i, ag in enumerate(agree):
+        term = F.when(ag, F.col(f"wa{i}")).otherwise(F.col(f"wd{i}"))
+        cnt = ag.cast("bigint")
+        score = term if score is None else score + term
+        n_agree = cnt if n_agree is None else n_agree + cnt
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .crossJoin(F.broadcast(weights))
+        .select(
+            "id_a",
+            "id_b",
+            score.cast("bigint").alias("score9"),
+            n_agree.alias("n_agree"),
+        )
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str,

@@ -15096,6 +15096,117 @@ ORACLE_PART_B["q_sorted_blocking"] = """
 """
 
 
+def q_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ Fellegi–Sunter probabilistic linkage scoring
+    (operators/entity.py fs_score_pairs) over sorted-neighborhood
+    candidates: the decision layer classic ER stacks on blocking —
+    per-field agreement/disagreement log-weights ln(m/u), ln((1−m)/(1−u))
+    with the u's (chance agreement between two RANDOM records)
+    estimated from the data as Σ n_v²/n² and the m's fixed analyst
+    priors (9/10 nation, 4/5 segment, 19/20 balance-bucket). Weights
+    floor-quantize to 1e-9 at creation (ln over identical doubles is
+    bit-identical cross-engine), so pair scores are exact integers and
+    the whole block→weigh→score→threshold pipeline value-oracles.
+    Decision: match ≥ 5.0, review ≥ 0, else non-match.
+    """
+    from loan_etl_data_pipeline_spark.operators.entity import (
+        fs_score_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1200)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_mktsegment",
+            # ~100-bucket derived field (no phone column in the
+            # testdata): explicit floor() — DuckDB's double->bigint
+            # CAST rounds half-even where Spark truncates
+            F.expr("CAST(floor(c_acctbal) AS BIGINT) % 100").alias("ph"),
+        )
+    )
+    cand = sorted_neighborhood_pairs(
+        c.select("c_custkey", "c_name"), "c_custkey", "c_name", window=4
+    )
+    recs = c.select(
+        F.col("c_custkey").alias("cid"), "c_nationkey", "c_mktsegment", "ph"
+    )
+    scored = fs_score_pairs(
+        cand,
+        recs,
+        "cid",
+        ["c_nationkey", "c_mktsegment", "ph"],
+        [(9, 10), (4, 5), (19, 20)],
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "score9",
+        "n_agree",
+        F.expr(
+            "CASE WHEN score9 >= 5000000000 THEN 'match'"
+            " WHEN score9 >= 0 THEN 'review' ELSE 'nonmatch' END"
+        ).alias("decision"),
+    )
+
+
+QUERIES_PART_B["q_fs_scores"] = q_fs_scores
+
+ORACLE_PART_B["q_fs_scores"] = """
+    WITH c AS (
+        SELECT c_custkey AS id, c_name AS key, c_nationkey AS f0,
+               c_mktsegment AS f1,
+               CAST(floor(c_acctbal) AS BIGINT) % 100 AS f2
+        FROM customer WHERE c_custkey < 1200
+    ), ranked AS (
+        SELECT id, key, f0, f1, f2,
+               row_number() OVER (ORDER BY key ASC, id ASC) AS rank
+        FROM c
+    ), cand AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.f0 AS fa0, a.f1 AS fa1, a.f2 AS fa2,
+               b.f0 AS fb0, b.f1 AS fb1, b.f2 AS fb2
+        FROM ranked a JOIN ranked b
+          ON b.rank > a.rank AND b.rank <= a.rank + 3
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    s0 AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS s0 FROM (
+        SELECT CAST(count(*) AS BIGINT) AS cc FROM c GROUP BY f0)),
+    s1 AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS s1 FROM (
+        SELECT CAST(count(*) AS BIGINT) AS cc FROM c GROUP BY f1)),
+    s2 AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS s2 FROM (
+        SELECT CAST(count(*) AS BIGINT) AS cc FROM c GROUP BY f2)),
+    w AS (
+        SELECT
+          CAST(floor(1000000000 * ln((CAST(9 AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / (CAST(10 AS DOUBLE) * CAST(s0 AS DOUBLE)))) AS BIGINT) AS wa0,
+          CAST(floor(1000000000 * ln((CAST(1 AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / (CAST(10 AS DOUBLE) * ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) - CAST(s0 AS DOUBLE))))) AS BIGINT) AS wd0,
+          CAST(floor(1000000000 * ln((CAST(4 AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / (CAST(5 AS DOUBLE) * CAST(s1 AS DOUBLE)))) AS BIGINT) AS wa1,
+          CAST(floor(1000000000 * ln((CAST(1 AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / (CAST(5 AS DOUBLE) * ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) - CAST(s1 AS DOUBLE))))) AS BIGINT) AS wa1d,
+          CAST(floor(1000000000 * ln((CAST(19 AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / (CAST(20 AS DOUBLE) * CAST(s2 AS DOUBLE)))) AS BIGINT) AS wa2,
+          CAST(floor(1000000000 * ln((CAST(1 AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / (CAST(20 AS DOUBLE) * ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) - CAST(s2 AS DOUBLE))))) AS BIGINT) AS wd2
+        FROM nn, s0, s1, s2
+    ), scored AS (
+        SELECT id_a, id_b,
+               (CASE WHEN fa0 IS NOT DISTINCT FROM fb0 THEN wa0 ELSE wd0 END
+                + CASE WHEN fa1 IS NOT DISTINCT FROM fb1 THEN wa1 ELSE wa1d END
+                + CASE WHEN fa2 IS NOT DISTINCT FROM fb2 THEN wa2 ELSE wd2 END)
+                 AS score9,
+               (CASE WHEN fa0 IS NOT DISTINCT FROM fb0 THEN 1 ELSE 0 END
+                + CASE WHEN fa1 IS NOT DISTINCT FROM fb1 THEN 1 ELSE 0 END
+                + CASE WHEN fa2 IS NOT DISTINCT FROM fb2 THEN 1 ELSE 0 END)
+                 AS n_agree
+        FROM cand CROSS JOIN w
+    )
+    SELECT id_a, id_b, CAST(score9 AS BIGINT) AS score9,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           CASE WHEN score9 >= 5000000000 THEN 'match'
+                WHEN score9 >= 0 THEN 'review' ELSE 'nonmatch' END AS decision
+    FROM scored
+"""
+
+
 def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A.4+ Matthews correlation coefficient for the deep-discount →
     return rule (predict R when l_discount ≥ 0.05) — the

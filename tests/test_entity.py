@@ -78,3 +78,98 @@ def test_sorted_neighborhood_rejects_window_one(spark):
     df = spark.createDataFrame([(1, "a")], "id bigint, key string")
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "id", "key", window=1)
+
+
+# ---- Fellegi–Sunter scoring (fs_score_pairs) --------------------------
+
+
+def _fs_tiny(spark):
+    # 4 records, 2 fields: city (2 values, 2+2) and tier (a:3, b:1)
+    return spark.createDataFrame(
+        [
+            (1, "nyc", "a"),
+            (2, "nyc", "a"),
+            (3, "sf", "a"),
+            (4, "sf", "b"),
+        ],
+        ["id", "city", "tier"],
+    )
+
+
+def test_fs_hand_computed_weights_and_scores(spark):
+    import math
+
+    from loan_etl_data_pipeline_spark.operators.entity import fs_score_pairs
+
+    recs = _fs_tiny(spark)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["score9"], r["n_agree"])
+        for r in fs_score_pairs(
+            pairs, recs, "id", ["city", "tier"], [(9, 10), (4, 5)]
+        ).collect()
+    }
+    # u_city = (4+4)/16 = 1/2; u_tier = (9+1)/16 = 5/8
+    n2 = 16.0
+    wa0 = math.floor(1e9 * math.log((9.0 * n2) / (10.0 * 8.0)))
+    wd0 = math.floor(1e9 * math.log((1.0 * n2) / (10.0 * (n2 - 8.0))))
+    wa1 = math.floor(1e9 * math.log((4.0 * n2) / (5.0 * 10.0)))
+    wd1 = math.floor(1e9 * math.log((1.0 * n2) / (5.0 * (n2 - 10.0))))
+    assert out[(1, 2)] == (wa0 + wa1, 2)   # agree on both
+    assert out[(1, 3)] == (wd0 + wa1, 1)   # city differs, tier agrees
+    assert out[(3, 4)] == (wa0 + wd1, 1)   # city agrees, tier differs
+
+
+def test_fs_null_safe_agreement(spark):
+    from loan_etl_data_pipeline_spark.operators.entity import fs_score_pairs
+
+    recs = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "a"), (3, "x", "b")],
+        "id long, city string, tier string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): r["n_agree"]
+        for r in fs_score_pairs(
+            pairs, recs, "id", ["city", "tier"], [(9, 10), (9, 10)]
+        ).collect()
+    }
+    assert out[(1, 2)] == 2   # NULL <=> NULL agrees
+    assert out[(1, 3)] == 0   # NULL vs 'x' disagrees
+
+
+def test_fs_validates_m(spark):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.entity import fs_score_pairs
+
+    recs = _fs_tiny(spark)
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with _pt.raises(ValueError):
+        fs_score_pairs(pairs, recs, "id", ["city"], [(10, 10)])
+    with _pt.raises(ValueError):
+        fs_score_pairs(pairs, recs, "id", ["city", "tier"], [(1, 2)])
+    with _pt.raises(ValueError):
+        fs_score_pairs(pairs, recs, "id", [], [])
+
+
+def test_fs_partitioning_invariant(spark):
+    from loan_etl_data_pipeline_spark.operators.entity import fs_score_pairs
+
+    recs = spark.range(0, 300).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS city", "CAST(id % 3 AS STRING) AS tier"
+    )
+    pairs = spark.range(0, 299).selectExpr("id AS id_a", "id + 1 AS id_b")
+    args = (pairs, recs, "id", ["city", "tier"], [(9, 10), (4, 5)])
+    a = sorted(map(tuple, fs_score_pairs(*args).collect()))
+    b = sorted(
+        map(
+            tuple,
+            fs_score_pairs(
+                pairs.repartition(11), recs.repartition(13), *args[2:]
+            ).collect(),
+        )
+    )
+    assert a == b
