@@ -98,3 +98,62 @@ def fold_batches(
     for b in batches:
         acc = merge_aggregates(acc, aggregate_batch(b, keys, measures), keys, measures)
     return acc
+
+
+def join_view_delta(
+    a_old: DataFrame,
+    da: DataFrame,
+    b_old: DataFrame,
+    db: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The new rows of a materialized join view A ⋈ B when both inputs
+    receive APPEND deltas (the standard incremental-view-maintenance
+    identity for inner equi-joins):
+
+        Δ(A ⋈ B) = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    Every (a, b) result pair lands in exactly ONE term — the one where
+    the LATER-arriving side is the delta — so the union needs no dedup
+    and the maintained view is multiset-identical to the full rejoin
+    (asserted by test and by the q_incremental_join oracle).
+
+    Scale: the whole point is that |Δ| ≪ |old|. ΔA ⋈ B_old probes the
+    accumulated table only on the delta's join keys — store the
+    accumulated sides bucketed on the join key (sources/bucketed.py)
+    and both old-side probes are exchange-free, or partition by an
+    equi-correlated column and the key filter prunes the scan. The
+    old sides here are DataFrames (in production: versioned snapshot
+    reads, sources/versioned.py); nothing rescans the union of all
+    history per batch except the delta-keyed probe itself.
+    """
+    return (
+        da.join(b_old, on)
+        .unionByName(a_old.join(db, on))
+        .unionByName(da.join(db, on))
+    )
+
+
+def fold_join_batches(
+    a_batches: list[DataFrame],
+    b_batches: list[DataFrame],
+    on: list[str],
+) -> DataFrame:
+    """Maintain the join view over aligned append batches: batch i
+    contributes join_view_delta(A_{<i}, ΔA_i, B_{<i}, ΔB_i) and the
+    view is the union of the deltas — never a full rejoin. Returns the
+    final view (multiset-equal to full_A ⋈ full_B)."""
+    if len(a_batches) != len(b_batches) or not a_batches:
+        raise ValueError("need equal-length, non-empty batch lists")
+    view = None
+    a_old = None
+    b_old = None
+    for da, db in zip(a_batches, b_batches):
+        if a_old is None:
+            delta = da.join(db, on)
+        else:
+            delta = join_view_delta(a_old, da, b_old, db, on)
+        view = delta if view is None else view.unionByName(delta)
+        a_old = da if a_old is None else a_old.unionByName(da)
+        b_old = db if b_old is None else b_old.unionByName(db)
+    return view

@@ -3014,6 +3014,42 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+/E9 incremental JOIN-view maintenance
+    (operators/incremental.py join_view_delta / fold_join_batches):
+    orders and lineitem each arrive in three append batches — split on
+    NON-join columns (custkey / linenumber mod 3) so every cross term
+    ΔA⋈B_old, A_old⋈ΔB, ΔA⋈ΔB is non-empty — and the view is the
+    union of per-batch deltas, never a full rejoin. The oracle is
+    DuckDB's plain one-shot join + GROUP BY over the whole tables,
+    certifying the IVM identity lands every joined row exactly once.
+    Output is the per-(priority, returnflag) rollup of the maintained
+    view (exact counts + floored-cents revenue).
+    """
+    from loan_etl_data_pipeline_spark.operators.incremental import (
+        fold_join_batches,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_c"),
+    )
+    a_batches = [o.filter(F.col("o_custkey") % 3 == i) for i in range(3)]
+    b_batches = [li.filter(F.col("l_linenumber") % 3 == i) for i in range(3)]
+    view = fold_join_batches(a_batches, b_batches, ["o_orderkey"])
+    return view.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum("rev_c").cast("double") / 100).alias("revenue"),
+    )
+
+
 _STOP_EN_SQL = "'the', 'and', 'of', 'to', 'in', 'a', 'is'"
 
 # Exact brute-force top-5 cosine oracle, parameterized on the probe
@@ -4233,6 +4269,14 @@ ORACLE_ROUND3: dict[str, str] = {
         CROSS JOIN n
         ORDER BY lift DESC, bigram ASC LIMIT 20
     """,
+    "q_incremental_join": """
+        SELECT o_orderpriority, l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority, l_returnflag
+    """,
     "q_incremental_agg": """
         SELECT l_returnflag, count(*) AS n_items,
                CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
@@ -4298,6 +4342,7 @@ QUERIES_ROUND3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mean_token_rank": q_mean_token_rank,
     "q_cluster_sizes": q_cluster_sizes,
     "q_incremental_agg": q_incremental_agg,
+    "q_incremental_join": q_incremental_join,
     "q_bigram_lift": q_bigram_lift,
     "q_unpivot_pricing": q_unpivot_pricing,
     "q_chunk_dedup": q_chunk_dedup,

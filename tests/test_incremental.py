@@ -76,3 +76,69 @@ def test_unsupported_kind_raises(spark):
 def test_empty_batch_list_raises():
     with pytest.raises(ValueError, match="at least one"):
         fold_batches([], ["k"], MEASURES)
+
+
+# ---- join-view maintenance (join_view_delta / fold_join_batches) ------
+
+
+def _ab(spark):
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w")], ["k", "av"]
+    )
+    b = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21), (4, 40)], ["k", "bv"]
+    )
+    return a, b
+
+
+def test_join_view_fold_equals_one_shot(spark):
+    from loan_etl_data_pipeline_spark.operators.incremental import (
+        fold_join_batches,
+    )
+
+    a, b = _ab(spark)
+    # misaligned splits so all three delta terms fire
+    a_batches = [a.filter(f"av {c}") for c in ("< 'y'", ">= 'y' AND av < 'z'", ">= 'z'")]
+    b_batches = [b.filter(f"bv {c}") for c in ("< 20", ">= 20 AND bv < 40", ">= 40")]
+    view = sorted(map(tuple, fold_join_batches(a_batches, b_batches, ["k"]).collect()))
+    full = sorted(map(tuple, a.join(b, ["k"]).collect()))
+    assert view == full and len(view) == 4
+
+
+def test_join_view_delta_terms_are_disjoint_and_complete(spark):
+    from loan_etl_data_pipeline_spark.operators.incremental import (
+        join_view_delta,
+    )
+
+    a, b = _ab(spark)
+    a_old, da = a.filter("av <= 'x'"), a.filter("av > 'x'")
+    b_old, db = b.filter("bv <= 20"), b.filter("bv > 20")
+    delta = join_view_delta(a_old, da, b_old, db, ["k"]).collect()
+    base = a_old.join(b_old, ["k"]).collect()
+    full = a.join(b, ["k"]).collect()
+    # base ∪ delta == full as multisets (no dup, no loss)
+    got = sorted(map(tuple, base)) + sorted(map(tuple, delta))
+    assert sorted(got) == sorted(map(tuple, full))
+
+
+def test_join_view_empty_deltas_are_noop(spark):
+    from loan_etl_data_pipeline_spark.operators.incremental import (
+        join_view_delta,
+    )
+
+    a, b = _ab(spark)
+    empty_a = a.filter("1 = 0")
+    empty_b = b.filter("1 = 0")
+    assert join_view_delta(a, empty_a, b, empty_b, ["k"]).count() == 0
+
+
+def test_join_view_validates_batches(spark):
+    from loan_etl_data_pipeline_spark.operators.incremental import (
+        fold_join_batches,
+    )
+
+    a, b = _ab(spark)
+    with pytest.raises(ValueError, match="equal-length"):
+        fold_join_batches([a], [b, b], ["k"])
+    with pytest.raises(ValueError, match="equal-length"):
+        fold_join_batches([], [], ["k"])
