@@ -558,6 +558,7 @@ def stream_stream_interval_join(
     upper_seconds: float = 300.0,
     watermark: str = "1 hour",
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream⋈stream interval join: right events within
     ``[left_ts + lower, left_ts + upper]`` per key — the join type
@@ -571,12 +572,29 @@ def stream_stream_interval_join(
     append mode. On batch frames the identical join runs as a plain
     range-condition join, which is what the parity test compares.
 
+    ``how="leftOuter"`` emits unmatched left rows with NULL right
+    columns — but only once the watermark proves no match can still
+    arrive, so on a stream an unmatched row surfaces one micro-batch
+    AFTER event time passes its ``left_ts + upper + watermark``
+    horizon. A finite stream therefore needs a later event (or Spark's
+    no-data micro-batch) to flush the tail; the parity test drives
+    this with a sentinel row past the horizon. Batch left joins have
+    no such horizon and emit nulls immediately — same multiset,
+    different latency.
+
     Output: left columns + right payload columns suffixed.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be inner or leftOuter, got {how!r}")
     r = right
     for c in r.columns:
         if c != on:
             r = r.withColumnRenamed(c, f"{c}{suffix}")
+    # the right key joins under a reserved name and is dropped by NAME:
+    # dropping by r[on] reference resolves ambiguously after an outer
+    # join (observed: batch leftOuter kept the RIGHT key, nulling the
+    # key on unmatched rows)
+    r = r.withColumnRenamed(on, "__on_r")
     lts, rts = F.col(left_ts), F.col(f"{right_ts}{suffix}")
     if left.isStreaming or r.isStreaming:
         left = left.withWatermark(left_ts, watermark)
@@ -586,7 +604,9 @@ def stream_stream_interval_join(
     lo = f"INTERVAL '{float(lower_seconds):.6f}' SECOND"
     hi = f"INTERVAL '{float(upper_seconds):.6f}' SECOND"
     cond = (rts >= lts + F.expr(lo)) & (rts <= lts + F.expr(hi))
-    return left.join(r, [left[on] == r[on], cond]).drop(r[on])
+    return left.join(
+        r, [left[on] == F.col("__on_r"), cond], how
+    ).drop("__on_r")
 
 
 def stream_neardup_dedup(

@@ -7,6 +7,7 @@ directory and seeing zero new rows), plus E6 batch/stream result parity
 for windowed and session aggregations.
 """
 
+import datetime as _dt
 import os
 
 import pyspark.sql.functions as F
@@ -696,3 +697,88 @@ def test_stream_pit_enrich_matches_batch_pit(spark, tmp_path):
     want = {r["event_id"]: r["tier"]
             for r in point_in_time_join(batch, dim, "user_id", "ts").collect()}
     assert got == want
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, events_batch, tmp_path):
+    """leftOuter stream⋈stream: unmatched clicks surface with NULL right
+    columns once the watermark proves no view can still arrive. Two
+    sentinel rows past the horizon flush the tail (the first advances
+    the watermark, the second's micro-batch applies it), so the emitted
+    multiset must equal the batch left join exactly."""
+    import time as _time
+
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    clicks_b = events_batch.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    views_b = events_batch.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    want = sorted(
+        (
+            (r.user_id, r.ts, r.ts_r, r.value_r)
+            for r in stream_stream_interval_join(
+                clicks_b, views_b, lower_seconds=0, upper_seconds=3600,
+                how="leftOuter",
+            ).collect()
+        ),
+        key=repr,
+    )
+    n_unmatched = sum(1 for w in want if w[2] is None)
+    assert n_unmatched > 0  # fixture really exercises the outer branch
+
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    horizon = [max_ts + _dt.timedelta(days=10 * k) for k in (1, 2)]
+
+    def _src(batch_df, name):
+        src = str(tmp_path / f"{name}_src")
+        batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+        for i, h in enumerate(horizon):
+            _time.sleep(0.05)  # later mod time → later micro-batch
+            spark.createDataFrame(
+                [(-999 - i, h, 0.0)], batch_df.schema
+            ).coalesce(1).write.mode("append").parquet(src)
+        return (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    q = (
+        stream_stream_interval_join(
+            _src(clicks_b, "sslo_clicks"),
+            _src(views_b, "sslo_views"),
+            lower_seconds=0,
+            upper_seconds=3600,
+            how="leftOuter",
+        )
+        .writeStream.format("memory")
+        .queryName("sslo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sslo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (
+            (r.user_id, r.ts, r.ts_r, r.value_r)
+            for r in spark.sql(
+                "select * from sslo where user_id > -900"
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+
+
+def test_stream_stream_join_rejects_unknown_how(spark, events_batch):
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    with pytest.raises(ValueError, match="inner or leftOuter"):
+        stream_stream_interval_join(events_batch, events_batch, how="full")
