@@ -190,6 +190,99 @@ def connected_components_two_phase(
     )
 
 
+def boruvka_msf(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    *,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Minimum spanning forest via Borůvka rounds — the MSF algorithm
+    that parallelizes (Kruskal's sorted-edge scan is inherently
+    sequential; Borůvka does O(log n) rounds of per-component argmin,
+    each a groupBy — the classic distributed formulation).
+
+    Edge order is the lexicographic (weight, u, v) — a strict total
+    order, so the MSF is UNIQUE and any correct algorithm returns the
+    same edge set (which is why the oracle can replay it with unrolled
+    rounds and still certify this implementation: identical answers
+    are forced, not coincidental).
+
+    Per round: every component picks its minimum incident cross-
+    component edge (one union + one window argmin per round, both
+    keyed on the component — no quadratic step anywhere), picked edges
+    join the forest, and components re-resolve via the certified
+    ``connected_components`` propagation over the forest (≤ n−1 edges).
+    Components at least halve per round, so rounds ≤ ⌈log₂ n⌉; the
+    loop's only driver action is one isEmpty probe per round.
+
+    Input edges are undirected (one row per pair, u ≠ v; duplicates
+    collapse to the minimum weight). Returns the forest as
+    (u, v, weight-col) rows.
+
+    100 TB: each round is two comp-label joins (broadcast when the
+    component map fits, shuffle otherwise) + one window argmin on the
+    component key; the forest and component map stay node-sized.
+    Skewed mega-components are safe — the argmin is an aggregate, not
+    a collect.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    comp = nodes.select("id", F.col("id").alias("c"))
+    forest: DataFrame | None = None
+    for _ in range(max_rounds):
+        cu = comp.select(F.col("id").alias("u"), F.col("c").alias("cu"))
+        cv = comp.select(F.col("id").alias("v"), F.col("c").alias("cv"))
+        ce = (
+            e.join(cu, "u")
+            .join(cv, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint()
+        )
+        if ce.isEmpty():
+            break
+        cand = ce.select(F.col("cu").alias("c"), "u", "v", "w").unionByName(
+            ce.select(F.col("cv").alias("c"), "u", "v", "w")
+        )
+        win = Window.partitionBy("c").orderBy("w", "u", "v")
+        chosen = (
+            cand.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("u", "v", "w")
+            .distinct()
+        )
+        forest = (
+            chosen if forest is None else forest.unionByName(chosen)
+        ).localCheckpoint()
+        cc = connected_components(forest, "u", "v")
+        comp = nodes.join(cc, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("c")
+        )
+    else:
+        raise RuntimeError(f"boruvka_msf did not converge in {max_rounds} rounds")
+    if forest is None:
+        return e.limit(0).select(
+            F.col("u").alias(src), F.col("v").alias(dst), F.col("w").alias(weight)
+        )
+    return forest.select(
+        F.col("u").alias(src), F.col("v").alias(dst), F.col("w").alias(weight)
+    )
+
+
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(node, degree) over the undirected, deduplicated edge set.
 

@@ -1317,3 +1317,105 @@ ORACLE_CURATION["q_kn_lm"] = r"""
            CAST(p.sum_p9 AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS mean_p9
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ maximum spanning forest of the nation trade graph
+    (operators/graph.py boruvka_msf): nodes = nations, edge weight =
+    lineitem count between a customer's and a supplier's nation; the
+    forest is the trade backbone (max spanning = Borůvka min over the
+    negated volume). Edge order (w, u, v) is a strict total order, so
+    the MSF is UNIQUE — the oracle replays unrolled Borůvka rounds
+    with recursive-CTE component resolution and must land on the
+    identical edge set. 24 rows out on a connected 25-nation graph.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import boruvka_msf
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("volume"))
+    )
+    msf = boruvka_msf(
+        vol.select("u", "v", (-F.col("volume")).alias("w")), "u", "v", "w"
+    )
+    return msf.select("u", "v", (-F.col("w")).cast("bigint").alias("volume"))
+
+
+def _msf_oracle(rounds: int = 5) -> str:
+    """Unrolled-Borůvka oracle generator: round k resolves components
+    of forest_{k-1} with a recursive reach CTE (min reachable id),
+    picks each component's (w, u, v)-minimal cross edge, and unions it
+    in. 5 rounds cover any 25-node graph (components at least halve);
+    converged rounds are no-ops. Same generated-iteration-oracle
+    pattern as the k-means/power-iteration/PageRank families."""
+    parts = [
+        """
+    WITH RECURSIVE nat AS (SELECT n_nationkey AS id FROM nation),
+    vol AS MATERIALIZED (
+        SELECT LEAST(c_nationkey, s_nationkey) AS u,
+               GREATEST(c_nationkey, s_nationkey) AS v,
+               CAST(count(*) AS BIGINT) AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey
+        GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (SELECT u, v, -volume AS w FROM vol),
+    ce1 AS MATERIALIZED (SELECT u AS cu, v AS cv, u, v, w FROM e),
+    cand1 AS MATERIALIZED (SELECT cu AS c, u, v, w FROM ce1
+              UNION ALL SELECT cv AS c, u, v, w FROM ce1),
+    chosen1 AS MATERIALIZED (
+        SELECT DISTINCT u, v, w FROM (
+            SELECT c, u, v, w,
+                   row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+            FROM cand1) WHERE rn = 1
+    ),
+    forest1 AS MATERIALIZED (SELECT u, v, w FROM chosen1)"""
+    ]
+    for k in range(2, rounds + 1):
+        p = k - 1
+        parts.append(f""",
+    sym{p} AS MATERIALIZED (SELECT u AS a, v AS b FROM forest{p}
+               UNION SELECT v AS a, u AS b FROM forest{p}),
+    reach{k}(id, label) AS (
+        SELECT id, id FROM nat
+        UNION
+        SELECT s.a, r.label FROM sym{p} s JOIN reach{k} r ON s.b = r.id
+    ),
+    comp{k} AS MATERIALIZED (SELECT id, min(label) AS c FROM reach{k} GROUP BY id),
+    ce{k} AS MATERIALIZED (
+        SELECT a.c AS cu, b.c AS cv, e.u, e.v, e.w
+        FROM e JOIN comp{k} a ON e.u = a.id JOIN comp{k} b ON e.v = b.id
+        WHERE a.c <> b.c
+    ),
+    cand{k} AS MATERIALIZED (SELECT cu AS c, u, v, w FROM ce{k}
+                UNION ALL SELECT cv AS c, u, v, w FROM ce{k}),
+    chosen{k} AS MATERIALIZED (
+        SELECT DISTINCT u, v, w FROM (
+            SELECT c, u, v, w,
+                   row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+            FROM cand{k}) WHERE rn = 1
+    ),
+    forest{k} AS MATERIALIZED (SELECT u, v, w FROM forest{p}
+                  UNION SELECT u, v, w FROM chosen{k})""")
+    parts.append(f"""
+    SELECT u, v, CAST(-w AS BIGINT) AS volume FROM forest{rounds}""")
+    return "".join(parts)
+
+
+QUERIES_CURATION["q_msf"] = q_msf
+ORACLE_CURATION["q_msf"] = _msf_oracle()

@@ -335,3 +335,89 @@ def test_personalized_pagerank_proximity(spark):
         personalized_pagerank(
             edges, seeds=spark.createDataFrame([(99,)], ["id"]), iterations=1
         )
+
+
+# ---- Borůvka MSF (boruvka_msf) ----------------------------------------
+
+
+def test_msf_hand_built_graph(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import boruvka_msf
+
+    # classic 4-cycle + chord: MST = {(1,2,1), (3,4,2), (2,3,3)}
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 3), (3, 4, 2), (1, 4, 5), (1, 3, 4)],
+        ["u", "v", "w"],
+    )
+    got = sorted(map(tuple, boruvka_msf(edges, "u", "v", "w").collect()))
+    assert got == [(1, 2, 1), (2, 3, 3), (3, 4, 2)]
+
+
+def test_msf_is_a_spanning_forest_per_component(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        boruvka_msf,
+        connected_components,
+    )
+
+    # two disconnected blobs → forest with (n1-1) + (n2-1) edges
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (2, 3, 1), (1, 3, 5), (10, 11, 2), (11, 12, 7), (10, 12, 4)],
+        ["u", "v", "w"],
+    )
+    f = boruvka_msf(edges, "u", "v", "w")
+    assert f.count() == 4
+    # forest connects exactly the original components
+    cc_f = {
+        (r["id"], r["component"])
+        for r in connected_components(f, "u", "v").collect()
+    }
+    cc_g = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, "u", "v").collect()
+    }
+    assert cc_f == cc_g
+
+
+def test_msf_total_weight_matches_kruskal(spark):
+    import random
+
+    from loan_etl_data_pipeline_spark.operators.graph import boruvka_msf
+
+    rnd = random.Random(7)
+    n = 40
+    es = {}
+    for _ in range(160):
+        a, b = rnd.sample(range(n), 2)
+        u, v = min(a, b), max(a, b)
+        w = rnd.randint(1, 50)
+        es[(u, v)] = min(w, es.get((u, v), 10**9))
+    rows = [(u, v, w) for (u, v), w in es.items()]
+
+    # reference Kruskal with the same (w, u, v) total order
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = []
+    for u, v, w in sorted(rows, key=lambda t: (t[2], t[0], t[1])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.append((u, v, w))
+
+    edges = spark.createDataFrame(rows, ["u", "v", "w"])
+    got = sorted(map(tuple, boruvka_msf(edges, "u", "v", "w").collect()))
+    assert got == sorted(want)
+
+
+def test_msf_collapses_duplicate_edges_to_min_weight(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import boruvka_msf
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 2, 3), (2, 3, 4)], ["u", "v", "w"]
+    )
+    got = sorted(map(tuple, boruvka_msf(edges, "u", "v", "w").collect()))
+    assert got == [(1, 2, 3), (2, 3, 4)]
