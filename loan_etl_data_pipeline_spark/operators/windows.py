@@ -223,3 +223,107 @@ def funnel_counts(
             f"stack({len(stages)}, {stack_args}) as (stage, stage_idx, users)"
         )
     ).select("stage", F.col("stage_idx").cast("bigint").alias("stage_idx"), "users")
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    t_col: str,
+    val_col: str,
+    *,
+    period: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition by moving averages
+    over an integer-valued regular series (one row per integer ``t``,
+    exact-int values — cents, counts):
+
+        trend    = the 2×period centered MA (weights 1,2,…,2,1 over
+                   ±period/2) — computed EXACTLY as S_{p+1} + S_{p-1},
+                   two RANGE-window sums, carried as 2·period × value
+        seasonal = per-(t % period) mean of the detrended interior
+        residual = the rest
+
+    Every division happens once, on exact int64 numerators and
+    denominators, so the whole decomposition value-oracles
+    cross-engine. Edge rows (incomplete MA window) get NULL
+    trend/resid; seasonal still attaches by phase.
+
+    The unpartitioned windows are intentional: the series is
+    CALENDAR-sized (months/days — data-size-free), never a fact
+    table; aggregate the facts to the calendar grain first.
+
+    Returns (t_col, val_col, trend, seasonal, resid).
+    """
+    if period < 2 or period % 2:
+        raise ValueError(f"period must be even and >= 2, got {period}")
+    h = period // 2
+    den = 2 * period
+    wp = Window.orderBy("__t").rangeBetween(-h, h)
+    wm = Window.orderBy("__t").rangeBetween(-(h - 1), h - 1)
+    t = series.select(
+        F.col(t_col).alias("__t"),
+        F.col(val_col).cast("bigint").alias("__v"),
+    ).select(
+        "__t",
+        "__v",
+        (F.sum("__v").over(wp) + F.sum("__v").over(wm)).alias("__t2p"),
+        (F.count(F.lit(1)).over(wp) + F.count(F.lit(1)).over(wm)).alias(
+            "__nw"
+        ),
+    ).withColumn(
+        "__trend2p",
+        F.when(F.col("__nw") == den, F.col("__t2p")).cast("bigint"),
+    )
+    det = t.withColumn(
+        "__det", F.lit(den) * F.col("__v") - F.col("__trend2p")
+    ).withColumn("__phase", F.col("__t") % period)
+    seas = (
+        det.filter(F.col("__det").isNotNull())
+        .groupBy("__phase")
+        .agg(
+            F.sum("__det").cast("bigint").alias("__s_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("__s_n"),
+        )
+    )
+    return det.join(seas, "__phase", "left").select(
+        F.col("__t").alias(t_col),
+        F.col("__v").alias(val_col),
+        (F.col("__trend2p").cast("double") / den).alias("trend"),
+        (
+            F.col("__s_sum").cast("double")
+            / (F.lit(den) * F.col("__s_n")).cast("double")
+        ).alias("seasonal"),
+        (
+            (F.col("__det") * F.col("__s_n") - F.col("__s_sum")).cast("double")
+            / (F.lit(den) * F.col("__s_n")).cast("double")
+        ).alias("resid"),
+    )
+
+
+def theil_sen(series: DataFrame, t_col: str, val_col: str) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes
+    (value diff / t diff, one IEEE division of exact ints per pair) —
+    breakdown point 29%, immune to the outliers that wreck a
+    least-squares line. The pair join and the single-partition median
+    are series²-sized; the series must be calendar-grained
+    (data-size-free), never a fact table. Even-n medians average the
+    two positional middles (equal-valued ties make the position choice
+    value-neutral). 1 row out: (n_pairs, slope_med).
+    """
+    m = series.select(
+        F.col(t_col).alias("__t"), F.col(val_col).cast("bigint").alias("__v")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    slopes = a.join(b, F.col("a.__t") < F.col("b.__t")).select(
+        (
+            (F.col("b.__v") - F.col("a.__v")).cast("double")
+            / (F.col("b.__t") - F.col("a.__t")).cast("double")
+        ).alias("slope")
+    )
+    w = Window.orderBy("slope")
+    ranked = slopes.select(
+        "slope", F.row_number().over(w).alias("rn")
+    ).crossJoin(F.broadcast(slopes.agg(F.count(F.lit(1)).alias("n"))))
+    mid = ranked.filter(F.expr("rn = (n + 1) div 2 OR rn = n div 2 + 1"))
+    return mid.groupBy("n").agg(F.avg("slope").alias("slope_med")).select(
+        F.col("n").cast("bigint").alias("n_pairs"), "slope_med"
+    )

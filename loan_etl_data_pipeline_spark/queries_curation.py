@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from loan_etl_data_pipeline_spark.functions.deterministic import dsum_sql
@@ -1419,3 +1419,115 @@ def _msf_oracle(rounds: int = 5) -> str:
 
 QUERIES_CURATION["q_msf"] = q_msf
 ORACLE_CURATION["q_msf"] = _msf_oracle()
+
+
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ym, cents): total order value per calendar month, exact cents —
+    the shared series for the time-series decomposition family (same
+    construction as q_ses_level's oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+
+
+_MONTHLY_SQL = """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+"""
+
+
+def q_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ classical additive seasonal decomposition by moving
+    averages over the monthly revenue series: trend = the 2×12
+    centered MA (weights 1,2,…,2,1 over ±6 months — computed EXACTLY
+    as S₁₃+S₁₁, two RANGE-window sums, kept as 24× integer cents),
+    seasonal = per-month-of-year mean of the detrended interior,
+    residual = what's left; every division happens once, on exact
+    int64 numerators/denominators, so the whole decomposition is
+    value-oracle-able. Windows are single-partition by design — the
+    series is CALENDAR-sized (months, data-size-free), the documented
+    q_ses_level/q_theil_sen regime, never a fact-table sort.
+    """
+    from loan_etl_data_pipeline_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    return seasonal_decompose(
+        _monthly_revenue(spark, sf_dir), "ym", "cents", period=12
+    )
+
+
+QUERIES_CURATION["q_seasonal_decomp"] = q_seasonal_decomp
+ORACLE_CURATION["q_seasonal_decomp"] = f"""
+    WITH monthly AS MATERIALIZED ({_MONTHLY_SQL}),
+    t AS MATERIALIZED (
+        SELECT ym, cents,
+               (SUM(cents) OVER w13 + SUM(cents) OVER w11) AS t24,
+               (COUNT(*) OVER w13 + COUNT(*) OVER w11) AS nw
+        FROM monthly
+        WINDOW w13 AS (ORDER BY ym RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+               w11 AS (ORDER BY ym RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+    ), det AS MATERIALIZED (
+        SELECT ym, cents,
+               CASE WHEN nw = 24 THEN CAST(t24 AS BIGINT) END AS trend_c24,
+               CASE WHEN nw = 24 THEN 24 * cents - t24 END AS det24,
+               ym % 12 AS moy
+        FROM t
+    ), seas AS MATERIALIZED (
+        SELECT moy, CAST(SUM(det24) AS BIGINT) AS s_sum,
+               CAST(COUNT(*) AS BIGINT) AS s_n
+        FROM det WHERE det24 IS NOT NULL GROUP BY moy
+    )
+    SELECT d.ym, d.cents,
+           CAST(d.trend_c24 AS DOUBLE) / 24 AS trend,
+           CAST(s.s_sum AS DOUBLE) / CAST(24 * s.s_n AS DOUBLE) AS seasonal,
+           CAST(d.det24 * s.s_n - s.s_sum AS DOUBLE)
+             / CAST(24 * s.s_n AS DOUBLE) AS resid
+    FROM det d LEFT JOIN seas s USING (moy)
+"""
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Theil–Sen robust trend: the median of all pairwise slopes
+    of the monthly revenue series — breakdown point 29%, immune to the
+    outlier months that wreck the q_ols_trend least-squares line. The
+    pair join and the single-partition median are CALENDAR²-sized
+    (~3.5k pairs on 84 months — data-size-free, the documented
+    q_ses_level regime). Slopes are one IEEE division of exact cents
+    by exact month gaps; the even-n median averages the two
+    positional middles (equal-valued ties make the position choice
+    value-neutral). 1 row out: (n_pairs, slope_med) in cents/month.
+    """
+    from loan_etl_data_pipeline_spark.operators.windows import theil_sen
+
+    return theil_sen(_monthly_revenue(spark, sf_dir), "ym", "cents")
+
+
+QUERIES_CURATION["q_theil_sen"] = q_theil_sen
+ORACLE_CURATION["q_theil_sen"] = f"""
+    WITH monthly AS MATERIALIZED ({_MONTHLY_SQL}),
+    slopes AS MATERIALIZED (
+        SELECT CAST(b.cents - a.cents AS DOUBLE)
+                 / CAST(b.ym - a.ym AS DOUBLE) AS slope
+        FROM monthly a JOIN monthly b ON a.ym < b.ym
+    ), ranked AS (
+        SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+               (SELECT count(*) FROM slopes) AS n
+        FROM slopes
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs, AVG(slope) AS slope_med
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    GROUP BY n
+"""

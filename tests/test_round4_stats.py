@@ -596,3 +596,69 @@ def test_rbo_bounds_and_consistency_with_recall(spark, sf_dir):
         # identical rankings would give the max; zero overlap gives 0
         if r.overlap_at_5 == 0:
             assert r.rbo == 0.0
+
+
+# ---- seasonal_decompose / theil_sen (operators/windows.py) ------------
+
+
+def test_seasonal_decompose_recovers_planted_structure(spark):
+    from loan_etl_data_pipeline_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    # y = 1000·t (pure linear trend) + planted period-4 pattern
+    seas = {0: 80, 1: -40, 2: 60, 3: -100}
+    rows = [(t, 1000 * t + seas[t % 4]) for t in range(1, 41)]
+    out = {
+        r["t"]: r
+        for r in seasonal_decompose(
+            spark.createDataFrame(rows, ["t", "y"]), "t", "y", period=4
+        ).collect()
+    }
+    # interior months: the centered MA of a linear trend IS the trend,
+    # and the planted pattern's window sum cancels (sum of one full
+    # period appears twice) — trend = 1000·t exactly
+    for t in range(3, 39):
+        assert out[t]["trend"] == 1000.0 * t, (t, out[t])
+    # seasonal estimates recover the centered planted pattern
+    mean_s = sum(seas.values()) / 4  # decomposition centers the pattern
+    for t in range(3, 39):
+        assert abs(out[t]["seasonal"] - (seas[t % 4] - mean_s)) < 1e-9
+        assert abs(out[t]["resid"] - mean_s) < 1e-9  # constant leftover
+    # edges: no trend/resid, seasonal still attaches
+    assert out[1]["trend"] is None and out[1]["resid"] is None
+    assert out[1]["seasonal"] is not None
+
+
+def test_seasonal_decompose_validates_period(spark):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    df = spark.createDataFrame([(1, 1)], ["t", "y"])
+    with _pt.raises(ValueError):
+        seasonal_decompose(df, "t", "y", period=5)
+    with _pt.raises(ValueError):
+        seasonal_decompose(df, "t", "y", period=0)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from loan_etl_data_pipeline_spark.operators.windows import theil_sen
+
+    # clean slope 7; one wrecked point that drags OLS far off
+    rows = [(t, 7 * t) for t in range(1, 30)] + [(30, 100000)]
+    r = theil_sen(spark.createDataFrame(rows, ["t", "y"]), "t", "y").collect()[0]
+    assert r["n_pairs"] == 30 * 29 // 2
+    assert r["slope_med"] == 7.0  # the median slope ignores the outlier
+
+
+def test_theil_sen_even_pair_count_averages_middles(spark):
+    from loan_etl_data_pipeline_spark.operators.windows import theil_sen
+
+    # 4 points → 6 pairwise slopes: y = t² gives slopes t_i + t_j
+    # pairs of (1,2,3,4): 3,4,5,5,6,7 → median = (5+5)/2 = 5
+    rows = [(t, t * t) for t in (1, 2, 3, 4)]
+    r = theil_sen(spark.createDataFrame(rows, ["t", "y"]), "t", "y").collect()[0]
+    assert (r["n_pairs"], r["slope_med"]) == (6, 5.0)
