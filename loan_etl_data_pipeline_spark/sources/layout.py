@@ -144,3 +144,72 @@ def compact_files(
     else:
         df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
     return n_out
+
+
+def write_bloom_indexed(
+    df: DataFrame,
+    path: str,
+    *,
+    bloom_cols: list[str] | str,
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+    sort_cols: list[str] | str | None = None,
+) -> None:
+    """Write parquet with per-column BLOOM FILTERS for the named
+    columns — the third leg of the layout toolbox: min/max row-group
+    stats (write_sorted) prune RANGE predicates, Z-order keeps several
+    dimensions range-prunable at once, and bloom filters prune POINT
+    lookups on high-cardinality columns where min/max is useless (a
+    uuid-ish key's min/max spans everything; its bloom filter rejects
+    a row group in one probe with ~1% false positives).
+
+    ``expected_ndv`` sizes each filter (parquet-mr derives the bitset
+    from it); readers that pre-date bloom filters just ignore the
+    extra footer bytes, so the format stays fully compatible. Spark's
+    parquet reader consults the filter for pushed equality/IN
+    predicates automatically.
+
+    Optionally sorts like :func:`write_sorted` first — bloom pruning
+    composes with tight min/max on different columns.
+    """
+    bloom_cols = (
+        [bloom_cols] if isinstance(bloom_cols, str) else list(bloom_cols)
+    )
+    if not bloom_cols:
+        raise ValueError("bloom_cols must name at least one column")
+    missing = [c for c in bloom_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"bloom_cols not in DataFrame: {missing}")
+    out = df
+    if sort_cols is not None:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        out = df.repartitionByRange(*sc).sortWithinPartitions(*sc)
+    w = out.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
+    w.parquet(path)
+
+
+def bloom_filter_offsets(spark, file_path: str) -> dict[str, list[int]]:
+    """Footer-level audit for :func:`write_bloom_indexed`: per column,
+    the bloom-filter offset of every row group in ``file_path`` (−1 =
+    no filter written). Reads ONLY the footer via parquet-mr — the
+    same metadata a scan consults before deciding to skip a row group.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hpath, conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        out: dict[str, list[int]] = {}
+        for block in reader.getFooter().getBlocks():
+            for col in block.getColumns():
+                name = ".".join(list(col.getPath().toArray()))
+                out.setdefault(name, []).append(col.getBloomFilterOffset())
+        return out
+    finally:
+        reader.close()

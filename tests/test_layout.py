@@ -219,3 +219,48 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path, sf_dir):
     assert "dynamicpruningexpression" in p
     rows = j.collect()
     assert len(rows) == 1 and rows[0]["pr"] == "1-URGENT"
+
+
+def test_bloom_indexed_write_and_footer_audit(spark, tmp_path):
+    """write_bloom_indexed: the enabled column's row groups carry a
+    bloom filter (offset >= 0 in the footer), other columns carry
+    none, and the data reads back unchanged."""
+    import glob
+
+    from loan_etl_data_pipeline_spark.sources.layout import (
+        bloom_filter_offsets,
+        write_bloom_indexed,
+    )
+
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "CAST(xxhash64(id) AS STRING) AS lookup_key", "id % 7 AS grp"
+    )
+    out = str(tmp_path / "bloomed")
+    write_bloom_indexed(
+        df, out, bloom_cols="lookup_key", expected_ndv=20_000
+    )
+
+    f = glob.glob(f"{out}/*.parquet")[0]
+    offs = bloom_filter_offsets(spark, f)
+    assert all(o >= 0 for o in offs["lookup_key"]), offs
+    assert all(o == -1 for o in offs["id"]), offs
+    assert all(o == -1 for o in offs["grp"]), offs
+
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    key = df.filter("id = 123").collect()[0]["lookup_key"]
+    assert back.filter(back.lookup_key == key).collect()[0]["id"] == 123
+
+
+def test_bloom_indexed_validates_columns(spark, tmp_path):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.sources.layout import (
+        write_bloom_indexed,
+    )
+
+    df = spark.range(3).selectExpr("id")
+    with _pt.raises(ValueError, match="not in DataFrame"):
+        write_bloom_indexed(df, str(tmp_path / "x"), bloom_cols="nope")
+    with _pt.raises(ValueError, match="at least one"):
+        write_bloom_indexed(df, str(tmp_path / "x"), bloom_cols=[])
