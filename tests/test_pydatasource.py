@@ -3,6 +3,8 @@ determinism across partition layouts, and pushFilters partition pruning."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from loan_etl_data_pipeline_spark.sources.pydatasource import (
@@ -146,3 +148,80 @@ def test_stream_reader_exactly_once_across_restart(registered, tmp_path):
     assert run(300) == list(range(200, 300))
     assert run(300) == []  # feed drained: no reprocessing
     assert run(500) == list(range(300, 400))  # feed grew: continue, not restart
+
+
+# ---- Python DataSource writer (sources/pywriter.py) -------------------
+
+
+def test_pyjsonl_write_read_roundtrip(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.sources.pywriter import (
+        JsonLinesDataSource,
+    )
+
+    spark.dataSource.register(JsonLinesDataSource)
+    df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS grp", "id * 1.5 AS score"
+    )
+    out = str(tmp_path / "jl")
+    df.repartition(4).write.format("pyjsonl").option("path", out).mode(
+        "append"
+    ).save()
+
+    import glob
+    import json as _json
+
+    finals = glob.glob(f"{out}/part-*.jsonl")
+    assert len(finals) == 4  # one staged file per partition, all promoted
+    assert not glob.glob(f"{out}/.staged-*")  # no leftover temp files
+    with open(f"{out}/_SUCCESS") as f:
+        assert _json.load(f)["rows"] == 100
+
+    back = spark.read.json(out)
+    assert back.count() == 100
+    got = {(r["id"], r["grp"]) for r in back.collect()}
+    assert got == {(i, str(i % 3)) for i in range(100)}
+
+
+def test_pyjsonl_overwrite_replaces(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.sources.pywriter import (
+        JsonLinesDataSource,
+    )
+
+    spark.dataSource.register(JsonLinesDataSource)
+    out = str(tmp_path / "jl2")
+    spark.range(0, 50).write.format("pyjsonl").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(100, 110).write.format("pyjsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.json(out)
+    assert sorted(r["id"] for r in back.collect()) == list(range(100, 110))
+
+
+def test_pyjsonl_requires_path(spark):
+    from loan_etl_data_pipeline_spark.sources.pywriter import (
+        JsonLinesDataSource,
+    )
+
+    spark.dataSource.register(JsonLinesDataSource)
+    with pytest.raises(Exception, match="path"):
+        spark.range(3).write.format("pyjsonl").mode("append").save()
+
+
+def test_pyjsonl_failed_write_stages_nothing_visible(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.sources.pywriter import (
+        JsonLinesDataSource,
+    )
+
+    spark.dataSource.register(JsonLinesDataSource)
+    out = str(tmp_path / "jl3")
+    df = spark.range(0, 10).selectExpr(
+        "id", "assert_true(id < 5, 'boom') AS chk"
+    )
+    with pytest.raises(Exception):
+        df.write.format("pyjsonl").option("path", out).mode("append").save()
+    import glob
+
+    assert not glob.glob(f"{out}/part-*.jsonl")
+    assert not os.path.exists(f"{out}/_SUCCESS")
