@@ -547,3 +547,35 @@ def test_coordinated_sample_no_wide_join(plans):
     p = plans("q_coordinated_sample")
     assert "SortMergeJoin" not in p
     assert "Python" not in p
+
+
+def test_kn_lm_equality_joins_no_python(plans):
+    """kneser_ney_score scale shape: model/marginal joins are plain
+    EQUALITY joins on natural keys with no size hint (Catalyst
+    broadcasts them only while the model is measurably small — at
+    vocabulary² scale the stats flip them to shuffles), the 1-row
+    stats frame rides a broadcast, and nothing drops to Python."""
+    p = plans("q_kn_lm")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_fs_scores_weights_broadcast_pairs_shuffle(plans):
+    """fs_score_pairs: the 1-row weight table broadcasts; candidate
+    pairs join the records on the id key; u-estimation is partial+final
+    aggregation (no collect-based weighting anywhere)."""
+    p = plans("q_fs_scores")
+    assert "BroadcastNestedLoopJoin" in p  # 1-row weights crossJoin
+    assert p.count("HashAggregate") >= 4  # per-field Σn_v² partial+final
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_incremental_join_has_no_dedup_step(plans):
+    """The IVM identity needs NO distinct/dedup: the plan is unions of
+    plain joins plus the final rollup — a Deduplicate/distinct node
+    would mean the delta terms overlapped."""
+    p = plans("q_incremental_join")
+    assert "Deduplicate" not in p
+    # the final rollup aggregates partially before its one exchange
+    assert p.count("HashAggregate") >= 2
