@@ -172,3 +172,79 @@ def ntile_from_rank(rank: Column, n: int, n_tiles: int) -> Column:
         .otherwise(F.lit(rem) + F.ceil((rank - F.lit(cut)) / F.lit(base)))
         .cast("bigint")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    id_col: str,
+    *,
+    out_col: str = "norm",
+) -> DataFrame:
+    """Cross-source quantile normalization (the Bolstad batch-effect
+    correction, generalized to unequal group sizes): every row's value
+    is replaced by the POOLED distribution's value at the same
+    within-group quantile, so all groups end up with identical value
+    distributions — the standard fix when one source's quality/length
+    scale is shifted relative to the corpus and per-source percentiles
+    (q_quality_percentiles) aren't enough because downstream wants
+    VALUES, not ranks.
+
+    Exact integer rule: a row at within-group rank r of n maps to the
+    pooled order statistic at index
+
+        j = ceil((2r−1)·N / (2n))   (midpoint quantile, clamped ≥ 1)
+
+    — pure int64 arithmetic, so the mapping (and therefore the whole
+    operator) is value-oracle-able. Ties break by ``id_col`` in both
+    rankings, making every step a strict total order.
+
+    Scale shape: TWO distributed global_rank passes (range shuffles —
+    never a per-group window that funnels a giant group through one
+    task; within-group ranks come from the (by, value, id) global rank
+    minus broadcast per-group offsets, the q_quality_percentiles
+    decomposition) + ONE equality join on the pooled index.
+
+    Returns (id_col, by, value_col, out_col).
+    """
+    src_ranked = global_rank(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(by).alias("__by"),
+            F.col(value_col).alias("__v"),
+        ),
+        [F.asc("__by"), F.asc("__v"), F.asc("__id")],
+        rank_col="__gr",
+    )
+    grp = src_ranked.groupBy("__by").agg(
+        F.min("__gr").alias("__off"), F.count(F.lit(1)).alias("__n")
+    )
+    pooled = global_rank(
+        df.select(F.col(value_col).alias("__pv"), F.col(id_col).alias("__pid2")),
+        [F.asc("__pv"), F.asc("__pid2")],
+        rank_col="__j",
+    )
+    n_total = pooled._global_rank_n
+    rows = (
+        src_ranked.join(F.broadcast(grp), "__by")
+        .withColumn("__r", F.col("__gr") - F.col("__off") + 1)
+        .withColumn(
+            "__j",
+            F.expr(
+                f"greatest(((2 * __r - 1) * {n_total}L + 2 * __n - 1)"
+                " div (2 * __n), 1L)"
+            ),
+        )
+    )
+    out = rows.join(pooled.select("__j", "__pv"), "__j").select(
+        F.col("__id").alias(id_col),
+        F.col("__by").alias(by),
+        F.col("__v").alias(value_col),
+        F.col("__pv").alias(out_col),
+    )
+    out._persisted_intermediates = [
+        *getattr(src_ranked, "_persisted_intermediates", ()),
+        *getattr(pooled, "_persisted_intermediates", ()),
+    ]
+    return out

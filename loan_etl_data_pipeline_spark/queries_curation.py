@@ -1531,3 +1531,48 @@ ORACLE_CURATION["q_theil_sen"] = f"""
     WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
     GROUP BY n
 """
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ cross-source quantile normalization
+    (functions/ranking.py quantile_normalize): every document's length
+    is mapped onto the pooled length distribution at its within-source
+    quantile (midpoint rule, exact int64 index arithmetic) — the
+    batch-effect correction for a source whose scale is shifted. Two
+    distributed global ranks + one equality join; the oracle replays
+    the same rule with plain windows. One row per document.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        quantile_normalize,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_normalize(d, "n_chars", "source", "doc_id")
+
+
+QUERIES_CURATION["q_quantile_norm"] = q_quantile_norm
+ORACLE_CURATION["q_quantile_norm"] = """
+    WITH d AS MATERIALIZED (SELECT doc_id, source, n_chars FROM documents),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM d),
+    sr AS MATERIALIZED (
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT)
+                 AS r,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM d
+    ),
+    pooled AS MATERIALIZED (
+        SELECT n_chars AS pv,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                 AS j
+        FROM d
+    )
+    SELECT sr.doc_id, sr.source, sr.n_chars, p.pv AS norm
+    FROM sr CROSS JOIN nt
+    JOIN pooled p
+      ON p.j = greatest(((2 * sr.r - 1) * nt.nt + 2 * sr.n - 1)
+                          // (2 * sr.n), 1)
+"""

@@ -116,3 +116,63 @@ def test_equidepth_bucketing_is_balanced(spark):
     assert sum(sizes) == 103 and max(sizes) - min(sizes) <= 1
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"]  # contiguous, non-overlapping ranges
+
+
+# ---- quantile_normalize ------------------------------------------------
+
+
+def test_quantile_normalize_equalizes_distributions(spark):
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        quantile_normalize,
+    )
+
+    # source a: values 1..10; source b: values 101..110 (shifted scale).
+    # After normalization both sources draw from the POOLED order
+    # statistics and equal within-group quantiles map to equal values.
+    rows = [(i, "a", i) for i in range(1, 11)] + [
+        (100 + i, "b", 100 + i) for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, ["id", "src", "v"])
+    out = {
+        (r["src"], r["v"]): r["norm"]
+        for r in quantile_normalize(df, "v", "src", "id").collect()
+    }
+    # same within-group rank → identical normalized value across groups
+    for i in range(1, 11):
+        assert out[("a", i)] == out[("b", 100 + i)], i
+    # normalized values come from the pooled value multiset
+    pooled = {v for _, v in [(r[0], r[2]) for r in rows]}
+    assert set(out.values()) <= set(pooled)
+
+
+def test_quantile_normalize_identity_on_single_source(spark):
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        quantile_normalize,
+    )
+
+    # one group: within-group rank == pooled rank and the midpoint
+    # index is the rank itself → norm == v for odd N... assert exactly:
+    # j = ceil((2r-1)N / 2N) = r  ⇒ identity for ANY N
+    rows = [(i, "a", 5 * i + 3) for i in range(1, 14)]
+    df = spark.createDataFrame(rows, ["id", "src", "v"])
+    out = quantile_normalize(df, "v", "src", "id").collect()
+    assert all(r["norm"] == r["v"] for r in out)
+
+
+def test_quantile_normalize_partitioning_invariant(spark):
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        quantile_normalize,
+    )
+
+    rows = [(i, f"s{i % 3}", (i * 37) % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "src", "v"])
+    a = sorted(map(tuple, quantile_normalize(df, "v", "src", "id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            quantile_normalize(
+                df.repartition(13), "v", "src", "id"
+            ).collect(),
+        )
+    )
+    assert a == b
