@@ -594,3 +594,79 @@ def bm25_prf(
         .limit(k)
         .select("id", (F.col("sq").cast("double") / 1e9).alias("score"))
     )
+
+
+def build_positional_index(
+    df: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist a POSITIONAL inverted index: (tok, id, pos) — one row
+    per token OCCURRENCE — written with the same
+    ``partitionBy(bucket = pmod(xxhash64(tok), 64))`` + sorted-tok
+    layout as :func:`build_text_index`, so a phrase query's token
+    lookups prune to the phrase tokens' buckets at the partition level
+    and to their row groups via min/max on the sorted tok column.
+
+    Positions are what tf-only postings can't express: phrase queries
+    ("exact words in this order"), proximity windows, and term-offset
+    snippets. Build cost is the same one explode shuffle; the index is
+    |tokens| rows instead of |distinct (tok, doc)| — the classic
+    positional-index size trade.
+    """
+    arr = tokens(F.lower(F.col(text_col)))
+    posts = (
+        df.select(F.col(id_col).alias("id"), F.posexplode(arr).alias("pos", "tok"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int"))
+    )
+    (
+        posts.repartition("bucket")
+        .sortWithinPartitions("tok", "id", "pos")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+
+
+def phrase_count_indexed(spark, index_dir: str, phrase: str) -> DataFrame:
+    """Exact phrase occurrence counts from the positional index:
+    (id, n_hits) for every document containing the phrase's tokens at
+    CONSECUTIVE positions, n_hits = number of occurrences.
+
+    The probe reads ONLY the phrase tokens' postings — the bucket
+    IN-list prunes at the partition level (asserted by plan test) and
+    the sorted tok column prunes row groups inside each bucket. Each
+    phrase token i becomes a (id, pos−i) stream; intersecting the k
+    streams on (id, start) via equality joins leaves exactly the
+    phrase starts (repeated tokens in the phrase just reuse a stream
+    at two offsets). k−1 equality joins on (id, start), each
+    posting-sized for ONE vocabulary term — never a text rescan.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in set(terms)], "tok string"
+            )
+            .select(F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int").alias("b"))
+            .collect()
+        }
+    )
+    posts = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("tok").isin(list(set(terms))))
+        .select("tok", "id", "pos")
+    )
+    acc = None
+    for i, t in enumerate(terms):
+        stream = posts.filter(F.col("tok") == t).select(
+            "id", (F.col("pos") - i).alias("start")
+        )
+        acc = stream if acc is None else acc.join(stream, ["id", "start"])
+    return acc.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))

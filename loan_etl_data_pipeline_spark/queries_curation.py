@@ -1576,3 +1576,45 @@ ORACLE_CURATION["q_quantile_norm"] = """
       ON p.j = greatest(((2 * sr.r - 1) * nt.nt + 2 * sr.n - 1)
                           // (2 * sr.n), 1)
 """
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ positional-index phrase search (operators/retrieval.py
+    build_positional_index / phrase_count_indexed): build the
+    (tok, id, pos) index bucket-partitioned on the token hash, then
+    count exact occurrences of the phrase "table hash" by intersecting
+    the two tokens' position streams on (id, pos−offset) — the probe
+    reads only the phrase tokens' buckets (partition-pruned,
+    plan-asserted), never the text. The oracle counts the same phrase
+    by direct array scan over the raw text: index path == text path.
+    """
+    import tempfile
+
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        build_positional_index,
+        phrase_count_indexed,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="spark_graft_posidx_")
+    build_positional_index(d, idx)
+    out = phrase_count_indexed(spark, idx, "table hash")
+    return out.select(F.col("id").alias("doc_id"), "n_hits")
+
+
+QUERIES_CURATION["q_phrase_search"] = q_phrase_search
+ORACLE_CURATION["q_phrase_search"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents
+    ), hits AS (
+        SELECT doc_id,
+               len(list_filter(range(1, len(l)),
+                               i -> l[i] = 'table' AND l[i+1] = 'hash'))
+                 AS n_hits
+        FROM toks
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+    FROM hits WHERE n_hits > 0
+"""

@@ -410,3 +410,88 @@ def test_bm25_prf_feedback_recalls_related_doc(spark):
            bm25_prf(df, ["query"], k=4, fb_docs=2, fb_terms=1).collect()]
     assert 3 in out
     assert out.index(3) < out.index(4) if 4 in out else True
+
+
+# ---- positional index / phrase search ---------------------------------
+
+
+def _posidx(spark, tmp_path, rows):
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        build_positional_index,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = str(tmp_path / "posidx")
+    build_positional_index(df, idx)
+    return idx
+
+
+def test_phrase_search_counts_occurrences(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        phrase_count_indexed,
+    )
+
+    idx = _posidx(
+        spark,
+        tmp_path,
+        [
+            (1, "big cat sat on the big cat mat"),
+            (2, "big dog"),
+            (3, "the cat big cat"),
+            (4, "big Cat"),  # lowercased at build AND query time
+        ],
+    )
+    got = {
+        r["id"]: r["n_hits"]
+        for r in phrase_count_indexed(spark, idx, "big cat").collect()
+    }
+    assert got == {1: 2, 3: 1, 4: 1}
+
+
+def test_phrase_search_repeated_token_phrase(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        phrase_count_indexed,
+    )
+
+    idx = _posidx(
+        spark,
+        tmp_path,
+        [(1, "go go go stop"), (2, "go stop go"), (3, "go go")],
+    )
+    got = {
+        r["id"]: r["n_hits"]
+        for r in phrase_count_indexed(spark, idx, "go go").collect()
+    }
+    # overlapping occurrences both count: "go go go" has starts 0 and 1
+    assert got == {1: 2, 3: 1}
+
+
+def test_phrase_search_single_token_and_validation(spark, tmp_path):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        phrase_count_indexed,
+    )
+
+    idx = _posidx(spark, tmp_path, [(1, "a b a"), (2, "b")])
+    got = {
+        r["id"]: r["n_hits"]
+        for r in phrase_count_indexed(spark, idx, "a").collect()
+    }
+    assert got == {1: 2}
+    with _pt.raises(ValueError, match="at least one"):
+        phrase_count_indexed(spark, idx, "   ")
+
+
+def test_phrase_probe_prunes_to_token_buckets(spark, tmp_path):
+    """The probe's postings scan must carry the bucket IN-list as a
+    PARTITION filter — reading only the phrase tokens' buckets."""
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        phrase_count_indexed,
+    )
+
+    idx = _posidx(spark, tmp_path, [(i, f"w{i} table hash") for i in range(50)])
+    out = phrase_count_indexed(spark, idx, "table hash")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket#" in p.replace("PartitionFilters: [ bucket", "PartitionFilters: [bucket") or "bucket" in p.split("PartitionFilters:")[1][:120]
+    assert out.count() == 50
