@@ -212,8 +212,9 @@ def boruvka_msf(
     Per round: every component picks its minimum incident cross-
     component edge (one union + one window argmin per round, both
     keyed on the component — no quadratic step anywhere), picked edges
-    join the forest, and components re-resolve via the certified
-    ``connected_components`` propagation over the forest (≤ n−1 edges).
+    join the forest, and components re-resolve via the certified two-phase
+    ``connected_components_two_phase`` (diameter-independent — an MSF
+    can be a long path) over the forest (≤ n−1 edges).
     Components at least halve per round, so rounds ≤ ⌈log₂ n⌉; the
     loop's only driver action is one isEmpty probe per round.
 
@@ -268,7 +269,10 @@ def boruvka_msf(
         forest = (
             chosen if forest is None else forest.unionByName(chosen)
         ).localCheckpoint()
-        cc = connected_components(forest, "u", "v")
+        # two-phase CC: O(log² n) rounds independent of forest diameter
+        # (the MSF of a path graph IS a path — min-label propagation
+        # would need diameter rounds and trip its iteration cap)
+        cc = connected_components_two_phase(forest, "u", "v")
         comp = nodes.join(cc, "id", "left").select(
             "id", F.coalesce("component", F.col("id")).alias("c")
         )
