@@ -421,3 +421,16 @@ def test_msf_collapses_duplicate_edges_to_min_weight(spark):
     )
     got = sorted(map(tuple, boruvka_msf(edges, "u", "v", "w").collect()))
     assert got == [(1, 2, 3), (2, 3, 4)]
+
+
+def test_msf_survives_long_path_forest(spark):
+    """An MSF can BE a long path (diameter ≈ n): component resolution
+    must be diameter-independent — min-label propagation would trip
+    its 30-round cap on this 100-node chain."""
+    from loan_etl_data_pipeline_spark.operators.graph import boruvka_msf
+
+    rows = [(i, i + 1, i) for i in range(1, 100)]  # path, distinct weights
+    got = boruvka_msf(
+        spark.createDataFrame(rows, ["u", "v", "w"]), "u", "v", "w"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(rows)
