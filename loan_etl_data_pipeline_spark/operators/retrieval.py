@@ -670,3 +670,70 @@ def phrase_count_indexed(spark, index_dir: str, phrase: str) -> DataFrame:
         )
         acc = stream if acc is None else acc.join(stream, ["id", "start"])
     return acc.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+
+
+def proximity_count_indexed(
+    spark, index_dir: str, term_a: str, term_b: str, *, window: int
+) -> DataFrame:
+    """Proximity search from the positional index: (id, n_hits) where
+    n_hits counts (posA, posB) occurrence pairs of the two terms with
+    0 < |posA − posB| ≤ window in the same document — the "NEAR/k"
+    operator (phrase search is the degenerate ordered window=1 case).
+
+    The range condition |pa − pb| ≤ w becomes EQUALITY joins via
+    position banding: band = pos div w, and a B occurrence can only
+    lie in A's band ± 1 — so each A row fans out to 3 band keys and
+    the join stays a hash join with a row-local |diff| verify, never a
+    range-condition nested loop (the operators/joins.py range-join
+    discipline applied to token positions). Probe reads only the two
+    terms' buckets, partition-pruned like phrase_count_indexed.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    ta, tb = term_a.lower(), term_b.lower()
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in {ta, tb}], "tok string"
+            )
+            .select(F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int").alias("b"))
+            .collect()
+        }
+    )
+    posts = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("tok").isin([ta, tb]))
+        .select("tok", "id", "pos")
+    )
+    a = (
+        posts.filter(F.col("tok") == ta)
+        .select(
+            "id",
+            F.col("pos").alias("pa"),
+            F.explode(
+                F.array(
+                    F.expr(f"pos div {window} - 1"),
+                    F.expr(f"pos div {window}"),
+                    F.expr(f"pos div {window} + 1"),
+                )
+            ).alias("band"),
+        )
+    )
+    b = posts.filter(F.col("tok") == tb).select(
+        "id", F.col("pos").alias("pb"), F.expr(f"pos div {window}").alias("band")
+    )
+    pairs = (
+        a.join(b, ["id", "band"])
+        .filter(
+            (F.abs(F.col("pa") - F.col("pb")) <= window)
+            & (F.col("pa") != F.col("pb"))
+        )
+        .select("id", "pa", "pb")
+    )
+    # no dedup needed: b carries ONE band per occurrence, so each
+    # (pa, pb) pair matches in exactly one of a's three fanned bands
+    return pairs.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )

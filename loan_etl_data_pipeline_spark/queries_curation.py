@@ -1618,3 +1618,48 @@ ORACLE_CURATION["q_phrase_search"] = r"""
     SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
     FROM hits WHERE n_hits > 0
 """
+
+
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ NEAR/k proximity search from the positional index
+    (operators/retrieval.py proximity_count_indexed): per document,
+    the number of ("table", "hash") occurrence pairs within 3 tokens
+    of each other — the range condition turned into equality joins by
+    position banding (band ±1 fan-out + row-local verify), probe
+    partition-pruned to the two terms' buckets. The oracle replays the
+    pair count by direct array scan: index path == text path.
+    """
+    import tempfile
+
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        build_positional_index,
+        proximity_count_indexed,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="spark_graft_proxidx_")
+    build_positional_index(d, idx)
+    out = proximity_count_indexed(spark, idx, "table", "hash", window=3)
+    return out.select(F.col("id").alias("doc_id"), "n_hits")
+
+
+QUERIES_CURATION["q_proximity_search"] = q_proximity_search
+ORACLE_CURATION["q_proximity_search"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents
+    ), pa AS (
+        SELECT doc_id, g.i AS p
+        FROM toks, UNNEST(generate_series(1, len(l))) AS g(i)
+        WHERE l[CAST(g.i AS INTEGER)] = 'table'
+    ), pb AS (
+        SELECT doc_id, g.i AS p
+        FROM toks, UNNEST(generate_series(1, len(l))) AS g(i)
+        WHERE l[CAST(g.i AS INTEGER)] = 'hash'
+    )
+    SELECT pa.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+    WHERE abs(pa.p - pb.p) <= 3 AND pa.p <> pb.p
+    GROUP BY pa.doc_id
+"""

@@ -495,3 +495,54 @@ def test_phrase_probe_prunes_to_token_buckets(spark, tmp_path):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [bucket#" in p.replace("PartitionFilters: [ bucket", "PartitionFilters: [bucket") or "bucket" in p.split("PartitionFilters:")[1][:120]
     assert out.count() == 50
+
+
+def test_proximity_counts_pairs_within_window(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        proximity_count_indexed,
+    )
+
+    idx = _posidx(
+        spark,
+        tmp_path,
+        [
+            (1, "cat x x dog"),        # |0-3| = 3 → in window 3
+            (2, "cat x x x dog"),      # |0-4| = 4 → out
+            (3, "dog cat"),            # adjacent, either order counts
+            (4, "cat x dog x cat"),    # pairs: (0,2) and (4,2)
+            (5, "cat only here"),
+        ],
+    )
+    got = {
+        r["id"]: r["n_hits"]
+        for r in proximity_count_indexed(
+            spark, idx, "cat", "dog", window=3
+        ).collect()
+    }
+    assert got == {1: 1, 3: 1, 4: 2}
+
+
+def test_proximity_band_edges_exact(spark, tmp_path):
+    """Window hits exactly at the band boundary must not be lost:
+    positions w−1 and w are in different bands but within window."""
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        proximity_count_indexed,
+    )
+
+    w = 4
+    text = " ".join(["a"] + ["x"] * (w - 1) + ["b"])  # |0 - w| = w
+    idx = _posidx(spark, tmp_path, [(1, text)])
+    got = proximity_count_indexed(spark, idx, "a", "b", window=w).collect()
+    assert [(r["id"], r["n_hits"]) for r in got] == [(1, 1)]
+
+
+def test_proximity_validates_window(spark, tmp_path):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        proximity_count_indexed,
+    )
+
+    idx = _posidx(spark, tmp_path, [(1, "a b")])
+    with _pt.raises(ValueError, match="window"):
+        proximity_count_indexed(spark, idx, "a", "b", window=0)
