@@ -674,9 +674,32 @@ def simhash_near_duplicates(
 
     Output: (id_a, id_b, hamming) with id_a < id_b.
     """
+    fp = simhash_fingerprints(df, id_col, text_col)
+    return fingerprint_near_duplicates(
+        fp,
+        max_hamming=max_hamming,
+        max_block_group=max_block_group,
+    )
+
+
+def fingerprint_near_duplicates(
+    fp: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_block_group: int = 1000,
+    id_col: str = "id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """The pigeonhole band join of :func:`simhash_near_duplicates`,
+    factored over PRECOMPUTED 64-bit fingerprints — any Hamming-space
+    signature plugs in (SimHash from text, pHash from images, …): all
+    id pairs within ``max_hamming`` bits, exactly, via the
+    block-agreement guarantee + in-band bit_count verify.
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks  # last block absorbs the remainder bits
-    fp = simhash_fingerprints(df, id_col, text_col)
+    fp = fp.select(F.col(id_col).alias("id"), F.col(fp_col).alias("simhash"))
     blocks = [
         F.struct(
             F.lit(b).alias("block_no"),

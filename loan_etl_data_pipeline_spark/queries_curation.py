@@ -1663,3 +1663,44 @@ ORACLE_CURATION["q_proximity_search"] = r"""
     WHERE abs(pa.p - pb.p) <= 3 AND pa.p <> pb.p
     GROUP BY pa.doc_id
 """
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+/E2 image near-dup by perceptual hash
+    (operators/multimodal.py phash_media + operators/dedup.py
+    fingerprint_near_duplicates): payload → grayscale raster → 2-D DCT
+    → 64-bit pHash, then the SAME pigeonhole band join SimHash text
+    dedup uses finds all pairs within 6 Hamming bits. No SQL oracle —
+    a DCT isn't expressible in DuckDB; semantics are pinned by tests
+    (determinism, brightness-shift invariance, near-vs-distinct
+    separation, exact banding guarantee shared with SimHash).
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        fingerprint_near_duplicates,
+    )
+    from loan_etl_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the synthetic corpus has no image-level near-dups (min observed
+    # pHash distance ≈ 12 bits between distinct docs), so plant a
+    # replica set the way a thumbnail/re-encode pipeline produces them:
+    # every 25th doc appears again exactly, every 25th+1 with a one-word
+    # suffix edit (≤ a few low-order DCT bits)
+    replicas = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    edited = docs.filter(F.col("doc_id") % 25 == 1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    pool = docs.unionByName(replicas).unionByName(edited)
+    fp = phash_media(attach_binary_payload(pool))
+    return fingerprint_near_duplicates(
+        fp, max_hamming=6, id_col="media_id", fp_col="phash"
+    )
+
+
+QUERIES_CURATION["q_phash_neardup"] = q_phash_neardup

@@ -294,3 +294,61 @@ class TestReadMediaDir:
             for r in read_media_dir(spark, str(d)).collect()
         }
         assert rows == {"archive.": "bin"}
+
+
+# ---- perceptual hash (phash_media) -------------------------------------
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_phash_deterministic_and_brightness_invariant(spark):
+    """pHash's defining property: the hash reads only DCT AC
+    coefficients, so a constant brightness shift changes ZERO bits."""
+    from loan_etl_data_pipeline_spark.operators.multimodal import phash_media
+
+    base = bytes(((i * 7) % 200) for i in range(1024))
+    brighter = bytes(min(b + 50, 255) for b in base)  # +50 gray levels
+    df = _media(spark, [(1, base), (2, brighter), (3, base)])
+    got = {r["media_id"]: r["phash"] for r in phash_media(df).collect()}
+    assert got[1] == got[3]  # deterministic
+    assert got[1] == got[2]  # DC-shift invariant
+
+
+def test_phash_near_dup_vs_distinct(spark):
+    """A few flipped pixels → small Hamming distance; unrelated
+    payloads → large. Pairs come from the SAME band join as SimHash."""
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        fingerprint_near_duplicates,
+    )
+    from loan_etl_data_pipeline_spark.operators.multimodal import phash_media
+
+    base = bytearray(((i * 13) % 251) for i in range(1024))
+    tweaked = bytearray(base)
+    for i in range(0, 8):
+        tweaked[i] = (tweaked[i] + 3) % 251  # tiny local edit
+    import hashlib as _h
+
+    unrelated = _h.sha256(b"other").digest() * 32
+    df = _media(
+        spark, [(1, bytes(base)), (2, bytes(tweaked)), (3, unrelated[:1024])]
+    )
+    fp = phash_media(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in fingerprint_near_duplicates(
+            fp, max_hamming=6, id_col="media_id", fp_col="phash"
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_validates_hash_size(spark):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.multimodal import phash_media
+
+    with _pt.raises(ValueError, match="64 bits"):
+        phash_media(_media(spark, [(1, b"x")]), hash_size=9)
