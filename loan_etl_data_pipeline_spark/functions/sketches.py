@@ -101,3 +101,97 @@ def sliding_distinct(
         .cast("bigint")
         .alias("approx_distinct"),
     )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count–min sketch of a key stream: a (row, col, cnt) counter
+    table with depth·width cells — the mergeable frequency sketch
+    (Cormode–Muthukrishnan) that answers "how often did key x occur?"
+    within εN (ε = e/width) using O(depth·width) space per stream,
+    where an exact per-key table is unbounded.
+
+    Each of the ``depth`` rows hashes the key with a different salt
+    through the engine's shared md5 coordinate
+    (functions/splits.md5_coord48 — the SAME formula the DuckDB
+    oracles inline), so unlike library sketches the ENTIRE structure
+    is cross-engine value-exact: build, merge, and point queries all
+    carry full SQL oracles.
+
+    One groupBy over the salted-exploded stream (depth× fan-out,
+    map-side combined to ≤ depth·width rows per partition).
+    ``weight_col`` aggregates integer weights instead of occurrence
+    counts. Merge = union + re-aggregate (cms_merge).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    from loan_etl_data_pipeline_spark.functions.splits import md5_coord48
+
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    rows = [
+        df.select(
+            F.lit(d).alias("row"),
+            (md5_coord48(key_col, salt=f"cms{d}|") % width).alias("col"),
+            w.alias("__w"),
+        )
+        for d in range(depth)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("row", "col").agg(F.sum("__w").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count–min sketches built with the SAME (depth, width):
+    cell-wise addition — union + one re-aggregate, the update-then-
+    merge shape shared with the HLL sketches above."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query frequencies: per key, min over the depth rows of
+    its hashed cell — an OVERestimate (≥ true count always; ≤ true +
+    εN with probability 1 − (1/2)^depth). Keys join the depth·width-
+    cell sketch on (row, col): the sketch side is broadcast-sized by
+    construction. Returns (key_col, est)."""
+    from loan_etl_data_pipeline_spark.functions.splits import md5_coord48
+
+    probes = [
+        keys.select(
+            F.col(key_col),
+            F.lit(d).alias("row"),
+            (md5_coord48(key_col, salt=f"cms{d}|") % width).alias("col"),
+        )
+        for d in range(depth)
+    ]
+    out = probes[0]
+    for p in probes[1:]:
+        out = out.unionByName(p)
+    return (
+        out.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
+    )

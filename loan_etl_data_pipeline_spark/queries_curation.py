@@ -1704,3 +1704,53 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_CURATION["q_phash_neardup"] = q_phash_neardup
+
+
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ count–min sketch (functions/sketches.py cms_build/cms_query):
+    4×256-cell frequency sketch over lineitem part keys, point-queried
+    for parts < 50 — the mergeable bounded-space answer to per-key
+    frequency where the exact table is unbounded. Because the row
+    hashes are the engine's shared md5 coordinate, the WHOLE sketch —
+    cells and min-over-rows estimates — is value-exact cross-engine:
+    a sketch with a full SQL oracle.
+    """
+    from loan_etl_data_pipeline_spark.functions.sketches import (
+        cms_build,
+        cms_query,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    sketch = cms_build(li, "l_partkey", depth=4, width=256)
+    keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 50)
+        .select(F.col("p_partkey").alias("partkey"))
+    )
+    return cms_query(sketch, keys, "partkey", depth=4, width=256)
+
+
+QUERIES_CURATION["q_cms_freq"] = q_cms_freq
+ORACLE_CURATION["q_cms_freq"] = """
+    WITH d(row) AS (VALUES (0), (1), (2), (3)),
+    cells AS MATERIALIZED (
+        SELECT d.row AS row,
+               CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)
+                         || 'cms' || CAST(d.row AS VARCHAR) || '|'), 1, 12))
+                    AS BIGINT) % 256 AS col,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem, d
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT p_partkey AS partkey, d.row AS row,
+               CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)
+                         || 'cms' || CAST(d.row AS VARCHAR) || '|'), 1, 12))
+                    AS BIGINT) % 256 AS col
+        FROM part, d
+        WHERE p_partkey < 50
+    )
+    SELECT partkey, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+    FROM probes LEFT JOIN cells USING (row, col)
+    GROUP BY partkey
+"""

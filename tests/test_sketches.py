@@ -121,3 +121,70 @@ def test_sliding_distinct_merge_equals_direct(events):
             .count()
         )
         assert abs(got[tumbles[idx]] - exact) <= max(3, 0.05 * exact)
+
+
+# ---- count-min sketch (cms_build / cms_merge / cms_query) --------------
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    from loan_etl_data_pipeline_spark.functions.sketches import (
+        cms_build,
+        cms_query,
+    )
+
+    df = spark.range(0, 5000).selectExpr("CAST(id % 37 AS STRING) AS k")
+    true = {r["k"]: r["c"] for r in df.groupBy("k").count().withColumnRenamed("count", "c").collect()}
+    keys = df.select("k").distinct()
+    sketch = cms_build(df, "k", depth=4, width=1024)
+    got = {r["k"]: r["est"] for r in cms_query(sketch, keys, "k", depth=4, width=1024).collect()}
+    assert all(got[k] >= true[k] for k in true)  # the CMS one-sided bound
+    # 37 keys in 1024 columns: collisions vanish → exact
+    assert got == true
+
+
+def test_cms_merge_equals_one_shot(spark):
+    from loan_etl_data_pipeline_spark.functions.sketches import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+
+    df = spark.range(0, 2000).selectExpr("CAST(id % 23 AS STRING) AS k")
+    halves = [df.filter(f"id % 2 = {i}") for i in (0, 1)]
+    merged = cms_merge(*[cms_build(h, "k", depth=3, width=64) for h in halves])
+    oneshot = cms_build(df, "k", depth=3, width=64)
+    keys = df.select("k").distinct()
+    a = sorted(map(tuple, cms_query(merged, keys, "k", depth=3, width=64).collect()))
+    b = sorted(map(tuple, cms_query(oneshot, keys, "k", depth=3, width=64).collect()))
+    assert a == b
+
+
+def test_cms_weighted_and_absent_keys(spark):
+    from loan_etl_data_pipeline_spark.functions.sketches import (
+        cms_build,
+        cms_query,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7)], ["k", "w"]
+    )
+    sketch = cms_build(df, "k", depth=4, width=512, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",), ("zzz",)], ["k"])
+    got = {r["k"]: r["est"] for r in cms_query(sketch, keys, "k", depth=4, width=512).collect()}
+    assert got["a"] == 15 and got["b"] == 7
+    assert got["zzz"] == 0  # absent key: min over empty cells is 0
+
+
+def test_cms_validates(spark):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.functions.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS k")
+    with _pt.raises(ValueError):
+        cms_build(df, "k", depth=0, width=8)
+    with _pt.raises(ValueError):
+        cms_merge()
