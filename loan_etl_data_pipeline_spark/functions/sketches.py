@@ -138,18 +138,24 @@ def cms_build(
         if weight_col
         else F.lit(1).cast("bigint")
     )
-    rows = [
-        df.select(
-            F.lit(d).alias("row"),
-            (md5_coord48(key_col, salt=f"cms{d}|") % width).alias("col"),
-            w.alias("__w"),
-        )
-        for d in range(depth)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.groupBy("row", "col").agg(F.sum("__w").alias("cnt"))
+    # ONE scan: per row, explode an array of (row, col) structs — a
+    # depth-way union of full projections would scan the stream depth
+    # times at 100 TB for the same fan-out
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                (md5_coord48(key_col, salt=f"cms{d}|") % width).alias("col"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"), w.alias("__w"))
+        .select("c.row", "c.col", "__w")
+        .groupBy("row", "col")
+        .agg(F.sum("__w").alias("cnt"))
+    )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:

@@ -96,7 +96,8 @@ def fs_score_pairs(
     records (each keyed on that field); scoring joins the pair list to
     the records TWICE on the record id — the standard ER shape (pairs
     came from blocking, so |pairs| ≪ n²) — and the k weights travel as
-    a 1-row broadcast. Constant fields are rejected: u_i = 1 makes the
+    a 1-row broadcast. Constant fields are rejected at weight
+    evaluation (raise_error naming the field): u_i = 1 makes the
     disagreement weight ln(x/0).
     """
     if len(fields) != len(m) or not fields:
@@ -127,11 +128,17 @@ def fs_score_pairs(
                 f" / (CAST({den} AS DOUBLE) * CAST(s{i} AS DOUBLE)))) AS BIGINT)"
             ).alias(f"wa{i}")
         )
+        # constant field ⇒ s_i = n² ⇒ ln(x/0): fail loudly with the
+        # field name (raise_error keeps the guard inside the one-row
+        # weights evaluation — no extra validation scan of the records)
         wcols.append(
             F.expr(
-                f"CAST(floor({scale}L * ln((CAST({den - num} AS DOUBLE) * {n2})"
-                f" / (CAST({den} AS DOUBLE) * ({n2} - CAST(s{i} AS DOUBLE)))))"
-                " AS BIGINT)"
+                f"CASE WHEN CAST(s{i} AS DOUBLE) >= {n2} THEN"
+                f" CAST(raise_error('fs_score_pairs: field"
+                f" {fields[i]} is constant (u=1); drop it') AS BIGINT)"
+                f" ELSE CAST(floor({scale}L * ln((CAST({den - num} AS DOUBLE)"
+                f" * {n2}) / (CAST({den} AS DOUBLE)"
+                f" * ({n2} - CAST(s{i} AS DOUBLE))))) AS BIGINT) END"
             ).alias(f"wd{i}")
         )
     weights = stats.select(*wcols)

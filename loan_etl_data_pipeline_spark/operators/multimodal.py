@@ -510,10 +510,9 @@ def phash_media(
     if hash_size * hash_size > 64:
         raise ValueError(f"hash_size² must fit 64 bits, got {hash_size}")
     dct = _dct_matrix(img_size)
-    pil = _pil_image()
 
-    def _pixels(payload: bytes):
-        if pil is not None:
+    def _pixels(pil, payload: bytes):
+        if pil is not None and payload:
             import io
 
             try:
@@ -524,16 +523,28 @@ def phash_media(
             except Exception:
                 pass  # not a decodable image: fall through to raw bytes
         need = img_size * img_size
-        b = (payload * (need // max(len(payload), 1) + 1))[:need]
+        if not payload:
+            return np.zeros((img_size, img_size))  # empty blob: flat raster
+        b = (payload * (need // len(payload) + 1))[:need]
         return np.frombuffer(b, dtype=np.uint8).astype(np.float64).reshape(
             img_size, img_size
         )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # PIL availability is decided ON THE EXECUTOR (same stance as
+        # _decode_payload) — a driver-side probe would pickle the
+        # module by reference and crash heterogeneous clusters. The
+        # probe is INLINE (not a call to module-level _pil_image) so
+        # cloudpickle ships this closure by value and workers need
+        # neither this package nor PIL on their path.
+        try:
+            from PIL import Image as pil  # noqa: N813
+        except Exception:
+            pil = None
         for pdf in it:
             hashes = []
             for payload in pdf["payload"]:
-                px = _pixels(bytes(payload))
+                px = _pixels(pil, bytes(payload))
                 coeffs = dct @ px @ dct.T
                 block = coeffs[:hash_size, :hash_size].flatten()
                 med = float(np.median(block[1:]))  # exclude DC

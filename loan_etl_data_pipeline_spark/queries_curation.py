@@ -1578,6 +1578,39 @@ ORACLE_CURATION["q_quantile_norm"] = """
 """
 
 
+
+def _positional_index(spark: SparkSession, sf_dir: str) -> str:
+    """The (tok, id, pos) positional index both q_phrase_search and
+    q_proximity_search probe — the _kmeans_assign multi-consumer
+    discipline applied to an on-disk index: under the driver's
+    correctness gate each query rebuilds it (self-contained), but into
+    a DETERMINISTIC per-sf_dir directory (overwrite mode), so repeated
+    runs reuse one path instead of leaking a fresh mkdtemp per
+    invocation; with ``SPARK_GRAFT_MATERIALIZE_DIR`` set (bench mode)
+    the build is memoized — the second consumer only probes."""
+    import hashlib
+    import os
+    import tempfile
+
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        build_positional_index,
+    )
+
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    root = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
+    if root:
+        idx = f"{root}/posidx_{key}"
+        if os.path.exists(f"{idx}/postings/_SUCCESS"):
+            return idx
+    else:
+        idx = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_posidx_{key}"
+        )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    build_positional_index(d, idx)
+    return idx
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4+ positional-index phrase search (operators/retrieval.py
     build_positional_index / phrase_count_indexed): build the
@@ -1588,17 +1621,13 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-asserted), never the text. The oracle counts the same phrase
     by direct array scan over the raw text: index path == text path.
     """
-    import tempfile
-
     from loan_etl_data_pipeline_spark.operators.retrieval import (
-        build_positional_index,
         phrase_count_indexed,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = tempfile.mkdtemp(prefix="spark_graft_posidx_")
-    build_positional_index(d, idx)
-    out = phrase_count_indexed(spark, idx, "table hash")
+    out = phrase_count_indexed(
+        spark, _positional_index(spark, sf_dir), "table hash"
+    )
     return out.select(F.col("id").alias("doc_id"), "n_hits")
 
 
@@ -1629,17 +1658,13 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned to the two terms' buckets. The oracle replays the
     pair count by direct array scan: index path == text path.
     """
-    import tempfile
-
     from loan_etl_data_pipeline_spark.operators.retrieval import (
-        build_positional_index,
         proximity_count_indexed,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = tempfile.mkdtemp(prefix="spark_graft_proxidx_")
-    build_positional_index(d, idx)
-    out = proximity_count_indexed(spark, idx, "table", "hash", window=3)
+    out = proximity_count_indexed(
+        spark, _positional_index(spark, sf_dir), "table", "hash", window=3
+    )
     return out.select(F.col("id").alias("doc_id"), "n_hits")
 
 

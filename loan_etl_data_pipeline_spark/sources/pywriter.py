@@ -12,10 +12,11 @@ the part worth demonstrating:
   nothing is visible to readers yet. Returns a (picklable)
   WriterCommitMessage naming what was staged.
 - **commit(messages)** runs ON THE DRIVER only after EVERY task
-  succeeded: temp files are atomically renamed to their final names
-  and a ``_SUCCESS`` marker is written LAST — a crash anywhere before
-  that leaves only invisible temp files, never a torn table
-  (same manifest-last discipline as sources/versioned.py).
+  succeeded: promote staged temps first, atomically swap the
+  ``_SUCCESS`` manifest (which names the exact live file set and the
+  cumulative row count), and only then delete de-listed files — a
+  crash at ANY point leaves the previous manifest + its files fully
+  readable (same manifest discipline as sources/versioned.py).
 - **abort(messages)** deletes whatever was staged when any task
   failed, so retries never double-write.
 
@@ -71,22 +72,42 @@ class _JsonLinesWriter(DataSourceWriter):
         return _StagedFile(tmp, n)
 
     def commit(self, messages):
-        # driver-side, all tasks green: clear old data (overwrite mode),
-        # promote temps, then the _SUCCESS marker LAST
-        if self.overwrite:
-            for name in os.listdir(self.path):
-                if name.endswith(".jsonl") and not name.startswith("."):
-                    os.remove(os.path.join(self.path, name))
-            marker = os.path.join(self.path, "_SUCCESS")
-            if os.path.exists(marker):
-                os.remove(marker)
+        # driver-side, all tasks green. Ordering is what makes a crash
+        # safe at every point: (1) PROMOTE the staged temps (old data
+        # still intact — a crash here leaves old manifest + old files
+        # readable, new files inert extras); (2) atomically swap the
+        # _SUCCESS manifest, which names the EXACT live file set and
+        # the cumulative row count (append mode folds in the previous
+        # manifest); (3) only then delete files the manifest no longer
+        # names. Manifest-following readers get atomic table states;
+        # glob readers see append-then-shrink, never a torn table —
+        # the reference's rmtree-then-write does the opposite.
+        marker = os.path.join(self.path, "_SUCCESS")
+        prev = {"rows": 0, "files": []}
+        if not self.overwrite and os.path.exists(marker):
+            with open(marker) as f:
+                prev = json.load(f)
+        finals = []
         for i, m in enumerate(messages):
-            final = os.path.join(
-                self.path, f"part-{i:05d}-{os.path.basename(m.tmp_path)[8:]}"
-            )
-            os.rename(m.tmp_path, final)
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            json.dump({"rows": sum(m.rows for m in messages)}, f)
+            final = f"part-{i:05d}-{os.path.basename(m.tmp_path)[8:]}"
+            os.rename(m.tmp_path, os.path.join(self.path, final))
+            finals.append(final)
+        live = ([] if self.overwrite else list(prev["files"])) + finals
+        rows = (0 if self.overwrite else prev["rows"]) + sum(
+            m.rows for m in messages
+        )
+        tmp_marker = marker + ".staged"
+        with open(tmp_marker, "w") as f:
+            json.dump({"rows": rows, "files": live}, f)
+        os.replace(tmp_marker, marker)  # atomic manifest swap
+        keep = set(live)
+        for name in os.listdir(self.path):
+            if (
+                name.endswith(".jsonl")
+                and not name.startswith(".")
+                and name not in keep
+            ):
+                os.remove(os.path.join(self.path, name))
 
     def abort(self, messages):
         for m in messages:

@@ -173,3 +173,20 @@ def test_fs_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_fs_rejects_constant_field(spark):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.entity import fs_score_pairs
+
+    recs = spark.createDataFrame(
+        [(1, "same", "a"), (2, "same", "b"), (3, "same", "a")],
+        ["id", "city", "tier"],
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    out = fs_score_pairs(
+        pairs, recs, "id", ["city", "tier"], [(9, 10), (9, 10)]
+    )
+    with _pt.raises(Exception, match="city is constant"):
+        out.collect()

@@ -352,3 +352,13 @@ def test_phash_validates_hash_size(spark):
 
     with _pt.raises(ValueError, match="64 bits"):
         phash_media(_media(spark, [(1, b"x")]), hash_size=9)
+
+
+def test_phash_empty_payload_is_flat_raster(spark):
+    from loan_etl_data_pipeline_spark.operators.multimodal import phash_media
+
+    got = {
+        r["media_id"]: r["phash"]
+        for r in phash_media(_media(spark, [(1, b""), (2, b"")])).collect()
+    }
+    assert got[1] == got[2]  # deterministic, and it must not crash

@@ -174,7 +174,11 @@ def test_pyjsonl_write_read_roundtrip(spark, tmp_path):
     assert len(finals) == 4  # one staged file per partition, all promoted
     assert not glob.glob(f"{out}/.staged-*")  # no leftover temp files
     with open(f"{out}/_SUCCESS") as f:
-        assert _json.load(f)["rows"] == 100
+        man = _json.load(f)
+    assert man["rows"] == 100
+    assert sorted(man["files"]) == sorted(
+        os.path.basename(x) for x in finals
+    )
 
     back = spark.read.json(out)
     assert back.count() == 100
@@ -197,6 +201,17 @@ def test_pyjsonl_overwrite_replaces(spark, tmp_path):
     ).save()
     back = spark.read.json(out)
     assert sorted(r["id"] for r in back.collect()) == list(range(100, 110))
+    # append after overwrite: the manifest ACCUMULATES files and rows
+    import json as _json
+
+    spark.range(200, 205).write.format("pyjsonl").option("path", out).mode(
+        "append"
+    ).save()
+    with open(f"{out}/_SUCCESS") as f:
+        man = _json.load(f)
+    assert man["rows"] == 15
+    back2 = spark.read.json(out)
+    assert back2.count() == 15
 
 
 def test_pyjsonl_requires_path(spark):
