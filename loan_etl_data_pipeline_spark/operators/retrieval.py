@@ -737,3 +737,57 @@ def proximity_count_indexed(
     return pairs.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits")
     )
+
+
+def kwic_indexed(
+    spark,
+    index_dir: str,
+    docs: DataFrame,
+    term: str,
+    *,
+    context: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context (KWIC) snippets: one row per occurrence of
+    ``term`` — (id, pos, snippet), snippet = the ±``context`` token
+    window around the hit, joined as one string.
+
+    The positional index supplies the hit LIST (bucket-pruned, like
+    phrase_count_indexed); only matching documents are then joined
+    back to the corpus for the row-local array slice — the corpus scan
+    is a semi-join-reduced lookup, never a full-text regex pass, and
+    the slice itself is codegen (no Python). The classic concordance
+    view reviewers ask for when a filter flags a term.
+    """
+    if context < 0:
+        raise ValueError(f"context must be >= 0, got {context}")
+    t = term.lower()
+    bucket = (
+        spark.createDataFrame([(t,)], "tok string")
+        .select(F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int").alias("b"))
+        .collect()[0]["b"]
+    )
+    hits = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket") == bucket)
+        .filter(F.col("tok") == t)
+        .select("id", "pos")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    # slice() is 1-based; pos is 0-based; clamp the left edge at 1
+    start = F.greatest(F.col("pos") + 1 - context, F.lit(1))
+    length = F.col("pos") + 1 + context - start + 1
+    return (
+        hits.join(toks, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.array_join(F.slice("__toks", start, length), " ").alias(
+                "snippet"
+            ),
+        )
+    )

@@ -1779,3 +1779,38 @@ ORACLE_CURATION["q_cms_freq"] = """
     FROM probes LEFT JOIN cells USING (row, col)
     GROUP BY partkey
 """
+
+
+def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ keyword-in-context concordance (operators/retrieval.py
+    kwic_indexed): every occurrence of "vector" with its ±2-token
+    window — hit positions from the shared positional index
+    (bucket-pruned), snippets from a semi-join-reduced row-local array
+    slice. The oracle rebuilds the same snippets by direct array scan:
+    index path == text path, down to the clamped left edges.
+    """
+    from loan_etl_data_pipeline_spark.operators.retrieval import kwic_indexed
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return kwic_indexed(
+        spark, _positional_index(spark, sf_dir), d, "vector", context=2
+    )
+
+
+QUERIES_CURATION["q_kwic"] = q_kwic
+ORACLE_CURATION["q_kwic"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, l, CAST(g.i AS BIGINT) AS i
+        FROM toks, UNNEST(generate_series(1, len(l))) AS g(i)
+        WHERE l[CAST(g.i AS INTEGER)] = 'vector'
+    )
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(
+               l[CAST(greatest(i - 2, 1) AS INTEGER)
+                 : CAST(least(i + 2, len(l)) AS INTEGER)], ' ') AS snippet
+    FROM hits
+"""

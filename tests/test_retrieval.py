@@ -546,3 +546,33 @@ def test_proximity_validates_window(spark, tmp_path):
     idx = _posidx(spark, tmp_path, [(1, "a b")])
     with _pt.raises(ValueError, match="window"):
         proximity_count_indexed(spark, idx, "a", "b", window=0)
+
+
+def test_kwic_snippets_and_edge_clamping(spark, tmp_path):
+    from loan_etl_data_pipeline_spark.operators.retrieval import kwic_indexed
+
+    docs = spark.createDataFrame(
+        [(1, "cat a b cat c"), (2, "x y z"), (3, "cat")],
+        ["doc_id", "text"],
+    )
+    idx = _posidx(spark, tmp_path, [tuple(r) for r in docs.collect()])
+    got = sorted(
+        (r["doc_id"], r["pos"], r["snippet"])
+        for r in kwic_indexed(spark, idx, docs, "CAT", context=2).collect()
+    )
+    assert got == [
+        (1, 0, "cat a b"),        # left edge clamped
+        (1, 3, "a b cat c"),      # right edge clamped by array length
+        (3, 0, "cat"),            # single-token doc
+    ]
+
+
+def test_kwic_validates_context(spark, tmp_path):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.retrieval import kwic_indexed
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    idx = _posidx(spark, tmp_path, [(1, "a")])
+    with _pt.raises(ValueError, match="context"):
+        kwic_indexed(spark, idx, docs, "a", context=-1)
