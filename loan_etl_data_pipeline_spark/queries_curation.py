@@ -1814,3 +1814,115 @@ ORACLE_CURATION["q_kwic"] = r"""
                  : CAST(least(i + 2, len(l)) AS INTEGER)], ' ') AS snippet
     FROM hits
 """
+
+
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9/E4 corpus DATA CARD: the one-row model-card-style summary a
+    dataset release ships — size (docs/tokens/vocabulary), exact-dup
+    rate, English share, and exact length order statistics (median,
+    p90) — composed from the certified operators (dedup_by_fingerprint
+    normalization, lang_id, global_rank order statistics) in one
+    query with a FULL value oracle. Rates quantize to 1e-9 by integer
+    division; order statistics use the explicit j = ⌈q·n⌉ rule, so
+    nothing depends on an engine's percentile interpolation.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
+    from loan_etl_data_pipeline_spark.operators.text import lang_id, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    toks = tokens(F.lower(F.col("text")))
+    size_stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+    )
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.count_distinct("tok").cast("bigint").alias("vocab")
+    )
+    # same normalization contract as dedup_by_fingerprint / q_docs_dedup
+    n_fp = docs.select(
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp")
+    ).agg(F.count_distinct("fp").cast("bigint").alias("n_distinct"))
+    n_en = (
+        lang_id(docs.select("doc_id", "text"))
+        .filter(F.col("lang_pred") == "en")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_en"))
+    )
+    ranked = global_rank(
+        docs.select("doc_id", "n_chars"),
+        [F.asc("n_chars"), F.asc("doc_id")],
+        rank_col="r",
+    )
+    n = ranked._global_rank_n
+    j50 = (n + 1) // 2
+    j90 = (9 * n + 9) // 10
+    med = ranked.filter(F.col("r") == j50).select(
+        F.col("n_chars").alias("median_chars")
+    )
+    p90 = ranked.filter(F.col("r") == j90).select(
+        F.col("n_chars").alias("p90_chars")
+    )
+    return (
+        size_stats.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_fp))
+        .crossJoin(F.broadcast(n_en))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            F.expr("((n_docs - n_distinct) * 1000000000L) div n_docs").alias(
+                "dup_rate9"
+            ),
+            F.expr("(n_en * 1000000000L) div n_docs").alias("share_en9"),
+            "median_chars",
+            "p90_chars",
+        )
+    )
+
+
+QUERIES_CURATION["q_data_card"] = q_data_card
+ORACLE_CURATION["q_data_card"] = r"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, n_chars,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), size_stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+        FROM t
+    ), vocab AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+        FROM t, UNNEST(toks) AS u(tok)
+    ), lang AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_en FROM (
+            SELECT CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS hits_en,
+                   CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+                   CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS hits_fr,
+                   CAST(len(list_filter(toks, x -> x IN ('el','los','las','que','y'))) AS BIGINT) AS hits_es
+            FROM t)
+        WHERE hits_en >= greatest(hits_de, hits_fr, hits_es) AND hits_en > 0
+    ), ranked AS (
+        SELECT n_chars,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                 AS r
+        FROM t
+    ), med AS (
+        SELECT n_chars AS median_chars FROM ranked, size_stats
+        WHERE r = (n_docs + 1) // 2
+    ), p90 AS (
+        SELECT n_chars AS p90_chars FROM ranked, size_stats
+        WHERE r = (9 * n_docs + 9) // 10
+    )
+    SELECT n_docs, n_tokens, vocab,
+           ((n_docs - n_distinct) * 1000000000) // n_docs AS dup_rate9,
+           (n_en * 1000000000) // n_docs AS share_en9,
+           median_chars, p90_chars
+    FROM size_stats, vocab, lang, med, p90
+"""
