@@ -1926,3 +1926,82 @@ ORACLE_CURATION["q_data_card"] = r"""
            median_chars, p90_chars
     FROM size_stats, vocab, lang, med, p90
 """
+
+
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ ER blocking-quality evaluation: recall and pair-precision of
+    sorted-neighborhood blocking (window 6) against the COMPLETE
+    edit-distance-≤1 truth from the deletion-neighborhood join — the
+    measurement every merge/purge deployment needs before trusting a
+    window size (recall < 1 means typo pairs the sort failed to
+    co-locate; precision is the verify workload per true match). All
+    counts exact, ratios 1e-9-integer-quantized; the oracle replays
+    both pair sets (quadratic levenshtein truth, rank-window
+    candidates) and the same arithmetic. 1 row out.
+    """
+    from loan_etl_data_pipeline_spark.operators.entity import (
+        del1_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1500)
+        .select("c_custkey", "c_name")
+    )
+    truth = del1_pairs(c, "c_custkey", "c_name").select(
+        F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
+    )
+    cand = (
+        sorted_neighborhood_pairs(c, "c_custkey", "c_name", window=6)
+        .select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .distinct()
+    )
+    hit = truth.join(cand, ["lo", "hi"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.expr("(n_hit * 1000000000L) div n_truth").alias("recall9"),
+            F.expr("(n_hit * 1000000000L) div n_cand").alias("precision9"),
+        )
+    )
+
+
+QUERIES_CURATION["q_blocking_eval"] = q_blocking_eval
+ORACLE_CURATION["q_blocking_eval"] = """
+    WITH c AS MATERIALIZED (
+        SELECT c_custkey AS id, c_name AS name
+        FROM customer WHERE c_custkey < 1500
+    ), truth AS MATERIALIZED (
+        SELECT a.id AS lo, b.id AS hi
+        FROM c a JOIN c b ON a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1
+    ), ranked AS (
+        SELECT id, name, row_number() OVER (ORDER BY name ASC, id ASC) AS r
+        FROM c
+    ), cand AS MATERIALIZED (
+        SELECT DISTINCT LEAST(a.id, b.id) AS lo, GREATEST(a.id, b.id) AS hi
+        FROM ranked a JOIN ranked b
+          ON b.r > a.r AND b.r <= a.r + 5
+    ), agg AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM truth JOIN cand USING (lo, hi)) AS n_hit
+    )
+    SELECT n_truth, n_cand, n_hit,
+           (n_hit * 1000000000) // n_truth AS recall9,
+           (n_hit * 1000000000) // n_cand AS precision9
+    FROM agg
+"""
