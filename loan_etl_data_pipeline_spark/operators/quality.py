@@ -296,3 +296,55 @@ def table_fingerprint(
             F.sum("coord").alias("checksum"),
         )
     )
+
+
+def isotonic_fit(
+    bins: DataFrame,
+    x_col: str,
+    sum_col: str,
+    n_col: str,
+    *,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Exact isotonic (non-decreasing) regression over an aggregated
+    bin grid — pool-adjacent-violators (PAVA), the standard fix
+    applied after a calibration audit flags a non-monotone
+    reliability curve: fitted rates are weighted pool means and the
+    L2-isotonic solution is UNIQUE, so any valid merge order lands on
+    the same pools (which is why the oracle's merge-first-violation
+    rounds must agree with this stack implementation exactly).
+
+    Arithmetic is exact end to end: pool means stay (Σy, n) integer
+    pairs, violations compare by cross-multiplication, and the fitted
+    value quantizes once at the end (``fitted = (Σy·scale) div n``).
+
+    The bin grid is BOUNDED BY CONTRACT (a discount/price/score grid —
+    data-size-free, the q_ses_level regime): the distributed stage is
+    the caller's aggregation; the fit itself runs driver-side on the
+    collected grid, exactly like a broadcast model's driver-side idf.
+    Returns (x_col, pool_lo, fitted9) for every input bin.
+    """
+    rows = sorted(
+        (r[x_col], int(r[sum_col]), int(r[n_col])) for r in bins.collect()
+    )
+    if not rows:
+        raise ValueError("isotonic_fit needs at least one bin")
+    if any(n <= 0 for _, _, n in rows):
+        raise ValueError("isotonic_fit: every bin needs n > 0")
+    # stack PAVA: each pool = (lo_x, members, sy, n); merge while the
+    # top pool's mean exceeds the incoming one's (cross-multiplied)
+    pools: list[list] = []
+    for x, sy, n in rows:
+        cur = [x, [x], sy, n]
+        while pools and pools[-1][2] * cur[3] > cur[2] * pools[-1][3]:
+            prev = pools.pop()
+            cur = [prev[0], prev[1] + cur[1], prev[2] + cur[2], prev[3] + cur[3]]
+        pools.append(cur)
+    out = [
+        (x, lo, (sy * scale) // n)
+        for lo, members, sy, n in pools
+        for x in members
+    ]
+    return bins.sparkSession.createDataFrame(
+        out, f"{x_col} bigint, pool_lo bigint, fitted9 bigint"
+    )

@@ -2005,3 +2005,81 @@ ORACLE_CURATION["q_blocking_eval"] = """
            (n_hit * 1000000000) // n_cand AS precision9
     FROM agg
 """
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ isotonic calibration (operators/quality.py isotonic_fit):
+    PAVA over the discount-bucket return-rate curve — the monotone fix
+    applied after q_calibration's audit flags a non-monotone
+    reliability curve. The L2-isotonic solution is unique, so the
+    oracle's unrolled merge-first-violation rounds are FORCED to agree
+    with the stack PAVA (same pools, same exact rational means,
+    quantized once). Distributed stage = the bucket aggregation; the
+    fit runs on the bounded bin grid by contract. 11 rows out.
+    """
+    from loan_etl_data_pipeline_spark.operators.quality import isotonic_fit
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("bucket"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+    bins = li.groupBy("bucket").agg(
+        F.sum("y").cast("bigint").alias("r"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    fit = isotonic_fit(bins, "bucket", "r", "n")
+    return bins.join(fit, "bucket").select(
+        "bucket",
+        "pool_lo",
+        F.expr("(r * 1000000000L) div n").alias("obs9"),
+        "fitted9",
+    )
+
+
+def _isotonic_oracle(rounds: int = 12) -> str:
+    """Unrolled merge-first-violation PAVA rounds (≤ bins−1 merges for
+    an 11-bucket grid; converged rounds are no-ops) — the generated-
+    iteration-oracle pattern. Uniqueness of the isotonic solution is
+    what lets this different merge schedule certify the stack PAVA."""
+    parts = [
+        """
+    WITH bins AS MATERIALIZED (
+        SELECT CAST(FLOOR(l_discount * 100) AS BIGINT) AS bucket,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS r,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    pools0 AS MATERIALIZED (
+        SELECT bucket AS lo, bucket AS hi, r AS sy, n FROM bins
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f""",
+    v{k} AS MATERIALIZED (
+        SELECT l.lo AS llo, r.lo AS rlo, r.hi AS rhi,
+               l.sy + r.sy AS msy, l.n + r.n AS mn
+        FROM pools{p} l JOIN pools{p} r ON r.lo = l.hi + 1
+        WHERE l.sy * r.n > r.sy * l.n
+        ORDER BY l.lo LIMIT 1
+    ),
+    pools{k} AS MATERIALIZED (
+        SELECT p.lo, p.hi, p.sy, p.n
+        FROM pools{p} p LEFT JOIN v{k}
+          ON p.lo = v{k}.llo OR p.lo = v{k}.rlo
+        WHERE v{k}.llo IS NULL
+        UNION ALL
+        SELECT llo AS lo, rhi AS hi, msy AS sy, mn AS n FROM v{k}
+    )""")
+    parts.append(f"""
+    SELECT b.bucket, p.lo AS pool_lo,
+           (b.r * 1000000000) // b.n AS obs9,
+           (p.sy * 1000000000) // p.n AS fitted9
+    FROM bins b JOIN pools{rounds} p
+      ON b.bucket BETWEEN p.lo AND p.hi""")
+    return "".join(parts)
+
+
+QUERIES_CURATION["q_isotonic_calibration"] = q_isotonic_calibration
+ORACLE_CURATION["q_isotonic_calibration"] = _isotonic_oracle()

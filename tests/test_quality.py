@@ -238,3 +238,83 @@ def test_fd_violations_compound_determinant_holds(spark):
     assert r["fd"] == "a,b->c"
     assert (r["n_groups"], r["n_violating_groups"], r["n_violating_rows"]) \
         == (2, 0, 0)
+
+
+# ---- isotonic_fit (PAVA) -----------------------------------------------
+
+
+def test_isotonic_known_answer(spark):
+    from loan_etl_data_pipeline_spark.operators.quality import isotonic_fit
+
+    # means: 1, 3, 2 — middle two pool to (3+2)/(1+1)=2.5; still ≥ 1 ✓
+    bins = spark.createDataFrame(
+        [(1, 10, 10), (2, 30, 10), (3, 20, 10)], ["x", "sy", "n"]
+    )
+    got = {
+        r["x"]: (r["pool_lo"], r["fitted9"])
+        for r in isotonic_fit(bins, "x", "sy", "n").collect()
+    }
+    assert got[1] == (1, 1_000_000_000)
+    assert got[2] == (2, 2_500_000_000)
+    assert got[3] == (2, 2_500_000_000)
+
+
+def test_isotonic_cascading_merge(spark):
+    from loan_etl_data_pipeline_spark.operators.quality import isotonic_fit
+
+    # 5, 4, 3 — full cascade into one pool with mean 4
+    bins = spark.createDataFrame(
+        [(1, 5, 1), (2, 4, 1), (3, 3, 1)], ["x", "sy", "n"]
+    )
+    got = isotonic_fit(bins, "x", "sy", "n").collect()
+    assert {r["pool_lo"] for r in got} == {1}
+    assert {r["fitted9"] for r in got} == {4_000_000_000}
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from loan_etl_data_pipeline_spark.operators.quality import isotonic_fit
+
+    bins = spark.createDataFrame(
+        [(i, i * 2, 2) for i in range(1, 6)], ["x", "sy", "n"]
+    )
+    got = isotonic_fit(bins, "x", "sy", "n").collect()
+    assert all(r["pool_lo"] == r["x"] for r in got)
+    assert all(r["fitted9"] == r["x"] * 1_000_000_000 for r in got)
+
+
+def test_isotonic_output_is_monotone_and_weighted(spark):
+    import random
+
+    from loan_etl_data_pipeline_spark.operators.quality import isotonic_fit
+
+    rnd = random.Random(3)
+    rows = [(i, rnd.randint(0, 50), rnd.randint(1, 9)) for i in range(30)]
+    bins = spark.createDataFrame(rows, ["x", "sy", "n"])
+    got = sorted(
+        (r["x"], r["pool_lo"], r["fitted9"])
+        for r in isotonic_fit(bins, "x", "sy", "n").collect()
+    )
+    fitted = [f for _, _, f in got]
+    assert fitted == sorted(fitted)  # non-decreasing
+    # pool means preserve total mass: Σ n·mean == Σ sy (up to quantize)
+    by_pool = {}
+    for (x, lo, f), (xx, sy, n) in zip(got, sorted(rows)):
+        by_pool.setdefault(lo, [0, 0])
+        by_pool[lo][0] += sy
+        by_pool[lo][1] += n
+    for lo, (sy, n) in by_pool.items():
+        want = (sy * 10**9) // n
+        assert all(f == want for x, l, f in got if l == lo)
+
+
+def test_isotonic_validates(spark):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.quality import isotonic_fit
+
+    empty = spark.createDataFrame([], "x bigint, sy bigint, n bigint")
+    with _pt.raises(ValueError, match="at least one"):
+        isotonic_fit(empty, "x", "sy", "n")
+    zero = spark.createDataFrame([(1, 1, 0)], ["x", "sy", "n"])
+    with _pt.raises(ValueError, match="n > 0"):
+        isotonic_fit(zero, "x", "sy", "n")
