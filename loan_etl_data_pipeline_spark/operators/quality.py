@@ -345,6 +345,9 @@ def isotonic_fit(
         for lo, members, sy, n in pools
         for x in members
     ]
+    # grid type follows the input (a score grid may be DOUBLE/STRING —
+    # the docstring's contract), only the derived columns are pinned
+    xt = bins.schema[x_col].dataType.simpleString()
     return bins.sparkSession.createDataFrame(
-        out, f"{x_col} bigint, pool_lo bigint, fitted9 bigint"
+        out, f"{x_col} {xt}, pool_lo {xt}, fitted9 bigint"
     )

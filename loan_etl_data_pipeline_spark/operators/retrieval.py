@@ -630,6 +630,24 @@ def build_positional_index(
     )
 
 
+
+def _term_buckets(spark, terms) -> list[int]:
+    """Bucket ids for a term set under the index layout's
+    pmod(xxhash64(tok), 64) scheme — computed via the JVM hash so the
+    probe's IN-list matches what the build wrote. One definition for
+    every index probe (phrase / proximity / KWIC)."""
+    return sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in set(terms)], "tok string"
+            )
+            .select(F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int").alias("b"))
+            .collect()
+        }
+    )
+
+
 def phrase_count_indexed(spark, index_dir: str, phrase: str) -> DataFrame:
     """Exact phrase occurrence counts from the positional index:
     (id, n_hits) for every document containing the phrase's tokens at
@@ -647,16 +665,7 @@ def phrase_count_indexed(spark, index_dir: str, phrase: str) -> DataFrame:
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("phrase must contain at least one token")
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in set(terms)], "tok string"
-            )
-            .select(F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int").alias("b"))
-            .collect()
-        }
-    )
+    buckets = _term_buckets(spark, terms)
     posts = (
         spark.read.parquet(f"{index_dir}/postings")
         .filter(F.col("bucket").isin(buckets))
@@ -691,16 +700,7 @@ def proximity_count_indexed(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     ta, tb = term_a.lower(), term_b.lower()
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in {ta, tb}], "tok string"
-            )
-            .select(F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int").alias("b"))
-            .collect()
-        }
-    )
+    buckets = _term_buckets(spark, [ta, tb])
     posts = (
         spark.read.parquet(f"{index_dir}/postings")
         .filter(F.col("bucket").isin(buckets))
@@ -762,12 +762,13 @@ def kwic_indexed(
     """
     if context < 0:
         raise ValueError(f"context must be >= 0, got {context}")
-    t = term.lower()
-    bucket = (
-        spark.createDataFrame([(t,)], "tok string")
-        .select(F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int").alias("b"))
-        .collect()[0]["b"]
-    )
+    t = term.lower().strip()
+    if not t or " " in t:
+        raise ValueError(
+            f"term must be exactly one token, got {term!r} — "
+            "multi-token lookups are phrase_count_indexed's job"
+        )
+    bucket = _term_buckets(spark, [t])[0]
     hits = (
         spark.read.parquet(f"{index_dir}/postings")
         .filter(F.col("bucket") == bucket)

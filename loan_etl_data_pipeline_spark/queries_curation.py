@@ -1833,19 +1833,23 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "n_chars"
     )
     toks = tokens(F.lower(F.col("text")))
-    size_stats = docs.agg(
+    # one corpus scan for all three plain scalars (count, token sum,
+    # distinct fingerprints — same normalization contract as
+    # dedup_by_fingerprint / q_docs_dedup); only vocabulary (explode),
+    # lang-id, and the rank need their own passes
+    size_stats = docs.select(
+        F.size(toks).alias("__nt"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+        F.sum("__nt").cast("bigint").alias("n_tokens"),
+        F.count_distinct("fp").cast("bigint").alias("n_distinct"),
     )
     vocab = docs.select(F.explode(toks).alias("tok")).agg(
         F.count_distinct("tok").cast("bigint").alias("vocab")
     )
-    # same normalization contract as dedup_by_fingerprint / q_docs_dedup
-    n_fp = docs.select(
-        F.md5(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-        ).alias("fp")
-    ).agg(F.count_distinct("fp").cast("bigint").alias("n_distinct"))
     n_en = (
         lang_id(docs.select("doc_id", "text"))
         .filter(F.col("lang_pred") == "en")
@@ -1865,9 +1869,8 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     p90 = ranked.filter(F.col("r") == j90).select(
         F.col("n_chars").alias("p90_chars")
     )
-    return (
+    out = (
         size_stats.crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(n_fp))
         .crossJoin(F.broadcast(n_en))
         .crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(p90))
@@ -1883,6 +1886,11 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_chars",
         )
     )
+    # forward global_rank's persisted frame for release_intermediates
+    out._persisted_intermediates = getattr(  # noqa: SLF001
+        ranked, "_persisted_intermediates", ()
+    )
+    return out
 
 
 QUERIES_CURATION["q_data_card"] = q_data_card
@@ -1952,20 +1960,17 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = del1_pairs(c, "c_custkey", "c_name").select(
         F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
     )
-    cand = (
-        sorted_neighborhood_pairs(c, "c_custkey", "c_name", window=6)
-        .select(
-            F.least("id_a", "id_b").alias("lo"),
-            F.greatest("id_a", "id_b").alias("hi"),
-        )
-        .distinct()
-    )
+    raw_cand = sorted_neighborhood_pairs(c, "c_custkey", "c_name", window=6)
+    cand = raw_cand.select(
+        F.least("id_a", "id_b").alias("lo"),
+        F.greatest("id_a", "id_b").alias("hi"),
+    ).distinct()
     hit = truth.join(cand, ["lo", "hi"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hit")
     )
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
-    return (
+    out = (
         nt.crossJoin(F.broadcast(nc))
         .crossJoin(F.broadcast(hit))
         .select(
@@ -1976,6 +1981,12 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_hit * 1000000000L) div n_cand").alias("precision9"),
         )
     )
+    # forward the sorted-neighborhood ranked frame for release (the
+    # attribute lives on the RAW pairs frame; select/distinct drop it)
+    out._persisted_intermediates = getattr(  # noqa: SLF001
+        raw_cand, "_persisted_intermediates", ()
+    )
+    return out
 
 
 QUERIES_CURATION["q_blocking_eval"] = q_blocking_eval
@@ -2023,10 +2034,12 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_discount") * 100).cast("bigint").alias("bucket"),
         (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
     )
+    # localCheckpoint: the fit's collect AND the obs9 join both read
+    # the 11-row aggregate — without it the lineitem scan runs twice
     bins = li.groupBy("bucket").agg(
         F.sum("y").cast("bigint").alias("r"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint()
     fit = isotonic_fit(bins, "bucket", "r", "n")
     return bins.join(fit, "bucket").select(
         "bucket",

@@ -576,3 +576,16 @@ def test_kwic_validates_context(spark, tmp_path):
     idx = _posidx(spark, tmp_path, [(1, "a")])
     with _pt.raises(ValueError, match="context"):
         kwic_indexed(spark, idx, docs, "a", context=-1)
+
+
+def test_kwic_rejects_empty_or_multitoken_term(spark, tmp_path):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.retrieval import kwic_indexed
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    idx = _posidx(spark, tmp_path, [(1, "a b")])
+    with _pt.raises(ValueError, match="one token"):
+        kwic_indexed(spark, idx, docs, "a b")
+    with _pt.raises(ValueError, match="one token"):
+        kwic_indexed(spark, idx, docs, "  ")
