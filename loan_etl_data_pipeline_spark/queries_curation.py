@@ -2096,3 +2096,76 @@ def _isotonic_oracle(rounds: int = 12) -> str:
 
 QUERIES_CURATION["q_isotonic_calibration"] = q_isotonic_calibration
 ORACLE_CURATION["q_isotonic_calibration"] = _isotonic_oracle()
+
+
+def q_jaccard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 dedup threshold-selection curve: how many near-dup pairs a
+    3-gram Jaccard threshold of 0.1…0.9 would flag — the measurement
+    behind every "what τ do we dedup at?" decision (too low merges
+    topical neighbors, too high misses paraphrases; the knee of this
+    curve is where the duplicate mass lives). ONE postings join
+    produces every pair sharing a gram; per-decile counts compare by
+    exact cross-multiplication (10·|∩| ≥ t·|∪|), so the whole curve is
+    value-exact. 9 rows out.
+    """
+    from loan_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_intermediates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+    thr = F.explode(F.expr("sequence(1, 9)")).alias("thr_decile")
+    out = (
+        pairs.select(
+            "inter_size",
+            (F.col("size_a") + F.col("size_b") - F.col("inter_size")).alias(
+                "u"
+            ),
+            thr,
+        )
+        .filter(F.col("inter_size") * 10 >= F.col("thr_decile") * F.col("u"))
+        .groupBy("thr_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(F.col("thr_decile").cast("bigint").alias("thr_decile"), "n_pairs")
+    )
+    out._persisted_intermediates = getattr(  # noqa: SLF001
+        pairs, "_persisted_intermediates", ()
+    )
+    return out
+
+
+QUERIES_CURATION["q_jaccard_curve"] = q_jaccard_curve
+ORACLE_CURATION["q_jaccard_curve"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [] END) AS gs
+        FROM toks
+    ), posts AS (
+        SELECT doc_id AS id, UNNEST(gs) AS ngram FROM grams
+    ), sizes AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS sz FROM posts GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(count(*) AS BIGINT) AS inter_size
+        FROM posts a JOIN posts b ON a.ngram = b.ngram AND a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT inter_size, sa.sz + sb.sz - inter_size AS u
+        FROM inter
+        JOIN sizes sa ON id_a = sa.id
+        JOIN sizes sb ON id_b = sb.id
+    ), d(thr_decile) AS (
+        VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)
+    )
+    SELECT CAST(thr_decile AS BIGINT) AS thr_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs JOIN d ON inter_size * 10 >= thr_decile * u
+    GROUP BY 1
+"""
