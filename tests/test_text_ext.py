@@ -202,3 +202,26 @@ def test_repeated_spans_within_doc_repeat_not_counted(spark):
         "doc_id long, text string",
     )
     assert repeated_spans(df, k=4).count() == 0
+
+
+def test_normalize_confusables_folds_homoglyphs(spark):
+    from loan_etl_data_pipeline_spark.operators.text import (
+        normalize_confusables,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "pаypаl аccount"),   # Cyrillic а
+            (2, "paypal account"),   # pure ASCII twin
+            (3, "сХу САse"),         # Cyrillic с Х у С sorted out, case kept
+        ],
+        ["id", "t"],
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", normalize_confusables("t").alias("n")
+        ).collect()
+    }
+    assert got[1] == got[2] == "paypal account"
+    assert got[3] == "cXy CAse"
