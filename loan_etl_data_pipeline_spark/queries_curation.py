@@ -2236,3 +2236,73 @@ ORACLE_CURATION["q_homoglyph_dedup"] = r"""
     GROUP BY fp
     HAVING count(*) > 1
 """
+
+
+def q_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 tokenizer fertility by detected language: chars-per-token per
+    lang_id bucket — the multilingual budgeting metric (a language
+    whose tokens carry fewer characters pays more sequence length for
+    the same text; fertility differences decide per-language sampling
+    budgets). Exact counts, one 1e-9-quantized division per language.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import lang_id, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.size(tokens(F.lower(F.col("text")))).cast("bigint").alias("nt"),
+    )
+    langs = lang_id(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("lang_pred").alias("lang")
+    )
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("(n_chars * 1000000000L) div n_tokens").alias(
+                "chars_per_token9"
+            ),
+        )
+    )
+
+
+QUERIES_CURATION["q_lang_fertility"] = q_lang_fertility
+ORACLE_CURATION["q_lang_fertility"] = r"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), h AS (
+        SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS nt,
+               CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS hits_en,
+               CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+               CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS hits_fr,
+               CAST(len(list_filter(toks, x -> x IN ('el','los','las','que','y'))) AS BIGINT) AS hits_es
+        FROM t
+    ), lbl AS (
+        SELECT doc_id, n_chars, nt,
+               CASE WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) AND hits_en > 0 THEN 'en'
+                    WHEN hits_de >= greatest(hits_fr, hits_es) AND hits_de > 0 THEN 'de'
+                    WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                    WHEN hits_es > 0 THEN 'es'
+                    ELSE 'unknown' END AS lang
+        FROM h
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           (SUM(n_chars) * 1000000000) // SUM(nt) AS chars_per_token9
+    FROM lbl GROUP BY lang
+"""
