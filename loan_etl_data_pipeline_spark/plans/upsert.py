@@ -39,11 +39,16 @@ def merge_upsert(
     *,
     key_cols: list[str] | str,
     partition_col: str,
+    deletes: DataFrame | None = None,
 ) -> None:
-    """Upsert ``updates`` into the parquet table at ``table_dir``.
+    """Upsert ``updates`` into the parquet table at ``table_dir``;
+    optionally DELETE the keys in ``deletes`` (key_cols +
+    partition_col — the CDC tombstone shape: a Debezium-style delete
+    event carries the key and, via its before-image, the partition).
 
     Rows whose ``key_cols`` match an existing row replace it; new keys
-    append. Only partitions present in ``updates`` are rewritten.
+    append; delete keys vanish. Only partitions present in ``updates``
+    or ``deletes`` are rewritten.
 
     Precondition: ``partition_col`` must be functionally determined by
     the key (a key never changes partitions between versions) — this
@@ -52,6 +57,12 @@ def merge_upsert(
     partition's version in place (only touched partitions are read);
     the same is true of every partition-pruned merge, including
     Delta/Iceberg MERGEs whose ON clause pins the partition.
+
+    Deletes expose a dynamic-partition-overwrite pitfall this function
+    handles explicitly: a partition whose LAST rows were deleted is
+    absent from the written output, and dynamic overwrite only
+    replaces partitions it writes — the stale directory would survive.
+    Emptied touched partitions are removed directly after the write.
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     dup = (
@@ -63,9 +74,12 @@ def merge_upsert(
             "(e.g. dedup_exact with a recency order), or the table would "
             "silently keep multiple versions of one key"
         )
-    touched = [
-        r[0] for r in updates.select(partition_col).distinct().collect()
-    ]
+    knockout = updates.select(key_cols)
+    touched_src = updates.select(partition_col)
+    if deletes is not None:
+        knockout = knockout.unionByName(deletes.select(key_cols))
+        touched_src = touched_src.unionByName(deletes.select(partition_col))
+    touched = [r[0] for r in touched_src.distinct().collect()]
     # isin() never matches NULL (SQL semantics) — without the explicit
     # isNull branch, an update batch touching the null partition would
     # overwrite it WITHOUT merging, silently deleting its other keys
@@ -74,7 +88,7 @@ def merge_upsert(
         cond = cond | F.col(partition_col).isNull()
     existing = spark.read.parquet(table_dir).filter(cond)
     merged = (
-        existing.join(updates.select(key_cols).distinct(), key_cols, "left_anti")
+        existing.join(knockout.distinct(), key_cols, "left_anti")
         .unionByName(updates)
         .localCheckpoint()  # sever the self-read before overwriting
     )
@@ -88,3 +102,24 @@ def merge_upsert(
             spark.conf.unset(mode_key)
         else:
             spark.conf.set(mode_key, prev)
+    if deletes is not None:
+        # remove emptied touched partitions the dynamic overwrite
+        # could not rewrite (they produced zero output rows)
+        remaining = {
+            r[0]
+            for r in merged.select(partition_col).distinct().collect()
+        }
+        emptied = [t for t in touched if t not in remaining]
+        if emptied:
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            for t in emptied:
+                name = (
+                    "__HIVE_DEFAULT_PARTITION__" if t is None else str(t)
+                )
+                path = jvm.org.apache.hadoop.fs.Path(
+                    f"{table_dir}/{partition_col}={name}"
+                )
+                fs = path.getFileSystem(conf)
+                if fs.exists(path):
+                    fs.delete(path, True)

@@ -398,9 +398,19 @@ def streaming_upsert(
     seq_col: str,
     available_now: bool = False,
     trigger_seconds: float | None = None,
+    op_col: str | None = None,
+    delete_value: str = "d",
 ) -> StreamingQuery:
     """CDC-style streaming apply: merge each micro-batch into a keyed
     parquet table (plans/upsert.py merge_upsert) instead of appending.
+
+    With ``op_col`` set, rows whose op equals ``delete_value`` are
+    TOMBSTONES (the Debezium delete shape — the event carries the key
+    and, from its before-image, the partition): the per-key
+    max-``seq_col`` survivor decides the key's fate, so an update and
+    a later delete in one batch deletes, a delete then a later
+    re-insert re-inserts, and replaying the batch is still idempotent.
+    The control column never lands in the table.
 
     The missing half of file-stream ingestion for *state* tables
     (dimensions, per-user profiles, latest-reading-per-sensor): each
@@ -433,6 +443,14 @@ def streaming_upsert(
         latest = dedup_exact(
             batch_df, keys, order_by=[F.desc(seq_col), *[F.desc(c) for c in tie]]
         )
+        deletes = None
+        if op_col is not None:
+            deletes = latest.filter(F.col(op_col) == delete_value).select(
+                *keys, partition_col
+            )
+            latest = latest.filter(
+                (F.col(op_col) != delete_value) | F.col(op_col).isNull()
+            ).drop(op_col)
         try:
             spark.read.parquet(table_dir).schema  # existence probe
             exists = True
@@ -445,7 +463,12 @@ def streaming_upsert(
             exists = False
         if exists:
             merge_upsert(
-                spark, table_dir, latest, key_cols=keys, partition_col=partition_col
+                spark,
+                table_dir,
+                latest,
+                key_cols=keys,
+                partition_col=partition_col,
+                deletes=deletes,
             )
         else:
             # overwrite, not errorifexists: the probe established there is

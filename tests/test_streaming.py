@@ -782,3 +782,61 @@ def test_stream_stream_join_rejects_unknown_how(spark, events_batch):
 
     with pytest.raises(ValueError, match="inner or leftOuter"):
         stream_stream_interval_join(events_batch, events_batch, how="full")
+
+
+def test_streaming_upsert_cdc_tombstones(spark, tmp_path):
+    """op_col delete semantics: the per-key max-seq survivor decides —
+    update-then-delete deletes, delete-then-reinsert re-inserts, a
+    fully-deleted partition's directory disappears, and the control
+    column never lands in the table."""
+    import os
+
+    from loan_etl_data_pipeline_spark.streaming.ingest import streaming_upsert
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k LONG, day STRING, v DOUBLE, seq LONG, op STRING"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = streaming_upsert(
+            stream, table, ckpt, key_cols="k", partition_col="day",
+            seq_col="seq", available_now=True, op_col="op",
+        )
+        q.awaitTermination(120)
+
+    (src / "a.json").write_text(
+        '{"k":1,"day":"d1","v":10.0,"seq":1,"op":"u"}\n'
+        '{"k":2,"day":"d1","v":20.0,"seq":1,"op":"u"}\n'
+        '{"k":3,"day":"d2","v":30.0,"seq":1,"op":"u"}\n'
+    )
+    run()
+    (src / "b.json").write_text(
+        # k=1: update seq2 then delete seq3 IN ONE BATCH → delete wins
+        '{"k":1,"day":"d1","v":11.0,"seq":2,"op":"u"}\n'
+        '{"k":1,"day":"d1","v":0.0,"seq":3,"op":"d"}\n'
+        # k=3: delete seq2 then re-insert seq3 → re-insert wins
+        '{"k":3,"day":"d2","v":0.0,"seq":2,"op":"d"}\n'
+        '{"k":3,"day":"d2","v":33.0,"seq":3,"op":"u"}\n'
+    )
+    run()
+    got = {(r["k"], r["day"], r["v"]) for r in spark.read.parquet(table).collect()}
+    assert got == {(2, "d1", 20.0), (3, "d2", 33.0)}
+    assert "op" not in spark.read.parquet(table).columns
+
+    # delete the LAST key of d1 → the partition directory itself goes
+    (src / "c.json").write_text('{"k":2,"day":"d1","v":0.0,"seq":4,"op":"d"}\n')
+    run()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(table).collect()}
+    assert got == {(3, 33.0)}
+    assert not os.path.exists(f"{table}/day=d1")
+
+    # replay with a fresh checkpoint: same end state (idempotent)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(table).collect()}
+    assert got == {(3, 33.0)}
