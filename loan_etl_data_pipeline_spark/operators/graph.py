@@ -863,3 +863,172 @@ def personalized_pagerank(
     for cached in (e, outdeg, nodes, sd, flagged):
         cached.unpersist()
     return pr
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_hops: int,
+) -> DataFrame:
+    """Exact neighborhood function N(d) of the UNDIRECTED graph of
+    ``edges``: for each d in 0..max_hops, the number of ordered
+    (source, node) pairs with shortest-path distance <= d (every node
+    reaches itself at d=0). N(d)'s growth curve is the standard
+    "effective diameter" diagnostic (Palmer et al., ANF, KDD 2002) —
+    for a near-dup graph it answers "how fast does contamination
+    spread", for a co-purchase graph "how many items are within d
+    recommendation hops".
+
+    Exact algorithm: all-sources level-synchronous BFS keyed by the
+    (source, node) pair — per hop one frontier⋈edges join and one
+    anti-join against the visited pair set, the bfs_hops shape lifted
+    from one seed set to every node. Exact is O(sum of ball sizes):
+    right up to mid-size graphs, and the certifiable reference for the
+    sketch path. At the 100 TB graph tier you switch to
+    :func:`hyperball` below — identical loop, per-node HLL registers
+    instead of the exact pair set — and this function is what its
+    accuracy is measured against (the approx/exact sibling pattern of
+    q_sliding_users / q_sliding_users_exact).
+
+    Returns ``(hops, pairs_cum)``, one row per d in 0..max_hops.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("u").alias("id")).distinct()
+    visited = (
+        nodes.select(F.col("id").alias("s"), F.col("id").alias("n"))
+        .withColumn("hop", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("s", "n")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["n"] == e["u"])
+            .select("s", F.col("v").alias("n"))
+            .distinct()
+            .join(visited.select("s", "n"), ["s", "n"], "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+            .localCheckpoint()
+        )
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("s", "n")
+    per_hop = visited.groupBy("hop").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("hop").rowsBetween(Window.unboundedPreceding, 0)
+    return per_hop.select(
+        F.col("hop").cast("bigint").alias("hops"),
+        F.sum("cnt").over(w).cast("bigint").alias("pairs_cum"),
+    )
+
+
+def hyperball(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_hops: int,
+    log2m: int = 6,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", 2013): the neighborhood function
+    N(d) estimated with one HyperLogLog counter per node instead of
+    the exact per-source reachable set — the planet-scale path where
+    :func:`neighborhood_function`'s O(sum of ball sizes) state is
+    unpayable. Per iteration each node's counter becomes the
+    register-wise max of its own and its neighbors' counters, so after
+    d rounds node v's counter estimates |ball(v, d)|; summing the
+    per-node estimates gives N(d).
+
+    DataFrame shape: registers stay SPARSE and EXPLODED as
+    (node, pos, val) rows — absent positions are zero, exactly like an
+    untouched HLL register. One round = one edges⋈state join (neighbor
+    registers flow along edges) + one (node, pos) max-agg: two keyed
+    shuffles over O(|V| * min(ball, m)) rows, state size bounded by
+    m=2^log2m per node FOREVER, no matter how big the balls get —
+    that bound is the whole trick. Register content is md5-derived
+    (bucket and rank hashes per node), so the estimate is
+    deterministic on any engine/partitioning — pinned against the
+    exact sibling in tests rather than pretending a sketch has an
+    ANSI-SQL oracle.
+
+    Returns ``(hops, est_pairs)`` for d in 0..max_hops, est_pairs
+    the (double) HLL estimate of N(d) with the standard small-range
+    linear-counting correction.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    if not (4 <= log2m <= 12):
+        raise ValueError(f"log2m must be in [4, 12], got {log2m}")
+    m = 1 << log2m
+    # alpha_m per Flajolet et al. 2007
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("u").alias("id")).distinct()
+
+    def _coord(col, salt: str):
+        key = F.concat(col.cast("string"), F.lit(salt))
+        return F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("bigint")
+
+    # Each node inserts ITSELF into its own (initially empty) counter:
+    # one present register. rank = leading zeros within 48 bits + 1,
+    # computed exactly via the binary-string length (no float log).
+    rank_hash = _coord(F.col("id"), "|hb_rank")
+    state = nodes.select(
+        F.col("id").alias("node"),
+        (_coord(F.col("id"), "|hb_bucket") % m).cast("int").alias("pos"),
+        F.when(rank_hash == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.conv(rank_hash, 10, 2)))
+        .cast("int")
+        .alias("val"),
+    ).localCheckpoint()
+
+    snapshots = [state.withColumn("hop", F.lit(0).cast("int"))]
+    for h in range(1, max_hops + 1):
+        flowed = (
+            e.join(state, state["node"] == e["u"])
+            .select(F.col("v").alias("node"), "pos", "val")
+        )
+        state = (
+            state.union(flowed)
+            .groupBy("node", "pos")
+            .agg(F.max("val").alias("val"))
+            .localCheckpoint()
+        )
+        snapshots.append(state.withColumn("hop", F.lit(h).cast("int")))
+    allhops = snapshots[0]
+    for s in snapshots[1:]:
+        allhops = allhops.union(s)
+
+    # Per (hop, node): E = alpha*m^2 / (sum_present 2^-val + (m - n_present));
+    # linear counting when E <= 2.5m and empty registers remain.
+    per_node = allhops.groupBy("hop", "node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("val"))).alias("inv_sum"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    raw = F.lit(alpha * m * m) / (
+        F.col("inv_sum") + (F.lit(m) - F.col("n_present"))
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return (
+        per_node.select("hop", est.alias("est"))
+        .groupBy("hop")
+        .agg(F.sum("est").alias("est_pairs"))
+        .select(F.col("hop").cast("bigint").alias("hops"), "est_pairs")
+    )

@@ -15925,3 +15925,181 @@ ORACLE_PART_B["q_rbo_truncation"] = (
     GROUP BY f.query_id
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Random-walk corpus generation + neighborhood function (operators/walks.py,
+# operators/graph.py) — round 4 additions
+# ---------------------------------------------------------------------------
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ deterministic random-walk corpus (operators/walks.py
+    random_walks): DeepWalk/node2vec walk generation over the
+    co-purchase graph — 4-step uniform walks from every seed node
+    (partkey%25==0), transition at step t out of node n on walk w =
+    neighbor index md5_48(w|t|n) % outdeg(n), neighbors ranked by
+    ascending id. The walk corpus IS graph-embedding training data;
+    md5-driven transitions make it reproducible on any engine or
+    partitioning and exactly replayable as a bounded recursive CTE —
+    a *fully value-oracled* random-walk generator, which a seeded-RNG
+    design could never be. Per step: one broadcastable degree join +
+    one keyed probe into the indexed adjacency; walk state stays one
+    row per walk.
+    """
+    from loan_etl_data_pipeline_spark.operators.walks import random_walks
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    seeds = (
+        edges.select(F.col("pa").alias("id"))
+        .union(edges.select(F.col("pb").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 25 == 0)
+    )
+    return random_walks(edges, "pa", "pb", seeds=seeds, walk_len=4)
+
+
+QUERIES_PART_B["q_random_walks"] = q_random_walks
+
+_WALK_CTE = f"""
+    {_COPURCHASE_CTE},
+    sym AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    adj AS (
+        SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx
+        FROM sym
+    ),
+    deg AS (SELECT u, count(*) AS outdeg FROM sym GROUP BY u),
+    seeds AS (SELECT DISTINCT u AS id FROM sym WHERE u % 25 = 0),
+    walk(walk_id, step, node) AS (
+        SELECT id, 0, id FROM seeds
+        UNION ALL
+        SELECT w.walk_id, w.step + 1, a.v
+        FROM walk w
+        JOIN deg d ON d.u = w.node
+        JOIN adj a ON a.u = w.node
+         AND a.idx = ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || '|'
+                          || CAST(w.step AS VARCHAR) || '|'
+                          || CAST(w.node AS VARCHAR)), 1, 12))::BIGINT
+                      % d.outdeg
+        WHERE w.step < 4
+    )
+"""
+
+ORACLE_PART_B["q_random_walks"] = f"""
+    WITH RECURSIVE {_WALK_CTE}
+    SELECT CAST(walk_id AS BIGINT) AS walk_id,
+           CAST(step AS INTEGER) AS step,
+           CAST(node AS BIGINT) AS node
+    FROM walk
+"""
+
+
+def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ skip-gram pair extraction (operators/walks.py
+    walk_skipgrams): (center, context) node pairs within window 2 on
+    the q_random_walks corpus, aggregated to co-occurrence counts —
+    the exact training-pair multiset DeepWalk feeds word2vec/SGNS,
+    collapsed to vocab-pair scale before leaving the cluster. One
+    walk_id-keyed self-join; per-key blowup is the constant
+    (2*window)*(walk_len+1), never corpus-quadratic.
+    """
+    from loan_etl_data_pipeline_spark.operators.walks import (
+        random_walks,
+        walk_skipgrams,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    seeds = (
+        edges.select(F.col("pa").alias("id"))
+        .union(edges.select(F.col("pb").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 25 == 0)
+    )
+    walks = random_walks(edges, "pa", "pb", seeds=seeds, walk_len=4)
+    return walk_skipgrams(walks, window=2)
+
+
+QUERIES_PART_B["q_walk_skipgrams"] = q_walk_skipgrams
+
+ORACLE_PART_B["q_walk_skipgrams"] = f"""
+    WITH RECURSIVE {_WALK_CTE}
+    SELECT CAST(a.node AS BIGINT) AS center,
+           CAST(b.node AS BIGINT) AS context,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM walk a JOIN walk b
+      ON a.walk_id = b.walk_id
+     AND a.step <> b.step
+     AND abs(a.step - b.step) <= 2
+    GROUP BY 1, 2
+"""
+
+
+def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ exact neighborhood function N(d) (operators/graph.py
+    neighborhood_function): ordered (source, node) pairs within d hops
+    on the co-purchase graph, d = 0..3 — the ANF / effective-diameter
+    curve (how fast does a recommendation or contamination radius
+    grow). All-sources level-synchronous BFS keyed by the pair;
+    the certified exact sibling of the HyperBall sketch
+    (q_hyperball_nf, rows-only), same stance as
+    q_sliding_users_exact / q_sliding_users.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    return neighborhood_function(edges, "pa", "pb", max_hops=3)
+
+
+QUERIES_PART_B["q_neighborhood"] = q_neighborhood
+
+ORACLE_PART_B["q_neighborhood"] = f"""
+    WITH RECURSIVE {_COPURCHASE_CTE},
+    sym AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM sym),
+    reach(s, n, hop) AS (
+        SELECT id, id, 0 FROM nodes
+        UNION
+        SELECT r.s, sym.v, r.hop + 1
+        FROM reach r JOIN sym ON sym.u = r.n
+        WHERE r.hop < 3
+    ),
+    firsthop AS (
+        SELECT s, n, min(hop) AS hop FROM reach GROUP BY s, n
+    ),
+    per_hop AS (
+        SELECT hop, count(*) AS cnt FROM firsthop GROUP BY hop
+    )
+    SELECT CAST(hop AS BIGINT) AS hops,
+           CAST(SUM(cnt) OVER (ORDER BY hop) AS BIGINT) AS pairs_cum
+    FROM per_hop
+"""
+
+
+def q_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ HyperBall neighborhood-function estimate (operators/graph.py
+    hyperball): per-node HyperLogLog counters (m=64, md5-derived
+    registers) merged register-wise-max along edges per round — the
+    planet-scale N(d) path where the exact pair set is unpayable
+    (Boldi & Vigna 2013). State bounded at m registers per node
+    forever; per round two keyed shuffles over (node, pos) rows.
+    Deterministic (md5 registers) but a sketch — certified against the
+    exact sibling q_neighborhood in tests/test_walks.py rather than
+    pretending an HLL estimate has an ANSI-SQL oracle (rows-only
+    driver row by design).
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import hyperball
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    return hyperball(edges, "pa", "pb", max_hops=3, log2m=6)
+
+
+QUERIES_PART_B["q_hyperball_nf"] = q_hyperball_nf

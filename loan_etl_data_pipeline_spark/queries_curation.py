@@ -2303,6 +2303,6 @@ ORACLE_CURATION["q_lang_fertility"] = r"""
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(SUM(nt) AS BIGINT) AS n_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-           (SUM(n_chars) * 1000000000) // SUM(nt) AS chars_per_token9
+           CAST((SUM(n_chars) * 1000000000) // SUM(nt) AS BIGINT) AS chars_per_token9
     FROM lbl GROUP BY lang
 """

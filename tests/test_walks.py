@@ -1,0 +1,157 @@
+"""Random-walk corpus generation (operators/walks.py) and the
+neighborhood function / HyperBall pair (operators/graph.py)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from loan_etl_data_pipeline_spark.operators.graph import (
+    hyperball,
+    neighborhood_function,
+)
+from loan_etl_data_pipeline_spark.operators.walks import (
+    random_walks,
+    walk_skipgrams,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def _seeds(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id bigint")
+
+
+# ---------------------------------------------------------------- walks
+
+
+def test_walks_shape_and_start(spark):
+    # triangle 1-2-3 plus a pendant 4-1: every walk lives for walk_len steps
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 1)])
+    w = random_walks(e, seeds=_seeds(spark, [1, 2, 4]), walk_len=3)
+    rows = w.collect()
+    assert len(rows) == 3 * 4  # 3 walks x (1 + walk_len) positions
+    starts = {r["walk_id"]: r["node"] for r in rows if r["step"] == 0}
+    assert starts == {1: 1, 2: 2, 4: 4}
+    # every (walk, step) slot filled exactly once
+    assert len({(r["walk_id"], r["step"]) for r in rows}) == len(rows)
+
+
+def test_walks_follow_edges_and_are_deterministic(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 1), (3, 5)])
+    seeds = _seeds(spark, [1, 2, 3, 4, 5])
+    w1 = random_walks(e, seeds=seeds, walk_len=4).collect()
+    w2 = random_walks(e, seeds=seeds, walk_len=4).collect()
+    assert sorted(map(tuple, w1)) == sorted(map(tuple, w2))
+    sym = {(1, 2), (2, 3), (1, 3), (4, 1), (3, 5)}
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    byw = {}
+    for r in w1:
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    for wid, path in byw.items():
+        for t in range(4):
+            assert path[t + 1] in adj[path[t]]
+
+
+def test_walk_transition_matches_hash_formula(spark):
+    # star: center 10 with leaves 11..14 — from 10 the hash picks among
+    # 4 ranked neighbors; replay the md5 arithmetic in python
+    import hashlib
+
+    e = _edges(spark, [(10, 11), (10, 12), (10, 13), (10, 14)])
+    w = random_walks(e, seeds=_seeds(spark, [10]), walk_len=1).collect()
+    nxt = {r["step"]: r["node"] for r in w}[1]
+    h = int(hashlib.md5(b"10|0|10").hexdigest()[:12], 16)
+    assert nxt == sorted([11, 12, 13, 14])[h % 4]
+
+
+def test_skipgrams_window_and_counts(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    walks = random_walks(e, seeds=_seeds(spark, [1, 2, 3]), walk_len=4)
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in walk_skipgrams(walks, window=2).collect()
+    }
+    # brute force from the materialized walks
+    byw = {}
+    for r in walks.collect():
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    want = {}
+    for path in byw.values():
+        for sa, ca in path.items():
+            for sb, cb in path.items():
+                if sa != sb and abs(sa - sb) <= 2:
+                    want[(ca, cb)] = want.get((ca, cb), 0) + 1
+    assert got == want
+
+
+def test_walks_validate_args(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        random_walks(e, seeds=_seeds(spark, [1]), walk_len=0)
+    with pytest.raises(ValueError):
+        walk_skipgrams(e, window=0)
+
+
+# ------------------------------------------- neighborhood function / HLL
+
+
+def test_neighborhood_path_graph(spark):
+    # path 1-2-3-4-5: hand-countable N(d)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {
+        r["hops"]: r["pairs_cum"]
+        for r in neighborhood_function(e, max_hops=3).collect()
+    }
+    # d=0: 5 self pairs; d=1: + 2*4 edges; d=2: + 2*3; d=3: + 2*2
+    assert got == {0: 5, 1: 13, 2: 19, 3: 23}
+
+
+def test_neighborhood_validates_args(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        neighborhood_function(e, max_hops=0)
+    with pytest.raises(ValueError):
+        hyperball(e, max_hops=0)
+    with pytest.raises(ValueError):
+        hyperball(e, max_hops=1, log2m=2)
+
+
+def test_hyperball_tracks_exact(spark, sf_dir):
+    """HyperBall estimate within HLL tolerance of the exact sibling on
+    the real co-purchase graph (the approx/exact certification pattern
+    of q_sliding_users / q_sliding_users_exact). m=64 -> ~13% expected
+    relative std error per counter; summing over nodes averages much of
+    it out, so 20% is a loose-but-meaningful pin."""
+    from loan_etl_data_pipeline_spark.queries import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    if e.limit(1).count() == 0:
+        pytest.skip("no co-purchase edges at this SF")
+    exact = {
+        r["hops"]: r["pairs_cum"]
+        for r in neighborhood_function(e, "pa", "pb", max_hops=2).collect()
+    }
+    est = {
+        r["hops"]: r["est_pairs"]
+        for r in hyperball(e, "pa", "pb", max_hops=2, log2m=6).collect()
+    }
+    assert set(est) == set(exact)
+    for d, true_v in exact.items():
+        assert est[d] == pytest.approx(true_v, rel=0.20), (d, est[d], true_v)
+
+
+def test_hyperball_monotone_and_deterministic(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 6)])
+    a = sorted(map(tuple, hyperball(e, max_hops=3).collect()))
+    b = sorted(map(tuple, hyperball(e, max_hops=3).collect()))
+    assert a == b
+    vals = [v for _, v in a]
+    assert all(
+        later >= earlier - 1e-9 for earlier, later in zip(vals, vals[1:])
+    ), vals
