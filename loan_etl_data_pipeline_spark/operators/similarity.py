@@ -711,3 +711,140 @@ def semantic_dedup(
     # broadcast of that is a driver/executor OOM; AQE plans the anti-
     # join as a broadcast exactly when the measured size permits
     return df.join(dropped, id_col, "left_anti")
+
+
+def mmr_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    k: int = 5,
+    pool: int = 15,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick ``k`` results per query
+    maximizing ``lam*rel(d) - (1-lam)*max_{s in S} sim(d, s)`` — the
+    standard redundancy-killer for retrieval-augmented pipelines
+    (near-identical passages waste the whole context window; MMR is
+    what dedups a result LIST, where corpus-level near-dup removal
+    dedups the corpus).
+
+    Plan shape: (1) a ``pool``-sized relevance candidate set per query
+    from :func:`cosine_topk_bruteforce` (at corpus scale swap in any
+    ANN tier — IVF/PQ — the greedy stage only sees the pool); (2) ONE
+    pool×pool pairwise-similarity join per query (bounded at pool²
+    rows, JVM-side quantized dot via :func:`floored_dot_expr`); (3)
+    k-1 greedy rounds, each a max-agg + window argmax over pool-sized
+    frames keyed by query_id — every query advances in parallel, the
+    loop is over k (a constant), never over data.
+
+    Determinism: relevance and pairwise cosines use the house int64-
+    quantized dot, ties break by ascending id, and the score arithmetic
+    (lam*rel - (1-lam)*maxsim with literal coefficients) is fixed-order
+    IEEE — so the greedy trajectory is bit-reproducible and the whole
+    operator carries a FULL value oracle (k unrolled SQL rounds).
+
+    Output: (query_id, mmr_rank, neighbor_id, mmr_score); rank 1 is the
+    pure-relevance argmax with score lam*rel (S empty).
+    """
+    if not (1 <= k <= pool):
+        raise ValueError(f"need 1 <= k <= pool, got k={k} pool={pool}")
+    if not (0.0 < lam <= 1.0):
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    cand = cosine_topk_bruteforce(
+        queries_df, corpus_df, k=pool, id_col=id_col, vec_col=vec_col
+    ).select("query_id", F.col("neighbor_id").alias("cand_id"),
+             F.col("cosine").alias("rel"), "rank").localCheckpoint()
+
+    emb = corpus_df.select(
+        F.col(id_col).alias("eid"), F.col(vec_col).alias("evec")
+    )
+    ce = cand.join(emb, cand["cand_id"] == emb["eid"]).select(
+        "query_id", "cand_id", "evec",
+        floored_dot_expr(F.col("evec"), F.col("evec")).alias("selfdot"),
+    )
+    a = ce.select(
+        "query_id", F.col("cand_id").alias("ca"),
+        F.col("evec").alias("va"), F.col("selfdot").alias("aa"),
+    )
+    b = ce.select(
+        "query_id", F.col("cand_id").alias("cb"),
+        F.col("evec").alias("vb"), F.col("selfdot").alias("bb"),
+    )
+    # (dot/1e12) / (sqrt(aa/1e12) * sqrt(bb/1e12)) — the exact fixed
+    # op order the SQL oracle replays
+    dot = floored_dot_expr(F.col("va"), F.col("vb"))
+    sim = (dot.cast("double") / F.lit(1e12)) / (
+        F.sqrt(F.col("aa").cast("double") / F.lit(1e12))
+        * F.sqrt(F.col("bb").cast("double") / F.lit(1e12))
+    )
+    cand_sims = (
+        a.join(b, "query_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select("query_id", "ca", "cb", sim.alias("sim"))
+        .localCheckpoint()
+    )
+
+    lam_lit, rest_lit = F.lit(float(lam)), F.lit(round(1.0 - lam, 15))
+    selected = (
+        cand.filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("bigint").alias("mmr_rank"),
+            F.col("cand_id").alias("neighbor_id"),
+            (lam_lit * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    for r in range(2, k + 1):
+        maxsim = (
+            cand_sims.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("cb")
+                ),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", "ca")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                F.col("query_id").alias("qid"),
+                F.col("ca").alias("cand_id"),
+                "maxsim",
+            )
+        )
+        scored = (
+            cand.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("cand_id")
+                ),
+                ["query_id", "cand_id"],
+                "left_anti",
+            )
+            .join(
+                maxsim,
+                (F.col("query_id") == F.col("qid"))
+                & (cand["cand_id"] == maxsim["cand_id"]),
+            )
+            .select(
+                "query_id", cand["cand_id"].alias("cand_id"),
+                (lam_lit * F.col("rel") - rest_lit * F.col("maxsim")).alias(
+                    "score"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("cand_id")
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).cast("bigint").alias("mmr_rank"),
+                F.col("cand_id").alias("neighbor_id"),
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        selected = selected.union(pick).localCheckpoint()
+    return selected

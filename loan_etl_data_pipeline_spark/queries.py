@@ -16103,3 +16103,133 @@ def q_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_PART_B["q_hyperball_nf"] = q_hyperball_nf
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ MMR-diversified retrieval (operators/similarity.py
+    mmr_topk): top-5 per probe (vec_id<10) re-ranked for diversity
+    with lambda=0.7 over a 15-candidate relevance pool — the
+    context-window redundancy killer (near-identical passages crowd
+    out information; MMR dedups the result LIST where near-dup removal
+    dedups the corpus). Greedy trajectory is bit-reproducible
+    (quantized cosines, literal coefficients, id tie-breaks), so the
+    whole operator carries a FULL value oracle: 4 unrolled greedy
+    rounds in SQL. Pool from any ANN tier at scale; the greedy stage
+    only ever touches pool-sized frames keyed by query_id.
+    """
+    from loan_etl_data_pipeline_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return mmr_topk(probes, emb, k=5, pool=15, lam=0.7)
+
+
+QUERIES_PART_B["q_mmr_diversify"] = q_mmr_diversify
+
+
+def _mmr_oracle(*, probe_bound: int = 10, pool: int = 15, k: int = 5) -> str:
+    """Unrolled-greedy MMR oracle (the PAVA/power-iteration stance:
+    a constant-round greedy is replayable as k-1 chained CTEs).
+    Coefficients appear as CAST(0.7/0.3 AS DOUBLE) literals so both
+    engines bind the identical doubles the Spark plan uses."""
+    rounds = []
+    for r in range(2, k + 1):
+        prev = f"s{r - 1}"
+        rounds.append(f""",
+    ms{r} AS (
+        SELECT p.query_id, p.ca, max(p.sim) AS maxsim
+        FROM psim p JOIN {prev} s
+          ON s.query_id = p.query_id AND s.neighbor_id = p.cb
+        GROUP BY 1, 2
+    ),
+    sc{r} AS (
+        SELECT pool.query_id, pool.cand_id,
+               CAST(0.7 AS DOUBLE) * pool.rel
+                 - CAST(0.3 AS DOUBLE) * m.maxsim AS score
+        FROM pool JOIN ms{r} m
+          ON m.query_id = pool.query_id AND m.ca = pool.cand_id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {prev} s
+            WHERE s.query_id = pool.query_id
+              AND s.neighbor_id = pool.cand_id
+        )
+    ),
+    sel{r} AS (
+        SELECT query_id, CAST({r} AS BIGINT) AS mmr_rank,
+               cand_id AS neighbor_id, score AS mmr_score
+        FROM (
+            SELECT query_id, cand_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, cand_id ASC) AS rn
+            FROM sc{r}
+        ) WHERE rn = 1
+    ),
+    s{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{r})""")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {probe_bound}),
+    c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+    ex AS (
+        SELECT q.query_id, c.cand_id,
+               CAST(UNNEST(q.qe) AS DOUBLE) AS x,
+               CAST(UNNEST(c.ce) AS DOUBLE) AS y
+        FROM q CROSS JOIN c WHERE q.query_id <> c.cand_id
+    ),
+    sums AS (
+        SELECT query_id, cand_id,
+               SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+               SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS qn_s,
+               SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS cn_s
+        FROM ex GROUP BY 1, 2
+    ),
+    relc AS (
+        SELECT query_id, cand_id,
+               (CAST(dot_s AS DOUBLE) / 1e12)
+                 / (sqrt(CAST(qn_s AS DOUBLE) / 1e12)
+                    * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) AS rel
+        FROM sums
+    ),
+    pool AS (
+        SELECT query_id, cand_id, rel, rn FROM (
+            SELECT query_id, cand_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, cand_id ASC) AS rn
+            FROM relc
+        ) WHERE rn <= {pool}
+    ),
+    pe AS (
+        SELECT p.query_id, p.cand_id, e.embedding AS pv
+        FROM pool p JOIN embeddings e ON e.vec_id = p.cand_id
+    ),
+    pex AS (
+        SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+               CAST(UNNEST(a.pv) AS DOUBLE) AS x,
+               CAST(UNNEST(b.pv) AS DOUBLE) AS y
+        FROM pe a JOIN pe b
+          ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+    ),
+    psums AS (
+        SELECT query_id, ca, cb,
+               SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+               SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS aa_s,
+               SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS bb_s
+        FROM pex GROUP BY 1, 2, 3
+    ),
+    psim AS (
+        SELECT query_id, ca, cb,
+               (CAST(dot_s AS DOUBLE) / 1e12)
+                 / (sqrt(CAST(aa_s AS DOUBLE) / 1e12)
+                    * sqrt(CAST(bb_s AS DOUBLE) / 1e12)) AS sim
+        FROM psums
+    ),
+    s1 AS (
+        SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank,
+               cand_id AS neighbor_id,
+               CAST(0.7 AS DOUBLE) * rel AS mmr_score
+        FROM pool WHERE rn = 1
+    ){"".join(rounds)}
+    SELECT query_id, mmr_rank, neighbor_id, mmr_score FROM s{k}
+"""
+
+
+ORACLE_PART_B["q_mmr_diversify"] = _mmr_oracle()

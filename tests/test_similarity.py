@@ -182,3 +182,114 @@ def test_ivf_index_roundtrip_equals_in_kernel(spark, sf_dir, tmp_path):
     # partition filter, not a post-scan row filter
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell#" in plan or "PartitionFilters: [isnotnull(cell" in plan or "cell IN" in plan
+
+
+# ------------------------------------------------------------------ MMR
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_mmr_diversifies_across_clusters(spark):
+    """Two tight clusters: relevance-only top-3 stays inside the
+    cluster nearest the probe; MMR must cross over."""
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mmr_topk,
+    )
+
+    # cluster A hugs the probe direction; cluster B is orthogonal-ish
+    corpus = _emb_df(
+        spark,
+        [
+            (1, [1.0, 0.01, 0.0]), (2, [1.0, 0.02, 0.0]),
+            (3, [1.0, 0.03, 0.0]), (4, [0.2, 1.0, 0.0]),
+            (5, [0.2, 1.0, 0.01]),
+        ],
+    )
+    probe = _emb_df(spark, [(100, [1.0, 0.0, 0.0])])
+    plain = {
+        r["neighbor_id"]
+        for r in cosine_topk_bruteforce(probe, corpus, k=3).collect()
+    }
+    assert plain == {1, 2, 3}
+    # lam=0.5 is degenerate here (cluster A ≈ probe direction makes
+    # maxsim(c, sel) ≈ rel(c), zeroing every score); 0.3 weights
+    # diversity decisively
+    mmr = mmr_topk(probe, corpus, k=3, pool=5, lam=0.3)
+    picked = {r["neighbor_id"] for r in mmr.collect()}
+    assert picked & {4, 5}, picked  # crossed into the far cluster
+
+
+def test_mmr_matches_python_greedy_replay(spark, sf_dir):
+    """Bit-replay the greedy trajectory in numpy on real embeddings."""
+    import numpy as np
+    from loan_etl_data_pipeline_spark.operators.similarity import mmr_topk
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter("vec_id < 3")
+    got = sorted(
+        (r["query_id"], r["mmr_rank"], r["neighbor_id"])
+        for r in mmr_topk(probes, emb, k=4, pool=10, lam=0.7).collect()
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+
+    def fcos(a, b):
+        d = np.floor((a * b) * 1e12).astype(np.int64).sum()
+        aa = np.floor((a * a) * 1e12).astype(np.int64).sum()
+        bb = np.floor((b * b) * 1e12).astype(np.int64).sum()
+        return (float(d) / 1e12) / (
+            np.sqrt(float(aa) / 1e12) * np.sqrt(float(bb) / 1e12)
+        )
+
+    want = []
+    for qid in (0, 1, 2):
+        q = mat[ids == qid][0]
+        rel = {
+            int(i): fcos(q, mat[ids == i][0]) for i in ids if i != qid
+        }
+        pool = sorted(rel, key=lambda i: (-rel[i], i))[:10]
+        sel = [min(pool, key=lambda i: (-rel[i], i))]
+        for r in range(2, 5):
+            rest = [c for c in pool if c not in sel]
+            def score(c):
+                ms = max(
+                    fcos(mat[ids == c][0], mat[ids == s][0]) for s in sel
+                )
+                return 0.7 * rel[c] - 0.3 * ms
+            sel.append(min(rest, key=lambda c: (-score(c), c)))
+        want.extend((qid, r + 1, n) for r, n in enumerate(sel))
+    assert got == sorted(want)
+
+
+def test_mmr_rank1_is_relevance_argmax_and_validates(spark):
+    import pytest as _pytest
+
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mmr_topk,
+    )
+
+    corpus = _emb_df(
+        spark, [(i, [1.0 + 0.01 * i, float(i % 3), 0.5]) for i in range(8)]
+    )
+    probe = _emb_df(spark, [(50, [1.0, 0.2, 0.4])])
+    top1 = cosine_topk_bruteforce(probe, corpus, k=1).collect()[0]
+    first = (
+        mmr_topk(probe, corpus, k=3, pool=6, lam=0.7)
+        .filter("mmr_rank = 1")
+        .collect()[0]
+    )
+    assert first["neighbor_id"] == top1["neighbor_id"]
+    with _pytest.raises(ValueError):
+        mmr_topk(probe, corpus, k=10, pool=5)
+    with _pytest.raises(ValueError):
+        mmr_topk(probe, corpus, k=2, pool=5, lam=0.0)
