@@ -151,3 +151,113 @@ def walk_skipgrams(walks: DataFrame, *, window: int) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    seeds: DataFrame,
+    walk_len: int,
+    w_return: int = 1,
+    w_triangle: int = 2,
+    w_forward: int = 4,
+) -> DataFrame:
+    """node2vec 2nd-order biased walks (Grover & Leskovec, KDD 2016):
+    the transition out of ``cur`` given the previous node weighs each
+    candidate by its distance to ``prev`` — ``w_return`` for going
+    back (d=0, node2vec's 1/p), ``w_triangle`` for prev's neighbors
+    (d=1), ``w_forward`` for everything else (d=2, 1/q). INTEGER
+    weights by contract: the pick is cumulative-weight inversion of a
+    48-bit md5 coordinate modulo the exact integer total, so the
+    biased choice is deterministic and engine-portable — node2vec's
+    alias-table sampling replaced by exact integer arithmetic that a
+    SQL oracle replays verbatim (defaults w=1/2/4 ≙ p=4, q=0.5: a
+    DFS-leaning explorer).
+
+    Step 1 has no real prev; ``prev`` starts as the seed itself, and
+    since self-candidates can't exist and every candidate is then a
+    neighbor of prev==cur, step 1 degrades to the uniform w_triangle
+    case — the standard convention.
+
+    Per step: one keyed probe into the indexed adjacency, one
+    (prev, cand) edge-set lookup join (bucketed edges make both
+    exchange-free), one walk_id-partitioned window pair (cum/total) —
+    per-key width bounded by max degree. Output (walk_id, step, node),
+    the same skip-gram-ready layout as :func:`random_walks`.
+    """
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    for w in (w_return, w_triangle, w_forward):
+        if not isinstance(w, int) or w < 1:
+            raise ValueError(f"weights must be positive ints, got {w}")
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = (
+        seeds.select(F.col(seeds.columns[0]).cast("bigint").alias("walk_id"))
+        .distinct()
+        .select(
+            "walk_id",
+            F.col("walk_id").alias("prev"),
+            F.col("walk_id").alias("cur"),
+        )
+        .localCheckpoint()
+    )
+    out = state.select(
+        "walk_id", F.lit(0).cast("int").alias("step"),
+        F.col("cur").alias("node"),
+    )
+    tri = sym.select(F.col("u").alias("tprev"), F.col("v").alias("tcand"))
+    for t in range(walk_len):
+        cands = (
+            state.join(sym, state["cur"] == sym["u"])
+            .select("walk_id", "prev", "cur", F.col("v").alias("cand"))
+            .join(
+                tri,
+                (F.col("prev") == F.col("tprev"))
+                & (F.col("cand") == F.col("tcand")),
+                "left",
+            )
+            .select(
+                "walk_id", "prev", "cur", "cand",
+                F.when(F.col("cand") == F.col("prev"), F.lit(w_return))
+                .when(F.col("tprev").isNotNull(), F.lit(w_triangle))
+                .otherwise(F.lit(w_forward))
+                .cast("bigint")
+                .alias("w"),
+            )
+        )
+        wspec = Window.partitionBy("walk_id")
+        worder = wspec.orderBy("cand").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        coord = _hash_pick(F.col("walk_id"), F.lit(t), F.col("cur")) % F.sum(
+            "w"
+        ).over(wspec)
+        picked = (
+            cands.withColumn("cum", F.sum("w").over(worder))
+            .withColumn("coord", coord)
+            .filter(
+                (F.col("cum") - F.col("w") <= F.col("coord"))
+                & (F.col("coord") < F.col("cum"))
+            )
+            .select(
+                "walk_id",
+                F.col("cur").alias("prev"),
+                F.col("cand").alias("cur"),
+            )
+            .localCheckpoint()
+        )
+        out = out.union(
+            picked.select(
+                "walk_id", F.lit(t + 1).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+        state = picked
+    return out

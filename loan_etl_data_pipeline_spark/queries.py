@@ -16233,3 +16233,81 @@ def _mmr_oracle(*, probe_bound: int = 10, pool: int = 15, k: int = 5) -> str:
 
 
 ORACLE_PART_B["q_mmr_diversify"] = _mmr_oracle()
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ node2vec 2nd-order biased walks (operators/walks.py
+    node2vec_walks): 4-step walks over the co-purchase graph with
+    integer bias weights (return=1, triangle=2, forward=4 — a
+    DFS-leaning explorer, p=4/q=0.5 in node2vec terms), picked by
+    cumulative-weight inversion of the md5 coordinate modulo the exact
+    integer total. The alias-table sampling of the paper replaced by
+    exact integer arithmetic ⇒ a FULLY value-oracled biased walk
+    (4 unrolled SQL rounds — window functions can't live in a
+    recursive CTE term, so the constant-depth loop unrolls like MMR/
+    PAVA). Per step: adjacency probe + (prev,cand) edge lookup + one
+    walk-keyed window pair; per-key width bounded by max degree.
+    """
+    from loan_etl_data_pipeline_spark.operators.walks import node2vec_walks
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    seeds = (
+        edges.select(F.col("pa").alias("id"))
+        .union(edges.select(F.col("pb").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 25 == 0)
+    )
+    return node2vec_walks(edges, "pa", "pb", seeds=seeds, walk_len=4)
+
+
+QUERIES_PART_B["q_node2vec_walks"] = q_node2vec_walks
+
+
+def _node2vec_oracle(
+    *, walk_len: int = 4, w_ret: int = 1, w_tri: int = 2, w_fwd: int = 4
+) -> str:
+    """Unrolled biased-walk oracle: one (cands, wc, st) CTE triple per
+    step; the md5 coordinate and the integer cumulative-weight
+    inversion replay the Spark arithmetic verbatim."""
+    steps, finals = [], ["SELECT walk_id, 0 AS step, walk_id AS node FROM st0"]
+    for r in range(1, walk_len + 1):
+        steps.append(f""",
+    cands{r} AS (
+        SELECT s.walk_id, s.prev, s.cur, y.v AS cand,
+               CAST(CASE WHEN y.v = s.prev THEN {w_ret}
+                         WHEN t.u IS NOT NULL THEN {w_tri}
+                         ELSE {w_fwd} END AS BIGINT) AS w
+        FROM st{r - 1} s JOIN sym y ON y.u = s.cur
+        LEFT JOIN sym t ON t.u = s.prev AND t.v = y.v
+    ),
+    wc{r} AS (
+        SELECT walk_id, cur, cand, w,
+               SUM(w) OVER (PARTITION BY walk_id ORDER BY cand
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(w) OVER (PARTITION BY walk_id) AS tot,
+               ('0x' || substr(md5(CAST(walk_id AS VARCHAR) || '|{r - 1}|'
+                    || CAST(cur AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM cands{r}
+    ),
+    st{r} AS (
+        SELECT walk_id, cur AS prev, cand AS cur FROM wc{r}
+        WHERE cum - w <= h % tot AND h % tot < cum
+    )""")
+        finals.append(f"SELECT walk_id, {r} AS step, cur AS node FROM st{r}")
+    return f"""
+    WITH {_COPURCHASE_CTE},
+    sym AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    seeds AS (SELECT DISTINCT u AS id FROM sym WHERE u % 25 = 0),
+    st0 AS (SELECT id AS walk_id, id AS prev, id AS cur FROM seeds)
+    {"".join(steps)}
+    SELECT CAST(walk_id AS BIGINT) AS walk_id,
+           CAST(step AS INTEGER) AS step,
+           CAST(node AS BIGINT) AS node
+    FROM ({" UNION ALL ".join(finals)})
+"""
+
+
+ORACLE_PART_B["q_node2vec_walks"] = _node2vec_oracle()

@@ -155,3 +155,71 @@ def test_hyperball_monotone_and_deterministic(spark):
     assert all(
         later >= earlier - 1e-9 for earlier, later in zip(vals, vals[1:])
     ), vals
+
+
+# ---------------------------------------------------------------- node2vec
+
+
+def test_node2vec_matches_python_replay(spark):
+    """Bit-replay the biased cumulative-weight inversion in python."""
+    import hashlib
+
+    from loan_etl_data_pipeline_spark.operators.walks import node2vec_walks
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 5)]
+    e = _edges(spark, pairs)
+    got = {}
+    for r in node2vec_walks(
+        e, seeds=_seeds(spark, [1, 3, 5]), walk_len=4
+    ).collect():
+        got.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def h48(wid, t, cur):
+        return int(
+            hashlib.md5(f"{wid}|{t}|{cur}".encode()).hexdigest()[:12], 16
+        )
+
+    for wid in (1, 3, 5):
+        prev = cur = wid
+        path = {0: wid}
+        for t in range(4):
+            cands = sorted(adj[cur])
+            ws = [
+                1 if c == prev else (2 if c in adj[prev] else 4)
+                for c in cands
+            ]
+            coord = h48(wid, t, cur) % sum(ws)
+            cum = 0
+            for c, w in zip(cands, ws):
+                cum += w
+                if coord < cum:
+                    prev, cur = cur, c
+                    break
+            path[t + 1] = cur
+        assert got[wid] == path, (wid, got[wid], path)
+
+
+def test_node2vec_first_step_uniform_and_validates(spark):
+    """With prev==seed at step 1, every candidate is a neighbor of
+    prev, so the choice degrades to the uniform w_triangle case —
+    identical weights regardless of the (w_return, w_forward) knobs."""
+    import pytest as _pytest
+
+    from loan_etl_data_pipeline_spark.operators.walks import node2vec_walks
+
+    e = _edges(spark, [(10, 11), (10, 12), (10, 13), (10, 14)])
+    s = _seeds(spark, [10])
+    a = node2vec_walks(e, seeds=s, walk_len=1, w_return=1, w_forward=9)
+    b = node2vec_walks(e, seeds=s, walk_len=1, w_return=7, w_forward=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with _pytest.raises(ValueError):
+        node2vec_walks(e, seeds=s, walk_len=0)
+    with _pytest.raises(ValueError):
+        node2vec_walks(e, seeds=s, walk_len=1, w_return=0)
+    with _pytest.raises(ValueError):
+        node2vec_walks(e, seeds=s, walk_len=1, w_triangle=1.5)
