@@ -16311,3 +16311,135 @@ def _node2vec_oracle(
 
 
 ORACLE_PART_B["q_node2vec_walks"] = _node2vec_oracle()
+
+
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ effective diameter (the ANF headline number): smallest d
+    with N(d) >= 90% of N(max_hops) on the co-purchase graph —
+    exact-integer threshold test (10*N(d) >= 9*N(max), no float 0.9)
+    over the certified neighborhood function. One row:
+    (eff_diameter, pairs_at_eff, pairs_total).
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    nf = neighborhood_function(edges, "pa", "pb", max_hops=3)
+    total = nf.agg(F.max("pairs_cum").alias("pairs_total"))
+    return (
+        nf.crossJoin(F.broadcast(total))  # 1-row scalar broadcast
+        .filter(F.col("pairs_cum") * 10 >= F.col("pairs_total") * 9)
+        .orderBy("hops")
+        .limit(1)
+        .select(
+            F.col("hops").alias("eff_diameter"),
+            F.col("pairs_cum").alias("pairs_at_eff"),
+            "pairs_total",
+        )
+    )
+
+
+QUERIES_PART_B["q_effective_diameter"] = q_effective_diameter
+
+ORACLE_PART_B["q_effective_diameter"] = f"""
+    WITH RECURSIVE {_COPURCHASE_CTE},
+    sym AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM sym),
+    reach(s, n, hop) AS (
+        SELECT id, id, 0 FROM nodes
+        UNION
+        SELECT r.s, sym.v, r.hop + 1
+        FROM reach r JOIN sym ON sym.u = r.n
+        WHERE r.hop < 3
+    ),
+    firsthop AS (SELECT s, n, min(hop) AS hop FROM reach GROUP BY s, n),
+    nf AS (
+        SELECT hop, SUM(count(*)) OVER (ORDER BY hop) AS pairs_cum
+        FROM firsthop GROUP BY hop
+    ),
+    tot AS (SELECT max(pairs_cum) AS pairs_total FROM nf)
+    SELECT CAST(hop AS BIGINT) AS eff_diameter,
+           CAST(pairs_cum AS BIGINT) AS pairs_at_eff,
+           CAST(pairs_total AS BIGINT) AS pairs_total
+    FROM nf, tot
+    WHERE pairs_cum * 10 >= pairs_total * 9
+    ORDER BY hop LIMIT 1
+"""
+
+
+def q_walk_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ PMI node-similarity matrix from the walk corpus: pointwise
+    mutual information over q_random_walks' skip-gram counts — the
+    matrix SGNS implicitly factorizes (Levy & Goldberg, NeurIPS 2014),
+    i.e. the closed-form stand-in for "train node2vec embeddings" that
+    stays fully relational. Emitted as the exact integer-quantized
+    PMI RATIO — (n_pairs*total*1e9) div (c_center*c_context), pure
+    int64 — because ln() proved 1-ulp-divergent between JVM Math.log
+    and libm log on these inputs (measured this round; the BM25-family
+    "ln is shared-libm" rule does NOT hold universally). The monotone
+    ratio carries the identical ranking; take ln downstream for nats.
+    Pairs with n_pairs >= 2 only; marginals and totals exact int64.
+    """
+    from loan_etl_data_pipeline_spark.operators.walks import (
+        random_walks,
+        walk_skipgrams,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    seeds = (
+        edges.select(F.col("pa").alias("id"))
+        .union(edges.select(F.col("pb").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 25 == 0)
+    )
+    sg = walk_skipgrams(
+        random_walks(edges, "pa", "pb", seeds=seeds, walk_len=4), window=2
+    ).localCheckpoint()
+    wc = Window.partitionBy("center")
+    wx = Window.partitionBy("context")
+    wall = Window.partitionBy()
+    return (
+        sg.withColumn("c_center", F.sum("n_pairs").over(wc))
+        .withColumn("c_context", F.sum("n_pairs").over(wx))
+        .withColumn("total", F.sum("n_pairs").over(wall))
+        .filter(F.col("n_pairs") >= 2)
+        .select(
+            "center", "context", "n_pairs",
+            F.expr(
+                "(n_pairs * total * 1000000000L) div (c_center * c_context)"
+            ).alias("pmi_ratio9"),
+        )
+    )
+
+
+QUERIES_PART_B["q_walk_pmi"] = q_walk_pmi
+
+ORACLE_PART_B["q_walk_pmi"] = f"""
+    WITH RECURSIVE {_WALK_CTE},
+    sg AS (
+        SELECT a.node AS center, b.node AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM walk a JOIN walk b
+          ON a.walk_id = b.walk_id
+         AND a.step <> b.step
+         AND abs(a.step - b.step) <= 2
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT center, context, n_pairs,
+               SUM(n_pairs) OVER (PARTITION BY center) AS c_center,
+               SUM(n_pairs) OVER (PARTITION BY context) AS c_context,
+               SUM(n_pairs) OVER () AS total
+        FROM sg
+    )
+    SELECT CAST(center AS BIGINT) AS center,
+           CAST(context AS BIGINT) AS context,
+           n_pairs,
+           CAST((n_pairs * total * 1000000000) // (c_center * c_context)
+                AS BIGINT) AS pmi_ratio9
+    FROM m WHERE n_pairs >= 2
+"""

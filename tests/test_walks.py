@@ -223,3 +223,69 @@ def test_node2vec_first_step_uniform_and_validates(spark):
         node2vec_walks(e, seeds=s, walk_len=1, w_return=0)
     with _pytest.raises(ValueError):
         node2vec_walks(e, seeds=s, walk_len=1, w_triangle=1.5)
+
+
+def test_effective_diameter_path_graph(spark):
+    """Path 1-2-3-4-5, max_hops=3: N = {0:5, 1:13, 2:19, 3:23};
+    90% of 23 = 20.7 -> first d with N(d)*10 >= 23*9 is d=3."""
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    nf = neighborhood_function(e, max_hops=3)
+    total = max(r["pairs_cum"] for r in nf.collect())
+    hit = min(
+        r["hops"] for r in nf.collect() if r["pairs_cum"] * 10 >= total * 9
+    )
+    assert (total, hit) == (23, 3)
+
+
+def test_walk_pmi_matches_bruteforce(spark):
+    """PMI ratio from walk skip-grams == integer-math brute force."""
+    from loan_etl_data_pipeline_spark.operators.walks import (
+        random_walks,
+        walk_skipgrams,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    sg = walk_skipgrams(
+        random_walks(e, seeds=_seeds(spark, [1, 2, 3, 4]), walk_len=4),
+        window=2,
+    )
+    rows = sg.collect()
+    total = sum(r["n_pairs"] for r in rows)
+    cc = {}
+    cx = {}
+    for r in rows:
+        cc[r["center"]] = cc.get(r["center"], 0) + r["n_pairs"]
+        cx[r["context"]] = cx.get(r["context"], 0) + r["n_pairs"]
+    # recompute via the same query-level shape q_walk_pmi uses
+    import pyspark.sql as psql
+
+    wc = psql.Window.partitionBy("center")
+    wx = psql.Window.partitionBy("context")
+    wall = psql.Window.partitionBy()
+    out = (
+        sg.withColumn("c_center", F.sum("n_pairs").over(wc))
+        .withColumn("c_context", F.sum("n_pairs").over(wx))
+        .withColumn("total", F.sum("n_pairs").over(wall))
+        .filter(F.col("n_pairs") >= 2)
+        .select(
+            "center", "context",
+            F.expr(
+                "(n_pairs * total * 1000000000L) div (c_center * c_context)"
+            ).alias("pmi_ratio9"),
+        )
+    )
+    for r in out.collect():
+        want = (
+            next(
+                x["n_pairs"]
+                for x in rows
+                if x["center"] == r["center"] and x["context"] == r["context"]
+            )
+            * total
+            * 1_000_000_000
+        ) // (cc[r["center"]] * cx[r["context"]])
+        assert r["pmi_ratio9"] == want
