@@ -15933,6 +15933,28 @@ ORACLE_PART_B["q_rbo_truncation"] = (
 # ---------------------------------------------------------------------------
 
 
+def _walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-step %25-seeded uniform walk corpus over the co-purchase
+    graph — the intermediate THREE queries consume (q_random_walks,
+    q_walk_skipgrams, q_walk_pmi). Routed through the bench-mode
+    snapshot like _jaccard_pair_graph / _copurchase_edges: the
+    driver's correctness gate always rebuilds (self-contained
+    contract), bench mode builds once and scans twice."""
+    from loan_etl_data_pipeline_spark.operators.walks import random_walks
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    seeds = (
+        edges.select(F.col("pa").alias("id"))
+        .union(edges.select(F.col("pb").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 25 == 0)
+    )
+    walks = random_walks(edges, "pa", "pb", seeds=seeds, walk_len=4)
+    return _bench_snapshot(
+        walks, f"walk_corpus|len=4|mod25|{sf_dir.rstrip('/')}"
+    )
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9+ deterministic random-walk corpus (operators/walks.py
     random_walks): DeepWalk/node2vec walk generation over the
@@ -15947,16 +15969,7 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keyed probe into the indexed adjacency; walk state stays one
     row per walk.
     """
-    from loan_etl_data_pipeline_spark.operators.walks import random_walks
-
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
-    seeds = (
-        edges.select(F.col("pa").alias("id"))
-        .union(edges.select(F.col("pb").alias("id")))
-        .distinct()
-        .filter(F.col("id") % 25 == 0)
-    )
-    return random_walks(edges, "pa", "pb", seeds=seeds, walk_len=4)
+    return _walk_corpus(spark, sf_dir)
 
 
 QUERIES_PART_B["q_random_walks"] = q_random_walks
@@ -16007,20 +16020,9 @@ def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk_id-keyed self-join; per-key blowup is the constant
     (2*window)*(walk_len+1), never corpus-quadratic.
     """
-    from loan_etl_data_pipeline_spark.operators.walks import (
-        random_walks,
-        walk_skipgrams,
-    )
+    from loan_etl_data_pipeline_spark.operators.walks import walk_skipgrams
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
-    seeds = (
-        edges.select(F.col("pa").alias("id"))
-        .union(edges.select(F.col("pb").alias("id")))
-        .distinct()
-        .filter(F.col("id") % 25 == 0)
-    )
-    walks = random_walks(edges, "pa", "pb", seeds=seeds, walk_len=4)
-    return walk_skipgrams(walks, window=2)
+    return walk_skipgrams(_walk_corpus(spark, sf_dir), window=2)
 
 
 QUERIES_PART_B["q_walk_skipgrams"] = q_walk_skipgrams
@@ -16384,21 +16386,9 @@ def q_walk_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio carries the identical ranking; take ln downstream for nats.
     Pairs with n_pairs >= 2 only; marginals and totals exact int64.
     """
-    from loan_etl_data_pipeline_spark.operators.walks import (
-        random_walks,
-        walk_skipgrams,
-    )
+    from loan_etl_data_pipeline_spark.operators.walks import walk_skipgrams
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
-    seeds = (
-        edges.select(F.col("pa").alias("id"))
-        .union(edges.select(F.col("pb").alias("id")))
-        .distinct()
-        .filter(F.col("id") % 25 == 0)
-    )
-    sg = walk_skipgrams(
-        random_walks(edges, "pa", "pb", seeds=seeds, walk_len=4), window=2
-    ).localCheckpoint()
+    sg = walk_skipgrams(_walk_corpus(spark, sf_dir), window=2).localCheckpoint()
     wc = Window.partitionBy("center")
     wx = Window.partitionBy("context")
     wall = Window.partitionBy()
