@@ -16433,3 +16433,61 @@ ORACLE_PART_B["q_walk_pmi"] = f"""
                 AS BIGINT) AS pmi_ratio9
     FROM m WHERE n_pairs >= 2
 """
+
+
+def q_bfs_resumable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+/ST+ resumable multi-source BFS (plans/iterative.py
+    resumable_loop): the exact q_bfs_hops computation with each hop's
+    state durably committed (parquet + atomic marker) so a driver
+    crash resumes from the last completed hop instead of hop zero —
+    the reliability layer every hours-long iterative job needs at
+    100 TB (spot reclaim / driver OOM / deploy mid-loop). Rounds are
+    md5-deterministic, so a resumed run is bit-identical to a straight
+    one: this query SHARES q_bfs_hops' oracle verbatim, certifying the
+    checkpoint/restore path end-to-end. State is O(frontier+visited)
+    (node-scale, not edge-scale), so the per-round durable write is
+    noise next to the round's join shuffle.
+    """
+    import tempfile
+
+    from loan_etl_data_pipeline_spark.plans.iterative import resumable_loop
+
+    edges = _copurchase_edges(spark, sf_dir)
+    e = (
+        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .union(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def init() -> DataFrame:
+        return (
+            e.select(F.col("u").alias("id"))
+            .union(e.select(F.col("v").alias("id")))
+            .distinct()
+            .filter(F.col("id") % 50 == 0)
+            .withColumn("hops", F.lit(0).cast("bigint"))
+        )
+
+    def step(state: DataFrame, k: int) -> DataFrame:
+        frontier = state.filter(F.col("hops") == k - 1).select("id")
+        nxt = (
+            frontier.join(e, frontier["id"] == e["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(state.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(k).cast("bigint"))
+        )
+        return state.union(nxt)
+
+    return resumable_loop(
+        spark,
+        tempfile.mkdtemp(prefix="bfs_resume_"),
+        init=init,
+        step=step,
+        rounds=3,
+    )
+
+
+QUERIES_PART_B["q_bfs_resumable"] = q_bfs_resumable
+ORACLE_PART_B["q_bfs_resumable"] = ORACLE_PART_B["q_bfs_hops"]
