@@ -16491,3 +16491,50 @@ def q_bfs_resumable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_PART_B["q_bfs_resumable"] = q_bfs_resumable
 ORACLE_PART_B["q_bfs_resumable"] = ORACLE_PART_B["q_bfs_hops"]
+
+
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+ Avro interchange round-trip (sources/avro.py): orders with
+    o_orderkey%7==0 written as Avro object container files (pure-
+    Python encoder, deflate blocks, one file per partition) and read
+    back through the binaryFile→mapInPandas decoder, then aggregated —
+    per status: count and exact floor-cents revenue. The oracle
+    computes the same aggregate straight from parquet, so the value
+    hash certifies the whole encode→decode path bit-for-bit (zigzag
+    varints, LE doubles, union branches, raw-deflate blocks). The
+    spark-avro JVM connector is absent from this distribution's
+    classpath; the spec-implemented source fills the lake-interchange
+    gap the same way sources/excel.py does for xlsx.
+    """
+    import tempfile
+
+    from loan_etl_data_pipeline_spark.functions.deterministic import dsum
+    from loan_etl_data_pipeline_spark.sources.avro import (
+        read_avro,
+        write_avro,
+    )
+
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    d = tempfile.mkdtemp(prefix="avro_rt_")
+    write_avro(sub, d, codec="deflate")
+    back = read_avro(spark, d)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+QUERIES_PART_B["q_avro_roundtrip"] = q_avro_roundtrip
+
+ORACLE_PART_B["q_avro_roundtrip"] = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR((o_totalprice) * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS revenue
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+"""
