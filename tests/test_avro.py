@@ -108,8 +108,10 @@ def test_roundtrip_all_primitives(spark):
 
 
 def test_multipartition_write_reads_complete(spark):
+    import pyspark.sql.functions as F
+
     src = spark.range(1000).repartition(7).select(
-        "id", (2 * __import__("pyspark.sql.functions", fromlist=["col"]).col("id")).alias("dbl")
+        "id", (2 * F.col("id")).alias("dbl")
     )
     d = tempfile.mkdtemp()
     assert write_avro(src, d, codec="null") == 1000

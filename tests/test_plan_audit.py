@@ -579,3 +579,43 @@ def test_incremental_join_has_no_dedup_step(plans):
     assert "Deduplicate" not in p
     # the final rollup aggregates partially before its one exchange
     assert p.count("HashAggregate") >= 2
+
+
+def test_mmr_greedy_no_cartesian_and_pool_pairs_keyed(plans):
+    """MMR's pool×pool pairwise-sim join and every greedy round must be
+    keyed joins on query_id — a cartesian anywhere would explode at a
+    real probe count."""
+    p = plans("q_mmr_diversify")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_random_walks_no_cartesian_per_step(plans):
+    """Each walk step is a degree join + an indexed-adjacency equi-join;
+    nothing may degrade to a nested-loop join."""
+    p = plans("q_random_walks")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_node2vec_edge_lookup_is_equi_join(plans):
+    p = plans("q_node2vec_walks")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_walk_corpus_bench_snapshot_shared(spark, sf_dir, tmp_path, monkeypatch):
+    """In bench mode the skip-gram consumer must SCAN the walk-corpus
+    snapshot instead of re-deriving the walk loop (the pair-graph
+    pattern applied to walks)."""
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path))
+    qs = all_queries()
+    qs["q_random_walks"](spark, sf_dir).count()  # builds the snapshot
+    p = (
+        qs["q_walk_skipgrams"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert str(tmp_path) in p  # scans the snapshot parquet
+    assert "row_number" not in p  # the walk loop's adjacency indexing is gone
