@@ -16538,3 +16538,113 @@ ORACLE_PART_B["q_avro_roundtrip"] = """
     FROM orders WHERE o_orderkey % 7 = 0
     GROUP BY o_orderstatus
 """
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+/E3+ hybrid retrieval fusion — the canonical RAG pattern:
+    lexical BM25 top-10 (fixed term query, operators/retrieval.py)
+    fused with semantic cosine top-10 (doc 0's embedding probing the
+    corpus, doc_id ≡ vec_id) via reciprocal-rank fusion kept EXACT as
+    int64 (Σ div(1e12, 60+rank), absent list contributes 0) — the
+    concrete instance of the shape q_rrf_customers documents. Both
+    input rankings are already oracle-certified queries; the fusion
+    adds one full-outer id join and one 20-row window. At corpus
+    scale: BM25 from the persistent inverted index, vectors from any
+    ANN tier, fusion unchanged — per-query work is two top-k lists.
+    """
+    from loan_etl_data_pipeline_spark.operators.retrieval import bm25_topk
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, list(BM25_TERMS), k=10).select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("id")))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    sem = cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") == 0), emb, k=10
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("sem_rank"))
+    fused = (
+        lex.join(sem, "id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                F.expr("1000000000000L div (60 + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("1000000000000L div (60 + sem_rank)"), F.lit(0)
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= 10)
+        .select("fused_rank", F.col("id").alias("doc_id"),
+                "lex_rank", "sem_rank", "rrf_score")
+    )
+
+
+QUERIES_PART_B["q_hybrid_search"] = q_hybrid_search
+
+# Composes the certified BM25 oracle (verbatim, as a CTE body) with a
+# top-10 variant of the cosine chain and exact-int RRF arithmetic.
+ORACLE_PART_B["q_hybrid_search"] = f"""
+    WITH bm AS ({ORACLE_PART_B["q_bm25_search"]}),
+    lex AS (
+        SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id)
+                        AS BIGINT) AS lex_rank
+        FROM bm
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    ex AS (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(UNNEST(q.qe) AS DOUBLE) AS x,
+               CAST(UNNEST(c.ce) AS DOUBLE) AS y
+        FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+    ),
+    sums AS (
+        SELECT query_id, neighbor_id,
+               SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+               SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS qn_s,
+               SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS cn_s
+        FROM ex GROUP BY 1, 2
+    ),
+    cosd AS (
+        SELECT neighbor_id AS id,
+               (CAST(dot_s AS DOUBLE) / 1e12)
+                 / (sqrt(CAST(qn_s AS DOUBLE) / 1e12)
+                    * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) AS cosine
+        FROM sums
+    ),
+    sem AS (
+        SELECT id, sem_rank FROM (
+            SELECT id, CAST(row_number() OVER (ORDER BY cosine DESC, id)
+                            AS BIGINT) AS sem_rank
+            FROM cosd
+        ) WHERE sem_rank <= 10
+    ),
+    fused AS (
+        SELECT COALESCE(lex.id, sem.id) AS doc_id,
+               lex.lex_rank, sem.sem_rank,
+               COALESCE(1000000000000 // (60 + lex.lex_rank), 0)
+                 + COALESCE(1000000000000 // (60 + sem.sem_rank), 0)
+                 AS rrf_score
+        FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+    )
+    SELECT fused_rank, doc_id, lex_rank, sem_rank,
+           CAST(rrf_score AS BIGINT) AS rrf_score
+    FROM (
+        SELECT doc_id, lex_rank, sem_rank, rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS BIGINT) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 10
+"""

@@ -589,3 +589,51 @@ def test_kwic_rejects_empty_or_multitoken_term(spark, tmp_path):
         kwic_indexed(spark, idx, docs, "a b")
     with _pt.raises(ValueError, match="one token"):
         kwic_indexed(spark, idx, docs, "  ")
+
+
+def test_hybrid_rrf_fusion_math(spark, sf_dir):
+    """Fused ranking == integer-RRF brute force over the two certified
+    input rankings."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from loan_etl_data_pipeline_spark.operators.retrieval import bm25_topk
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from loan_etl_data_pipeline_spark.queries import (
+        BM25_TERMS,
+        all_queries,
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex_rows = (
+        bm25_topk(docs, list(BM25_TERMS), k=10)
+        .select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("id")))
+            .alias("r"),
+        )
+        .collect()
+    )
+    sem_rows = cosine_topk_bruteforce(
+        emb.filter("vec_id = 0"), emb, k=10
+    ).collect()
+    score = {}
+    for r in lex_rows:
+        score[r["id"]] = score.get(r["id"], 0) + 10**12 // (60 + r["r"])
+    for r in sem_rows:
+        score[r["neighbor_id"]] = score.get(r["neighbor_id"], 0) + 10**12 // (
+            60 + r["rank"]
+        )
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["rrf_score"])
+        for r in all_queries()["q_hybrid_search"](spark, sf_dir)
+        .orderBy("fused_rank")
+        .collect()
+    ]
+    assert got == want
