@@ -947,3 +947,60 @@ def normalize_confusables(text_col) -> Column:
     dedup_by_fingerprint's whitespace normalization."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.translate(col, CONFUSABLES_FROM, CONFUSABLES_TO)
+
+
+def split_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentence segmentation: one row per sentence with its 0-based
+    position — the unit C4-style curation dedups at (repeated
+    boilerplate sentences across pages are THE dominant web-corpus
+    noise; Raffel et al. 2020 dropped any three-sentence span seen
+    twice). Rule: a sentence ends at `.`, `!` or `?` followed by
+    whitespace.
+
+    Engine-portable without regex lookbehind (RE2, DuckDB's engine,
+    has none): regexp_replace '([.!?])\\s+' -> terminator + \\x01
+    sentinel (each engine's own backreference syntax, same output
+    bytes), then split on the sentinel. Pure codegen — zero shuffles;
+    the explode multiplies rows by sentences-per-doc, the one
+    working-set number to size for (SCALE.md §5).
+
+    Output: (id, sent_no int, sentence string), whitespace-trimmed,
+    empty sentences dropped.
+    """
+    col = F.col(text_col)
+    marked = F.regexp_replace(col, r"([.!?])\s+", "$1\x01")
+    sent = F.posexplode(F.split(marked, "\x01"))
+    return (
+        df.select(F.col(id_col), sent.alias("sent_no", "sentence"))
+        .withColumn("sentence", F.trim(F.col("sentence")))
+        .filter(F.length("sentence") > 0)
+        .select(
+            id_col, F.col("sent_no").cast("int").alias("sent_no"), "sentence"
+        )
+    )
+
+
+def duplicated_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document repeated sentences: every distinct sentence that
+    appears in 2+ documents, with how many docs and total occurrences
+    — the audit BEFORE cutting (run the removal as an anti-join of
+    split_sentences against this set). One sentence-keyed shuffle;
+    boilerplate skew (one sentence in millions of docs) is bounded
+    because the partial aggregate collapses per-partition counts
+    before the exchange.
+
+    Output: (sentence, n_docs, n_occurrences).
+    """
+    s = split_sentences(df, id_col, text_col)
+    return (
+        s.groupBy("sentence")
+        .agg(
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -16648,3 +16648,69 @@ ORACLE_PART_B["q_hybrid_search"] = f"""
         FROM fused
     ) WHERE fused_rank <= 10
 """
+
+
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/E4 cross-document sentence dedup audit (operators/text.py
+    split_sentences + duplicated_sentences): every sentence appearing
+    in 2+ documents with doc reach and occurrence count — the C4-style
+    boilerplate screen (Raffel et al. 2020 cut spans seen twice;
+    repeated boilerplate sentences are the dominant web-corpus noise),
+    finer-grained than q_chunk_dedup's fixed windows and exact where
+    q_winnow_neardup samples. Segmentation is codegen (sentinel
+    replace + split — RE2 has no lookbehind, so the oracle replays the
+    same sentinel trick); the audit is one sentence-keyed shuffle with
+    map-side partial counts bounding boilerplate skew.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import (
+        duplicated_sentences,
+        tokens,
+    )
+
+    # The synthetic corpus carries no sentence punctuation, so the
+    # sentence-bearing text is constructed deterministically: two
+    # 4-token "sentences" per doc (every doc has >= 10 tokens) — the
+    # small vocabulary makes 4-gram sentences repeat across docs
+    # exactly like q_chunk_dedup's windows, exercising segmentation +
+    # audit with real duplicate mass.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    sentenced = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice("toks", 1, 4), " "),
+            F.lit(". "),
+            F.array_join(F.slice("toks", 5, 4), " "),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return duplicated_sentences(sentenced)
+
+
+QUERIES_PART_B["q_sentence_dedup"] = q_sentence_dedup
+
+ORACLE_PART_B["q_sentence_dedup"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), built AS (
+        SELECT doc_id,
+               array_to_string(t[1:4], ' ') || '. '
+                 || array_to_string(t[5:8], ' ') || '.' AS text
+        FROM toks
+    ), marked AS (
+        SELECT doc_id,
+               regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g') AS m
+        FROM built
+    ), sents AS (
+        SELECT doc_id, trim(UNNEST(string_split(m, chr(1)))) AS sentence
+        FROM marked
+    )
+    SELECT sentence,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM sents WHERE length(sentence) > 0
+    GROUP BY sentence HAVING count(DISTINCT doc_id) >= 2
+"""

@@ -225,3 +225,69 @@ def test_normalize_confusables_folds_homoglyphs(spark):
     }
     assert got[1] == got[2] == "paypal account"
     assert got[3] == "cXy CAse"
+
+
+# -------------------------------------------------- sentence segmentation
+
+
+def test_split_sentences_planted(spark):
+    from loan_etl_data_pipeline_spark.operators.text import split_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello there. How are you?  Fine!"),
+            (2, "One sentence only"),
+            (3, "Trailing terminator."),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["sent_no"], r["sentence"])
+        for r in split_sentences(docs).collect()
+    )
+    assert got == [
+        (1, 0, "Hello there."),
+        (1, 1, "How are you?"),
+        (1, 2, "Fine!"),
+        (2, 0, "One sentence only"),
+        (3, 0, "Trailing terminator."),
+    ]
+
+
+def test_duplicated_sentences_audit_and_removal(spark):
+    from loan_etl_data_pipeline_spark.operators.text import (
+        duplicated_sentences,
+        split_sentences,
+    )
+
+    boiler = "Subscribe to our newsletter."
+    docs = spark.createDataFrame(
+        [
+            (1, f"Real content one. {boiler}"),
+            (2, f"{boiler} Real content two."),
+            (3, f"Real content three. {boiler} {boiler}"),
+            (4, "Nothing repeated here."),
+        ],
+        "doc_id bigint, text string",
+    )
+    dup = {
+        r["sentence"]: (r["n_docs"], r["n_occurrences"])
+        for r in duplicated_sentences(docs).collect()
+    }
+    assert dup == {boiler: (3, 4)}
+    # the removal shape: anti-join sentences against the audit set
+    kept = (
+        split_sentences(docs)
+        .join(
+            duplicated_sentences(docs).select("sentence"),
+            "sentence",
+            "left_anti",
+        )
+        .collect()
+    )
+    assert sorted(r["sentence"] for r in kept) == [
+        "Nothing repeated here.",
+        "Real content one.",
+        "Real content three.",
+        "Real content two.",
+    ]
