@@ -79,12 +79,13 @@ def resumable_loop(
     os.makedirs(state_dir, exist_ok=True)
 
     done = [k for k in _committed_rounds(state_dir) if k <= rounds]
-    start = done[-1] if done else 0
-    if start == 0:
-        state = init()
-        _commit(state, state_dir, 0)
+    if not done:
+        state = _commit(init(), state_dir, 0)
         start = 0
     else:
+        # a committed round 0 also resumes from parquet — never re-run
+        # init() (on a real corpus the seed scan is the expensive part)
+        start = done[-1]
         state = spark.read.parquet(
             os.path.join(state_dir, f"round={start:04d}")
         )
