@@ -848,3 +848,72 @@ def mmr_topk(
         )
         selected = selected.union(pick).localCheckpoint()
     return selected
+
+
+def cosine_threshold_scan(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_BATCH,
+) -> DataFrame:
+    """ALL (query, corpus) pairs with cosine >= threshold — the
+    cross-table sibling of :func:`cosine_topk_bruteforce` (which keeps
+    top-k) and :func:`cosine_neardup_pairs` (which pairs a table with
+    itself). The canonical use is SEMANTIC EVAL-SET DECONTAMINATION:
+    the query side is a small benchmark/eval set, the corpus side the
+    training candidate pool, and any hit above the threshold flags a
+    training document for removal — n-gram decontamination
+    (ngram_decontaminate) catches verbatim leakage, this catches
+    paraphrased leakage.
+
+    Plan: collect + broadcast the capped query batch, one corpus scan
+    through the quantized-cosine numpy kernel, emit pairs above the
+    threshold. No shuffle at all — the output is the (small) flagged
+    set, and corpus rows stream through once whatever the corpus size.
+    Same int64-floored arithmetic as the whole ANN family, so the scan
+    is value-oracle-able; threshold compare uses a 1e-4 pre-filter
+    margin nowhere — the exact cosine is compared directly.
+    """
+    ensure_worker_imports(queries_df.sparkSession)
+    q_rows = _collect_query_batch(queries_df, id_col, vec_col, max_queries)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qq = _floored_self_dot(q_mat)
+    sc = corpus_df.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, qq))
+    thr = float(threshold)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("corpus_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_, qq_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = _mat(pdf[vec_col])
+            cc = _floored_self_dot(c_mat)
+            cos = _cosine_matrix(_floored_cross_dot(q_mat_, c_mat), qq_, cc)
+            qi, ci = np.nonzero(cos >= thr)
+            if len(qi) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids_[qi],
+                    "corpus_id": c_ids[ci],
+                    "cosine": cos[qi, ci],
+                }
+            )
+
+    return corpus_df.select(id_col, vec_col).mapInPandas(
+        _scan, schema=out_schema
+    )

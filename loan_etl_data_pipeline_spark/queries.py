@@ -16714,3 +16714,58 @@ ORACLE_PART_B["q_sentence_dedup"] = r"""
     FROM sents WHERE length(sentence) > 0
     GROUP BY sentence HAVING count(DISTINCT doc_id) >= 2
 """
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/E3 semantic eval-set decontamination (operators/similarity.py
+    cosine_threshold_scan): every (eval, train) embedding pair with
+    cosine >= 0.3, eval = vec_id < 50 standing in for a benchmark set,
+    train = the rest — the PARAPHRASE leakage screen that n-gram
+    decontamination (q_decontaminate) cannot catch. Plan: the small
+    eval batch is broadcast, the training corpus streams through ONE
+    quantized-cosine kernel scan, output is only the flagged pairs —
+    zero shuffles at any corpus size; removal is then an anti-join of
+    train on the flagged corpus_ids. Exact floored-int64 cosine ⇒ full
+    value oracle.
+    """
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_threshold_scan,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_threshold_scan(
+        emb.filter(F.col("vec_id") < 50),
+        emb.filter(F.col("vec_id") >= 50),
+        threshold=0.3,
+    )
+
+
+QUERIES_PART_B["q_semantic_decontaminate"] = q_semantic_decontaminate
+
+ORACLE_PART_B["q_semantic_decontaminate"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS corpus_id, embedding AS ce
+          FROM embeddings WHERE vec_id >= 50),
+    ex AS (
+        SELECT q.query_id, c.corpus_id,
+               CAST(UNNEST(q.qe) AS DOUBLE) AS x,
+               CAST(UNNEST(c.ce) AS DOUBLE) AS y
+        FROM q CROSS JOIN c
+    ),
+    sums AS (
+        SELECT query_id, corpus_id,
+               SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+               SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS qn_s,
+               SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS cn_s
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT query_id, corpus_id,
+           (CAST(dot_s AS DOUBLE) / 1e12)
+             / (sqrt(CAST(qn_s AS DOUBLE) / 1e12)
+                * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) AS cosine
+    FROM sums
+    WHERE (CAST(dot_s AS DOUBLE) / 1e12)
+            / (sqrt(CAST(qn_s AS DOUBLE) / 1e12)
+               * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) >= 0.3
+"""

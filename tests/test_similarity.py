@@ -293,3 +293,49 @@ def test_mmr_rank1_is_relevance_argmax_and_validates(spark):
         mmr_topk(probe, corpus, k=10, pool=5)
     with _pytest.raises(ValueError):
         mmr_topk(probe, corpus, k=2, pool=5, lam=0.0)
+
+
+def test_threshold_scan_matches_bruteforce_pairs(spark, sf_dir):
+    """Threshold scan == exhaustive numpy pair filter, incl. cosines."""
+    import numpy as np
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_threshold_scan,
+    )
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        (r["query_id"], r["corpus_id"], r["cosine"])
+        for r in cosine_threshold_scan(
+            emb.filter("vec_id < 20"), emb.filter("vec_id >= 20"),
+            threshold=0.3,
+        ).collect()
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    sq = np.floor((mat * mat) * 1e12).astype(np.int64).sum(axis=1)
+    want = []
+    for qi in np.nonzero(ids < 20)[0]:
+        for ci in np.nonzero(ids >= 20)[0]:
+            d = np.floor((mat[qi] * mat[ci]) * 1e12).astype(np.int64).sum()
+            cos = (float(d) / 1e12) / (
+                np.sqrt(float(sq[qi]) / 1e12) * np.sqrt(float(sq[ci]) / 1e12)
+            )
+            if cos >= 0.3:
+                want.append((int(ids[qi]), int(ids[ci]), cos))
+    assert got == sorted(want)
+
+
+def test_threshold_scan_empty_when_bar_too_high(spark, sf_dir):
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_threshold_scan,
+    )
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_threshold_scan(
+        emb.filter("vec_id < 5"), emb.filter("vec_id >= 5"), threshold=0.999
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "corpus_id", "cosine"]
