@@ -1032,3 +1032,69 @@ def hyperball(
         .agg(F.sum("est").alias("est_pairs"))
         .select(F.col("hop").cast("bigint").alias("hops"), "est_pairs")
     )
+
+
+def cheapest_paths(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+    *,
+    seeds: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Bounded-hop cheapest paths (relational Bellman–Ford): minimum
+    total edge cost from the ``seeds`` set to every node reachable
+    within ``max_hops`` over the UNDIRECTED weighted graph — bfs_hops
+    generalized from hop counts to integer edge costs (cheapest ≠
+    fewest hops when weights vary: a 2-hop strong-tie route can beat a
+    1-hop weak tie). Integer costs by contract, so min() is exact and
+    the fixed unrolling replays as a bounded recursive CTE enumerating
+    cost-accumulating walks (the oracle's path count is degree^hops
+    per seed — fine at certification SF; the ENGINE side never
+    enumerates paths).
+
+    Per round: one frontier⋈edges relax join + one node-keyed min-agg
+    over (previous dist ∪ relaxed) — Bellman–Ford's relaxation as a
+    groupBy, the textbook BSP shape (Pregel/GraphX do exactly this);
+    state is one row per reached node. Lineage cut per round.
+
+    Returns ``(id, min_cost)``; seeds at cost 0.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"),
+            F.col(cost).cast("bigint").alias("w"),
+        )
+        .union(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"),
+                F.col(cost).cast("bigint").alias("w"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("min_cost", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist["id"] == e["u"])
+            .select(
+                F.col("v").alias("id"),
+                (F.col("min_cost") + F.col("w")).alias("min_cost"),
+            )
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("id")
+            .agg(F.min("min_cost").alias("min_cost"))
+            .localCheckpoint()
+        )
+    return dist

@@ -16769,3 +16769,69 @@ ORACLE_PART_B["q_semantic_decontaminate"] = """
             / (sqrt(CAST(qn_s AS DOUBLE) / 1e12)
                * sqrt(CAST(cn_s AS DOUBLE) / 1e12)) >= 0.3
 """
+
+
+def q_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ bounded-hop cheapest paths (operators/graph.py
+    cheapest_paths): min total cost from the partkey%50==0 seeds
+    within 3 hops over the co-purchase graph, edge cost = 1000 div
+    support (stronger ties are cheaper — the recommendation-distance
+    metric where q_bfs_hops counts hops); a 2-hop strong route beats a
+    1-hop weak tie, which hop-BFS cannot express. Relational
+    Bellman-Ford: per round one relax join + one node-keyed min-agg;
+    integer costs make min() exact, so the fixed unrolling carries a
+    full recursive-CTE oracle (walk enumeration oracle-side only).
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import cheapest_paths
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb", F.expr("1000L div support").alias("cost"))
+        .localCheckpoint()
+    )
+    seeds = (
+        edges.select(F.col("pa").alias("id"))
+        .union(edges.select(F.col("pb").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 50 == 0)
+    )
+    return cheapest_paths(edges, "pa", "pb", "cost", seeds=seeds, max_hops=3)
+
+
+QUERIES_PART_B["q_cheapest_paths"] = q_cheapest_paths
+
+ORACLE_PART_B["q_cheapest_paths"] = """
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    wpairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               1000 // count(*) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+        SELECT pa AS u, pb AS v, w FROM wpairs
+        UNION SELECT pb, pa, w FROM wpairs
+    ),
+    seeds AS (SELECT DISTINCT u AS id FROM sym WHERE u % 50 = 0),
+    walk(id, c, hop) AS (
+        SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+        UNION ALL
+        SELECT sym.v, walk.c + sym.w, walk.hop + 1
+        FROM walk JOIN sym ON sym.u = walk.id
+        WHERE walk.hop < 3
+    )
+    SELECT id, CAST(min(c) AS BIGINT) AS min_cost FROM walk GROUP BY id
+"""

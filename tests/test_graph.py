@@ -434,3 +434,28 @@ def test_msf_survives_long_path_forest(spark):
         spark.createDataFrame(rows, ["u", "v", "w"]), "u", "v", "w"
     )
     assert sorted(map(tuple, got.collect())) == sorted(rows)
+
+
+def test_cheapest_paths_hand_graph(spark):
+    """Weighted path where cheapest != fewest hops: seed 1; direct edge
+    1-4 costs 10, the 1-2-3-4 route costs 3."""
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.graph import cheapest_paths
+
+    e = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)],
+        "src bigint, dst bigint, cost bigint",
+    )
+    seeds = spark.createDataFrame([(1,)], "id bigint")
+    got = {
+        r["id"]: r["min_cost"]
+        for r in cheapest_paths(e, seeds=seeds, max_hops=3).collect()
+    }
+    # 4 is cheaper via 3 hops (3) than direct (10); 5 within 3 hops only
+    # via the direct edge 1-4-5 (11) or 1-2-3-4-5 (4 hops, not allowed)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 11}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cheapest_paths(e, seeds=seeds, max_hops=0)
