@@ -20,7 +20,7 @@ number) is what makes the split survive reprocessing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 
@@ -555,3 +555,90 @@ def negative_samples(
     )
     partners = numbered.select("__bucket", F.col("__rn").alias("__nrn"), F.col("__id").alias("neg"))
     return anchors.join(partners, ["__bucket", "__nrn"]).select("anchor", "j", "neg")
+
+
+def unimax_allocation(
+    counts_df: DataFrame,
+    key_col: str,
+    cap_col: str,
+    *,
+    budget: int,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    Effective Language Sampling", ICLR 2023): split an integer token
+    ``budget`` across sources as uniformly as possible, each source
+    capped at its own capacity (tokens × max-epochs) — the
+    principled alternative to temperature sampling that never
+    over-repeats a small source. Water-filling with a single level L:
+    every source gets min(capacity, L), with L the largest integer the
+    budget affords.
+
+    Relational single pass, exact int64: sort sources by capacity
+    ascending; for the segment where rows 1..k-1 are fully consumed,
+    the candidate level is (budget − prefix_{k-1}) div (n−k+1), valid
+    iff it clears cap_{k-1} and not cap_k — exactly one segment is
+    valid (or the whole budget covers every capacity). The frame here
+    is PER-SOURCE aggregates (|sources| rows), so the one global
+    window is a deliberate tiny-side sort, not a data-scale Exchange
+    (the global_rank playbook governs data-scale ranking).
+
+    Returns (key, capacity, alloc) with Σ alloc = min(budget mod-L
+    remainder aside, Σ capacity) — the div remainder (< n rows' worth)
+    is deliberately left unallocated; route it through
+    operators/allocate.largest_remainder if exact exhaustion matters.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    w = Window.orderBy(F.col("__cap"), F.col("__key"))
+    base = counts_df.select(
+        F.col(key_col).alias("__key"),
+        F.col(cap_col).cast("bigint").alias("__cap"),
+    )
+    n = base.count()
+    ranked = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__prefix_excl",
+            F.coalesce(
+                F.sum("__cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "__prev_cap",
+            F.coalesce(
+                F.lag("__cap").over(w), F.lit(0).cast("bigint")
+            ),
+        )
+    ).localCheckpoint()
+    total_cap = ranked.agg(F.sum("__cap")).collect()[0][0] or 0
+    if total_cap <= budget:
+        # budget covers everything: alloc = capacity for all
+        return ranked.select(
+            F.col("__key").alias(key_col),
+            F.col("__cap").alias("capacity"),
+            F.col("__cap").alias("alloc"),
+        )
+    level_row = (
+        ranked.withColumn(
+            "__level",
+            F.expr(f"({budget}L - __prefix_excl) div ({n}L - __rn + 1)"),
+        )
+        .filter(
+            (F.col("__level") >= F.col("__prev_cap"))
+            & (F.col("__level") < F.col("__cap"))
+        )
+        .orderBy("__rn")
+        .limit(1)
+        .select("__level")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(level_row))  # 1-row scalar
+        .select(
+            F.col("__key").alias(key_col),
+            F.col("__cap").alias("capacity"),
+            F.least(F.col("__cap"), F.col("__level")).alias("alloc"),
+        )
+    )

@@ -16835,3 +16835,68 @@ ORACLE_PART_B["q_cheapest_paths"] = """
     )
     SELECT id, CAST(min(c) AS BIGINT) AS min_cost FROM walk GROUP BY id
 """
+
+
+def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ UniMax budget allocation (functions/splits.py
+    unimax_allocation; Chung et al., ICLR 2023): split a 52 000-token
+    budget across the documents sources as uniformly as possible, each
+    source capped at 2 epochs of its own tokens — the principled
+    alternative to temperature sampling (q_temperature_mix) that never
+    over-repeats a small source. Exact-int water level found in one
+    window pass over the per-source aggregate (tiny-side sort by
+    design — the data-scale work is the one token-count agg). Full
+    value oracle: the same prefix-sum segment arithmetic in SQL,
+    covering both the budget-limited and capacity-limited branches.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import (
+        unimax_allocation,
+    )
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.size(tokens(F.trim(F.col("text")))).alias("nt"))
+        .groupBy("source")
+        .agg((F.sum("nt") * 2).cast("bigint").alias("capacity"))
+    )
+    return unimax_allocation(counts, "source", "capacity", budget=52000)
+
+
+QUERIES_PART_B["q_unimax_alloc"] = q_unimax_alloc
+
+ORACLE_PART_B["q_unimax_alloc"] = r"""
+    WITH src AS (
+        SELECT source,
+               CAST(2 * SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS cap
+        FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, cap,
+               row_number() OVER (ORDER BY cap, source) AS rn,
+               COALESCE(SUM(cap) OVER (ORDER BY cap, source
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS prefix_excl,
+               COALESCE(lag(cap) OVER (ORDER BY cap, source), 0) AS prev_cap,
+               count(*) OVER () AS n,
+               SUM(cap) OVER () AS total_cap
+        FROM src
+    ),
+    lvl AS (
+        SELECT CASE
+            WHEN max(total_cap) <= 52000 THEN max(cap)
+            ELSE (
+                SELECT (52000 - prefix_excl) // (n - rn + 1)
+                FROM ranked
+                WHERE (52000 - prefix_excl) // (n - rn + 1) >= prev_cap
+                  AND (52000 - prefix_excl) // (n - rn + 1) < cap
+                ORDER BY rn LIMIT 1
+            )
+        END AS level
+        FROM ranked
+    )
+    SELECT source, capacity,
+           CAST(least(capacity, level) AS BIGINT) AS alloc
+    FROM (SELECT source, cap AS capacity FROM ranked), lvl
+"""

@@ -469,3 +469,62 @@ def test_bootstrap_se_plausible(spark, sf_dir):
     ref = stats["sd"] / math.sqrt(stats["n"]) / 100
     assert 0 < r["se"] < 3 * ref + 1e-9
     assert r["se"] > ref / 3
+
+
+# ------------------------------------------------------------ UniMax
+
+
+def test_unimax_water_filling_hand_case(spark):
+    """caps [4, 10, 20], budget 18 -> level (18-4)//2 = 7:
+    smallest source fully consumed, the rest level-capped."""
+    from loan_etl_data_pipeline_spark.functions.splits import (
+        unimax_allocation,
+    )
+
+    counts = spark.createDataFrame(
+        [("a", 4), ("b", 10), ("c", 20)], "src string, cap long"
+    )
+    got = {
+        r["src"]: (r["capacity"], r["alloc"])
+        for r in unimax_allocation(counts, "src", "cap", budget=18).collect()
+    }
+    assert got == {"a": (4, 4), "b": (10, 7), "c": (20, 7)}
+
+
+def test_unimax_budget_covers_everything(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import (
+        unimax_allocation,
+    )
+
+    counts = spark.createDataFrame(
+        [("a", 4), ("b", 10)], "src string, cap long"
+    )
+    got = {
+        r["src"]: r["alloc"]
+        for r in unimax_allocation(counts, "src", "cap", budget=99).collect()
+    }
+    assert got == {"a": 4, "b": 10}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unimax_allocation(counts, "src", "cap", budget=-1)
+
+
+def test_unimax_never_exceeds_budget_or_caps(spark):
+    from loan_etl_data_pipeline_spark.functions.splits import (
+        unimax_allocation,
+    )
+
+    counts = spark.createDataFrame(
+        [(f"s{i}", 100 + 37 * i) for i in range(12)], "src string, cap long"
+    )
+    for budget in (0, 500, 1234, 2000, 10**6):
+        rows = unimax_allocation(
+            counts, "src", "cap", budget=budget
+        ).collect()
+        assert all(r["alloc"] <= r["capacity"] for r in rows)
+        assert sum(r["alloc"] for r in rows) <= max(
+            budget, 0
+        ) or sum(r["alloc"] for r in rows) == sum(
+            r["capacity"] for r in rows
+        )
