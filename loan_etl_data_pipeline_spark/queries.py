@@ -16900,3 +16900,36 @@ ORACLE_PART_B["q_unimax_alloc"] = r"""
            CAST(least(capacity, level) AS BIGINT) AS alloc
     FROM (SELECT source, cap AS capacity FROM ranked), lvl
 """
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+/E9+ frequent 3-itemsets (operators/frequent.py
+    frequent_triples): part triples bought together in >= 2 orders —
+    Apriori level 3 above the co-purchase pair graph (level 2).
+    Candidates extend FREQUENT pairs only and are screened against the
+    pair set twice before counting (the Apriori prune), so the cubic
+    basket blowup never reaches a shuffle. Oracle is the naive 3-way
+    co-basket join with HAVING — certifying that the pruned plan loses
+    nothing.
+    """
+    from loan_etl_data_pipeline_spark.operators.frequent import (
+        frequent_triples,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return frequent_triples(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+QUERIES_PART_B["q_frequent_triples"] = q_frequent_triples
+
+ORACLE_PART_B["q_frequent_triples"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+           c.l_partkey AS item_c, CAST(count(*) AS BIGINT) AS support
+    FROM li a
+    JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+    GROUP BY 1, 2, 3 HAVING count(*) >= 2
+"""

@@ -63,3 +63,62 @@ def test_heavy_hitters_nulls_ignored_and_empty(spark):
         heavy_hitters(df, "tok", 0.0)
     with pytest.raises(ValueError):
         heavy_hitters(df, "tok", 0.5, safety=0.5)
+
+
+def test_frequent_triples_hand_baskets(spark):
+    """Baskets: {1,2,3} x2, {1,2,4}, {2,3,4} — only (1,2,3) is a
+    frequent triple at support 2; prune must not drop it."""
+    import pytest as _pytest
+
+    from loan_etl_data_pipeline_spark.operators.frequent import (
+        frequent_triples,
+    )
+
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (11, 1), (11, 2), (11, 3),
+        (12, 1), (12, 2), (12, 4),
+        (13, 2), (13, 3), (13, 4),
+    ]
+    b = spark.createDataFrame(rows, "basket bigint, item bigint")
+    got = [
+        (r["item_a"], r["item_b"], r["item_c"], r["support"])
+        for r in frequent_triples(
+            b, "basket", "item", min_support=2
+        ).collect()
+    ]
+    assert got == [(1, 2, 3, 2)]
+    with _pytest.raises(ValueError):
+        frequent_triples(b, "basket", "item", min_support=0)
+
+
+def test_frequent_triples_prune_matches_naive(spark, sf_dir):
+    """Apriori-pruned plan == naive 3-way join on the real table."""
+    from loan_etl_data_pipeline_spark.operators.frequent import (
+        frequent_triples,
+    )
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    got = sorted(
+        map(
+            tuple,
+            frequent_triples(
+                li, "l_orderkey", "l_partkey", min_support=2
+            ).collect(),
+        )
+    )
+    a = li.selectExpr("l_orderkey AS k", "l_partkey AS ia")
+    b = li.selectExpr("l_orderkey AS k", "l_partkey AS ib")
+    c = li.selectExpr("l_orderkey AS k", "l_partkey AS ic")
+    import pyspark.sql.functions as F
+
+    naive = (
+        a.join(b, "k").filter("ia < ib").join(c, "k").filter("ib < ic")
+        .groupBy("ia", "ib", "ic")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter("support >= 2")
+    )
+    assert got == sorted(map(tuple, naive.collect()))
