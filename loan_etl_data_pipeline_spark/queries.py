@@ -16933,3 +16933,86 @@ ORACLE_PART_B["q_frequent_triples"] = """
     JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
     GROUP BY 1, 2, 3 HAVING count(*) >= 2
 """
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ association rules (a,b)→c from the frequent triples:
+    confidence = sup(abc)/sup(ab) and lift = confidence /
+    (sup(c)/n_baskets), both as exact 1e9-quantized integer ratios
+    (conf9 = sup3*1e9 div sup2; lift9 = sup3*n*1e9 div (sup2*sup1)) —
+    the recommendation-strength layer over q_frequent_triples, kept
+    transcendental-free per the house oracle discipline. One extra
+    pair-support join and one item-support join over the (tiny)
+    frequent-triple set; all heavy lifting happened at the itemset
+    level.
+    """
+    from loan_etl_data_pipeline_spark.operators.frequent import (
+        frequent_triples,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    tri = frequent_triples(li, "l_orderkey", "l_partkey", min_support=2)
+    a = li.selectExpr("l_orderkey AS k", "l_partkey AS ia")
+    b = li.selectExpr("l_orderkey AS k", "l_partkey AS ib")
+    pair_sup = (
+        a.join(b, "k")
+        .filter("ia < ib")
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup2"))
+    )
+    item_sup = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup1")
+    )
+    n_baskets = li.select("l_orderkey").distinct().count()
+    return (
+        tri.join(
+            pair_sup,
+            (tri["item_a"] == pair_sup["ia"]) & (tri["item_b"] == pair_sup["ib"]),
+        )
+        .join(item_sup, tri["item_c"] == item_sup["l_partkey"])
+        .select(
+            "item_a", "item_b", "item_c", "support",
+            F.expr("(support * 1000000000L) div sup2").alias("conf9"),
+            F.expr(
+                f"(support * {n_baskets}L * 1000000000L) div (sup2 * sup1)"
+            ).alias("lift9"),
+        )
+    )
+
+
+QUERIES_PART_B["q_association_rules"] = q_association_rules
+
+ORACLE_PART_B["q_association_rules"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tri AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+               c.l_partkey AS item_c, CAST(count(*) AS BIGINT) AS support
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+        GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    ),
+    pair_sup AS (
+        SELECT a.l_partkey AS ia, b.l_partkey AS ib,
+               CAST(count(*) AS BIGINT) AS sup2
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    item_sup AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS sup1 FROM li GROUP BY 1
+    ),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM li)
+    SELECT item_a, item_b, item_c, support,
+           CAST((support * 1000000000) // sup2 AS BIGINT) AS conf9,
+           CAST((support * n * 1000000000) // (sup2 * sup1) AS BIGINT) AS lift9
+    FROM tri
+    JOIN pair_sup ON pair_sup.ia = tri.item_a AND pair_sup.ib = tri.item_b
+    JOIN item_sup ON item_sup.l_partkey = tri.item_c
+    CROSS JOIN nb
+"""
