@@ -17016,3 +17016,58 @@ ORACLE_PART_B["q_association_rules"] = """
     JOIN item_sup ON item_sup.l_partkey = tri.item_c
     CROSS JOIN nb
 """
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 readability components by source: syllables-per-word and
+    complex-word share (>= 3 syllable groups — the Gunning-fog
+    ingredient) per documents source, syllables counted as vowel runs
+    — the classic prose-complexity quality signal that length/stopword
+    ratios (q_text_quality) don't capture. Token explode + one
+    codegen regexp_count per token (NOT an interpreted HOF lambda —
+    the similarity-module lesson applied to text), one source-keyed
+    agg; ratios exact 1e9-quantized integers.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(tokens(F.trim(F.lower(F.col("text"))))).alias("tok"),
+        )
+        .withColumn("sylls", F.expr("regexp_count(tok, '[aeiouy]+')"))
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("sylls").cast("bigint").alias("n_sylls"),
+        F.expr(
+            "(sum(sylls) * 1000000000L) div count(1)"
+        ).alias("sylls_per_word9"),
+        F.expr(
+            "(sum(CASE WHEN sylls >= 3 THEN 1L ELSE 0L END) * 1000000000L)"
+            " div count(1)"
+        ).alias("complex_share9"),
+    )
+
+
+QUERIES_PART_B["q_readability"] = q_readability
+
+ORACLE_PART_B["q_readability"] = r"""
+    WITH toks AS (
+        SELECT source,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), syl AS (
+        SELECT source, len(regexp_extract_all(tok, '[aeiouy]+')) AS sylls
+        FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(sylls) AS BIGINT) AS n_sylls,
+           CAST((SUM(sylls) * 1000000000) // count(*) AS BIGINT)
+             AS sylls_per_word9,
+           CAST((SUM(CASE WHEN sylls >= 3 THEN 1 ELSE 0 END) * 1000000000)
+                // count(*) AS BIGINT) AS complex_share9
+    FROM syl GROUP BY source
+"""
