@@ -1,0 +1,102 @@
+"""Loan-finance recurrences: amortization schedules as row-local folds.
+
+The reference is a *loan* ETL (its insight pass computes
+``total_loans`` / ``avg_loan_amount`` / ``by_loan_type`` —
+``airflow/dags/etl/pyspark_etl.py:38-46``) but never computes the one
+thing every loan system eventually needs: the amortization schedule —
+"given principal, rate and payment, what balance and cumulative
+interest remain after N periods?". That is a *sequential* per-row
+recurrence (each month's interest depends on the prior month's
+balance), which naive ports express as a driver loop or a row-at-a-time
+UDF. Here it is a compile-time-unrolled column expression: N chained
+projections that Catalyst collapses into ONE whole-stage-codegen
+Project — zero shuffle, zero Python, O(N) expression depth per row.
+
+Exactness contract (what makes the DuckDB oracle value-hash possible):
+all arithmetic is int64 cents / basis points:
+
+    interest_m = (bal * rate_bp) div 10000          -- floor, positive
+    bal'       = greatest(0, bal + interest_m - payment)
+
+``div`` on non-negative int64 is identical to DuckDB's ``//``, so N
+folded months replicate bit-for-bit against a recursive CTE.
+
+100 TB story: the fold is row-local — it scales with the scan, no
+shuffle, no per-key state. ``unroll_threshold`` bounds codegen size:
+terms longer than it route through ONE SQL ``aggregate(sequence(...))``
+fold (same integer semantics, interpreted HOF — the documented
+bounded-plan path for 360-month mortgage terms), so plan compilation
+stays O(1) in the term length while short consumer-loan terms get the
+fully-codegen unrolled form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def amortize(
+    df: DataFrame,
+    principal_c: str,
+    rate_bp: str,
+    payment_c: str,
+    months: int,
+    *,
+    balance_col: str = "final_balance_c",
+    interest_col: str = "interest_paid_c",
+    unroll_threshold: int = 60,
+) -> DataFrame:
+    """Fold ``months`` of the integer amortization recurrence per row.
+
+    ``principal_c``/``payment_c`` are int64 cents columns, ``rate_bp``
+    an int64 monthly rate in basis points. Appends ``balance_col``
+    (balance after the last month, floored at 0) and ``interest_col``
+    (cumulative interest accrued; months after payoff contribute 0 by
+    construction since the balance is 0). Input columns are untouched.
+    """
+    if months < 0:
+        raise ValueError(f"months must be >= 0, got {months}")
+    if months <= unroll_threshold:
+        # Unrolled: 2 columns per month, all collapsed by Catalyst into
+        # one Project -> whole-stage codegen end to end.
+        out = df.withColumn("_am_bal", F.col(principal_c).cast("long")).withColumn(
+            "_am_int", F.lit(0).cast("long")
+        )
+        for _ in range(months):
+            out = (
+                out.withColumn("_am_step", F.expr("(_am_bal * " + rate_bp + ") div 10000"))
+                .withColumn("_am_int", F.expr("_am_int + _am_step"))
+                .withColumn(
+                    "_am_bal",
+                    F.expr(
+                        "greatest(0L, _am_bal + _am_step - " + payment_c + ")"
+                    ),
+                )
+            )
+        return (
+            out.withColumn(balance_col, F.col("_am_bal"))
+            .withColumn(interest_col, F.col("_am_int"))
+            .drop("_am_bal", "_am_int", "_am_step")
+        )
+    # Long terms: one SQL fold — O(1) plan size, identical arithmetic.
+    # SQL lambdas cannot let-bind, so the step expression appears twice;
+    # runtime subexpression elimination evaluates it once per step.
+    folded = F.expr(
+        f"""
+        aggregate(
+          sequence(1, {months}),
+          named_struct('bal', CAST({principal_c} AS BIGINT), 'intp', 0L),
+          (acc, m) -> named_struct(
+            'bal', greatest(0L, acc.bal + (acc.bal * {rate_bp}) div 10000
+                                - {payment_c}),
+            'intp', acc.intp + (acc.bal * {rate_bp}) div 10000),
+          acc -> acc)
+        """
+    )
+    return (
+        df.withColumn("_am_acc", folded)
+        .withColumn(balance_col, F.col("_am_acc.bal"))
+        .withColumn(interest_col, F.col("_am_acc.intp"))
+        .drop("_am_acc")
+    )

@@ -17071,3 +17071,229 @@ ORACLE_PART_B["q_readability"] = r"""
                 // count(*) AS BIGINT) AS complex_share9
     FROM syl GROUP BY source
 """
+
+
+def q_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loan-domain recurrence (reference pyspark_etl.py:38-46 computes
+    loan insights but no schedule math): 12-month amortization fold per
+    order-as-loan — principal = floored cents of o_totalprice, monthly
+    rate = 25 bp per priority digit, payment = principal/12 plus first
+    month's interest — then a per-priority book summary: loans, total
+    interest accrued, total balloon balance, and how many paid off.
+
+    Plan shape: the fold is 12 compile-time-unrolled integer steps
+    inside ONE codegen Project (operators/finance.py — zero shuffle,
+    zero Python), then a single 5-group partial+final agg. At 100 TB
+    the cost is exactly one scan; a 360-month term flips to the O(1)
+    plan-size SQL aggregate() fold behind unroll_threshold.
+    """
+    from loan_etl_data_pipeline_spark.operators.finance import amortize
+
+    loans = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
+                "principal_c"
+            ),
+            F.expr(
+                "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 25"
+            ).alias("rate_bp"),
+        )
+        .withColumn(
+            "payment_c",
+            F.expr("principal_c div 12 + (principal_c * rate_bp) div 10000"),
+        )
+    )
+    sched = amortize(loans, "principal_c", "rate_bp", "payment_c", months=12)
+    return sched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_loans"),
+        F.sum("interest_paid_c").cast("bigint").alias("total_interest_c"),
+        F.sum("final_balance_c").cast("bigint").alias("total_balloon_c"),
+        F.sum(
+            F.when(F.col("final_balance_c") == 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_paid_off"),
+    )
+
+
+QUERIES_PART_B["q_amortization"] = q_amortization
+
+ORACLE_PART_B["q_amortization"] = """
+    WITH RECURSIVE loans AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS principal_c,
+               CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 25 AS rate_bp
+        FROM orders
+    ), p AS (
+        SELECT *, principal_c // 12 + (principal_c * rate_bp) // 10000
+                  AS payment_c
+        FROM loans
+    ), amort AS (
+        SELECT o_orderkey, o_orderpriority, rate_bp, payment_c,
+               0 AS m, principal_c AS bal, CAST(0 AS BIGINT) AS intp
+        FROM p
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, rate_bp, payment_c, m + 1,
+               GREATEST(CAST(0 AS BIGINT),
+                        bal + (bal * rate_bp) // 10000 - payment_c),
+               intp + (bal * rate_bp) // 10000
+        FROM amort WHERE m < 12
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_loans,
+           CAST(sum(intp) AS BIGINT) AS total_interest_c,
+           CAST(sum(bal) AS BIGINT) AS total_balloon_c,
+           CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_paid_off
+    FROM amort WHERE m = 12
+    GROUP BY o_orderpriority
+"""
+
+
+def q_seq_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+/E4+ behavioral-sequence alignment: Levenshtein distance from
+    each user's journey to the corpus's modal journey. Journey = first
+    letter of each event_type under the (ts, event_id) total order,
+    capped at 20 steps so the DP cost is bounded per row; reference
+    journey = the most common string (count DESC, string ASC
+    tie-break). Output: the distance histogram — "how far do user
+    journeys drift from the canonical path", the sequence-aware
+    complement of q_entry_paths' exact-prefix counts and
+    q_event_transitions' order-1 Markov pairs.
+
+    Plan: one user-keyed agg builds journeys (array_sort over collected
+    (ts,event_id,initial) structs — no second shuffle for ordering),
+    one tiny top-1 agg broadcast back as a 1-row scalar crossJoin, then
+    JVM-codegen levenshtein() per user and a ≤21-group histogram agg.
+    At 100 TB: journeys shuffle once on user_id; the DP is O(20²)
+    row-local JVM work; nothing Python-side.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.substring(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                    lambda s: s["c"],
+                ),
+            ),
+            1,
+            20,
+        ).alias("seq")
+    )
+    ref = (
+        seqs.groupBy("seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("seq"))
+        .limit(1)
+        .select(F.col("seq").alias("ref_seq"))
+    )
+    return (
+        seqs.crossJoin(F.broadcast(ref))
+        .select(F.levenshtein("seq", "ref_seq").cast("bigint").alias("edit_dist"))
+        .groupBy("edit_dist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+QUERIES_PART_B["q_seq_edit"] = q_seq_edit
+
+ORACLE_PART_B["q_seq_edit"] = """
+    WITH seqs AS (
+        SELECT user_id,
+               substr(string_agg(substr(event_type, 1, 1), ''
+                                 ORDER BY ts, event_id), 1, 20) AS seq
+        FROM events GROUP BY user_id
+    ), ref AS (
+        SELECT seq AS ref_seq FROM seqs
+        GROUP BY seq ORDER BY count(*) DESC, seq ASC LIMIT 1
+    )
+    SELECT CAST(levenshtein(seq, ref_seq) AS BIGINT) AS edit_dist,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM seqs CROSS JOIN ref
+    GROUP BY 1
+"""
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ reciprocal nearest neighbors: pairs (a,b) where each is in
+    the other's exact cosine top-5, over the vec_id < 100 block — the
+    standard high-precision pair filter for noisy embedding spaces
+    (one-directional kNN keeps hub-dominated asymmetric pairs; mutual
+    kNN drops them without any threshold to tune). Output carries both
+    ranks so consumers can tighten to mutual-top-1.
+
+    Plan: ONE exact top-k pass (the certified bruteforce kernel —
+    broadcast query batch, streamed corpus, floored-int64 cosine),
+    then a self-equijoin of the tiny (n·k)-row kNN list on the swapped
+    key pair. At corpus scale the same join runs over IVF/LSH
+    candidate top-ks per cell — the reciprocal filter itself never
+    touches vectors again.
+    """
+    from loan_etl_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    blk = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    knn = cosine_topk_bruteforce(blk, blk, k=5)
+    left = knn.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cosine",
+        F.col("rank").alias("rank_ab"),
+    )
+    right = knn.select(
+        F.col("query_id").alias("r_b"),
+        F.col("neighbor_id").alias("r_a"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        left.join(
+            right,
+            (left.id_a == right.r_a) & (left.id_b == right.r_b),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine", "rank_ab", "rank_ba")
+    )
+
+
+QUERIES_PART_B["q_mutual_knn"] = q_mutual_knn
+
+ORACLE_PART_B["q_mutual_knn"] = """
+    WITH q AS (SELECT vec_id AS id, embedding AS e FROM embeddings
+               WHERE vec_id < 100),
+    ex AS (
+        SELECT a.id AS ia, b.id AS ib,
+               CAST(UNNEST(a.e) AS DOUBLE) AS x,
+               CAST(UNNEST(b.e) AS DOUBLE) AS y
+        FROM q a CROSS JOIN q b WHERE a.id <> b.id
+    ), sums AS (
+        SELECT ia, ib,
+               SUM(CAST(FLOOR((x * y) * 1e12) AS BIGINT)) AS dot_s,
+               SUM(CAST(FLOOR((x * x) * 1e12) AS BIGINT)) AS an_s,
+               SUM(CAST(FLOOR((y * y) * 1e12) AS BIGINT)) AS bn_s
+        FROM ex GROUP BY ia, ib
+    ), cos AS (
+        SELECT ia, ib,
+               (CAST(dot_s AS DOUBLE) / 1e12)
+                 / (sqrt(CAST(an_s AS DOUBLE) / 1e12)
+                    * sqrt(CAST(bn_s AS DOUBLE) / 1e12)) AS cosine
+        FROM sums
+    ), knn AS (
+        SELECT ia, ib, cosine,
+               CAST(row_number() OVER (PARTITION BY ia
+                                       ORDER BY cosine DESC, ib ASC)
+                    AS BIGINT) AS rank
+        FROM cos
+    ), k5 AS (SELECT * FROM knn WHERE rank <= 5)
+    SELECT x.ia AS id_a, x.ib AS id_b, x.cosine AS cosine,
+           x.rank AS rank_ab, y.rank AS rank_ba
+    FROM k5 x JOIN k5 y ON x.ia = y.ib AND x.ib = y.ia
+    WHERE x.ia < x.ib
+"""

@@ -1,0 +1,100 @@
+"""Amortization fold (operators/finance.py).
+
+The oracle-parity replica (tests/test_oracle_parity.py) certifies
+q_amortization against the recursive-CTE oracle; these tests pin the
+operator contract itself: the unrolled and HOF-fold paths are
+bit-identical, payoff clamps at zero, and a hand-computed schedule
+matches.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from loan_etl_data_pipeline_spark.operators.finance import amortize
+
+
+def _loans(spark):
+    rows = [
+        # (id, principal cents, rate bp, payment cents)
+        (1, 120_000, 100, 11_000),   # pays off before month 12
+        (2, 120_000, 100, 1_000),    # negative amortization (balloon grows)
+        (3, 0, 500, 1_000),          # zero principal: clamped at 0 all year
+        (4, 55_000_000, 125, 5_270_833),  # max-scale order, no overflow
+    ]
+    return spark.createDataFrame(
+        rows, "id long, principal_c long, rate_bp long, payment_c long"
+    )
+
+
+def _py_schedule(principal: int, rate_bp: int, payment: int, months: int):
+    bal, intp = principal, 0
+    for _ in range(months):
+        step = (bal * rate_bp) // 10000
+        intp += step
+        bal = max(0, bal + step - payment)
+    return bal, intp
+
+
+def test_matches_python_reference(spark):
+    out = {
+        r["id"]: (r["final_balance_c"], r["interest_paid_c"])
+        for r in amortize(
+            _loans(spark), "principal_c", "rate_bp", "payment_c", 12
+        ).collect()
+    }
+    for rid, principal, rate, pay in [
+        (1, 120_000, 100, 11_000),
+        (2, 120_000, 100, 1_000),
+        (3, 0, 500, 1_000),
+        (4, 55_000_000, 125, 5_270_833),
+    ]:
+        assert out[rid] == _py_schedule(principal, rate, pay, 12), rid
+
+
+def test_payoff_clamps_at_zero(spark):
+    out = amortize(
+        _loans(spark).filter(F.col("id") == 1),
+        "principal_c",
+        "rate_bp",
+        "payment_c",
+        12,
+    ).collect()[0]
+    assert out["final_balance_c"] == 0
+    # post-payoff months accrue 0 interest (0 * rate div 10000)
+    bal, intp = _py_schedule(120_000, 100, 11_000, 12)
+    assert out["interest_paid_c"] == intp
+
+
+def test_unrolled_and_fold_paths_identical(spark):
+    df = _loans(spark)
+    unrolled = amortize(
+        df, "principal_c", "rate_bp", "payment_c", 24, unroll_threshold=60
+    )
+    folded = amortize(
+        df, "principal_c", "rate_bp", "payment_c", 24, unroll_threshold=0
+    )
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(unrolled.collect()) == key(folded.collect())
+
+
+def test_long_term_fold_plan_is_constant_size(spark):
+    # 360-month mortgage term routes through the single aggregate()
+    # fold: the plan string must not grow with the term.
+    df = _loans(spark)
+    p360 = amortize(
+        df, "principal_c", "rate_bp", "payment_c", 360
+    )._jdf.queryExecution().optimizedPlan().toString()
+    p120 = amortize(
+        df, "principal_c", "rate_bp", "payment_c", 120
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert abs(len(p360) - len(p120)) < 50  # only the literal differs
+
+
+def test_zero_months_is_identity(spark):
+    out = amortize(
+        _loans(spark), "principal_c", "rate_bp", "payment_c", 0
+    ).collect()
+    for r in out:
+        assert r["final_balance_c"] == r["principal_c"]
+        assert r["interest_paid_c"] == 0
