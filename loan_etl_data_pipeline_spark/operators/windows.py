@@ -327,3 +327,69 @@ def theil_sen(series: DataFrame, t_col: str, val_col: str) -> DataFrame:
     return mid.groupBy("n").agg(F.avg("slope").alias("slope_med")).select(
         F.col("n").cast("bigint").alias("n_pairs"), "slope_med"
     )
+
+
+def dtw_distance(
+    df: DataFrame,
+    key_col: str,
+    series_col: str,
+    ref_col: str,
+    *,
+    out_col: str = "dtw_dist",
+) -> DataFrame:
+    """Dynamic-time-warping distance between two bounded int64 series
+    per row (classic Sakoe–Chiba DP, |a_i − b_j| unit cost, full
+    window): the shape-alignment metric for calendar series where
+    pointwise L1 punishes a one-month phase shift as hard as a real
+    divergence.
+
+    Arrow-batched numpy DP — each row is an independent O(n·m) kernel
+    over two SHORT arrays (calendar series: 12-60 points), so the work
+    is row-local and embarrassingly parallel; nothing shuffles here.
+    Integer cost keeps the result exactly replayable by an unrolled
+    lateral-alias DP in any SQL engine. For long series (n·m beyond
+    ~10⁴) add a Sakoe–Chiba band — not needed for calendar shapes.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    schema = f"{key_col} bigint, {out_col} bigint"
+
+    def _dp(a: np.ndarray, b: np.ndarray) -> int:
+        n, m = len(a), len(b)
+        d = np.empty((n, m), dtype=np.int64)
+        for i in range(n):
+            for j in range(m):
+                c = abs(int(a[i]) - int(b[j]))
+                if i == 0 and j == 0:
+                    d[i, j] = c
+                elif i == 0:
+                    d[i, j] = c + d[i, j - 1]
+                elif j == 0:
+                    d[i, j] = c + d[i - 1, j]
+                else:
+                    d[i, j] = c + min(
+                        d[i - 1, j], d[i, j - 1], d[i - 1, j - 1]
+                    )
+        return int(d[n - 1, m - 1])
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(dtype=np.int64),
+                    out_col: [
+                        _dp(
+                            np.asarray(a, dtype=np.int64),
+                            np.asarray(b, dtype=np.int64),
+                        )
+                        for a, b in zip(pdf[series_col], pdf[ref_col])
+                    ],
+                }
+            )
+            yield out
+
+    return df.select(key_col, series_col, ref_col).mapInPandas(_scan, schema=schema)

@@ -17297,3 +17297,128 @@ ORACLE_PART_B["q_mutual_knn"] = """
     FROM k5 x JOIN k5 y ON x.ia = y.ib AND x.ib = y.ia
     WHERE x.ia < x.ib
 """
+
+
+def q_dtw_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+/E6+ dynamic-time-warping shape distance: how far each
+    nation's 1997 monthly revenue SHAPE drifts from the global seasonal
+    shape. Series are per-mille of the nation's own annual total
+    (integer, scale-free — a big nation with the global shape scores
+    0), cost |a_i − b_j|, full-window DP (operators/windows.py
+    dtw_distance). DTW is the alignment-aware complement of
+    q_seasonality_dow/q_autocorr: a one-month phase shift costs ~0
+    here but dominates pointwise L1.
+
+    Plan: fact⋈customer shuffle join, 12 conditional sums per nation
+    (one agg), per-mille in exact int64, the 1-row global series
+    broadcast by scalar crossJoin, then a 25-row Arrow DP kernel —
+    row-local, no shuffle after the agg. The oracle replays the DP as
+    144 generated lateral-alias columns.
+    """
+    from loan_etl_data_pipeline_spark.operators.windows import dtw_distance
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"),
+        F.month("o_orderdate").alias("m"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    sums = [
+        F.sum(
+            F.when(F.col("m") == k, F.col("cents")).otherwise(F.lit(0).cast("long"))
+        ).alias(f"s{k}")
+        for k in range(1, 13)
+    ]
+    tot_expr = " + ".join(f"s{k}" for k in range(1, 13))
+    nat = (
+        j.groupBy("nation")
+        .agg(*sums)
+        .withColumn("tot", F.expr(tot_expr))
+        .filter(F.col("tot") > 0)
+        .select(
+            "nation",
+            F.array(
+                *[F.expr(f"(s{k} * 1000) div tot") for k in range(1, 13)]
+            ).alias("a"),
+        )
+    )
+    glob = (
+        j.agg(*sums)
+        .withColumn("tot", F.expr(tot_expr))
+        .select(
+            F.array(
+                *[F.expr(f"(s{k} * 1000) div tot") for k in range(1, 13)]
+            ).alias("b")
+        )
+    )
+    return dtw_distance(
+        nat.crossJoin(F.broadcast(glob)), "nation", "a", "b", out_col="dtw_pm"
+    )
+
+
+QUERIES_PART_B["q_dtw_shape"] = q_dtw_shape
+
+
+def _dtw_oracle_sql() -> str:
+    """Generate the unrolled 12×12 DTW DP — the same generated-oracle
+    technique as the unrolled Lloyd / power-iteration oracles, with one
+    CTE per DP ROW: lateral aliases are only used WITHIN a row (where
+    substitution is linear in the row length); across rows each CTE
+    boundary materializes the previous row's cells as plain columns.
+    A single-SELECT form (all 144 cells lateral) hangs DuckDB 1.0's
+    binder — lateral substitution across rows is exponential (measured
+    >20 s vs 0.13 s for this shape)."""
+    ms = lambda p: ", ".join(  # noqa: E731
+        f"SUM(CASE WHEN month(o_orderdate) = {k} "
+        f"THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS {p}{k}"
+        for k in range(1, 13)
+    )
+    stot = " + ".join(f"s{k}" for k in range(1, 13))
+    ttot = " + ".join(f"t{k}" for k in range(1, 13))
+    pm_a = ", ".join(f"(s{k} * 1000) // tot AS a{k}" for k in range(1, 13))
+    pm_b = ", ".join(f"(t{k} * 1000) // gtot AS b{k}" for k in range(1, 13))
+    row_ctes = []
+    r1 = ["abs(a1 - b1) AS d_1_1"] + [
+        f"abs(a1 - b{jj}) + d_1_{jj - 1} AS d_1_{jj}" for jj in range(2, 13)
+    ]
+    row_ctes.append(f"r1 AS (SELECT *, {', '.join(r1)} FROM dp0)")
+    for i in range(2, 13):
+        cols = [f"abs(a{i} - b1) + d_{i - 1}_1 AS d_{i}_1"]
+        for jj in range(2, 13):
+            cols.append(
+                f"abs(a{i} - b{jj}) + least(d_{i - 1}_{jj}, d_{i}_{jj - 1}, "
+                f"d_{i - 1}_{jj - 1}) AS d_{i}_{jj}"
+            )
+        row_ctes.append(f"r{i} AS (SELECT *, {', '.join(cols)} FROM r{i - 1})")
+    rows_sql = ",\n    ".join(row_ctes)
+    return f"""
+    WITH j AS (
+        SELECT c.c_nationkey AS nation, o.o_orderdate, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE year(o.o_orderdate) = 1997
+    ), nm AS (
+        SELECT nation, {ms('s')} FROM j GROUP BY nation
+    ), nt AS (
+        SELECT *, {stot} AS tot FROM nm
+    ), pm AS (
+        SELECT nation, {pm_a} FROM nt WHERE tot > 0
+    ), g AS (
+        SELECT {ms('t')} FROM j
+    ), gt AS (
+        SELECT *, {ttot} AS gtot FROM g
+    ), gb AS (
+        SELECT {pm_b} FROM gt
+    ), dp0 AS (
+        SELECT nation, {', '.join(f'a{k}' for k in range(1, 13))},
+               {', '.join(f'b{k}' for k in range(1, 13))}
+        FROM pm CROSS JOIN gb
+    ),
+    {rows_sql}
+    SELECT nation, CAST(d_12_12 AS BIGINT) AS dtw_pm FROM r12
+    """
+
+
+ORACLE_PART_B["q_dtw_shape"] = _dtw_oracle_sql()
