@@ -212,3 +212,48 @@ def point_in_time_join(
         *[F.col(f"__f.{c}") for c in facts.columns],
         *[F.col(f"__d.{c}").alias(c) for c in dim_cols],
     )
+
+
+def bitemporal_snapshot(
+    updates: DataFrame,
+    key_cols: Sequence[str] | str,
+    valid_col: str,
+    txn_col: str,
+    value_cols: Sequence[str] | str,
+    *,
+    valid_time,
+    txn_bound,
+) -> DataFrame:
+    """Bitemporal as-of: per key, the value at VALID time ``valid_time``
+    as KNOWN at transaction bound ``txn_bound`` — the second time axis
+    :func:`point_in_time_join` doesn't have. SCD2's single axis answers
+    "what was true at t"; bitemporal answers "what did we BELIEVE was
+    true at valid time V, given only updates recorded by T" — the
+    audit/backfill question for ledgers with late-arriving retroactive
+    corrections.
+
+    Semantics: among rows with ``txn_col <= txn_bound`` and
+    ``valid_col <= valid_time``, keep the max ``valid_col``, ties
+    broken by max ``txn_col`` (the latest-recorded correction for that
+    valid instant wins). Deterministic when (valid, txn) pairs are
+    unique per key — txn stamps usually are.
+
+    Plan: one filter + one key-partitioned window (same shuffle shape
+    as SCD2 build); ``txn_bound``/``valid_time`` may be Columns (e.g. a
+    broadcast scalar) so knowledge time can be data-derived without a
+    driver round-trip. Keys with no qualifying update are absent —
+    outer-join snapshots at two knowledge times to diff beliefs.
+    """
+    keys = _as_list(key_cols)
+    vals = _as_list(value_cols)
+    q = updates.filter(
+        (F.col(txn_col) <= txn_bound) & (F.col(valid_col) <= valid_time)
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(valid_col), F.desc(txn_col)
+    )
+    return (
+        q.withColumn("__bt_rn", F.row_number().over(w))
+        .filter(F.col("__bt_rn") == 1)
+        .select(*keys, *vals)
+    )

@@ -17422,3 +17422,93 @@ def _dtw_oracle_sql() -> str:
 
 
 ORACLE_PART_B["q_dtw_shape"] = _dtw_oracle_sql()
+
+
+def q_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8+/S2+ bitemporal belief diff: per user, the ledger value at
+    valid time 2024-01-20 as known at HALF the transaction history vs
+    as known at the FULL history, plus a changed flag — "which balances
+    did late corrections retroactively rewrite", the audit question a
+    single-axis SCD2 (q_scd2_pit) cannot pose. Updates are the events
+    rows with txn stamp = event_id and a deterministic retroactive
+    valid time = ts − (event_id mod 7) days (late rows backdate up to
+    six days — the out-of-order arrival the raw feed lacks).
+
+    Plan: one scan feeds both snapshots (operators/scd.py
+    bitemporal_snapshot — filter + key-windowed top-1, the SCD2
+    shuffle shape); the knowledge bound is a broadcast scalar so
+    nothing round-trips the driver; one user-keyed outer join diffs
+    the two beliefs.
+    """
+    from loan_etl_data_pipeline_spark.operators.scd import bitemporal_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("txn"),
+        F.expr(
+            "ts - make_dt_interval(CAST(event_id % 7 AS INT), 0, 0, 0)"
+        ).alias("vf"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("val_c"),
+    )
+    half = ev.agg(
+        F.expr("max(txn) div 2").cast("bigint").alias("t1")
+    )
+    v0 = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    at_t1 = bitemporal_snapshot(
+        ev.crossJoin(F.broadcast(half)),
+        "user_id",
+        "vf",
+        "txn",
+        "val_c",
+        valid_time=v0,
+        txn_bound=F.col("t1"),
+    ).select("user_id", F.col("val_c").alias("val_t1_c"))
+    at_t2 = bitemporal_snapshot(
+        ev,
+        "user_id",
+        "vf",
+        "txn",
+        "val_c",
+        valid_time=v0,
+        txn_bound=F.lit(2**62),
+    ).select("user_id", F.col("val_c").alias("val_t2_c"))
+    return at_t2.join(at_t1, "user_id", "left").select(
+        "user_id",
+        "val_t1_c",
+        "val_t2_c",
+        F.expr(
+            "CAST(CASE WHEN val_t1_c IS DISTINCT FROM val_t2_c "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("changed"),
+    )
+
+
+QUERIES_PART_B["q_bitemporal"] = q_bitemporal
+
+ORACLE_PART_B["q_bitemporal"] = """
+    WITH u AS (
+        SELECT user_id, event_id AS txn,
+               ts - INTERVAL (event_id % 7) DAY AS vf,
+               CAST(FLOOR(value * 100) AS BIGINT) AS val_c
+        FROM events
+    ), mx AS (SELECT max(txn) // 2 AS t1 FROM u),
+    s1 AS (
+        SELECT user_id, val_c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY vf DESC, txn DESC) AS rn
+        FROM u CROSS JOIN mx
+        WHERE txn <= t1 AND vf <= TIMESTAMP '2024-01-20 00:00:00'
+    ), s2 AS (
+        SELECT user_id, val_c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY vf DESC, txn DESC) AS rn
+        FROM u
+        WHERE vf <= TIMESTAMP '2024-01-20 00:00:00'
+    )
+    SELECT b.user_id, a.val_t1_c, b.val_t2_c,
+           CAST(CASE WHEN a.val_t1_c IS DISTINCT FROM b.val_t2_c
+                THEN 1 ELSE 0 END AS BIGINT) AS changed
+    FROM (SELECT user_id, val_c AS val_t2_c FROM s2 WHERE rn = 1) b
+    LEFT JOIN (SELECT user_id, val_c AS val_t1_c FROM s1 WHERE rn = 1) a
+      USING (user_id)
+"""

@@ -142,3 +142,46 @@ def test_from_history_tiebreak_total_order(spark):
         ("a", "y", 5, 5, 1, False),
         ("a", "x", 5, None, 2, True),
     ]
+
+
+def test_bitemporal_snapshot_belief_revision(spark):
+    """A late-recorded retroactive correction changes the belief about
+    an EARLIER valid time only once it is known."""
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.scd import bitemporal_snapshot
+
+    rows = [
+        # (key, valid_from, txn, value)
+        (1, "2024-01-01 00:00:00", 10, 100),
+        (1, "2024-01-05 00:00:00", 20, 200),
+        # recorded later (txn 30) but retroactively valid Jan 3:
+        (1, "2024-01-03 00:00:00", 30, 150),
+        (2, "2024-01-02 00:00:00", 15, 900),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, vf string, txn long, val long"
+    ).withColumn("vf", F.col("vf").cast("timestamp_ntz"))
+    v = F.lit("2024-01-04 00:00:00").cast("timestamp_ntz")
+
+    def snap(bound):
+        return {
+            r["k"]: r["val"]
+            for r in bitemporal_snapshot(
+                df, "k", "vf", "txn", "val", valid_time=v, txn_bound=F.lit(bound)
+            ).collect()
+        }
+
+    # as known at txn 20: Jan-4 belief for key 1 is the Jan-1 row
+    assert snap(20) == {1: 100, 2: 900}
+    # once the retroactive txn 30 is known, the Jan-4 belief revises
+    assert snap(30) == {1: 150, 2: 900}
+    # ties on valid_from: the later-recorded correction wins
+    df2 = spark.createDataFrame(
+        [(3, "2024-01-01 00:00:00", 1, 5), (3, "2024-01-01 00:00:00", 2, 7)],
+        "k long, vf string, txn long, val long",
+    ).withColumn("vf", F.col("vf").cast("timestamp_ntz"))
+    out = bitemporal_snapshot(
+        df2, "k", "vf", "txn", "val", valid_time=v, txn_bound=F.lit(99)
+    ).collect()
+    assert out[0]["val"] == 7
