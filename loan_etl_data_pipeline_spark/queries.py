@@ -17165,11 +17165,15 @@ def q_seq_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one user-keyed agg builds journeys (array_sort over collected
     (ts,event_id,initial) structs — no second shuffle for ordering),
-    one tiny top-1 agg broadcast back as a 1-row scalar crossJoin, then
+    PERSISTED because both the modal top-1 and the distance pass read
+    it (unpersisted, Catalyst re-runs the scan+shuffle for the modal
+    branch — a doubled wide shuffle at 100 TB; plan-pinned to exactly
+    one user_id exchange in tests/test_plan_audit.py). The modal
+    journey broadcasts back as a 1-row scalar crossJoin, then
     JVM-codegen levenshtein() per user and a ≤21-group histogram agg.
-    At 100 TB: journeys shuffle once on user_id; the DP is O(20²)
-    row-local JVM work; nothing Python-side.
+    Release contract: ``_persisted_intermediates`` as for global_rank.
     """
+    from pyspark import StorageLevel
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id",
         F.substring("event_type", 1, 1).alias("c"),
@@ -17186,7 +17190,7 @@ def q_seq_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
             20,
         ).alias("seq")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ref = (
         seqs.groupBy("seq")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -17194,12 +17198,14 @@ def q_seq_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("seq").alias("ref_seq"))
     )
-    return (
+    out = (
         seqs.crossJoin(F.broadcast(ref))
         .select(F.levenshtein("seq", "ref_seq").cast("bigint").alias("edit_dist"))
         .groupBy("edit_dist")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+    out._persisted_intermediates = [seqs]
+    return out
 
 
 QUERIES_PART_B["q_seq_edit"] = q_seq_edit

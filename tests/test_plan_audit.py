@@ -619,3 +619,52 @@ def test_walk_corpus_bench_snapshot_shared(spark, sf_dir, tmp_path, monkeypatch)
     )
     assert str(tmp_path) in p  # scans the snapshot parquet
     assert "row_number" not in p  # the walk loop's adjacency indexing is gone
+
+
+def test_amortization_fold_is_one_scan_one_agg(plans):
+    """The 12-month recurrence is row-local codegen: exactly the final
+    aggregation's exchange, no Python evaluator, no join."""
+    p = plans("q_amortization")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p  # codegen markers absent in AQE initial plans
+
+
+def test_seq_edit_single_user_shuffle(plans):
+    """The journey agg is persisted, so the modal branch and the
+    distance pass share ONE user_id exchange (unpersisted, Catalyst
+    re-runs the scan+shuffle for the modal subtree); the modal journey
+    arrives as a 1-row broadcast (nested-loop on a singleton is the
+    scalar-join shape, not a data-sized cartesian)."""
+    p = plans("q_seq_edit")
+    # both consumers read the SAME cache (each InMemoryRelation reprints
+    # its build plan, so counting raw exchanges double-counts; the two
+    # InMemoryTableScans over one relation are the single-build proof)
+    assert p.count("InMemoryTableScan") == 2
+    assert p.count("InMemoryRelation") == 2
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row scalar
+    assert "SortMergeJoin" not in p
+
+
+def test_dtw_kernel_after_single_agg(plans):
+    """Series build = one nation-keyed agg; the DP kernel is the only
+    Python stage, runs on ≤|nations| rows as the plan ROOT (plans print
+    root-first, so nothing may precede it in the text), and the global
+    reference series arrives as a 1-row broadcast."""
+    p = plans("q_dtw_shape")
+    assert p.count("MapInPandas") == 1
+    root = p.split("MapInPandas")[0]
+    assert "Exchange" not in root  # no shuffle downstream of the kernel
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row global series
+    assert p.count("Exchange hashpartitioning(nation") == 1
+
+
+def test_bitemporal_scalar_bound_no_driver_roundtrip(plans):
+    """The knowledge bound joins as a 1-row broadcast (no collect);
+    snapshots window on user_id only — no range/single-partition
+    exchange outside the scalar max(txn) subtree."""
+    p = plans("q_bitemporal")
+    assert "windowspecdefinition(user_id" in p
+    assert "Exchange rangepartitioning" not in p
+    # the only SinglePartition exchange is the 1-row knowledge scalar
+    assert p.count("Exchange SinglePartition") <= 1
