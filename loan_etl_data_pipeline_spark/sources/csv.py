@@ -123,3 +123,91 @@ def read_csv(
     if isinstance(paths, str):
         paths = [paths]
     return reader.csv(paths)
+
+
+def sniff_csv_dialect(
+    path: str,
+    *,
+    max_bytes: int = 65536,
+    max_lines: int = 50,
+    candidates: tuple[str, ...] = (",", ";", "\t", "|"),
+) -> dict:
+    """Detect delimiter, quote char, and header presence from the HEAD
+    of one landed file — the step the reference hardcodes away (it
+    assumes comma + header, ``pyspark_etl.py:51``, and a semicolon
+    export from a European locale silently parses as ONE column).
+
+    Driver-side by design: a dialect sniff reads ≤64 KiB of ONE file —
+    metadata-scale work, like listing a directory; the actual parse
+    stays fully distributed (feed the result to :func:`read_csv` /
+    ``spark.read.options``). Deterministic scoring, no stdlib Sniffer
+    (its regex heuristics flip on ties): a candidate delimiter wins by
+    (1) every sampled line splits into the SAME field count > 1 —
+    consistency beats frequency, a prose column full of commas loses to
+    the real delimiter; (2) more fields; (3) earlier in ``candidates``.
+    Quote char: `"` or `'` if any sampled field is wrapped in it;
+    header: the first row has no field that parses as a number while
+    some later row does (the reference's numeric-column assumption,
+    made explicit).
+
+    Returns ``{"sep", "quote", "header", "n_fields"}`` — pass ``sep``/
+    ``quote``/``header`` straight into Spark's CSV options.
+    """
+    import gzip
+    import io
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as fh:
+        blob = fh.read(max_bytes)
+    text = blob.decode("utf-8", errors="replace")
+    # drop a trailing partial line (the byte cap can cut mid-row)
+    lines = text.splitlines()
+    if len(lines) > 1 and not text.endswith(("\n", "\r")):
+        lines = lines[:-1]
+    lines = [ln for ln in lines[:max_lines] if ln.strip()]
+    if not lines:
+        return {"sep": ",", "quote": '"', "header": True, "n_fields": 0}
+
+    def split_csv(line: str, sep: str, quote: str) -> list[str]:
+        import csv as _csv
+
+        return next(
+            _csv.reader(io.StringIO(line), delimiter=sep, quotechar=quote)
+        )
+
+    # (sep, quote) are scored JOINTLY: a quoted field containing the
+    # real delimiter breaks per-line consistency under the wrong quote
+    # char (1;'a;b' is 2 fields under ', 3 under "), so neither can be
+    # picked first. `"` is tried before `'` so unquoted files keep the
+    # conventional default.
+    best = (",", '"', 1, False)  # (sep, quote, n_fields, consistent)
+    for sep in candidates:
+        for q in ('"', "'"):
+            try:
+                counts = {len(split_csv(ln, sep, q)) for ln in lines}
+            except Exception:
+                continue
+            if len(counts) == 1:
+                n = counts.pop()
+                if n > 1 and (not best[3] or n > best[2]):
+                    best = (sep, q, n, True)
+    sep, quote, n_fields, _ = best
+
+    def is_num(s: str) -> bool:
+        s = s.strip().strip(quote)
+        if not s:
+            return False
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    first_numeric = any(is_num(f) for f in split_csv(lines[0], sep, quote))
+    later_numeric = any(
+        is_num(f)
+        for ln in lines[1:]
+        for f in split_csv(ln, sep, quote)
+    )
+    header = (not first_numeric) and (later_numeric or len(lines) == 1)
+    return {"sep": sep, "quote": quote, "header": header, "n_fields": n_fields}
