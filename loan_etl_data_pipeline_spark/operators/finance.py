@@ -45,6 +45,7 @@ def amortize(
     *,
     balance_col: str = "final_balance_c",
     interest_col: str = "interest_paid_c",
+    payoff_col: str | None = None,
     unroll_threshold: int = 60,
 ) -> DataFrame:
     """Fold ``months`` of the integer amortization recurrence per row.
@@ -53,19 +54,26 @@ def amortize(
     an int64 monthly rate in basis points. Appends ``balance_col``
     (balance after the last month, floored at 0) and ``interest_col``
     (cumulative interest accrued; months after payoff contribute 0 by
-    construction since the balance is 0). Input columns are untouched.
+    construction since the balance is 0). With ``payoff_col`` set, also
+    appends the 1-based month whose payment first brought the balance
+    to 0 (NULL if the loan is still open after the last month) — the
+    loan-book survival curve in one pass. Input columns are untouched.
     """
     if months < 0:
         raise ValueError(f"months must be >= 0, got {months}")
     if months <= unroll_threshold:
-        # Unrolled: 2 columns per month, all collapsed by Catalyst into
-        # one Project -> whole-stage codegen end to end.
-        out = df.withColumn("_am_bal", F.col(principal_c).cast("long")).withColumn(
-            "_am_int", F.lit(0).cast("long")
+        # Unrolled: a few columns per month, all collapsed by Catalyst
+        # into one Project -> whole-stage codegen end to end.
+        out = (
+            df.withColumn("_am_bal", F.col(principal_c).cast("long"))
+            .withColumn("_am_int", F.lit(0).cast("long"))
+            .withColumn("_am_pm", F.lit(None).cast("long"))
         )
-        for _ in range(months):
+        for i in range(1, months + 1):
             out = (
-                out.withColumn("_am_step", F.expr("(_am_bal * " + rate_bp + ") div 10000"))
+                out.withColumn(
+                    "_am_step", F.expr("(_am_bal * " + rate_bp + ") div 10000")
+                )
                 .withColumn("_am_int", F.expr("_am_int + _am_step"))
                 .withColumn(
                     "_am_bal",
@@ -73,30 +81,52 @@ def amortize(
                         "greatest(0L, _am_bal + _am_step - " + payment_c + ")"
                     ),
                 )
+                .withColumn(
+                    "_am_pm",
+                    F.expr(
+                        "CASE WHEN _am_pm IS NULL AND _am_bal = 0 "
+                        f"THEN {i}L ELSE _am_pm END"
+                    ),
+                )
             )
-        return (
-            out.withColumn(balance_col, F.col("_am_bal"))
-            .withColumn(interest_col, F.col("_am_int"))
-            .drop("_am_bal", "_am_int", "_am_step")
+        out = out.withColumn(balance_col, F.col("_am_bal")).withColumn(
+            interest_col, F.col("_am_int")
         )
+        if payoff_col is not None:
+            out = out.withColumn(payoff_col, F.col("_am_pm"))
+        return out.drop("_am_bal", "_am_int", "_am_pm", "_am_step")
     # Long terms: one SQL fold — O(1) plan size, identical arithmetic.
-    # SQL lambdas cannot let-bind, so the step expression appears twice;
-    # runtime subexpression elimination evaluates it once per step.
+    # SQL lambdas cannot let-bind, so the new-balance expression appears
+    # more than once; runtime subexpression elimination evaluates it
+    # once per step. pm uses 0 as "not yet" (struct fields can't start
+    # NULL-typed inside aggregate's zero literal) and NULLs out at the end.
+    new_bal = (
+        f"greatest(0L, acc.bal + (acc.bal * {rate_bp}) div 10000"
+        f" - {payment_c})"
+    )
     folded = F.expr(
         f"""
         aggregate(
           sequence(1, {months}),
-          named_struct('bal', CAST({principal_c} AS BIGINT), 'intp', 0L),
+          named_struct('bal', CAST({principal_c} AS BIGINT), 'intp', 0L,
+                       'pm', 0L),
           (acc, m) -> named_struct(
-            'bal', greatest(0L, acc.bal + (acc.bal * {rate_bp}) div 10000
-                                - {payment_c}),
-            'intp', acc.intp + (acc.bal * {rate_bp}) div 10000),
+            'bal', {new_bal},
+            'intp', acc.intp + (acc.bal * {rate_bp}) div 10000,
+            'pm', CASE WHEN acc.pm > 0L THEN acc.pm
+                       WHEN {new_bal} = 0L THEN CAST(m AS BIGINT)
+                       ELSE 0L END),
           acc -> acc)
         """
     )
-    return (
+    out = (
         df.withColumn("_am_acc", folded)
         .withColumn(balance_col, F.col("_am_acc.bal"))
         .withColumn(interest_col, F.col("_am_acc.intp"))
-        .drop("_am_acc")
     )
+    if payoff_col is not None:
+        out = out.withColumn(
+            payoff_col,
+            F.expr("CASE WHEN _am_acc.pm > 0L THEN _am_acc.pm END"),
+        )
+    return out.drop("_am_acc")

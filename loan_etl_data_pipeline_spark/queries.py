@@ -17518,3 +17518,84 @@ ORACLE_PART_B["q_bitemporal"] = """
     LEFT JOIN (SELECT user_id, val_c AS val_t1_c FROM s1 WHERE rn = 1) a
       USING (user_id)
 """
+
+
+def q_payoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12/A.4+ loan-book payoff (prepayment) curve: how many loans in
+    each priority band retire in month m — the exact survival curve of
+    the book (the deterministic sibling of q_km_survival's censored
+    estimator), read off the same amortization fold as q_amortization
+    by emitting the first zero-balance month. Terms vary by band
+    (payment = principal div (6 + priority digit) plus the running
+    interest), so bands retire at different horizons; loans still open
+    after 12 months land in the NULL bucket.
+
+    Plan: identical to q_amortization — one scan, the row-local
+    unrolled fold (now also threading the payoff month through the
+    same codegen Project), one ≤(5 bands × 13 buckets)-group agg.
+    """
+    from loan_etl_data_pipeline_spark.operators.finance import amortize
+
+    loans = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
+                "principal_c"
+            ),
+            F.expr(
+                "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 25"
+            ).alias("rate_bp"),
+        )
+        .withColumn(
+            "payment_c",
+            F.expr(
+                "principal_c div (6 + CAST(substring(o_orderpriority, 1, 1)"
+                " AS BIGINT)) + (principal_c * rate_bp) div 10000"
+            ),
+        )
+    )
+    sched = amortize(
+        loans,
+        "principal_c",
+        "rate_bp",
+        "payment_c",
+        months=12,
+        payoff_col="payoff_month",
+    )
+    return sched.groupBy("o_orderpriority", "payoff_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_loans")
+    )
+
+
+QUERIES_PART_B["q_payoff_curve"] = q_payoff_curve
+
+ORACLE_PART_B["q_payoff_curve"] = """
+    WITH RECURSIVE loans AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS principal_c,
+               CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 25 AS rate_bp,
+               CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS dig
+        FROM orders
+    ), p AS (
+        SELECT *, principal_c // (6 + dig)
+                  + (principal_c * rate_bp) // 10000 AS payment_c
+        FROM loans
+    ), amort AS (
+        SELECT o_orderkey, o_orderpriority, rate_bp, payment_c,
+               0 AS m, principal_c AS bal
+        FROM p
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, rate_bp, payment_c, m + 1,
+               GREATEST(CAST(0 AS BIGINT),
+                        bal + (bal * rate_bp) // 10000 - payment_c)
+        FROM amort WHERE m < 12
+    ), payoff AS (
+        SELECT o_orderkey, o_orderpriority,
+               min(CASE WHEN bal = 0 AND m >= 1 THEN m END) AS payoff_month
+        FROM amort GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, CAST(payoff_month AS BIGINT) AS payoff_month,
+           CAST(count(*) AS BIGINT) AS n_loans
+    FROM payoff GROUP BY 1, 2
+"""

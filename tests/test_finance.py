@@ -69,13 +69,38 @@ def test_payoff_clamps_at_zero(spark):
 def test_unrolled_and_fold_paths_identical(spark):
     df = _loans(spark)
     unrolled = amortize(
-        df, "principal_c", "rate_bp", "payment_c", 24, unroll_threshold=60
+        df, "principal_c", "rate_bp", "payment_c", 24,
+        payoff_col="pm", unroll_threshold=60,
     )
     folded = amortize(
-        df, "principal_c", "rate_bp", "payment_c", 24, unroll_threshold=0
+        df, "principal_c", "rate_bp", "payment_c", 24,
+        payoff_col="pm", unroll_threshold=0,
     )
-    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    key = lambda rows: sorted(  # noqa: E731
+        tuple(None if v is None else v for v in r) for r in rows
+    )
     assert key(unrolled.collect()) == key(folded.collect())
+
+
+def test_payoff_month_semantics(spark):
+    out = {
+        r["id"]: r["pm"]
+        for r in amortize(
+            _loans(spark), "principal_c", "rate_bp", "payment_c", 12,
+            payoff_col="pm",
+        ).collect()
+    }
+    # id 1 pays off (find the exact month in python), id 2 never does,
+    # id 3 is zero-principal: first payment "retires" it at month 1
+    bal, pm = 120_000, None
+    for m in range(1, 13):
+        step = (bal * 100) // 10000
+        bal = max(0, bal + step - 11_000)
+        if pm is None and bal == 0:
+            pm = m
+    assert out[1] == pm and pm is not None
+    assert out[2] is None
+    assert out[3] == 1
 
 
 def test_long_term_fold_plan_is_constant_size(spark):
