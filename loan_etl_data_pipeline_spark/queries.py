@@ -17599,3 +17599,100 @@ ORACLE_PART_B["q_payoff_curve"] = """
            CAST(count(*) AS BIGINT) AS n_loans
     FROM payoff GROUP BY 1, 2
 """
+
+
+def q_amortization_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 mortgage-term certification of the OTHER amortization path:
+    360 months routes through the O(1)-plan-size SQL
+    aggregate(sequence()) fold (operators/finance.py, months >
+    unroll_threshold), which q_amortization's 12-month unrolled plan
+    never exercises — this query pins the fold's integer arithmetic
+    cross-engine at mortgage horizon. Payment ≈ annuity-lite
+    (principal div 240 + running interest) so books neither retire in
+    month 1 nor balloon unboundedly; output is the same per-priority
+    book summary plus the paid-off count.
+
+    Plan: one scan, ONE expression node folding 360 steps per row
+    (interpreted HOF — the bounded-plan trade documented in the
+    operator), one 5-group agg. The 360-iteration recursive-CTE oracle
+    is the largest recursion in the suite (~15k × 360 rows at sf0.01)
+    and runs in single-digit seconds.
+    """
+    from loan_etl_data_pipeline_spark.operators.finance import amortize
+
+    loans = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
+                "principal_c"
+            ),
+            F.expr(
+                "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 25"
+            ).alias("rate_bp"),
+        )
+        .withColumn(
+            "payment_c",
+            F.expr("principal_c div 240 + (principal_c * rate_bp) div 10000"),
+        )
+    )
+    sched = amortize(
+        loans,
+        "principal_c",
+        "rate_bp",
+        "payment_c",
+        months=360,
+        payoff_col="payoff_month",
+        unroll_threshold=60,
+    )
+    return sched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_loans"),
+        F.sum("interest_paid_c").cast("bigint").alias("total_interest_c"),
+        F.sum("final_balance_c").cast("bigint").alias("total_balloon_c"),
+        F.sum(
+            F.when(F.col("payoff_month").isNotNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_paid_off"),
+    )
+
+
+QUERIES_PART_B["q_amortization_360"] = q_amortization_360
+
+ORACLE_PART_B["q_amortization_360"] = """
+    WITH RECURSIVE loans AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS principal_c,
+               CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 25 AS rate_bp
+        FROM orders
+    ), p AS (
+        SELECT *, principal_c // 240 + (principal_c * rate_bp) // 10000
+                  AS payment_c
+        FROM loans
+    ), amort AS (
+        SELECT o_orderkey, o_orderpriority, rate_bp, payment_c,
+               0 AS m, principal_c AS bal, CAST(0 AS BIGINT) AS intp
+        FROM p
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, rate_bp, payment_c, m + 1,
+               GREATEST(CAST(0 AS BIGINT),
+                        bal + (bal * rate_bp) // 10000 - payment_c),
+               intp + (bal * rate_bp) // 10000
+        FROM amort WHERE m < 360
+    ), fin AS (
+        SELECT o_orderkey, o_orderpriority,
+               max(CASE WHEN m = 360 THEN bal END) AS bal,
+               max(CASE WHEN m = 360 THEN intp END) AS intp,
+               min(CASE WHEN bal = 0 AND m >= 1 THEN m END) AS pm
+        FROM amort GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_loans,
+           CAST(sum(intp) AS BIGINT) AS total_interest_c,
+           CAST(sum(bal) AS BIGINT) AS total_balloon_c,
+           CAST(sum(CASE WHEN pm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_paid_off
+    FROM fin GROUP BY o_orderpriority
+"""
