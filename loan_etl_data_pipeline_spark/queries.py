@@ -17696,3 +17696,52 @@ ORACLE_PART_B["q_amortization_360"] = """
              AS n_paid_off
     FROM fin GROUP BY o_orderpriority
 """
+
+
+def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/E8+ grid-blocked spatial radius self-join
+    (operators/spatial.py): all customer pairs of nation 0 within L2
+    distance 50 000 on a synthetic 10⁶×10⁶ integer grid (md5_coord48
+    coordinates — the house cross-engine uniform), with the exact int64
+    squared distance. The spatial sibling of LSH banding: candidates
+    come from ONE cell-key equality join over a constant 9-cell
+    neighborhood explode, never a cartesian; the oracle replays the
+    naive quadratic join over the bounded nation block.
+
+    At Earth scale the cell id becomes a geohash/S2 prefix and the same
+    plan holds; hot cells are LSH-band skew and take the same salting
+    remedy.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import md5_coord48
+    from loan_etl_data_pipeline_spark.operators.spatial import grid_radius_join
+
+    pts = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            (md5_coord48("c_custkey", "gx") % 1000000).alias("x"),
+            (md5_coord48("c_custkey", "gy") % 1000000).alias("y"),
+        )
+    )
+    return grid_radius_join(pts, "id", "x", "y", radius=50000)
+
+
+QUERIES_PART_B["q_spatial_pairs"] = q_spatial_pairs
+
+ORACLE_PART_B["q_spatial_pairs"] = """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'gx'), 1, 12))::BIGINT
+                 % 1000000 AS x,
+               ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'gy'), 1, 12))::BIGINT
+                 % 1000000 AS y
+        FROM customer WHERE c_nationkey = 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 2500000000
+"""

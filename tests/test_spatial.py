@@ -1,0 +1,62 @@
+"""Grid-blocked radius join (operators/spatial.py)."""
+
+from __future__ import annotations
+
+import random
+
+from loan_etl_data_pipeline_spark.operators.spatial import grid_radius_join
+
+
+def _brute(rows, r):
+    out = set()
+    for i, (ia, xa, ya) in enumerate(rows):
+        for ib, xb, yb in rows[i + 1 :]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= r * r:
+                a, b = sorted((ia, ib))
+                out.add((a, b, d2))
+    return out
+
+
+def _run(spark, rows, r):
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    return {
+        (q["id_a"], q["id_b"], q["dist2"])
+        for q in grid_radius_join(df, "id", "x", "y", radius=r).collect()
+    }
+
+
+def test_matches_bruteforce_including_negatives(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(-500, 500), rng.randrange(-500, 500))
+        for i in range(120)
+    ]
+    assert _run(spark, rows, 100) == _brute(rows, 100)
+
+
+def test_cell_boundary_pairs_found_once(spark):
+    # pairs straddling cell boundaries (incl. the truncation-div zero
+    # cell) must appear exactly once
+    rows = [
+        (1, 99, 0), (2, 101, 0),      # boundary at 100
+        (3, -1, 0), (4, 1, 0),        # zero-straddling cell
+        (5, 199, 199), (6, 201, 201), # diagonal corner hop
+    ]
+    out = _run(spark, rows, 100)
+    assert (1, 2, 4) in out
+    assert (3, 4, 4) in out
+    assert (5, 6, 8) in out
+    assert len(out) == len(_brute(rows, 100))
+
+
+def test_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    p = (
+        grid_radius_join(df, "id", "x", "y", radius=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
