@@ -95,3 +95,75 @@ def grid_radius_join(
             F.expr(d2).cast("long").alias(dist_col),
         )
     )
+
+
+def dbscan(
+    pts: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    eps: int,
+    min_pts: int,
+) -> DataFrame:
+    """Exact DBSCAN (Ester et al., KDD'96) as a composition of certified
+    distributed pieces — the density-clustering complement of the
+    centroid-based k-means (`operators/kmeans.py`): no k, finds
+    arbitrary-shape clusters, labels sparse points noise.
+
+    Decomposition (each stage already has a scale story):
+    ``grid_radius_join`` builds the eps-neighbor pairs (never
+    cartesian); a degree count classifies CORE points
+    (|N_eps(p)| ≥ min_pts, self included — the paper's convention);
+    core–core edges feed ``connected_components_two_phase`` (cluster
+    id = min core id, diameter-independent rounds); BORDER points
+    (non-core with a core neighbor) attach to the MIN cluster label
+    among their core neighbors — the paper leaves this arbitrary, we
+    pin it so the result is deterministic and SQL-replayable; the rest
+    is NOISE (NULL cluster).
+
+    Returns (id, cluster, role) for EVERY input point; role in
+    {'core','border','noise'}.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    ids = pts.select(F.col(id_col).alias("id"))
+    pairs = grid_radius_join(pts, id_col, x_col, y_col, radius=eps)
+    bidir = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    deg = bidir.groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+    core = (
+        ids.join(deg, ids.id == deg.a, "left")
+        .filter(F.coalesce(F.col("n"), F.lit(0)) + 1 >= min_pts)
+        .select("id")
+    )
+    core_edges = (
+        bidir.join(core.withColumnRenamed("id", "a"), "a")
+        .join(core.withColumnRenamed("id", "b"), "b")
+        .select("a", "b")
+    )
+    comps = connected_components_two_phase(core_edges, "a", "b")
+    core_lab = core.join(comps, "id", "left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster")
+    )
+    border = (
+        bidir.join(core_lab.withColumnRenamed("id", "b"), "b")
+        .join(core.withColumnRenamed("id", "a"), "a", "left_anti")
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return (
+        ids.join(core_lab.withColumnRenamed("cluster", "cl_core"), "id", "left")
+        .join(border.withColumnRenamed("cluster", "cl_border"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cl_core"), F.col("cl_border")).alias("cluster"),
+            F.when(F.col("cl_core").isNotNull(), F.lit("core"))
+            .when(F.col("cl_border").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )

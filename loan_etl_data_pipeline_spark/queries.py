@@ -17745,3 +17745,79 @@ ORACLE_PART_B["q_spatial_pairs"] = """
     WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
           <= 2500000000
 """
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/E9 exact DBSCAN over all customers on the md5_coord48
+    synthetic grid (eps=20 000, min_pts=4): per-point cluster label
+    (min core id; NULL = noise) and role. Density clustering is the
+    no-k complement of the oracled k-means — arbitrary-shape clusters,
+    sparse points honestly labeled noise instead of dragged to a
+    centroid (operators/spatial.py dbscan).
+
+    Plan: grid-blocked eps-pair join (constant 3×3 explode, no
+    cartesian) → degree core screen → two-phase CC on core–core edges
+    (diameter-independent) → border min-label attach. Every stage is a
+    certified component; the oracle replays the whole stack with a
+    quadratic pair join + recursive-CTE closure over the bounded
+    1 500-point block.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import md5_coord48
+    from loan_etl_data_pipeline_spark.operators.spatial import dbscan
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (md5_coord48("c_custkey", "gx") % 1000000).alias("x"),
+        (md5_coord48("c_custkey", "gy") % 1000000).alias("y"),
+    )
+    return dbscan(pts, "id", "x", "y", eps=20000, min_pts=4)
+
+
+QUERIES_PART_B["q_dbscan"] = q_dbscan
+
+ORACLE_PART_B["q_dbscan"] = """
+    WITH RECURSIVE pts AS (
+        SELECT c_custkey AS id,
+               ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'gx'), 1, 12))::BIGINT
+                 % 1000000 AS x,
+               ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'gy'), 1, 12))::BIGINT
+                 % 1000000 AS y
+        FROM customer
+    ), bidir AS (
+        SELECT a.id AS a, b.id AS b
+        FROM pts a JOIN pts b ON a.id <> b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= CAST(20000 AS BIGINT) * 20000
+    ), deg AS (
+        SELECT p.id, count(bd.b) AS n
+        FROM pts p LEFT JOIN bidir bd ON p.id = bd.a GROUP BY p.id
+    ), core AS (
+        SELECT id FROM deg WHERE n + 1 >= 4
+    ), ce AS (
+        SELECT bd.a, bd.b FROM bidir bd
+        JOIN core ca ON bd.a = ca.id JOIN core cb ON bd.b = cb.id
+    ), reach(id, label) AS (
+        SELECT DISTINCT a, a FROM ce
+        UNION
+        SELECT e.a, r.label FROM ce e JOIN reach r ON e.b = r.id
+    ), comp AS (
+        SELECT id, min(label) AS c FROM reach GROUP BY id
+    ), corelab AS (
+        SELECT core.id, coalesce(comp.c, core.id) AS cluster
+        FROM core LEFT JOIN comp ON core.id = comp.id
+    ), border AS (
+        SELECT bd.a AS id, min(cl.cluster) AS cluster
+        FROM bidir bd
+        JOIN corelab cl ON bd.b = cl.id
+        WHERE bd.a NOT IN (SELECT id FROM core)
+        GROUP BY bd.a
+    )
+    SELECT p.id,
+           CAST(coalesce(cl.cluster, bo.cluster) AS BIGINT) AS cluster,
+           CASE WHEN cl.id IS NOT NULL THEN 'core'
+                WHEN bo.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM pts p
+    LEFT JOIN corelab cl ON p.id = cl.id
+    LEFT JOIN border bo ON p.id = bo.id
+"""

@@ -60,3 +60,60 @@ def test_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def _dbscan_py(rows, eps, min_pts):
+    """Reference DBSCAN with min-id cluster labels and min-label border
+    attachment (the operator's pinned determinism)."""
+    ids = [r[0] for r in rows]
+    pos = {r[0]: (r[1], r[2]) for r in rows}
+    nbrs = {
+        i: {
+            j
+            for j in ids
+            if j != i
+            and (pos[i][0] - pos[j][0]) ** 2 + (pos[i][1] - pos[j][1]) ** 2
+            <= eps * eps
+        }
+        for i in ids
+    }
+    core = {i for i in ids if len(nbrs[i]) + 1 >= min_pts}
+    # components over core-core edges
+    label = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for i in core:
+            for j in nbrs[i] & core:
+                m = min(label[i], label[j])
+                if label[i] != m or label[j] != m:
+                    label[i] = label[j] = m
+                    changed = True
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = (label[i], "core")
+        else:
+            cl = [label[j] for j in nbrs[i] & core]
+            out[i] = (min(cl), "border") if cl else (None, "noise")
+    return out
+
+
+def test_dbscan_matches_reference(spark):
+    rng = random.Random(5)
+    # two dense blobs + sprinkled noise
+    rows = (
+        [(i, rng.randrange(0, 50), rng.randrange(0, 50)) for i in range(20)]
+        + [(100 + i, rng.randrange(500, 550), rng.randrange(500, 550)) for i in range(20)]
+        + [(200 + i, rng.randrange(0, 1000), rng.randrange(0, 1000)) for i in range(10)]
+    )
+    from loan_etl_data_pipeline_spark.operators.spatial import dbscan
+
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: (r["cluster"], r["role"])
+        for r in dbscan(df, "id", "x", "y", eps=30, min_pts=4).collect()
+    }
+    assert got == _dbscan_py(rows, 30, 4)
+    roles = {v[1] for v in got.values()}
+    assert roles == {"core", "border", "noise"}  # the fixture has all three
