@@ -15,7 +15,7 @@ touches them, so the output is delta-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 
@@ -78,5 +78,50 @@ def table_diff(
             F.when(F.col("change_type") == "changed", changed_cols)
             .otherwise(F.lit(""))
             .alias("changed_cols"),
+        )
+    )
+
+
+def reconcile_one_to_one(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    *,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Deterministic one-to-one matching of two ledgers — settlement
+    reconciliation: the i-th entry of A in a match group pairs with the
+    i-th entry of B in the same group, leftovers on either side are
+    BREAKS. ``key_cols`` defines the match group (include a quantized
+    amount bucket for tolerance matching — exact-equality keys are the
+    zero-tolerance special case); ``order_cols`` must be a per-group
+    total order on each side (occurrence order, e.g. (ts, id)).
+
+    Shape: one row_number window per side on the SAME (keys) partition,
+    then ONE full-outer equality join on (keys, rank) — both sides
+    shuffle once on the match group, the join is co-partitioned, and no
+    group ever cross-products (rank is unique per side per group).
+    Returns keys + rank + ``value_col`` under each suffix + ``status``
+    in {'matched','only_a','only_b'}; matched rows carry both values so
+    callers can aggregate tolerance drift exactly.
+    """
+    wa = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    left = a.select(
+        *key_cols, *order_cols, F.col(value_col).alias(f"{value_col}{suffixes[0]}")
+    ).withColumn("rk", F.row_number().over(wa))
+    right = b.select(
+        *key_cols, *order_cols, F.col(value_col).alias(f"{value_col}{suffixes[1]}")
+    ).withColumn("rk", F.row_number().over(wa))
+    va, vb = f"{value_col}{suffixes[0]}", f"{value_col}{suffixes[1]}"
+    return (
+        left.drop(*order_cols)
+        .join(right.drop(*order_cols), [*key_cols, "rk"], "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col(va).isNotNull() & F.col(vb).isNotNull(), F.lit("matched"))
+            .when(F.col(va).isNotNull(), F.lit("only_a"))
+            .otherwise(F.lit("only_b")),
         )
     )

@@ -17821,3 +17821,93 @@ ORACLE_PART_B["q_dbscan"] = """
     LEFT JOIN corelab cl ON p.id = cl.id
     LEFT JOIN border bo ON p.id = bo.id
 """
+
+
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+/E8+ settlement reconciliation: purchase events (the ledger)
+    matched one-to-one against view events (the counterparty feed) per
+    (user, $10 amount bucket) in occurrence order, leftovers = breaks
+    (operators/diff.py reconcile_one_to_one). Output per user: matched
+    count, per-side break counts, and the exact summed cent drift
+    across matched pairs — the daily ops report of every payment
+    system; per-bucket rank matching is the deterministic form of
+    tolerance matching (exact-equality keys are the zero-tolerance
+    special case).
+
+    Plan: each side shuffles ONCE on the match-group key for its rank
+    window, then one co-partitioned full-outer equality join on
+    (keys, rank) — no group cross-products, rank is unique per side.
+    """
+    from loan_etl_data_pipeline_spark.operators.diff import reconcile_one_to_one
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT) div 1000").alias("bucket"),
+    )
+    rec = reconcile_one_to_one(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        ["user_id", "bucket"],
+        ["ts", "event_id"],
+        "cents",
+    )
+    return rec.groupBy("user_id").agg(
+        F.sum(F.when(F.col("status") == "matched", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("status") == "only_a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_only_ledger"),
+        F.sum(F.when(F.col("status") == "only_b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_only_feed"),
+        F.sum(
+            F.when(
+                F.col("status") == "matched",
+                F.abs(F.col("cents_a") - F.col("cents_b")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("drift_c"),
+    )
+
+
+QUERIES_PART_B["q_reconcile"] = q_reconcile
+
+ORACLE_PART_B["q_reconcile"] = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               CAST(FLOOR(value * 100) AS BIGINT) // 1000 AS bucket
+        FROM events
+    ), a AS (
+        SELECT user_id, bucket, cents,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts, event_id) AS rk
+        FROM ev WHERE event_type = 'purchase'
+    ), b AS (
+        SELECT user_id, bucket, cents,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts, event_id) AS rk
+        FROM ev WHERE event_type = 'view'
+    ), j AS (
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+               a.cents AS ca, b.cents AS cb
+        FROM a FULL OUTER JOIN b
+          ON a.user_id = b.user_id AND a.bucket = b.bucket AND a.rk = b.rk
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_only_ledger,
+           CAST(sum(CASE WHEN ca IS NULL AND cb IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_only_feed,
+           CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                    THEN abs(ca - cb) ELSE 0 END) AS BIGINT) AS drift_c
+    FROM j GROUP BY user_id
+"""

@@ -52,3 +52,34 @@ def test_table_diff_composite_keys(spark):
     got = {(r["a"], r["b"]): r["change_type"] for r in
            table_diff(old, new, ["a", "b"]).collect()}
     assert got == {(1, "x"): "changed", (1, "y"): "removed", (2, "y"): "added"}
+
+
+def test_reconcile_one_to_one_semantics(spark):
+    """i-th ledger entry pairs with i-th feed entry per group; leftovers
+    are per-side breaks; matched rows carry both values."""
+    from loan_etl_data_pipeline_spark.operators.diff import reconcile_one_to_one
+
+    a = spark.createDataFrame(
+        [  # (key, t, amount)
+            (1, 1, 100), (1, 2, 101), (1, 3, 102),   # three ledger entries
+            (2, 1, 500),
+        ],
+        "k long, t long, v long",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 5, 99), (1, 6, 103),                 # only two feed entries
+            (3, 1, 900),
+        ],
+        "k long, t long, v long",
+    )
+    out = {
+        (r["k"], r["rk"]): (r["v_a"], r["v_b"], r["status"])
+        for r in reconcile_one_to_one(a, b, ["k"], ["t"], "v").collect()
+    }
+    assert out[(1, 1)] == (100, 99, "matched")
+    assert out[(1, 2)] == (101, 103, "matched")
+    assert out[(1, 3)] == (102, None, "only_a")
+    assert out[(2, 1)] == (500, None, "only_a")
+    assert out[(3, 1)] == (None, 900, "only_b")
+    assert len(out) == 5
