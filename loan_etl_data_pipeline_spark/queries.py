@@ -17911,3 +17911,112 @@ ORACLE_PART_B["q_reconcile"] = """
                     THEN abs(ca - cb) ELSE 0 END) AS BIGINT) AS drift_c
     FROM j GROUP BY user_id
 """
+
+
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Holt's linear-trend smoothing (α=β=1/2) of monthly order
+    revenue — the level+trend extension of q_ses_level. Unlike SES
+    there is NO per-term closed form (level and trend are a coupled
+    recurrence), so the series is folded SEQUENTIALLY: the ~80
+    calendar months aggregate to ONE row (array_sort over collected
+    structs), a single aggregate() expression folds the coupled
+    integer recurrence
+
+        l_t = (x_t·2²⁰ + l_{t−1} + b_{t−1}) div 2
+        b_t = ((l_t − l_{t−1}) + b_{t−1}) div 2      (l_1=x_1·2²⁰, b_1=0)
+
+    appending each (t, l, b) to the accumulator, then explodes back to
+    rows. All int64 (div truncates toward zero in BOTH engines,
+    including negative trends), so the recursive-CTE oracle replays it
+    bit-for-bit.
+
+    100 TB: the fact scan collapses to the calendar grain first (one
+    partial+final agg); the single-row fold is O(months²) array
+    copying on ~80 CALENDAR months — scale-free by construction, same
+    contract note as q_ses_level (observation rank = calendar distance
+    iff no gaps; compose with resample_timeseries otherwise).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("c").alias("cents"))
+    )
+    m0 = monthly.agg(F.min("ym").alias("m0"))
+    idx = monthly.crossJoin(F.broadcast(m0)).select(
+        (F.col("ym") - F.col("m0") + 1).cast("int").alias("i"), "cents"
+    )
+    one = idx.agg(
+        F.array_sort(F.collect_list(F.struct("i", "cents"))).alias("ms")
+    )
+    new_l = (
+        "CASE WHEN size(acc.hist) = 0 THEN m.cents * 1048576L "
+        "ELSE (m.cents * 1048576L + acc.l + acc.b) div 2 END"
+    )
+    new_b = (
+        f"CASE WHEN size(acc.hist) = 0 THEN 0L "
+        f"ELSE (({new_l}) - acc.l + acc.b) div 2 END"
+    )
+    folded = F.expr(
+        f"""
+        aggregate(
+          ms,
+          named_struct(
+            'hist', CAST(array() AS ARRAY<STRUCT<t: INT, l: BIGINT, b: BIGINT>>),
+            'l', 0L, 'b', 0L),
+          (acc, m) -> named_struct(
+            'hist', array_append(acc.hist,
+                      named_struct('t', m.i, 'l', {new_l}, 'b', {new_b})),
+            'l', {new_l}, 'b', {new_b}),
+          acc -> acc.hist)
+        """
+    )
+    steps = one.select(F.explode(folded).alias("s"))
+    actual = idx.select(
+        F.col("i").alias("month_idx"),
+        (F.col("cents").cast("double") / 100).alias("actual"),
+    )
+    return (
+        steps.select(
+            F.col("s.t").cast("bigint").alias("month_idx"),
+            (F.col("s.l").cast("double") / 1048576 / 100).alias("level"),
+            (F.col("s.b").cast("double") / 1048576 / 100).alias("trend"),
+        )
+        .join(actual, "month_idx")
+        .select("month_idx", "actual", "level", "trend")
+    )
+
+
+QUERIES_PART_B["q_holt_trend"] = q_holt_trend
+
+ORACLE_PART_B["q_holt_trend"] = """
+    WITH RECURSIVE monthly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), m0 AS (
+        SELECT min(ym) AS m0 FROM monthly
+    ), idx AS (
+        SELECT ym - m0 + 1 AS i, cents FROM monthly, m0
+    ), rec(i, l, b) AS (
+        SELECT 1, (SELECT cents FROM idx WHERE i = 1) * 1048576,
+               CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT r.i + 1,
+               (x.cents * 1048576 + r.l + r.b) // 2,
+               (((x.cents * 1048576 + r.l + r.b) // 2) - r.l + r.b) // 2
+        FROM rec r JOIN idx x ON x.i = r.i + 1
+    )
+    SELECT CAST(r.i AS BIGINT) AS month_idx,
+           CAST(x.cents AS DOUBLE) / 100 AS actual,
+           CAST(r.l AS DOUBLE) / 1048576 / 100 AS level,
+           CAST(r.b AS DOUBLE) / 1048576 / 100 AS trend
+    FROM rec r JOIN idx x ON x.i = r.i
+"""
