@@ -18020,3 +18020,112 @@ ORACLE_PART_B["q_holt_trend"] = """
            CAST(r.b AS DOUBLE) / 1048576 / 100 AS trend
     FROM rec r JOIN idx x ON x.i = r.i
 """
+
+
+def q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ rolling-origin forecast backtest: one-step-ahead errors of
+    three zero-parameter forecasters over monthly revenue — naive
+    (x_{t−1}), seasonal-naive (x_{t−12}), and drift (x_{t−1} plus the
+    mean historical step, computed with exact integer division) —
+    scored only on months where ALL THREE are defined so the
+    comparison is apples-to-apples. The model-selection companion to
+    q_mase_scale (which scales ONE model's error): this is how a
+    100 TB pipeline picks its baseline forecaster before anything
+    fancier earns its keep.
+
+    Output per model: months scored, MAE and total absolute error in
+    exact cents. Plan: fact scan collapses to the calendar grain, then
+    three lag windows over ~80 unpartitioned CALENDAR rows
+    (scale-free by construction, the q_ses_level contract), one
+    3-group agg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.orderBy("ym")
+    wcum = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    feats = (
+        monthly.withColumn("naive", F.lag("cents", 1).over(w))
+        .withColumn("snaive", F.lag("cents", 12).over(w))
+        .withColumn("rn", F.row_number().over(w))
+        # mean historical step up to t-1: (x_{t-1} - x_1) / (t - 2),
+        # exact integer div; defined from the 3rd observation on
+        .withColumn("first_c", F.first("cents").over(wcum))
+        .withColumn(
+            "drift",
+            F.when(
+                F.col("rn") >= 3,
+                F.col("naive")
+                + F.expr("(naive - first_c) div (rn - 2)"),
+            ),
+        )
+    )
+    scored = feats.filter(
+        F.col("naive").isNotNull()
+        & F.col("snaive").isNotNull()
+        & F.col("drift").isNotNull()
+    )
+    parts = []
+    for model in ("naive", "snaive", "drift"):
+        parts.append(
+            scored.select(
+                F.lit(model).alias("model"),
+                F.abs(F.col("cents") - F.col(model)).alias("ae"),
+            )
+        )
+    errs = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return errs.groupBy("model").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("ae").cast("bigint").alias("total_ae_c"),
+        F.expr("sum(ae) div count(1)").cast("bigint").alias("mae_c"),
+    )
+
+
+QUERIES_PART_B["q_backtest"] = q_backtest
+
+ORACLE_PART_B["q_backtest"] = """
+    WITH monthly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), feats AS (
+        SELECT cents,
+               lag(cents, 1) OVER (ORDER BY ym) AS naive,
+               lag(cents, 12) OVER (ORDER BY ym) AS snaive,
+               row_number() OVER (ORDER BY ym) AS rn,
+               first_value(cents) OVER (ORDER BY ym
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS first_c
+        FROM monthly
+    ), withdrift AS (
+        SELECT *,
+               CASE WHEN rn >= 3
+                    THEN naive + (naive - first_c) // (rn - 2) END AS drift
+        FROM feats
+    ), scored AS (
+        SELECT * FROM withdrift
+        WHERE naive IS NOT NULL AND snaive IS NOT NULL
+              AND drift IS NOT NULL
+    ), errs AS (
+        SELECT 'naive' AS model, abs(cents - naive) AS ae FROM scored
+        UNION ALL
+        SELECT 'snaive', abs(cents - snaive) FROM scored
+        UNION ALL
+        SELECT 'drift', abs(cents - drift) FROM scored
+    )
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(ae) AS BIGINT) AS total_ae_c,
+           CAST(sum(ae) // count(*) AS BIGINT) AS mae_c
+    FROM errs GROUP BY model
+"""
