@@ -17755,20 +17755,32 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse points honestly labeled noise instead of dragged to a
     centroid (operators/spatial.py dbscan).
 
+    The grid side scales with √n (side = floor(√n)·26 000, one scalar
+    broadcast — no collect) so point DENSITY is SF-invariant: a fixed
+    grid percolates into one all-core mega-cluster as rows grow (the
+    probe-#16 worst case, ~28% cores at every SF here instead). At
+    corpus scale the analogous move is choosing eps against the
+    measured density, not the row count.
+
     Plan: grid-blocked eps-pair join (constant 3×3 explode, no
     cartesian) → degree core screen → two-phase CC on core–core edges
     (diameter-independent) → border min-label attach. Every stage is a
     certified component; the oracle replays the whole stack with a
-    quadratic pair join + recursive-CTE closure over the bounded
-    1 500-point block.
+    quadratic pair join + recursive-CTE closure.
     """
     from loan_etl_data_pipeline_spark.functions.splits import md5_coord48
     from loan_etl_data_pipeline_spark.operators.spatial import dbscan
 
-    pts = load_table(spark, sf_dir, "customer").select(
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.agg(
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(count(1) AS DOUBLE)) * 26000) AS BIGINT)"
+        ).alias("g")
+    )
+    pts = cust.crossJoin(F.broadcast(g)).select(
         F.col("c_custkey").alias("id"),
-        (md5_coord48("c_custkey", "gx") % 1000000).alias("x"),
-        (md5_coord48("c_custkey", "gy") % 1000000).alias("y"),
+        (md5_coord48("c_custkey", "gx") % F.col("g")).alias("x"),
+        (md5_coord48("c_custkey", "gy") % F.col("g")).alias("y"),
     )
     return dbscan(pts, "id", "x", "y", eps=20000, min_pts=4)
 
@@ -17776,13 +17788,17 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_PART_B["q_dbscan"] = q_dbscan
 
 ORACLE_PART_B["q_dbscan"] = """
-    WITH RECURSIVE pts AS (
+    WITH RECURSIVE n AS (
+        SELECT CAST(FLOOR(SQRT(CAST(count(*) AS DOUBLE)) * 26000) AS BIGINT)
+          AS g
+        FROM customer
+    ), pts AS (
         SELECT c_custkey AS id,
                ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'gx'), 1, 12))::BIGINT
-                 % 1000000 AS x,
+                 % g AS x,
                ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'gy'), 1, 12))::BIGINT
-                 % 1000000 AS y
-        FROM customer
+                 % g AS y
+        FROM customer, n
     ), bidir AS (
         SELECT a.id AS a, b.id AS b
         FROM pts a JOIN pts b ON a.id <> b.id
