@@ -44,14 +44,26 @@ def run_etl(
     schema=None,
     insights_path: str | None = None,
     write_mode: str = "overwrite",
+    sniff_dialect: bool = False,
 ) -> dict:
     """Run the full reference-parity pipeline; returns the insights dict.
 
     ``input_path`` may be a file, glob, or list (the reference processed
     only the first discovered file — reference:
     airflow/dags/spark_etl_dag.py:60 — we take everything).
+    ``sniff_dialect=True`` detects sep/quote/header from the head of the
+    first input file (sources/csv.sniff_csv_dialect — metadata-scale
+    driver work) instead of assuming the reference's comma+header, so a
+    semicolon locale export parses into real columns.
     """
-    raw = read_csv(spark, input_path, schema=schema)
+    dialect: dict = {}
+    if sniff_dialect:
+        first = input_path[0] if isinstance(input_path, list) else input_path
+        from loan_etl_data_pipeline_spark.sources.csv import sniff_csv_dialect
+
+        d = sniff_csv_dialect(first)
+        dialect = {"sep": d["sep"], "quote": d["quote"], "header": d["header"]}
+    raw = read_csv(spark, input_path, schema=schema, **dialect)
     cleaned = clean(raw, ts_col)
 
     # One materialization, two consumers (write + insights). MEMORY_AND_DISK

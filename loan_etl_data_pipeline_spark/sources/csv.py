@@ -82,6 +82,8 @@ def read_csv(
     header: bool = True,
     sampling_ratio: float | None = None,
     corrupt_col: str | None = None,
+    sep: str = ",",
+    quote: str = '"',
 ) -> DataFrame:
     """Read CSV(.gz) file(s) into a DataFrame.
 
@@ -100,7 +102,14 @@ def read_csv(
     mangle a bad landed file; at pipeline scale you want the batch to
     finish AND the bad lines accounted for.
     """
-    reader = spark.read.option("header", header)
+    # sep/quote default to the conventional dialect; pass the dict from
+    # sniff_csv_dialect (sep=d["sep"], quote=d["quote"], header=
+    # d["header"]) for locale exports the defaults would mangle
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("quote", quote)
+    )
     if corrupt_col is not None:
         if schema is None:
             raise ValueError("corrupt_col requires an explicit schema")

@@ -73,3 +73,30 @@ def test_sniff_feeds_distributed_read(tmp_path, spark):
 def test_empty_file_defaults(tmp_path):
     d = sniff_csv_dialect(_write(str(tmp_path), "e.csv", ""))
     assert d == {"sep": ",", "quote": '"', "header": True, "n_fields": 0}
+
+
+def test_run_etl_sniffs_semicolon_export(tmp_path, spark):
+    """End-to-end: a semicolon locale export flows through the full
+    reference pipeline when sniffing is on (and parses as ONE column
+    when off — the failure mode the sniffer removes)."""
+    import os
+
+    from loan_etl_data_pipeline_spark.plans.etl import run_etl
+    from loan_etl_data_pipeline_spark.sources.csv import read_csv
+
+    text = (
+        "loan_id;loan_amount;loan_type;timestamp\n"
+        "1;1000.5;personal;2024-01-02 03:04:05\n"
+        "2;2000.0;auto;01/15/2024 10:00:00\n"
+    )
+    p = _write(str(tmp_path), "loans_eu.csv", text)
+    assert len(read_csv(spark, p).columns) == 1  # comma default mangles
+    out = os.path.join(str(tmp_path), "out")
+    insights = run_etl(spark, p, out, "timestamp", sniff_dialect=True)
+    assert insights["total_loans"] == 2
+    assert insights["avg_loan_amount"] == (1000.5 + 2000.0) / 2
+    df = spark.read.parquet(out)
+    assert {"loan_id", "loan_amount", "loan_type", "date", "time"} <= set(
+        df.columns
+    )
+    assert {r["date"] for r in df.collect()} == {"2024-01-02", "2024-01-15"}
