@@ -27,7 +27,7 @@ from typing import Callable
 
 import pyspark.sql.functions as F
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -916,6 +916,136 @@ def streaming_fingerprint(
         )
 
     writer = stream_df.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def stream_reconcile(
+    entries: DataFrame,
+    *,
+    pending_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+    key_cols,
+    order_cols,
+    value_col: str,
+    available_now: bool = True,
+    trigger_seconds: float | None = None,
+):
+    """Continuous settlement reconciliation: each micro-batch's ledger
+    entries match one-to-one against the OTHER side's accumulated
+    unmatched backlog — the streaming face of
+    ``operators/diff.py reconcile_one_to_one``. Matched pairs append;
+    breaks age in a persistent pending table (the daily-ops "open
+    breaks" feed).
+
+    Matching is by occurrence rank per match group under
+    (arrival batch, *order_cols) — the matched PREFIX of a group is
+    immutable (new arrivals only ever take HIGHER ranks), so matching
+    the pending backlog ∪ batch each round reproduces exactly what one
+    global batch run would produce on everything ingested so far,
+    provided arrival order refines ``order_cols`` (time-ordered feeds
+    — the stream_scd2 ordering contract). That rebuild identity is
+    what the parity test pins.
+
+    Layout + replay contract (the stream_neardup_dedup protocol, plus
+    a stale-future wipe): ``out_dir/batch=N`` holds batch N's newly
+    matched pairs, ``pending_dir/batch=N`` the FULL open-breaks
+    snapshot after batch N; both written with overwrite into the
+    batch's own subdirectory, and the pending snapshot loaded for
+    batch N excludes ``batch=N`` (newest EARLIER snapshot), so a
+    same-bid crash-replay overwrites its partial output instead of
+    double-matching. Unlike dedup (idempotent under re-matching), the
+    matched feed is NOT safe to union across a checkpoint LOSS (batch
+    ids restart at 0 over all input, so old incremental outputs would
+    double-count every pair) — so batch N first DELETES any
+    ``batch>N`` subdirectories: stale future state from a lost
+    checkpoint is wiped and the restart converges to exactly the
+    fresh-full-run state.
+
+    Scale: per batch, two rank windows + one co-partitioned join over
+    |pending| + |batch| rows keyed by the match group — the matched
+    history is never re-read.
+    """
+    from loan_etl_data_pipeline_spark.operators.diff import reconcile_one_to_one
+
+    spark = entries.sparkSession
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def _wipe_stale_future(base: str, bid: int) -> None:
+        sc = spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(base)
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch=")
+                and int(name.split("=", 1)[1]) > bid
+            ):
+                fs.delete(st.getPath(), True)
+
+    def _load_pending(exclude_batch: int) -> DataFrame | None:
+        sc = spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(pending_dir)
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        dirs = sorted(
+            (
+                int(st.getPath().getName().split("=", 1)[1]),
+                st.getPath().toString(),
+            )
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("batch=")
+            and int(st.getPath().getName().split("=", 1)[1]) < exclude_batch
+        )
+        if not dirs:
+            return None
+        return spark.read.parquet(dirs[-1][1])  # newest earlier snapshot
+
+    def _batch(bdf: DataFrame, bid: int) -> None:
+        _wipe_stale_future(out_dir, bid)
+        _wipe_stale_future(pending_dir, bid)
+        batch = bdf.withColumn("__arr", F.lit(bid).cast("long"))
+        pending = _load_pending(bid)
+        allrows = (
+            pending.unionByName(batch) if pending is not None else batch
+        ).localCheckpoint()  # consumed by both sides and the breaks write
+        full_order = ["__arr", *order]
+        a = allrows.filter(F.col(side_col) == side_a)
+        b = allrows.filter(F.col(side_col) == side_b)
+        rec = reconcile_one_to_one(a, b, keys, full_order, value_col)
+        matched = rec.filter(F.col("status") == "matched")
+        matched.write.mode("overwrite").parquet(f"{out_dir}/batch={bid}")
+        # unmatched ORIGINAL rows (rank beyond the matched prefix),
+        # recovered via per-group matched counts so arrival metadata
+        # and every caller column survive into the snapshot
+        m = matched.groupBy(*keys).agg(F.count(F.lit(1)).alias("__m"))
+        w = Window.partitionBy(*keys, side_col).orderBy(*full_order)
+        open_breaks = (
+            allrows.withColumn("__rk", F.row_number().over(w))
+            .join(m, keys, "left")
+            .filter(F.col("__rk") > F.coalesce(F.col("__m"), F.lit(0)))
+            .drop("__rk", "__m")
+        )
+        open_breaks.write.mode("overwrite").parquet(
+            f"{pending_dir}/batch={bid}"
+        )
+
+    writer = entries.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -840,3 +840,114 @@ def test_streaming_upsert_cdc_tombstones(spark, tmp_path):
     run()
     got = {(r["k"], r["v"]) for r in spark.read.parquet(table).collect()}
     assert got == {(3, 33.0)}
+
+
+def test_stream_reconcile_rebuild_parity_and_replay(spark, tmp_path):
+    """Streamed one-to-one reconciliation over time-ordered batches
+    must equal ONE global batch run on everything ingested (matched
+    multiset + open breaks), and a same-batch-id reprocess must
+    overwrite, not double-match."""
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.diff import reconcile_one_to_one
+    from loan_etl_data_pipeline_spark.streaming.ingest import stream_reconcile
+
+    rows = [
+        # (key, side, t, amount) — time-ordered; group 1 interleaves
+        (1, "a", 1, 100), (1, "b", 2, 101), (1, "a", 3, 102),
+        (1, "a", 4, 103), (1, "b", 5, 104),
+        (2, "a", 1, 500), (2, "b", 2, 505),
+        (3, "b", 1, 900),
+    ]
+    schema = "k long, side string, t long, v long"
+    batches = [rows[:3], rows[3:6], rows[6:]]
+    src = str(tmp_path / "rc_src")
+    pend, out, ckpt = (
+        str(tmp_path / "rc_pend"),
+        str(tmp_path / "rc_out"),
+        str(tmp_path / "rc_ckpt"),
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_reconcile(
+            stream,
+            pending_dir=pend,
+            out_dir=out,
+            checkpoint_dir=ckpt,
+            side_col="side",
+            side_a="a",
+            side_b="b",
+            key_cols=["k"],
+            order_cols=["t"],
+            value_col="v",
+        )
+        q.awaitTermination(120)
+
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()
+
+    matched_stream = {
+        (r["k"], r["v_a"], r["v_b"])
+        for r in spark.read.parquet(f"{out}/batch=*").collect()
+    }
+    # global batch reference over everything, same arrival order (t)
+    alldf = spark.createDataFrame(rows, schema).withColumn(
+        "__arr", F.lit(0).cast("long")
+    )
+    ref = reconcile_one_to_one(
+        alldf.filter("side = 'a'"),
+        alldf.filter("side = 'b'"),
+        ["k"],
+        ["__arr", "t"],
+        "v",
+    )
+    matched_ref = {
+        (r["k"], r["v_a"], r["v_b"])
+        for r in ref.filter("status = 'matched'").collect()
+    }
+    assert matched_stream == matched_ref
+    # open breaks after the last batch == the global run's breaks
+    import glob as _glob
+
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{pend}/batch=*")
+    )
+    open_rows = {
+        (r["k"], r["side"], r["t"], r["v"])
+        for r in spark.read.parquet(f"{pend}/batch={last}").collect()
+    }
+    ref_open = {
+        (r["k"], "a" if r["v_a"] is not None else "b", None, None)
+        for r in ref.filter("status <> 'matched'").collect()
+    }
+    assert len(open_rows) == len(ref_open)
+    assert {(k, s) for k, s, _, _ in open_rows} == {
+        (k, s) for k, s, _, _ in ref_open
+    }
+
+    # checkpoint LOSS: batch ids restart at 0 over ALL input files.
+    # The bid=0 reprocess must WIPE the stale batch=1..N outputs and
+    # pending snapshots (else the matched feed double-counts every
+    # previously matched pair) and converge to the fresh-full-run state.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    matched_after_loss = {
+        (r["k"], r["v_a"], r["v_b"])
+        for r in spark.read.parquet(f"{out}/batch=*").collect()
+    }
+    assert matched_after_loss == matched_ref
+    rows_after_loss = spark.read.parquet(f"{out}/batch=*").count()
+    assert rows_after_loss == len(
+        [r for r in ref.filter("status = 'matched'").collect()]
+    )
+    last2 = max(
+        int(p.rsplit("=", 1)[1]) for p in _glob.glob(f"{pend}/batch=*")
+    )
+    assert spark.read.parquet(f"{pend}/batch={last2}").count() == len(ref_open)
