@@ -349,6 +349,8 @@ def dtw_distance(
     Integer cost keeps the result exactly replayable by an unrolled
     lateral-alias DP in any SQL engine. For long series (n·m beyond
     ~10⁴) add a Sakoe–Chiba band — not needed for calendar shapes.
+    NULL or empty series have no alignment and yield a NULL distance
+    (nullable int64 output) instead of failing the job in-kernel.
     """
     import numpy as np
     import pandas as pd
@@ -356,8 +358,16 @@ def dtw_distance(
 
     schema = f"{key_col} bigint, {out_col} bigint"
 
-    def _dp(a: np.ndarray, b: np.ndarray) -> int:
+    def _dp(a, b):
+        # NULL/empty series have no alignment: emit NULL, don't crash
+        # the whole job inside the kernel
+        if a is None or b is None:
+            return None
+        a = np.asarray(a, dtype=np.int64)
+        b = np.asarray(b, dtype=np.int64)
         n, m = len(a), len(b)
+        if n == 0 or m == 0:
+            return None
         d = np.empty((n, m), dtype=np.int64)
         for i in range(n):
             for j in range(m):
@@ -381,13 +391,13 @@ def dtw_distance(
             out = pd.DataFrame(
                 {
                     key_col: pdf[key_col].to_numpy(dtype=np.int64),
-                    out_col: [
-                        _dp(
-                            np.asarray(a, dtype=np.int64),
-                            np.asarray(b, dtype=np.int64),
-                        )
-                        for a, b in zip(pdf[series_col], pdf[ref_col])
-                    ],
+                    out_col: pd.array(
+                        [
+                            _dp(a, b)
+                            for a, b in zip(pdf[series_col], pdf[ref_col])
+                        ],
+                        dtype="Int64",
+                    ),
                 }
             )
             yield out

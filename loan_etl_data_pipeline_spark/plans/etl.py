@@ -58,10 +58,30 @@ def run_etl(
     """
     dialect: dict = {}
     if sniff_dialect:
-        first = input_path[0] if isinstance(input_path, list) else input_path
+        import glob as _glob
+        import os as _os
+
         from loan_etl_data_pipeline_spark.sources.csv import sniff_csv_dialect
 
-        d = sniff_csv_dialect(first)
+        # input_path may be a file, glob, directory, or list of those —
+        # the sniffer needs one REAL file, so resolve the first one
+        first = input_path[0] if isinstance(input_path, list) else input_path
+        if _os.path.isdir(first):
+            candidates = sorted(
+                p
+                for p in _glob.glob(_os.path.join(first, "*"))
+                if _os.path.isfile(p)
+            )
+        elif _os.path.isfile(first):
+            candidates = [first]
+        else:
+            candidates = sorted(p for p in _glob.glob(first) if _os.path.isfile(p))
+        if not candidates:
+            raise ValueError(
+                f"sniff_dialect=True but no readable file resolves from "
+                f"{first!r}"
+            )
+        d = sniff_csv_dialect(candidates[0])
         dialect = {"sep": d["sep"], "quote": d["quote"], "header": d["header"]}
     raw = read_csv(spark, input_path, schema=schema, **dialect)
     cleaned = clean(raw, ts_col)

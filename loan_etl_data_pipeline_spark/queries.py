@@ -17073,6 +17073,28 @@ ORACLE_PART_B["q_readability"] = r"""
 """
 
 
+def _loan_book(spark: SparkSession, sf_dir: str, payment_expr: str) -> DataFrame:
+    """Shared order-as-loan derivation for the amortization family:
+    principal = floored cents of o_totalprice, monthly rate = 25 bp per
+    priority digit; only the payment formula varies per query (and is
+    mirrored verbatim in each oracle). One definition so a change to
+    the rate/principal contract can't silently decouple the three
+    queries."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
+                "principal_c"
+            ),
+            F.expr(
+                "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 25"
+            ).alias("rate_bp"),
+        )
+        .withColumn("payment_c", F.expr(payment_expr))
+    )
+
+
 def q_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loan-domain recurrence (reference pyspark_etl.py:38-46 computes
     loan insights but no schedule math): 12-month amortization fold per
@@ -17089,21 +17111,8 @@ def q_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from loan_etl_data_pipeline_spark.operators.finance import amortize
 
-    loans = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_orderpriority",
-            F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
-                "principal_c"
-            ),
-            F.expr(
-                "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 25"
-            ).alias("rate_bp"),
-        )
-        .withColumn(
-            "payment_c",
-            F.expr("principal_c div 12 + (principal_c * rate_bp) div 10000"),
-        )
+    loans = _loan_book(
+        spark, sf_dir, "principal_c div 12 + (principal_c * rate_bp) div 10000"
     )
     sched = amortize(loans, "principal_c", "rate_bp", "payment_c", months=12)
     return sched.groupBy("o_orderpriority").agg(
@@ -17315,11 +17324,14 @@ def q_dtw_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_seasonality_dow/q_autocorr: a one-month phase shift costs ~0
     here but dominates pointwise L1.
 
-    Plan: fact⋈customer shuffle join, 12 conditional sums per nation
-    (one agg), per-mille in exact int64, the 1-row global series
-    broadcast by scalar crossJoin, then a 25-row Arrow DP kernel —
-    row-local, no shuffle after the agg. The oracle replays the DP as
-    144 generated lateral-alias columns.
+    Plan: ONE fact⋈customer shuffle join + ONE nation-keyed agg; the
+    global series is the column-wise SUM of the persisted 25-row
+    nation aggregate (not a second pass over the join — re-deriving it
+    from the fact side would run the wide join twice, the q_seq_edit
+    lesson), broadcast back as a 1-row scalar crossJoin, then a 25-row
+    Arrow DP kernel — row-local, no shuffle after the agg. The oracle
+    replays the DP as 144 generated row-per-CTE cells. Release
+    contract: ``_persisted_intermediates`` as for global_rank.
     """
     from loan_etl_data_pipeline_spark.operators.windows import dtw_distance
 
@@ -17339,10 +17351,11 @@ def q_dtw_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(1, 13)
     ]
     tot_expr = " + ".join(f"s{k}" for k in range(1, 13))
+    from pyspark import StorageLevel
+
+    natsums = j.groupBy("nation").agg(*sums).persist(StorageLevel.MEMORY_AND_DISK)
     nat = (
-        j.groupBy("nation")
-        .agg(*sums)
-        .withColumn("tot", F.expr(tot_expr))
+        natsums.withColumn("tot", F.expr(tot_expr))
         .filter(F.col("tot") > 0)
         .select(
             "nation",
@@ -17352,7 +17365,7 @@ def q_dtw_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     glob = (
-        j.agg(*sums)
+        natsums.agg(*[F.sum(f"s{k}").alias(f"s{k}") for k in range(1, 13)])
         .withColumn("tot", F.expr(tot_expr))
         .select(
             F.array(
@@ -17360,9 +17373,11 @@ def q_dtw_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b")
         )
     )
-    return dtw_distance(
+    out = dtw_distance(
         nat.crossJoin(F.broadcast(glob)), "nation", "a", "b", out_col="dtw_pm"
     )
+    out._persisted_intermediates = [natsums]
+    return out
 
 
 QUERIES_PART_B["q_dtw_shape"] = q_dtw_shape
@@ -17536,24 +17551,11 @@ def q_payoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from loan_etl_data_pipeline_spark.operators.finance import amortize
 
-    loans = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_orderpriority",
-            F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
-                "principal_c"
-            ),
-            F.expr(
-                "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 25"
-            ).alias("rate_bp"),
-        )
-        .withColumn(
-            "payment_c",
-            F.expr(
-                "principal_c div (6 + CAST(substring(o_orderpriority, 1, 1)"
-                " AS BIGINT)) + (principal_c * rate_bp) div 10000"
-            ),
-        )
+    loans = _loan_book(
+        spark,
+        sf_dir,
+        "principal_c div (6 + CAST(substring(o_orderpriority, 1, 1)"
+        " AS BIGINT)) + (principal_c * rate_bp) div 10000",
     )
     sched = amortize(
         loans,
@@ -17620,21 +17622,8 @@ def q_amortization_360(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from loan_etl_data_pipeline_spark.operators.finance import amortize
 
-    loans = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_orderpriority",
-            F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
-                "principal_c"
-            ),
-            F.expr(
-                "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 25"
-            ).alias("rate_bp"),
-        )
-        .withColumn(
-            "payment_c",
-            F.expr("principal_c div 240 + (principal_c * rate_bp) div 10000"),
-        )
+    loans = _loan_book(
+        spark, sf_dir, "principal_c div 240 + (principal_c * rate_bp) div 10000"
     )
     sched = amortize(
         loans,

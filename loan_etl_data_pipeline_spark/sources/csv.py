@@ -189,7 +189,15 @@ def sniff_csv_dialect(
     # char (1;'a;b' is 2 fields under ', 3 under "), so neither can be
     # picked first. `"` is tried before `'` so unquoted files keep the
     # conventional default.
-    best = (",", '"', 1, False)  # (sep, quote, n_fields, consistent)
+    def wraps_any(sep: str, q: str) -> bool:
+        # does q actually QUOTE something? (raw-split fields enclosed in q)
+        return any(
+            len(f := fld.strip()) >= 2 and f[0] == q and f[-1] == q
+            for ln in lines
+            for fld in ln.split(sep)
+        )
+
+    best = (",", '"', 1, False, False)  # (sep, quote, n, consistent, wraps)
     for sep in candidates:
         for q in ('"', "'"):
             try:
@@ -198,9 +206,21 @@ def sniff_csv_dialect(
                 continue
             if len(counts) == 1:
                 n = counts.pop()
-                if n > 1 and (not best[3] or n > best[2]):
-                    best = (sep, q, n, True)
-    sep, quote, n_fields, _ = best
+                if n <= 1:
+                    continue
+                w = wraps_any(sep, q)
+                # consistency first, then field count, then PREFER the
+                # quote char that actually wraps fields (a single-quoted
+                # file with no embedded delimiters is consistent under
+                # both quotes — picking '"' would leave literal quotes
+                # in every value); '"' stays the tie-break default
+                if (
+                    not best[3]
+                    or n > best[2]
+                    or (n == best[2] and sep == best[0] and w and not best[4])
+                ):
+                    best = (sep, q, n, True, w)
+    sep, quote, n_fields = best[0], best[1], best[2]
 
     def is_num(s: str) -> bool:
         s = s.strip().strip(quote)

@@ -100,3 +100,36 @@ def test_run_etl_sniffs_semicolon_export(tmp_path, spark):
         df.columns
     )
     assert {r["date"] for r in df.collect()} == {"2024-01-02", "2024-01-15"}
+
+
+def test_single_quote_without_embedded_delimiter(tmp_path):
+    # both quote chars are count-consistent here; the one that actually
+    # WRAPS fields must win or every value keeps its literal quotes
+    text = "id;who\n1;'alice'\n2;'bob'\n"
+    d = sniff_csv_dialect(_write(str(tmp_path), "sq.csv", text))
+    assert d["sep"] == ";" and d["quote"] == "'"
+
+
+def test_sniff_resolves_globs_and_dirs(tmp_path, spark):
+    import os
+
+    from loan_etl_data_pipeline_spark.plans.etl import run_etl
+
+    text = "loan_id;loan_amount;loan_type;timestamp\n1;10.5;auto;2024-01-02 03:04:05\n"
+    _write(str(tmp_path), "part1.csv", text)
+    # glob input
+    out = os.path.join(str(tmp_path), "out_g")
+    ins = run_etl(
+        spark, os.path.join(str(tmp_path), "part*.csv"), out, "timestamp",
+        sniff_dialect=True,
+    )
+    assert ins["total_loans"] == 1
+    # unresolvable input fails loudly, not with FileNotFoundError inside open()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no readable file"):
+        run_etl(
+            spark, os.path.join(str(tmp_path), "nope*.csv"),
+            os.path.join(str(tmp_path), "out_n"), "timestamp",
+            sniff_dialect=True,
+        )

@@ -67,3 +67,20 @@ def test_matches_bruteforce_dp(spark):
     out = _run(spark, rows)
     for k, a, b in rows:
         assert out[k] == _dtw_py(a, b), k
+
+
+def test_empty_or_null_series_yield_null(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1, 2], [1, 2]), (2, [], [1, 2]), (3, [1, 2], [])],
+        "k long, a array<bigint>, b array<bigint>",
+    ).union(
+        spark.createDataFrame([(4,)], "k long").select(
+            "k",
+            F.lit(None).cast("array<bigint>").alias("a"),
+            F.lit(None).cast("array<bigint>").alias("b"),
+        )
+    )
+    out = {r["k"]: r["dtw_dist"] for r in dtw_distance(df, "k", "a", "b").collect()}
+    assert out == {1: 0, 2: None, 3: None, 4: None}

@@ -647,16 +647,19 @@ def test_seq_edit_single_user_shuffle(plans):
 
 
 def test_dtw_kernel_after_single_agg(plans):
-    """Series build = one nation-keyed agg; the DP kernel is the only
-    Python stage, runs on ≤|nations| rows as the plan ROOT (plans print
-    root-first, so nothing may precede it in the text), and the global
-    reference series arrives as a 1-row broadcast."""
+    """Series build = one nation-keyed agg PERSISTED and read by both
+    the per-nation and global branches (re-deriving the global series
+    from the fact join would run the wide join twice); the DP kernel is
+    the only Python stage and the plan root; the global series arrives
+    as a 1-row broadcast."""
     p = plans("q_dtw_shape")
     assert p.count("MapInPandas") == 1
     root = p.split("MapInPandas")[0]
     assert "Exchange" not in root  # no shuffle downstream of the kernel
     assert "BroadcastNestedLoopJoin" in p  # the 1-row global series
-    assert p.count("Exchange hashpartitioning(nation") == 1
+    # both consumers read ONE cached nation aggregate
+    assert p.count("InMemoryTableScan") == 2
+    assert p.count("InMemoryRelation") == 2
 
 
 def test_bitemporal_scalar_bound_no_driver_roundtrip(plans):
