@@ -17605,20 +17605,23 @@ ORACLE_PART_B["q_payoff_curve"] = """
 
 def q_amortization_360(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 mortgage-term certification of the OTHER amortization path:
-    360 months routes through the O(1)-plan-size SQL
-    aggregate(sequence()) fold (operators/finance.py, months >
-    unroll_threshold), which q_amortization's 12-month unrolled plan
-    never exercises — this query pins the fold's integer arithmetic
-    cross-engine at mortgage horizon. Payment ≈ annuity-lite
-    (principal div 240 + running interest) so books neither retire in
-    month 1 nor balloon unboundedly; output is the same per-priority
-    book summary plus the paid-off count.
+    360 months routes through the vectorized Arrow kernel
+    (operators/finance.py, months > unroll_threshold — one numpy pass
+    per month across all rows; the interpreted SQL aggregate() fold
+    stays available as engine='sql' and is pinned bit-identical by
+    tests/test_finance.py), which q_amortization's 12-month unrolled
+    plan never exercises — this query pins the long-term path's
+    integer arithmetic cross-engine at mortgage horizon. Bench note:
+    the SQL fold measured 18.2 s at sf0.1 vs sub-second for the
+    kernel — interpreted per-element HOFs lose to Arrow batches by
+    ~20× at 54M step-evaluations, the similarity-module lesson again.
+    Payment ≈ annuity-lite (principal div 240 + running interest) so
+    books neither retire in month 1 nor balloon unboundedly; output is
+    the same per-priority book summary plus the paid-off count.
 
-    Plan: one scan, ONE expression node folding 360 steps per row
-    (interpreted HOF — the bounded-plan trade documented in the
-    operator), one 5-group agg. The 360-iteration recursive-CTE oracle
-    is the largest recursion in the suite (~15k × 360 rows at sf0.01)
-    and runs in single-digit seconds.
+    Plan: one scan, one Arrow stage, one 5-group agg. The
+    360-iteration recursive-CTE oracle is the largest recursion in the
+    suite (~15k × 360 rows at sf0.01) and runs in single-digit seconds.
     """
     from loan_etl_data_pipeline_spark.operators.finance import amortize
 

@@ -66,20 +66,31 @@ def test_payoff_clamps_at_zero(spark):
     assert out["interest_paid_c"] == intp
 
 
-def test_unrolled_and_fold_paths_identical(spark):
+def test_all_three_paths_identical(spark):
+    """Unrolled codegen, Arrow kernel, and SQL fold are bit-identical."""
     df = _loans(spark)
-    unrolled = amortize(
-        df, "principal_c", "rate_bp", "payment_c", 24,
-        payoff_col="pm", unroll_threshold=60,
-    )
-    folded = amortize(
-        df, "principal_c", "rate_bp", "payment_c", 24,
-        payoff_col="pm", unroll_threshold=0,
-    )
     key = lambda rows: sorted(  # noqa: E731
         tuple(None if v is None else v for v in r) for r in rows
     )
-    assert key(unrolled.collect()) == key(folded.collect())
+    unrolled = key(
+        amortize(
+            df, "principal_c", "rate_bp", "payment_c", 24,
+            payoff_col="pm", unroll_threshold=60,
+        ).collect()
+    )
+    arrow = key(
+        amortize(
+            df, "principal_c", "rate_bp", "payment_c", 24,
+            payoff_col="pm", unroll_threshold=0, engine="arrow",
+        ).collect()
+    )
+    sql = key(
+        amortize(
+            df, "principal_c", "rate_bp", "payment_c", 24,
+            payoff_col="pm", unroll_threshold=0, engine="sql",
+        ).collect()
+    )
+    assert unrolled == arrow == sql
 
 
 def test_payoff_month_semantics(spark):
@@ -103,17 +114,19 @@ def test_payoff_month_semantics(spark):
     assert out[3] == 1
 
 
-def test_long_term_fold_plan_is_constant_size(spark):
-    # 360-month mortgage term routes through the single aggregate()
-    # fold: the plan string must not grow with the term.
+def test_long_term_plan_is_constant_size(spark):
+    # long terms route through a bounded-size plan (Arrow kernel by
+    # default, SQL fold under engine='sql'): the plan string must not
+    # grow with the term.
     df = _loans(spark)
-    p360 = amortize(
-        df, "principal_c", "rate_bp", "payment_c", 360
-    )._jdf.queryExecution().optimizedPlan().toString()
-    p120 = amortize(
-        df, "principal_c", "rate_bp", "payment_c", 120
-    )._jdf.queryExecution().optimizedPlan().toString()
-    assert abs(len(p360) - len(p120)) < 50  # only the literal differs
+    for eng in ("arrow", "sql"):
+        p360 = amortize(
+            df, "principal_c", "rate_bp", "payment_c", 360, engine=eng
+        )._jdf.queryExecution().optimizedPlan().toString()
+        p120 = amortize(
+            df, "principal_c", "rate_bp", "payment_c", 120, engine=eng
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert abs(len(p360) - len(p120)) < 50, eng  # only the literal differs
 
 
 def test_zero_months_is_identity(spark):
