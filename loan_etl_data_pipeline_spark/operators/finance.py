@@ -24,8 +24,9 @@ folded months replicate bit-for-bit against a recursive CTE.
 100 TB story: the fold is row-local — it scales with the scan, no
 shuffle, no per-key state. ``unroll_threshold`` bounds codegen size:
 longer terms default to a vectorized Arrow kernel (one numpy pass per
-month across all rows — measured ~20× faster than the interpreted SQL
-``aggregate(sequence(...))`` fold at 360 months, which stays available
+month across all rows — measured ~29× faster than the interpreted SQL
+``aggregate(sequence(...))`` fold at 360 months (bench min-of-two:
+18.2 s → 0.63 s at sf0.1), which stays available
 as ``engine='sql'`` for Python-worker-free deployments), so plan size
 stays O(1) in the term length while short consumer-loan terms get the
 fully-codegen unrolled form. All three paths are pinned bit-identical.
@@ -64,8 +65,8 @@ def amortize(
     ``engine`` picks the long-term path (terms ≤ ``unroll_threshold``
     always take the unrolled codegen form): ``'auto'``/``'arrow'`` = a
     vectorized Arrow kernel (one numpy pass per month ACROSS all rows
-    — measured ~30× faster than the interpreted SQL fold at 360
-    months: 18.2 s → sub-second on 150 k loans); ``'sql'`` = the
+    — measured ~29× faster than the interpreted SQL fold at 360
+    months: 18.2 s → 0.63 s on 150 k loans at sf0.1); ``'sql'`` = the
     O(1)-plan-size ``aggregate(sequence())`` fold, pure-JVM but
     interpreted per element — the fallback where Python workers are
     unavailable. All three paths are bit-identical (pinned by
@@ -120,37 +121,92 @@ def amortize(
         import pandas as pd
         from collections.abc import Iterator
 
-        passthrough = df.columns
+        out_cols = {balance_col, interest_col} | (
+            {payoff_col} if payoff_col else set()
+        )
+        # withColumn REPLACES a colliding input column in the other two
+        # paths; mirror that by dropping collisions from the passthrough
+        passthrough = [c for c in df.columns if c not in out_cols]
         out_fields = ", ".join(
-            f"`{c}` {t}" for c, t in df.dtypes
+            f"`{c}` {t}" for c, t in df.dtypes if c in set(passthrough)
         )
         schema = (
             f"{out_fields}, {balance_col} bigint, {interest_col} bigint"
             + (f", {payoff_col} bigint" if payoff_col else "")
         )
 
+        def _null_row(p, r, pay):
+            # Replicate the expression-tree NULL semantics of the
+            # unrolled/SQL paths exactly: arithmetic propagates NULL,
+            # greatest(0L, NULL) skips the NULL and returns 0.
+            def mul(x, y):
+                return None if x is None or y is None else x * y
+
+            def add(x, y):
+                return None if x is None or y is None else x + y
+
+            bal, intp, pm = p, 0, None
+            for m in range(1, months + 1):
+                step = None if mul(bal, r) is None else (bal * r) // 10000
+                intp = add(intp, step)
+                nb = add(add(bal, step), None if pay is None else -pay)
+                bal = 0 if nb is None else max(0, nb)
+                if pm is None and bal == 0:
+                    pm = m
+            return bal, intp, pm
+
         def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                bal = pdf[principal_c].to_numpy(dtype=np.int64).copy()
-                rate = pdf[rate_bp].to_numpy(dtype=np.int64)
-                pay = pdf[payment_c].to_numpy(dtype=np.int64)
-                intp = np.zeros(len(pdf), dtype=np.int64)
-                pm = np.zeros(len(pdf), dtype=np.int64)  # 0 = not yet
+                cols = [pdf[principal_c], pdf[rate_bp], pdf[payment_c]]
+                nulls = (
+                    cols[0].isna() | cols[1].isna() | cols[2].isna()
+                ).to_numpy()
+                n = len(pdf)
+                bal = np.zeros(n, dtype=np.int64)
+                rate = np.zeros(n, dtype=np.int64)
+                pay = np.zeros(n, dtype=np.int64)
+                ok = ~nulls
+                bal[ok] = cols[0][ok].to_numpy(dtype=np.int64)
+                rate[ok] = cols[1][ok].to_numpy(dtype=np.int64)
+                pay[ok] = cols[2][ok].to_numpy(dtype=np.int64)
+                intp = np.zeros(n, dtype=np.int64)
+                pm = np.zeros(n, dtype=np.int64)  # 0 = not yet
                 for m in range(1, months + 1):
                     step = (bal * rate) // 10000
                     intp += step
                     bal = np.maximum(0, bal + step - pay)
                     pm = np.where((pm == 0) & (bal == 0), m, pm)
                 out = pdf[passthrough].copy()
-                out[balance_col] = bal
-                out[interest_col] = intp
+                out[balance_col] = pd.array(bal, dtype="Int64")
+                out[interest_col] = pd.array(intp, dtype="Int64")
                 if payoff_col:
                     out[payoff_col] = pd.array(
                         np.where(pm > 0, pm, 0), dtype="Int64"
                     )
                     out.loc[pm == 0, payoff_col] = pd.NA
+                if nulls.any():
+                    # rare path: per-row scalar fold with Spark NULL
+                    # semantics (the vectorized result for these rows
+                    # is garbage-on-zeros and is overwritten here)
+                    idx = np.flatnonzero(nulls)
+                    for i in idx:
+                        vals = [
+                            None if pd.isna(c.iloc[i]) else int(c.iloc[i])
+                            for c in cols
+                        ]
+                        b, t, pmv = _null_row(*vals)
+                        out.iloc[
+                            i, out.columns.get_loc(balance_col)
+                        ] = pd.NA if b is None else b
+                        out.iloc[
+                            i, out.columns.get_loc(interest_col)
+                        ] = pd.NA if t is None else t
+                        if payoff_col:
+                            out.iloc[
+                                i, out.columns.get_loc(payoff_col)
+                            ] = pd.NA if pmv is None else pmv
                 yield out
 
         return df.mapInPandas(_kernel, schema=schema)
@@ -159,7 +215,12 @@ def amortize(
     # SQL lambdas cannot let-bind, so the new-balance expression appears
     # more than once; runtime subexpression elimination evaluates it
     # once per step. pm uses 0 as "not yet" (struct fields can't start
-    # NULL-typed inside aggregate's zero literal) and NULLs out at the end.
+    # NULL-typed inside aggregate's zero literal) and NULLs out at the
+    # end. The intp zero is nullif(0L, <sentinel>) NOT a bare 0L: the
+    # accumulator struct inherits the ZERO's nullability, and writing a
+    # NULL lambda result into a non-nullable slot silently coerces to 0
+    # (measured) — a bare-0L zero would make a NULL-principal loan
+    # report 0 interest where the unrolled/Arrow paths report NULL.
     new_bal = (
         f"greatest(0L, acc.bal + (acc.bal * {rate_bp}) div 10000"
         f" - {payment_c})"
@@ -168,7 +229,8 @@ def amortize(
         f"""
         aggregate(
           sequence(1, {months}),
-          named_struct('bal', CAST({principal_c} AS BIGINT), 'intp', 0L,
+          named_struct('bal', CAST({principal_c} AS BIGINT),
+                       'intp', nullif(0L, 9223372036854775807L),
                        'pm', 0L),
           (acc, m) -> named_struct(
             'bal', {new_bal},

@@ -359,12 +359,23 @@ def dtw_distance(
     schema = f"{key_col} bigint, {out_col} bigint"
 
     def _dp(a, b):
-        # NULL/empty series have no alignment: emit NULL, don't crash
-        # the whole job inside the kernel
+        # NULL/empty series — or a NULL ELEMENT inside one (arrow hands
+        # those through as None/NaN) — have no alignment: emit NULL,
+        # don't crash the whole job inside the kernel
+        def clean(s):
+            if s is None:
+                return None
+            vals = list(s)
+            if any(
+                v is None or (isinstance(v, float) and v != v) for v in vals
+            ):
+                return None
+            return np.asarray(vals, dtype=np.int64)
+
+        a = clean(a)
+        b = clean(b)
         if a is None or b is None:
             return None
-        a = np.asarray(a, dtype=np.int64)
-        b = np.asarray(b, dtype=np.int64)
         n, m = len(a), len(b)
         if n == 0 or m == 0:
             return None

@@ -66,16 +66,20 @@ def run_etl(
         # input_path may be a file, glob, directory, or list of those —
         # the sniffer needs one REAL file, so resolve the first one
         first = input_path[0] if isinstance(input_path, list) else input_path
+        def _sniffable(p: str) -> bool:
+            # skip empty files: a Spark-written dir sorts its 0-byte
+            # _SUCCESS marker first, which would sniff as the default
+            # comma dialect — the exact miss this flag exists to prevent
+            return _os.path.isfile(p) and _os.path.getsize(p) > 0
+
         if _os.path.isdir(first):
             candidates = sorted(
-                p
-                for p in _glob.glob(_os.path.join(first, "*"))
-                if _os.path.isfile(p)
+                p for p in _glob.glob(_os.path.join(first, "*")) if _sniffable(p)
             )
         elif _os.path.isfile(first):
-            candidates = [first]
+            candidates = [first] if _sniffable(first) else []
         else:
-            candidates = sorted(p for p in _glob.glob(first) if _os.path.isfile(p))
+            candidates = sorted(p for p in _glob.glob(first) if _sniffable(p))
         if not candidates:
             raise ValueError(
                 f"sniff_dialect=True but no readable file resolves from "

@@ -136,3 +136,51 @@ def test_zero_months_is_identity(spark):
     for r in out:
         assert r["final_balance_c"] == r["principal_c"]
         assert r["interest_paid_c"] == 0
+
+
+def test_null_inputs_identical_across_paths(spark):
+    """NULL principal/rate/payment rows follow Spark expression-tree
+    NULL semantics identically on all three paths (greatest(0, NULL)
+    skips the NULL: balance clamps to 0, interest goes NULL)."""
+    rows = [
+        (1, None, 100, 11_000),
+        (2, 120_000, None, 11_000),
+        (3, 120_000, 100, None),
+        (4, 120_000, 100, 11_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, principal_c long, rate_bp long, payment_c long"
+    )
+
+    def got(**kw):
+        return sorted(
+            tuple(r)
+            for r in amortize(
+                df, "principal_c", "rate_bp", "payment_c", 24,
+                payoff_col="pm", **kw,
+            ).collect()
+        )
+
+    unrolled = got(unroll_threshold=60)
+    arrow = got(unroll_threshold=0, engine="arrow")
+    sql = got(unroll_threshold=0, engine="sql")
+    assert unrolled == arrow == sql
+    by_id = {r[0]: r for r in unrolled}
+    assert by_id[1][5] is None  # NULL principal -> NULL interest
+    assert by_id[1][4] == 0     # greatest(0, NULL) -> balance clamps 0
+
+
+def test_output_column_collision_replaces(spark):
+    """A colliding input column is REPLACED (withColumn semantics) on
+    every path, including the Arrow kernel."""
+    import pyspark.sql.functions as F
+
+    df = _loans(spark).withColumn("final_balance_c", F.lit(-1).cast("long"))
+    for kw in (
+        {"unroll_threshold": 60},
+        {"unroll_threshold": 0, "engine": "arrow"},
+        {"unroll_threshold": 0, "engine": "sql"},
+    ):
+        out = amortize(df, "principal_c", "rate_bp", "payment_c", 12, **kw)
+        assert out.columns.count("final_balance_c") == 1
+        assert all(r["final_balance_c"] >= 0 for r in out.collect()), kw
