@@ -18137,3 +18137,86 @@ ORACLE_PART_B["q_backtest"] = """
            CAST(sum(ae) // count(*) AS BIGINT) AS mae_c
     FROM errs GROUP BY model
 """
+
+
+def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/A.4+ nearest-neighbor distance summary (the Clark–Evans
+    ingredient): per point, the min squared distance to any neighbor
+    within the 20 000 search radius over the same adaptive √n grid as
+    q_dbscan, then one exact-integer summary row — points with a
+    neighbor, their summed/min/max NN dist², and the isolated count.
+    The spatial-randomness screen: clustered data pulls mean NN
+    distance far below the uniform expectation.
+
+    Plan: the grid-blocked pair join (no cartesian) → symmetrize → one
+    point-keyed min agg → one global summary agg; isolated points =
+    total − matched via a 1-row broadcast count, never a driver
+    round-trip.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import md5_coord48
+    from loan_etl_data_pipeline_spark.operators.spatial import grid_radius_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.agg(
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(count(1) AS DOUBLE)) * 26000) AS BIGINT)"
+        ).alias("g")
+    )
+    pts = cust.crossJoin(F.broadcast(g)).select(
+        F.col("c_custkey").alias("id"),
+        (md5_coord48("c_custkey", "gx") % F.col("g")).alias("x"),
+        (md5_coord48("c_custkey", "gy") % F.col("g")).alias("y"),
+    )
+    pairs = grid_radius_join(pts, "id", "x", "y", radius=20000)
+    nn = (
+        pairs.select(F.col("id_a").alias("id"), "dist2")
+        .union(pairs.select(F.col("id_b").alias("id"), "dist2"))
+        .groupBy("id")
+        .agg(F.min("dist2").alias("nn_d2"))
+    )
+    total = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return nn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_with_nn"),
+        F.sum("nn_d2").cast("bigint").alias("sum_nn_d2"),
+        F.min("nn_d2").cast("bigint").alias("min_nn_d2"),
+        F.max("nn_d2").cast("bigint").alias("max_nn_d2"),
+    ).crossJoin(F.broadcast(total)).select(
+        "n_with_nn",
+        "sum_nn_d2",
+        "min_nn_d2",
+        "max_nn_d2",
+        F.expr("n_total - n_with_nn").cast("bigint").alias("n_isolated"),
+    )
+
+
+QUERIES_PART_B["q_spatial_nn"] = q_spatial_nn
+
+ORACLE_PART_B["q_spatial_nn"] = """
+    WITH n AS (
+        SELECT CAST(FLOOR(SQRT(CAST(count(*) AS DOUBLE)) * 26000) AS BIGINT)
+          AS g
+        FROM customer
+    ), pts AS (
+        SELECT c_custkey AS id,
+               ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'gx'), 1, 12))::BIGINT
+                 % g AS x,
+               ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'gy'), 1, 12))::BIGINT
+                 % g AS y
+        FROM customer, n
+    ), nn AS (
+        SELECT a.id,
+               min((a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y)) AS nn_d2
+        FROM pts a JOIN pts b ON a.id <> b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= CAST(20000 AS BIGINT) * 20000
+        GROUP BY a.id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_with_nn,
+           CAST(sum(nn_d2) AS BIGINT) AS sum_nn_d2,
+           CAST(min(nn_d2) AS BIGINT) AS min_nn_d2,
+           CAST(max(nn_d2) AS BIGINT) AS max_nn_d2,
+           CAST((SELECT count(*) FROM pts) - count(*) AS BIGINT)
+             AS n_isolated
+    FROM nn
+"""
