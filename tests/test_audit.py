@@ -1,0 +1,65 @@
+"""Structured plan-health report (plans/audit.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from loan_etl_data_pipeline_spark.plans.audit import plan_health
+
+
+def test_broadcast_star_join_counts(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    df = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h = plan_health(df)
+    assert h["broadcast_joins"] == 1
+    assert h["sort_merge_joins"] == 0
+    assert h["cartesian_products"] == 0
+    assert h["exchanges"] == 1  # the final agg only
+    assert h["scans"] == 2
+    assert h["pushed_filter_scans"] >= 1  # the priority filter reached parquet
+
+
+def test_cartesian_and_python_stage_detected(spark):
+    a = spark.range(3)
+    b = spark.range(3)
+    h = plan_health(a.crossJoin(b))
+    assert h["cartesian_products"] + h["nested_loop_joins"] >= 1
+
+    def ident(it):
+        yield from it
+
+    h2 = plan_health(spark.range(3).mapInPandas(ident, schema="id long"))
+    assert h2["python_stages"] == 1
+
+
+def test_cached_relation_counted_once_not_inlined(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    agg = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).persist()
+    try:
+        # two consumers of the cache: its build-plan exchange must NOT
+        # leak into the live counts (the raw-string pitfall this
+        # utility exists to remove)
+        df = agg.crossJoin(F.broadcast(agg.agg(F.sum("n").alias("t"))))
+        h = plan_health(df)
+        assert h["cached_relations"] == 2
+        assert h["exchanges"] <= 1  # only the scalar-agg side, if any
+    finally:
+        agg.unpersist()
+
+
+def test_engine_query_shapes(spark, sf_dir):
+    """The report reproduces pinned shapes of registered queries."""
+    from loan_etl_data_pipeline_spark.queries import all_queries
+
+    qs = all_queries()
+    h = plan_health(qs["q_amortization"](spark, sf_dir))
+    assert h["python_stages"] == 0 and h["exchanges"] == 1 and h["scans"] == 1
+    h2 = plan_health(qs["q_dtw_shape"](spark, sf_dir))
+    assert h2["python_stages"] == 1 and h2["cached_relations"] == 2
