@@ -18220,3 +18220,61 @@ ORACLE_PART_B["q_spatial_nn"] = """
              AS n_isolated
     FROM nn
 """
+
+
+def q_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/S8+ grid-cell density profile: how many radius-sized cells
+    hold k points, over the same adaptive √n grid as q_dbscan — the
+    measurement behind every grid-join/DBSCAN parameter choice
+    (candidate volume is Σ density²·9, so this histogram IS the
+    spatial join's cost model; a heavy tail here is the hot-cell skew
+    the operator docs route to salting). Plan: points → integer cell
+    ids (same `div` as the join), one cell-keyed count, one
+    occupancy-keyed count — two map-side-combined aggs, rows out
+    ≤ max cell occupancy.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import md5_coord48
+
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.agg(
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(count(1) AS DOUBLE)) * 26000) AS BIGINT)"
+        ).alias("g")
+    )
+    per_cell = (
+        cust.crossJoin(F.broadcast(g))
+        .select(
+            (md5_coord48("c_custkey", "gx") % F.col("g")).alias("x"),
+            (md5_coord48("c_custkey", "gy") % F.col("g")).alias("y"),
+        )
+        .select(
+            F.expr("x div 20000").alias("cx"),
+            F.expr("y div 20000").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("occupancy"))
+    )
+    return per_cell.groupBy("occupancy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells")
+    )
+
+
+QUERIES_PART_B["q_grid_density"] = q_grid_density
+
+ORACLE_PART_B["q_grid_density"] = """
+    WITH n AS (
+        SELECT CAST(FLOOR(SQRT(CAST(count(*) AS DOUBLE)) * 26000) AS BIGINT)
+          AS g
+        FROM customer
+    ), cells AS (
+        SELECT (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'gx'), 1, 12))::BIGINT
+                 % g) // 20000 AS cx,
+               (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'gy'), 1, 12))::BIGINT
+                 % g) // 20000 AS cy
+        FROM customer, n
+    ), occ AS (
+        SELECT cx, cy, count(*) AS occupancy FROM cells GROUP BY cx, cy
+    )
+    SELECT occupancy, CAST(count(*) AS BIGINT) AS n_cells
+    FROM occ GROUP BY occupancy
+"""
