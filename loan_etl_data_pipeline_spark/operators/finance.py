@@ -116,23 +116,25 @@ def amortize(
         # Vectorized kernel: the month loop runs 360 numpy passes over
         # ALL rows of a batch at once instead of interpreting ~8
         # expression nodes per row per month. Positive-operand floor
-        # div matches Spark `div` exactly.
+        # div matches Spark `div` exactly. mapInArrow, NOT mapInPandas:
+        # Arrow hands nullable int64 as values+validity, while the
+        # pandas bridge converts a null-bearing long column to float64
+        # and silently rounds EVERY value in the batch above 2^53.
         import numpy as np
-        import pandas as pd
         from collections.abc import Iterator
 
-        out_cols = {balance_col, interest_col} | (
-            {payoff_col} if payoff_col else set()
+        new_cols = [balance_col, interest_col] + (
+            [payoff_col] if payoff_col else []
         )
-        # withColumn REPLACES a colliding input column in the other two
-        # paths; mirror that by dropping collisions from the passthrough
-        passthrough = [c for c in df.columns if c not in out_cols]
-        out_fields = ", ".join(
-            f"`{c}` {t}" for c, t in df.dtypes if c in set(passthrough)
-        )
-        schema = (
-            f"{out_fields}, {balance_col} bigint, {interest_col} bigint"
-            + (f", {payoff_col} bigint" if payoff_col else "")
+        # withColumn REPLACES a colliding input column IN PLACE in the
+        # other two paths; mirror both membership and POSITION: output
+        # order = input order (collisions replaced where they stand) +
+        # genuinely new columns appended
+        out_order = list(df.columns) + [c for c in new_cols if c not in df.columns]
+        in_types = dict(df.dtypes)
+        schema = ", ".join(
+            f"`{c}` bigint" if c in new_cols else f"`{c}` {in_types[c]}"
+            for c in out_order
         )
 
         def _null_row(p, r, pay):
@@ -155,61 +157,71 @@ def amortize(
                     pm = m
             return bal, intp, pm
 
-        def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
+        def _kernel(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                cols = [pdf[principal_c], pdf[rate_bp], pdf[payment_c]]
-                nulls = (
-                    cols[0].isna() | cols[1].isna() | cols[2].isna()
-                ).to_numpy()
-                n = len(pdf)
-                bal = np.zeros(n, dtype=np.int64)
-                rate = np.zeros(n, dtype=np.int64)
-                pay = np.zeros(n, dtype=np.int64)
-                ok = ~nulls
-                bal[ok] = cols[0][ok].to_numpy(dtype=np.int64)
-                rate[ok] = cols[1][ok].to_numpy(dtype=np.int64)
-                pay[ok] = cols[2][ok].to_numpy(dtype=np.int64)
-                intp = np.zeros(n, dtype=np.int64)
-                pm = np.zeros(n, dtype=np.int64)  # 0 = not yet
+                names = rb.schema.names
+                arrs = {c: rb.column(names.index(c)) for c in names}
+                ins = [arrs[principal_c], arrs[rate_bp], arrs[payment_c]]
+                # exact int64 values + separate validity — no float trip
+                filled = [
+                    a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                    for a in ins
+                ]
+                nulls = np.zeros(rb.num_rows, dtype=bool)
+                vals = []
+                for a in filled:
+                    nulls |= pc.is_null(a).to_numpy(zero_copy_only=False)
+                    vals.append(
+                        a.fill_null(0).to_numpy(zero_copy_only=False).astype(
+                            np.int64, copy=True
+                        )
+                    )
+                bal, rate, pay = vals
+                bal[nulls] = 0
+                rate[nulls] = 0
+                pay[nulls] = 0
+                intp = np.zeros(rb.num_rows, dtype=np.int64)
+                pm = np.zeros(rb.num_rows, dtype=np.int64)  # 0 = not yet
                 for m in range(1, months + 1):
                     step = (bal * rate) // 10000
                     intp += step
                     bal = np.maximum(0, bal + step - pay)
                     pm = np.where((pm == 0) & (bal == 0), m, pm)
-                out = pdf[passthrough].copy()
-                out[balance_col] = pd.array(bal, dtype="Int64")
-                out[interest_col] = pd.array(intp, dtype="Int64")
-                if payoff_col:
-                    out[payoff_col] = pd.array(
-                        np.where(pm > 0, pm, 0), dtype="Int64"
-                    )
-                    out.loc[pm == 0, payoff_col] = pd.NA
+                bal_mask = np.zeros(rb.num_rows, dtype=bool)
+                int_mask = np.zeros(rb.num_rows, dtype=bool)
+                pm_mask = pm == 0
                 if nulls.any():
                     # rare path: per-row scalar fold with Spark NULL
                     # semantics (the vectorized result for these rows
-                    # is garbage-on-zeros and is overwritten here)
-                    idx = np.flatnonzero(nulls)
-                    for i in idx:
-                        vals = [
-                            None if pd.isna(c.iloc[i]) else int(c.iloc[i])
-                            for c in cols
-                        ]
-                        b, t, pmv = _null_row(*vals)
-                        out.iloc[
-                            i, out.columns.get_loc(balance_col)
-                        ] = pd.NA if b is None else b
-                        out.iloc[
-                            i, out.columns.get_loc(interest_col)
-                        ] = pd.NA if t is None else t
-                        if payoff_col:
-                            out.iloc[
-                                i, out.columns.get_loc(payoff_col)
-                            ] = pd.NA if pmv is None else pmv
-                yield out
+                    # is garbage-on-zeros and is overwritten here);
+                    # .as_py() is an exact python int at any magnitude
+                    for i in np.flatnonzero(nulls):
+                        b, t, pmv = _null_row(
+                            *[a[int(i)].as_py() for a in filled]
+                        )
+                        bal[i], bal_mask[i] = (0, True) if b is None else (b, False)
+                        intp[i], int_mask[i] = (0, True) if t is None else (t, False)
+                        pm[i], pm_mask[i] = (
+                            (0, True) if pmv is None else (pmv, False)
+                        )
+                new_arrays = {
+                    balance_col: pa.array(bal, mask=bal_mask),
+                    interest_col: pa.array(intp, mask=int_mask),
+                }
+                if payoff_col:
+                    new_arrays[payoff_col] = pa.array(pm, mask=pm_mask)
+                out_arrays = [
+                    new_arrays[c] if c in new_arrays else arrs[c]
+                    for c in out_order
+                ]
+                yield pa.RecordBatch.from_arrays(out_arrays, names=out_order)
 
-        return df.mapInPandas(_kernel, schema=schema)
+        return df.mapInArrow(_kernel, schema=schema)
     # engine='sql': one fold expression — O(1) plan size, identical
     # arithmetic, no Python workers needed, but interpreted per element.
     # SQL lambdas cannot let-bind, so the new-balance expression appears

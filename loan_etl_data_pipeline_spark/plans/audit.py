@@ -44,6 +44,7 @@ def plan_health(df: DataFrame) -> dict:
         "nested_loop_joins": 0,
         "cartesian_products": 0,
         "python_stages": 0,
+        "row_udf_stages": 0,  # BatchEvalPythonExec: row-at-a-time UDFs
         "scans": 0,
         "pushed_filter_scans": 0,
         "cached_relations": 0,
@@ -74,10 +75,14 @@ def plan_health(df: DataFrame) -> dict:
             "ArrowEvalPythonExec",
             "BatchEvalPythonExec",
             "MapInPandasExec",
+            "PythonMapInArrowExec",
+            "MapInArrowExec",
             "FlatMapGroupsInPandasExec",
             "FlatMapGroupsInPandasWithStateExec",
         ):
             out["python_stages"] += 1
+            if name == "BatchEvalPythonExec":
+                out["row_udf_stages"] += 1
         elif name == "FileSourceScanExec":
             out["scans"] += 1
             try:

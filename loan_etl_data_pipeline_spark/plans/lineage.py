@@ -120,6 +120,15 @@ def column_lineage(df: DataFrame) -> dict[str, dict[str, set[tuple[str, str]]]]:
 
     m, control = walk(plan)
     out: dict[str, dict[str, set]] = {}
+    names = [a.name() for a in _seq(plan.output())]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        # keying by name would silently hand one column's lineage to a
+        # governance check asking about the other — refuse instead
+        raise ValueError(
+            f"output has duplicate column names {sorted(dupes)}: "
+            "disambiguate with aliases before asking for lineage"
+        )
     for a in _seq(plan.output()):
         data = m.get(a.exprId().id(), set())
         out[a.name()] = {"data": set(data), "control": set(control) - set(data)}

@@ -18148,11 +18148,15 @@ def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     The spatial-randomness screen: clustered data pulls mean NN
     distance far below the uniform expectation.
 
-    Plan: the grid-blocked pair join (no cartesian) → symmetrize → one
-    point-keyed min agg → one global summary agg; isolated points =
-    total − matched via a 1-row broadcast count, never a driver
-    round-trip.
+    Plan: the grid-blocked pair join (no cartesian), PERSISTED because
+    the symmetrizing union reads it twice (unpersisted, the exploded
+    join + distance filter — the dominant cost — executes once per
+    union branch; only the exchanges would be reused) → one point-keyed
+    min agg → one global summary agg; isolated points = total − matched
+    via a 1-row broadcast count, never a driver round-trip. Release
+    contract: ``_persisted_intermediates`` as for global_rank.
     """
+    from pyspark import StorageLevel
     from loan_etl_data_pipeline_spark.functions.splits import md5_coord48
     from loan_etl_data_pipeline_spark.operators.spatial import grid_radius_join
 
@@ -18167,7 +18171,9 @@ def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_coord48("c_custkey", "gx") % F.col("g")).alias("x"),
         (md5_coord48("c_custkey", "gy") % F.col("g")).alias("y"),
     )
-    pairs = grid_radius_join(pts, "id", "x", "y", radius=20000)
+    pairs = grid_radius_join(pts, "id", "x", "y", radius=20000).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nn = (
         pairs.select(F.col("id_a").alias("id"), "dist2")
         .union(pairs.select(F.col("id_b").alias("id"), "dist2"))
@@ -18175,7 +18181,7 @@ def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("dist2").alias("nn_d2"))
     )
     total = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    return nn.agg(
+    out = nn.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_with_nn"),
         F.sum("nn_d2").cast("bigint").alias("sum_nn_d2"),
         F.min("nn_d2").cast("bigint").alias("min_nn_d2"),
@@ -18187,6 +18193,8 @@ def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_nn_d2",
         F.expr("n_total - n_with_nn").cast("bigint").alias("n_isolated"),
     )
+    out._persisted_intermediates = [pairs]
+    return out
 
 
 QUERIES_PART_B["q_spatial_nn"] = q_spatial_nn

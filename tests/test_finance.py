@@ -170,12 +170,17 @@ def test_null_inputs_identical_across_paths(spark):
     assert by_id[1][4] == 0     # greatest(0, NULL) -> balance clamps 0
 
 
-def test_output_column_collision_replaces(spark):
-    """A colliding input column is REPLACED (withColumn semantics) on
-    every path, including the Arrow kernel."""
+def test_output_column_collision_replaces_in_place(spark):
+    """A colliding input column is REPLACED IN ITS POSITION (withColumn
+    semantics) on every path — positional consumers (unions across
+    engines, tuple comparisons) must see identical schemas."""
     import pyspark.sql.functions as F
 
-    df = _loans(spark).withColumn("final_balance_c", F.lit(-1).cast("long"))
+    # collision as the FIRST column, where an append-at-end bug shows
+    df = _loans(spark).select(
+        F.lit(-1).cast("long").alias("final_balance_c"), "*"
+    )
+    cols_seen = []
     for kw in (
         {"unroll_threshold": 60},
         {"unroll_threshold": 0, "engine": "arrow"},
@@ -184,3 +189,25 @@ def test_output_column_collision_replaces(spark):
         out = amortize(df, "principal_c", "rate_bp", "payment_c", 12, **kw)
         assert out.columns.count("final_balance_c") == 1
         assert all(r["final_balance_c"] >= 0 for r in out.collect()), kw
+        cols_seen.append(out.columns)
+    assert cols_seen[0] == cols_seen[1] == cols_seen[2]
+
+
+def test_null_batch_does_not_corrupt_large_siblings(spark):
+    """A NULL row in a batch must not round-trip its non-null siblings
+    through float64: values above 2^53 stay exact on the Arrow path."""
+    big = 9_007_199_254_740_993  # 2^53 + 1: float64 cannot represent it
+    df = spark.createDataFrame(
+        [(1, big, 0, 0), (2, None, 100, 10)],
+        "id long, principal_c long, rate_bp long, payment_c long",
+    )
+    out = {
+        r["id"]: (r["final_balance_c"], r["interest_paid_c"])
+        for r in amortize(
+            df, "principal_c", "rate_bp", "payment_c", 70,
+            unroll_threshold=60, engine="arrow",
+        ).collect()
+    }
+    # rate 0, payment 0: balance must be EXACTLY the odd principal
+    assert out[1] == (big, 0)
+    assert out[2][1] is None  # the null row follows NULL semantics

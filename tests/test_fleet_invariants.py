@@ -20,21 +20,10 @@ from loan_etl_data_pipeline_spark.queries import all_queries
 def test_no_cartesian_no_row_udf_anywhere(spark, sf_dir):
     import pyspark.sql.functions as F  # noqa: F401
 
-    def has_batch_eval(node):
-        # Arrow-batched Python (MapInPandas / FlatMapGroupsInPandas) is
-        # the sanctioned slow path; row-at-a-time BatchEvalPython never
-        # is — plan_health folds both into python_stages, so walk for
-        # the forbidden class specifically
-        if node.getClass().getSimpleName() == "BatchEvalPythonExec":
-            return True
-        ch = node.children()
-        return any(has_batch_eval(ch.apply(i)) for i in range(ch.size()))
-
     violations = []
     for name, fn in all_queries().items():
         try:
-            df = fn(spark, sf_dir)
-            h = plan_health(df)
+            h = plan_health(fn(spark, sf_dir))
         except Exception as e:  # plan must at least BUILD
             violations.append((name, f"plan build failed: {e!r}"[:220]))
             continue
@@ -42,7 +31,24 @@ def test_no_cartesian_no_row_udf_anywhere(spark, sf_dir):
             violations.append(
                 (name, f"cartesian_products={h['cartesian_products']}")
             )
-        if has_batch_eval(df._jdf.queryExecution().executedPlan()):
+        if h["row_udf_stages"]:
             violations.append((name, "BatchEvalPythonExec (row-at-a-time UDF)"))
         spark.catalog.clearCache()  # queries may persist intermediates
     assert not violations, violations
+
+
+def test_invariant_detectors_are_not_vacuous(spark):
+    """Positive controls: the auditor must FLAG a deliberately bad plan
+    — a hand-rolled tree walk that silently misses the AQE root passed
+    everything (the failure this test exists to prevent recurring)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import udf
+
+    bad_udf = spark.range(5).select(
+        udf(lambda x: x + 1, "long")(F.col("id")).alias("y")
+    )
+    assert plan_health(bad_udf)["row_udf_stages"] >= 1
+
+    cart = spark.range(3).join(spark.range(3).withColumnRenamed("id", "j"))
+    h = plan_health(cart)
+    assert h["cartesian_products"] + h["nested_loop_joins"] >= 1

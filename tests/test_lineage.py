@@ -94,3 +94,15 @@ def test_pii_governance_screen(spark, sf_dir):
     )
     lin2 = column_lineage(leaky)
     assert {n for _, n in lin2["sample_name"]["data"]} == {"c_name"}
+
+
+def test_duplicate_output_names_refused(spark, sf_dir):
+    import pytest
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    dup = o.join(c, o.o_custkey == c.o_custkey)  # two o_custkey outputs
+    with pytest.raises(ValueError, match="duplicate column names"):
+        column_lineage(dup)
