@@ -63,3 +63,18 @@ def test_engine_query_shapes(spark, sf_dir):
     assert h["python_stages"] == 0 and h["exchanges"] == 1 and h["scans"] == 1
     h2 = plan_health(qs["q_dtw_shape"](spark, sf_dir))
     assert h2["python_stages"] == 1 and h2["cached_relations"] == 2
+
+
+def test_spatial_nn_pairs_built_once(spark, sf_dir):
+    """The symmetrizing union reads ONE cached pair join (unpersisted,
+    the exploded join + distance filter would execute per branch)."""
+    from loan_etl_data_pipeline_spark.queries import all_queries
+
+    df = all_queries()["q_spatial_nn"](spark, sf_dir)
+    try:
+        h = plan_health(df)
+        assert h["cached_relations"] == 2  # both union branches hit the cache
+        assert h["cartesian_products"] == 0
+    finally:
+        for p in getattr(df, "_persisted_intermediates", []):
+            p.unpersist()
