@@ -75,6 +75,30 @@ def main() -> None:
     # warm-up: JVM, parquet footers, codegen paths — not billed
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Host-epoch calibration (VERDICT r4 ask #5): BASELINE.md documents
+    # ~×1.4 UNIFORM wall-clock drift between idle-machine epochs running
+    # identical code. This fixed synthetic workload — SF-independent,
+    # plan-stable, CPU+shuffle bound — is timed min-of-3 and recorded in
+    # both outputs, so cross-round per-query ratios can be mechanically
+    # drift-normalized (divide by the calibration ratio) instead of
+    # eyeballed against the suite median.
+    def calibrate() -> float:
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 20_000_000, 1, int(cpus))
+                .selectExpr("id % 997 AS k", "id AS v")
+                .groupBy("k")
+                .sum("v")
+                .collect()
+            )
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 4)
+
+    calibration = calibrate()
+    print(f"# calibration workload: {calibration:.3f}s", file=sys.stderr)
+
     def time_one(name: str, pass_no) -> float:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
@@ -117,6 +141,7 @@ def main() -> None:
         "metric": "per_query_wall_sec",
         "queries": timings,
         "samples": {name: ts for name, ts in runs.items()},
+        "calibration_sec": calibration,
         "sf": sf,
     }
     with open(os.path.join(REPO_DIR, "bench_detail.json"), "w") as f:
@@ -130,6 +155,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "calibration_sec": calibration,
                 "sf": sf,
             }
         ),

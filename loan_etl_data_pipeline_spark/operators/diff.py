@@ -106,22 +106,45 @@ def reconcile_one_to_one(
     Returns keys + rank + ``value_col`` under each suffix + ``status``
     in {'matched','only_a','only_b'}; matched rows carry both values so
     callers can aggregate tolerance drift exactly.
+
+    Row presence is carried through the full-outer join as EXPLICIT
+    marker columns, never inferred from ``value_col`` nullability: a
+    ledger entry whose value is legitimately NULL is still a present
+    row (a matched pair with a NULL A-side value is 'matched', not
+    'only_b') — ADVICE r4 flagged the nullability-inference version as
+    silently corrupting matched/break counts for NULL-bearing ledgers.
     """
     wa = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    left = a.select(
-        *key_cols, *order_cols, F.col(value_col).alias(f"{value_col}{suffixes[0]}")
-    ).withColumn("rk", F.row_number().over(wa))
-    right = b.select(
-        *key_cols, *order_cols, F.col(value_col).alias(f"{value_col}{suffixes[1]}")
-    ).withColumn("rk", F.row_number().over(wa))
-    va, vb = f"{value_col}{suffixes[0]}", f"{value_col}{suffixes[1]}"
+    left = (
+        a.select(
+            *key_cols,
+            *order_cols,
+            F.col(value_col).alias(f"{value_col}{suffixes[0]}"),
+        )
+        .withColumn("rk", F.row_number().over(wa))
+        .withColumn("__a_present", F.lit(True))
+    )
+    right = (
+        b.select(
+            *key_cols,
+            *order_cols,
+            F.col(value_col).alias(f"{value_col}{suffixes[1]}"),
+        )
+        .withColumn("rk", F.row_number().over(wa))
+        .withColumn("__b_present", F.lit(True))
+    )
     return (
         left.drop(*order_cols)
         .join(right.drop(*order_cols), [*key_cols, "rk"], "full_outer")
         .withColumn(
             "status",
-            F.when(F.col(va).isNotNull() & F.col(vb).isNotNull(), F.lit("matched"))
-            .when(F.col(va).isNotNull(), F.lit("only_a"))
+            F.when(
+                F.col("__a_present").isNotNull()
+                & F.col("__b_present").isNotNull(),
+                F.lit("matched"),
+            )
+            .when(F.col("__a_present").isNotNull(), F.lit("only_a"))
             .otherwise(F.lit("only_b")),
         )
+        .drop("__a_present", "__b_present")
     )

@@ -18,8 +18,10 @@ all arithmetic is int64 cents / basis points:
     interest_m = (bal * rate_bp) div 10000          -- floor, positive
     bal'       = greatest(0, bal + interest_m - payment)
 
-``div`` on non-negative int64 is identical to DuckDB's ``//``, so N
-folded months replicate bit-for-bit against a recursive CTE.
+``div`` truncates toward zero exactly like DuckDB's ``//`` (verified on
+negatives), and the numpy/Python kernels implement the same truncating
+division explicitly (bare ``//`` FLOORS there), so N folded months
+replicate bit-for-bit against a recursive CTE — for negative rates too.
 
 100 TB story: the fold is row-local — it scales with the scan, no
 shuffle, no per-key state. ``unroll_threshold`` bounds codegen size:
@@ -70,9 +72,10 @@ def amortize(
     O(1)-plan-size ``aggregate(sequence())`` fold, pure-JVM but
     interpreted per element — the fallback where Python workers are
     unavailable. All three paths are bit-identical (pinned by
-    tests/test_finance.py): every step is int64 floor-div on
-    non-negative operands, which numpy ``//``, Spark ``div`` and
-    DuckDB ``//`` agree on.
+    tests/test_finance.py): every step is int64 division truncated
+    toward zero — Spark ``div`` / DuckDB ``//`` semantics, replicated
+    explicitly in the numpy/Python kernels (whose bare ``//`` floors),
+    so the contract holds even for a negative ``rate_bp``.
     """
     if months < 0:
         raise ValueError(f"months must be >= 0, got {months}")
@@ -115,8 +118,8 @@ def amortize(
     if engine in ("auto", "arrow"):
         # Vectorized kernel: the month loop runs 360 numpy passes over
         # ALL rows of a batch at once instead of interpreting ~8
-        # expression nodes per row per month. Positive-operand floor
-        # div matches Spark `div` exactly. mapInArrow, NOT mapInPandas:
+        # expression nodes per row per month. Division truncates toward
+        # zero to match Spark `div` on any sign. mapInArrow, NOT mapInPandas:
         # Arrow hands nullable int64 as values+validity, while the
         # pandas bridge converts a null-bearing long column to float64
         # and silently rounds EVERY value in the batch above 2^53.
@@ -147,9 +150,16 @@ def amortize(
             def add(x, y):
                 return None if x is None or y is None else x + y
 
+            def tdiv(x, d):
+                # truncate toward zero = Spark `div` = DuckDB `//`;
+                # Python's bare `//` FLOORS and would diverge on a
+                # negative rate_bp (ADVICE r4)
+                q = abs(x) // d
+                return q if x >= 0 else -q
+
             bal, intp, pm = p, 0, None
             for m in range(1, months + 1):
-                step = None if mul(bal, r) is None else (bal * r) // 10000
+                step = None if mul(bal, r) is None else tdiv(bal * r, 10000)
                 intp = add(intp, step)
                 nb = add(add(bal, step), None if pay is None else -pay)
                 bal = 0 if nb is None else max(0, nb)
@@ -188,7 +198,11 @@ def amortize(
                 intp = np.zeros(rb.num_rows, dtype=np.int64)
                 pm = np.zeros(rb.num_rows, dtype=np.int64)  # 0 = not yet
                 for m in range(1, months + 1):
-                    step = (bal * rate) // 10000
+                    # truncate toward zero (= Spark `div`), not numpy's
+                    # flooring `//` — the paths must agree even when a
+                    # negative rate_bp makes bal*rate negative (ADVICE r4)
+                    prod = bal * rate
+                    step = np.where(prod >= 0, prod // 10000, -((-prod) // 10000))
                     intp += step
                     bal = np.maximum(0, bal + step - pay)
                     pm = np.where((pm == 0) & (bal == 0), m, pm)

@@ -33,6 +33,12 @@ def plan_health(df: DataFrame) -> dict:
     that reached the reader with at least one pushed filter),
     ``cached_relations`` — all for the LIVE plan; a cached relation's
     build plan is not re-counted into the live totals.
+
+    AQE: on a DataFrame that has already executed (collect/count/write),
+    counts reflect the FINAL adaptive plan — including runtime SMJ→BHJ
+    conversions and skew-join splits; before execution they reflect the
+    pre-AQE initial plan (the only one that exists). Audit after
+    running when the runtime shape is what you're asserting.
     """
     plan = df._jdf.queryExecution().executedPlan()
     out = {
@@ -95,7 +101,25 @@ def plan_health(df: DataFrame) -> dict:
         # AQE wrappers / reused subtrees: descend through logical
         # indirections so the counts reflect the whole live plan
         if name == "AdaptiveSparkPlanExec":
+            # Once the query has RUN, AQE's final plan is the truth —
+            # runtime SMJ→BHJ conversions and skew-join splits replace
+            # the static guess (ADVICE r4: initialPlan-only counts can
+            # disagree with what actually executed). Before execution
+            # only the initial plan exists; counts are then the
+            # pre-AQE static shape, as documented.
+            try:
+                if node.isFinalPlan():
+                    visit(node.executedPlan())
+                    return
+            except Exception:
+                pass
             visit(node.initialPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            # materialized AQE stages (Shuffle/Broadcast/Result/
+            # TableCache) are leaf-like: the executed subtree hangs off
+            # .plan(), not children()
+            visit(node.plan())
             return
         if name == "ReusedExchangeExec":
             return  # the original exchange is counted where it lives

@@ -58,8 +58,17 @@ def column_lineage(df: DataFrame) -> dict[str, dict[str, set[tuple[str, str]]]]:
     "control": {(source, col), ...}}}`` where ``source`` is the leaf
     relation's root path (or leaf class name when pathless, e.g. a
     LocalRelation from createDataFrame). ``data`` = columns feeding the
-    value; ``control`` = columns that only gate rows (filters / join
-    keys) anywhere beneath the column's derivation.
+    value. ``control`` = columns that only gate rows (filters / join
+    keys / sort keys) ANYWHERE in the plan — deliberately PLAN-WIDE,
+    not attributed per column: every filter in any join/union branch
+    shapes which output rows exist (through join multiplicity / branch
+    membership), so the plan-global set is the row-population gate of
+    the result, shared by all output columns (minus each column's own
+    data deps). This is a conservative over-approximation in the safe
+    direction for governance — a PII gate is never MISSED; a column
+    from one union branch does inherit the other branch's filter
+    columns (ADVICE r4 notes the over-report; consumers needing
+    per-branch attribution should lineage the branches separately).
     """
     plan = df._jdf.queryExecution().analyzed()
 

@@ -4621,6 +4621,46 @@ _DRIVER_WINDOW_R4 = [
     "q_part_profit",
 ]
 
+# Round-5 window: the next 50 oracle-backed queries with NO driver
+# CORRECTNESS row in rounds 1-4 (union = 113 of 358; zero overlap with
+# this list, asserted in tests/test_oracle_parity.py).  Same shape as R4:
+# one thin single-table warmup absorber first, then the heaviest
+# never-certified flagships (graph, walks, spatial, finance/time-series,
+# entity resolution, LM/retrieval, ANN/clustering) so the hard driver
+# signal lands on the operators where a silent regression would hurt most.
+# q_frequent_triples / q_association_rules are deliberately included: the
+# association-rules pair-support path is being re-plumbed this round and
+# driver certification pins the oracle across that change.
+_DRIVER_WINDOW_R5 = [
+    # thin warmup absorber (slot 1 pays JVM/codegen warmup)
+    "q_price_histogram",
+    # graph flagships
+    "q_msf", "q_hits", "q_ppr", "q_label_prop", "q_kcore", "q_modularity",
+    "q_textrank", "q_clustering_coeff", "q_degree_assortativity",
+    "q_bfs_hops", "q_cheapest_paths", "q_link_prediction", "q_neighborhood",
+    "q_effective_diameter",
+    # random-walk stack
+    "q_random_walks", "q_walk_skipgrams", "q_node2vec_walks", "q_walk_pmi",
+    "q_bfs_resumable",
+    # spatial
+    "q_dbscan", "q_spatial_pairs", "q_spatial_nn", "q_grid_density",
+    # finance / time-series
+    "q_amortization", "q_amortization_360", "q_payoff_curve",
+    "q_holt_trend", "q_dtw_shape", "q_seq_edit", "q_backtest",
+    "q_bitemporal", "q_reconcile",
+    # entity resolution
+    "q_entity_resolution", "q_fs_scores", "q_sorted_blocking",
+    "q_del1_join", "q_blocking_eval",
+    # LM / retrieval
+    "q_kn_lm", "q_hybrid_search", "q_bm25_prf", "q_phrase_search",
+    "q_nb_langid",
+    # frequent itemsets (re-plumbed this round)
+    "q_frequent_triples", "q_association_rules",
+    # ANN / clustering
+    "q_mmr_diversify", "q_mutual_knn", "q_power_iteration", "q_kmeans",
+    "q_pca2",
+]
+
 # Driver rows recorded in rounds 1-3 (union of CORRECTNESS_r0{1,2,3}.json
 # key sets; r1 ran a 29-query window partly disjoint from r2/r3's 50).
 # Kept inline so ordering logic never needs driver artifacts at import time.
@@ -4647,6 +4687,11 @@ _DRIVER_COVERED_R123 = {
     "q_sessions", "q_simhash", "q_table_diff",
 }
 
+# Union of driver rows recorded in rounds 1-4 (CORRECTNESS_r04.json's key
+# set == _DRIVER_WINDOW_R4, verified: 50/50 green, zero overlap with
+# r1-r3).  113 names total.
+_DRIVER_COVERED_R1234 = _DRIVER_COVERED_R123 | set(_DRIVER_WINDOW_R4)
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from loan_etl_data_pipeline_spark.queries_curation import QUERIES_CURATION
@@ -4661,10 +4706,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     oracles = all_oracles()
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _DRIVER_WINDOW_R4:  # the 50 this round certifies
+    for name in _DRIVER_WINDOW_R5:  # the 50 this round certifies
         out[name] = full[name]
     for name in full:  # rest of the never-driver-checked, oracle-backed
-        if name not in out and name in oracles and name not in _DRIVER_COVERED_R123:
+        if name not in out and name in oracles and name not in _DRIVER_COVERED_R1234:
             out[name] = full[name]
     for name in full:  # already certified in earlier rounds
         if name not in out and name in oracles:
@@ -16941,48 +16986,21 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sup(c)/n_baskets), both as exact 1e9-quantized integer ratios
     (conf9 = sup3*1e9 div sup2; lift9 = sup3*n*1e9 div (sup2*sup1)) —
     the recommendation-strength layer over q_frequent_triples, kept
-    transcendental-free per the house oracle discipline. One extra
-    pair-support join and one item-support join over the (tiny)
-    frequent-triple set; all heavy lifting happened at the itemset
-    level.
+    transcendental-free per the house oracle discipline. The frequent-
+    pair supports are computed ONCE inside the operator
+    (operators/frequent.py association_rules) and reused for triple
+    generation AND rule confidence — r4's version re-aggregated the raw
+    Σ·basket² pair multiset a third time just for sup2, which at 100 TB
+    is the dominant cost paid 3× instead of 1× (VERDICT r4 §wrong #1).
     """
     from loan_etl_data_pipeline_spark.operators.frequent import (
-        frequent_triples,
+        association_rules,
     )
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    tri = frequent_triples(li, "l_orderkey", "l_partkey", min_support=2)
-    a = li.selectExpr("l_orderkey AS k", "l_partkey AS ia")
-    b = li.selectExpr("l_orderkey AS k", "l_partkey AS ib")
-    pair_sup = (
-        a.join(b, "k")
-        .filter("ia < ib")
-        .groupBy("ia", "ib")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("sup2"))
-    )
-    item_sup = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("sup1")
-    )
-    n_baskets = li.select("l_orderkey").distinct().count()
-    return (
-        tri.join(
-            pair_sup,
-            (tri["item_a"] == pair_sup["ia"]) & (tri["item_b"] == pair_sup["ib"]),
-        )
-        .join(item_sup, tri["item_c"] == item_sup["l_partkey"])
-        .select(
-            "item_a", "item_b", "item_c", "support",
-            F.expr("(support * 1000000000L) div sup2").alias("conf9"),
-            F.expr(
-                f"(support * {n_baskets}L * 1000000000L) div (sup2 * sup1)"
-            ).alias("lift9"),
-        )
-    )
+    return association_rules(li, "l_orderkey", "l_partkey", min_support=2)
 
 
 QUERIES_PART_B["q_association_rules"] = q_association_rules
@@ -17754,11 +17772,17 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the analogous move is choosing eps against the
     measured density, not the row count.
 
-    Plan: grid-blocked eps-pair join (constant 3×3 explode, no
-    cartesian) → degree core screen → two-phase CC on core–core edges
-    (diameter-independent) → border min-label attach. Every stage is a
-    certified component; the oracle replays the whole stack with a
-    quadratic pair join + recursive-CTE closure.
+    Plan (dense-cell path, the r5 default — VERDICT r4 ask #6): an
+    inner grid of side ⌊√(eps²/2)⌋ proves every point in a cell with
+    ≥ min_pts occupants CORE with no pair counting, collapses each such
+    clique to one node before connected components (the pair multiset
+    never shuffles — map-side DISTINCT to cell adjacency), and only
+    sparse-cell points take the per-point degree screen; bit-identical
+    to the point-graph composition (grid-blocked eps-pair join → degree
+    core screen → two-phase CC → border min-label attach), pinned by
+    tests/test_spatial.py. The oracle replays the whole stack with a
+    quadratic pair join + recursive-CTE closure — grid internals are
+    invisible to it.
     """
     from loan_etl_data_pipeline_spark.functions.splits import md5_coord48
     from loan_etl_data_pipeline_spark.operators.spatial import dbscan
@@ -17903,19 +17927,23 @@ ORACLE_PART_B["q_reconcile"] = """
                                   ORDER BY ts, event_id) AS rk
         FROM ev WHERE event_type = 'view'
     ), j AS (
+        -- presence from rk (row_number is never NULL on a present row),
+        -- NOT from value nullability: a NULL-valued ledger entry is
+        -- still a present row (mirrors operators/diff.py markers)
         SELECT coalesce(a.user_id, b.user_id) AS user_id,
-               a.cents AS ca, b.cents AS cb
+               a.cents AS ca, b.cents AS cb,
+               a.rk IS NOT NULL AS pa, b.rk IS NOT NULL AS pb
         FROM a FULL OUTER JOIN b
           ON a.user_id = b.user_id AND a.bucket = b.bucket AND a.rk = b.rk
     )
     SELECT user_id,
-           CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-           CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NULL
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_only_ledger,
-           CAST(sum(CASE WHEN ca IS NULL AND cb IS NOT NULL
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_only_feed,
-           CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+           CAST(sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           CAST(sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_ledger,
+           CAST(sum(CASE WHEN pb AND NOT pa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_feed,
+           CAST(sum(CASE WHEN pa AND pb
                     THEN abs(ca - cb) ELSE 0 END) AS BIGINT) AS drift_c
     FROM j GROUP BY user_id
 """

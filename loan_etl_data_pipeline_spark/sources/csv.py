@@ -157,7 +157,14 @@ def sniff_csv_dialect(
     Quote char: `"` or `'` if any sampled field is wrapped in it;
     header: the first row has no field that parses as a number while
     some later row does (the reference's numeric-column assumption,
-    made explicit).
+    made explicit). All-string files (no numeric cell anywhere — where
+    that signal is useless) fall back to a Sniffer-style distinctness
+    check: the first row is a header iff its values are unique AND none
+    recurs later in its own column (header names rarely reappear as
+    data; ADVICE r4 flagged the old always-False answer, which silently
+    ingested genuine headers as data). Inherent ambiguity remains for
+    all-string headerless files whose every column is unique-valued —
+    pass an explicit header flag for those.
 
     Returns ``{"sep", "quote", "header", "n_fields"}`` — pass ``sep``/
     ``quote``/``header`` straight into Spark's CSV options.
@@ -238,5 +245,19 @@ def sniff_csv_dialect(
         for ln in lines[1:]
         for f in split_csv(ln, sep, quote)
     )
-    header = (not first_numeric) and (later_numeric or len(lines) == 1)
+    if first_numeric:
+        header = False
+    elif later_numeric or len(lines) == 1:
+        header = True
+    else:
+        # all-string sample: the numeric signal is useless (ADVICE r4 —
+        # the old unconditional False here fed genuine headers into the
+        # data). Sniffer-style fallback: a header row's names are unique
+        # and don't recur as data in their own column.
+        rows = [split_csv(ln, sep, quote) for ln in lines]
+        first = [f.strip() for f in rows[0]]
+        header = len(set(first)) == len(first) and all(
+            first[i] not in {r[i].strip() for r in rows[1:] if i < len(r)}
+            for i in range(len(first))
+        )
     return {"sep": sep, "quote": quote, "header": header, "n_fields": n_fields}

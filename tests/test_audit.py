@@ -78,3 +78,40 @@ def test_spatial_nn_pairs_built_once(spark, sf_dir):
     finally:
         for p in getattr(df, "_persisted_intermediates", []):
             p.unpersist()
+
+
+def test_aqe_final_plan_reflected_after_execution(spark):
+    """ADVICE r4: once a query has run, plan_health must walk AQE's
+    FINAL plan — a runtime SMJ→BHJ conversion is visible post-collect,
+    while the pre-execution audit still reports the static SMJ guess."""
+    conf = spark.conf
+    old_static = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_adapt = conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        # static planner: never broadcast; AQE runtime: broadcast small
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+        a = spark.range(0, 10000).withColumnRenamed("id", "k")
+        b = (
+            spark.range(0, 10000)
+            .filter("id % 997 = 0")  # tiny at runtime, unknown statically
+            .withColumnRenamed("id", "k")
+        )
+        j = a.join(b, "k").agg(F.count(F.lit(1)).alias("n"))
+        before = plan_health(j)
+        assert before["sort_merge_joins"] >= 1
+        assert before["broadcast_joins"] == 0
+        j.collect()
+        after = plan_health(j)
+        assert after["broadcast_joins"] >= 1, after
+        assert after["sort_merge_joins"] == 0, after
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        if old_adapt is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_adapt
+            )

@@ -49,6 +49,32 @@ def test_headerless_numeric_first_row(tmp_path):
     assert d["header"] is False
 
 
+def test_all_string_file_with_genuine_header(tmp_path):
+    """ADVICE r4: no numeric cell anywhere — the numeric heuristic is
+    useless and must NOT default to header=False (which would ingest
+    the header row as data). Distinctness fallback: unique first-row
+    names that never recur in their own column => header."""
+    text = "name,city,segment\nalice,paris,retail\nbob,lyon,corp\n"
+    d = sniff_csv_dialect(_write(str(tmp_path), "s.csv", text))
+    assert d["header"] is True
+
+
+def test_all_string_headerless_repeating_data(tmp_path):
+    """All-string AND headerless: first row's values recur later in
+    their own columns (categorical data), so the fallback says data."""
+    text = "alice,paris,retail\nbob,lyon,corp\nalice,paris,corp\n"
+    d = sniff_csv_dialect(_write(str(tmp_path), "r.csv", text))
+    assert d["header"] is False
+
+
+def test_all_string_duplicate_first_row_values_not_header(tmp_path):
+    """A first row with repeated values can't be a header (column names
+    must be distinct)."""
+    text = "x,x,y\naa,bb,cc\n"
+    d = sniff_csv_dialect(_write(str(tmp_path), "dup.csv", text))
+    assert d["header"] is False
+
+
 def test_single_quote_detection_and_gzip(tmp_path):
     text = "id;who\n1;'a;b'\n2;'c'\n"
     d = sniff_csv_dialect(_write(str(tmp_path), "q.csv.gz", text, gz=True))

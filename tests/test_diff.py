@@ -83,3 +83,28 @@ def test_reconcile_one_to_one_semantics(spark):
     assert out[(2, 1)] == (500, None, "only_a")
     assert out[(3, 1)] == (None, 900, "only_b")
     assert len(out) == 5
+
+
+def test_reconcile_null_values_still_present(spark):
+    """ADVICE r4 (medium): row presence must come from explicit markers,
+    not value_col nullability — a matched pair whose A-side (or both
+    sides') value is NULL is 'matched', and a NULL-valued unmatched
+    A-row is 'only_a', never 'only_b'."""
+    from loan_etl_data_pipeline_spark.operators.diff import reconcile_one_to_one
+
+    a = spark.createDataFrame(
+        [(1, 1, None), (1, 2, None), (2, 1, None)],
+        "k long, t long, v long",
+    )
+    b = spark.createDataFrame(
+        [(1, 5, 99), (1, 6, None)],
+        "k long, t long, v long",
+    )
+    out = {
+        (r["k"], r["rk"]): (r["v_a"], r["v_b"], r["status"])
+        for r in reconcile_one_to_one(a, b, ["k"], ["t"], "v").collect()
+    }
+    assert out[(1, 1)] == (None, 99, "matched")   # NULL A-value, matched
+    assert out[(1, 2)] == (None, None, "matched")  # NULL both sides
+    assert out[(2, 1)] == (None, None, "only_a")   # NULL-valued break
+    assert len(out) == 3

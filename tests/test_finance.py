@@ -93,6 +93,48 @@ def test_all_three_paths_identical(spark):
     assert unrolled == arrow == sql
 
 
+def test_negative_rate_paths_identical(spark):
+    """ADVICE r4: a negative rate_bp makes bal*rate negative, where
+    numpy/Python `//` FLOOR but Spark `div` truncates toward zero — the
+    kernels must implement truncating division so the bit-identical
+    contract holds on any sign. Rows are chosen so floor != trunc
+    (nonzero remainder on a negative product: 3·-5002 = -15006 →
+    trunc -1, floor -2)."""
+    rows = [
+        (1, 3, -5002, 0),       # bal stays tiny, remainder nonzero
+        (2, 1000, -15000, 0),   # payoff via negative interest
+        (3, 99999, -1, 7),      # -99999/10000 → trunc -9, floor -10
+        (4, None, -5002, 0),    # NULL principal through the rare path
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, principal_c long, rate_bp long, payment_c long"
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        tuple(None if v is None else v for v in r) for r in rows
+    )
+    outs = [
+        key(
+            amortize(
+                df, "principal_c", "rate_bp", "payment_c", 3,
+                payoff_col="pm", unroll_threshold=thr, engine=eng,
+            ).collect()
+        )
+        for thr, eng in ((60, "auto"), (0, "arrow"), (0, "sql"))
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    # pin the truncating value itself, not just cross-path agreement:
+    # id=1, month 1: step = trunc(-15006/10000) = -1 (floor would be -2)
+    one = {
+        r["id"]: (r["final_balance_c"], r["interest_paid_c"])
+        for r in amortize(
+            df, "principal_c", "rate_bp", "payment_c", 1,
+            unroll_threshold=0, engine="arrow",
+        ).collect()
+    }
+    assert one[1] == (2, -1)
+    assert one[3] == (99983, -9)
+
+
 def test_payoff_month_semantics(spark):
     out = {
         r["id"]: r["pm"]

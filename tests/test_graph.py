@@ -459,3 +459,44 @@ def test_cheapest_paths_hand_graph(spark):
 
     with _pytest.raises(ValueError):
         cheapest_paths(e, seeds=seeds, max_hops=0)
+
+
+# ---- cache hygiene (VERDICT r4 ask #3 / ADVICE r3 #5) -------------------
+
+
+def test_pagerank_family_releases_persisted_intermediates(spark):
+    """pagerank/personalized_pagerank persist their loop invariants
+    (edges, out-degrees, node set, seeds) internally; both must release
+    them before returning so long-lived sessions never accumulate cache
+    entries until clearCache. Checked at the CacheManager level — the
+    registry Dataset.persist writes to — after each operator completes.
+    localCheckpoint RDD blocks are exempt: they are GC-managed by the
+    ContextCleaner, not cache-retained."""
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    pagerank(edges, iterations=3).collect()
+    assert cm.isEmpty(), "pagerank left persisted intermediates cached"
+
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    personalized_pagerank(edges, seeds=seeds, iterations=2).collect()
+    assert cm.isEmpty(), (
+        "personalized_pagerank left persisted intermediates cached"
+    )
+
+    # positive control: an actually-persisted frame IS visible to the
+    # detector (guards against a vacuously-green isEmpty probe)
+    held = edges.persist()
+    held.count()
+    assert not cm.isEmpty()
+    held.unpersist()
+    assert cm.isEmpty()

@@ -73,6 +73,33 @@ def test_window_and_union(spark, sf_dir):
     assert set(_names(lu["v"]["data"])) == {"o_orderkey", "o_totalprice"}
 
 
+def test_control_is_plan_wide_by_contract(spark, sf_dir):
+    """Documented semantics (ADVICE r4): control deps are the PLAN-WIDE
+    row-population gate — a filter in either union/join branch is
+    reported on every output column (conservative for governance: a PII
+    gate is never missed), minus the column's own data deps."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    u = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_totalprice").alias("v")
+    ).union(
+        c.filter(F.col("c_acctbal") > 0).select(F.col("c_acctbal").alias("v"))
+    )
+    lin = column_lineage(u)
+    names = {n for _, n in lin["v"]["control"]}
+    # both branches' gates appear, own data deps are excluded
+    assert {"o_orderstatus"} <= names
+    assert "c_acctbal" not in names  # it IS a data dep of v
+    j = o.join(
+        c.filter(F.col("c_mktsegment") == "BUILDING"),
+        o["o_custkey"] == c["c_custkey"],
+    ).select("o_totalprice")
+    lj = column_lineage(j)
+    cn = {n for _, n in lj["o_totalprice"]["control"]}
+    # the OTHER side's filter and the join keys gate this column's rows
+    assert {"c_mktsegment", "o_custkey", "c_custkey"} <= cn
+
+
 def test_pii_governance_screen(spark, sf_dir):
     """The governance use case: is any output column DATA-derived from
     a declared-PII source column?"""

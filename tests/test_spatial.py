@@ -117,3 +117,52 @@ def test_dbscan_matches_reference(spark):
     assert got == _dbscan_py(rows, 30, 4)
     roles = {v[1] for v in got.values()}
     assert roles == {"core", "border", "noise"}  # the fixture has all three
+
+
+def test_dbscan_dense_shortcut_identical(spark):
+    """VERDICT r4 ask #6: the dense-cell path (occupancy-proved cores +
+    clique-node CC) must be bit-identical to the point-graph path on
+    hostile fixtures — percolated uniform mass, negative coordinates,
+    cell-boundary stragglers."""
+    from loan_etl_data_pipeline_spark.operators.spatial import dbscan
+
+    rng = random.Random(11)
+    fixtures = [
+        # percolated: one dense uniform blob, everything core
+        [(i, rng.randrange(0, 60), rng.randrange(0, 60)) for i in range(60)],
+        # negative coordinates straddling the origin (floor-vs-trunc trap)
+        [(i, rng.randrange(-80, 80), rng.randrange(-80, 80)) for i in range(50)],
+        # sparse dust + one tight clump: border/noise heavy
+        [(i, rng.randrange(0, 2000), rng.randrange(0, 2000)) for i in range(30)]
+        + [(100 + i, 500 + (i % 5), 500 + (i // 5)) for i in range(10)],
+    ]
+    for rows in fixtures:
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        fast = {
+            r["id"]: (r["cluster"], r["role"])
+            for r in dbscan(
+                df, "id", "x", "y", eps=30, min_pts=4, dense_shortcut=True
+            ).collect()
+        }
+        slow = {
+            r["id"]: (r["cluster"], r["role"])
+            for r in dbscan(
+                df, "id", "x", "y", eps=30, min_pts=4, dense_shortcut=False
+            ).collect()
+        }
+        assert fast == slow
+        assert fast == _dbscan_py(rows, 30, 4)
+
+
+def test_dbscan_dense_shortcut_small_eps_falls_back(spark):
+    """eps=1 makes the inner cell side 0 — the operator must fall back
+    to the point-graph path rather than divide by zero."""
+    from loan_etl_data_pipeline_spark.operators.spatial import dbscan
+
+    rows = [(1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 5, 5)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: (r["cluster"], r["role"])
+        for r in dbscan(df, "id", "x", "y", eps=1, min_pts=3).collect()
+    }
+    assert got == _dbscan_py(rows, 1, 3)
