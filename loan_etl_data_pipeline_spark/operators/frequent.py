@@ -252,6 +252,14 @@ def association_rules(
     joins against the materialized pair frame, never re-scanning all
     baskets.  n_baskets rides in as a 1-row broadcast crossJoin, so the
     whole rule layer is one job.
+
+    Overflow: the ratio numerators are computed in DECIMAL(38,0) (Spark)
+    / HUGEINT (the DuckDB oracle) — ``support·n_baskets·1e9`` wraps
+    int64 as soon as support·n_baskets > ~9.2e9, i.e. at any realistic
+    corpus scale — and only the final ≤1e9-ish quotients are cast back
+    to BIGINT (the cast requires lift9 itself to fit int64:
+    support·n·1e9 ≤ sup2·sup1·(2^63−1), violated only by astronomically
+    skewed singleton supports).
     """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
@@ -271,9 +279,13 @@ def association_rules(
         .crossJoin(F.broadcast(nb))
         .select(
             "item_a", "item_b", "item_c", "support",
-            F.expr("(support * 1000000000L) div sup2").alias("conf9"),
             F.expr(
-                "(support * nb * 1000000000L) div (sup2 * sup1)"
+                "CAST((CAST(support AS DECIMAL(38,0)) * 1000000000)"
+                " div CAST(sup2 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("conf9"),
+            F.expr(
+                "CAST((CAST(support AS DECIMAL(38,0)) * nb * 1000000000)"
+                " div (CAST(sup2 AS DECIMAL(38,0)) * sup1) AS BIGINT)"
             ).alias("lift9"),
         )
     )

@@ -26,6 +26,26 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
+def _explode_neighborhood(df: DataFrame, cx: str, cy: str) -> DataFrame:
+    """Explode each row into its 3×3 grid-cell neighborhood (constant
+    9-row fan-out), replacing (cx, cy) with the neighbor coordinates."""
+    offsets = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({dx}L AS dx, {dy}L AS dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "))"
+    )
+    keep = [c for c in df.columns if c not in (cx, cy)]
+    return df.select(*keep, cx, cy, offsets.alias("__off")).select(
+        *keep,
+        (F.col(cx) + F.col("__off.dx")).alias(cx),
+        (F.col(cy) + F.col("__off.dy")).alias(cy),
+    )
+
+
 def grid_radius_join(
     pts: DataFrame,
     id_col: str,
@@ -54,27 +74,12 @@ def grid_radius_join(
         F.col(y_col).cast("long").alias("__ya"),
     ).withColumns(
         {
-            "__cxa": F.expr(f"__xa div {radius}"),
-            "__cya": F.expr(f"__ya div {radius}"),
+            "__cx": F.expr(f"__xa div {radius}"),
+            "__cy": F.expr(f"__ya div {radius}"),
         }
     )
     # explode A into the 9 neighbor cells its partners could occupy
-    offsets = F.expr(
-        "explode(array("
-        + ", ".join(
-            f"struct({dx}L AS dx, {dy}L AS dy)"
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        )
-        + "))"
-    )
-    a9 = a.select("*", offsets.alias("__off")).select(
-        "__ida",
-        "__xa",
-        "__ya",
-        (F.col("__cxa") + F.col("__off.dx")).alias("__cx"),
-        (F.col("__cya") + F.col("__off.dy")).alias("__cy"),
-    )
+    a9 = _explode_neighborhood(a, "__cx", "__cy")
     b = pts.select(
         F.col(id_col).alias("__idb"),
         F.col(x_col).cast("long").alias("__xb"),
@@ -94,26 +99,6 @@ def grid_radius_join(
             F.col("__idb").alias("id_b"),
             F.expr(d2).cast("long").alias(dist_col),
         )
-    )
-
-
-def _explode_neighborhood(df: DataFrame, cx: str, cy: str) -> DataFrame:
-    """Explode each row into its 3×3 grid-cell neighborhood (constant
-    9-row fan-out), replacing (cx, cy) with the neighbor coordinates."""
-    offsets = F.expr(
-        "explode(array("
-        + ", ".join(
-            f"struct({dx}L AS dx, {dy}L AS dy)"
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        )
-        + "))"
-    )
-    keep = [c for c in df.columns if c not in (cx, cy)]
-    return df.select(*keep, cx, cy, offsets.alias("__off")).select(
-        *keep,
-        (F.col(cx) + F.col("__off.dx")).alias(cx),
-        (F.col(cy) + F.col("__off.dy")).alias(cy),
     )
 
 
@@ -201,6 +186,10 @@ def dbscan(
         connected_components_two_phase,
     )
 
+    if eps <= 0:
+        # both paths must agree on the validation boundary, not just on
+        # results (grid_radius_join would raise for the point path)
+        raise ValueError(f"eps must be positive, got {eps}")
     ids = pts.select(F.col(id_col).alias("id"))
     s = math.isqrt((eps * eps) // 2)
     if not dense_shortcut or s < 1:
@@ -273,10 +262,15 @@ def dbscan(
         .groupBy(F.col("id_a").alias("id"))
         .agg(F.count(F.lit(1)).alias("__n"))
     )
+    # materialized: cores is consumed by both pair-join sides and (via
+    # core_lab) the border joins — without this the degree-screen pair
+    # join above would re-execute per consumer (the graph.py
+    # consumed-N-times checkpoint discipline)
     sparse_core = (
         sparse.join(deg, "id", "left")
         .filter(F.coalesce(F.col("__n"), F.lit(0)) + 1 >= min_pts)
         .select("id", "x", "y", F.col("id").alias("__node"))
+        .localCheckpoint()
     )
     cores = dense.select("id", "x", "y", "__node").union(sparse_core)
 
@@ -312,11 +306,17 @@ def dbscan(
     )
     comps = connected_components_two_phase(node_edges, "a", "b")
     node_lab = comps.withColumnRenamed("id", "__node")
-    core_lab = cores.join(node_lab, "__node", "left").select(
-        "id",
-        "x",
-        "y",
-        F.coalesce(F.col("component"), F.col("__node")).alias("cluster"),
+    # materialized: consumed by the border pair join, the border label
+    # join, and the final assembly (3×)
+    core_lab = (
+        cores.join(node_lab, "__node", "left")
+        .select(
+            "id",
+            "x",
+            "y",
+            F.coalesce(F.col("component"), F.col("__node")).alias("cluster"),
+        )
+        .localCheckpoint()
     )
 
     # border: sparse non-core points with a core neighbor take the MIN

@@ -107,13 +107,18 @@ def plan_health(df: DataFrame) -> dict:
             # disagree with what actually executed). Before execution
             # only the initial plan exists; counts are then the
             # pre-AQE static shape, as documented.
+            # narrow try: only PROBING for the final plan may fail (older
+            # Spark without the accessor); once we have it, walk it
+            # OUTSIDE the try — a mid-walk exception must propagate, not
+            # fall through to a second initialPlan count on top of the
+            # partial final-plan tallies
+            final = None
             try:
                 if node.isFinalPlan():
-                    visit(node.executedPlan())
-                    return
+                    final = node.executedPlan()
             except Exception:
-                pass
-            visit(node.initialPlan())
+                final = None
+            visit(final if final is not None else node.initialPlan())
             return
         if name.endswith("QueryStageExec"):
             # materialized AQE stages (Shuffle/Broadcast/Result/

@@ -17027,8 +17027,12 @@ ORACLE_PART_B["q_association_rules"] = """
     ),
     nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM li)
     SELECT item_a, item_b, item_c, support,
-           CAST((support * 1000000000) // sup2 AS BIGINT) AS conf9,
-           CAST((support * n * 1000000000) // (sup2 * sup1) AS BIGINT) AS lift9
+           -- HUGEINT intermediates mirror the Spark side's DECIMAL(38,0):
+           -- support*n*1e9 wraps int64 at corpus scale
+           CAST((CAST(support AS HUGEINT) * 1000000000)
+                // CAST(sup2 AS HUGEINT) AS BIGINT) AS conf9,
+           CAST((CAST(support AS HUGEINT) * n * 1000000000)
+                // (CAST(sup2 AS HUGEINT) * sup1) AS BIGINT) AS lift9
     FROM tri
     JOIN pair_sup ON pair_sup.ia = tri.item_a AND pair_sup.ib = tri.item_b
     JOIN item_sup ON item_sup.l_partkey = tri.item_c

@@ -122,6 +122,18 @@ def main(argv: list[str]) -> int:
     for f, (rc, _, out) in sorted(failed.items()):
         print(f"\n===== {os.path.basename(f)} (rc={rc}) — output tail =====")
         print("\n".join(out.splitlines()[-60:]))
+    # never report green unless every queued file actually ran: a dead
+    # worker (MemoryError, OSError from subprocess) or a typo'd filter
+    # selecting zero files must fail loudly, not silently skip coverage
+    if not files:
+        print("partest: no test files matched the filter", flush=True)
+        return 1
+    if len(results) != len(files):
+        missing = sorted(
+            os.path.basename(f) for f in files if f not in results
+        )
+        print(f"partest: {len(missing)} files never ran: {missing}", flush=True)
+        return 1
     return 1 if failed else 0
 
 

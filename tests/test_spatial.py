@@ -156,7 +156,11 @@ def test_dbscan_dense_shortcut_identical(spark):
 
 def test_dbscan_dense_shortcut_small_eps_falls_back(spark):
     """eps=1 makes the inner cell side 0 — the operator must fall back
-    to the point-graph path rather than divide by zero."""
+    to the point-graph path rather than divide by zero; eps <= 0 must
+    raise on BOTH paths (the validation boundary is part of the
+    identical-behavior contract)."""
+    import pytest as _pytest
+
     from loan_etl_data_pipeline_spark.operators.spatial import dbscan
 
     rows = [(1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 5, 5)]
@@ -166,3 +170,8 @@ def test_dbscan_dense_shortcut_small_eps_falls_back(spark):
         for r in dbscan(df, "id", "x", "y", eps=1, min_pts=3).collect()
     }
     assert got == _dbscan_py(rows, 1, 3)
+    for flag in (True, False):
+        with _pytest.raises(ValueError):
+            dbscan(df, "id", "x", "y", eps=-30, min_pts=3, dense_shortcut=flag)
+        with _pytest.raises(ValueError):
+            dbscan(df, "id", "x", "y", eps=0, min_pts=3, dense_shortcut=flag)
