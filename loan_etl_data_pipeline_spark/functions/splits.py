@@ -100,6 +100,34 @@ def hash_split(
     )
 
 
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    *,
+    salt: str = "",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Append ``fold_col`` ∈ [0, k): deterministic GROUP k-fold
+    cross-validation assignment, ``fold = md5_coord48(key‖salt) % k``.
+
+    Every row sharing ``key_col`` lands in the SAME fold — pass the
+    entity key (customer, document source, patient) for leakage-safe
+    grouped CV (a row-level key degrades to plain row k-fold), the same
+    entity-integrity contract as the leakage-safe component split but
+    for the k-partition rotation. Pure function of the key: stable
+    across engines/partitionings/reruns (the md5 contract of
+    :func:`hash_split`), so fold i's TRAIN set is exactly the union of
+    the other folds with no bookkeeping table. One narrow projection —
+    no shuffle, no state.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        fold_col, (md5_coord48(key_col, salt) % k).cast("int")
+    )
+
+
 def sample_per_key(
     df: DataFrame,
     group_col: str,

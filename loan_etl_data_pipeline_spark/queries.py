@@ -446,6 +446,35 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id", train_frac=0.8, salt="r2")
 
 
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ grouped k-fold cross-validation splits (functions/splits.py
+    kfold_assign): 5-fold assignment of orders keyed by CUSTOMER, so
+    every customer's orders share one fold (leakage-safe grouped CV —
+    a customer seen in training can't also sit in that rotation's
+    eval). Per-fold report: order count, distinct customers, exact
+    revenue cents. Fold is a pure md5 function of the key — the oracle
+    replays the identical 48-bit-prefix % k rule, so per-fold aggregate
+    parity certifies the assignment itself; zero shuffle beyond the
+    report agg.
+    """
+    from loan_etl_data_pipeline_spark.functions.splits import kfold_assign
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    return (
+        kfold_assign(o, "o_custkey", 5, salt="cv")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("revenue_c"),
+        )
+    )
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles of lineitem quantity (cents-exact).
 
@@ -3980,6 +4009,16 @@ ORACLE_PART_B["q_ivf_exhaustive"] = ORACLE_PART_B["q_knn_bruteforce"]
 # does — one oracle pins both engine routes
 ORACLE_PART_B["q_json_variant"] = ORACLE_PART_B["q_json_extract"]
 
+ORACLE_PART_B["q_kfold"] = """
+    SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || 'cv'),
+                                1, 12))::BIGINT % 5 AS INT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+    FROM orders GROUP BY 1
+"""
+
 # the two-phase CC variant must produce the identical transitive closure
 ORACLE_PART_B["q_components_twophase"] = ORACLE_PART_B["q_dup_components"]
 
@@ -4777,6 +4816,7 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUERIES_PART_B["q_kfold"] = q_kfold
 QUERIES_PART_B["q_pair_graph_reuse"] = q_pair_graph_reuse
 ORACLE_PART_B["q_pair_graph_reuse"] = """
     WITH toks AS (

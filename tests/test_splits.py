@@ -528,3 +528,36 @@ def test_unimax_never_exceeds_budget_or_caps(spark):
         ) or sum(r["alloc"] for r in rows) == sum(
             r["capacity"] for r in rows
         )
+
+
+def test_kfold_assign_grouped_and_stable(spark):
+    """Grouped k-fold: every key's rows share one fold, folds lie in
+    [0, k), assignment is partition-invariant, k < 2 rejected."""
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.functions.splits import kfold_assign
+
+    rows = [(i % 40, i) for i in range(400)]  # 40 keys x 10 rows
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    out = kfold_assign(df, "k", 5, salt="t")
+    per_key = (
+        out.groupBy("k")
+        .agg(F.count_distinct("fold").alias("nf"), F.min("fold").alias("f"))
+        .collect()
+    )
+    assert all(r["nf"] == 1 for r in per_key)  # leakage-safe grouping
+    folds = {r["f"] for r in per_key}
+    assert folds <= set(range(5)) and len(folds) == 5  # all folds hit
+    # partition-invariant: same assignment on a hostile repartition
+    out2 = {
+        (r["k"], r["fold"])
+        for r in kfold_assign(df.repartition(13), "k", 5, salt="t")
+        .select("k", "fold")
+        .distinct()
+        .collect()
+    }
+    assert out2 == {(r["k"], r["f"]) for r in per_key}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kfold_assign(df, "k", 1)
