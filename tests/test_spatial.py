@@ -135,6 +135,12 @@ def test_dbscan_dense_shortcut_identical(spark):
         # sparse dust + one tight clump: border/noise heavy
         [(i, rng.randrange(0, 2000), rng.randrange(0, 2000)) for i in range(30)]
         + [(100 + i, 500 + (i % 5), 500 + (i // 5)) for i in range(10)],
+        # adversarial boundaries: pairs at EXACTLY eps (dist² == eps²,
+        # must join), coordinates on inner-cell multiples (s = 21 for
+        # eps=30), and exact duplicate points under distinct ids
+        [(1, 0, 0), (2, 30, 0), (3, 0, 30), (4, 21, 21), (5, 42, 0),
+         (6, 21, 21), (7, 63, 63), (8, 63, 63), (9, 64, 63),
+         (10, 200, 200)],
     ]
     for rows in fixtures:
         df = spark.createDataFrame(rows, "id long, x long, y long")
