@@ -15,7 +15,7 @@ Project — zero shuffle, zero Python, O(N) expression depth per row.
 Exactness contract (what makes the DuckDB oracle value-hash possible):
 all arithmetic is int64 cents / basis points:
 
-    interest_m = (bal * rate_bp) div 10000          -- floor, positive
+    interest_m = (bal * rate_bp) div 10000          -- trunc toward zero
     bal'       = greatest(0, bal + interest_m - payment)
 
 ``div`` truncates toward zero exactly like DuckDB's ``//`` (verified on

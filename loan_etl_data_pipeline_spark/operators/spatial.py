@@ -220,114 +220,123 @@ def dbscan(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("cluster").alias("cluster"))
         )
-        return (
-            ids.join(
-                core_lab.withColumnRenamed("cluster", "cl_core"), "id", "left"
+    else:
+        # ---- dense-cell path ----------------------------------------
+        # exact FLOOR division (truncating `div` would make the cell at
+        # the origin 2s-1 wide and break the same-cell ⇒ within-eps
+        # guarantee for negative coordinates): x - pmod(x, s) is always
+        # the floor multiple
+        p = pts.select(
+            F.col(id_col).alias("id"),
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+            F.expr(
+                f"(CAST({x_col} AS LONG) - pmod(CAST({x_col} AS LONG), {s}L))"
+                f" div {s}L"
+            ).alias("__dcx"),
+            F.expr(
+                f"(CAST({y_col} AS LONG) - pmod(CAST({y_col} AS LONG), {s}L))"
+                f" div {s}L"
+            ).alias("__dcy"),
+        )
+        occ = p.groupBy("__dcx", "__dcy").agg(
+            F.count(F.lit(1)).alias("__occ"), F.min("id").alias("__node")
+        )
+        # LEFT join: NULL-coordinate rows have NULL cell keys and would
+        # fall out of an inner join entirely, silently diverging from
+        # the point-graph path (where they are eps-neighbors of nobody:
+        # core iff min_pts <= 1, else noise). With NULL __occ they take
+        # the sparse route below and reproduce exactly that semantics —
+        # their degree screen finds no neighbors, never pairs, never
+        # borders.
+        p2 = p.join(occ, ["__dcx", "__dcy"], "left").localCheckpoint()
+        dense = p2.filter(F.col("__occ") >= min_pts)  # provably all core
+        sparse = p2.filter(
+            (F.col("__occ") < min_pts) | F.col("__occ").isNull()
+        )
+
+        # sparse points: per-point degree screen against ALL points
+        deg = (
+            _asym_radius_pairs(sparse.select("id", "x", "y"), p, eps)
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        # materialized: cores is consumed by both pair-join sides and
+        # (via core_lab) the border joins — without this the
+        # degree-screen pair join above would re-execute per consumer
+        # (the graph.py consumed-N-times checkpoint discipline)
+        sparse_core = (
+            sparse.join(deg, "id", "left")
+            .filter(F.coalesce(F.col("__n"), F.lit(0)) + 1 >= min_pts)
+            .select("id", "x", "y", F.col("id").alias("__node"))
+            .localCheckpoint()
+        )
+        cores = dense.select("id", "x", "y", "__node").union(sparse_core)
+
+        # eps-pairs among cores, collapsed to clique-node edges BEFORE
+        # any shuffle (partial-agg distinct); same-node pairs vanish
+        # here. Edge orientation is normalized to (min node, max node):
+        # the pair filter orders by POINT id, so a cross-clique link
+        # could otherwise survive distinct() twice as (A,B) and (B,A).
+        ca = cores.select(
+            F.col("id").alias("__ida"),
+            F.col("x").alias("__xa"),
+            F.col("y").alias("__ya"),
+            F.col("__node").alias("__na"),
+            F.expr(f"x div {eps}L").alias("__cx"),
+            F.expr(f"y div {eps}L").alias("__cy"),
+        )
+        cb = cores.select(
+            F.col("id").alias("__idb"),
+            F.col("x").alias("__xb"),
+            F.col("y").alias("__yb"),
+            F.col("__node").alias("__nb"),
+            F.expr(f"x div {eps}L").alias("__cx"),
+            F.expr(f"y div {eps}L").alias("__cy"),
+        )
+        d2 = "(__xa - __xb) * (__xa - __xb) + (__ya - __yb) * (__ya - __yb)"
+        node_edges = (
+            _explode_neighborhood(ca, "__cx", "__cy")
+            .join(cb, ["__cx", "__cy"])
+            .filter(
+                F.expr(
+                    f"__ida < __idb AND __na != __nb AND {d2} <= {eps} * {eps}L"
+                )
             )
-            .join(border.withColumnRenamed("cluster", "cl_border"), "id", "left")
+            .select(
+                F.least("__na", "__nb").alias("a"),
+                F.greatest("__na", "__nb").alias("b"),
+            )
+            .distinct()
+        )
+        comps = connected_components_two_phase(node_edges, "a", "b")
+        node_lab = comps.withColumnRenamed("id", "__node")
+        # materialized: consumed by the border pair join, the border
+        # label join, and the final assembly (3×)
+        core_lab = (
+            cores.join(node_lab, "__node", "left")
             .select(
                 "id",
-                F.coalesce(F.col("cl_core"), F.col("cl_border")).alias("cluster"),
-                F.when(F.col("cl_core").isNotNull(), F.lit("core"))
-                .when(F.col("cl_border").isNotNull(), F.lit("border"))
-                .otherwise(F.lit("noise"))
-                .alias("role"),
+                "x",
+                "y",
+                F.coalesce(F.col("component"), F.col("__node")).alias("cluster"),
             )
+            .localCheckpoint()
         )
 
-    # ---- dense-cell path -------------------------------------------
-    # exact FLOOR division (truncating `div` would make the cell at the
-    # origin 2s-1 wide and break the same-cell ⇒ within-eps guarantee
-    # for negative coordinates): x - pmod(x, s) is always the floor
-    # multiple
-    p = pts.select(
-        F.col(id_col).alias("id"),
-        F.col(x_col).cast("long").alias("x"),
-        F.col(y_col).cast("long").alias("y"),
-        F.expr(f"(CAST({x_col} AS LONG) - pmod(CAST({x_col} AS LONG), {s}L))"
-               f" div {s}L").alias("__dcx"),
-        F.expr(f"(CAST({y_col} AS LONG) - pmod(CAST({y_col} AS LONG), {s}L))"
-               f" div {s}L").alias("__dcy"),
-    )
-    occ = p.groupBy("__dcx", "__dcy").agg(
-        F.count(F.lit(1)).alias("__occ"), F.min("id").alias("__node")
-    )
-    p2 = p.join(occ, ["__dcx", "__dcy"]).localCheckpoint()
-    dense = p2.filter(F.col("__occ") >= min_pts)  # provably all core
-    sparse = p2.filter(F.col("__occ") < min_pts)
-
-    # sparse points: per-point degree screen against ALL points
-    deg = (
-        _asym_radius_pairs(sparse.select("id", "x", "y"), p, eps)
-        .groupBy(F.col("id_a").alias("id"))
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    # materialized: cores is consumed by both pair-join sides and (via
-    # core_lab) the border joins — without this the degree-screen pair
-    # join above would re-execute per consumer (the graph.py
-    # consumed-N-times checkpoint discipline)
-    sparse_core = (
-        sparse.join(deg, "id", "left")
-        .filter(F.coalesce(F.col("__n"), F.lit(0)) + 1 >= min_pts)
-        .select("id", "x", "y", F.col("id").alias("__node"))
-        .localCheckpoint()
-    )
-    cores = dense.select("id", "x", "y", "__node").union(sparse_core)
-
-    # eps-pairs among cores, collapsed to clique-node edges BEFORE any
-    # shuffle (partial-agg distinct); same-node pairs vanish here
-    ca = cores.select(
-        F.col("id").alias("__ida"),
-        F.col("x").alias("__xa"),
-        F.col("y").alias("__ya"),
-        F.col("__node").alias("__na"),
-        F.expr(f"x div {eps}L").alias("__cx"),
-        F.expr(f"y div {eps}L").alias("__cy"),
-    )
-    cb = cores.select(
-        F.col("id").alias("__idb"),
-        F.col("x").alias("__xb"),
-        F.col("y").alias("__yb"),
-        F.col("__node").alias("__nb"),
-        F.expr(f"x div {eps}L").alias("__cx"),
-        F.expr(f"y div {eps}L").alias("__cy"),
-    )
-    d2 = "(__xa - __xb) * (__xa - __xb) + (__ya - __yb) * (__ya - __yb)"
-    node_edges = (
-        _explode_neighborhood(ca, "__cx", "__cy")
-        .join(cb, ["__cx", "__cy"])
-        .filter(
-            F.expr(
-                f"__ida < __idb AND __na != __nb AND {d2} <= {eps} * {eps}L"
-            )
+        # border: sparse non-core points with a core neighbor take the
+        # MIN neighbor cluster (dense-cell points are never border —
+        # all core)
+        non_core = sparse.join(sparse_core.select("id"), "id", "left_anti")
+        border = (
+            _asym_radius_pairs(non_core.select("id", "x", "y"), core_lab, eps)
+            .join(core_lab.select(F.col("id").alias("id_b"), "cluster"), "id_b")
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.min("cluster").alias("cluster"))
         )
-        .select(F.col("__na").alias("a"), F.col("__nb").alias("b"))
-        .distinct()
-    )
-    comps = connected_components_two_phase(node_edges, "a", "b")
-    node_lab = comps.withColumnRenamed("id", "__node")
-    # materialized: consumed by the border pair join, the border label
-    # join, and the final assembly (3×)
-    core_lab = (
-        cores.join(node_lab, "__node", "left")
-        .select(
-            "id",
-            "x",
-            "y",
-            F.coalesce(F.col("component"), F.col("__node")).alias("cluster"),
-        )
-        .localCheckpoint()
-    )
 
-    # border: sparse non-core points with a core neighbor take the MIN
-    # neighbor cluster (dense-cell points are never border — all core)
-    non_core = sparse.join(sparse_core.select("id"), "id", "left_anti")
-    border = (
-        _asym_radius_pairs(non_core.select("id", "x", "y"), core_lab, eps)
-        .join(core_lab.select(F.col("id").alias("id_b"), "cluster"), "id_b")
-        .groupBy(F.col("id_a").alias("id"))
-        .agg(F.min("cluster").alias("cluster"))
-    )
+    # shared assembly — ONE copy so the two paths can't drift on
+    # role derivation or label coalescing
     return (
         ids.join(
             core_lab.select("id", F.col("cluster").alias("cl_core")),

@@ -160,6 +160,35 @@ def test_dbscan_dense_shortcut_identical(spark):
         assert fast == _dbscan_py(rows, 30, 4)
 
 
+def test_dbscan_null_coordinates_and_minpts_one_identical(spark):
+    """Review r5: NULL-coordinate points are eps-neighbors of nobody —
+    core iff min_pts <= 1 (cluster = own id), noise otherwise; the
+    dense path must NOT silently drop them through its cell equi-join.
+    min_pts=1 also makes every real point core (self-neighborhood)."""
+    from loan_etl_data_pipeline_spark.operators.spatial import dbscan
+
+    rows = [(1, 0, 0), (2, 1, 0), (3, None, 5), (4, 7, None),
+            (5, None, None), (6, 200, 200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    for mp, expect_null_role in ((1, "core"), (3, "noise")):
+        fast = {
+            r["id"]: (r["cluster"], r["role"])
+            for r in dbscan(
+                df, "id", "x", "y", eps=2, min_pts=mp, dense_shortcut=True
+            ).collect()
+        }
+        slow = {
+            r["id"]: (r["cluster"], r["role"])
+            for r in dbscan(
+                df, "id", "x", "y", eps=2, min_pts=mp, dense_shortcut=False
+            ).collect()
+        }
+        assert fast == slow, (mp, fast, slow)
+        assert len(fast) == 6  # every input point present on both paths
+        assert fast[3][1] == expect_null_role
+        assert fast[5][1] == expect_null_role
+
+
 def test_dbscan_dense_shortcut_small_eps_falls_back(spark):
     """eps=1 makes the inner cell side 0 — the operator must fall back
     to the point-graph path rather than divide by zero; eps <= 0 must
