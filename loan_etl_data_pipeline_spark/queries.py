@@ -11241,6 +11241,109 @@ ORACLE_PART_B["q_mus_sample"] = """
 """
 
 
+def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Hansen–Hurwitz (PPS-with-replacement Horvitz–Thompson form)
+    estimation over the MUS sample — q_mus_sample is the SELECTION half
+    of audit sampling, this is the ESTIMATION half: each of the 100
+    PPS-systematic sampling points contributes the inverse of its
+    order's per-point selection probability, floor-quantized to the
+    exact integer ``tot div (100·cents_i)``, and their sum estimates
+    the TOTAL ORDER COUNT from a 100-point monetary sample. Output (one
+    row): points placed, distinct orders hit, the integer HH estimate,
+    and the true count for calibration. The survey-sampling physics at
+    100 TB: a tiny price-weighted audit sample recovers population
+    totals without scanning every row — and because the per-hit weight
+    is an exact integer div, the whole estimate replays bit-for-bit in
+    the oracle (floor bias < 1 per point, documented, rather than a
+    float ratio that can never hash-match).
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    c = global_cumsum(
+        o, [F.desc("cents"), F.asc("o_orderkey")], "cents", cum_col="cw"
+    )
+    tot_row = o.agg(
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("true_orders"),
+    )
+    f = (
+        "case when {x} <= off then cast(0 as bigint) "
+        "else 1 + ({x} - off - 1) div step end"
+    )
+    hits = (
+        c.crossJoin(F.broadcast(tot_row))
+        .withColumn("step", F.expr("tot div 100"))
+        .withColumn("off", F.expr("(tot div 100) div 2"))
+        .withColumn(
+            "n_hits",
+            F.expr(f.format(x="cw")) - F.expr(f.format(x="cw - cents")),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+    out = (
+        hits.groupBy("true_orders")
+        .agg(
+            F.sum("n_hits").cast("bigint").alias("n_points"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders_hit"),
+            F.sum(F.expr("n_hits * (tot div (100L * cents))"))
+            .cast("bigint")
+            .alias("ht_order_count_est"),
+        )
+        .select(
+            "n_points",
+            "n_orders_hit",
+            "ht_order_count_est",
+            F.col("true_orders").cast("bigint").alias("true_orders"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    release_intermediates(c)
+    return out
+
+
+QUERIES_PART_B["q_ht_estimate"] = q_ht_estimate
+
+ORACLE_PART_B["q_ht_estimate"] = """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), c AS (
+        SELECT o_orderkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, o_orderkey ASC
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+               (SELECT sum(cents) FROM o) AS tot
+        FROM o
+    ), p AS (
+        SELECT o_orderkey, cents, cw, tot,
+               tot // 100 AS step, (tot // 100) // 2 AS off
+        FROM c
+    ), h AS (
+        SELECT cents, tot,
+               (CASE WHEN cw <= off THEN 0
+                     ELSE 1 + (cw - off - 1) // step END)
+               - (CASE WHEN cw - cents <= off THEN 0
+                       ELSE 1 + (cw - cents - off - 1) // step END) AS n_hits
+        FROM p
+        WHERE (CASE WHEN cw <= off THEN 0
+                    ELSE 1 + (cw - off - 1) // step END)
+              - (CASE WHEN cw - cents <= off THEN 0
+                      ELSE 1 + (cw - cents - off - 1) // step END) > 0
+    )
+    SELECT CAST(sum(n_hits) AS BIGINT) AS n_points,
+           CAST(count(*) AS BIGINT) AS n_orders_hit,
+           CAST(sum(n_hits * (tot // (100 * cents))) AS BIGINT)
+               AS ht_order_count_est,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS true_orders
+    FROM h
+"""
+
+
 def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A.4+ historical Value-at-Risk + Expected Shortfall: the 5%
     worst daily revenue CHANGE (lag-1 calendar deltas on the

@@ -561,3 +561,17 @@ def test_kfold_assign_grouped_and_stable(spark):
 
     with _pytest.raises(ValueError):
         kfold_assign(df, "k", 1)
+
+
+def test_ht_estimate_plausible_and_consistent(spark, sf_dir):
+    """The Hansen–Hurwitz count estimate from the 100-point MUS sample
+    must land in the right ballpark of the true order count (PPS
+    systematic is low-variance; floor quantization biases < 1 per
+    point), and the sample accounting must be internally consistent."""
+    from loan_etl_data_pipeline_spark.queries import all_queries
+
+    row = all_queries()["q_ht_estimate"](spark, sf_dir).collect()[0]
+    assert row["n_points"] == 100
+    assert 0 < row["n_orders_hit"] <= 100
+    assert row["true_orders"] > 0
+    assert 0.3 * row["true_orders"] < row["ht_order_count_est"] < 3.0 * row["true_orders"]
