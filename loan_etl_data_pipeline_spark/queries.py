@@ -11344,6 +11344,88 @@ ORACLE_PART_B["q_ht_estimate"] = """
 """
 
 
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ vocabulary richness per corpus source from the frequency-of-
+    frequency spectrum: Chao1 estimated TRUE vocabulary size
+    (V + n1²/(2·n2), Chao 1984; bias-corrected n1(n1−1)/2 form when no
+    doubletons exist) and the Good–Turing unseen-probability mass
+    (n1/N — the chance the next token is a never-seen type). These are
+    the "how much vocabulary have we NOT crawled yet" dials a corpus
+    designer reads before deciding whether more data from a source
+    buys new types or just repeats — q_vocab_by_source counts what was
+    seen, this estimates what wasn't. One token explode → per-(source,
+    token) count → per-source frequency-spectrum agg; all estimates
+    floor-quantized exact integers (chao1 whole units, mass ·1e9).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("freq").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_singletons"),
+            F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_doubletons"),
+        )
+        .select(
+            "source",
+            "n_types",
+            "n_tokens",
+            "n_singletons",
+            "n_doubletons",
+            F.expr(
+                "n_types + CASE WHEN n_doubletons > 0"
+                " THEN (n_singletons * n_singletons) div (2L * n_doubletons)"
+                " ELSE (n_singletons * (n_singletons - 1L)) div 2L END"
+            ).cast("bigint").alias("chao1_vocab_est"),
+            F.expr("(n_singletons * 1000000000L) div n_tokens")
+            .cast("bigint")
+            .alias("unseen_mass9"),
+        )
+    )
+
+
+QUERIES_PART_B["q_vocab_richness"] = q_vocab_richness
+
+ORACLE_PART_B["q_vocab_richness"] = """
+    WITH toks AS (
+        SELECT source,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT source, tok, count(*) AS freq FROM toks GROUP BY 1, 2
+    ), spec AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(freq) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singletons,
+               CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_doubletons
+        FROM tf GROUP BY source
+    )
+    SELECT source, n_types, n_tokens, n_singletons, n_doubletons,
+           CAST(n_types + CASE WHEN n_doubletons > 0
+                THEN (n_singletons * n_singletons) // (2 * n_doubletons)
+                ELSE (n_singletons * (n_singletons - 1)) // 2 END
+                AS BIGINT) AS chao1_vocab_est,
+           CAST((n_singletons * 1000000000) // n_tokens AS BIGINT)
+               AS unseen_mass9
+    FROM spec
+"""
+
+
 def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A.4+ historical Value-at-Risk + Expected Shortfall: the 5%
     worst daily revenue CHANGE (lag-1 calendar deltas on the

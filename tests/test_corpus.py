@@ -134,3 +134,37 @@ def test_prepare_corpus_v3_stage_semantics(spark):
     s2 = [d for d in got if d >= 10]
     assert len(s2) == 2  # per-source quota cap
     assert sorted(got[d]["pick_rank"] for d in s2) == [1, 2]
+
+
+def test_vocab_richness_hand_spectrum(spark, tmp_path):
+    """Chao1 and Good-Turing on a hand-built spectrum: tokens
+    'a a a b b c d' per doc source S: freqs a=3, b=2, c=1, d=1 ->
+    V=4, N=7, n1=2, n2=1, chao1 = 4 + 4//2 = 6, unseen = 2e9//7."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from loan_etl_data_pipeline_spark.queries import all_queries
+
+    docs = spark.createDataFrame(
+        [(1, "S", "a a a b b c d")],
+        "doc_id long, source string, text string",
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.write.parquet(p)
+    # the query loads documents.parquet from sf_dir; point it at tmp
+    out = all_queries()["q_vocab_richness"](spark, str(tmp_path)).collect()
+    row = {r["source"]: r for r in out}["S"]
+    assert (row["n_types"], row["n_tokens"]) == (4, 7)
+    assert (row["n_singletons"], row["n_doubletons"]) == (2, 1)
+    assert row["chao1_vocab_est"] == 6
+    assert row["unseen_mass9"] == (2 * 10**9) // 7
+    # no-doubleton branch: 'a a a b c' -> V=3, N=5, n1=2, n2=0,
+    # bias-corrected chao1 = 3 + (2*1)//2 = 4
+    docs2 = spark.createDataFrame(
+        [(1, "T", "a a a b c")],
+        "doc_id long, source string, text string",
+    )
+    p2 = tmp_path / "bc"
+    p2.mkdir()
+    docs2.write.parquet(str(p2 / "documents.parquet"))
+    row2 = all_queries()["q_vocab_richness"](spark, str(p2)).collect()[0]
+    assert row2["chao1_vocab_est"] == 4
