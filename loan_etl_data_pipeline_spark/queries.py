@@ -11396,6 +11396,87 @@ def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Mann–Whitney U rank-sum test, exact-int and tie-aware: do
+    URGENT orders carry a different totalprice distribution than
+    LOW-priority ones — the standard nonparametric two-sample test the
+    battery's z/χ²/KS entries don't cover (no normality assumption, no
+    binning). DOUBLED ranks keep tied average ranks integral: per
+    distinct cents value, 2·avgrank = 2·cum − cnt + 1 from one
+    distributed prefix sum over the value-grouped counts
+    (functions/ranking.py global_cumsum — never a single-partition
+    window), then U_a·2 = R_a·2 − n_a(n_a+1), U_b·2 = 2n_a·n_b − U_a·2,
+    with 2·E[U] = n_a·n_b emitted for effect-direction reading. All
+    exact int64 (bound: R_a·2 ≲ 2·n_a·n — document past ~10⁹ rows per
+    side), so the oracle replays the whole statistic bit-for-bit.
+    Hand-verified: A={1,3}, B={2,3} → U_a = 1.5 (u_a2x = 3).
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+            F.expr(
+                "CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END"
+            ).alias("ia"),
+        )
+    )
+    g = o.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("ia").alias("cnt_a")
+    )
+    c = global_cumsum(g, [F.asc("cents")], "cnt", cum_col="cum")
+    s = c.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum(F.expr("cnt - cnt_a")).cast("bigint").alias("n_b"),
+        F.sum(F.expr("cnt_a * (2L * cum - cnt + 1L)"))
+        .cast("bigint")
+        .alias("r_a2x"),
+    ).select(
+        "n_a",
+        "n_b",
+        "r_a2x",
+        F.expr("r_a2x - n_a * (n_a + 1L)").cast("bigint").alias("u_a2x"),
+        F.expr("2L * n_a * n_b - (r_a2x - n_a * (n_a + 1L))")
+        .cast("bigint")
+        .alias("u_b2x"),
+        F.expr("n_a * n_b").cast("bigint").alias("mean_u2x"),
+    )
+    out = s.localCheckpoint(eager=True)
+    release_intermediates(c)
+    return out
+
+
+QUERIES_PART_B["q_mann_whitney"] = q_mann_whitney
+
+ORACLE_PART_B["q_mann_whitney"] = """
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), g AS (
+        SELECT cents, count(*) AS cnt, sum(ia) AS cnt_a FROM o GROUP BY 1
+    ), c AS (
+        SELECT cents, cnt, cnt_a,
+               sum(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+        FROM g
+    ), s AS (
+        SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+               CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+               CAST(sum(cnt_a * (2 * cum - cnt + 1)) AS BIGINT) AS r_a2x
+        FROM c
+    )
+    SELECT n_a, n_b, r_a2x,
+           CAST(r_a2x - n_a * (n_a + 1) AS BIGINT) AS u_a2x,
+           CAST(2 * n_a * n_b - (r_a2x - n_a * (n_a + 1)) AS BIGINT) AS u_b2x,
+           CAST(n_a * n_b AS BIGINT) AS mean_u2x
+    FROM s
+"""
+
+
 QUERIES_PART_B["q_vocab_richness"] = q_vocab_richness
 
 ORACLE_PART_B["q_vocab_richness"] = """

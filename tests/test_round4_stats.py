@@ -662,3 +662,25 @@ def test_theil_sen_even_pair_count_averages_middles(spark):
     rows = [(t, t * t) for t in (1, 2, 3, 4)]
     r = theil_sen(spark.createDataFrame(rows, ["t", "y"]), "t", "y").collect()[0]
     assert (r["n_pairs"], r["slope_med"]) == (6, 5.0)
+
+
+def test_mann_whitney_hand_values(spark, tmp_path):
+    """A={1,3}, B={2,3} (cents): sorted 1a,2b,3a,3b — doubled avg ranks
+    2, 4, 7, 7; R_a2x = 2+7 = 9; U_a = 1.5 -> u_a2x = 9 - 2*3 = 3;
+    u_b2x = 2*4 - 3 = 5 (direct pair count: #(a>b) + ties/2 = 1.5)."""
+    from loan_etl_data_pipeline_spark.queries import all_queries
+
+    rows = [
+        ("1-URGENT", 0.01), ("1-URGENT", 0.03),
+        ("5-LOW", 0.02), ("5-LOW", 0.03),
+        ("3-MEDIUM", 99.0),  # filtered out
+    ]
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    row = all_queries()["q_mann_whitney"](spark, str(tmp_path)).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (2, 2)
+    assert row["r_a2x"] == 9
+    assert row["u_a2x"] == 3
+    assert row["u_b2x"] == 5
+    assert row["mean_u2x"] == 4
