@@ -155,6 +155,90 @@ def global_cumsum(
     return out
 
 
+def global_cumsum_multi(
+    df: DataFrame,
+    order_by: list[Column],
+    value_cols: list[str],
+    *,
+    suffix: str = "_cum",
+) -> DataFrame:
+    """Inclusive global prefix sums of SEVERAL integral columns under
+    one ``order_by`` — each ``c`` in ``value_cols`` gains ``c+suffix``.
+
+    The k-column generalization of :func:`global_cumsum` paying ONE
+    range shuffle instead of k: consumers like the Jonckheere–Terpstra
+    trend statistic need per-group running totals over the same value
+    axis, and k separate cumsum calls would range-partition (and
+    persist) the frame k times. Same construction: range-partition +
+    local window sums, per-partition totals (ONE tiny collect for all k
+    columns) turned into additive offsets. Same contracts: columns must
+    be integral and NULL-free (exactness), ``order_by`` must be a total
+    order, intermediate persisted and attached as
+    ``_persisted_intermediates`` for release_intermediates.
+    """
+    from pyspark import StorageLevel
+
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    dtypes = dict(df.dtypes)
+    for c in value_cols:
+        if dtypes.get(c) not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"value column {c!r} must be integral, got {dtypes.get(c)!r}"
+            )
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(nparts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    aggs = []
+    for c in value_cols:
+        aggs.append(F.sum(c).cast("bigint").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_{c}")
+        )
+    stats = ranged.groupBy("__pid").agg(*aggs).collect()
+    for c in value_cols:
+        n_null = sum(r[f"n_{c}"] for r in stats)
+        if n_null:
+            ranged.unpersist()
+            raise ValueError(
+                f"value column {c!r} has {n_null} NULLs: coalesce or "
+                "filter them before the cumsum"
+            )
+    if not stats:
+        ranged.unpersist()
+        out = df
+        for c in value_cols:
+            out = out.withColumn(c + suffix, F.lit(None).cast("bigint"))
+        out._persisted_intermediates = []
+        return out
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged
+    for c in value_cols:
+        pid_sums = {r["__pid"]: (r[f"s_{c}"] or 0) for r in stats}
+        offsets, acc = {}, 0
+        for pid in sorted(pid_sums):
+            offsets[pid] = acc
+            acc += pid_sums[pid]
+        off_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+            F.col("__pid"),
+        )
+        out = out.withColumn(
+            c + suffix, (off_expr + F.sum(c).over(w)).cast("bigint")
+        )
+    out = out.drop("__pid")
+    out._persisted_intermediates = [ranged]
+    return out
+
+
 def ntile_from_rank(rank: Column, n: int, n_tiles: int) -> Column:
     """Exact ``ntile(n_tiles)`` assignment from a 1-based global rank
     over ``n`` rows — pure arithmetic, no window: the first ``n %

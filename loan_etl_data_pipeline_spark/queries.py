@@ -11477,6 +11477,397 @@ ORACLE_PART_B["q_mann_whitney"] = """
 """
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Kruskal–Wallis rank test pieces, exact-int and tie-aware:
+    the k-sample generalization of q_mann_whitney — do the FIVE order
+    priorities carry different totalprice distributions? Emits, per
+    group, n_i and the DOUBLED pooled-rank sum R_i·2 (2·avgrank =
+    2·cum − cnt + 1 per distinct cents value, one distributed prefix
+    sum — never a single-partition window), plus the global N and the
+    tie-correction mass Σ(t³−t), so H = [12/(N(N+1))·Σ(R_i²/n_i) −
+    3(N+1)] / [1 − Σ(t³−t)/(N³−N)] assembles from exact integers.
+    Invariant Σ_i R_i·2 = N(N+1) pins the rank bookkeeping. Scale: two
+    grouped aggregates on the value axis + the parallel cumsum; the
+    per-(value, group) frame is bounded by distinct prices × 5, and
+    R_i·2 ≲ 2·n·N → int64-safe to ~10⁹ rows (document beyond).
+    Hand-verified: A={1,3}, B={2,3} → r2x_A = 2+7 = 9, r2x_B = 4+7 = 11.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    cg = o.groupBy("cents", "prio").agg(F.count(F.lit(1)).alias("cnt_pg"))
+    gv = o.groupBy("cents").agg(F.count(F.lit(1)).alias("cntv"))
+    c = global_cumsum(gv, [F.asc("cents")], "cntv", cum_col="cum")
+    per = (
+        cg.join(c, "cents")
+        .groupBy("prio")
+        .agg(
+            F.sum("cnt_pg").cast("bigint").alias("n_i"),
+            F.sum(F.expr("cnt_pg * (2L * cum - cntv + 1L)"))
+            .cast("bigint")
+            .alias("r2x_i"),
+        )
+    )
+    glob = c.agg(
+        F.sum("cntv").cast("bigint").alias("n_total"),
+        F.sum(F.expr("cntv * cntv * cntv - cntv")).cast("bigint").alias("tie3"),
+    )
+    out = (
+        per.crossJoin(F.broadcast(glob))
+        .select("prio", "n_i", "r2x_i", "n_total", "tie3")
+        .localCheckpoint(eager=True)
+    )
+    release_intermediates(c)
+    return out
+
+
+QUERIES_PART_B["q_kruskal_wallis"] = q_kruskal_wallis
+
+ORACLE_PART_B["q_kruskal_wallis"] = """
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderpriority AS prio
+        FROM orders
+    ), cg AS (
+        SELECT cents, prio, count(*) AS cnt_pg FROM o GROUP BY 1, 2
+    ), gv AS (
+        SELECT cents, count(*) AS cntv FROM o GROUP BY 1
+    ), c AS (
+        SELECT cents, cntv,
+               sum(cntv) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+        FROM gv
+    ), per AS (
+        SELECT prio,
+               CAST(sum(cnt_pg) AS BIGINT) AS n_i,
+               CAST(sum(cnt_pg * (2 * cum - cntv + 1)) AS BIGINT) AS r2x_i
+        FROM cg JOIN c USING (cents)
+        GROUP BY 1
+    ), tots AS (
+        SELECT CAST(sum(cntv) AS BIGINT) AS n_total,
+               CAST(sum(cntv * cntv * cntv - cntv) AS BIGINT) AS tie3
+        FROM c
+    )
+    SELECT prio, n_i, r2x_i, n_total, tie3 FROM per CROSS JOIN tots
+"""
+
+
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Jonckheere–Terpstra ordered-alternative trend test in exact
+    doubled integers: is totalprice stochastically INCREASING along the
+    priority ordinal 1-URGENT → 5-LOW? JT = Σ_{i<j} U_ij (ties ½), so
+    2·JT = Σ over value rows v, group j of c_j(v)·Σ_{i<j}(2·lt_i(v) +
+    c_i(v)) with lt_i = exclusive per-group prefix count — all five
+    prefix sums from ONE range shuffle (functions/ranking.py
+    global_cumsum_multi), never k passes and never an all-pairs join
+    (the naive Σn_i·n_j pair materialization is quadratic; this is one
+    sort + one scan). 2·E[JT] = Σ_{i<j} n_i·n_j emitted for direction.
+    Hand-verified: g1={1,3}, g2={2,3} → jt2x = 5 (pairs (1,2),(1,3)
+    count 2 each, tie (3,3) counts 1).
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        global_cumsum_multi,
+    )
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+        F.expr("cast(substring(o_orderpriority, 1, 1) as int)").alias("k"),
+    )
+    g = o.groupBy("cents").agg(
+        *[
+            F.sum(F.when(F.col("k") == i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in range(1, 6)
+        ]
+    )
+    cm = global_cumsum_multi(
+        g, [F.asc("cents")], [f"c{i}" for i in range(1, 6)], suffix="_cum"
+    )
+    contrib = " + ".join(
+        f"c{j} * ({' + '.join(f'(2L * c{i}_cum - c{i})' for i in range(1, j))})"
+        for j in range(2, 6)
+    )
+    s = cm.agg(
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in range(1, 6)],
+        F.sum(F.expr(contrib)).cast("bigint").alias("jt2x"),
+    )
+    mean_expr = " + ".join(
+        f"n{i} * n{j}" for i in range(1, 6) for j in range(i + 1, 6)
+    )
+    out = s.withColumn(
+        "mean_jt2x", F.expr(mean_expr).cast("bigint")
+    ).localCheckpoint(eager=True)
+    release_intermediates(cm)
+    return out
+
+
+QUERIES_PART_B["q_jonckheere"] = q_jonckheere
+
+_JT_CONTRIB_SQL = " + ".join(
+    "c{j} * ({inner})".format(
+        j=j,
+        inner=" + ".join(f"(2 * c{i}_cum - c{i})" for i in range(1, j)),
+    )
+    for j in range(2, 6)
+)
+_JT_MEAN_SQL = " + ".join(
+    f"n{i} * n{j}" for i in range(1, 6) for j in range(i + 1, 6)
+)
+
+ORACLE_PART_B["q_jonckheere"] = f"""
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(substring(o_orderpriority, 1, 1) AS INT) AS k
+        FROM orders
+    ), g AS (
+        SELECT cents,
+               {", ".join(f"CAST(sum(CASE WHEN k = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}" for i in range(1, 6))}
+        FROM o GROUP BY 1
+    ), cm AS (
+        SELECT cents, {", ".join(f"c{i}" for i in range(1, 6))},
+               {", ".join(f"sum(c{i}) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c{i}_cum" for i in range(1, 6))}
+        FROM g
+    ), s AS (
+        SELECT {", ".join(f"CAST(sum(c{i}) AS BIGINT) AS n{i}" for i in range(1, 6))},
+               CAST(sum({_JT_CONTRIB_SQL}) AS BIGINT) AS jt2x
+        FROM cm
+    )
+    SELECT {", ".join(f"n{i}" for i in range(1, 6))}, jt2x,
+           CAST({_JT_MEAN_SQL} AS BIGINT) AS mean_jt2x
+    FROM s
+"""
+
+
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Page's L trend test over complete blocks, exact doubled
+    ranks: blocks = order months, treatments = the 5 priorities,
+    response = monthly revenue cents. Within each complete block (all 5
+    priorities present) the treatments are ranked ascending by revenue
+    with tie-averaged DOUBLED ranks (2·avgrank = 2·rank_min + t − 1),
+    and L·2 = Σ_b Σ_k k·r2x_{bk} tests the ordered alternative the
+    unblocked Jonckheere can't (it removes between-month level shifts,
+    the repeated-measures trend design). Per-treatment doubled-rank
+    sums are emitted too — exactly the Friedman-statistic ingredients,
+    so one pass serves both tests. Scale: the block×treatment frame is
+    months×5 rows; ranking windows partition per block (≤5 rows each,
+    embarrassingly parallel — the banned global-window shape never
+    appears). Invariant: Σ_k r2x_k = m·k(k+1) for m complete blocks.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.trunc("o_orderdate", "month").alias("blk"),
+        F.expr("cast(substring(o_orderpriority, 1, 1) as int)").alias("k"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    bt = o.groupBy("blk", "k").agg(F.sum("cents").cast("bigint").alias("rev"))
+    complete = (
+        bt.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .filter(F.col("kk") == 5)
+        .select("blk")
+    )
+    j = bt.join(complete, "blk")
+    w_rank = Window.partitionBy("blk").orderBy("rev")
+    w_tie = Window.partitionBy("blk", "rev")
+    ranked = j.select(
+        "blk",
+        "k",
+        (
+            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
+        ).cast("bigint").alias("r2x"),
+    )
+    per = ranked.groupBy("k").agg(
+        F.sum("r2x").cast("bigint").alias("r2x_i"),
+        F.count(F.lit(1)).cast("bigint").alias("m_blocks"),
+    )
+    glob = ranked.agg(
+        F.sum(F.expr("cast(k as bigint) * r2x")).cast("bigint").alias("l2x")
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        "k", "r2x_i", "m_blocks", "l2x"
+    )
+
+
+QUERIES_PART_B["q_page_trend"] = q_page_trend
+
+ORACLE_PART_B["q_page_trend"] = """
+    WITH o AS (
+        SELECT date_trunc('month', o_orderdate) AS blk,
+               CAST(substring(o_orderpriority, 1, 1) AS INT) AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), bt AS (
+        SELECT blk, k, CAST(sum(cents) AS BIGINT) AS rev
+        FROM o GROUP BY 1, 2
+    ), complete AS (
+        SELECT blk FROM bt GROUP BY 1 HAVING count(*) = 5
+    ), ranked AS (
+        SELECT bt.blk, bt.k,
+               CAST(2 * rank() OVER (PARTITION BY bt.blk ORDER BY rev)
+                    + count(*) OVER (PARTITION BY bt.blk, rev) - 1
+                    AS BIGINT) AS r2x
+        FROM bt JOIN complete USING (blk)
+    ), per AS (
+        SELECT k, CAST(sum(r2x) AS BIGINT) AS r2x_i,
+               CAST(count(*) AS BIGINT) AS m_blocks
+        FROM ranked GROUP BY 1
+    ), tots AS (
+        SELECT CAST(sum(CAST(k AS BIGINT) * r2x) AS BIGINT) AS l2x FROM ranked
+    )
+    SELECT k, r2x_i, m_blocks, l2x FROM per CROSS JOIN tots
+"""
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Cochran–Armitage trend-in-proportions pieces, exact int64:
+    does the return rate trend with line position (score s =
+    l_linenumber 1..7, event r = returnflag 'R')? One single-scan
+    aggregate emits N, R = Σr, Σs·n_s, Σs²·n_s, Σs·r_s and the two
+    exact composites the test needs: the trend numerator T = N·Σs·r −
+    R·Σs and the variance core N·Σs²·n − (Σs·n)² (Z² = T²·N /
+    (R·(N−R)·var_core), assembled from these integers without any
+    float entering the gate). The χ² independence entry treats the
+    score as nominal; this is its 1-df ordered refinement. Scale: pure
+    partial-aggregate (map-side combine, one row out, no shuffle of
+    data rows); int64 bound N·Σs²·n ≈ 49·N² → safe to N ~ 4·10⁸ rows,
+    beyond which split the products into limbs as q_var_es does.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").cast("bigint").alias("s"),
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END").alias("r"),
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("r_total"),
+        F.sum("s").cast("bigint").alias("s_sum"),
+        F.sum(F.expr("s * s")).cast("bigint").alias("s2_sum"),
+        F.sum(F.expr("s * r")).cast("bigint").alias("sr_sum"),
+    ).select(
+        "n",
+        "r_total",
+        "s_sum",
+        "s2_sum",
+        "sr_sum",
+        F.expr("n * sr_sum - r_total * s_sum").cast("bigint").alias("t_num"),
+        F.expr("n * s2_sum - s_sum * s_sum").cast("bigint").alias("var_core"),
+    )
+
+
+QUERIES_PART_B["q_cochran_armitage"] = q_cochran_armitage
+
+ORACLE_PART_B["q_cochran_armitage"] = """
+    WITH li AS (
+        SELECT CAST(l_linenumber AS BIGINT) AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r) AS BIGINT) AS r_total,
+               CAST(sum(s) AS BIGINT) AS s_sum,
+               CAST(sum(s * s) AS BIGINT) AS s2_sum,
+               CAST(sum(s * r) AS BIGINT) AS sr_sum
+        FROM li
+    )
+    SELECT n, r_total, s_sum, s2_sum, sr_sum,
+           CAST(n * sr_sum - r_total * s_sum AS BIGINT) AS t_num,
+           CAST(n * s2_sum - s_sum * s_sum AS BIGINT) AS var_core
+    FROM a
+"""
+
+
+def q_markov_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ quantized Markov matrix power: the 3-step transition
+    probabilities of the per-user event stream — where does a user's
+    session land three actions after each event type? Extends
+    q_event_transitions (the 1-step counts) with iterated matrix
+    composition kept EXACTLY replayable: probabilities are quantized to
+    parts-per-million integers (p6 = cnt·10⁶ div rowtotal) and each
+    multiply re-quantizes ((Σ_k a_ik·b_kj) div 10⁶) in a fixed
+    left-to-right order, so Spark and the oracle agree bit-for-bit —
+    float matrix powers would drift across engines. Scale: ONE
+    user-partitioned lead() window over the stream (the sessionize
+    shuffle), then all algebra on the ≤|types|² matrix — the two
+    matrix-multiply joins broadcast, never touching event rows again.
+    int64 bound: Σ_k a·b ≤ |types|·10¹² — safe to a million event
+    types.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("ft"), F.col("to_type").alias("tt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = tr.groupBy("ft").agg(F.sum("cnt").alias("rowtot"))
+    p1 = tr.join(tot, "ft").select(
+        "ft", "tt", F.expr("cnt * 1000000L div rowtot").alias("p6")
+    )
+
+    def matmul(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.select(F.col("ft"), F.col("tt").alias("mid"), F.col("p6").alias("pa"))
+            .join(
+                F.broadcast(
+                    b.select(
+                        F.col("ft").alias("mid"),
+                        F.col("tt"),
+                        F.col("p6").alias("pb"),
+                    )
+                ),
+                "mid",
+            )
+            .groupBy("ft", "tt")
+            .agg(F.expr("sum(pa * pb) div 1000000L").cast("bigint").alias("p6"))
+        )
+
+    p3 = matmul(matmul(p1, p1), p1)
+    return p3.select(
+        F.col("ft").alias("from_type"),
+        F.col("tt").alias("to_type"),
+        F.col("p6").alias("p3_e6"),
+    )
+
+
+QUERIES_PART_B["q_markov_power"] = q_markov_power
+
+ORACLE_PART_B["q_markov_power"] = """
+    WITH seq AS (
+        SELECT event_type AS ft,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS tt
+        FROM events
+    ), tr AS (
+        SELECT ft, tt, CAST(count(*) AS BIGINT) AS cnt
+        FROM seq WHERE tt IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT ft, sum(cnt) AS rowtot FROM tr GROUP BY 1
+    ), p1 AS (
+        SELECT tr.ft, tr.tt,
+               CAST(cnt * 1000000 // rowtot AS BIGINT) AS p6
+        FROM tr JOIN tot USING (ft)
+    ), p2 AS (
+        SELECT a.ft, b.tt,
+               CAST(sum(a.p6 * b.p6) // 1000000 AS BIGINT) AS p6
+        FROM p1 a JOIN p1 b ON a.tt = b.ft
+        GROUP BY 1, 2
+    ), p3 AS (
+        SELECT a.ft, b.tt,
+               CAST(sum(a.p6 * b.p6) // 1000000 AS BIGINT) AS p6
+        FROM p2 a JOIN p1 b ON a.tt = b.ft
+        GROUP BY 1, 2
+    )
+    SELECT ft AS from_type, tt AS to_type, p6 AS p3_e6 FROM p3
+"""
+
+
 QUERIES_PART_B["q_vocab_richness"] = q_vocab_richness
 
 ORACLE_PART_B["q_vocab_richness"] = """

@@ -1,0 +1,200 @@
+"""Round-5 stats battery: hand-verified fixtures for the rank-trend
+family (Kruskal–Wallis, Jonckheere–Terpstra, Page's L,
+Cochran–Armitage) and the quantized Markov matrix power, plus the
+multi-column distributed cumsum they ride on. Oracle parity at sf0.001
+is covered by test_oracle_parity; these pin the STATISTICS to worked
+examples so a symmetric Spark/oracle bug can't slip through.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+import pyspark.sql.functions as F
+
+from loan_etl_data_pipeline_spark.queries import all_queries
+
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double, o_orderdate date"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+_D = datetime.date(2024, 1, 15)
+
+
+def test_kruskal_wallis_hand_values(spark, tmp_path):
+    """URGENT={1,3}, LOW={2,3}, HIGH={5} cents. Pooled 1,2,3,3,5 →
+    doubled ranks 2,4,7,7,10; r2x: URGENT 9, LOW 11, HIGH 10;
+    tie3 = 2³−2 = 6; Σ r2x = N(N+1) = 30."""
+    rows = [
+        ("1-URGENT", 0.01, _D), ("1-URGENT", 0.03, _D),
+        ("5-LOW", 0.02, _D), ("5-LOW", 0.03, _D),
+        ("2-HIGH", 0.05, _D),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    out = {r["prio"]: r for r in
+           all_queries()["q_kruskal_wallis"](spark, str(tmp_path)).collect()}
+    assert {(p, r["n_i"], r["r2x_i"]) for p, r in out.items()} == {
+        ("1-URGENT", 2, 9), ("5-LOW", 2, 11), ("2-HIGH", 1, 10),
+    }
+    any_row = next(iter(out.values()))
+    assert (any_row["n_total"], any_row["tie3"]) == (5, 6)
+    assert sum(r["r2x_i"] for r in out.values()) == 5 * 6
+
+
+def test_kruskal_wallis_rank_sum_invariant(spark, sf_dir):
+    rows = all_queries()["q_kruskal_wallis"](spark, sf_dir).collect()
+    n = rows[0]["n_total"]
+    assert sum(r["r2x_i"] for r in rows) == n * (n + 1)
+    assert sum(r["n_i"] for r in rows) == n
+
+
+def test_jonckheere_hand_values(spark, tmp_path):
+    """g1={1,3}, g2={2,3}, g3={4} cents.  2·JT: g1×g2 pairs
+    (1<2)+(1<3) count 2 each, (3,3) tie counts 1 → 5; g1×g3 and
+    g2×g3 all strictly increasing → +4 +4; total 13.
+    2·E[JT] = n1n2 + n1n3 + n2n3 = 4+2+2 = 8."""
+    rows = [
+        ("1-URGENT", 0.01, _D), ("1-URGENT", 0.03, _D),
+        ("2-HIGH", 0.02, _D), ("2-HIGH", 0.03, _D),
+        ("3-MEDIUM", 0.04, _D),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = all_queries()["q_jonckheere"](spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"], r["n3"], r["n4"], r["n5"]) == (2, 2, 1, 0, 0)
+    assert r["jt2x"] == 13
+    assert r["mean_jt2x"] == 8
+
+
+def test_jonckheere_reversed_groups_mirror(spark, tmp_path):
+    """Swapping the group labels mirrors the statistic:
+    jt2x + jt2x_rev = 2·Σ n_i n_j (every cross pair counted once
+    either way, ties contributing 1 to each)."""
+    rows = [
+        ("1-URGENT", 0.01, _D), ("1-URGENT", 0.03, _D),
+        ("2-HIGH", 0.02, _D), ("2-HIGH", 0.03, _D),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    fwd = all_queries()["q_jonckheere"](spark, str(tmp_path)).collect()[0]
+    rows_rev = [("2-HIGH" if p == "1-URGENT" else "1-URGENT", v, d)
+                for p, v, d in rows]
+    _write_orders(spark, tmp_path, rows_rev)
+    rev = all_queries()["q_jonckheere"](spark, str(tmp_path)).collect()[0]
+    assert fwd["jt2x"] + rev["jt2x"] == 2 * fwd["mean_jt2x"]
+
+
+def test_page_trend_hand_values(spark, tmp_path):
+    """Three complete month blocks: Jan ascending revenue by k (ranks
+    = k), Feb descending (ranks = 6−k), Mar with a low-end tie.
+    Per-treatment doubled rank sums 15,15,18,20,22 (Σ = m·k(k+1) =
+    90) and L·2 = Σ k·r2x_i = 289. An incomplete April (2 priorities)
+    must be excluded."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    rows = []
+    jan, feb, mar = (datetime.date(2024, 1, 5), datetime.date(2024, 2, 5),
+                     datetime.date(2024, 3, 5))
+    for k in range(1, 6):
+        rows.append((prios[k - 1], k * 0.10, jan))          # asc: rank k
+        rows.append((prios[k - 1], (6 - k) * 0.10, feb))    # desc: rank 6-k
+    mar_cents = {1: 0.10, 2: 0.10, 3: 0.30, 4: 0.40, 5: 0.50}
+    for k, v in mar_cents.items():
+        rows.append((prios[k - 1], v, mar))
+    rows += [("1-URGENT", 1.0, datetime.date(2024, 4, 5)),
+             ("5-LOW", 2.0, datetime.date(2024, 4, 5))]     # incomplete
+    _write_orders(spark, tmp_path, rows)
+    out = {r["k"]: r for r in
+           all_queries()["q_page_trend"](spark, str(tmp_path)).collect()}
+    assert {(k, r["r2x_i"], r["m_blocks"]) for k, r in out.items()} == {
+        (1, 15, 3), (2, 15, 3), (3, 18, 3), (4, 20, 3), (5, 22, 3),
+    }
+    assert out[1]["l2x"] == 289
+    assert sum(r["r2x_i"] for r in out.values()) == 3 * 5 * 6
+
+
+def test_cochran_armitage_hand_values(spark, tmp_path):
+    """(s, flag): (1,R),(1,N),(2,R),(3,N) → N=4, R=2, Σs=7, Σs²=15,
+    Σs·r=3; T = 4·3 − 2·7 = −2; var_core = 4·15 − 49 = 11."""
+    rows = [(1, "R"), (1, "N"), (2, "R"), (3, "N")]
+    spark.createDataFrame(
+        rows, "l_linenumber int, l_returnflag string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = all_queries()["q_cochran_armitage"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["r_total"], r["s_sum"], r["s2_sum"], r["sr_sum"]) == (
+        4, 2, 7, 15, 3)
+    assert r["t_num"] == -2
+    assert r["var_core"] == 11
+
+
+def _write_events(spark, tmp_path, seqs):
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = []
+    eid = 0
+    for user, types in seqs.items():
+        for i, et in enumerate(types):
+            eid += 1
+            rows.append((eid, t0 + datetime.timedelta(minutes=i), user, et,
+                         1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_markov_power_hand_values(spark, tmp_path):
+    """u1: A,B,A,B,A and u2: A,A,B → counts A→B 3, A→A 1, B→A 2;
+    P(e6): A→B 750000, A→A 250000, B→A 1000000. Hand matrix cube
+    with div-requantization at each multiply."""
+    _write_events(spark, tmp_path, {1: list("ABABA"), 2: list("AAB")})
+    out = {(r["from_type"], r["to_type"]): r["p3_e6"] for r in
+           all_queries()["q_markov_power"](spark, str(tmp_path)).collect()}
+    assert out == {
+        ("A", "A"): 390625, ("A", "B"): 609375,
+        ("B", "A"): 812500, ("B", "B"): 187500,
+    }
+
+
+def test_markov_power_deterministic_chain_stays_unit(spark, tmp_path):
+    """A deterministic cycle A→B→C→A keeps every step at exactly 10⁶
+    through the integer matrix powers — no quantization bleed."""
+    _write_events(spark, tmp_path, {1: list("ABCABCA")})
+    out = {(r["from_type"], r["to_type"]): r["p3_e6"] for r in
+           all_queries()["q_markov_power"](spark, str(tmp_path)).collect()}
+    # the cube of a 3-cycle permutation is the identity
+    assert out == {
+        ("A", "A"): 1000000, ("B", "B"): 1000000, ("C", "C"): 1000000,
+    }
+
+
+def test_global_cumsum_multi_matches_single(spark):
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        global_cumsum,
+        global_cumsum_multi,
+    )
+
+    rows = [(i, (i * 7) % 13, (i * 3) % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, a bigint, b bigint")
+    multi = global_cumsum_multi(df, [F.asc("k")], ["a", "b"], suffix="_cum")
+    got = {r["k"]: (r["a_cum"], r["b_cum"]) for r in multi.collect()}
+    for col in ("a", "b"):
+        single = global_cumsum(df, [F.asc("k")], col, cum_col="cum")
+        for r in single.collect():
+            assert got[r["k"]][0 if col == "a" else 1] == r["cum"], (col, r)
+
+
+def test_global_cumsum_multi_rejects_nulls_and_floats(spark):
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        global_cumsum_multi,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, 5)], "k bigint, a bigint")
+    with pytest.raises(ValueError, match="NULL"):
+        global_cumsum_multi(df, [F.asc("k")], ["a"])
+    fdf = spark.createDataFrame([(1, 1.0)], "k bigint, a double")
+    with pytest.raises(ValueError, match="integral"):
+        global_cumsum_multi(fdf, [F.asc("k")], ["a"])
+    with pytest.raises(ValueError, match="non-empty"):
+        global_cumsum_multi(df, [F.asc("k")], [])
