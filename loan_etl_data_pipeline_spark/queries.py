@@ -11868,6 +11868,283 @@ ORACLE_PART_B["q_markov_power"] = """
 """
 
 
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ McNemar's paired-binary test: did customers CHANGE their
+    urgency behavior between their first and last order? Pairs each
+    repeat customer's first vs last order (high priority = 1-URGENT /
+    2-HIGH) under the (o_orderdate, o_orderkey) total order, emitting
+    the 2×2 paired table n11/n10/n01/n00 plus the discordant-pair
+    composites the test statistic needs: (b−c)² and b+c, all exact
+    int64 (χ² = (b−c)²/(b+c), df 1). This is the PAIRED design the
+    battery's independent-sample tests (z/χ²/Mann–Whitney) can't
+    express — each customer is their own control. Scale: one window
+    per customer (the sessionize partitioning — first/last via
+    row_number at both ends), then a 4-cell aggregate; no data-row
+    shuffle beyond the customer key.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            " THEN 1L ELSE 0L END"
+        ).alias("hi"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w_asc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_desc = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    fl = (
+        o.select(
+            "o_custkey",
+            "hi",
+            F.row_number().over(w_asc).alias("rn_a"),
+            F.row_number().over(w_desc).alias("rn_d"),
+        )
+        .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("hi"))).alias("first_hi"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("hi"))).alias("last_hi"),
+            F.count(F.lit(1)).alias("ends"),
+        )
+        # repeat customers only: a single-order customer has rn_a ==
+        # rn_d == 1 (one row, ends = 1) and carries no before/after pair
+        .filter(F.col("ends") == 2)
+    )
+    return fl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("CASE WHEN first_hi = 1 AND last_hi = 1 THEN 1L ELSE 0L END"))
+        .cast("bigint").alias("n11"),
+        F.sum(F.expr("CASE WHEN first_hi = 1 AND last_hi = 0 THEN 1L ELSE 0L END"))
+        .cast("bigint").alias("n10"),
+        F.sum(F.expr("CASE WHEN first_hi = 0 AND last_hi = 1 THEN 1L ELSE 0L END"))
+        .cast("bigint").alias("n01"),
+        F.sum(F.expr("CASE WHEN first_hi = 0 AND last_hi = 0 THEN 1L ELSE 0L END"))
+        .cast("bigint").alias("n00"),
+    ).select(
+        "n_pairs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("(n10 - n01) * (n10 - n01)").cast("bigint").alias("chi2_num"),
+        F.expr("n10 + n01").cast("bigint").alias("chi2_den"),
+    )
+
+
+QUERIES_PART_B["q_mcnemar"] = q_mcnemar
+
+ORACLE_PART_B["q_mcnemar"] = """
+    WITH o AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS hi,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn_d
+        FROM orders
+    ), fl AS (
+        SELECT o_custkey,
+               max(CASE WHEN rn_a = 1 THEN hi END) AS first_hi,
+               max(CASE WHEN rn_d = 1 THEN hi END) AS last_hi
+        FROM o WHERE rn_a = 1 OR rn_d = 1
+        GROUP BY 1 HAVING count(*) = 2
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN first_hi = 1 AND last_hi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN first_hi = 1 AND last_hi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN first_hi = 0 AND last_hi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN first_hi = 0 AND last_hi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        FROM fl
+    )
+    SELECT n_pairs, n11, n10, n01, n00,
+           CAST((n10 - n01) * (n10 - n01) AS BIGINT) AS chi2_num,
+           CAST(n10 + n01 AS BIGINT) AS chi2_den
+    FROM a
+"""
+
+
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ two-group log-rank test, integer-quantized: do BUILDING and
+    AUTOMOBILE customers churn on DIFFERENT tenure schedules? Reuses
+    q_km_curve's tenure contract (bucket = div(active-span days, 90),
+    every customer 'dies' at their last bucket — no censoring in this
+    framing) and compares the two segments' full survival curves, not
+    one bucket: O₁ − E₁ = Σ_t (o1 − d·n1/n) with the hypergeometric
+    variance Σ_t d·(n1/n)·(n2/n)·(n−d)/(n−1). Expected/variance terms
+    are RATIONAL, so both are quantized to parts-per-million with a
+    FIXED staged-division order (e1_e6 = d·n1·10⁶ div n; v: multiply /
+    divide alternating so every intermediate stays ≤ 10⁶·C² — exact
+    int64 replay both engines, no float enters the gate; the staged div
+    truncation is bounded by 1 ppm per stage and identical cross-engine
+    by construction). Scale: per-customer span aggregate → ≤30-bucket
+    frame; the at-risk window runs over that aggregate only.
+    """
+    spans = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    F.col("c_custkey"), F.col("c_mktsegment")
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.expr(
+                "timestampdiff(DAY, min(o_orderdate), max(o_orderdate))"
+            ).alias("tenure_days")
+        )
+        .select(
+            F.expr("div(tenure_days, 90)").alias("bucket"),
+            F.expr("CASE WHEN c_mktsegment = 'BUILDING' THEN 1L ELSE 0L END")
+            .alias("g1"),
+        )
+    )
+    per = spans.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("g1").cast("bigint").alias("o1"),
+    )
+    tot = spans.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("g1").cast("bigint").alias("n1_all"),
+    )
+    w_prev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n",
+            F.col("n_all") - F.coalesce(F.sum("d").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "n1",
+            F.col("n1_all") - F.coalesce(F.sum("o1").over(w_prev), F.lit(0)),
+        )
+    )
+    return (
+        risk.filter(F.col("n") > 1)  # n == 1 ⇒ variance term div-by-zero
+        .agg(
+            F.max("n1_all").alias("n1_total"),
+            F.expr("max(n_all) - max(n1_all)").cast("bigint").alias("n2_total"),
+            F.sum("o1").cast("bigint").alias("o1_sum"),
+            F.sum(F.expr("d * n1 * 1000000L div n")).cast("bigint").alias("e1_e6"),
+            F.sum(
+                F.expr(
+                    "(((d * n1 * 1000000L div n) * (n - n1) div n)"
+                    " * (n - d)) div (n - 1)"
+                )
+            ).cast("bigint").alias("v_e6"),
+        )
+    )
+
+
+QUERIES_PART_B["q_logrank"] = q_logrank
+
+ORACLE_PART_B["q_logrank"] = """
+    WITH spans AS (
+        SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) // 90 AS bucket,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        GROUP BY o_custkey, c_mktsegment
+    ), per AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS d,
+               CAST(sum(g1) AS BIGINT) AS o1
+        FROM spans GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(g1) AS BIGINT) AS n1_all
+        FROM spans
+    ), risk AS (
+        SELECT per.*, tot.n_all, tot.n1_all,
+               n_all - coalesce(sum(d) OVER (
+                   ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n,
+               n1_all - coalesce(sum(o1) OVER (
+                   ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n1
+        FROM per CROSS JOIN tot
+    )
+    SELECT CAST(max(n1_all) AS BIGINT) AS n1_total,
+           CAST(max(n_all) - max(n1_all) AS BIGINT) AS n2_total,
+           CAST(sum(o1) AS BIGINT) AS o1_sum,
+           CAST(sum(d * n1 * 1000000 // n) AS BIGINT) AS e1_e6,
+           CAST(sum((((d * n1 * 1000000 // n) * (n - n1) // n)
+                     * (n - d)) // (n - 1)) AS BIGINT) AS v_e6
+    FROM risk WHERE n > 1
+"""
+
+
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ gap-constrained sequential pattern support (PrefixSpan level
+    2, Pei et al. ICDE 2001): for each ordered event-type pair (a → b
+    within ≤3 positions), how many USERS exhibit it at least once —
+    per-user DISTINCT support, the sequence-mining semantics, vs
+    q_event_transitions' occurrence counts of ADJACENT pairs only (a
+    gap-2 "view → … → purchase" is invisible there). Scale: positions
+    from one user-keyed window, then a user-co-partitioned self-join
+    with the gap bound as a join-range predicate — multiplicity ≤ gap
+    per position, so the pair frame is ≤ 3·|events|, never the
+    quadratic per-user blowup an unbounded "a before b" would be; the
+    DISTINCT collapses per user before the global count. Patterns with
+    support < 5 users are pruned (the Apriori floor).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("pn")
+    )
+    a = pos.select(
+        "user_id", F.col("event_type").alias("a"), F.col("pn").alias("pa")
+    )
+    b = pos.select(
+        "user_id", F.col("event_type").alias("b"), F.col("pn").alias("pb")
+    )
+    pairs = a.join(b, "user_id").filter(
+        (F.col("pb") > F.col("pa")) & (F.col("pb") <= F.col("pa") + 3)
+    )
+    return (
+        pairs.select("user_id", "a", "b")
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 5)
+    )
+
+
+QUERIES_PART_B["q_seq_patterns"] = q_seq_patterns
+
+ORACLE_PART_B["q_seq_patterns"] = """
+    WITH pos AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS pn
+        FROM events
+    ), pairs AS (
+        SELECT DISTINCT a.user_id, a.event_type AS a, b.event_type AS b
+        FROM pos a JOIN pos b
+          ON a.user_id = b.user_id
+         AND b.pn > a.pn AND b.pn <= a.pn + 3
+    )
+    SELECT a, b, CAST(count(*) AS BIGINT) AS support
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 5
+"""
+
+
 QUERIES_PART_B["q_vocab_richness"] = q_vocab_richness
 
 ORACLE_PART_B["q_vocab_richness"] = """

@@ -198,3 +198,78 @@ def test_global_cumsum_multi_rejects_nulls_and_floats(spark):
         global_cumsum_multi(fdf, [F.asc("k")], ["a"])
     with pytest.raises(ValueError, match="non-empty"):
         global_cumsum_multi(df, [F.asc("k")], [])
+
+
+def test_mcnemar_hand_table(spark, tmp_path):
+    """c1 hi→lo (n10), c2 lo→hi (n01), c3 lo→lo with an ignored middle
+    order (n00), c4 single-order (excluded), c5 hi→hi (n11)."""
+    d1, d2, d3 = (datetime.date(2024, 1, 1), datetime.date(2024, 2, 1),
+                  datetime.date(2024, 3, 1))
+    rows = [
+        (1, "1-URGENT", d1, 10), (1, "5-LOW", d2, 11),
+        (2, "5-LOW", d1, 20), (2, "2-HIGH", d2, 21),
+        (3, "5-LOW", d1, 30), (3, "3-MEDIUM", d2, 31), (3, "4-NOT SPECIFIED", d3, 32),
+        (4, "1-URGENT", d1, 40),
+        (5, "2-HIGH", d1, 50), (5, "1-URGENT", d2, 51),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_custkey bigint, o_orderpriority string, o_orderdate date,"
+        " o_orderkey bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = all_queries()["q_mcnemar"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_pairs"], r["n11"], r["n10"], r["n01"], r["n00"]) == (
+        4, 1, 1, 1, 1)
+    assert (r["chi2_num"], r["chi2_den"]) == (0, 2)
+
+
+def test_mcnemar_same_date_tiebreak_on_orderkey(spark, tmp_path):
+    """Two orders on the SAME date: o_orderkey decides first vs last."""
+    d = datetime.date(2024, 1, 1)
+    rows = [(1, "1-URGENT", d, 1), (1, "5-LOW", d, 2)]
+    spark.createDataFrame(
+        rows,
+        "o_custkey bigint, o_orderpriority string, o_orderdate date,"
+        " o_orderkey bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = all_queries()["q_mcnemar"](spark, str(tmp_path)).collect()[0]
+    assert (r["n10"], r["n01"]) == (1, 0)  # urgent(key 1) first, low last
+
+
+def test_logrank_hand_values(spark, tmp_path):
+    """Two deaths at bucket 0 (one per group) and two at bucket 2:
+    e1_e6 = 1e6 + 1e6; v_e6 = 333333 + 0 (staged-div order)."""
+    d0 = datetime.date(2024, 1, 1)
+    orders = [
+        (1, d0), (2, d0), (2, datetime.date(2024, 7, 19)),   # b2: +200d
+        (3, d0), (4, d0), (4, datetime.date(2024, 7, 19)),
+        (5, d0),  # other segment: filtered out
+    ]
+    spark.createDataFrame(
+        orders, "o_custkey bigint, o_orderdate date"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    cust = [(1, "BUILDING"), (2, "BUILDING"), (3, "AUTOMOBILE"),
+            (4, "AUTOMOBILE"), (5, "MACHINERY")]
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    r = all_queries()["q_logrank"](spark, str(tmp_path)).collect()[0]
+    assert (r["n1_total"], r["n2_total"]) == (2, 2)
+    assert r["o1_sum"] == 2
+    assert r["e1_e6"] == 2_000_000
+    assert r["v_e6"] == 333_333
+
+
+def test_seq_patterns_gap_and_distinct_semantics(spark, tmp_path):
+    """Support counts USERS once each; the gap bound is ≤3 positions
+    inclusive: u6's A..B at gap 3 counts, u7's at gap 4 does not;
+    u1's repeated A,B,A,B still contributes exactly 1."""
+    seqs = {1: list("ABAB")}
+    for u in (2, 3, 4, 5):
+        seqs[u] = list("AB")
+    seqs[6] = list("AqwB".replace("q", "Q").replace("w", "W"))
+    seqs[7] = list("AQWEB")
+    _write_events(spark, tmp_path, seqs)
+    out = {(r["a"], r["b"]): r["support"] for r in
+           all_queries()["q_seq_patterns"](spark, str(tmp_path)).collect()}
+    assert out == {("A", "B"): 6}
