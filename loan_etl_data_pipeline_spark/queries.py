@@ -12091,33 +12091,30 @@ def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     within ≤3 positions), how many USERS exhibit it at least once —
     per-user DISTINCT support, the sequence-mining semantics, vs
     q_event_transitions' occurrence counts of ADJACENT pairs only (a
-    gap-2 "view → … → purchase" is invisible there). Scale: positions
-    from one user-keyed window, then a user-co-partitioned self-join
-    with the gap bound as a join-range predicate — multiplicity ≤ gap
-    per position, so the pair frame is ≤ 3·|events|, never the
-    quadratic per-user blowup an unbounded "a before b" would be; the
-    DISTINCT collapses per user before the global count. Patterns with
-    support < 5 users are pruned (the Apriori floor).
+    gap-2 "view → … → purchase" is invisible there). Scale: the gap
+    bound is realized as THREE lead() columns in one user-keyed window
+    — the pair frame is exactly ≤ gap·|events| rows with NO join at
+    all (a user-keyed self-join would materialize a per-user QUADRATIC
+    intermediate before any gap filter could prune a power user's
+    stream); the DISTINCT collapses per user before the global count.
+    Patterns with support < 5 users are pruned (the Apriori floor).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pos = ev.select(
-        "user_id", "event_type", F.row_number().over(w).alias("pn")
+    led = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.array(
+            *[F.lead("event_type", i).over(w) for i in (1, 2, 3)]
+        ).alias("nexts"),
     )
-    a = pos.select(
-        "user_id", F.col("event_type").alias("a"), F.col("pn").alias("pa")
-    )
-    b = pos.select(
-        "user_id", F.col("event_type").alias("b"), F.col("pn").alias("pb")
-    )
-    pairs = a.join(b, "user_id").filter(
-        (F.col("pb") > F.col("pa")) & (F.col("pb") <= F.col("pa") + 3)
-    )
+    pairs = led.select(
+        "user_id", "a", F.explode("nexts").alias("b")
+    ).filter(F.col("b").isNotNull())
     return (
-        pairs.select("user_id", "a", "b")
-        .distinct()
+        pairs.distinct()
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .filter(F.col("support") >= 5)
@@ -12142,6 +12139,532 @@ ORACLE_PART_B["q_seq_patterns"] = """
     SELECT a, b, CAST(count(*) AS BIGINT) AS support
     FROM pairs GROUP BY 1, 2
     HAVING count(*) >= 5
+"""
+
+
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Mood's median test pieces, exact: are the 5 priorities'
+    totalprice distributions split differently around the POOLED
+    median? The k-sample scale-free location test the battery lacked —
+    coarser than Kruskal–Wallis (it only looks above/below one cut)
+    but valid under arbitrary ties and the classic robustness
+    baseline. The pooled LOWER median (value at rank ⌈N/2⌉ = (N+1)
+    div 2) comes from the distributed value-axis cumsum (min cents with
+    cum ≥ k — never a global sort of rows), broadcast as a 1-row
+    scalar, then one grouped conditional aggregate emits each group's
+    n_i and above-median count gt_i plus N and the median itself — the
+    exact ingredients of the 5×2 χ². Scale: two value-grouped
+    aggregates + the parallel cumsum; only the ≤|distinct cents| frame
+    shuffles.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    gv = o.groupBy("cents").agg(F.count(F.lit(1)).alias("cntv"))
+    c = global_cumsum(gv, [F.asc("cents")], "cntv", cum_col="cum")
+    med = c.crossJoin(
+        F.broadcast(c.agg(F.sum("cntv").cast("bigint").alias("n_total")))
+    ).filter(F.expr("cum >= (n_total + 1L) div 2")).agg(
+        F.min("cents").alias("median_cents"),
+        F.max("n_total").alias("n_total"),
+    )
+    per = (
+        o.crossJoin(F.broadcast(med))
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum(F.expr("CASE WHEN cents > median_cents THEN 1L ELSE 0L END"))
+            .cast("bigint")
+            .alias("gt_i"),
+            F.max("median_cents").alias("median_cents"),
+            F.max("n_total").alias("n_total"),
+        )
+        .select("prio", "n_i", "gt_i", "median_cents", "n_total")
+        .localCheckpoint(eager=True)
+    )
+    release_intermediates(c)
+    return per
+
+
+QUERIES_PART_B["q_mood_median"] = q_mood_median
+
+ORACLE_PART_B["q_mood_median"] = """
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderpriority AS prio
+        FROM orders
+    ), gv AS (
+        SELECT cents, count(*) AS cntv FROM o GROUP BY 1
+    ), c AS (
+        SELECT cents, cntv,
+               sum(cntv) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+        FROM gv
+    ), tots AS (SELECT CAST(sum(cntv) AS BIGINT) AS n_total FROM gv),
+    med AS (
+        SELECT min(cents) AS median_cents, max(n_total) AS n_total
+        FROM c CROSS JOIN tots
+        WHERE cum >= (n_total + 1) // 2
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n_i,
+           CAST(sum(CASE WHEN cents > median_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS gt_i,
+           CAST(max(median_cents) AS BIGINT) AS median_cents,
+           CAST(max(n_total) AS BIGINT) AS n_total
+    FROM o CROSS JOIN med
+    GROUP BY 1
+"""
+
+
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Hodges–Lehmann two-sample shift estimator, exact and
+    distributed: the median of ALL n_a·n_b pairwise differences
+    URGENT − LOW totalprice cents — the robust effect-size companion
+    to q_mann_whitney (which only tests; this ESTIMATES the shift).
+    The pair multiset is never materialized: the k-th smallest
+    difference (k = (n_a·n_b+1) div 2) is found by 16-ary search over
+    the integer difference domain, each round evaluating cnt(d ≤ t)
+    for fan−1 probe thresholds in ONE shuffle — union the A-side probe
+    points (va − t) with the B values per threshold, hash-partition BY
+    THRESHOLD ID, and take a per-threshold descending running sum
+    (Window.partitionBy(tid) — 64-way parallel, never the banned
+    global window, and no range-sampling/persist/offset machinery
+    since each threshold's group IS one partition): a probe row's
+    running sum is exactly tail_B(va − t), so cnt = Σ ca·runsum.
+    Rounds = log₁₆(domain) ≈ 7 for the ~5·10⁷-cent spread; per-round
+    cost is O(16·|distinct values|) rows through one exchange (fan-out
+    16 minimizes total probe volume ≈ K·log_K(R), and measured fastest
+    against 8/64 locally),
+    data-size-independent once value-grouped — the selection-in-X+Y
+    construction (Johnson & Mizoguchi 1978 made BSP). The search
+    state (lo, hi — two scalars) is the ONLY driver-side data, per
+    the house rule on scalar iteration state. The oracle brute-forces
+    the full 9M-pair cross join at sf0.01 and reads the k-th order
+    statistic — the propose/verify asymmetry of q_minhash_verified:
+    the cheap plan must reproduce the exhaustive answer bit-for-bit.
+    int64 bound: cnt ≤ n_a·n_b — safe to ~3·10⁹ rows per side.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+        F.expr("CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END")
+        .alias("is_a"),
+    )
+    av = (
+        o.filter("is_a = 1").groupBy("cents").agg(
+            F.count(F.lit(1)).cast("bigint").alias("ca"))
+        .persist()
+    )
+    bv = (
+        o.filter("is_a = 0").groupBy("cents").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cb"))
+        .persist()
+    )
+    stats = av.agg(
+        F.sum("ca").alias("n"), F.min("cents").alias("lo"),
+        F.max("cents").alias("hi")).collect()[0]
+    statsb = bv.agg(
+        F.sum("cb").alias("n"), F.min("cents").alias("lo"),
+        F.max("cents").alias("hi")).collect()[0]
+    n_a, n_b = stats["n"] or 0, statsb["n"] or 0
+    spark_sess = spark
+
+    def _empty():
+        av.unpersist()
+        bv.unpersist()
+        return spark_sess.createDataFrame(
+            [],
+            "n_a bigint, n_b bigint, n_pairs bigint, k bigint,"
+            " hl_cents bigint, cnt_le_hl bigint",
+        )
+
+    if n_a == 0 or n_b == 0:
+        return _empty()
+    n_pairs = n_a * n_b
+    k = (n_pairs + 1) // 2
+    lo = stats["lo"] - statsb["hi"]  # smallest possible difference
+    hi = stats["hi"] - statsb["lo"]  # largest possible difference
+
+    # Coarse-histogram bracket (one tiny agg per side + a driver-side
+    # int64 convolution on <=4097-bucket summaries — the kmeans-grade
+    # bounded collect): with both sides bucketed at width W, a pair's
+    # difference d and its bucket difference c obey |d − shift − c·W|
+    # <= W−1, so the convolution's cumulative pins the k-th difference
+    # inside a 2W−1 window. Collapses ~4 exact search rounds into one
+    # summary pass before the per-threshold machinery takes over.
+    if hi - lo > 4096:
+        import numpy as np
+
+        amin, bmin = stats["lo"], statsb["lo"]
+        w_bkt = (hi - lo) // 4096 + 1
+        ha_rows = (
+            av.groupBy(F.expr(f"(cents - {amin}L) div {w_bkt}L").alias("q"))
+            .agg(F.sum("ca").alias("m"))
+            .collect()
+        )
+        hb_rows = (
+            bv.groupBy(F.expr(f"(cents - {bmin}L) div {w_bkt}L").alias("q"))
+            .agg(F.sum("cb").alias("m"))
+            .collect()
+        )
+        na_b = max(r["q"] for r in ha_rows) + 1
+        nb_b = max(r["q"] for r in hb_rows) + 1
+        ha = np.zeros(na_b, dtype=np.int64)
+        hb = np.zeros(nb_b, dtype=np.int64)
+        for r in ha_rows:
+            ha[r["q"]] = r["m"]
+        for r in hb_rows:
+            hb[r["q"]] = r["m"]
+        conv = np.convolve(ha, hb[::-1])  # index j ↔ c = j − (nb_b − 1)
+        cum = np.cumsum(conv)
+        j_star = int(np.searchsorted(cum, k))
+        c_star = j_star - (nb_b - 1)
+        shift = amin - bmin
+        lo = max(lo, shift + c_star * w_bkt - w_bkt + 1)
+        hi = min(hi, shift + c_star * w_bkt + w_bkt - 1)
+
+    def counts_at(ts: list[int]) -> dict[int, int]:
+        """cnt(d <= t) for every t in ts, one shuffle: per-threshold
+        descending running sum over the union of probe points and B
+        values — each threshold id is its own window partition."""
+        ordered_ts = sorted(ts)
+        # thresholds ride as an exploded literal array — a per-round
+        # broadcast-exchange job for a 16-row frame would cost more
+        # than the probe pass itself
+        t_arr = F.array(*[F.lit(t).cast("bigint") for t in ordered_ts])
+        probes = av.select(
+            F.posexplode(t_arr).alias("tid", "t"),
+            F.col("cents"),
+            F.col("ca"),
+        ).select(
+            "tid",
+            F.expr("cents - t").alias("x"),
+            F.col("ca"),
+            F.lit(0).cast("bigint").alias("w"),
+            F.lit(1).alias("tag"),
+        )
+        bside = bv.select(
+            F.posexplode(t_arr).alias("tid", "t"),
+            F.col("cents"),
+            F.col("cb"),
+        ).select(
+            "tid",
+            F.col("cents").alias("x"),
+            F.lit(0).cast("bigint").alias("ca"),
+            F.col("cb").alias("w"),
+            F.lit(0).alias("tag"),
+        )
+        w_tail = (
+            Window.partitionBy("tid")
+            .orderBy(F.desc("x"), F.asc("tag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        got = {
+            r["tid"]: r["cnt"]
+            for r in probes.unionAll(bside)
+            .withColumn("runsum", F.sum("w").over(w_tail))
+            .filter("tag = 1")
+            .groupBy("tid")
+            .agg(F.sum(F.expr("ca * runsum")).alias("cnt"))
+            .collect()
+        }
+        return {ordered_ts[i]: got.get(i, 0) or 0 for i in range(len(ordered_ts))}
+
+    hl, final = None, None
+    fan = 16  # minimizes total probe volume: rounds*K ~ K/ln(K) is
+    # flattest near e..16, and per-round job overhead favors fewer,
+    # smaller rounds over 64-wide ones (measured 9.2 s -> ~5 s at sf0.1)
+    while True:
+        span = hi - lo
+        if span <= 3 * fan:
+            # endgame: probe every candidate (incl. hi) in one pass —
+            # yields the answer AND its audit count together
+            ts = list(range(lo, hi + 1))
+            cnts = counts_at(ts)
+            for t in ts:  # ascending; hi always satisfies cnt >= k
+                if cnts[t] >= k:
+                    hl, final = t, cnts[t]
+                    break
+            break
+        mids = sorted({lo + (i * span) // fan for i in range(1, fan)} | {lo})
+        cnts = counts_at(mids)
+        new_lo, new_hi = lo, hi
+        for t in mids:  # ascending
+            if cnts[t] >= k:
+                new_hi = min(new_hi, t)
+                break
+            new_lo = t + 1
+        lo, hi = new_lo, new_hi
+    av.unpersist()
+    bv.unpersist()
+    return spark_sess.createDataFrame(
+        [(n_a, n_b, n_pairs, k, hl, final)],
+        "n_a bigint, n_b bigint, n_pairs bigint, k bigint,"
+        " hl_cents bigint, cnt_le_hl bigint",
+    )
+
+
+QUERIES_PART_B["q_hodges_lehmann"] = q_hodges_lehmann
+
+ORACLE_PART_B["q_hodges_lehmann"] = """
+    WITH a AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_orderpriority = '5-LOW'
+    ), s AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b
+    ), d AS (
+        SELECT a.c - b.c AS d FROM a CROSS JOIN b
+    ), ranked AS (
+        SELECT d, row_number() OVER (ORDER BY d) AS rn FROM d
+    ), hl AS (
+        SELECT d AS hl_cents FROM ranked CROSS JOIN s
+        WHERE rn = (n_a * n_b + 1) // 2
+    )
+    SELECT n_a, n_b,
+           CAST(n_a * n_b AS BIGINT) AS n_pairs,
+           CAST((n_a * n_b + 1) // 2 AS BIGINT) AS k,
+           hl_cents,
+           (SELECT CAST(count(*) AS BIGINT) FROM d
+            WHERE d <= hl_cents) AS cnt_le_hl
+    FROM s CROSS JOIN hl
+"""
+
+
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Ansari–Bradley dispersion test: do URGENT and LOW orders
+    differ in SPREAD (not location — that's Mann–Whitney's job)? Each
+    pooled rank i scores min(i, N+1−i), small at both extremes, so a
+    group concentrated near the middle scores high. Tie blocks are
+    scored EXACTLY: a block occupying ranks l..r contributes S =
+    f(r) − f(l−1) where f(x) = Σ_{i≤x} min(i, M−i) has the closed
+    two-branch arithmetic-series form (M = N+1, h = M div 2:
+    x(x+1)/2 below h, plus the descending run above) — no per-rank
+    enumeration, no float; each member gets the block AVERAGE (the
+    standard tie treatment), quantized parts-per-million as cnt_a ·
+    (S·10⁶ div cnt). Invariant Σ blocks S = f(N). Scale: the same
+    value-axis cumsum as Kruskal–Wallis — one grouped agg + one
+    parallel prefix sum; int64 bound S·10⁶ < 2⁶³ holds while (block
+    size)·N ≲ 10¹³ — beyond, split into limbs as q_var_es does.
+    Hand-verified: A={5}, B={5,5} → scores 1,2,1; the straddling tie
+    block averages to 4/3 per member → ab_e6 = 1 333 333.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+            F.expr(
+                "CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END"
+            ).alias("ia"),
+        )
+    )
+    g = o.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("ia").alias("cnt_a")
+    )
+    c = global_cumsum(g, [F.asc("cents")], "cnt", cum_col="cum")
+    tot = c.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+    )
+    f_tpl = (
+        "CASE WHEN {x} <= (n_total + 1L) div 2 THEN ({x} * ({x} + 1L)) div 2 "
+        "ELSE ((n_total + 1L) div 2 * ((n_total + 1L) div 2 + 1L)) div 2 "
+        "+ ((n_total - (n_total + 1L) div 2 + (n_total + 1L) - {x}) "
+        "* ({x} - (n_total + 1L) div 2)) div 2 END"
+    )
+    s_expr = f"({f_tpl.format(x='cum')}) - ({f_tpl.format(x='(cum - cnt)')})"
+    out = (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.expr("max(n_total) - max(n_a)").cast("bigint").alias("n_b"),
+            F.sum(F.expr(f"cnt_a * (({s_expr}) * 1000000L div cnt)"))
+            .cast("bigint")
+            .alias("ab_e6"),
+            F.sum(F.expr(s_expr)).cast("bigint").alias("score_total"),
+        )
+        # staged div: score_total*1e6 first (~N²/4·10⁶ — int64-safe to
+        # N ~ 10⁶), THEN the group share — n_a·score_total·10⁶ directly
+        # would wrap at sf0.1 already
+        .withColumn(
+            "mean_ab_e6",
+            F.expr("n_a * (score_total * 1000000L div (n_a + n_b))").cast(
+                "bigint"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    release_intermediates(c)
+    return out
+
+
+QUERIES_PART_B["q_ansari_bradley"] = q_ansari_bradley
+
+_AB_F_SQL = (
+    "CASE WHEN {x} <= (n_total + 1) // 2 THEN ({x} * ({x} + 1)) // 2 "
+    "ELSE ((n_total + 1) // 2 * ((n_total + 1) // 2 + 1)) // 2 "
+    "+ ((n_total - (n_total + 1) // 2 + (n_total + 1) - {x}) "
+    "* ({x} - (n_total + 1) // 2)) // 2 END"
+)
+_AB_S_SQL = f"({_AB_F_SQL.format(x='cum')}) - ({_AB_F_SQL.format(x='(cum - cnt)')})"
+
+ORACLE_PART_B["q_ansari_bradley"] = f"""
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), g AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(ia) AS BIGINT) AS cnt_a
+        FROM o GROUP BY 1
+    ), c AS (
+        SELECT cents, cnt, cnt_a,
+               sum(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+        FROM g
+    ), tots AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+               CAST(sum(cnt_a) AS BIGINT) AS n_a
+        FROM g
+    ), agg AS (
+        SELECT max(n_a) AS n_a,
+               CAST(max(n_total) - max(n_a) AS BIGINT) AS n_b,
+               CAST(sum(cnt_a * (({_AB_S_SQL}) * 1000000 // cnt))
+                    AS BIGINT) AS ab_e6,
+               CAST(sum({_AB_S_SQL}) AS BIGINT) AS score_total
+        FROM c CROSS JOIN tots
+    )
+    SELECT n_a, n_b, ab_e6, score_total,
+           CAST(n_a * (score_total * 1000000 // (n_a + n_b)) AS BIGINT)
+               AS mean_ab_e6
+    FROM agg
+"""
+
+
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ two-sample Cramér–von Mises distance, exact: the L2 gap
+    between the URGENT and LOW empirical CDFs — the full-distribution
+    companion completing the two-sample triad (Mann–Whitney = location,
+    Ansari–Bradley = scale, q_ks_test = sup-norm; CvM integrates EVERY
+    discrepancy, catching shape differences a single extreme point or
+    median shift miss). Tie-aware integral form over the pooled value
+    axis: d2 = Σ_v cnt_v · (n_b·cumA(v) − n_a·cumB(v))², with both
+    per-group cumulatives from ONE range shuffle (global_cumsum_multi).
+    d2 can reach N·(n_a·n_b)² ≈ 10²² at sf0.1 — past int64 — so the
+    sum runs in DECIMAL(38,0)/HUGEINT and is emitted as three 2³²
+    limbs (the q_autocorr portability discipline; exact while diff² ≲
+    10³⁸, i.e. n_a·n_b ≲ 10¹⁹ — every realistic scale). The classical
+    T = d2 / (n_a·n_b·N²) assembles downstream. Scale: one grouped agg
+    on the value axis + the parallel multi-cumsum; nothing else
+    shuffles.
+    Hand-verified: A={1,2}, B={3,4} (disjoint supports) → d2 = 24.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        global_cumsum_multi,
+    )
+    from loan_etl_data_pipeline_spark.operators.dedup import release_intermediates
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+            F.expr(
+                "CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END"
+            ).alias("ia"),
+        )
+    )
+    g = o.groupBy("cents").agg(
+        F.sum("ia").cast("bigint").alias("ca"),
+        F.sum(F.expr("1L - ia")).cast("bigint").alias("cb"),
+    )
+    cm = global_cumsum_multi(g, [F.asc("cents")], ["ca", "cb"], suffix="_cum")
+    tot = cm.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    out = (
+        cm.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            F.expr("ca + cb").alias("cnt"),
+            F.expr("n_b * ca_cum - n_a * cb_cum").alias("diff"),
+        )
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(
+                F.expr(
+                    "CAST(cnt AS DECIMAL(38,0))"
+                    " * (CAST(diff AS DECIMAL(38,0))"
+                    "    * CAST(diff AS DECIMAL(38,0)))"
+                )
+            ).alias("d2"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.expr("CAST(d2 % 4294967296 AS BIGINT)").alias("d2_lo"),
+            F.expr(
+                "CAST((d2 div 4294967296) % 4294967296 AS BIGINT)"
+            ).alias("d2_mid"),
+            F.expr("CAST(d2 div 18446744073709551616 AS BIGINT)").alias(
+                "d2_hi"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    release_intermediates(cm)
+    return out
+
+
+QUERIES_PART_B["q_cramer_von_mises"] = q_cramer_von_mises
+
+ORACLE_PART_B["q_cramer_von_mises"] = """
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), g AS (
+        SELECT cents,
+               CAST(sum(ia) AS BIGINT) AS ca,
+               CAST(sum(1 - ia) AS BIGINT) AS cb
+        FROM o GROUP BY 1
+    ), cm AS (
+        SELECT cents, ca, cb,
+               sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS ca_cum,
+               sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cb_cum
+        FROM g
+    ), tots AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b
+        FROM g
+    ), agg AS (
+        SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+               sum(CAST(ca + cb AS HUGEINT)
+                   * (CAST(n_b * ca_cum - n_a * cb_cum AS HUGEINT)
+                      * CAST(n_b * ca_cum - n_a * cb_cum AS HUGEINT))) AS d2
+        FROM cm CROSS JOIN tots
+    )
+    SELECT n_a, n_b,
+           CAST(d2 % 4294967296 AS BIGINT) AS d2_lo,
+           CAST((d2 // 4294967296) % 4294967296 AS BIGINT) AS d2_mid,
+           CAST(d2 // 18446744073709551616 AS BIGINT) AS d2_hi
+    FROM agg
 """
 
 

@@ -273,3 +273,182 @@ def test_seq_patterns_gap_and_distinct_semantics(spark, tmp_path):
     out = {(r["a"], r["b"]): r["support"] for r in
            all_queries()["q_seq_patterns"](spark, str(tmp_path)).collect()}
     assert out == {("A", "B"): 6}
+
+
+def test_mood_median_hand_values(spark, tmp_path):
+    """URGENT={1,2}, HIGH={3}, LOW={4,5} cents: pooled lower median =
+    rank-3 value = 3; above-median counts 0/0/2."""
+    rows = [
+        ("1-URGENT", 0.01, _D), ("1-URGENT", 0.02, _D),
+        ("2-HIGH", 0.03, _D),
+        ("5-LOW", 0.04, _D), ("5-LOW", 0.05, _D),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    out = {r["prio"]: r for r in
+           all_queries()["q_mood_median"](spark, str(tmp_path)).collect()}
+    assert {(p, r["n_i"], r["gt_i"]) for p, r in out.items()} == {
+        ("1-URGENT", 2, 0), ("2-HIGH", 1, 0), ("5-LOW", 2, 2),
+    }
+    row = out["2-HIGH"]
+    assert (row["median_cents"], row["n_total"]) == (3, 5)
+
+
+def test_mood_median_split_invariant(spark, sf_dir):
+    """The pooled lower median must put >= ceil(N/2) values at-or-below
+    it, and at most floor(N/2) strictly above."""
+    rows = all_queries()["q_mood_median"](spark, sf_dir).collect()
+    n = rows[0]["n_total"]
+    gt_total = sum(r["gt_i"] for r in rows)
+    assert sum(r["n_i"] for r in rows) == n
+    assert n - gt_total >= (n + 1) // 2
+    assert gt_total <= n // 2
+
+
+def test_hodges_lehmann_hand_values(spark, tmp_path):
+    """A={10,20}, B={1,2} cents → differences {8,9,18,19}; k = 2 →
+    HL = 9; cnt(d<=9) = 2."""
+    rows = [
+        ("1-URGENT", 0.10, _D), ("1-URGENT", 0.20, _D),
+        ("5-LOW", 0.01, _D), ("5-LOW", 0.02, _D),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = all_queries()["q_hodges_lehmann"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_pairs"], r["k"]) == (2, 2, 4, 2)
+    assert r["hl_cents"] == 9
+    assert r["cnt_le_hl"] == 2
+
+
+def test_hodges_lehmann_wide_domain_conv_path(spark, tmp_path):
+    """A={0,10000,5000000}, B={0,1}: differences sorted
+    −1,0,9999,10000,4999999,5000000; k=3 → HL=9999 — the >4096-wide
+    domain exercises the coarse-histogram convolution bracket."""
+    rows = [
+        ("1-URGENT", 0.00, _D), ("1-URGENT", 100.00, _D),
+        ("1-URGENT", 50000.00, _D),
+        ("5-LOW", 0.00, _D), ("5-LOW", 0.01, _D),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = all_queries()["q_hodges_lehmann"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_pairs"], r["k"]) == (6, 3)
+    assert r["hl_cents"] == 9999
+    assert r["cnt_le_hl"] == 3
+
+
+def test_hodges_lehmann_all_tied(spark, tmp_path):
+    rows = [("1-URGENT", 0.05, _D), ("1-URGENT", 0.05, _D),
+            ("5-LOW", 0.05, _D)]
+    _write_orders(spark, tmp_path, rows)
+    r = all_queries()["q_hodges_lehmann"](spark, str(tmp_path)).collect()[0]
+    assert (r["hl_cents"], r["cnt_le_hl"]) == (0, 2)
+
+
+def test_hodges_lehmann_one_sided_empty(spark, tmp_path):
+    rows = [("1-URGENT", 0.05, _D)]
+    _write_orders(spark, tmp_path, rows)
+    assert all_queries()["q_hodges_lehmann"](spark, str(tmp_path)).count() == 0
+
+
+def test_hodges_lehmann_matches_bruteforce(spark, tmp_path):
+    """Pseudo-random integer fixture vs an exhaustive pairwise-median
+    in Python — covers duplicated values and both search regimes."""
+    a_vals = [((i * 7919) % 4000) * 37 for i in range(30)]   # wide, dup-y
+    b_vals = [((i * 104729) % 3000) * 41 for i in range(40)]
+    rows = [("1-URGENT", v / 100.0, _D) for v in a_vals] + [
+        ("5-LOW", v / 100.0, _D) for v in b_vals]
+    _write_orders(spark, tmp_path, rows)
+    r = all_queries()["q_hodges_lehmann"](spark, str(tmp_path)).collect()[0]
+    diffs = sorted(x - y for x in a_vals for y in b_vals)
+    k = (len(diffs) + 1) // 2
+    assert r["k"] == k
+    assert r["hl_cents"] == diffs[k - 1]
+    assert r["cnt_le_hl"] == sum(1 for d in diffs if d <= diffs[k - 1])
+
+
+def test_ansari_bradley_hand_values(spark, tmp_path):
+    """A={5}, B={5,5}: one tie block over ranks 1..3, scores 1,2,1 →
+    block sum 4, per-member average 4/3 → ab_e6 = 1_333_333;
+    score_total = 4 = f(N)."""
+    rows = [("1-URGENT", 0.05, _D), ("5-LOW", 0.05, _D),
+            ("5-LOW", 0.05, _D)]
+    _write_orders(spark, tmp_path, rows)
+    r = all_queries()["q_ansari_bradley"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 2)
+    assert r["score_total"] == 4
+    assert r["ab_e6"] == 1_333_333
+    assert r["mean_ab_e6"] == 1 * (4 * 1_000_000 // 3)
+
+
+def test_ansari_bradley_extremes_score_low(spark, tmp_path):
+    """A at both extremes of the pooled order, B in the middle:
+    N=4, scores 1,2,2,1 → A scores 1+1=2e6, B 2+2=4e6 — the
+    dispersion signature (spread-out group scores LOW)."""
+    rows = [("1-URGENT", 0.01, _D), ("1-URGENT", 0.04, _D),
+            ("5-LOW", 0.02, _D), ("5-LOW", 0.03, _D)]
+    _write_orders(spark, tmp_path, rows)
+    r = all_queries()["q_ansari_bradley"](spark, str(tmp_path)).collect()[0]
+    assert r["score_total"] == 6
+    assert r["ab_e6"] == 2_000_000
+    assert r["mean_ab_e6"] == 2 * (6 * 1_000_000 // 4)
+
+
+def test_ansari_bradley_score_total_is_f_of_n(spark, sf_dir):
+    """Invariant: Σ block scores = f(N) = the closed-form total of
+    min(i, N+1−i) over i=1..N."""
+    r = all_queries()["q_ansari_bradley"](spark, sf_dir).collect()[0]
+    n = r["n_a"] + r["n_b"]
+    m, h = n + 1, (n + 1) // 2
+    f_n = (h * (h + 1)) // 2 + ((m - h - 1 + m - n) * (n - h)) // 2
+    assert r["score_total"] == f_n
+
+
+def test_cramer_von_mises_hand_values(spark, tmp_path):
+    """A={1,2}, B={3,4}: diffs (2·cumA − 2·cumB) per value = 2,4,2,0 →
+    d2 = 4+16+4+0 = 24 (fully separated CDFs)."""
+    rows = [("1-URGENT", 0.01, _D), ("1-URGENT", 0.02, _D),
+            ("5-LOW", 0.03, _D), ("5-LOW", 0.04, _D)]
+    _write_orders(spark, tmp_path, rows)
+    r = all_queries()["q_cramer_von_mises"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["d2_lo"], r["d2_mid"], r["d2_hi"]) == (24, 0, 0)
+
+
+def test_cramer_von_mises_identical_distributions_zero(spark, tmp_path):
+    """Identical samples: n_b·cumA == n_a·cumB at every value → d2 = 0."""
+    rows = [("1-URGENT", 0.01, _D), ("1-URGENT", 0.02, _D),
+            ("5-LOW", 0.01, _D), ("5-LOW", 0.02, _D)]
+    _write_orders(spark, tmp_path, rows)
+    r = all_queries()["q_cramer_von_mises"](spark, str(tmp_path)).collect()[0]
+    assert (r["d2_lo"], r["d2_mid"], r["d2_hi"]) == (0, 0, 0)
+
+
+def test_cramer_von_mises_limbs_reassemble(spark, sf_dir):
+    """The three 2³² limbs must reassemble to the brute-force d2 at
+    sf0.001 (small enough to recompute in Python exactly)."""
+    import collections
+
+    import duckdb
+
+    r = all_queries()["q_cramer_von_mises"](spark, sf_dir).collect()[0]
+    d2 = r["d2_lo"] + (r["d2_mid"] << 32) + (r["d2_hi"] << 64)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(floor(o_totalprice*100) AS BIGINT),"
+        f" CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END"
+        f" FROM '{sf_dir}/orders.parquet'"
+        f" WHERE o_orderpriority IN ('1-URGENT','5-LOW')"
+    ).fetchall()
+    per = collections.Counter()
+    for cents, ia in rows:
+        per[(cents, ia)] += 1
+    values = sorted({c for c, _ in per})
+    n_a = sum(v for (c, ia), v in per.items() if ia == 1)
+    n_b = sum(v for (c, ia), v in per.items() if ia == 0)
+    ca = cb = 0
+    expect = 0
+    for v in values:
+        ca += per[(v, 1)]
+        cb += per[(v, 0)]
+        cnt = per[(v, 1)] + per[(v, 0)]
+        expect += cnt * (n_b * ca - n_a * cb) ** 2
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert d2 == expect
