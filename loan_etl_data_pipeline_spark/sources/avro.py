@@ -237,6 +237,14 @@ def read_avro(
     """
     import glob as _glob
 
+    from loan_etl_data_pipeline_spark.session import ensure_worker_imports
+
+    # _scan closes over module-level _decode_file BY MODULE NAME, so
+    # executor workers must be able to import this package — they don't
+    # inherit the driver's sys.path (only its cwd, which is NOT
+    # guaranteed to be the repo). Same posture as operators/ivf.py.
+    ensure_worker_imports(spark)
+
     if schema is None:
         candidates = (
             sorted(_glob.glob(os.path.join(path, "*.avro")))
@@ -314,6 +322,12 @@ def write_avro(
     Spark→Avro type map covers the primitive lake core; unsupported
     column types raise up front with the column named.
     """
+    from loan_etl_data_pipeline_spark.session import ensure_worker_imports
+
+    # the writer kernel closes over module-level encoders by module
+    # name — see read_avro
+    ensure_worker_imports(df.sparkSession)
+
     if codec not in ("null", "deflate"):
         raise ValueError(f"codec must be null|deflate, got {codec!r}")
     fields = []

@@ -128,3 +128,23 @@ def test_unsupported_types_raise(spark):
         write_avro(src, tempfile.mkdtemp())
     with pytest.raises(ValueError, match="codec"):
         write_avro(spark.range(1), tempfile.mkdtemp(), codec="snappy")
+
+
+def test_avro_ships_worker_imports(spark, monkeypatch, tmp_path):
+    """Both avro entry points must call ensure_worker_imports: their
+    kernels reference module-level coders BY MODULE NAME, and executor
+    workers don't inherit the driver's sys.path — a driver running from
+    any cwd other than the repo got ModuleNotFoundError before this
+    (caught by the round-5 plain-session driver sim from /tmp)."""
+    from loan_etl_data_pipeline_spark import session as sess
+
+    calls = []
+    monkeypatch.setattr(
+        sess, "ensure_worker_imports", lambda s: calls.append(True)
+    )
+    d = str(tmp_path / "av")
+    write_avro(spark.range(3), d)
+    assert calls, "write_avro no longer ships worker imports"
+    calls.clear()
+    read_avro(spark, d).count()
+    assert calls, "read_avro no longer ships worker imports"
