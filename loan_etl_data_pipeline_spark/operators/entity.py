@@ -226,3 +226,111 @@ def sorted_neighborhood_pairs(
         ranked, "_persisted_intermediates", ()
     )
     return out
+
+
+def add_jaro_winkler(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    out_col: str = "jw_sim",
+) -> DataFrame:
+    """Append a Jaro-Winkler similarity column to a candidate-pair frame.
+
+    The scorer the linkage stack was missing: del1/levenshtein count
+    EDITS (good at threshold 1-2, useless for ranking), while
+    Jaro-Winkler returns a calibrated [0,1] score that weights shared
+    characters, transpositions, and a common prefix — the standard
+    name-matching similarity from the record-linkage literature
+    (Winkler 1990), and the natural `comparison vector` input to the
+    Fellegi-Sunter scorer above.
+
+    Semantics are pinned BIT-FOR-BIT to DuckDB's
+    ``jaro_winkler_similarity`` (the oracle engine), fuzz-verified over
+    30k random string pairs in tests/test_entity.py:
+
+    - either side empty (or NULL) -> 0.0 (NULL on NULL);
+    - match window = max(len)//2 - 1 (floor at 0), greedy first-free
+      matching, transpositions halved with integer division;
+    - jaro = (m/la + m/lb + (m - t)/m) / 3.0 in exactly that
+      association order (bitwise-relevant);
+    - Winkler prefix boost (p=0.1, prefix capped at 4) applied only
+      when jaro > 0.7.
+
+    Execution: one ``mapInArrow`` pass — Arrow columnar batches in and
+    out, no pandas bridge (the pandas path corrupts null-bearing int64
+    companions; see operators/finance.py). The per-pair DP is a Python
+    loop inside the batch, O(len_a * window) per pair on short
+    name-ish strings; at 100 TB the cost driver is the PAIR COUNT, so
+    this always runs AFTER blocking (brand/nation/sorted-neighborhood
+    keys) — the kernel itself is embarrassingly parallel and carries
+    no shuffle.
+    """
+    import pyarrow as pa
+
+    in_fields = df.schema.fieldNames()
+    if out_col in in_fields:
+        raise ValueError(f"output column {out_col!r} already exists")
+    ia, ib = in_fields.index(col_a), in_fields.index(col_b)
+    spark_schema = ", ".join(
+        f"`{n}` {t}" for n, t in df.dtypes + [(out_col, "double")]
+    )
+
+    def _jw(s1: str, s2: str) -> float:
+        l1, l2 = len(s1), len(s2)
+        if l1 == 0 or l2 == 0:
+            return 0.0
+        window = max(l1, l2) // 2 - 1
+        if window < 0:
+            window = 0
+        m1 = [False] * l1
+        m2 = [False] * l2
+        m = 0
+        for i in range(l1):
+            lo = i - window
+            if lo < 0:
+                lo = 0
+            hi = i + window + 1
+            if hi > l2:
+                hi = l2
+            for j in range(lo, hi):
+                if not m2[j] and s1[i] == s2[j]:
+                    m1[i] = True
+                    m2[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        sim = (m / l1 + m / l2 + (m - t) / m) / 3.0
+        if sim > 0.7:
+            pl = 0
+            for a, b in zip(s1[:4], s2[:4]):
+                if a != b:
+                    break
+                pl += 1
+            sim += 0.1 * pl * (1.0 - sim)
+        return sim
+
+    def _kernel(batches):
+        for batch in batches:
+            ca = batch.column(ia).to_pylist()
+            cb = batch.column(ib).to_pylist()
+            sims = [
+                None if a is None or b is None else _jw(a, b)
+                for a, b in zip(ca, cb)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(sims, type=pa.float64())],
+                names=in_fields + [out_col],
+            )
+
+    return df.mapInArrow(_kernel, schema=spark_schema)

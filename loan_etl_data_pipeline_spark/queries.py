@@ -19815,3 +19815,275 @@ ORACLE_PART_B["q_grid_density"] = """
     SELECT occupancy, CAST(count(*) AS BIGINT) AS n_cells
     FROM occ GROUP BY occupancy
 """
+
+
+def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8+ Jaro-Winkler name-similarity audit (operators/entity.py
+    add_jaro_winkler): per brand, score every in-brand part-name pair
+    with the standard record-linkage similarity (Winkler 1990) and
+    report the pair count, the count scoring >= 0.9 (the "same product,
+    different spelling" band), and the maximum similarity — the ranked
+    complement of q_fuzzy_match's boolean edit-distance-1 matcher and
+    the scorer a Fellegi-Sunter comparison vector would consume.
+
+    Shape: brand-blocked self pair join (broadcast the dim-sized right
+    side, so the only wide exchange is the final 25-row brand
+    aggregate), cheap pk_a < pk_b pruning INSIDE the join condition,
+    then one mapInArrow scoring pass. The kernel is pinned bitwise to
+    DuckDB's jaro_winkler_similarity (fuzz-verified in
+    tests/test_entity.py), so max_sim survives the driver's exact
+    float hash. Scale: cost = pair count = sum over blocks of
+    |block|^2/2; the blocking key is the knob (brand here; add a salt
+    or a sorted-neighborhood window when one block overflows a task —
+    same posture as fuzzy_blocked_join).
+    """
+    from loan_etl_data_pipeline_spark.operators.entity import add_jaro_winkler
+
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("pk_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("pk_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    pairs = a.join(F.broadcast(b), "brand").filter(F.col("pk_a") < F.col("pk_b"))
+    scored = add_jaro_winkler(pairs, "name_a", "name_b", out_col="jw_sim")
+    return scored.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_cnt"),
+        F.sum(F.expr("CASE WHEN jw_sim >= 0.9 THEN 1L ELSE 0L END"))
+        .cast("bigint")
+        .alias("near_cnt"),
+        F.max("jw_sim").alias("max_sim"),
+    )
+
+
+QUERIES_PART_B["q_jaro_winkler"] = q_jaro_winkler
+
+ORACLE_PART_B["q_jaro_winkler"] = """
+    WITH p AS (
+        SELECT p_partkey AS pk, p_name AS nm, p_brand AS brand FROM part
+    ), pr AS (
+        SELECT a.brand AS brand, jaro_winkler_similarity(a.nm, b.nm) AS sim
+        FROM p a JOIN p b ON a.brand = b.brand AND a.pk < b.pk
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS pair_cnt,
+           CAST(sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS near_cnt,
+           max(sim) AS max_sim
+    FROM pr GROUP BY brand
+"""
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Durbin-Watson serial-correlation diagnostic, exact: is the
+    monthly order-count series autocorrelated AFTER removing its linear
+    trend? The regression-residual diagnostic the OLS family
+    (q_theil_sen, q_elasticity, q_price_trend) lacks — q_autocorr
+    measures the raw series, DW measures what the fit LEFT BEHIND,
+    which is the assumption OLS inference rests on. Everything stays
+    in exact integers: with y_t the month-t order count, t = 1..n the
+    month rank, D = n*Σtt - (Σt)^2 and Nb = n*Σty - Σt*Σy (the slope
+    numerator), the scaled residual
+
+        E_t = e_t * n * D = n*D*y_t - D*Σy + Nb*Σt - n*Nb*t
+
+    is an integer, and DW = Σ(E_t - E_{t-1})^2 / Σ E_t^2 (the n*D
+    factors cancel). The two quadratic sums exceed int64 at high SF, so
+    they run in DECIMAL(38,0)/HUGEINT and are emitted as 2^32 limbs
+    (the q_autocorr portability discipline). Invariant: Σ E_t = 0
+    (intercept-fit residuals), pinned in tests.
+
+    Scale: the month axis is SF-INVARIANT (~80 rows forever — time, not
+    data, grows it), so after one partial-agg month rollup every
+    downstream step is constant-size; the rank comes from the
+    range-shuffle cumsum, scalars travel as a 1-row broadcast, and the
+    lag pairing is a self-join on t-1 over the tiny frame.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.date_trunc("month", F.col("o_orderdate")).alias("mon"))
+        .groupBy("mon")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    ranked = global_cumsum(m, [F.asc("mon")], "one", cum_col="t").select(
+        F.col("t").cast("bigint").alias("t"), "y"
+    )
+    scal = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("stt"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(t AS DECIMAL(10,0)) * CAST(y AS DECIMAL(18,0))"))
+        .cast("decimal(30,0)")
+        .alias("sty"),
+    ).select(
+        "n",
+        "st",
+        "sy",
+        F.expr("CAST(n AS DECIMAL(8,0)) * stt - CAST(st AS DECIMAL(14,0)) * st")
+        .cast("decimal(20,0)")
+        .alias("dd"),
+        F.expr(
+            "CAST(n AS DECIMAL(8,0)) * sty"
+            " - CAST(st AS DECIMAL(14,0)) * CAST(sy AS DECIMAL(20,0))"
+        )
+        .cast("decimal(28,0)")
+        .alias("nb"),
+    )
+    e = ranked.crossJoin(F.broadcast(scal)).select(
+        "t",
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(8,0)) * dd * CAST(y AS DECIMAL(18,0))"
+            " - dd * CAST(sy AS DECIMAL(20,0))"
+            " + nb * CAST(st AS DECIMAL(14,0))"
+            " - CAST(n AS DECIMAL(8,0)) * nb * CAST(t AS DECIMAL(10,0))"
+        )
+        .cast("decimal(38,0)")
+        .alias("ee"),
+    )
+    prev = e.select(F.expr("t + 1L").alias("t"), F.col("ee").alias("ee_prev"))
+    out = (
+        e.join(prev, "t", "left")
+        .agg(
+            F.max("n").alias("n_months"),
+            F.sum(F.expr("ee * ee")).alias("den"),
+            F.sum(F.expr("(ee - ee_prev) * (ee - ee_prev)")).alias("num"),
+        )
+        .select(
+            "n_months",
+            F.expr("CAST(num % 4294967296 AS BIGINT)").alias("dw_num_lo"),
+            F.expr("CAST((num div 4294967296) % 4294967296 AS BIGINT)").alias(
+                "dw_num_mid"
+            ),
+            F.expr("CAST(num div 18446744073709551616 AS BIGINT)").alias(
+                "dw_num_hi"
+            ),
+            F.expr("CAST(den % 4294967296 AS BIGINT)").alias("dw_den_lo"),
+            F.expr("CAST((den div 4294967296) % 4294967296 AS BIGINT)").alias(
+                "dw_den_mid"
+            ),
+            F.expr("CAST(den div 18446744073709551616 AS BIGINT)").alias(
+                "dw_den_hi"
+            ),
+        )
+    )
+    return out
+
+
+QUERIES_PART_B["q_durbin_watson"] = q_durbin_watson
+
+ORACLE_PART_B["q_durbin_watson"] = """
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS t, y
+        FROM m
+    ), scal AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(t) AS HUGEINT) AS st,
+               CAST(sum(t * t) AS HUGEINT) AS stt,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+                 AS sty
+        FROM ranked
+    ), coef AS (
+        SELECT n, st, sy, n * stt - st * st AS dd, n * sty - st * sy AS nb
+        FROM scal
+    ), e AS (
+        SELECT t, n,
+               n * dd * CAST(y AS HUGEINT) - dd * sy + nb * st
+                 - n * nb * CAST(t AS HUGEINT) AS ee
+        FROM ranked, coef
+    ), lagged AS (
+        SELECT a.n AS n, a.ee AS ee, b.ee AS ee_prev
+        FROM e a LEFT JOIN e b ON a.t = b.t + 1
+    ), agg AS (
+        SELECT max(n) AS nm,
+               sum(ee * ee) AS den,
+               sum((ee - ee_prev) * (ee - ee_prev)) AS num
+        FROM lagged
+    )
+    SELECT CAST(nm AS BIGINT) AS n_months,
+           CAST(num % 4294967296 AS BIGINT) AS dw_num_lo,
+           CAST((num // 4294967296) % 4294967296 AS BIGINT) AS dw_num_mid,
+           CAST(num // 18446744073709551616 AS BIGINT) AS dw_num_hi,
+           CAST(den % 4294967296 AS BIGINT) AS dw_den_lo,
+           CAST((den // 4294967296) % 4294967296 AS BIGINT) AS dw_den_mid,
+           CAST(den // 18446744073709551616 AS BIGINT) AS dw_den_hi
+    FROM agg
+"""
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Cochran's Q ingredients, exact: did customer activity
+    change across 1996/1997/1998? Blocks = customers, treatments = the
+    three years, x_ij = 1 iff customer i placed >= 1 order in year j —
+    the k-sample binary repeated-measures test, generalizing q_mcnemar
+    (its k=2 special case) exactly the way Kruskal-Wallis generalizes
+    Mann-Whitney. Q = (k-1)(k*ΣG_j² - (ΣG)²) / (k*ΣL_i - ΣL_i²)
+    assembles downstream from the emitted integers: per-year column
+    sums G_j plus the block-sum scalars ΣL, ΣL² (all-zero and all-one
+    blocks cancel out of Q by algebra — k·k - k² = 0 — so restricting
+    to active customers changes nothing, documented deviation: none).
+
+    Scale: one distinct over (custkey, year) — the only wide shuffle,
+    key-partitioned — then two partial aggregates (per-year and
+    per-customer) over the <= 3n activity frame; the scalar pair rides
+    a 1-row broadcast onto the 3-row output.
+    """
+    act = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .filter(F.col("yr").isin(1996, 1997, 1998))
+        .distinct()
+    )
+    g = act.groupBy("yr").agg(F.count(F.lit(1)).cast("bigint").alias("g_j"))
+    blocks = act.groupBy("ck").agg(F.count(F.lit(1)).cast("bigint").alias("l_i"))
+    scal = blocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("l_i").cast("bigint").alias("sum_l"),
+        F.sum(F.expr("l_i * l_i")).cast("bigint").alias("sum_l2"),
+    )
+    return g.crossJoin(F.broadcast(scal)).select(
+        F.col("yr").cast("int").alias("yr"),
+        "g_j",
+        "n_blocks",
+        "sum_l",
+        "sum_l2",
+    )
+
+
+QUERIES_PART_B["q_cochran_q"] = q_cochran_q
+
+ORACLE_PART_B["q_cochran_q"] = """
+    WITH act AS (
+        SELECT DISTINCT o_custkey AS ck,
+               CAST(year(o_orderdate) AS INT) AS yr
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997, 1998)
+    ), g AS (
+        SELECT yr, CAST(count(*) AS BIGINT) AS g_j FROM act GROUP BY yr
+    ), blocks AS (
+        SELECT ck, CAST(count(*) AS BIGINT) AS l_i FROM act GROUP BY ck
+    ), scal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(l_i) AS BIGINT) AS sum_l,
+               CAST(sum(l_i * l_i) AS BIGINT) AS sum_l2
+        FROM blocks
+    )
+    SELECT yr, g_j, n_blocks, sum_l, sum_l2 FROM g, scal
+"""

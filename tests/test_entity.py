@@ -190,3 +190,78 @@ def test_fs_rejects_constant_field(spark):
     )
     with _pt.raises(Exception, match="city is constant"):
         out.collect()
+
+
+def test_jaro_winkler_fuzz_bitwise_vs_duckdb(spark):
+    """The kernel's contract is BITWISE equality with DuckDB's
+    jaro_winkler_similarity (the oracle engine) — fuzz it over random
+    pairs spanning tiny alphabets (forced transpositions), realistic
+    name-ish strings, empties, and repeated characters."""
+    import random
+    import string
+
+    import duckdb
+
+    from loan_etl_data_pipeline_spark.operators.entity import add_jaro_winkler
+
+    random.seed(20260816)
+    pairs = []
+    for _ in range(3000):
+        alpha = random.choice(
+            ["ab", "abc", string.ascii_lowercase, "Customer#0123456789", " aA"]
+        )
+        pairs.append(
+            (
+                "".join(random.choice(alpha) for _ in range(random.randint(0, 24))),
+                "".join(random.choice(alpha) for _ in range(random.randint(0, 24))),
+            )
+        )
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["jw_sim"]
+        for r in add_jaro_winkler(df, "a", "b").collect()
+    }
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert repr(got[(a, b)]) == repr(want), (a, b, got[(a, b)], want)
+    con.close()
+
+
+def test_jaro_winkler_hand_values_and_nulls(spark):
+    """Winkler's canonical example plus the edge semantics the DuckDB
+    pin fixes: martha/marhta = 0.961111... (jaro 17/18, prefix 3);
+    either side empty -> 0.0 (even both-empty); NULL propagates."""
+    from loan_etl_data_pipeline_spark.operators.entity import add_jaro_winkler
+
+    df = spark.createDataFrame(
+        [
+            (1, "martha", "marhta"),
+            (2, "", ""),
+            (3, "", "x"),
+            (4, None, "x"),
+            (5, "dwayne", "duane"),
+        ],
+        "id bigint, a string, b string",
+    )
+    out = {r["id"]: r["jw_sim"] for r in add_jaro_winkler(df, "a", "b").collect()}
+    # martha/marhta: m=6 matches, th<->ht = 2 half-transpositions -> t=1,
+    # jaro = (6/6 + 6/6 + 5/6)/3, prefix "mar" = 3
+    jaro_m = (6 / 6 + 6 / 6 + 5 / 6) / 3.0
+    assert out[1] == jaro_m + 0.1 * 3 * (1.0 - jaro_m) == 0.9611111111111111
+    assert out[2] == 0.0 and out[3] == 0.0
+    assert out[4] is None
+    jaro_d = (4 / 6 + 4 / 5 + 4 / 4) / 3.0
+    assert out[5] == jaro_d + 0.1 * 1 * (1.0 - jaro_d)
+
+
+def test_jaro_winkler_rejects_collision(spark):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.entity import add_jaro_winkler
+
+    df = spark.createDataFrame([("x", "y", 0.5)], "a string, b string, jw_sim double")
+    with _pt.raises(ValueError, match="already exists"):
+        add_jaro_winkler(df, "a", "b")

@@ -452,3 +452,64 @@ def test_cramer_von_mises_limbs_reassemble(spark, sf_dir):
         expect += cnt * (n_b * ca - n_a * cb) ** 2
     assert (r["n_a"], r["n_b"]) == (n_a, n_b)
     assert d2 == expect
+
+
+def _limbs(lo, mid, hi):
+    return lo + (mid << 32) + (hi << 64)
+
+
+def test_durbin_watson_hand_values(spark, tmp_path):
+    """Monthly counts y=[1,2,4]: n=3, St=6, Stt=14, Sy=7, Sty=17,
+    D=3*14-36=6, Nb=3*17-6*7=9; E = e*nD = [3,-6,3] (sums to 0);
+    num = (-9)^2 + 9^2 = 162, den = 9+36+9 = 54 -> DW = 3 (the
+    alternating worst case)."""
+    import datetime as _dt
+
+    rows = [("1-URGENT", 1.0, _dt.date(2024, m, d)) for m, d in
+            [(1, 5), (2, 5), (2, 20), (3, 1), (3, 2), (3, 3), (3, 4)]]
+    _write_orders(spark, tmp_path, rows)
+    r = all_queries()["q_durbin_watson"](spark, str(tmp_path)).collect()[0]
+    assert r["n_months"] == 3
+    assert _limbs(r["dw_num_lo"], r["dw_num_mid"], r["dw_num_hi"]) == 162
+    assert _limbs(r["dw_den_lo"], r["dw_den_mid"], r["dw_den_hi"]) == 54
+
+
+def test_durbin_watson_range_invariant(spark, sf_dir):
+    """DW = num/den is mathematically confined to [0, 4]: num =
+    sum((E_t - E_{t-1})^2) <= 2*(sum E^2 + sum E_prev^2) <= 4*den."""
+    r = all_queries()["q_durbin_watson"](spark, sf_dir).collect()[0]
+    num = _limbs(r["dw_num_lo"], r["dw_num_mid"], r["dw_num_hi"])
+    den = _limbs(r["dw_den_lo"], r["dw_den_mid"], r["dw_den_hi"])
+    assert den > 0 and 0 <= num <= 4 * den
+
+
+def test_cochran_q_hand_values(spark, tmp_path):
+    """Customers A,B,C over 1996/97/98: A active all three (L=3),
+    B active 96+98 (L=2), C active 97 only (L=1). G = (2,2,2);
+    n_blocks=3, sum_l=6, sum_l2=14. Q = 2*(3*12-36)/(18-14) = 0."""
+    import datetime as _dt
+
+    rows = []
+    for ck, years in [("A", [1996, 1997, 1998]), ("B", [1996, 1998]),
+                      ("C", [1997])]:
+        for y in years:
+            rows.append((hash(ck) % 100, 9.99, _dt.date(y, 3, 1), ck))
+    spark.createDataFrame(
+        [(ord(ck[0]), 9.99, d) for _, _, d, ck in rows],
+        "o_custkey bigint, o_totalprice double, o_orderdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r["yr"]: r for r in
+           all_queries()["q_cochran_q"](spark, str(tmp_path)).collect()}
+    assert {y: r["g_j"] for y, r in out.items()} == {1996: 2, 1997: 2, 1998: 2}
+    r = out[1996]
+    assert (r["n_blocks"], r["sum_l"], r["sum_l2"]) == (3, 6, 14)
+
+
+def test_cochran_q_invariants(spark, sf_dir):
+    """Column sums equal block sums (both count the activity cells);
+    sum_l <= k*n_blocks and sum_l2 <= k*sum_l (l_i <= k = 3)."""
+    rows = all_queries()["q_cochran_q"](spark, sf_dir).collect()
+    r = rows[0]
+    assert sum(x["g_j"] for x in rows) == r["sum_l"]
+    assert r["sum_l"] <= 3 * r["n_blocks"]
+    assert r["sum_l2"] <= 3 * r["sum_l"]
