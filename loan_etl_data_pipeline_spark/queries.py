@@ -20087,3 +20087,69 @@ ORACLE_PART_B["q_cochran_q"] = """
     )
     SELECT yr, g_j, n_blocks, sum_l, sum_l2 FROM g, scal
 """
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ k-truss peeling (operators/graph.py ktruss): 2 fixed rounds
+    of removing co-purchase edges that sit in NO triangle among
+    survivors (k=3) — the EDGE-cohesion sibling of q_kcore. k-core
+    keeps busy hubs and the bridges between them; the 3-truss demands
+    every surviving edge close at least one triangle, which is the
+    pruning a community detector wants (bridges die, cliques stay).
+    k=3 rather than 4 because the support>=2 co-purchase graph THINS
+    as SF grows (repeated pairs get rarer relative to the pair
+    universe): the 4-truss is already empty at sf0.1, while the
+    3-truss stays non-trivial at every SF. Emits the surviving
+    canonical edges with their final-round support.
+
+    Fully value-oracled BECAUSE the round count is fixed: the oracle
+    unrolls both peel rounds as CTEs, enumerating each triangle once
+    via the a<b<c wedge join (enumeration strategy differs from the
+    engine's degree-oriented one by design — the triangle MULTISET is
+    canonical, so the support integers agree).
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import ktruss
+
+    return ktruss(_copurchase_edges(spark, sf_dir), "pa", "pb", k=3, rounds=2)
+
+
+QUERIES_PART_B["q_ktruss"] = q_ktruss
+
+ORACLE_PART_B["q_ktruss"] = f"""
+    WITH {_COPURCHASE_CTE},
+    e0 AS (SELECT pa AS a, pb AS b FROM pairs),
+    tri1 AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e0 e1
+        JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    sup1 AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+            SELECT x AS a, y AS b FROM tri1
+            UNION ALL SELECT x AS a, z AS b FROM tri1
+            UNION ALL SELECT y AS a, z AS b FROM tri1
+        ) GROUP BY a, b
+    ),
+    e1x AS (
+        SELECT e0.a, e0.b
+        FROM e0 LEFT JOIN sup1 s ON e0.a = s.a AND e0.b = s.b
+        WHERE COALESCE(s.sup, 0) >= 1
+    ),
+    tri2 AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e1x e1
+        JOIN e1x e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN e1x e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    sup2 AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+            SELECT x AS a, y AS b FROM tri2
+            UNION ALL SELECT x AS a, z AS b FROM tri2
+            UNION ALL SELECT y AS a, z AS b FROM tri2
+        ) GROUP BY a, b
+    )
+    SELECT e1x.a AS pa, e1x.b AS pb, COALESCE(s.sup, 0) AS support
+    FROM e1x LEFT JOIN sup2 s ON e1x.a = s.a AND e1x.b = s.b
+    WHERE COALESCE(s.sup, 0) >= 1
+"""

@@ -500,3 +500,43 @@ def test_pagerank_family_releases_persisted_intermediates(spark):
     assert not cm.isEmpty()
     held.unpersist()
     assert cm.isEmpty()
+
+
+def test_ktruss_clique_survives_bridge_dies(spark):
+    """4-clique {1,2,3,4} + bridge 4-5 + triangle {5,6,7}: the bridge
+    sits in no triangle and dies in round 1; every clique edge keeps
+    support 2, every triangle edge support 1; k=4 additionally kills
+    the triangle but never the clique."""
+    from loan_etl_data_pipeline_spark.operators.graph import ktruss
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (5, 7), (6, 7)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {(r["src"], r["dst"]): r["support"]
+           for r in ktruss(df, k=3, rounds=2).collect()}
+    clique = {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    tri = {(5, 6), (5, 7), (6, 7)}
+    assert set(out) == clique | tri
+    assert all(out[e] == 2 for e in clique)
+    assert all(out[e] == 1 for e in tri)
+    out4 = {(r["src"], r["dst"]): r["support"]
+            for r in ktruss(df, k=4, rounds=2).collect()}
+    assert set(out4) == clique and all(v == 2 for v in out4.values())
+
+
+def test_ktruss_validates_and_canonicalizes(spark):
+    import pytest as _pt
+
+    from loan_etl_data_pipeline_spark.operators.graph import ktruss
+
+    df = spark.createDataFrame(
+        [(2, 1), (3, 2), (1, 3), (3, 1), (1, 1)], "src bigint, dst bigint"
+    )
+    # reversed duplicates collapse to one canonical edge; self-loop dropped
+    out = {(r["src"], r["dst"]): r["support"]
+           for r in ktruss(df, k=3, rounds=1).collect()}
+    assert out == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
+    with _pt.raises(ValueError, match="k >= 3"):
+        ktruss(df, k=2, rounds=1)
+    with _pt.raises(ValueError, match="k >= 3"):
+        ktruss(df, k=3, rounds=0)
