@@ -279,6 +279,10 @@ def add_jaro_winkler(
         l1, l2 = len(s1), len(s2)
         if l1 == 0 or l2 == 0:
             return 0.0
+        if s1 == s2:
+            # jaro = (1+1+1)/3 = 1.0 exactly; the prefix boost adds
+            # 0.1*pl*(1-1.0) = 0 — bitwise-equal fast path
+            return 1.0
         window = max(l1, l2) // 2 - 1
         if window < 0:
             window = 0

