@@ -20181,3 +20181,371 @@ ORACLE_PART_B["q_ktruss"] = f"""
     FROM e1x LEFT JOIN sup2 s ON e1x.a = s.a AND e1x.b = s.b
     WHERE COALESCE(s.sup, 0) >= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 moment/robustness battery (continues the q_autocorr exact-moment
+# discipline: integer/decimal ingredients, one shared fixed IEEE sequence)
+# ---------------------------------------------------------------------------
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Jarque-Bera normality test on line-item quantity: skewness
+    and excess kurtosis from the first four raw power sums, then
+    JB = n/6 * (skew^2 + exkurt^2/4).  The four sums are pure int64 —
+    quantity is integral in [1, 50], so sum(q^4) <= 6.25e6 * n stays
+    under 2^63 to SF ~1e6 (~100 TB; beyond, lift the sums into
+    decimal(38,0) per the SCALE.md ladder as q_autocorr does for
+    cents-scale variables).  skew/exkurt/jb are one fixed IEEE
+    sequence over the exact integers, written identically in the
+    oracle so the doubles match bitwise.  One map-side-combinable
+    aggregate, no shuffle wider than 1 row.
+    """
+    q = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q")
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("s2"),
+        F.sum(F.expr("q * q * q")).cast("bigint").alias("s3"),
+        F.sum(F.expr("q * q * q * q")).cast("bigint").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    d1 = F.col("s1").cast("double") / nd
+    d2 = F.col("s2").cast("double") / nd
+    d3 = F.col("s3").cast("double") / nd
+    d4 = F.col("s4").cast("double") / nd
+    m2 = d2 - d1 * d1
+    m3 = d3 - F.lit(3.0) * d1 * d2 + F.lit(2.0) * d1 * d1 * d1
+    m4 = (
+        d4
+        - F.lit(4.0) * d1 * d3
+        + F.lit(6.0) * d1 * d1 * d2
+        - F.lit(3.0) * d1 * d1 * d1 * d1
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - F.lit(3.0)
+    return m.select(
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        skew.alias("skew"),
+        exk.alias("ex_kurt"),
+        (nd / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))).alias("jb"),
+    )
+
+
+QUERIES_PART_B["q_jarque_bera"] = q_jarque_bera
+
+ORACLE_PART_B["q_jarque_bera"] = """
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s1,
+               CAST(sum(q * q) AS BIGINT) AS s2,
+               CAST(sum(q * q * q) AS BIGINT) AS s3,
+               CAST(sum(q * q * q * q) AS BIGINT) AS s4
+        FROM (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+    ), d AS (
+        SELECT n, s1, s2, s3, s4,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS d1,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS d2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS d3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS d4
+        FROM m
+    ), c AS (
+        SELECT n, s1, s2, s3, s4, nd,
+               d2 - d1 * d1 AS m2,
+               d3 - 3.0 * d1 * d2 + 2.0 * d1 * d1 * d1 AS m3,
+               d4 - 4.0 * d1 * d3 + 6.0 * d1 * d1 * d2
+                  - 3.0 * d1 * d1 * d1 * d1 AS m4
+        FROM d
+    ), s AS (
+        SELECT n, s1, s2, s3, s4, nd,
+               m3 / (m2 * sqrt(m2)) AS skew,
+               m4 / (m2 * m2) - 3.0 AS ex_kurt
+        FROM c
+    )
+    SELECT n, s1, s2, s3, s4, skew, ex_kurt,
+           nd / 6.0 * (skew * skew + ex_kurt * ex_kurt / 4.0) AS jb
+    FROM s
+"""
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Brown-Forsythe homogeneity-of-variance ingredients: are
+    order totals equally SPREAD across the five priorities?  The
+    median-centered Levene variant — z_ij = |x_ij - med_j| — is the
+    robust one (Brown & Forsythe 1974), and the engine keeps it exact
+    by working in DOUBLED deviations: dz = |2*cents - (lo_j + hi_j)|
+    where lo/hi are the two middle order statistics, so no .5 ever
+    appears.  Emits per-priority n_i, sum(dz) (int64) and sum(dz^2)
+    (decimal(38,0) accumulated, 2^32-limb-split to double — dz^2 ~
+    1.4e16 breaches int64 by SF 0.1); the one-way ANOVA F over z
+    assembles downstream from these five rows.
+
+    Scale: one rank shuffle partitioned by the 5 priorities (the
+    grouped-median pattern of q_group_quartiles — per-group selection
+    is the working set; past bounded groups swap in the value-grouped
+    running-sum median per SCALE.md §6), then a broadcast of the
+    5-row median table back onto the ranked frame and one map-side
+    aggregate.
+    """
+    cents = F.expr("cast(floor(o_totalprice * 100) as bigint)")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"), cents.alias("c"), "o_orderkey"
+    )
+    w = Window.partitionBy("prio").orderBy(F.asc("c"), F.asc("o_orderkey"))
+    wn = Window.partitionBy("prio")
+    ranked = o.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med2 = (
+        ranked.filter(
+            (F.col("rk") == F.expr("(n + 1) div 2"))
+            | (F.col("rk") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("prio")
+        .agg(
+            F.sum(
+                F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+                + F.when(F.col("rk") == F.expr("(n + 2) div 2"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("med2")
+        )
+    )
+    dz = F.abs(F.lit(2) * F.col("c") - F.col("med2"))
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    agg = (
+        ranked.join(F.broadcast(med2), "prio")
+        .withColumn("dz", dz)
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum("dz").cast("bigint").alias("sz"),
+            F.sum(dec(F.col("dz")) * dec(F.col("dz")))
+            .cast("decimal(38,0)")
+            .alias("szz"),
+        )
+    )
+    # limb-split decimal -> double (the q_autocorr conversion)
+    szz_d = (F.col("szz") % F.lit(4294967296)).cast("double") + F.expr(
+        "szz div 4294967296"
+    ).cast("double") * F.lit(4294967296.0)
+    return agg.select("prio", "n_i", "sz", szz_d.alias("szz_d"))
+
+
+QUERIES_PART_B["q_brown_forsythe"] = q_brown_forsythe
+
+ORACLE_PART_B["q_brown_forsythe"] = """
+    WITH o AS (
+        SELECT o_orderpriority AS prio,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+               o_orderkey
+        FROM orders
+    ), ranked AS (
+        SELECT prio, c,
+               row_number() OVER (PARTITION BY prio
+                   ORDER BY c ASC, o_orderkey ASC) AS rk,
+               count(*) OVER (PARTITION BY prio) AS n
+        FROM o
+    ), med AS (
+        SELECT prio,
+               CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN c ELSE 0 END)
+                    + sum(CASE WHEN rk = (n + 2) // 2 THEN c ELSE 0 END)
+                    AS BIGINT) AS med2
+        FROM ranked
+        WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        GROUP BY prio
+    ), z AS (
+        SELECT r.prio, abs(2 * r.c - m.med2) AS dz
+        FROM ranked r JOIN med m ON r.prio = m.prio
+    ), agg AS (
+        SELECT prio, CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(dz) AS BIGINT) AS sz,
+               sum(CAST(dz AS HUGEINT) * dz) AS szz
+        FROM z GROUP BY prio
+    )
+    SELECT prio, n_i, sz,
+           CAST(szz % 4294967296 AS DOUBLE)
+             + CAST(szz // 4294967296 AS DOUBLE) * 4294967296.0 AS szz_d
+    FROM agg
+"""
+
+
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Grubbs' maximum-studentized-deviate outlier test over the
+    daily-revenue series: which calendar day is FARTHEST from the mean
+    in standard-deviation units?  The argmax runs entirely in exact
+    integers — dev = |n*x - sum(x)| never touches a float, ties break
+    to the earliest day via a single min(struct) — and only the final
+    G = |x* - mean| / s is a fixed IEEE sequence over the exact
+    scalars (sum(x^2) accumulated decimal(38,0), limb-split; daily
+    cents^2 sums breach int64 by SF 0.1 and stay under the 2^95 limb
+    bound through ~100 TB).  Plan: one SF-invariant daily aggregate,
+    a 1-row broadcast of the scalars, one argmax aggregate.
+    """
+    d = _daily_cents(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    scal = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("sxx"),
+    )
+    dev = F.abs(F.col("n") * F.col("cents") - F.col("sx"))
+    d2 = d.crossJoin(F.broadcast(scal)).withColumn("dev", dev)
+    mx = d2.agg(F.max("dev").alias("mx_dev"))
+    pick = (
+        d2.join(F.broadcast(mx), F.col("dev") == F.col("mx_dev"))
+        .agg(F.min(F.struct("day", "cents")).alias("p"))
+        .select(F.col("p.day").alias("out_day"), F.col("p.cents").alias("out_cents"))
+    )
+    sxx_d = (F.col("sxx") % F.lit(4294967296)).cast("double") + F.expr(
+        "sxx div 4294967296"
+    ).cast("double") * F.lit(4294967296.0)
+    nd = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    s = F.sqrt(
+        (nd * sxx_d - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / (nd * (nd - F.lit(1.0)))
+    )
+    return (
+        scal.crossJoin(F.broadcast(pick))
+        .select(
+            "n",
+            "sx",
+            "out_day",
+            "out_cents",
+            (F.abs(F.col("out_cents").cast("double") - mean) / s).alias("g"),
+        )
+    )
+
+
+QUERIES_PART_B["q_grubbs"] = q_grubbs
+
+ORACLE_PART_B["q_grubbs"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    scal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sx,
+               sum(CAST(cents AS HUGEINT) * cents) AS sxx
+        FROM daily
+    ), dev AS (
+        SELECT d.day, d.cents, abs(s.n * d.cents - s.sx) AS dv
+        FROM daily d, scal s
+    ), px AS (
+        SELECT day AS out_day, cents AS out_cents
+        FROM dev WHERE dv = (SELECT max(dv) FROM dev)
+        ORDER BY day ASC, cents ASC LIMIT 1
+    ), conv AS (
+        SELECT n, sx, out_day, out_cents,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(sx AS DOUBLE) AS dsx,
+               CAST(sxx % 4294967296 AS DOUBLE)
+                 + CAST(sxx // 4294967296 AS DOUBLE) * 4294967296.0 AS dsxx
+        FROM scal, px
+    )
+    SELECT n, sx, out_day, out_cents,
+           abs(CAST(out_cents AS DOUBLE) - dsx / nd)
+             / sqrt((nd * dsxx - dsx * dsx) / (nd * (nd - 1.0))) AS g
+    FROM conv
+"""
+
+
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ average precision (the PR-curve summary, sibling of the ROC
+    q_auc): rank suppliers by discounted revenue descending and score
+    how early the EUROPE suppliers surface.  Emits one row per
+    relevant supplier — its exact rank, the running count of relevant
+    suppliers to that depth, and precision@rank = cum_pos/rank (one
+    exact int64 division); AP is their mean downstream.  Revenue in
+    exact floor-cents; rank ties break by suppkey so the permutation
+    is total.
+
+    Scale: the ranked set is the SUPPLIER dim (bounded, ~1e4 x SF
+    rows after a map-side fact aggregate); the global row_number over
+    it is the same bounded-dim window every scorecard query uses —
+    past that, functions/ranking.global_rank swaps in without
+    changing the contract.  Relevance arrives via two broadcast dim
+    hops (nation -> region), never a fact-side shuffle.
+    """
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+                )
+            ).alias("rev_cents")
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    lab = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "left",
+        )
+        .select(
+            "s_suppkey",
+            F.col("r_regionkey").isNotNull().cast("bigint").alias("is_pos"),
+        )
+    )
+    scored = rev.join(lab, "s_suppkey")
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("s_suppkey"))
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("bigint")).withColumn(
+        "cum_pos", F.sum("is_pos").over(w).cast("bigint")
+    )
+    return ranked.filter(F.col("is_pos") == 1).select(
+        "rank",
+        "cum_pos",
+        (F.col("cum_pos").cast("double") / F.col("rank").cast("double")).alias(
+            "prec_at"
+        ),
+    )
+
+
+QUERIES_PART_B["q_avg_precision"] = q_avg_precision
+
+ORACLE_PART_B["q_avg_precision"] = """
+    WITH rev AS (
+        SELECT l_suppkey AS s_suppkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS rev_cents
+        FROM lineitem GROUP BY l_suppkey
+    ), lab AS (
+        SELECT s.s_suppkey,
+               CAST(CASE WHEN r.r_regionkey IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_pos
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        LEFT JOIN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE') r
+          ON n.n_regionkey = r.r_regionkey
+    ), ranked AS (
+        SELECT rv.rev_cents, rv.s_suppkey, lab.is_pos,
+               CAST(row_number() OVER (ORDER BY rv.rev_cents DESC,
+                                       rv.s_suppkey ASC) AS BIGINT) AS rnk,
+               CAST(sum(is_pos) OVER (ORDER BY rv.rev_cents DESC,
+                                      rv.s_suppkey ASC) AS BIGINT) AS cum_pos
+        FROM rev rv JOIN lab ON rv.s_suppkey = lab.s_suppkey
+    )
+    SELECT rnk AS rank, cum_pos,
+           CAST(cum_pos AS DOUBLE) / CAST(rnk AS DOUBLE) AS prec_at
+    FROM ranked WHERE is_pos = 1
+"""

@@ -1,0 +1,109 @@
+"""Round-5 second stats battery: hand-verified fixtures for the
+moment/robustness family (Jarque-Bera, Brown-Forsythe, Grubbs) and
+ranking invariants for average precision.  Oracle parity at sf0.001 is
+covered by test_oracle_parity; these pin the STATISTICS to worked
+examples so a symmetric Spark/oracle bug can't slip through.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from loan_etl_data_pipeline_spark.queries import all_queries
+
+_D = datetime.date(2024, 1, 15)
+
+
+def test_jarque_bera_hand_values(spark, tmp_path):
+    """q = {1,2,3,4}: s1..s4 = 10/30/100/354; symmetric so skew = 0
+    exactly; m2 = 1.25, m4 = 2.5625 -> ex_kurt = 1.64 - 3 = -1.36;
+    JB = 4/6 * (-1.36)^2/4 = 0.30826666...."""
+    spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,)], "l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    row = all_queries()["q_jarque_bera"](spark, str(tmp_path)).collect()[0]
+    assert (row["n"], row["s1"], row["s2"], row["s3"], row["s4"]) == (
+        4, 10, 30, 100, 354,
+    )
+    assert row["skew"] == 0.0
+    assert row["ex_kurt"] == pytest.approx(-1.36, abs=1e-12)
+    assert row["jb"] == pytest.approx(4 / 6 * 1.36 * 1.36 / 4, abs=1e-12)
+
+
+def test_brown_forsythe_hand_values(spark, tmp_path):
+    """prio A cents {100,300,500}: doubled median 600, dz {400,0,400}
+    -> sz 800, szz 320000.  prio B {200,400}: doubled median 600
+    (even n sums the two middles), dz {200,200} -> sz 400, szz 80000."""
+    rows = [
+        ("A", 1.00, 1), ("A", 3.00, 2), ("A", 5.00, 3),
+        ("B", 2.00, 4), ("B", 4.00, 5),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double, o_orderkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["prio"]: r
+        for r in all_queries()["q_brown_forsythe"](spark, str(tmp_path)).collect()
+    }
+    assert (out["A"]["n_i"], out["A"]["sz"], out["A"]["szz_d"]) == (3, 800, 320000.0)
+    assert (out["B"]["n_i"], out["B"]["sz"], out["B"]["szz_d"]) == (2, 400, 80000.0)
+
+
+def test_grubbs_hand_values(spark, tmp_path):
+    """Daily cents {100, 200, 600}: mean 300, sample s = sqrt(70000);
+    argmax |3x-900| is the 600 day; G = 300/sqrt(70000)."""
+    rows = [
+        (datetime.date(2024, 1, 1), 1.00),
+        (datetime.date(2024, 1, 2), 2.00),
+        (datetime.date(2024, 1, 3), 6.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = all_queries()["q_grubbs"](spark, str(tmp_path)).collect()[0]
+    assert (row["n"], row["sx"]) == (3, 900)
+    assert row["out_day"] == datetime.date(2024, 1, 3)
+    assert row["out_cents"] == 600
+    assert row["g"] == pytest.approx(300 / 70000 ** 0.5, abs=1e-12)
+
+
+def test_grubbs_tie_breaks_to_earliest_day(spark, tmp_path):
+    """Two days tie at max deviation -> the earlier day is reported."""
+    rows = [
+        (datetime.date(2024, 1, 5), 1.00),
+        (datetime.date(2024, 1, 2), 5.00),
+        (datetime.date(2024, 1, 3), 3.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = all_queries()["q_grubbs"](spark, str(tmp_path)).collect()[0]
+    # devs |3x-900|: day5 -> 600, day2 -> 600, day3 -> 0; earliest wins
+    assert row["out_day"] == datetime.date(2024, 1, 2)
+
+
+def test_avg_precision_invariants(spark, sf_dir):
+    rows = sorted(
+        all_queries()["q_avg_precision"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows, "EUROPE suppliers exist at every SF"
+    # each emitted row is the i-th positive: cum_pos counts 1..k in order
+    assert [r["cum_pos"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["cum_pos"] <= r["rank"]
+        assert r["prec_at"] == r["cum_pos"] / r["rank"]
+
+
+def test_brown_forsythe_odd_group_doubles_single_median(spark, tmp_path):
+    """n = 1 group: both middle positions hit the same row, med2 = 2c,
+    dz = 0 — the doubled-median contract's degenerate case."""
+    rows = [("A", 7.00, 1)]
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double, o_orderkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = all_queries()["q_brown_forsythe"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert (out[0]["n_i"], out[0]["sz"], out[0]["szz_d"]) == (1, 0, 0.0)
