@@ -20549,3 +20549,236 @@ ORACLE_PART_B["q_avg_precision"] = """
            CAST(cum_pos AS DOUBLE) / CAST(rnk AS DOUBLE) AS prec_at
     FROM ranked WHERE is_pos = 1
 """
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ maximum drawdown per user ledger: credits (purchase,
+    signup) minus debits (click, view, error) form a signed running
+    balance per user ordered by (ts, event_id); drawdown at t is
+    peak-to-date minus balance, and the max over t is the classic
+    risk-of-ruin number.  Everything is exact int64 cents — running
+    sum, running max, difference, final max — no float ever appears.
+    Top 20 by (drawdown desc, user_id asc) keeps output bounded at
+    every SF.
+
+    Scale: both windows partition by user_id (users grow with SF, so
+    parallelism grows with data; per-user history is bounded by
+    product lifetime); the top-k is a TakeOrderedAndProject over the
+    per-user aggregate, never a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.when(
+                F.col("event_type").isin("purchase", "signup"), F.lit(1)
+            ).otherwise(F.lit(-1))
+            * F.expr("cast(floor(value * 100) as bigint)")
+        ).alias("flow"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    run = ev.withColumn("bal", F.sum("flow").over(w)).withColumn(
+        "peak", F.max(F.col("bal")).over(w)
+    )
+    per_user = run.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(F.col("peak") - F.col("bal")).cast("bigint").alias("max_dd"),
+    )
+    return per_user.orderBy(F.desc("max_dd"), F.asc("user_id")).limit(20)
+
+
+QUERIES_PART_B["q_max_drawdown"] = q_max_drawdown
+
+ORACLE_PART_B["q_max_drawdown"] = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               (CASE WHEN event_type IN ('purchase', 'signup')
+                     THEN 1 ELSE -1 END)
+                 * CAST(floor(value * 100) AS BIGINT) AS flow
+        FROM events
+    ), bal AS (
+        SELECT user_id, ts, event_id,
+               sum(flow) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS bal
+        FROM ev
+    ), run AS (
+        SELECT user_id, bal,
+               max(bal) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS peak
+        FROM bal
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(peak - bal) AS BIGINT) AS max_dd
+    FROM run GROUP BY user_id
+    ORDER BY max_dd DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_hurst_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ rescaled-range (Hurst R/S) block ingredients over the
+    daily-revenue series: per calendar month, the range of cumulative
+    deviations from the block mean and the moments for the block
+    std — the log(R/S)-vs-log(n) slope that estimates H assembles
+    downstream.  The cumulative deviation is kept exact by scaling:
+    cum_t - t*mean = (n*cum_t - t*S_n)/n, and the emitted rmax/rmin
+    are the INTEGER numerators n*cum_t - t*S_n (denominator n rides
+    along per row).  sum(x^2) is decimal(38,0)-accumulated and
+    limb-split (cents^2 sums breach int64 by ~SF 1; the numerators
+    stay int64 through 100 TB: 31 * 31 * daily-cents).
+
+    Scale: windows partition by month over the SF-invariant daily
+    aggregate — block count is calendar-bounded, so the whole R/S
+    table is a constant-size frame at any SF.
+    """
+    d = _daily_cents(spark, sf_dir).withColumn(
+        "month", F.trunc("day", "month")
+    )
+    wm = Window.partitionBy("month")
+    wc = Window.partitionBy("month").orderBy(F.asc("day"))
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    run = (
+        d.withColumn("n", F.count(F.lit(1)).over(wm))
+        .withColumn("sx", F.sum("cents").over(wm))
+        .withColumn("t", F.row_number().over(wc).cast("bigint"))
+        .withColumn("cum", F.sum("cents").over(wc))
+        .withColumn("dev_num", F.col("n") * F.col("cum") - F.col("t") * F.col("sx"))
+    )
+    agg = run.groupBy("month").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("sx").cast("bigint").alias("sx"),
+        F.max("dev_num").cast("bigint").alias("rmax"),
+        F.min("dev_num").cast("bigint").alias("rmin"),
+        F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("sxx"),
+    )
+    sxx_d = (F.col("sxx") % F.lit(4294967296)).cast("double") + F.expr(
+        "sxx div 4294967296"
+    ).cast("double") * F.lit(4294967296.0)
+    return agg.select("month", "n", "sx", "rmax", "rmin", sxx_d.alias("sxx_d"))
+
+
+QUERIES_PART_B["q_hurst_blocks"] = q_hurst_blocks
+
+ORACLE_PART_B["q_hurst_blocks"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    dm AS (
+        SELECT date_trunc('month', day) AS month, day, cents FROM daily
+    ), run AS (
+        SELECT month, cents,
+               count(*) OVER (PARTITION BY month) AS n,
+               sum(cents) OVER (PARTITION BY month) AS sx,
+               CAST(row_number() OVER (PARTITION BY month ORDER BY day ASC)
+                    AS BIGINT) AS t,
+               sum(cents) OVER (PARTITION BY month ORDER BY day ASC) AS cum
+        FROM dm
+    ), agg AS (
+        SELECT month,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(max(sx) AS BIGINT) AS sx,
+               CAST(max(n * cum - t * sx) AS BIGINT) AS rmax,
+               CAST(min(n * cum - t * sx) AS BIGINT) AS rmin,
+               sum(CAST(cents AS HUGEINT) * cents) AS sxx
+        FROM run GROUP BY month
+    )
+    SELECT CAST(month AS DATE) AS month, n, sx, rmax, rmin,
+           CAST(sxx % 4294967296 AS DOUBLE)
+             + CAST(sxx // 4294967296 AS DOUBLE) * 4294967296.0 AS sxx_d
+    FROM agg
+"""
+
+
+def q_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ sample entropy (Richman & Moorman 2000) of per-user event
+    amounts at m = 1, r = 2000 cents: B counts template pairs
+    |x_i - x_j| <= r, A counts those whose SUCCESSORS also match —
+    the regularity statistic (low SampEn = predictable amounts).  The
+    quadratic pair join runs WITHIN each user (per-user history is
+    bounded by product lifetime, so the per-key cost is a constant;
+    users scale out with SF), both i and j restricted to positions
+    <= n-1 per the estimator.  Counts are exact int64; the ratio is
+    emitted as an exact 1e9-quantized integer (a*1e9 div b through a
+    decimal product so the scaled numerator never overflows), never
+    a transcendental — -ln(ratio) is one driver-side call downstream.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("cast(floor(value * 100) as bigint)").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wn = Window.partitionBy("user_id")
+    seq = (
+        ev.withColumn("i", F.row_number().over(w).cast("bigint"))
+        .withColumn("xnext", F.lead("x").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("i") <= F.col("n") - 1)
+        .select("user_id", "i", "x", "xnext")
+    )
+    a = seq.select(
+        F.col("user_id"),
+        F.col("i").alias("ia"),
+        F.col("x").alias("xa"),
+        F.col("xnext").alias("na"),
+    )
+    b = seq.select(
+        F.col("user_id"),
+        F.col("i").alias("ib"),
+        F.col("x").alias("xb"),
+        F.col("xnext").alias("nb"),
+    )
+    pairs = a.join(b, "user_id").filter(F.col("ia") < F.col("ib"))
+    r = F.lit(2000)
+    counted = pairs.agg(
+        F.sum(
+            (F.abs(F.col("xa") - F.col("xb")) <= r).cast("bigint")
+        ).alias("b_pairs"),
+        F.sum(
+            (
+                (F.abs(F.col("xa") - F.col("xb")) <= r)
+                & (F.abs(F.col("na") - F.col("nb")) <= r)
+            ).cast("bigint")
+        ).alias("a_pairs"),
+    )
+    return counted.select(
+        "b_pairs",
+        "a_pairs",
+        F.expr(
+            "cast(cast(a_pairs as decimal(28,0)) * 1000000000 div b_pairs"
+            " as bigint)"
+        ).alias("ratio_q"),
+    )
+
+
+QUERIES_PART_B["q_sample_entropy"] = q_sample_entropy
+
+ORACLE_PART_B["q_sample_entropy"] = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS x
+        FROM events
+    ), seq AS (
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS BIGINT) AS i,
+               x,
+               lead(x) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS xnext,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM ev
+    ), tpl AS (
+        SELECT user_id, i, x, xnext FROM seq WHERE i <= n - 1
+    ), counted AS (
+        SELECT
+            CAST(sum(CASE WHEN abs(a.x - b.x) <= 2000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b_pairs,
+            CAST(sum(CASE WHEN abs(a.x - b.x) <= 2000
+                           AND abs(a.xnext - b.xnext) <= 2000
+                          THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs
+        FROM tpl a JOIN tpl b ON a.user_id = b.user_id AND a.i < b.i
+    )
+    SELECT b_pairs, a_pairs,
+           CAST(CAST(a_pairs AS HUGEINT) * 1000000000 // b_pairs AS BIGINT)
+             AS ratio_q
+    FROM counted
+"""

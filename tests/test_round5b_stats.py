@@ -107,3 +107,71 @@ def test_brown_forsythe_odd_group_doubles_single_median(spark, tmp_path):
     out = all_queries()["q_brown_forsythe"](spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert (out[0]["n_i"], out[0]["sz"], out[0]["szz_d"]) == (1, 0, 0.0)
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def _ts(h):
+    return datetime.datetime(2024, 1, 1, h)
+
+
+def test_max_drawdown_hand_values(spark, tmp_path):
+    """Flows +100,-300,+500,-200 -> balances 100,-200,300,100; peaks
+    100,100,300,300; drawdowns 0,300,0,200 -> max 300."""
+    _write_events(spark, tmp_path, [
+        (1, _ts(1), 7, "purchase", 1.00),
+        (2, _ts(2), 7, "click", 3.00),
+        (3, _ts(3), 7, "purchase", 5.00),
+        (4, _ts(4), 7, "view", 2.00),
+    ])
+    rows = all_queries()["q_max_drawdown"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert (rows[0]["user_id"], rows[0]["n_events"], rows[0]["max_dd"]) == (7, 4, 300)
+
+
+def test_hurst_blocks_hand_values(spark, tmp_path):
+    """One month, daily cents {100,200,600}: dev numerators 3*cum-t*900
+    = {-600,-900,0} -> rmax 0, rmin -900; sxx 410000."""
+    rows = [
+        (datetime.date(2024, 1, 1), 1.00),
+        (datetime.date(2024, 1, 2), 2.00),
+        (datetime.date(2024, 1, 3), 6.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = all_queries()["q_hurst_blocks"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["month"], r["n"], r["sx"]) == (datetime.date(2024, 1, 1), 3, 900)
+    assert (r["rmax"], r["rmin"], r["sxx_d"]) == (0, -900, 410000.0)
+
+
+def test_sample_entropy_hand_values(spark, tmp_path):
+    """x = {100,100,5000,100}: templates at i<=3; only the (1,2) pair
+    is within r=2000, and its successors (100 vs 5000) are not ->
+    B=1, A=0, ratio_q=0."""
+    _write_events(spark, tmp_path, [
+        (1, _ts(1), 7, "click", 1.00),
+        (2, _ts(2), 7, "click", 1.00),
+        (3, _ts(3), 7, "click", 50.00),
+        (4, _ts(4), 7, "click", 1.00),
+    ])
+    row = all_queries()["q_sample_entropy"](spark, str(tmp_path)).collect()[0]
+    assert (row["b_pairs"], row["a_pairs"], row["ratio_q"]) == (1, 0, 0)
+
+
+def test_sample_entropy_successor_match(spark, tmp_path):
+    """All four values equal -> every template pair matches at m=1 AND
+    m=2: B = A = C(3,2) = 3, ratio_q = 1e9 exactly."""
+    _write_events(spark, tmp_path, [
+        (i, _ts(i), 7, "click", 2.00) for i in range(1, 5)
+    ])
+    row = all_queries()["q_sample_entropy"](spark, str(tmp_path)).collect()[0]
+    assert (row["b_pairs"], row["a_pairs"], row["ratio_q"]) == (3, 3, 10 ** 9)
