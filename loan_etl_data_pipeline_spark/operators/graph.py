@@ -1169,3 +1169,101 @@ def ktruss(
     return e.select(
         F.col("a").alias(src), F.col("b").alias(dst), "support"
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int,
+    salt: str = "mis",
+) -> DataFrame:
+    """``rounds`` rounds of Luby's maximal-independent-set algorithm
+    (Luby 1986) with DETERMINISTIC md5 priorities: per round, every
+    still-undecided node whose (priority, id) is a strict local
+    minimum among its undecided neighbors joins the set; it and its
+    neighbors leave the graph.  Nodes isolated in the induced graph
+    join immediately.  Returns ``(node, round)`` for every selected
+    node.
+
+    The local-minimum test is written as an ANTI-JOIN against the
+    "has a better neighbor" edge list rather than a min-aggregate of
+    (priority, id) structs, so ties (md5 collisions) break by node id
+    with no struct-ordering dependence and the SQL replay is a plain
+    NOT-IN per round.  Luby's theorem removes a constant fraction of
+    EDGES per round in expectation, so O(log m) rounds finish whp;
+    ``rounds`` is FIXED (the kcore/ktruss stance) so the whole run
+    value-oracles as unrolled CTEs — callers raise it until the
+    undecided set empties.
+
+    Scale: per round two broadcast-free hash joins on the node key
+    (edges semi-joined to the live set, losers anti-joined out) and
+    one distinct over winner neighborhoods; no global sort, no
+    row_number — priorities are row-local hashes, so the round is
+    embarrassingly key-partitioned.  Lineage cut per round.
+    """
+    if rounds < 1:
+        raise ValueError(f"need rounds >= 1, got {rounds}")
+    prio = lambda c: F.expr(  # noqa: E731
+        f"cast(conv(substring(md5(cast({c} as string) || '{salt}'), 1, 12),"
+        " 16, 10) as bigint)"
+    )
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    live = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select("b"))
+        .distinct()
+        .withColumn("p", prio("node"))
+        .localCheckpoint()
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        # both directions of the live induced edge set, with priorities
+        ep = e.join(
+            live.select(F.col("node").alias("a"), F.col("p").alias("pa")), "a"
+        ).join(live.select(F.col("node").alias("b"), F.col("p").alias("pb")), "b")
+        nb = ep.select(
+            F.col("a").alias("v"), F.col("pa").alias("pv"),
+            F.col("b").alias("u"), F.col("pb").alias("pu"),
+        ).union(
+            ep.select(
+                F.col("b").alias("v"), F.col("pb").alias("pv"),
+                F.col("a").alias("u"), F.col("pa").alias("pu"),
+            )
+        )
+        losers = (
+            nb.filter(
+                (F.col("pu") < F.col("pv"))
+                | ((F.col("pu") == F.col("pv")) & (F.col("u") < F.col("v")))
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        winners = (
+            live.select("node").join(losers, "node", "left_anti").localCheckpoint()
+        )
+        sel = winners.select("node", F.lit(r).cast("int").alias("round"))
+        out = sel if out is None else out.union(sel)
+        if r == rounds:
+            break
+        touched = (
+            winners.union(
+                nb.join(
+                    winners.withColumnRenamed("node", "u").select("u"), "u"
+                ).select(F.col("v").alias("node"))
+            )
+            .distinct()
+        )
+        live = live.join(touched, "node", "left_anti").localCheckpoint()
+        e = (
+            e.join(live.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(live.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return out

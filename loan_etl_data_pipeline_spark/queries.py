@@ -20782,3 +20782,86 @@ ORACLE_PART_B["q_sample_entropy"] = """
              AS ratio_q
     FROM counted
 """
+
+
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ Luby's maximal independent set (operators/graph.py
+    luby_mis) over the co-purchase graph: 3 unrolled rounds of
+    deterministic-priority local-minima selection — the classic
+    parallel symmetry-breaking primitive (Luby 1986), and the
+    building block of parallel graph coloring / scheduling.  On a
+    co-purchase graph the MIS is a maximal set of mutually
+    NON-co-purchased parts — a diversity cover: every part outside
+    the set co-occurs with something inside it.
+
+    Fully value-oracled because priorities are md5-deterministic and
+    the round count is fixed: the oracle unrolls all three rounds as
+    NOT-IN CTEs over the same hash formula.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import luby_mis
+
+    return luby_mis(_copurchase_edges(spark, sf_dir), "pa", "pb", rounds=3)
+
+
+QUERIES_PART_B["q_luby_mis"] = q_luby_mis
+
+
+def _luby_oracle(rounds: int) -> str:
+    """Unrolled Luby-MIS oracle over the co-purchase CTE: one
+    lose/win/remove/induce block per round, NOT-IN semantics matching
+    the engine's anti-joins, priorities via the shared
+    md5-first-12-hex formula."""
+    parts = [
+        "n1 AS MATERIALIZED (SELECT node, ('0x' || substr(md5(CAST(node AS VARCHAR)"
+        " || 'mis'), 1, 12))::BIGINT AS p FROM"
+        " (SELECT pa AS node FROM pairs UNION SELECT pb FROM pairs))",
+        "e1 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+    lose{k} AS MATERIALIZED (
+        SELECT DISTINCT v FROM (
+            SELECT e.a AS v, na.p AS pv, e.b AS u, nb.p AS pu
+            FROM e{k} e JOIN n{k} na ON e.a = na.node
+                        JOIN n{k} nb ON e.b = nb.node
+            UNION ALL
+            SELECT e.b, nb.p, e.a, na.p
+            FROM e{k} e JOIN n{k} na ON e.a = na.node
+                        JOIN n{k} nb ON e.b = nb.node
+        ) WHERE pu < pv OR (pu = pv AND u < v)
+    ),
+    win{k} AS MATERIALIZED (
+        SELECT node FROM n{k}
+        WHERE node NOT IN (SELECT v FROM lose{k})
+    )""")
+        if k < rounds:
+            parts.append(f"""
+    rm{k} AS MATERIALIZED (
+        SELECT node FROM win{k}
+        UNION SELECT e.b FROM e{k} e JOIN win{k} w ON e.a = w.node
+        UNION SELECT e.a FROM e{k} e JOIN win{k} w ON e.b = w.node
+    ),
+    n{k + 1} AS MATERIALIZED (
+        SELECT node, p FROM n{k}
+        WHERE node NOT IN (SELECT node FROM rm{k})
+    ),
+    e{k + 1} AS MATERIALIZED (
+        SELECT a, b FROM e{k}
+        WHERE a IN (SELECT node FROM n{k + 1})
+          AND b IN (SELECT node FROM n{k + 1})
+    )""")
+    sel = "\n        UNION ALL ".join(
+        f"SELECT node, CAST({k} AS INTEGER) AS round FROM win{k}"
+        for k in range(1, rounds + 1)
+    )
+    return (
+        "    WITH "
+        + _COPURCHASE_CTE.strip().rstrip(",")
+        + ",\n    "
+        + ",".join(parts)
+        + "\n    "
+        + sel
+    )
+
+
+ORACLE_PART_B["q_luby_mis"] = _luby_oracle(3)

@@ -540,3 +540,84 @@ def test_ktruss_validates_and_canonicalizes(spark):
         ktruss(df, k=2, rounds=1)
     with _pt.raises(ValueError, match="k >= 3"):
         ktruss(df, k=3, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# Luby maximal independent set
+# ---------------------------------------------------------------------------
+
+
+def _luby_reference(edges, rounds, salt="mis"):
+    """Pure-Python replay of luby_mis with the same md5 priorities."""
+    import hashlib
+
+    def prio(v):
+        return int(hashlib.md5(f"{v}{salt}".encode()).hexdigest()[:12], 16)
+
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    live = {v for p in e for v in p}
+    out = {}
+    for r in range(1, rounds + 1):
+        nbrs = {v: set() for v in live}
+        for a, b in e:
+            if a in live and b in live:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+        win = {
+            v
+            for v in live
+            if all((prio(u), u) > (prio(v), v) for u in nbrs[v])
+        }
+        for v in win:
+            out[v] = r
+        if r == rounds:
+            break
+        removed = set(win) | {u for v in win for u in nbrs[v]}
+        live -= removed
+        e = {p for p in e if p[0] in live and p[1] in live}
+    return out
+
+
+def test_luby_mis_matches_reference_on_random_graph(spark):
+    import random
+
+    from loan_etl_data_pipeline_spark.operators.graph import luby_mis
+
+    rng = random.Random(5)
+    edges = list({
+        tuple(sorted(rng.sample(range(1, 40), 2))) for _ in range(120)
+    })
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["round"] for r in luby_mis(df, rounds=3).collect()
+    }
+    assert got == _luby_reference(edges, 3)
+
+
+def test_luby_mis_independence_and_progress(spark):
+    """No two selected nodes are adjacent, every selection round is
+    non-empty on a connected graph, and a path graph completes."""
+    from loan_etl_data_pipeline_spark.operators.graph import luby_mis
+
+    edges = [(i, i + 1) for i in range(1, 30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sel = {r["node"] for r in luby_mis(df, rounds=6).collect()}
+    eset = {tuple(sorted(e)) for e in edges}
+    assert not any(tuple(sorted((a, b))) in eset for a in sel for b in sel if a != b)
+    # maximality after enough rounds: every non-selected node has a
+    # selected neighbor
+    nodes = {v for e in edges for v in e}
+    for v in nodes - sel:
+        assert any(tuple(sorted((v, u))) in eset for u in sel), v
+
+
+def test_luby_mis_isolated_pair_selects_lower_priority(spark):
+    from loan_etl_data_pipeline_spark.operators.graph import luby_mis
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["round"] for r in luby_mis(df, rounds=2).collect()}
+    ref = _luby_reference([(1, 2)], 2)
+    assert got == ref
+    # the MIS of a single edge is exactly one node, picked in round 1
+    # (its neighbor is removed, never selected)
+    assert len(got) == 1 and list(got.values()) == [1]
