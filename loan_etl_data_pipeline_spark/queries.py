@@ -20865,3 +20865,210 @@ def _luby_oracle(rounds: int) -> str:
 
 
 ORACLE_PART_B["q_luby_mis"] = _luby_oracle(3)
+
+
+def q_stump_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ decision-stump split evaluation — the histogram split
+    finder every gradient-boosted-tree implementation runs (the
+    XGBoost/LightGBM "approx" algorithm): bucket order totals into 64
+    equi-width bins, count rows and positives ('F' status) per bin
+    with ONE map-side-combinable aggregate, then score every candidate
+    threshold (= bin upper edge) from the 64-row cumulative table.
+    Bin index and edges are exact integer arithmetic over cents
+    (((x - mn) * 64) div (mx - mn + 1)); the weighted-Gini impurity
+    after each split is a fixed IEEE sequence over exact int64 counts.
+
+    The 100 TB story: the fact scan reduces to 64 partial-aggregate
+    rows per task regardless of data size — the split decision never
+    shuffles row-level data, which is exactly why histogram boosting
+    scales; the cumulative window runs over 64 rows on one core.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("x"),
+        (F.col("o_orderstatus") == "F").cast("bigint").alias("y"),
+    )
+    ext = o.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    binned = (
+        o.crossJoin(F.broadcast(ext))
+        .withColumn(
+            "bucket",
+            F.expr("cast(((x - mn) * 64) div (mx - mn + 1) as bigint)"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.max("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = binned.agg(
+        F.sum("n").cast("bigint").alias("tot_n"),
+        F.sum("n_pos").cast("bigint").alias("tot_pos"),
+    )
+    cum = (
+        binned.crossJoin(F.broadcast(tot))
+        .withColumn("cum_n", F.sum("n").over(w).cast("bigint"))
+        .withColumn("cum_pos", F.sum("n_pos").over(w).cast("bigint"))
+    )
+    # threshold = upper edge of the bucket; split is x <= edge vs above
+    edge = F.expr("mn + ((mx - mn + 1) * (bucket + 1)) div 64")
+    ln = F.col("cum_n").cast("double")
+    lp = F.col("cum_pos").cast("double")
+    rn = (F.col("tot_n") - F.col("cum_n")).cast("double")
+    rp = (F.col("tot_pos") - F.col("cum_pos")).cast("double")
+    nn = F.col("tot_n").cast("double")
+    gl = F.lit(1.0) - (lp / ln) * (lp / ln) - ((ln - lp) / ln) * ((ln - lp) / ln)
+    gr = F.lit(1.0) - (rp / rn) * (rp / rn) - ((rn - rp) / rn) * ((rn - rp) / rn)
+    wg = F.when(
+        (F.col("cum_n") > 0) & (F.col("tot_n") > F.col("cum_n")),
+        (ln / nn) * gl + (rn / nn) * gr,
+    )
+    return cum.select(
+        "bucket",
+        edge.cast("bigint").alias("edge_cents"),
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        wg.alias("weighted_gini"),
+    )
+
+
+QUERIES_PART_B["q_stump_splits"] = q_stump_splits
+
+ORACLE_PART_B["q_stump_splits"] = """
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                    AS BIGINT) AS y
+        FROM orders
+    ), ext AS (
+        SELECT min(x) AS mn, max(x) AS mx FROM o
+    ), binned AS (
+        SELECT ((x - mn) * 64) // (mx - mn + 1) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               max(mn) AS mn, max(mx) AS mx
+        FROM o, ext GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+               CAST(sum(n_pos) AS BIGINT) AS tot_pos
+        FROM binned
+    ), cum AS (
+        SELECT bucket, n, n_pos, mn, mx, tot_n, tot_pos,
+               CAST(sum(n) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+               CAST(sum(n_pos) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        FROM binned, tot
+    ), scored AS (
+        SELECT bucket,
+               CAST(mn + ((mx - mn + 1) * (bucket + 1)) // 64 AS BIGINT)
+                 AS edge_cents,
+               n, n_pos, cum_n, cum_pos,
+               CAST(cum_n AS DOUBLE) AS ln, CAST(cum_pos AS DOUBLE) AS lp,
+               CAST(tot_n - cum_n AS DOUBLE) AS rn,
+               CAST(tot_pos - cum_pos AS DOUBLE) AS rp,
+               CAST(tot_n AS DOUBLE) AS nn,
+               tot_n
+        FROM cum
+    )
+    SELECT bucket, edge_cents, n, n_pos, cum_n, cum_pos,
+           CASE WHEN cum_n > 0 AND tot_n > cum_n THEN
+             (ln / nn) * (1.0 - (lp / ln) * (lp / ln)
+                              - ((ln - lp) / ln) * ((ln - lp) / ln))
+             + (rn / nn) * (1.0 - (rp / rn) * (rp / rn)
+                                - ((rn - rp) / rn) * ((rn - rp) / rn))
+           END AS weighted_gini
+    FROM scored
+"""
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ priority sampling (Duffield-Lund-Thorup 2007): the
+    weight-sensitive k-sample whose threshold estimator
+    sum(max(w_i, tau)) is UNBIASED for the population total with
+    near-optimal variance — the subset-sum workhorse (q_mus_sample's
+    modern successor; q_weighted_sample draws Efraimidis-Skirakis
+    permutations, this one ships an ESTIMATOR with its sample).
+    Priorities q_i = w_i / u_i with u_i = (md5_48(key)+1)/2^48 —
+    deterministic dyadic uniforms, so both engines compute the
+    IDENTICAL correctly-rounded double divisions and the identical
+    top-(k+1); tau is the (k+1)-th priority, the k sampled customers
+    emit max(w, tau) plus the exact true total for audit.
+
+    Scale: one TakeOrderedAndProject over row-local hash arithmetic
+    (no shuffle before the top-k), one 1-row broadcast for tau and
+    the exact-total scalar.
+    """
+    k = 20
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey",
+            F.expr("cast(floor(c_acctbal * 100) as bigint)").alias("w"),
+            F.expr(
+                "cast(conv(substring(md5(cast(c_custkey as string) || 'psamp'),"
+                " 1, 12), 16, 10) as bigint) + 1"
+            ).alias("m"),
+        )
+        .withColumn(
+            "q",
+            F.col("w").cast("double")
+            * F.lit(281474976710656.0)
+            / F.col("m").cast("double"),
+        )
+    )
+    topk1 = cust.orderBy(F.desc("q"), F.asc("c_custkey")).limit(k + 1)
+    tau = topk1.orderBy(F.asc("q"), F.desc("c_custkey")).limit(1).select(
+        F.col("q").alias("tau")
+    )
+    tot = cust.agg(F.sum("w").cast("bigint").alias("true_total"))
+    sample = topk1.orderBy(F.desc("q"), F.asc("c_custkey")).limit(k)
+    return (
+        sample.crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_custkey",
+            "w",
+            F.greatest(F.col("w").cast("double"), F.col("tau")).alias("est_w"),
+            "tau",
+            "true_total",
+        )
+    )
+
+
+QUERIES_PART_B["q_priority_sample"] = q_priority_sample
+
+ORACLE_PART_B["q_priority_sample"] = """
+    WITH cust AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS w,
+               ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'psamp'),
+                               1, 12))::BIGINT + 1 AS m
+        FROM customer WHERE c_acctbal > 0
+    ), pri AS (
+        SELECT c_custkey, w,
+               CAST(w AS DOUBLE) * 281474976710656.0 / CAST(m AS DOUBLE) AS q
+        FROM cust
+    ), ranked AS (
+        SELECT c_custkey, w, q,
+               row_number() OVER (ORDER BY q DESC, c_custkey ASC) AS rk
+        FROM pri
+    ), tau AS (
+        SELECT q AS tau FROM ranked WHERE rk = 21
+    ), tot AS (
+        SELECT CAST(sum(w) AS BIGINT) AS true_total FROM cust
+    )
+    SELECT r.c_custkey, r.w,
+           CASE WHEN CAST(r.w AS DOUBLE) > t.tau
+                THEN CAST(r.w AS DOUBLE) ELSE t.tau END AS est_w,
+           t.tau, tt.true_total
+    FROM ranked r, tau t, tot tt
+    WHERE r.rk <= 20
+"""

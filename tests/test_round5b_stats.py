@@ -175,3 +175,56 @@ def test_sample_entropy_successor_match(spark, tmp_path):
     ])
     row = all_queries()["q_sample_entropy"](spark, str(tmp_path)).collect()[0]
     assert (row["b_pairs"], row["a_pairs"], row["ratio_q"]) == (3, 3, 10 ** 9)
+
+
+def test_stump_splits_hand_values(spark, tmp_path):
+    """x cents {100,200,300,400}, y = F for the two cheapest.  mn=100,
+    mx=400, width 301: buckets ((x-100)*64)//301 = {0,21,42,63}.
+    Cumulative counts 1,2,3,4; cum_pos 1,2,2,2.  At bucket 21 the
+    split is perfect: left = 2 pos of 2, right = 0 of 2 ->
+    weighted_gini = 0."""
+    rows = [
+        (1.00, "F"), (2.00, "F"), (3.00, "O"), (4.00, "O"),
+    ]
+    spark.createDataFrame(
+        rows, "o_totalprice double, o_orderstatus string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["bucket"]: r
+        for r in all_queries()["q_stump_splits"](spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [0, 21, 42, 63]
+    assert [out[b]["cum_n"] for b in (0, 21, 42, 63)] == [1, 2, 3, 4]
+    assert [out[b]["cum_pos"] for b in (0, 21, 42, 63)] == [1, 2, 2, 2]
+    assert out[21]["weighted_gini"] == 0.0
+    assert out[0]["weighted_gini"] == pytest.approx(
+        (1 / 4) * 0.0 + (3 / 4) * (1 - (1 / 3) ** 2 - (2 / 3) ** 2), abs=1e-12
+    )
+    assert out[63]["weighted_gini"] is None  # no right side
+
+
+def test_stump_splits_edges_are_increasing(spark, sf_dir):
+    rows = sorted(
+        all_queries()["q_stump_splits"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    edges = [r["edge_cents"] for r in rows]
+    assert edges == sorted(edges)
+    assert rows[-1]["cum_n"] == sum(r["n"] for r in rows)
+
+
+def test_priority_sample_estimator_unbiased_shape(spark, sf_dir):
+    """Structural invariants: 20 rows, every est_w = max(w, tau),
+    tau equals the smallest priority NOT in the sample's top-20, and
+    the estimate is within 3x of the true total on real data (weak
+    sanity bound — the estimator is unbiased, not low-variance at
+    k=20)."""
+    rows = all_queries()["q_priority_sample"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    tau = rows[0]["tau"]
+    assert all(r["tau"] == tau for r in rows)
+    for r in rows:
+        assert r["est_w"] == max(float(r["w"]), tau)
+    est = sum(r["est_w"] for r in rows)
+    true = rows[0]["true_total"]
+    assert 0.2 < est / true < 3.0
