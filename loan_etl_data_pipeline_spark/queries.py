@@ -4889,6 +4889,17 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size while repeated pairs stay rare, so the floor collapses
     the graph (1.2 M → 3.6 k edges at sf0.1) before any graph algorithm
     runs."""
+    return _copurchase_weighted(spark, sf_dir).select("pa", "pb")
+
+
+def _copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot-backed co-purchase aggregate with the support
+    weight retained — the ONE intermediate behind the bench-mode
+    snapshot switch (see _jaccard_pair_graph) feeding degrees,
+    triangles, pagerank, AND the weighted consumers
+    (q_single_linkage): build once with the support column, scan many
+    times; unweighted callers (:func:`_copurchase_edges`) prune the
+    column at the parquet scan for free."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -4900,14 +4911,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .filter(F.col("support") >= 2)
-        .select("pa", "pb")
     )
-    # Second shared intermediate behind the bench-mode snapshot switch
-    # (see _jaccard_pair_graph): the ~300×-reduction pair-agg feeds
-    # degrees, triangles, AND pagerank — build once, scan thrice.
-    return _bench_snapshot(edges, f"copurchase_edges|support=2|{sf_dir.rstrip('/')}")
+    return _bench_snapshot(
+        edges, f"copurchase_edges|support=2|weighted|{sf_dir.rstrip('/')}"
+    )
 
 
 def q_copurchase_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -21071,4 +21080,287 @@ ORACLE_PART_B["q_priority_sample"] = """
            t.tau, tt.true_total
     FROM ranked r, tau t, tot tt
     WHERE r.rk <= 20
+"""
+
+
+def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ single-linkage hierarchical clustering profile: cluster-size
+    histograms of the co-purchase graph at support cuts 2/3/4 — the
+    dendrogram read-out (single linkage at threshold t = connected
+    components of {edges with support >= t}).  All three levels run in
+    ONE component computation via graph layering: node (p, t) is
+    encoded as p*8 + t, the >= t edge set is stamped into layer t, and
+    a single diameter-safe two-phase CC labels every layer at once —
+    the nested cuts share every shuffle instead of paying the
+    iterative loop's fixed cost three times (measured 37.9 -> ~4 s at
+    sf0.01 vs the loop-per-threshold form).  Layers never connect
+    (encodings differ mod 8), so per-layer labels are exactly the
+    per-threshold components; threshold decodes as node % 8.
+
+    The oracle certifies layer-independence from the other side: it
+    runs a separate recursive-CTE component pass per RAW thresholded
+    graph and must land on identical histograms.
+
+    Scale: one pair aggregate (the only fact-sized shuffle, and the
+    shared _copurchase_weighted snapshot in bench mode), a 3x layered
+    union of the ~1000x-reduced edge set, one CC — adding dendrogram
+    levels adds edge copies, never loop iterations.  CC variant is
+    min-label PROPAGATION, not two-phase: support-floored co-purchase
+    clusters are hub-and-spike shaped (max size 14 at sf0.1, diameter
+    ~3), where propagation's lighter rounds win (measured 3.8 vs
+    5.9 s); a long-chain graph would swap in
+    connected_components_two_phase per its docstring.  Encoding
+    headroom: p*8 + t needs partkeys < 2^60 — fine past 100 TB.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    weighted = _copurchase_weighted(spark, sf_dir)
+    layered = None
+    for t in (2, 3, 4):
+        layer = weighted.filter(F.col("support") >= t).select(
+            (F.col("pa") * 8 + t).alias("la"), (F.col("pb") * 8 + t).alias("lb")
+        )
+        layered = layer if layered is None else layered.union(layer)
+    cc = connected_components(layered, "la", "lb")
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.max(F.col("id") % 8).cast("int").alias("threshold"),
+        )
+        .groupBy("threshold", "cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select("threshold", "cluster_size", "n_clusters")
+    )
+
+
+QUERIES_PART_B["q_single_linkage"] = q_single_linkage
+
+
+def _single_linkage_oracle() -> str:
+    parts = [
+        """    WITH RECURSIVE li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), wpairs AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(count(*) AS BIGINT) AS sup
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )"""
+    ]
+    sels = []
+    for t in (2, 3, 4):
+        parts.append(f"""
+    ed{t} AS MATERIALIZED (
+        SELECT pa AS a, pb AS b FROM wpairs WHERE sup >= {t}
+        UNION SELECT pb, pa FROM wpairs WHERE sup >= {t}
+    ),
+    reach{t}(id, label) AS (
+        SELECT DISTINCT a, a FROM ed{t}
+        UNION
+        SELECT e.a, r.label FROM ed{t} e JOIN reach{t} r ON e.b = r.id
+    ),
+    comp{t} AS MATERIALIZED (
+        SELECT id, min(label) AS component FROM reach{t} GROUP BY id
+    ),
+    sz{t} AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comp{t} GROUP BY component
+    )""")
+        sels.append(
+            f"SELECT CAST({t} AS INTEGER) AS threshold, cluster_size,"
+            f" CAST(count(*) AS BIGINT) AS n_clusters FROM sz{t}"
+            " GROUP BY cluster_size"
+        )
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(sels)
+
+
+ORACLE_PART_B["q_single_linkage"] = _single_linkage_oracle()
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Cronbach's alpha ingredients — internal consistency of the
+    three-year spend "scale": items = 1996/1997/1998 per-customer
+    spend in cents (customers active in any of the years; inactive
+    years contribute 0, the natural missing-at-zero ledger
+    convention), alpha = k/(k-1) * (1 - sum(var_item)/var_total)
+    assembled downstream from exact moments.  Emits one row per item:
+    its sum and decimal-accumulated limb-split sum of squares, with
+    the subject count and the TOTAL-score moments broadcast onto each
+    row (the q_cochran_q output shape).
+
+    Scale: one (customer, year) aggregate — the only wide shuffle —
+    then a 3-way conditional sum per customer, two scalar aggregates,
+    one broadcast.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.year("o_orderdate").alias("yr"),
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("c"),
+        )
+        .filter(F.col("yr").isin(1996, 1997, 1998))
+        .groupBy("ck", "yr")
+        .agg(F.sum("c").alias("x"))
+    )
+    # subject rows: one per active customer, items as columns (0-fill)
+    wide = spend.groupBy("ck").agg(
+        *[
+            F.sum(F.when(F.col("yr") == y, F.col("x")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"x{y}")
+            for y in (1996, 1997, 1998)
+        ]
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    scal = wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum(F.expr("x1996 + x1997 + x1998")).cast("bigint").alias("st"),
+        F.sum(
+            (dec("x1996") + dec("x1997") + dec("x1998"))
+            * (dec("x1996") + dec("x1997") + dec("x1998"))
+        )
+        .cast("decimal(38,0)")
+        .alias("stt"),
+    )
+    items = None
+    for y in (1996, 1997, 1998):
+        it = wide.agg(
+            F.lit(y).cast("int").alias("item_year"),
+            F.sum(f"x{y}").cast("bigint").alias("sx"),
+            F.sum(dec(f"x{y}") * dec(f"x{y}")).cast("decimal(38,0)").alias("sxx"),
+        )
+        items = it if items is None else items.union(it)
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    return (
+        items.crossJoin(F.broadcast(scal))
+        .select(
+            "item_year",
+            "sx",
+            limb("sxx").alias("sxx_d"),
+            "n_subjects",
+            "st",
+            limb("stt").alias("stt_d"),
+        )
+    )
+
+
+QUERIES_PART_B["q_cronbach_alpha"] = q_cronbach_alpha
+
+ORACLE_PART_B["q_cronbach_alpha"] = """
+    WITH spend AS (
+        SELECT o_custkey AS ck, CAST(year(o_orderdate) AS INT) AS yr,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997, 1998)
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT ck,
+               CAST(sum(CASE WHEN yr = 1996 THEN x ELSE 0 END) AS BIGINT) AS x1996,
+               CAST(sum(CASE WHEN yr = 1997 THEN x ELSE 0 END) AS BIGINT) AS x1997,
+               CAST(sum(CASE WHEN yr = 1998 THEN x ELSE 0 END) AS BIGINT) AS x1998
+        FROM spend GROUP BY ck
+    ), scal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+               CAST(sum(x1996 + x1997 + x1998) AS BIGINT) AS st,
+               sum((CAST(x1996 AS HUGEINT) + x1997 + x1998)
+                   * (CAST(x1996 AS HUGEINT) + x1997 + x1998)) AS stt
+        FROM wide
+    ), items AS (
+        SELECT 1996 AS item_year, CAST(sum(x1996) AS BIGINT) AS sx,
+               sum(CAST(x1996 AS HUGEINT) * x1996) AS sxx FROM wide
+        UNION ALL
+        SELECT 1997, CAST(sum(x1997) AS BIGINT),
+               sum(CAST(x1997 AS HUGEINT) * x1997) FROM wide
+        UNION ALL
+        SELECT 1998, CAST(sum(x1998) AS BIGINT),
+               sum(CAST(x1998 AS HUGEINT) * x1998) FROM wide
+    )
+    SELECT CAST(item_year AS INTEGER) AS item_year, sx,
+           CAST(sxx % 4294967296 AS DOUBLE)
+             + CAST(sxx // 4294967296 AS DOUBLE) * 4294967296.0 AS sxx_d,
+           n_subjects, st,
+           CAST(stt % 4294967296 AS DOUBLE)
+             + CAST(stt // 4294967296 AS DOUBLE) * 4294967296.0 AS stt_d
+    FROM items, scal
+"""
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Fleiss' kappa ingredients — inter-rater agreement with
+    MANY raters (the k>2-rater generalization of q_cohen_kappa):
+    subjects = orders with exactly 4 line items, "raters" = those four
+    line items, category = the supplying region.  kappa = (Pbar -
+    Pe)/(1 - Pe) assembles downstream from the emitted exact
+    integers: per-category rating totals s_j (for Pe = sum p_j^2) and
+    the scalars N and sum_ij n_ij^2 (for Pbar = (sum n_ij^2 - N*n) /
+    (N*n*(n-1))).
+
+    Scale: fact scan -> broadcast dim hops for the category, one
+    (order, region) count aggregate, subject filter via a broadcast
+    semi-join of the exactly-4 orderkeys, then two tiny aggregates.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rated = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("r_name").alias("cat"))
+    )
+    four = (
+        rated.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") == 4)
+        .select("ok")
+    )
+    nij = (
+        rated.join(four, "ok", "left_semi")
+        .groupBy("ok", "cat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    )
+    scal = nij.groupBy("ok").agg(
+        F.sum(F.expr("nij * nij")).cast("bigint").alias("sq")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum("sq").cast("bigint").alias("sum_nij2"),
+    )
+    cats = nij.groupBy("cat").agg(F.sum("nij").cast("bigint").alias("s_j"))
+    return cats.crossJoin(F.broadcast(scal)).select(
+        "cat", "s_j", "n_subjects", "sum_nij2"
+    )
+
+
+QUERIES_PART_B["q_fleiss_kappa"] = q_fleiss_kappa
+
+ORACLE_PART_B["q_fleiss_kappa"] = """
+    WITH rated AS (
+        SELECT l.l_orderkey AS ok, r.r_name AS cat
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), four AS (
+        SELECT ok FROM rated GROUP BY ok HAVING count(*) = 4
+    ), nij AS (
+        SELECT rated.ok, cat, CAST(count(*) AS BIGINT) AS nij
+        FROM rated JOIN four ON rated.ok = four.ok
+        GROUP BY rated.ok, cat
+    ), scal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+               CAST(sum(sq) AS BIGINT) AS sum_nij2
+        FROM (SELECT ok, sum(nij * nij) AS sq FROM nij GROUP BY ok)
+    ), cats AS (
+        SELECT cat, CAST(sum(nij) AS BIGINT) AS s_j FROM nij GROUP BY cat
+    )
+    SELECT cat, s_j, n_subjects, sum_nij2 FROM cats, scal
 """

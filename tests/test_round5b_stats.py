@@ -228,3 +228,84 @@ def test_priority_sample_estimator_unbiased_shape(spark, sf_dir):
     est = sum(r["est_w"] for r in rows)
     true = rows[0]["true_total"]
     assert 0.2 < est / true < 3.0
+
+
+def test_single_linkage_hand_values(spark, tmp_path):
+    """Edges (1,2) sup 3, (2,3) sup 2, (4,5) sup 4.  Cuts:
+    t=2 -> {1,2,3} + {4,5}; t=3 -> {1,2} + {4,5}; t=4 -> {4,5}."""
+    rows = []
+    def basket(ok, parts):
+        rows.extend((ok, p) for p in parts)
+    for i in range(3):
+        basket(10 + i, [1, 2])
+    for i in range(2):
+        basket(20 + i, [2, 3])
+    for i in range(4):
+        basket(30 + i, [4, 5])
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        (r["threshold"], r["cluster_size"]): r["n_clusters"]
+        for r in all_queries()["q_single_linkage"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        (2, 3): 1, (2, 2): 1,
+        (3, 2): 2,
+        (4, 2): 1,
+    }
+
+
+def test_cronbach_alpha_hand_values(spark, tmp_path):
+    """c1 spends (100,200,0) cents across the three years, c2
+    (0,0,300): totals 300 each -> stt = 180000; per-item sums
+    100/200/300 with squares 10000/40000/90000."""
+    rows = [
+        (1, datetime.date(1996, 5, 1), 1.00),
+        (1, datetime.date(1997, 5, 1), 2.00),
+        (2, datetime.date(1998, 5, 1), 3.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["item_year"]: r
+        for r in all_queries()["q_cronbach_alpha"](spark, str(tmp_path)).collect()
+    }
+    assert {(y, out[y]["sx"], out[y]["sxx_d"]) for y in out} == {
+        (1996, 100, 10000.0), (1997, 200, 40000.0), (1998, 300, 90000.0),
+    }
+    any_row = out[1996]
+    assert (any_row["n_subjects"], any_row["st"], any_row["stt_d"]) == (
+        2, 600, 180000.0,
+    )
+
+
+def test_fleiss_kappa_hand_values(spark, tmp_path):
+    """Order 1 rated [A,A,A,B], order 2 [A,A,B,B], order 3 has only
+    three items (excluded): N=2, sum nij^2 = 10+8 = 18, s_A=5, s_B=3."""
+    sup_region = {1: "ASIA", 2: "ASIA", 3: "EUROPE"}
+    li = []
+    li += [(1, 1), (1, 1), (1, 2), (1, 3)]          # A A A B
+    li += [(2, 1), (2, 2), (2, 3), (2, 3)]          # A A B B
+    li += [(3, 1), (3, 1), (3, 1)]                  # 3 items -> excluded
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_suppkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(k, k) for k in sup_region],
+        "s_suppkey bigint, s_nationkey bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(k, 1 if v == "ASIA" else 2) for k, v in sup_region.items()],
+        "n_nationkey bigint, n_regionkey bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, "ASIA"), (2, "EUROPE")], "r_regionkey bigint, r_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "region.parquet"))
+    out = {
+        r["cat"]: r
+        for r in all_queries()["q_fleiss_kappa"](spark, str(tmp_path)).collect()
+    }
+    assert {(c, out[c]["s_j"]) for c in out} == {("ASIA", 5), ("EUROPE", 3)}
+    assert (out["ASIA"]["n_subjects"], out["ASIA"]["sum_nij2"]) == (2, 18)
