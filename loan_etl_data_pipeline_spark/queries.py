@@ -21364,3 +21364,180 @@ ORACLE_PART_B["q_fleiss_kappa"] = """
     )
     SELECT cat, s_j, n_subjects, sum_nij2 FROM cats, scal
 """
+
+
+def q_kernel_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ kernel density + Nadaraya-Watson regression on a fixed
+    32-point grid, EXACT: the Epanechnikov kernel K(u) = 3/4(1 - u^2)
+    is a polynomial, so with integer cents and an integer bandwidth
+    every kernel weight is the integer h^2 - d^2 (the 3/(4h) factor
+    is a constant the caller applies) — no exp, no transcendental,
+    nothing the value hash can disagree on.  Per grid point g:
+    n_window rows within |x - g| < h, s_kern = sum(h^2 - d^2)
+    (decimal-accumulated, limb-split — h^2 ~ 2.5e13 breaches int64 by
+    ~1e6 rows), and the NW numerator s_kern_y = sum((h^2 - d^2) * y)
+    with y = quantity-per-order, so density AND the smoothed
+    regression curve read off the same pass.
+
+    Scale: the grid is a 32-row broadcast; the banded |x - g| < h
+    filter keeps the join linear in rows x avg-window-occupancy (a
+    range join on a constant grid, same physics as q_spatial_pairs'
+    grid blocking); one map-side-combinable aggregate per grid cell.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    oy = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("x"),
+        )
+        .join(li, "ok")
+    )
+    ext = oy.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    # 32 grid points at bin centers; integer bandwidth = 2 grid steps
+    grid = (
+        spark.range(0, 32)
+        .select(F.col("id").cast("bigint").alias("g"))
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "g",
+            F.expr("mn + ((mx - mn) * (2 * g + 1)) div 64").alias("gx"),
+            F.expr("((mx - mn) div 16) + 1").alias("h"),
+        )
+    )
+    d = F.col("x") - F.col("gx")
+    kern = F.col("h") * F.col("h") - d * d
+    dec18 = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    agg = (
+        oy.crossJoin(F.broadcast(grid))
+        .filter(F.abs(d) < F.col("h"))
+        .groupBy("g", "gx", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_window"),
+            F.sum(dec18(kern)).cast("decimal(38,0)").alias("sk"),
+            F.sum(dec18(kern) * dec18(F.col("y"))).cast("decimal(38,0)").alias("sky"),
+        )
+    )
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    return agg.select(
+        "g",
+        "gx",
+        "h",
+        "n_window",
+        limb("sk").alias("s_kern"),
+        limb("sky").alias("s_kern_y"),
+        (limb("sky") / limb("sk")).alias("nw_smooth"),
+    )
+
+
+QUERIES_PART_B["q_kernel_smooth"] = q_kernel_smooth
+
+ORACLE_PART_B["q_kernel_smooth"] = """
+    WITH li AS (
+        SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ), oy AS (
+        SELECT o.o_orderkey AS ok,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS x, li.y
+        FROM orders o JOIN li ON o.o_orderkey = li.ok
+    ), ext AS (
+        SELECT min(x) AS mn, max(x) AS mx FROM oy
+    ), grid AS (
+        SELECT CAST(i AS BIGINT) AS g,
+               mn + ((mx - mn) * (2 * i + 1)) // 64 AS gx,
+               ((mx - mn) // 16) + 1 AS h
+        FROM range(0, 32) t(i), ext
+    ), agg AS (
+        SELECT g, gx, h,
+               CAST(count(*) AS BIGINT) AS n_window,
+               sum(CAST(h * h - (x - gx) * (x - gx) AS HUGEINT)) AS sk,
+               sum(CAST(h * h - (x - gx) * (x - gx) AS HUGEINT) * y) AS sky
+        FROM oy, grid
+        WHERE abs(x - gx) < h
+        GROUP BY g, gx, h
+    ), conv AS (
+        SELECT g, gx, h, n_window,
+               CAST(sk % 4294967296 AS DOUBLE)
+                 + CAST(sk // 4294967296 AS DOUBLE) * 4294967296.0 AS s_kern,
+               CAST(sky % 4294967296 AS DOUBLE)
+                 + CAST(sky // 4294967296 AS DOUBLE) * 4294967296.0 AS s_kern_y
+        FROM agg
+    )
+    SELECT g, gx, h, n_window, s_kern, s_kern_y,
+           s_kern_y / s_kern AS nw_smooth
+    FROM conv
+"""
+
+
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Kendall's W (coefficient of concordance): do the three
+    years 1996/1997/1998 agree on the REVENUE RANKING of nations?
+    The m-rater generalization of rank correlation (q_kendall_tau is
+    the 2-ranking special case; q_cochran_q the binary analog):
+    rank the 25 nations by exact floor-cents revenue within each
+    year (ties impossible on continuous cents; rank by (revenue desc,
+    nation) to force totality), then W = (12 * S) / (m^2 n (n^2-1))
+    from S = sum over nations of (R_i - m(n+1)/2)^2.  Emitted
+    ingredients stay exact: per nation the rank sum R_i (int64), plus
+    m and n broadcast; the oracle replays the same window ranks.
+
+    Scale: the fact scan reduces by a (nation, year) aggregate
+    (broadcast dim hop for the nation key); ranking windows run over
+    25 rows per year — driver-scale frames, exactly like the other
+    scorecard queries.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+        ).alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("yr").isin(1996, 1997, 1998))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), "yr")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("rev"), F.asc("nk"))
+    ranked = rev.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    rsums = ranked.groupBy("nk").agg(
+        F.sum("rk").cast("bigint").alias("rank_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("m_years"),
+    )
+    return rsums.filter(F.col("m_years") == 3).select("nk", "rank_sum")
+
+
+QUERIES_PART_B["q_kendall_w"] = q_kendall_w
+
+ORACLE_PART_B["q_kendall_w"] = """
+    WITH rev AS (
+        SELECT s.s_nationkey AS nk, CAST(year(o.o_orderdate) AS INT) AS yr,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE year(o.o_orderdate) IN (1996, 1997, 1998)
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT nk,
+               CAST(row_number() OVER (PARTITION BY yr
+                    ORDER BY rev DESC, nk ASC) AS BIGINT) AS rk
+        FROM rev
+    )
+    SELECT nk, CAST(sum(rk) AS BIGINT) AS rank_sum
+    FROM ranked GROUP BY nk HAVING count(*) = 3
+"""

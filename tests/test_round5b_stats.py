@@ -309,3 +309,45 @@ def test_fleiss_kappa_hand_values(spark, tmp_path):
     }
     assert {(c, out[c]["s_j"]) for c in out} == {("ASIA", 5), ("EUROPE", 3)}
     assert (out["ASIA"]["n_subjects"], out["ASIA"]["sum_nij2"]) == (2, 18)
+
+
+def test_kernel_smooth_hand_values(spark, tmp_path):
+    """Orders at cents {100, 6500} each with 1 and 3 line items.
+    mn=100, mx=6500: grid step (6400*(2g+1))//64 = 100*(2g+1)+eps,
+    h = 6400//16 + 1 = 401.  Point x=100 falls in windows of g=0
+    (gx=200, d=-100) and g=1 (gx=400, d=-300); x=6500 in g=30
+    (gx=6200, d=300) and g=31 (gx=6400, d=100).  Kernel weights
+    401^2-100^2 = 150801 and 401^2-300^2 = 70801."""
+    spark.createDataFrame(
+        [(1, 1.00), (2, 65.00)], "o_orderkey bigint, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    li = [(1, 10)] + [(2, 20), (2, 21), (2, 22)]
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["g"]: r
+        for r in all_queries()["q_kernel_smooth"](spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [0, 1, 30, 31]
+    assert out[0]["h"] == 401 and out[0]["gx"] == 200
+    assert (out[0]["s_kern"], out[0]["s_kern_y"]) == (150801.0, 150801.0)
+    assert (out[1]["s_kern"], out[1]["s_kern_y"]) == (70801.0, 70801.0)
+    # the expensive order has y = 3 line items -> NW smooth = 3 there
+    assert (out[30]["s_kern"], out[30]["s_kern_y"]) == (70801.0, 3 * 70801.0)
+    assert out[30]["nw_smooth"] == 3.0
+    assert out[31]["nw_smooth"] == 3.0
+
+
+def test_kendall_w_rank_sum_invariant(spark, sf_dir):
+    """Rank sums over m=3 complete rankings of the same n nations must
+    total 3 * n(n+1)/2, each between 3 and 3n."""
+    rows = all_queries()["q_kendall_w"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["rank_sum"] for r in rows)
+    # every year ranks the same nation set at these SFs (all nations
+    # supply every year), so rank sums are a permutation-sum identity
+    assert total == 3 * n * (n + 1) // 2
+    for r in rows:
+        assert 3 <= r["rank_sum"] <= 3 * n
