@@ -21541,3 +21541,217 @@ ORACLE_PART_B["q_kendall_w"] = """
     SELECT nk, CAST(sum(rk) AS BIGINT) AS rank_sum
     FROM ranked GROUP BY nk HAVING count(*) = 3
 """
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8+ k-minimum-values distinct-count sketch (Bar-Yossef 2002;
+    the Theta-sketch core) — and, unlike the HLL tier (q_approx_users,
+    rows-only by nature), FULLY value-oracled, because the hash is the
+    engine's deterministic md5-48 formula: keep the k = 64 smallest
+    hash values of the distinct order-placing customers; the k-th
+    smallest h_(k) estimates the distinct count as (k-1) * 2^48 /
+    h_(k).  Emits the exact k-th hash (int64), the estimator (one
+    IEEE division), and the exact true distinct for audit — the pair
+    every cardinality-sketch deployment should ship.
+
+    Scale: the k smallest hashes are a TakeOrderedAndProject over
+    row-local hash arithmetic (map-side top-k per partition, k-row
+    final merge — no shuffle of the key set); mergeability across
+    partitions/streams is the sketch's whole point.
+    """
+    k = 64
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+        .withColumn(
+            "h",
+            F.expr(
+                "cast(conv(substring(md5(cast(ck as string) || 'kmv'), 1, 12),"
+                " 16, 10) as bigint)"
+            ),
+        )
+    )
+    kth = (
+        keys.orderBy(F.asc("h"), F.asc("ck"))
+        .limit(k)
+        .agg(F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    true = keys.agg(F.count(F.lit(1)).cast("bigint").alias("true_distinct"))
+    est = (
+        F.lit(float(k - 1))
+        * F.lit(281474976710656.0)
+        / F.col("kth_hash").cast("double")
+    )
+    return (
+        kth.crossJoin(F.broadcast(true))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            "kth_hash",
+            est.alias("est_distinct"),
+            "true_distinct",
+        )
+    )
+
+
+QUERIES_PART_B["q_kmv_distinct"] = q_kmv_distinct
+
+ORACLE_PART_B["q_kmv_distinct"] = """
+    WITH keys AS (
+        SELECT ck, ('0x' || substr(md5(CAST(ck AS VARCHAR) || 'kmv'), 1, 12))
+                   ::BIGINT AS h
+        FROM (SELECT DISTINCT o_custkey AS ck FROM orders)
+    ), kth AS (
+        SELECT max(h) AS kth_hash FROM (
+            SELECT h FROM keys ORDER BY h ASC, ck ASC LIMIT 64
+        )
+    ), true_d AS (
+        SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM keys
+    )
+    SELECT CAST(64 AS BIGINT) AS k, kth_hash,
+           CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+             / CAST(kth_hash AS DOUBLE) AS est_distinct,
+           true_distinct
+    FROM kth, true_d
+"""
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7+ Johnson-Lindenstrauss random-projection audit: project the
+    64-dim embeddings to 8 dims with a DETERMINISTIC Rademacher (+-1)
+    matrix (sign = parity of md5(dim, out-dim)) and measure, over a
+    hash-bucketed pair sample, how well squared distances survive —
+    the number that tells you whether the cheap 8-dim index can
+    pre-filter the expensive 64-dim scan (the JL lemma says distances
+    concentrate within 1+-eps at k = O(log n / eps^2) dims).
+    Everything is exact int64: embeddings quantize to floor(x * 1e6)
+    once, projections are +-1 sums of those ints, and both distances
+    are integer sums of squares — the ratio d2_proj / (8 * d2_orig)
+    is the only division.
+
+    Scale: the projection is one posexplode + 512-row broadcast sign
+    join + (vec, out-dim) regroup — linear in n*d; the audit pair join
+    is bucketed md5(vec_id) % B with B sized so n^2/B stays ~n (the
+    q_embedding_neardup_lsh discipline: bucket count scales WITH n,
+    keeping per-bucket pair work constant).
+    """
+    dims_out = 8
+    n_buckets = 16
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1000000)"
+            " as bigint))"
+        ).alias("xq"),
+    )
+    flat = emb.select(
+        "vec_id", F.posexplode("xq").alias("i", "x")
+    )
+    signs = (
+        spark.range(0, 64)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            spark.range(0, dims_out).select(F.col("id").cast("int").alias("j"))
+        )
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "case when cast(conv(substring(md5(cast(i as string) || '_' ||"
+                " cast(j as string) || 'jl'), 1, 12), 16, 10) as bigint) % 2 = 0"
+                " then 1 else -1 end"
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    proj = (
+        flat.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("x")).cast("bigint").alias("p"))
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "p"))).alias("pj"))
+        .select("vec_id", F.expr("transform(pj, e -> e.p)").alias("p"))
+    )
+    both = emb.join(proj, "vec_id").withColumn(
+        "bucket", F.expr(f"pmod(cast(conv(substring(md5(cast(vec_id as string)"
+                         f" || 'jlb'), 1, 12), 16, 10) as bigint), {n_buckets})")
+    )
+    a = both.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("ida"),
+        F.col("xq").alias("xa"),
+        F.col("p").alias("pa"),
+    )
+    b = both.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("idb"),
+        F.col("xq").alias("xb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("ida") < F.col("idb"))
+    d2o = F.expr(
+        "aggregate(zip_with(xa, xb, (u, v) -> (u - v) * (u - v)),"
+        " 0L, (acc, e) -> acc + e)"
+    )
+    d2p = F.expr(
+        "aggregate(zip_with(pa, pb, (u, v) -> (u - v) * (u - v)),"
+        " 0L, (acc, e) -> acc + e)"
+    )
+    return pairs.select(
+        "ida",
+        "idb",
+        d2o.alias("d2_orig"),
+        d2p.alias("d2_proj"),
+        (
+            d2p.cast("double") / (F.lit(float(dims_out)) * d2o.cast("double"))
+        ).alias("ratio"),
+    )
+
+
+QUERIES_PART_B["q_random_projection"] = q_random_projection
+
+ORACLE_PART_B["q_random_projection"] = """
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                 AS xq
+        FROM embeddings
+    ), flat AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS i, xq[i] AS x
+        FROM emb, range(1, 65) t(i)
+    ), signs AS MATERIALIZED (
+        SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+               CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' ||
+                    CAST(j AS VARCHAR) || 'jl'), 1, 12))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM range(0, 64) a(i), range(0, 8) b(j)
+    ), proj AS MATERIALIZED (
+        SELECT vec_id, j, CAST(sum(s * x) AS BIGINT) AS p
+        FROM flat JOIN signs USING (i)
+        GROUP BY vec_id, j
+    ), pvec AS MATERIALIZED (
+        SELECT vec_id, list(p ORDER BY j) AS p FROM proj GROUP BY vec_id
+    ), joined AS MATERIALIZED (
+        SELECT e.vec_id, e.xq, pv.p,
+               ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || 'jlb'),
+                               1, 12))::BIGINT % 16 AS bucket
+        FROM emb e JOIN pvec pv ON e.vec_id = pv.vec_id
+    ), pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               a.xq AS xa, b.xq AS xb, a.p AS pa, b.p AS pb
+        FROM joined a JOIN joined b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT ida, idb,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> (xa[i] - xb[i]) * (xa[i] - xb[i]))) AS BIGINT) AS d2_orig,
+           CAST(list_sum(list_transform(range(1, 9),
+                i -> (pa[i] - pb[i]) * (pa[i] - pb[i]))) AS BIGINT) AS d2_proj,
+           CAST(list_sum(list_transform(range(1, 9),
+                i -> (pa[i] - pb[i]) * (pa[i] - pb[i]))) AS DOUBLE)
+             / (8.0 * CAST(list_sum(list_transform(range(1, 65),
+                i -> (xa[i] - xb[i]) * (xa[i] - xb[i]))) AS DOUBLE)) AS ratio
+    FROM pairs
+"""

