@@ -1267,3 +1267,97 @@ def luby_mis(
             .localCheckpoint()
         )
     return out
+
+
+def greedy_matching(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int,
+    salt: str = "match",
+) -> DataFrame:
+    """``rounds`` rounds of deterministic parallel maximal matching —
+    the EDGE sibling of :func:`luby_mis` (Israeli-Itai 1986 by way of
+    Luby's symmetry breaking): per round, every live edge whose
+    (md5-priority, a, b) is a strict minimum among edges sharing
+    either endpoint joins the matching; matched endpoints (and every
+    edge touching them) leave.  Returns ``(a, b, round)`` for each
+    matched edge.  The matched endpoints of a maximal matching are a
+    2-approximate minimum vertex cover — the classic distributed
+    cover construction.
+
+    Same anti-join formulation as luby_mis (a live edge survives iff
+    it has NO better neighbor — no struct-min aggregate, ties broken
+    by the canonical (a, b)), so the SQL replay is a NOT-IN per
+    round; a constant fraction of edges resolves per round whp, so
+    O(log m) rounds finish — ``rounds`` is FIXED for CTE oracling,
+    raised by callers until the live set empties.
+
+    Scale: per round one endpoint-explode (2 rows/edge), one
+    endpoint-keyed self-join for the better-neighbor test (bounded by
+    the same degree structure as the input graph), two anti-joins; no
+    global sort, no driver state.
+    """
+    if rounds < 1:
+        raise ValueError(f"need rounds >= 1, got {rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn(
+            "p",
+            F.expr(
+                "cast(conv(substring(md5(cast(a as string) || '_' ||"
+                f" cast(b as string) || '{salt}'), 1, 12), 16, 10) as bigint)"
+            ),
+        )
+        .localCheckpoint()
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        ends = e.select(F.col("a").alias("v"), "a", "b", "p").union(
+            e.select(F.col("b").alias("v"), "a", "b", "p")
+        )
+        o = ends.select(
+            F.col("v"),
+            F.col("a").alias("oa"),
+            F.col("b").alias("ob"),
+            F.col("p").alias("op"),
+        )
+        losers = (
+            ends.join(o, "v")
+            .filter(
+                ((F.col("oa") != F.col("a")) | (F.col("ob") != F.col("b")))
+                & (
+                    (F.col("op") < F.col("p"))
+                    | ((F.col("op") == F.col("p")) & (F.col("oa") < F.col("a")))
+                    | (
+                        (F.col("op") == F.col("p"))
+                        & (F.col("oa") == F.col("a"))
+                        & (F.col("ob") < F.col("b"))
+                    )
+                )
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        winners = e.join(losers, ["a", "b"], "left_anti").localCheckpoint()
+        sel = winners.select("a", "b", F.lit(r).cast("int").alias("round"))
+        out = sel if out is None else out.union(sel)
+        if r == rounds:
+            break
+        touched = (
+            winners.select(F.col("a").alias("v"))
+            .union(winners.select("b"))
+            .distinct()
+        )
+        e = (
+            e.join(touched.select(F.col("v").alias("a")), "a", "left_anti")
+            .join(touched.select(F.col("v").alias("b")), "b", "left_anti")
+            .localCheckpoint()
+        )
+    return out

@@ -21755,3 +21755,79 @@ ORACLE_PART_B["q_random_projection"] = """
                 i -> (xa[i] - xb[i]) * (xa[i] - xb[i]))) AS DOUBLE)) AS ratio
     FROM pairs
 """
+
+
+def q_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ deterministic parallel maximal matching (operators/graph.py
+    greedy_matching) over the co-purchase graph: 3 unrolled rounds of
+    edge-priority local minima — the EDGE sibling of q_luby_mis
+    (Israeli-Itai symmetry breaking), whose matched endpoints are the
+    classic 2-approximate minimum vertex cover.  On a co-purchase
+    graph the matching pairs up strongly associated parts with no
+    part reused — the seed set a bundling/substitution analysis
+    starts from.
+
+    Fully value-oracled: md5 edge priorities + fixed rounds unroll as
+    endpoint-exploded better-neighbor CTEs with NOT-EXISTS winner
+    selection.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import greedy_matching
+
+    return greedy_matching(
+        _copurchase_edges(spark, sf_dir), "pa", "pb", rounds=3
+    ).select(F.col("a").alias("pa"), F.col("b").alias("pb"), "round")
+
+
+QUERIES_PART_B["q_greedy_matching"] = q_greedy_matching
+
+
+def _matching_oracle(rounds: int) -> str:
+    parts = [
+        "e1 AS MATERIALIZED (SELECT pa AS a, pb AS b,"
+        " ('0x' || substr(md5(CAST(pa AS VARCHAR) || '_' ||"
+        " CAST(pb AS VARCHAR) || 'match'), 1, 12))::BIGINT AS p FROM pairs)",
+    ]
+    sels = []
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+    ends{k} AS MATERIALIZED (
+        SELECT a AS v, a, b, p FROM e{k}
+        UNION ALL SELECT b, a, b, p FROM e{k}
+    ),
+    lose{k} AS MATERIALIZED (
+        SELECT DISTINCT x.a, x.b
+        FROM ends{k} x JOIN ends{k} o ON x.v = o.v
+        WHERE (o.a <> x.a OR o.b <> x.b)
+          AND (o.p < x.p OR (o.p = x.p AND (o.a < x.a
+               OR (o.a = x.a AND o.b < x.b))))
+    ),
+    win{k} AS MATERIALIZED (
+        SELECT a, b FROM e{k} e
+        WHERE NOT EXISTS (SELECT 1 FROM lose{k} l
+                          WHERE l.a = e.a AND l.b = e.b)
+    )""")
+        sels.append(
+            f"SELECT a AS pa, b AS pb, CAST({k} AS INTEGER) AS round"
+            f" FROM win{k}"
+        )
+        if k < rounds:
+            parts.append(f"""
+    touched{k} AS MATERIALIZED (
+        SELECT a AS v FROM win{k} UNION SELECT b FROM win{k}
+    ),
+    e{k + 1} AS MATERIALIZED (
+        SELECT a, b, p FROM e{k}
+        WHERE a NOT IN (SELECT v FROM touched{k})
+          AND b NOT IN (SELECT v FROM touched{k})
+    )""")
+    return (
+        "    WITH "
+        + _COPURCHASE_CTE.strip().rstrip(",")
+        + ",\n    "
+        + ",".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(sels)
+    )
+
+
+ORACLE_PART_B["q_greedy_matching"] = _matching_oracle(3)

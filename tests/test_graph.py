@@ -621,3 +621,72 @@ def test_luby_mis_isolated_pair_selects_lower_priority(spark):
     # the MIS of a single edge is exactly one node, picked in round 1
     # (its neighbor is removed, never selected)
     assert len(got) == 1 and list(got.values()) == [1]
+
+
+# ---------------------------------------------------------------------------
+# Greedy maximal matching
+# ---------------------------------------------------------------------------
+
+
+def _matching_reference(edges, rounds, salt="match"):
+    import hashlib
+
+    def prio(a, b):
+        return int(
+            hashlib.md5(f"{a}_{b}{salt}".encode()).hexdigest()[:12], 16
+        )
+
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    out = {}
+    for r in range(1, rounds + 1):
+        keyed = {(prio(a, b), a, b): (a, b) for a, b in e}
+        win = set()
+        for key, (a, b) in keyed.items():
+            better = [
+                k
+                for k in keyed
+                if k != key
+                and (keyed[k][0] in (a, b) or keyed[k][1] in (a, b))
+                and k < key
+            ]
+            if not better:
+                win.add((a, b))
+        for w in win:
+            out[w] = r
+        if r == rounds:
+            break
+        touched = {v for w in win for v in w}
+        e = {p for p in e if p[0] not in touched and p[1] not in touched}
+    return out
+
+
+def test_greedy_matching_matches_reference(spark):
+    import random
+
+    from loan_etl_data_pipeline_spark.operators.graph import greedy_matching
+
+    rng = random.Random(11)
+    edges = list({
+        tuple(sorted(rng.sample(range(1, 30), 2))) for _ in range(80)
+    })
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): r["round"]
+        for r in greedy_matching(df, rounds=3).collect()
+    }
+    assert got == _matching_reference(edges, 3)
+
+
+def test_greedy_matching_is_matching_and_cover(spark):
+    """No endpoint reused; after enough rounds the matched endpoints
+    cover every edge (2-approx vertex cover)."""
+    from loan_etl_data_pipeline_spark.operators.graph import greedy_matching
+
+    edges = [(i, i + 1) for i in range(1, 25)] + [(1, 13), (5, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    matched = [(r["a"], r["b"]) for r in greedy_matching(df, rounds=8).collect()]
+    used = [v for e in matched for v in e]
+    assert len(used) == len(set(used)), "an endpoint is matched twice"
+    cover = set(used)
+    for a, b in edges:
+        assert a in cover or b in cover, (a, b)
