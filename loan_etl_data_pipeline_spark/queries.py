@@ -21631,12 +21631,14 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the projection is one posexplode + 512-row broadcast sign
     join + (vec, out-dim) regroup — linear in n*d; the audit pair join
-    is bucketed md5(vec_id) % B with B sized so n^2/B stays ~n (the
+    is bucketed md5(vec_id) % B with B = max(16, n div 312) computed
+    IN-PLAN from the table count (pure integer division, identical
+    both engines), so n^2/B stays ~n at every SF — the
     q_embedding_neardup_lsh discipline: bucket count scales WITH n,
-    keeping per-bucket pair work constant).
+    keeping per-bucket pair work constant (a fixed B would make the
+    sample quadratic: 78M pairs at sf0.1 instead of ~8M).
     """
     dims_out = 8
-    n_buckets = 16
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(
@@ -21673,9 +21675,22 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("j", "p"))).alias("pj"))
         .select("vec_id", F.expr("transform(pj, e -> e.p)").alias("p"))
     )
-    both = emb.join(proj, "vec_id").withColumn(
-        "bucket", F.expr(f"pmod(cast(conv(substring(md5(cast(vec_id as string)"
-                         f" || 'jlb'), 1, 12), 16, 10) as bigint), {n_buckets})")
+    nb = emb.agg(
+        F.greatest(
+            F.lit(16).cast("bigint"), F.expr("count(*) div 312")
+        ).alias("n_buckets")
+    )
+    both = (
+        emb.join(proj, "vec_id")
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "pmod(cast(conv(substring(md5(cast(vec_id as string)"
+                " || 'jlb'), 1, 12), 16, 10) as bigint), n_buckets)"
+            ),
+        )
+        .drop("n_buckets")
     )
     a = both.select(
         F.col("bucket"),
@@ -21733,11 +21748,15 @@ ORACLE_PART_B["q_random_projection"] = """
         GROUP BY vec_id, j
     ), pvec AS MATERIALIZED (
         SELECT vec_id, list(p ORDER BY j) AS p FROM proj GROUP BY vec_id
+    ), nb AS (
+        SELECT CASE WHEN count(*) // 312 > 16 THEN count(*) // 312
+                    ELSE 16 END AS n_buckets
+        FROM emb
     ), joined AS MATERIALIZED (
         SELECT e.vec_id, e.xq, pv.p,
                ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || 'jlb'),
-                               1, 12))::BIGINT % 16 AS bucket
-        FROM emb e JOIN pvec pv ON e.vec_id = pv.vec_id
+                               1, 12))::BIGINT % nb.n_buckets AS bucket
+        FROM emb e JOIN pvec pv ON e.vec_id = pv.vec_id, nb
     ), pairs AS (
         SELECT a.vec_id AS ida, b.vec_id AS idb,
                a.xq AS xa, b.xq AS xb, a.p AS pa, b.p AS pb
