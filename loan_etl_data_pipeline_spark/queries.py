@@ -21850,3 +21850,186 @@ def _matching_oracle(rounds: int) -> str:
 
 
 ORACLE_PART_B["q_greedy_matching"] = _matching_oracle(3)
+
+
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ energy-distance ingredients between finished ('F') and
+    open ('O') order totals — the metric two-sample test (Szekely &
+    Rizzo 2004) completing the drift battery (q_ks_test = sup gap,
+    q_wasserstein = integrated gap, q_cramer_von_mises = squared gap,
+    this = the kernel-free distance 2E|X-Y| - E|X-X'| - E|Y-Y'|).
+    The three quadratic expectations NEVER materialize pairs: over the
+    merged VALUE-GROUPED frame, one ordered window of running
+    (count, sum) per group turns every absolute-difference sum into
+    sum_v mult(v) * (v*cnt_less - sum_less) — the classic sorted
+    identity, O(distinct values) after the aggregate.  Sums accumulate
+    decimal(38,0) (pair count x cents breaches int64 past ~SF 1) and
+    limb-split to exact doubles.
+
+    Scale: one value-grouped aggregate (the only fact-sized shuffle),
+    one window over the merged distinct-value axis (value-domain
+    bounded; swap to functions/ranking.global_rank past driver-window
+    scale), one scalar aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    vals = o.groupBy(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("v")
+    ).agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("bigint")).alias("mx"),
+        F.sum((F.col("o_orderstatus") == "O").cast("bigint")).alias("my"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    run = (
+        vals.withColumn("cx_less", F.coalesce(F.sum("mx").over(w), F.lit(0)))
+        .withColumn("cy_less", F.coalesce(F.sum("my").over(w), F.lit(0)))
+        .withColumn(
+            "sx_less",
+            F.coalesce(F.sum(dec("mx") * dec("v")).over(w), F.lit(0).cast("decimal(38,0)")),
+        )
+        .withColumn(
+            "sy_less",
+            F.coalesce(F.sum(dec("my") * dec("v")).over(w), F.lit(0).cast("decimal(38,0)")),
+        )
+    )
+    term = lambda m, c, s: F.sum(  # noqa: E731  Σ mult·(v·cnt_less − sum_less)
+        dec(m) * (dec("v") * F.col(c).cast("decimal(18,0)") - F.col(s))
+    ).cast("decimal(38,0)")
+    agg = run.agg(
+        F.sum("mx").cast("bigint").alias("n_x"),
+        F.sum("my").cast("bigint").alias("n_y"),
+        term("mx", "cx_less", "sx_less").alias("sxx"),
+        term("my", "cy_less", "sy_less").alias("syy"),
+        (
+            term("mx", "cy_less", "sy_less") + term("my", "cx_less", "sx_less")
+        ).cast("decimal(38,0)").alias("sxy"),
+    )
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    return agg.select(
+        "n_x", "n_y",
+        limb("sxy").alias("s_xy_d"),
+        limb("sxx").alias("s_xx_d"),
+        limb("syy").alias("s_yy_d"),
+    )
+
+
+QUERIES_PART_B["q_energy_distance"] = q_energy_distance
+
+ORACLE_PART_B["q_energy_distance"] = """
+    WITH vals AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mx,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS my
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY 1
+    ), run AS (
+        SELECT v, mx, my,
+               COALESCE(sum(mx) OVER pre, 0) AS cx_less,
+               COALESCE(sum(my) OVER pre, 0) AS cy_less,
+               COALESCE(sum(CAST(mx AS HUGEINT) * v) OVER pre, 0) AS sx_less,
+               COALESCE(sum(CAST(my AS HUGEINT) * v) OVER pre, 0) AS sy_less
+        FROM vals
+        WINDOW pre AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)
+    ), agg AS (
+        SELECT CAST(sum(mx) AS BIGINT) AS n_x,
+               CAST(sum(my) AS BIGINT) AS n_y,
+               sum(CAST(mx AS HUGEINT) * (CAST(v AS HUGEINT) * cx_less
+                   - sx_less)) AS sxx,
+               sum(CAST(my AS HUGEINT) * (CAST(v AS HUGEINT) * cy_less
+                   - sy_less)) AS syy,
+               sum(CAST(mx AS HUGEINT) * (CAST(v AS HUGEINT) * cy_less
+                   - sy_less))
+                 + sum(CAST(my AS HUGEINT) * (CAST(v AS HUGEINT) * cx_less
+                   - sx_less)) AS sxy
+        FROM run
+    )
+    SELECT n_x, n_y,
+           CAST(sxy % 4294967296 AS DOUBLE)
+             + CAST(sxy // 4294967296 AS DOUBLE) * 4294967296.0 AS s_xy_d,
+           CAST(sxx % 4294967296 AS DOUBLE)
+             + CAST(sxx // 4294967296 AS DOUBLE) * 4294967296.0 AS s_xx_d,
+           CAST(syy % 4294967296 AS DOUBLE)
+             + CAST(syy // 4294967296 AS DOUBLE) * 4294967296.0 AS s_yy_d
+    FROM agg
+"""
+
+
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Chow structural-break ingredients: did the daily-revenue
+    trend CHANGE at 1995-07-01?  Per segment (pre/post), the six exact
+    regression moments of cents on the day index t = datediff(day,
+    global min day): n, St, Sy, Stt (int64 — t <= 2500 calendar-bounded)
+    and Sty, Syy (decimal-accumulated, limb-split).  The two per-segment
+    OLS fits, the pooled fit, and the Chow F over their SSRs are fixed
+    IEEE assembly downstream — pooled moments are the segment sums, so
+    two rows carry the whole test.
+
+    Scale: the day index needs the global min day — a 1-row broadcast
+    onto the SF-invariant daily aggregate; then one 2-group aggregate.
+    """
+    d = _daily_cents(spark, sf_dir)
+    mn = d.agg(F.min("day").alias("d0"))
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    seg = (
+        d.crossJoin(F.broadcast(mn))
+        .withColumn("t", F.datediff("day", "d0").cast("bigint"))
+        .withColumn(
+            "segment",
+            F.when(F.col("day") < F.lit("1995-07-01").cast("date"), "pre")
+            .otherwise("post"),
+        )
+    )
+    agg = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("stt"),
+        F.sum(dec("t") * dec("cents")).cast("decimal(38,0)").alias("sty"),
+        F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("syy"),
+    )
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    return agg.select(
+        "segment", "n", "st", "sy", "stt",
+        limb("sty").alias("sty_d"),
+        limb("syy").alias("syy_d"),
+    )
+
+
+QUERIES_PART_B["q_chow_test"] = q_chow_test
+
+ORACLE_PART_B["q_chow_test"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    mn AS (SELECT min(day) AS d0 FROM daily),
+    seg AS (
+        SELECT CASE WHEN day < DATE '1995-07-01' THEN 'pre' ELSE 'post' END
+                 AS segment,
+               CAST(day - d0 AS BIGINT) AS t, cents
+        FROM daily, mn
+    ), agg AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(cents) AS BIGINT) AS sy,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               sum(CAST(t AS HUGEINT) * cents) AS sty,
+               sum(CAST(cents AS HUGEINT) * cents) AS syy
+        FROM seg GROUP BY segment
+    )
+    SELECT segment, n, st, sy, stt,
+           CAST(sty % 4294967296 AS DOUBLE)
+             + CAST(sty // 4294967296 AS DOUBLE) * 4294967296.0 AS sty_d,
+           CAST(syy % 4294967296 AS DOUBLE)
+             + CAST(syy // 4294967296 AS DOUBLE) * 4294967296.0 AS syy_d
+    FROM agg
+"""

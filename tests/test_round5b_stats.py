@@ -412,3 +412,66 @@ def test_random_projection_signs_match_hashlib(spark, sf_dir):
     assert d2p == r["d2_proj"]
     d2o = sum((u - v) ** 2 for u, v in zip(emb[r["ida"]], emb[r["idb"]]))
     assert d2o == r["d2_orig"]
+
+
+def test_energy_distance_hand_values(spark, tmp_path):
+    """X (F) = {100, 300}, Y (O) = {200}.  S_xx = |100-300| = 200;
+    S_yy = 0; S_xy = |100-200| + |300-200| = 200."""
+    rows = [
+        ("F", 1.00), ("F", 3.00), ("O", 2.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderstatus string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = all_queries()["q_energy_distance"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_x"], r["n_y"]) == (2, 1)
+    assert (r["s_xy_d"], r["s_xx_d"], r["s_yy_d"]) == (200.0, 200.0, 0.0)
+
+
+def test_energy_distance_brute_force(spark, tmp_path):
+    """Random two-sample fixture vs O(n^2) Python brute force."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        ("F" if rng.random() < 0.5 else "O", round(rng.uniform(1, 50), 2))
+        for _ in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderstatus string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    import math
+    # same double arithmetic as the engine: floor(v * 100), no rounding
+    x = [int(math.floor(v * 100)) for s, v in rows if s == "F"]
+    y = [int(math.floor(v * 100)) for s, v in rows if s == "O"]
+    r = all_queries()["q_energy_distance"](spark, str(tmp_path)).collect()[0]
+    sxx = sum(abs(a - b) for i, a in enumerate(x) for b in x[i + 1:])
+    syy = sum(abs(a - b) for i, a in enumerate(y) for b in y[i + 1:])
+    sxy = sum(abs(a - b) for a in x for b in y)
+    assert (r["n_x"], r["n_y"]) == (len(x), len(y))
+    assert (r["s_xx_d"], r["s_yy_d"], r["s_xy_d"]) == (
+        float(sxx), float(syy), float(sxy),
+    )
+
+
+def test_chow_test_hand_values(spark, tmp_path):
+    """Two days pre-break (t=0,1; cents 100,200) and one post (t=400;
+    cents 700): segment moments check by hand."""
+    rows = [
+        (datetime.date(1995, 1, 1), 1.00),
+        (datetime.date(1995, 1, 2), 2.00),
+        (datetime.date(1996, 2, 5), 7.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["segment"]: r
+        for r in all_queries()["q_chow_test"](spark, str(tmp_path)).collect()
+    }
+    pre, post = out["pre"], out["post"]
+    assert (pre["n"], pre["st"], pre["sy"], pre["stt"]) == (2, 1, 300, 1)
+    assert (pre["sty_d"], pre["syy_d"]) == (200.0, 50000.0)
+    t_post = (datetime.date(1996, 2, 5) - datetime.date(1995, 1, 1)).days
+    assert (post["n"], post["st"], post["sy"]) == (1, t_post, 700)
+    assert post["sty_d"] == float(t_post * 700)
