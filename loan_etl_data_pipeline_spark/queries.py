@@ -22033,3 +22033,123 @@ ORACLE_PART_B["q_chow_test"] = f"""
              + CAST(syy // 4294967296 AS DOUBLE) * 4294967296.0 AS syy_d
     FROM agg
 """
+
+
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Tukey median polish, 2 full sweeps, EXACT: the robust
+    two-way decomposition (value ~ grand + row + column + residual) of
+    the nation x year revenue table — what you run instead of two-way
+    ANOVA when one hub nation would wreck the means.  Exactness via
+    scale carrying: each median subtraction uses the DOUBLED median
+    (lo+hi order statistics, the q_brown_forsythe device) and doubles
+    the working scale instead of halving anything — after row, col,
+    row, col sweeps the emitted residuals sit at exactly 16x the
+    original cents (the `scale` column), bit-stable in any engine.
+
+    Scale: the polished table is the (25 nation x 3 year) AGGREGATE of
+    the fact scan — sweeps are windows over <= 25-row partitions, so
+    the whole polish is driver-trivial at any SF; the fact-sized work
+    is the one grouped revenue aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+        ).alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("yr").isin(1996, 1997, 1998))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), "yr")
+        .agg(F.sum("cents").alias("v"))
+    )
+
+    def sweep(df, part_col, order_tiebreak):
+        wr = Window.partitionBy(part_col).orderBy(F.asc("v"), F.asc(order_tiebreak))
+        wn = Window.partitionBy(part_col)
+        ranked = df.withColumn("rk", F.row_number().over(wr)).withColumn(
+            "n", F.count(F.lit(1)).over(wn)
+        )
+        med = ranked.groupBy(part_col).agg(
+            F.sum(
+                F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("v")).otherwise(
+                    F.lit(0)
+                )
+                + F.when(F.col("rk") == F.expr("(n + 2) div 2"), F.col("v")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("med2")
+        )
+        return (
+            df.join(F.broadcast(med), part_col)
+            .select("nk", "yr", (F.lit(2) * F.col("v") - F.col("med2")).alias("v"))
+        )
+
+    out = cells
+    for _ in range(2):
+        out = sweep(out, "nk", "yr")
+        out = sweep(out, "yr", "nk")
+    return out.select(
+        "nk",
+        F.col("yr").cast("int").alias("yr"),
+        F.col("v").alias("resid16"),
+        F.lit(16).cast("bigint").alias("scale"),
+    )
+
+
+QUERIES_PART_B["q_median_polish"] = q_median_polish
+
+
+def _polish_sweep_sql(src: str, part: str, tiebreak: str, out: str) -> str:
+    return f"""
+    {out}_rk AS (
+        SELECT nk, yr, v,
+               row_number() OVER (PARTITION BY {part}
+                   ORDER BY v ASC, {tiebreak} ASC) AS rk,
+               count(*) OVER (PARTITION BY {part}) AS n
+        FROM {src}
+    ),
+    {out}_med AS (
+        SELECT {part},
+               CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN v ELSE 0 END)
+                    + sum(CASE WHEN rk = (n + 2) // 2 THEN v ELSE 0 END)
+                    AS BIGINT) AS med2
+        FROM {out}_rk GROUP BY {part}
+    ),
+    {out} AS (
+        SELECT s.nk, s.yr, 2 * s.v - m.med2 AS v
+        FROM {src} s JOIN {out}_med m USING ({part})
+    )"""
+
+
+ORACLE_PART_B["q_median_polish"] = (
+    """
+    WITH cells AS (
+        SELECT s.s_nationkey AS nk, CAST(year(o.o_orderdate) AS INT) AS yr,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE year(o.o_orderdate) IN (1996, 1997, 1998)
+        GROUP BY 1, 2
+    ),"""
+    + _polish_sweep_sql("cells", "nk", "yr", "s1")
+    + ","
+    + _polish_sweep_sql("s1", "yr", "nk", "s2")
+    + ","
+    + _polish_sweep_sql("s2", "nk", "yr", "s3")
+    + ","
+    + _polish_sweep_sql("s3", "yr", "nk", "s4")
+    + """
+    SELECT nk, yr, v AS resid16, CAST(16 AS BIGINT) AS scale FROM s4
+"""
+)

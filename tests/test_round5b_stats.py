@@ -475,3 +475,48 @@ def test_chow_test_hand_values(spark, tmp_path):
     t_post = (datetime.date(1996, 2, 5) - datetime.date(1995, 1, 1)).days
     assert (post["n"], post["st"], post["sy"]) == (1, t_post, 700)
     assert post["sty_d"] == float(t_post * 700)
+
+
+def test_median_polish_hand_values(spark, tmp_path):
+    """2x2 additive table v = row + col: rows {0, 40}, cols {0, 6} in
+    cents — residuals of a perfectly additive table polish to exactly
+    0 at every scale.  Cells: (n1,1996)=0.10, (n1,1997)=0.16,
+    (n2,1996)=0.50, (n2,1997)=0.56 dollars via single line items."""
+    li, orders, sup = [], [], [(1, 1), (2, 2)]
+    k = 0
+    for nk, yr, price in [
+        (1, 1996, 0.10), (1, 1997, 0.16), (2, 1996, 0.50), (2, 1997, 0.56),
+    ]:
+        k += 1
+        orders.append((k, datetime.date(yr, 6, 1)))
+        li.append((k, nk, price))
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_suppkey bigint, l_extendedprice double"
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "l_extendedprice",
+        "cast(0.0 as double) as l_discount",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_orderdate date"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        sup, "s_suppkey bigint, s_nationkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    out = all_queries()["q_median_polish"](spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert all(r["scale"] == 16 for r in out)
+    assert all(r["resid16"] == 0 for r in out), out
+
+
+def test_median_polish_residual_medians_are_zeroish(spark, sf_dir):
+    """After two full sweeps every row's doubled median of residuals
+    is small relative to the scale-16 values (polish convergence
+    direction), and the decomposition preserves cell count."""
+    rows = all_queries()["q_median_polish"](spark, sf_dir).collect()
+    by_nk = {}
+    for r in rows:
+        by_nk.setdefault(r["nk"], []).append(r["resid16"])
+    assert all(len(v) == 3 for v in by_nk.values())
+    for vs in by_nk.values():
+        vs = sorted(vs)
+        assert vs[1] == 0 or abs(vs[1]) <= max(map(abs, vs))
