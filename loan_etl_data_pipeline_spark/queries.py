@@ -22153,3 +22153,198 @@ ORACLE_PART_B["q_median_polish"] = (
     SELECT nk, yr, v AS resid16, CAST(16 AS BIGINT) AS scale FROM s4
 """
 )
+
+
+def q_siegel_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Siegel repeated-median trend of daily revenue — the
+    50%-breakdown upgrade of q_theil_sen (Siegel 1982): per DAY the
+    median of its pairwise slopes to every other day, then the median
+    of those per-day medians; a majority of wild days still can't
+    move it.  Both medians are exact selections via the doubled
+    device: per-day med2_i = slope_(lo) + slope_(hi) (one IEEE add of
+    two correctly-rounded divisions — identical in any engine), final
+    slope4 = med2_(lo) + med2_(hi) at scale 4.  Ranks order by
+    (value, partner-day) so the permutation is total.
+
+    Scale: the day x day pair frame is CALENDAR-BOUNDED (q_mann_kendall
+    physics — ~2500^2 rows at ANY SF; the fact scan is the only
+    size-dependent stage); the per-day median is a window over each
+    day's ~2500 slopes, the final median a window over ~2500 medians.
+    """
+    d = _daily_cents(spark, sf_dir)
+    mn = d.agg(F.min("day").alias("d0"))
+    pts = d.crossJoin(F.broadcast(mn)).select(
+        F.datediff("day", "d0").cast("bigint").alias("t"), F.col("cents").alias("y")
+    )
+    a = pts.select(F.col("t").alias("ti"), F.col("y").alias("yi"))
+    b = pts.select(F.col("t").alias("tj"), F.col("y").alias("yj"))
+    slopes = (
+        a.join(b, F.col("ti") != F.col("tj"))
+        .select(
+            "ti",
+            "tj",
+            (
+                (F.col("yj") - F.col("yi")).cast("double")
+                / (F.col("tj") - F.col("ti")).cast("double")
+            ).alias("s"),
+        )
+    )
+    wi = Window.partitionBy("ti").orderBy(F.asc("s"), F.asc("tj"))
+    wni = Window.partitionBy("ti")
+    med_i = (
+        slopes.withColumn("rk", F.row_number().over(wi))
+        .withColumn("n", F.count(F.lit(1)).over(wni))
+        .groupBy("ti")
+        .agg(
+            F.sum(
+                F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("s")).otherwise(
+                    F.lit(0.0)
+                )
+                + F.when(F.col("rk") == F.expr("(n + 2) div 2"), F.col("s")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("med2")
+        )
+    )
+    w = Window.orderBy(F.asc("med2"), F.asc("ti"))
+    wn = Window.partitionBy()
+    final = (
+        med_i.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(
+                F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("med2")).otherwise(
+                    F.lit(0.0)
+                )
+                + F.when(F.col("rk") == F.expr("(n + 2) div 2"), F.col("med2")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("slope4")
+        )
+    )
+    return final.select(
+        "n_days", "slope4", (F.col("slope4") / F.lit(4.0)).alias("slope")
+    )
+
+
+QUERIES_PART_B["q_siegel_slope"] = q_siegel_slope
+
+ORACLE_PART_B["q_siegel_slope"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    mn AS (SELECT min(day) AS d0 FROM daily),
+    pts AS MATERIALIZED (
+        SELECT CAST(day - d0 AS BIGINT) AS t, cents AS y FROM daily, mn
+    ), slopes AS (
+        SELECT a.t AS ti, b.t AS tj,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+        FROM pts a JOIN pts b ON a.t <> b.t
+    ), ranked AS (
+        SELECT ti, s,
+               row_number() OVER (PARTITION BY ti ORDER BY s ASC, tj ASC) AS rk,
+               count(*) OVER (PARTITION BY ti) AS n
+        FROM slopes
+    ), med_i AS (
+        SELECT ti,
+               sum(CASE WHEN rk = (n + 1) // 2 THEN s ELSE 0.0 END)
+                 + sum(CASE WHEN rk = (n + 2) // 2 THEN s ELSE 0.0 END) AS med2
+        FROM ranked GROUP BY ti
+    ), ranked2 AS (
+        SELECT ti, med2,
+               row_number() OVER (ORDER BY med2 ASC, ti ASC) AS rk,
+               count(*) OVER () AS n
+        FROM med_i
+    ), final AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               sum(CASE WHEN rk = (n + 1) // 2 THEN med2 ELSE 0.0 END)
+                 + sum(CASE WHEN rk = (n + 2) // 2 THEN med2 ELSE 0.0 END)
+                 AS slope4
+        FROM ranked2
+    )
+    SELECT n_days, slope4, slope4 / 4.0 AS slope FROM final
+"""
+
+
+def q_simpsons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Simpson's-paradox audit: does the discount→quantity
+    association FLIP SIGN between any supplier nation and the pooled
+    data?  The aggregation-bias check every segmented-metrics
+    dashboard needs before trusting a pooled trend.  Per nation the
+    exact covariance-slope NUMERATOR n*Σxy - Σx*Σy (x = discount in
+    exact promille, y = quantity; pure int64 through SF ~1, decimal
+    ladder beyond), the pooled numerator broadcast onto every row,
+    and the reversal flag computed IN-PLAN (sign(num) *
+    sign(pooled) < 0).
+
+    Scale: one map-side-combinable (nation-keyed) aggregate after a
+    broadcast supplier hop; pooled = the same aggregate re-reduced,
+    1-row broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr("cast(floor(l_discount * 1000) as bigint)").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    seg = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        )
+        .withColumn(
+            "num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        )
+    )
+    pooled = seg.agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("sx").cast("bigint").alias("psx"),
+        F.sum("sy").cast("bigint").alias("psy"),
+        F.sum("sxy").cast("bigint").alias("psxy"),
+    ).select(
+        (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")).alias(
+            "pooled_num"
+        )
+    )
+    return seg.crossJoin(F.broadcast(pooled)).select(
+        "nk",
+        "n",
+        "num",
+        "pooled_num",
+        (
+            F.signum(F.col("num").cast("double"))
+            * F.signum(F.col("pooled_num").cast("double"))
+            < 0
+        ).alias("reversed"),
+    )
+
+
+QUERIES_PART_B["q_simpsons"] = q_simpsons
+
+ORACLE_PART_B["q_simpsons"] = """
+    WITH seg AS (
+        SELECT s.s_nationkey AS nk,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(l.l_discount * 1000) AS BIGINT))
+                    AS BIGINT) AS sx,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sy,
+               CAST(sum(CAST(floor(l.l_discount * 1000) AS BIGINT)
+                        * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sxy
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1
+    ), seg2 AS (
+        SELECT nk, n, sx, sy, sxy, n * sxy - sx * sy AS num FROM seg
+    ), pooled AS (
+        SELECT sum(n) * sum(sxy) - sum(sx) * sum(sy) AS pooled_num FROM seg
+    )
+    SELECT nk, n, num, pooled_num,
+           CASE WHEN CAST(num AS DOUBLE) > 0 AND CAST(pooled_num AS DOUBLE) < 0
+                  THEN TRUE
+                WHEN CAST(num AS DOUBLE) < 0 AND CAST(pooled_num AS DOUBLE) > 0
+                  THEN TRUE
+                ELSE FALSE END AS reversed
+    FROM seg2, pooled
+"""

@@ -520,3 +520,53 @@ def test_median_polish_residual_medians_are_zeroish(spark, sf_dir):
     for vs in by_nk.values():
         vs = sorted(vs)
         assert vs[1] == 0 or abs(vs[1]) <= max(map(abs, vs))
+
+
+def test_siegel_slope_hand_values(spark, tmp_path):
+    """Days t={0,1,2} with cents {100, 200, 900}.  Slopes per day:
+    t0: {100, 400} -> med2 = 500; t1: {100, 700} -> med2 = 800;
+    t2: {400, 700} -> med2 = 1100.  Final doubled median of
+    {500, 800, 1100} = 800 + 800 = 1600 -> slope 400 (robust to the
+    t2 spike pulling OLS to 400 too on this tiny case)."""
+    rows = [
+        (datetime.date(2024, 1, 1), 1.00),
+        (datetime.date(2024, 1, 2), 2.00),
+        (datetime.date(2024, 1, 3), 9.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = all_queries()["q_siegel_slope"](spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 3
+    assert r["slope4"] == 1600.0
+    assert r["slope"] == 400.0
+
+
+def test_siegel_robust_to_minority_outliers(spark, tmp_path):
+    """A clean slope-100 line of 9 days with 2 wild spikes: the
+    repeated median must stay at exactly 100 cents/day."""
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for t in range(9):
+        v = 1.00 * (t + 1)
+        if t in (3, 7):
+            v += 500.0
+        rows.append((base + datetime.timedelta(days=t), v))
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = all_queries()["q_siegel_slope"](spark, str(tmp_path)).collect()[0]
+    assert r["slope"] == 100.0
+
+
+def test_simpsons_pooled_consistency(spark, sf_dir):
+    rows = all_queries()["q_simpsons"](spark, sf_dir).collect()
+    # all supplier nations present at the given SF (10 at sf0.001)
+    assert len(rows) >= 10
+    pooled = {r["pooled_num"] for r in rows}
+    assert len(pooled) == 1
+    for r in rows:
+        expect = (r["num"] > 0 > r["pooled_num"]) or (
+            r["num"] < 0 < r["pooled_num"]
+        )
+        assert r["reversed"] == expect
