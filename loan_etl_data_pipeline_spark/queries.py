@@ -22348,3 +22348,202 @@ ORACLE_PART_B["q_simpsons"] = """
                 ELSE FALSE END AS reversed
     FROM seg2, pooled
 """
+
+
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ regression influence diagnostics — which days BEND the
+    revenue trend line?  Cook's distance D_t = e_t^2 h_t / (p s^2
+    (1-h_t)^2) for the daily-cents-on-day-index OLS, the standard
+    "refit without this point" influence measure (p = 2), emitted for
+    the top 10 days with leverage h_t and residual e_t alongside.
+    Every input moment is exact (St/Stt int64, Sty/Syy decimal-limb:
+    the q_chow_test ingredients), leverage keeps an exact integer
+    numerator (n*t - St)^2, and the remaining assembly is one fixed
+    IEEE sequence replayed verbatim in the oracle, so even the
+    ORDERING by D is bit-deterministic (ties break by day).
+
+    Scale: one SF-invariant daily aggregate, one 1-row scalar
+    broadcast, one TakeOrderedAndProject — influence for a billion
+    fact rows costs one pass.
+    """
+    d = _daily_cents(spark, sf_dir)
+    mn = d.agg(F.min("day").alias("d0"))
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    pts = (
+        d.crossJoin(F.broadcast(mn))
+        .withColumn("t", F.datediff("day", "d0").cast("bigint"))
+    )
+    scal = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("stt"),
+        F.sum(dec("t") * dec("cents")).cast("decimal(38,0)").alias("sty"),
+        F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("syy"),
+    )
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    nd = F.col("n").cast("double")
+    dst = F.col("st").cast("double")
+    dsy = F.col("sy").cast("double")
+    dstt = F.col("stt").cast("double")
+    dsty = limb("sty")
+    dsyy = limb("syy")
+    den = nd * dstt - dst * dst
+    b = (nd * dsty - dst * dsy) / den
+    aa = (dsy - b * dst) / nd
+    ssr = dsyy - aa * dsy - b * dsty
+    s2 = ssr / (nd - F.lit(2.0))
+    td = F.col("t").cast("double")
+    yd = F.col("cents").cast("double")
+    levnum = (nd * td - dst) * (nd * td - dst)
+    h = F.lit(1.0) / nd + levnum / (nd * den)
+    e = yd - aa - b * td
+    dcook = (
+        e * e * h / (F.lit(2.0) * s2 * (F.lit(1.0) - h) * (F.lit(1.0) - h))
+    )
+    return (
+        pts.crossJoin(F.broadcast(scal))
+        .select(
+            "day",
+            "t",
+            "cents",
+            h.alias("leverage"),
+            e.alias("residual"),
+            dcook.alias("cooks_d"),
+        )
+        .orderBy(F.desc("cooks_d"), F.asc("day"))
+        .limit(10)
+    )
+
+
+QUERIES_PART_B["q_cooks_distance"] = q_cooks_distance
+
+ORACLE_PART_B["q_cooks_distance"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    mn AS (SELECT min(day) AS d0 FROM daily),
+    pts AS MATERIALIZED (
+        SELECT day, CAST(day - d0 AS BIGINT) AS t, cents FROM daily, mn
+    ), scal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(cents) AS BIGINT) AS sy,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               sum(CAST(t AS HUGEINT) * cents) AS sty,
+               sum(CAST(cents AS HUGEINT) * cents) AS syy
+        FROM pts
+    ), conv AS (
+        SELECT n, st, sy, stt,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(st AS DOUBLE) AS dst,
+               CAST(sy AS DOUBLE) AS dsy,
+               CAST(stt AS DOUBLE) AS dstt,
+               CAST(sty % 4294967296 AS DOUBLE)
+                 + CAST(sty // 4294967296 AS DOUBLE) * 4294967296.0 AS dsty,
+               CAST(syy % 4294967296 AS DOUBLE)
+                 + CAST(syy // 4294967296 AS DOUBLE) * 4294967296.0 AS dsyy
+        FROM scal
+    ), fit AS (
+        SELECT *,
+               nd * dstt - dst * dst AS den,
+               (nd * dsty - dst * dsy) / (nd * dstt - dst * dst) AS b
+        FROM conv
+    ), fit2 AS (
+        SELECT *, (dsy - b * dst) / nd AS aa FROM fit
+    ), fit3 AS (
+        SELECT *, (dsyy - aa * dsy - b * dsty) / (nd - 2.0) AS s2 FROM fit2
+    ), scored AS (
+        SELECT p.day, p.t, p.cents,
+               1.0 / f.nd + (f.nd * CAST(p.t AS DOUBLE) - f.dst)
+                 * (f.nd * CAST(p.t AS DOUBLE) - f.dst) / (f.nd * f.den)
+                 AS leverage,
+               CAST(p.cents AS DOUBLE) - f.aa - f.b * CAST(p.t AS DOUBLE)
+                 AS residual,
+               f.s2, f.nd
+        FROM pts p, fit3 f
+    )
+    SELECT day, t, cents, leverage, residual,
+           residual * residual * leverage
+             / (2.0 * s2 * (1.0 - leverage) * (1.0 - leverage)) AS cooks_d
+    FROM scored
+    ORDER BY cooks_d DESC, day ASC LIMIT 10
+"""
+
+
+def q_crosstab_stdres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ contingency-cell localization: q_chi2_independence says
+    WHETHER priority and customer region associate; this says WHERE —
+    per (priority, region) cell the observed count, the exact
+    expected-count numerator row_total*col_total (the division by n
+    left rational), and the standardized Pearson residual
+    (obs - rc/n)/sqrt(rc/n) as one fixed IEEE sequence over exact
+    int64 margins.  |residual| > 2 is the textbook flag.
+
+    Scale: one (priority, region) aggregate after broadcast dim hops;
+    margins re-reduced from the 25-cell table, never the facts.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("o_orderpriority").alias("prio"), F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    rows_m = cells.groupBy("prio").agg(F.sum("obs").cast("bigint").alias("row_tot"))
+    cols_m = cells.groupBy("region").agg(F.sum("obs").cast("bigint").alias("col_tot"))
+    tot = cells.agg(F.sum("obs").cast("bigint").alias("n"))
+    exp = F.col("row_tot").cast("double") * F.col("col_tot").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    return (
+        cells.join(F.broadcast(rows_m), "prio")
+        .join(F.broadcast(cols_m), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prio",
+            "region",
+            "obs",
+            (F.col("row_tot") * F.col("col_tot")).alias("exp_num"),
+            "n",
+            ((F.col("obs").cast("double") - exp) / F.sqrt(exp)).alias("std_res"),
+        )
+    )
+
+
+QUERIES_PART_B["q_crosstab_stdres"] = q_crosstab_stdres
+
+ORACLE_PART_B["q_crosstab_stdres"] = """
+    WITH cells AS (
+        SELECT o.o_orderpriority AS prio, r.r_name AS region,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ), rows_m AS (
+        SELECT prio, CAST(sum(obs) AS BIGINT) AS row_tot FROM cells GROUP BY prio
+    ), cols_m AS (
+        SELECT region, CAST(sum(obs) AS BIGINT) AS col_tot
+        FROM cells GROUP BY region
+    ), tot AS (
+        SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells
+    )
+    SELECT c.prio, c.region, c.obs,
+           r.row_tot * cm.col_tot AS exp_num, t.n,
+           (CAST(c.obs AS DOUBLE)
+              - CAST(r.row_tot AS DOUBLE) * CAST(cm.col_tot AS DOUBLE)
+                / CAST(t.n AS DOUBLE))
+             / sqrt(CAST(r.row_tot AS DOUBLE) * CAST(cm.col_tot AS DOUBLE)
+                    / CAST(t.n AS DOUBLE)) AS std_res
+    FROM cells c
+    JOIN rows_m r ON c.prio = r.prio
+    JOIN cols_m cm ON c.region = cm.region
+    CROSS JOIN tot t
+"""

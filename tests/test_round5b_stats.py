@@ -570,3 +570,38 @@ def test_simpsons_pooled_consistency(spark, sf_dir):
             r["num"] < 0 < r["pooled_num"]
         )
         assert r["reversed"] == expect
+
+
+def test_cooks_distance_flags_planted_outlier(spark, tmp_path):
+    """A clean slope-100 line of 20 days with one wild endpoint: the
+    planted day must rank first by Cook's D, with high leverage (it's
+    at the extreme t) and the largest |residual|."""
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=t), 1.00 * (t + 1)) for t in range(19)
+    ]
+    rows.append((base + datetime.timedelta(days=19), 200.00))
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = all_queries()["q_cooks_distance"](spark, str(tmp_path)).collect()
+    assert out[0]["day"] == base + datetime.timedelta(days=19)
+    assert out[0]["cooks_d"] == max(r["cooks_d"] for r in out)
+    assert abs(out[0]["residual"]) == max(abs(r["residual"]) for r in out)
+    assert all(0 < r["leverage"] < 1 for r in out)
+
+
+def test_crosstab_stdres_margins_consistent(spark, sf_dir):
+    """Residuals weighted by sqrt(exp) must sum to ~0 along every row
+    margin (obs and exp share margins), and exp_num/n reproduces the
+    expected count."""
+    rows = all_queries()["q_crosstab_stdres"](spark, sf_dir).collect()
+    n = rows[0]["n"]
+    assert sum(r["obs"] for r in rows) == n
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r["prio"], []).append(r)
+    for prio, cells in by_prio.items():
+        # sum over row of (obs - exp) = 0 exactly in rationals
+        delta = sum(r["obs"] - r["exp_num"] / n for r in cells)
+        assert abs(delta) < 1e-6, (prio, delta)
