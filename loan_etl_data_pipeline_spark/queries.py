@@ -22547,3 +22547,186 @@ ORACLE_PART_B["q_crosstab_stdres"] = """
     JOIN cols_m cm ON c.region = cm.region
     CROSS JOIN tot t
 """
+
+
+def q_lmoments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ L-moment ingredients of the daily-revenue distribution —
+    the robust distribution summary (Hosking 1990): L-scale, L-skew
+    and L-kurtosis have bounded influence where classical moments
+    explode, which is why hydrology/EVT fits distributions by
+    L-moments.  Emits the four probability-weighted-moment numerators
+    B_k = sum_r C(r-1, k) * x_(r) for k = 0..3 as EXACT integers
+    (binomial weights of the ascending rank; all four accumulate in
+    one pass over the ranked frame), plus n.  b_k = B_k / (n*C(n-1,k))
+    and the lambda/tau ladder are rational assembly downstream.
+    Everything rides the calendar-bounded daily aggregate, so the
+    decimal(38,0) accumulation holds at ANY SF (C(2499,3)*cents ~
+    2.6e17 per row).
+
+    Scale: one SF-invariant daily aggregate + one ~2500-row ranking
+    window + one map-side-combinable aggregate.
+    """
+    d = _daily_cents(spark, sf_dir)
+    w = Window.orderBy(F.asc("cents"), F.asc("day"))
+    r = d.withColumn("r", F.row_number().over(w).cast("bigint"))
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    c1 = F.col("r") - 1
+    c2 = F.expr("((r - 1) * (r - 2)) div 2")
+    c3 = F.expr("((r - 1) * (r - 2) * (r - 3)) div 6")
+    agg = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("cents"))).cast("decimal(38,0)").alias("b0"),
+        F.sum(dec(c1) * dec(F.col("cents"))).cast("decimal(38,0)").alias("b1"),
+        F.sum(dec(c2) * dec(F.col("cents"))).cast("decimal(38,0)").alias("b2"),
+        F.sum(dec(c3) * dec(F.col("cents"))).cast("decimal(38,0)").alias("b3"),
+    )
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    return agg.select(
+        "n",
+        limb("b0").alias("b0_d"),
+        limb("b1").alias("b1_d"),
+        limb("b2").alias("b2_d"),
+        limb("b3").alias("b3_d"),
+    )
+
+
+QUERIES_PART_B["q_lmoments"] = q_lmoments
+
+ORACLE_PART_B["q_lmoments"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents ASC, day ASC)
+                    AS BIGINT) AS r
+        FROM daily
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(cents AS HUGEINT)) AS b0,
+               sum(CAST(r - 1 AS HUGEINT) * cents) AS b1,
+               sum(CAST(((r - 1) * (r - 2)) // 2 AS HUGEINT) * cents) AS b2,
+               sum(CAST(((r - 1) * (r - 2) * (r - 3)) // 6 AS HUGEINT)
+                   * cents) AS b3
+        FROM ranked
+    )
+    SELECT n,
+           CAST(b0 % 4294967296 AS DOUBLE)
+             + CAST(b0 // 4294967296 AS DOUBLE) * 4294967296.0 AS b0_d,
+           CAST(b1 % 4294967296 AS DOUBLE)
+             + CAST(b1 // 4294967296 AS DOUBLE) * 4294967296.0 AS b1_d,
+           CAST(b2 % 4294967296 AS DOUBLE)
+             + CAST(b2 // 4294967296 AS DOUBLE) * 4294967296.0 AS b2_d,
+           CAST(b3 % 4294967296 AS DOUBLE)
+             + CAST(b3 // 4294967296 AS DOUBLE) * 4294967296.0 AS b3_d
+    FROM agg
+"""
+
+
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ bivariate Mahalanobis outliers: which customers are jointly
+    unusual in (account balance, total spend)?  The parametric
+    multivariate complement of q_outlier_fences (per-axis) and
+    q_knn_outliers (density): d^2 = z' S^-1 z with the 2x2 covariance
+    inverted in closed form, every moment exact (cents int64 /
+    decimal-limb), the quadratic form one fixed IEEE sequence, and the
+    top 15 by (d^2 desc, custkey) bit-deterministic.
+
+    Scale: one fact aggregate to per-customer spend, one broadcast of
+    the 1-row moment scalars, one TakeOrderedAndProject — the O(n)
+    scan IS the algorithm, which is the point of parametric outliers
+    at 100 TB (no pair joins, no index).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("cast(floor(c_acctbal * 100) as bigint)").alias("x"),
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "y"
+            )
+        )
+    )
+    pts = cust.join(spend, "c_custkey").select("c_custkey", "x", "y")
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    scal = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vxx = limb("sxx") / nd - mx * mx
+    vyy = limb("syy") / nd - my * my
+    vxy = limb("sxy") / nd - mx * my
+    det = vxx * vyy - vxy * vxy
+    zx = F.col("x").cast("double") - mx
+    zy = F.col("y").cast("double") - my
+    d2 = (zx * zx * vyy - F.lit(2.0) * zx * zy * vxy + zy * zy * vxx) / det
+    return (
+        pts.crossJoin(F.broadcast(scal))
+        .select("c_custkey", "x", "y", d2.alias("d2"))
+        .orderBy(F.desc("d2"), F.asc("c_custkey"))
+        .limit(15)
+    )
+
+
+QUERIES_PART_B["q_mahalanobis"] = q_mahalanobis
+
+ORACLE_PART_B["q_mahalanobis"] = """
+    WITH pts AS (
+        SELECT c.c_custkey,
+               CAST(floor(c.c_acctbal * 100) AS BIGINT) AS x,
+               s.y
+        FROM customer c
+        JOIN (SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       AS y
+              FROM orders GROUP BY o_custkey) s
+          ON c.c_custkey = s.o_custkey
+    ), scal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pts
+    ), conv AS (
+        SELECT CAST(n AS DOUBLE) AS nd,
+               CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+               CAST(sxx % 4294967296 AS DOUBLE)
+                 + CAST(sxx // 4294967296 AS DOUBLE) * 4294967296.0 AS dsxx,
+               CAST(syy % 4294967296 AS DOUBLE)
+                 + CAST(syy // 4294967296 AS DOUBLE) * 4294967296.0 AS dsyy,
+               CAST(sxy % 4294967296 AS DOUBLE)
+                 + CAST(sxy // 4294967296 AS DOUBLE) * 4294967296.0 AS dsxy
+        FROM scal
+    ), mom AS (
+        SELECT nd, dsx / nd AS mx, dsy / nd AS my,
+               dsxx / nd - (dsx / nd) * (dsx / nd) AS vxx,
+               dsyy / nd - (dsy / nd) * (dsy / nd) AS vyy,
+               dsxy / nd - (dsx / nd) * (dsy / nd) AS vxy
+        FROM conv
+    )
+    SELECT p.c_custkey, p.x, p.y,
+           ((CAST(p.x AS DOUBLE) - m.mx) * (CAST(p.x AS DOUBLE) - m.mx) * m.vyy
+            - 2.0 * (CAST(p.x AS DOUBLE) - m.mx) * (CAST(p.y AS DOUBLE) - m.my)
+                  * m.vxy
+            + (CAST(p.y AS DOUBLE) - m.my) * (CAST(p.y AS DOUBLE) - m.my)
+                  * m.vxx)
+             / (m.vxx * m.vyy - m.vxy * m.vxy) AS d2
+    FROM pts p, mom m
+    ORDER BY d2 DESC, p.c_custkey ASC LIMIT 15
+"""

@@ -605,3 +605,45 @@ def test_crosstab_stdres_margins_consistent(spark, sf_dir):
         # sum over row of (obs - exp) = 0 exactly in rationals
         delta = sum(r["obs"] - r["exp_num"] / n for r in cells)
         assert abs(delta) < 1e-6, (prio, delta)
+
+
+def test_lmoments_hand_values(spark, tmp_path):
+    """Daily cents sorted {100,200,600}: B0=900, B1=0*100+1*200+2*600
+    = 1400, B2=C(1,2)? no — C(r-1,2) = {0,0,1} -> B2=600, B3=0.
+    lambda1 = 300, lambda2 = 2*1400/(3*2)... downstream; here the
+    emitted numerators must be exact."""
+    rows = [
+        (datetime.date(2024, 1, 1), 1.00),
+        (datetime.date(2024, 1, 2), 2.00),
+        (datetime.date(2024, 1, 3), 6.00),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = all_queries()["q_lmoments"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["b0_d"], r["b1_d"], r["b2_d"], r["b3_d"]) == (
+        3, 900.0, 1400.0, 600.0, 0.0,
+    )
+    # L-scale from the numerators: lambda2 = 2*B1/(n*(n-1)) - B0/n
+    lam2 = 2 * r["b1_d"] / (3 * 2) - r["b0_d"] / 3
+    assert lam2 == pytest.approx(1400 / 3 - 300, abs=1e-12)
+
+
+def test_mahalanobis_flags_joint_outlier(spark, tmp_path):
+    """Points on the x=y diagonal plus one off-diagonal point that is
+    NOT extreme in either axis alone — Mahalanobis must rank the
+    off-diagonal point first (the reason it exists over per-axis
+    fences)."""
+    cust = [(k, 10.0 * k) for k in range(1, 9)]  # balances 10..80
+    cust.append((9, 40.0))  # middle balance
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders = [(k, k, 10.0 * k) for k in range(1, 9)]  # spend == balance
+    orders.append((99, 9, 10.0))  # off-diagonal: mid balance, low spend
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = all_queries()["q_mahalanobis"](spark, str(tmp_path)).collect()
+    assert out[0]["c_custkey"] == 9
+    assert out[0]["d2"] == max(r["d2"] for r in out)
