@@ -22730,3 +22730,205 @@ ORACLE_PART_B["q_mahalanobis"] = """
     FROM pts p, mom m
     ORDER BY d2 DESC, p.c_custkey ASC LIMIT 15
 """
+
+
+def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ systematic probability-proportional-to-size sampling — the
+    survey-statistics classic (cumulate sizes, walk a fixed interval
+    from a random start) completing the sampling shelf: q_weighted_sample
+    draws WOR permutations, q_priority_sample ships a threshold
+    estimator, this one guarantees EXACT pacing (every interval of
+    cumulative weight W/k yields one hit; big units can be hit
+    multiple times — the multiplicity column).  Deterministic: the
+    start offset is md5-derived IN-PLAN modulo the interval, hit
+    multiplicity is pure truncating integer division (Spark div ==
+    DuckDB // toward zero; numerators kept nonnegative by a +I shift
+    so truncation == floor), so both engines select the identical
+    sample.  Emits hits with weight, multiplicity, and the exact
+    scalars (W, I, r) for the downstream Hansen-Hurwitz W/k-per-hit
+    estimator.
+
+    Scale: one running-sum window over the weight-ordered frame (swap
+    in functions/ranking.global_rank's offset pattern past
+    driver-window scale), a 1-row broadcast, a row-local filter.
+    """
+    k = 24
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey",
+            F.expr("cast(floor(c_acctbal * 100) as bigint)").alias("w"),
+        )
+    )
+    win = Window.orderBy(F.asc("c_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = cust.withColumn("cum", F.sum("w").over(win))
+    tot = run.agg(F.max("cum").cast("bigint").alias("w_total")).select(
+        "w_total",
+        F.expr(f"w_total div {k}").alias("ival"),
+        F.expr(
+            "cast(conv(substring(md5('ppsstart'), 1, 12), 16, 10) as bigint)"
+            f" % (w_total div {k})"
+        ).alias("r"),
+    )
+    m = (
+        F.expr("(cum - 1 - r + ival) div ival")
+        - F.expr("(cum - w - 1 - r + ival) div ival")
+    ).cast("bigint")
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .withColumn("multiplicity", m)
+        .filter(F.col("multiplicity") >= 1)
+        .select("c_custkey", "w", "multiplicity", "w_total", "ival", "r")
+    )
+
+
+QUERIES_PART_B["q_pps_systematic"] = q_pps_systematic
+
+ORACLE_PART_B["q_pps_systematic"] = """
+    WITH cust AS (
+        SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS w
+        FROM customer WHERE c_acctbal > 0
+    ), run AS (
+        SELECT c_custkey, w,
+               sum(w) OVER (ORDER BY c_custkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM cust
+    ), tot AS (
+        SELECT w_total, ival,
+               ('0x' || substr(md5('ppsstart'), 1, 12))::BIGINT % ival AS r
+        FROM (SELECT CAST(max(cum) AS BIGINT) AS w_total,
+                     CAST(max(cum) AS BIGINT) // 24 AS ival
+              FROM run)
+    )
+    SELECT c_custkey, w,
+           CAST((cum - 1 - r + ival) // ival
+                - (cum - w - 1 - r + ival) // ival AS BIGINT) AS multiplicity,
+           w_total, ival, r
+    FROM run, tot
+    WHERE (cum - 1 - r + ival) // ival
+          - (cum - w - 1 - r + ival) // ival >= 1
+"""
+
+
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ partial correlation — the confounder-controlled companion
+    to q_simpsons: the discount-quantity association WITH UNIT PRICE
+    HELD FIXED, r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)
+    (1-r_yz^2)).  x = discount promille, y = quantity, z = exact unit
+    cents (extended price / quantity divides exactly in TPC-H); all
+    nine moments accumulate exactly (decimal-limb for the z products),
+    the three pairwise r's and the partial are one shared fixed IEEE
+    sequence.  One map-side-combinable aggregate; 1 row out.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.expr("cast(floor(l_discount * 1000) as bigint)").alias("x"),
+            F.col("l_quantity").cast("bigint").alias("y"),
+            F.expr(
+                "cast(floor(l_extendedprice * 100) as bigint)"
+                " div cast(l_quantity as bigint)"
+            ).alias("z"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(dec("z") * dec("z")).cast("decimal(38,0)").alias("szz"),
+        F.sum(dec("x") * dec("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(dec("y") * dec("z")).cast("decimal(38,0)").alias("syz"),
+    )
+    limb = lambda c: (  # noqa: E731
+        (F.col(c) % F.lit(4294967296)).cast("double")
+        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
+    )
+    nd = F.col("n").cast("double")
+    dx = F.col("sx").cast("double")
+    dy = F.col("sy").cast("double")
+    dz = F.col("sz").cast("double")
+    cxy = nd * F.col("sxy").cast("double") - dx * dy
+    cxx = nd * F.col("sxx").cast("double") - dx * dx
+    cyy = nd * F.col("syy").cast("double") - dy * dy
+    czz = nd * limb("szz") - dz * dz
+    cxz = nd * limb("sxz") - dx * dz
+    cyz = nd * limb("syz") - dy * dz
+    rxy = cxy / (F.sqrt(cxx) * F.sqrt(cyy))
+    rxz = cxz / (F.sqrt(cxx) * F.sqrt(czz))
+    ryz = cyz / (F.sqrt(cyy) * F.sqrt(czz))
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    )
+    return agg.select(
+        "n",
+        rxy.alias("r_xy"),
+        rxz.alias("r_xz"),
+        ryz.alias("r_yz"),
+        partial.alias("r_xy_z"),
+    )
+
+
+QUERIES_PART_B["q_partial_corr"] = q_partial_corr
+
+ORACLE_PART_B["q_partial_corr"] = """
+    WITH li AS (
+        SELECT CAST(floor(l_discount * 1000) AS BIGINT) AS x,
+               CAST(l_quantity AS BIGINT) AS y,
+               CAST(floor(l_extendedprice * 100) AS BIGINT)
+                 // CAST(l_quantity AS BIGINT) AS z
+        FROM lineitem
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               sum(CAST(z AS HUGEINT) * z) AS szz,
+               sum(CAST(x AS HUGEINT) * z) AS sxz,
+               sum(CAST(y AS HUGEINT) * z) AS syz
+        FROM li
+    ), conv AS (
+        SELECT n,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+               CAST(sz AS DOUBLE) AS dz,
+               CAST(sxx AS DOUBLE) AS dsxx, CAST(syy AS DOUBLE) AS dsyy,
+               CAST(sxy AS DOUBLE) AS dsxy,
+               CAST(szz % 4294967296 AS DOUBLE)
+                 + CAST(szz // 4294967296 AS DOUBLE) * 4294967296.0 AS dszz,
+               CAST(sxz % 4294967296 AS DOUBLE)
+                 + CAST(sxz // 4294967296 AS DOUBLE) * 4294967296.0 AS dsxz,
+               CAST(syz % 4294967296 AS DOUBLE)
+                 + CAST(syz // 4294967296 AS DOUBLE) * 4294967296.0 AS dsyz
+        FROM agg
+    ), cov AS (
+        SELECT n,
+               nd * dsxy - dx * dy AS cxy,
+               nd * dsxx - dx * dx AS cxx,
+               nd * dsyy - dy * dy AS cyy,
+               nd * dszz - dz * dz AS czz,
+               nd * dsxz - dx * dz AS cxz,
+               nd * dsyz - dy * dz AS cyz
+        FROM conv
+    ), rr AS (
+        SELECT n,
+               cxy / (sqrt(cxx) * sqrt(cyy)) AS r_xy,
+               cxz / (sqrt(cxx) * sqrt(czz)) AS r_xz,
+               cyz / (sqrt(cyy) * sqrt(czz)) AS r_yz
+        FROM cov
+    )
+    SELECT n, r_xy, r_xz, r_yz,
+           (r_xy - r_xz * r_yz)
+             / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) AS r_xy_z
+    FROM rr
+"""

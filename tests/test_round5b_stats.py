@@ -647,3 +647,28 @@ def test_mahalanobis_flags_joint_outlier(spark, tmp_path):
     out = all_queries()["q_mahalanobis"](spark, str(tmp_path)).collect()
     assert out[0]["c_custkey"] == 9
     assert out[0]["d2"] == max(r["d2"] for r in out)
+
+
+def test_pps_systematic_pacing_identity(spark, sf_dir):
+    """The hit count obeys the exact systematic identity
+    sum(multiplicity) = ((W - 1 - r) div I) + 1, every unit's
+    multiplicity <= ceil(w / I) and big units (w > I) are guaranteed
+    hits."""
+    rows = all_queries()["q_pps_systematic"](spark, sf_dir).collect()
+    assert rows
+    W, I, r = rows[0]["w_total"], rows[0]["ival"], rows[0]["r"]
+    total_hits = sum(x["multiplicity"] for x in rows)
+    assert total_hits == (W - 1 - r) // I + 1
+    for x in rows:
+        assert x["multiplicity"] <= -(-x["w"] // I) + 1
+
+
+def test_partial_corr_bounds_and_consistency(spark, sf_dir):
+    r = all_queries()["q_partial_corr"](spark, sf_dir).collect()[0]
+    for c in ("r_xy", "r_xz", "r_yz", "r_xy_z"):
+        assert -1.0 <= r[c] <= 1.0
+    # replicating the partial from the emitted r's must be exact
+    expect = (r["r_xy"] - r["r_xz"] * r["r_yz"]) / (
+        (1.0 - r["r_xz"] * r["r_xz"]) * (1.0 - r["r_yz"] * r["r_yz"])
+    ) ** 0.5
+    assert r["r_xy_z"] == pytest.approx(expect, abs=1e-15)
