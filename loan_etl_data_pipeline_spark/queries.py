@@ -22932,3 +22932,178 @@ ORACLE_PART_B["q_partial_corr"] = """
              / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) AS r_xy_z
     FROM rr
 """
+
+
+def q_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Cochran-Mantel-Haenszel ingredients: does a deep discount
+    (> 5%) associate with returns CONSISTENTLY across supplier-region
+    strata?  The stratified 2x2 family's pooling answer to q_simpsons'
+    warning — the MH common odds ratio sum(a_i d_i / n_i) /
+    sum(b_i c_i / n_i) weights each stratum by its information instead
+    of collapsing the table.  Emits per stratum the four exact cells +
+    n, plus the two MH terms as 1e9-quantized integers (the
+    q_sample_entropy ratio discipline: decimal product, truncating
+    div, identical both engines).
+
+    Scale: one map-side-combinable (region-keyed, via broadcast dim
+    hops) aggregate over row-local flags; 5 rows out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_discount") > 0.05).cast("int").alias("exp"),
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cells = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("stratum"))
+        .agg(
+            F.sum(F.expr("exp * ret")).cast("bigint").alias("a"),
+            F.sum(F.expr("exp * (1 - ret)")).cast("bigint").alias("b"),
+            F.sum(F.expr("(1 - exp) * ret")).cast("bigint").alias("c"),
+            F.sum(F.expr("(1 - exp) * (1 - ret)")).cast("bigint").alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    return cells.select(
+        "stratum",
+        "a",
+        "b",
+        "c",
+        "d",
+        "n",
+        F.expr(
+            "cast(cast(a as decimal(28,0)) * d * 1000000000 div n as bigint)"
+        ).alias("ad_over_n_q"),
+        F.expr(
+            "cast(cast(b as decimal(28,0)) * c * 1000000000 div n as bigint)"
+        ).alias("bc_over_n_q"),
+    )
+
+
+QUERIES_PART_B["q_cmh"] = q_cmh
+
+ORACLE_PART_B["q_cmh"] = """
+    WITH cells AS (
+        SELECT r.r_name AS stratum,
+               CAST(sum(CASE WHEN l.l_discount > 0.05
+                              AND l.l_returnflag = 'R'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN l.l_discount > 0.05
+                              AND l.l_returnflag <> 'R'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN l.l_discount <= 0.05
+                              AND l.l_returnflag = 'R'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN l.l_discount <= 0.05
+                              AND l.l_returnflag <> 'R'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation na ON s.s_nationkey = na.n_nationkey
+        JOIN region r ON na.n_regionkey = r.r_regionkey
+        GROUP BY 1
+    )
+    SELECT stratum, a, b, c, d, n,
+           CAST(CAST(a AS HUGEINT) * d * 1000000000 // n AS BIGINT)
+             AS ad_over_n_q,
+           CAST(CAST(b AS HUGEINT) * c * 1000000000 // n AS BIGINT)
+             AS bc_over_n_q
+    FROM cells
+"""
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ sampled harmonic centrality via GRAPH LAYERING: per-source
+    shortest-path distances for 4 pinned probe parts in ONE
+    multi-source BFS — the same node-layer encoding as
+    q_single_linkage (node*8 + source-index; layers never touch), so
+    k probe sources cost one frontier loop instead of k.  Harmonic
+    centrality sum(1/d) is emitted EXACTLY in twelfths (d <= 3 hops:
+    12/d in {12, 6, 4} — no float reciprocal), with the reach count
+    beside it; the Boldi-Vigna-recommended centrality for disconnected
+    graphs (absent nodes contribute 0, no infinite distances).
+
+    Scale: the layered edge set is 4x the ~1000x-reduced co-purchase
+    graph; per hop one keyed join + one anti-join (bfs_hops physics);
+    the probe-source count scales the LAYER multiplier, never the
+    loop count.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import bfs_hops
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("pa").alias("id"))
+        .union(edges.select(F.col("pb")))
+        .distinct()
+    )
+    srcs = nodes.orderBy(F.asc("id")).limit(4).select(
+        F.col("id").alias("src_node")
+    ).withColumn(
+        "s", F.row_number().over(Window.orderBy("src_node")).cast("bigint") - 1
+    )
+    layered = None
+    for s in range(4):
+        layer = edges.select(
+            (F.col("pa") * 8 + s).alias("la"), (F.col("pb") * 8 + s).alias("lb")
+        )
+        layered = layer if layered is None else layered.union(layer)
+    seeds = srcs.select((F.col("src_node") * 8 + F.col("s")).alias("id"))
+    dist = bfs_hops(layered, "la", "lb", seeds=seeds, max_hops=3)
+    per_src = (
+        dist.filter(F.col("hops") > 0)
+        .groupBy((F.col("id") % 8).alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("reach"),
+            F.sum(F.expr("12 div hops")).cast("bigint").alias("harm12"),
+        )
+    )
+    return srcs.join(per_src, "s", "left").select(
+        "src_node",
+        F.coalesce("reach", F.lit(0)).cast("bigint").alias("reach"),
+        F.coalesce("harm12", F.lit(0)).cast("bigint").alias("harm12"),
+    )
+
+
+QUERIES_PART_B["q_harmonic_centrality"] = q_harmonic_centrality
+
+ORACLE_PART_B["q_harmonic_centrality"] = f"""
+    WITH RECURSIVE {_COPURCHASE_CTE},
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT pa AS id FROM pairs
+        UNION SELECT pb FROM pairs
+    ),
+    srcs AS MATERIALIZED (
+        SELECT src_node,
+               row_number() OVER (ORDER BY src_node) - 1 AS s
+        FROM (SELECT id AS src_node FROM nodes ORDER BY id LIMIT 4)
+    ),
+    sym AS MATERIALIZED (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    walk(s, id, hop) AS (
+        SELECT s, src_node, 0 FROM srcs
+        UNION
+        SELECT walk.s, sym.v, walk.hop + 1
+        FROM walk JOIN sym ON sym.u = walk.id
+        WHERE walk.hop < 3
+    ),
+    dist AS MATERIALIZED (
+        SELECT s, id, min(hop) AS hops FROM walk GROUP BY s, id
+    ),
+    per_src AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS reach,
+               CAST(sum(12 // hops) AS BIGINT) AS harm12
+        FROM dist WHERE hops > 0 GROUP BY s
+    )
+    SELECT sr.src_node,
+           CAST(COALESCE(p.reach, 0) AS BIGINT) AS reach,
+           CAST(COALESCE(p.harm12, 0) AS BIGINT) AS harm12
+    FROM srcs sr LEFT JOIN per_src p ON sr.s = p.s
+"""

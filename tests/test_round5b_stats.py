@@ -672,3 +672,40 @@ def test_partial_corr_bounds_and_consistency(spark, sf_dir):
         (1.0 - r["r_xz"] * r["r_xz"]) * (1.0 - r["r_yz"] * r["r_yz"])
     ) ** 0.5
     assert r["r_xy_z"] == pytest.approx(expect, abs=1e-15)
+
+
+def test_cmh_cells_partition_strata(spark, sf_dir):
+    rows = all_queries()["q_cmh"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["a"] + r["b"] + r["c"] + r["d"] == r["n"]
+        # quantized MH terms reproduce the rational within 1 ulp of 1e-9
+        assert r["ad_over_n_q"] == (r["a"] * r["d"] * 10 ** 9) // r["n"]
+        assert r["bc_over_n_q"] == (r["b"] * r["c"] * 10 ** 9) // r["n"]
+
+
+def test_harmonic_centrality_layers_match_per_source_bfs(spark, tmp_path):
+    """Path graph 1-2-3-4-5 plus isolated edge (10,11): probe sources
+    are the 4 lowest node ids {1,2,3,4}.  Hand distances (<=3):
+    src 1: d(2)=1,d(3)=2,d(4)=3 -> harm12 = 12+6+4 = 22, reach 3;
+    src 2: d(1)=1,d(3)=1,d(4)=2,d(5)=3 -> 12+12+6+4 = 34, reach 4;
+    src 3: d=1 to 2,4; d=2 to 1,5 -> 12+12+6+6 = 36, reach 4;
+    src 4: d(3)=1,d(5)=1,d(2)=2,d(1)=3 -> 12+12+6+4 = 34, reach 4."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    # lineitem fixture: each edge needs support >= 2 (two shared orders)
+    li = []
+    ok = 0
+    for a, b in edges:
+        for _ in range(2):
+            ok += 1
+            li += [(ok, a), (ok, b)]
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["src_node"]: (r["reach"], r["harm12"])
+        for r in all_queries()["q_harmonic_centrality"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {1: (3, 22), 2: (4, 34), 3: (4, 36), 4: (4, 34)}
