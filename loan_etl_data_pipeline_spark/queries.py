@@ -20462,7 +20462,7 @@ ORACLE_PART_B["q_grubbs"] = f"""
                  + CAST(sxx // 4294967296 AS DOUBLE) * 4294967296.0 AS dsxx
         FROM scal, px
     )
-    SELECT n, sx, out_day, out_cents,
+    SELECT n, sx, out_day, CAST(out_cents AS BIGINT) AS out_cents,
            abs(CAST(out_cents AS DOUBLE) - dsx / nd)
              / sqrt((nd * dsxx - dsx * dsx) / (nd * (nd - 1.0))) AS g
     FROM conv
@@ -22150,7 +22150,8 @@ ORACLE_PART_B["q_median_polish"] = (
     + ","
     + _polish_sweep_sql("s3", "yr", "nk", "s4")
     + """
-    SELECT nk, yr, v AS resid16, CAST(16 AS BIGINT) AS scale FROM s4
+    SELECT nk, yr, CAST(v AS BIGINT) AS resid16,
+           CAST(16 AS BIGINT) AS scale FROM s4
 """
 )
 
@@ -22340,7 +22341,7 @@ ORACLE_PART_B["q_simpsons"] = """
     ), pooled AS (
         SELECT sum(n) * sum(sxy) - sum(sx) * sum(sy) AS pooled_num FROM seg
     )
-    SELECT nk, n, num, pooled_num,
+    SELECT nk, n, num, CAST(pooled_num AS BIGINT) AS pooled_num,
            CASE WHEN CAST(num AS DOUBLE) > 0 AND CAST(pooled_num AS DOUBLE) < 0
                   THEN TRUE
                 WHEN CAST(num AS DOUBLE) < 0 AND CAST(pooled_num AS DOUBLE) > 0
@@ -22464,7 +22465,7 @@ ORACLE_PART_B["q_cooks_distance"] = f"""
                f.s2, f.nd
         FROM pts p, fit3 f
     )
-    SELECT day, t, cents, leverage, residual,
+    SELECT day, t, CAST(cents AS BIGINT) AS cents, leverage, residual,
            residual * residual * leverage
              / (2.0 * s2 * (1.0 - leverage) * (1.0 - leverage)) AS cooks_d
     FROM scored
@@ -22720,7 +22721,7 @@ ORACLE_PART_B["q_mahalanobis"] = """
                dsxy / nd - (dsx / nd) * (dsy / nd) AS vxy
         FROM conv
     )
-    SELECT p.c_custkey, p.x, p.y,
+    SELECT p.c_custkey, p.x, CAST(p.y AS BIGINT) AS y,
            ((CAST(p.x AS DOUBLE) - m.mx) * (CAST(p.x AS DOUBLE) - m.mx) * m.vyy
             - 2.0 * (CAST(p.x AS DOUBLE) - m.mx) * (CAST(p.y AS DOUBLE) - m.my)
                   * m.vxy

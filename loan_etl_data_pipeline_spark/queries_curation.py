@@ -1584,10 +1584,14 @@ def _positional_index(spark: SparkSession, sf_dir: str) -> str:
     q_proximity_search probe — the _kmeans_assign multi-consumer
     discipline applied to an on-disk index: under the driver's
     correctness gate each query rebuilds it (self-contained), but into
-    a DETERMINISTIC per-sf_dir directory (overwrite mode), so repeated
-    runs reuse one path instead of leaking a fresh mkdtemp per
-    invocation; with ``SPARK_GRAFT_MATERIALIZE_DIR`` set (bench mode)
-    the build is memoized — the second consumer only probes."""
+    a DETERMINISTIC per-(sf_dir, process) directory (overwrite mode),
+    so repeated runs in one process reuse one path instead of leaking
+    a fresh mkdtemp per invocation — per-PROCESS because a shared path
+    races under concurrent test sessions (tests/partest.py): one
+    worker's overwrite deletes parquet out from under another's plan
+    build (observed as a flaky q_kwic AnalysisException); with
+    ``SPARK_GRAFT_MATERIALIZE_DIR`` set (bench mode) the build is
+    memoized — the second consumer only probes."""
     import hashlib
     import os
     import tempfile
@@ -1604,7 +1608,7 @@ def _positional_index(spark: SparkSession, sf_dir: str) -> str:
             return idx
     else:
         idx = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_posidx_{key}"
+            tempfile.gettempdir(), f"spark_graft_posidx_{key}_{os.getpid()}"
         )
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     build_positional_index(d, idx)
