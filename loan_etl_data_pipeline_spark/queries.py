@@ -7795,6 +7795,25 @@ ORACLE_PART_B["q_padding_waste"] = """
 """
 
 
+def _dec18(c):
+    """Cast to decimal(18,0) for exact product accumulation (the
+    q_autocorr discipline); accepts a column or a name."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(18,0)")
+
+
+def _limb(c: str):
+    """Deterministic wide-int -> double via the 2^32 limb split (see
+    q_autocorr for the full rationale: DuckDB's 128-bit -> DOUBLE cast
+    is not correctly rounded, so BOTH engines run this exact sequence;
+    covers |v| < 2^95 because the high limb must fit int64).  ONE
+    definition so the engine formula can never drift from the oracles'
+    textual copies."""
+    return (F.col(c) % F.lit(4294967296)).cast("double") + F.expr(
+        f"{c} div 4294967296"
+    ).cast("double") * F.lit(4294967296.0)
+
+
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily revenue in exact floor-cents — the shared spine of the
     time-series family (CUSUM, Mann-Kendall, autocorrelation, DOW
@@ -7927,7 +7946,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("match_day", F.expr("date_add(da, lag)"))
         .join(b, F.col("match_day") == F.col("db"))
     )
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     m = paired.groupBy("lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(dec("ca")).cast("decimal(38,0)").alias("sx"),
@@ -10137,7 +10156,7 @@ def q_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_cents(spark, sf_dir).withColumn(
         "dow", (F.dayofweek("day") - 1).cast("bigint")
     )
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     per = daily.groupBy("dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),
         F.sum(dec("cents")).cast("decimal(38,0)").alias("sx"),
@@ -12800,16 +12819,13 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
         )
     )
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     m = per.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum(dec("cents")).cast("decimal(38,0)").alias("s"),
         F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("ss"),
     )
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     return m.select(
         "c_mktsegment",
         "n_customers",
@@ -12977,7 +12993,7 @@ def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lx = q(F.col("ucents"))
     ly = q(F.col("qty"))
-    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     m = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(dec(lx)).cast("decimal(38,0)").alias("sx"),
@@ -12985,10 +13001,7 @@ def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(lx) * dec(ly)).cast("decimal(38,0)").alias("sxy"),
         F.sum(dec(lx) * dec(lx)).cast("decimal(38,0)").alias("sxx"),
     )
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     nn = F.col("n").cast("double")
     num = nn * limb("sxy") - limb("sx") * limb("sy")
     den = nn * limb("sxx") - limb("sx") * limb("sx")
@@ -13816,7 +13829,7 @@ def q_first_order_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("ltv_c"),
         )
     )
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     m = per.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(dec("first_c")).cast("decimal(38,0)").alias("sx"),
@@ -13825,10 +13838,7 @@ def q_first_order_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("first_c") * dec("first_c")).cast("decimal(38,0)").alias("sxx"),
         F.sum(dec("ltv_c") * dec("ltv_c")).cast("decimal(38,0)").alias("syy"),
     )
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     nn = F.col("n").cast("double")
     num = nn * limb("sxy") - limb("sx") * limb("sy")
     den = F.sqrt(nn * limb("sxx") - limb("sx") * limb("sx")) * F.sqrt(
@@ -14379,10 +14389,7 @@ def q_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = m.localCheckpoint(eager=True)
     release_intermediates(ranked)
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     nn = F.col("n").cast("double")
     gini = 2 * limb("rs") / (nn * limb("s")) - (nn + 1) / nn
     return m.select("n", gini.alias("gini"))
@@ -20332,7 +20339,7 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dz = F.abs(F.lit(2) * F.col("c") - F.col("med2"))
-    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     agg = (
         ranked.join(F.broadcast(med2), "prio")
         .withColumn("dz", dz)
@@ -20403,7 +20410,7 @@ def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast of the scalars, one argmax aggregate.
     """
     d = _daily_cents(spark, sf_dir)
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     scal = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("sx"),
@@ -20645,7 +20652,7 @@ def q_hurst_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wm = Window.partitionBy("month")
     wc = Window.partitionBy("month").orderBy(F.asc("day"))
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     run = (
         d.withColumn("n", F.count(F.lit(1)).over(wm))
         .withColumn("sx", F.sum("cents").over(wm))
@@ -21090,7 +21097,7 @@ def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     components of {edges with support >= t}).  All three levels run in
     ONE component computation via graph layering: node (p, t) is
     encoded as p*8 + t, the >= t edge set is stamped into layer t, and
-    a single diameter-safe two-phase CC labels every layer at once —
+    a single min-label propagation CC labels every layer at once —
     the nested cuts share every shuffle instead of paying the
     iterative loop's fixed cost three times (measured 37.9 -> ~4 s at
     sf0.01 vs the loop-per-threshold form).  Layers never connect
@@ -21216,7 +21223,7 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             for y in (1996, 1997, 1998)
         ]
     )
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     scal = wide.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
         F.sum(F.expr("x1996 + x1997 + x1998")).cast("bigint").alias("st"),
@@ -21235,10 +21242,7 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(f"x{y}") * dec(f"x{y}")).cast("decimal(38,0)").alias("sxx"),
         )
         items = it if items is None else items.union(it)
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     return (
         items.crossJoin(F.broadcast(scal))
         .select(
@@ -21411,7 +21415,7 @@ def q_kernel_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.col("x") - F.col("gx")
     kern = F.col("h") * F.col("h") - d * d
-    dec18 = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    dec18 = _dec18  # shared exact-product cast
     agg = (
         oy.crossJoin(F.broadcast(grid))
         .filter(F.abs(d) < F.col("h"))
@@ -21422,10 +21426,7 @@ def q_kernel_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec18(kern) * dec18(F.col("y"))).cast("decimal(38,0)").alias("sky"),
         )
     )
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     return agg.select(
         "g",
         "gx",
@@ -21575,10 +21576,17 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth = (
         keys.orderBy(F.asc("h"), F.asc("ck"))
         .limit(k)
-        .agg(F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("n_kept"))
+        .agg(
+            F.max("h").alias("kth_hash"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
     )
     true = keys.agg(F.count(F.lit(1)).cast("bigint").alias("true_distinct"))
-    est = (
+    # under-full sketch (fewer than k keys) holds the EXACT answer —
+    # the hardcoded (k-1) numerator would otherwise report ~70 for 10
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
         F.lit(float(k - 1))
         * F.lit(281474976710656.0)
         / F.col("kth_hash").cast("double")
@@ -21587,6 +21595,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         kth.crossJoin(F.broadcast(true))
         .select(
             F.lit(k).cast("bigint").alias("k"),
+            "n_kept",
             "kth_hash",
             est.alias("est_distinct"),
             "true_distinct",
@@ -21602,15 +21611,16 @@ ORACLE_PART_B["q_kmv_distinct"] = """
                    ::BIGINT AS h
         FROM (SELECT DISTINCT o_custkey AS ck FROM orders)
     ), kth AS (
-        SELECT max(h) AS kth_hash FROM (
+        SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS n_kept FROM (
             SELECT h FROM keys ORDER BY h ASC, ck ASC LIMIT 64
         )
     ), true_d AS (
         SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM keys
     )
-    SELECT CAST(64 AS BIGINT) AS k, kth_hash,
-           CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
-             / CAST(kth_hash AS DOUBLE) AS est_distinct,
+    SELECT CAST(64 AS BIGINT) AS k, n_kept, kth_hash,
+           CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                     / CAST(kth_hash AS DOUBLE) END AS est_distinct,
            true_distinct
     FROM kth, true_d
 """
@@ -21639,12 +21649,19 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample quadratic: 78M pairs at sf0.1 instead of ~8M).
     """
     dims_out = 8
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> cast(floor(cast(x as double) * 1000000)"
-            " as bigint))"
-        ).alias("xq"),
+    # quantize ONCE for both consumers (projection path + pair path) —
+    # without the checkpoint the 64-dim scan + transform runs twice
+    # (the oracle's emb is MATERIALIZED for the same reason)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(floor(cast(x as double)"
+                " * 1000000) as bigint))"
+            ).alias("xq"),
+        )
+        .localCheckpoint()
     )
     flat = emb.select(
         "vec_id", F.posexplode("xq").alias("i", "x")
@@ -21881,7 +21898,7 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("o_orderstatus") == "O").cast("bigint")).alias("my"),
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     run = (
         vals.withColumn("cx_less", F.coalesce(F.sum("mx").over(w), F.lit(0)))
         .withColumn("cy_less", F.coalesce(F.sum("my").over(w), F.lit(0)))
@@ -21906,10 +21923,7 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             term("mx", "cy_less", "sy_less") + term("my", "cx_less", "sx_less")
         ).cast("decimal(38,0)").alias("sxy"),
     )
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     return agg.select(
         "n_x", "n_y",
         limb("sxy").alias("s_xy_d"),
@@ -21977,7 +21991,7 @@ def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _daily_cents(spark, sf_dir)
     mn = d.agg(F.min("day").alias("d0"))
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     seg = (
         d.crossJoin(F.broadcast(mn))
         .withColumn("t", F.datediff("day", "d0").cast("bigint"))
@@ -21995,10 +22009,7 @@ def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("t") * dec("cents")).cast("decimal(38,0)").alias("sty"),
         F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("syy"),
     )
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     return agg.select(
         "segment", "n", "st", "sy", "stt",
         limb("sty").alias("sty_d"),
@@ -22369,7 +22380,7 @@ def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _daily_cents(spark, sf_dir)
     mn = d.agg(F.min("day").alias("d0"))
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     pts = (
         d.crossJoin(F.broadcast(mn))
         .withColumn("t", F.datediff("day", "d0").cast("bigint"))
@@ -22382,10 +22393,7 @@ def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("t") * dec("cents")).cast("decimal(38,0)").alias("sty"),
         F.sum(dec("cents") * dec("cents")).cast("decimal(38,0)").alias("syy"),
     )
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     nd = F.col("n").cast("double")
     dst = F.col("st").cast("double")
     dsy = F.col("sy").cast("double")
@@ -22570,7 +22578,7 @@ def q_lmoments(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _daily_cents(spark, sf_dir)
     w = Window.orderBy(F.asc("cents"), F.asc("day"))
     r = d.withColumn("r", F.row_number().over(w).cast("bigint"))
-    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     c1 = F.col("r") - 1
     c2 = F.expr("((r - 1) * (r - 2)) div 2")
     c3 = F.expr("((r - 1) * (r - 2) * (r - 3)) div 6")
@@ -22581,10 +22589,7 @@ def q_lmoments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(c2) * dec(F.col("cents"))).cast("decimal(38,0)").alias("b2"),
         F.sum(dec(c3) * dec(F.col("cents"))).cast("decimal(38,0)").alias("b3"),
     )
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     return agg.select(
         "n",
         limb("b0").alias("b0_d"),
@@ -22653,7 +22658,7 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pts = cust.join(spend, "c_custkey").select("c_custkey", "x", "y")
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     scal = pts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
@@ -22662,10 +22667,7 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("y") * dec("y")).cast("decimal(38,0)").alias("syy"),
         F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
     )
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     nd = F.col("n").cast("double")
     mx = F.col("sx").cast("double") / nd
     my = F.col("sy").cast("double") / nd
@@ -22745,9 +22747,13 @@ def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity is pure truncating integer division (Spark div ==
     DuckDB // toward zero; numerators kept nonnegative by a +I shift
     so truncation == floor), so both engines select the identical
-    sample.  Emits hits with weight, multiplicity, and the exact
-    scalars (W, I, r) for the downstream Hansen-Hurwitz W/k-per-hit
-    estimator.
+    sample.  The grid is CAPPED at exactly k points — with the integer
+    interval I = W div k the tail remainder would otherwise admit a
+    (k+1)-th grid point whenever r < W - k*I, silently biasing the
+    W/k-per-hit estimator upward — so the point-counting function is
+    least(f(x), k) and sum(multiplicity) == k is an identity.  Emits
+    hits with weight, multiplicity, and the exact scalars (W, I, r)
+    for the downstream Hansen-Hurwitz W/k-per-hit estimator.
 
     Scale: one running-sum window over the weight-ordered frame (swap
     in functions/ranking.global_rank's offset pattern past
@@ -22775,8 +22781,8 @@ def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r"),
     )
     m = (
-        F.expr("(cum - 1 - r + ival) div ival")
-        - F.expr("(cum - w - 1 - r + ival) div ival")
+        F.least(F.expr("(cum - 1 - r + ival) div ival"), F.lit(k))
+        - F.least(F.expr("(cum - w - 1 - r + ival) div ival"), F.lit(k))
     ).cast("bigint")
     return (
         run.crossJoin(F.broadcast(tot))
@@ -22805,12 +22811,13 @@ ORACLE_PART_B["q_pps_systematic"] = """
               FROM run)
     )
     SELECT c_custkey, w,
-           CAST((cum - 1 - r + ival) // ival
-                - (cum - w - 1 - r + ival) // ival AS BIGINT) AS multiplicity,
+           CAST(LEAST((cum - 1 - r + ival) // ival, 24)
+                - LEAST((cum - w - 1 - r + ival) // ival, 24) AS BIGINT)
+             AS multiplicity,
            w_total, ival, r
     FROM run, tot
-    WHERE (cum - 1 - r + ival) // ival
-          - (cum - w - 1 - r + ival) // ival >= 1
+    WHERE LEAST((cum - 1 - r + ival) // ival, 24)
+          - LEAST((cum - w - 1 - r + ival) // ival, 24) >= 1
 """
 
 
@@ -22835,7 +22842,7 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
-    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    dec = _dec18  # shared exact-product cast
     agg = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
@@ -22848,10 +22855,7 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("x") * dec("z")).cast("decimal(38,0)").alias("sxz"),
         F.sum(dec("y") * dec("z")).cast("decimal(38,0)").alias("syz"),
     )
-    limb = lambda c: (  # noqa: E731
-        (F.col(c) % F.lit(4294967296)).cast("double")
-        + F.expr(f"{c} div 4294967296").cast("double") * F.lit(4294967296.0)
-    )
+    limb = _limb  # shared 2^32 limb split
     nd = F.col("n").cast("double")
     dx = F.col("sx").cast("double")
     dy = F.col("sy").cast("double")

@@ -1610,9 +1610,20 @@ def _positional_index(spark: SparkSession, sf_dir: str) -> str:
         idx = os.path.join(
             tempfile.gettempdir(), f"spark_graft_posidx_{key}_{os.getpid()}"
         )
+        if idx not in _POSIDX_CLEANUP:
+            # per-pid paths would otherwise accumulate across test
+            # processes — reclaim on interpreter exit
+            import atexit
+            import shutil
+
+            _POSIDX_CLEANUP.add(idx)
+            atexit.register(shutil.rmtree, idx, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     build_positional_index(d, idx)
     return idx
+
+
+_POSIDX_CLEANUP: set[str] = set()
 
 
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:

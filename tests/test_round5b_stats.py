@@ -356,11 +356,24 @@ def test_kendall_w_rank_sum_invariant(spark, sf_dir):
 def test_kmv_distinct_estimator_accuracy(spark, sf_dir):
     """k=64 KMV has ~1/sqrt(62) relative sd; assert the estimate lands
     within 50% of truth (many sigmas) and the kth hash is consistent
-    with the estimator formula."""
+    with the estimator formula (full-sketch regime at every SF)."""
     row = all_queries()["q_kmv_distinct"](spark, sf_dir).collect()[0]
-    assert row["k"] == 64
+    assert (row["k"], row["n_kept"]) == (64, 64)
     assert row["est_distinct"] == 63.0 * 281474976710656.0 / row["kth_hash"]
     assert 0.5 < row["est_distinct"] / row["true_distinct"] < 2.0
+
+
+def test_kmv_underfull_sketch_is_exact(spark, tmp_path):
+    """Fewer distinct keys than k: the sketch holds every key, so the
+    estimate must be the EXACT count, not the (k-1)/h_k formula."""
+    rows = [(i, i * 7) for i in range(1, 41) for _ in (0, 1)]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = all_queries()["q_kmv_distinct"](spark, str(tmp_path)).collect()[0]
+    assert row["n_kept"] == 40
+    assert row["est_distinct"] == 40.0
+    assert row["true_distinct"] == 40
 
 
 def test_random_projection_jl_concentration(spark, sf_dir):
@@ -650,15 +663,14 @@ def test_mahalanobis_flags_joint_outlier(spark, tmp_path):
 
 
 def test_pps_systematic_pacing_identity(spark, sf_dir):
-    """The hit count obeys the exact systematic identity
-    sum(multiplicity) = ((W - 1 - r) div I) + 1, every unit's
-    multiplicity <= ceil(w / I) and big units (w > I) are guaranteed
-    hits."""
+    """The grid is capped at exactly k = 24 points (the integer
+    interval's remainder tail would otherwise admit a 25th), so
+    sum(multiplicity) == 24 is an identity; every unit's multiplicity
+    is bounded by its weight span."""
     rows = all_queries()["q_pps_systematic"](spark, sf_dir).collect()
     assert rows
-    W, I, r = rows[0]["w_total"], rows[0]["ival"], rows[0]["r"]
-    total_hits = sum(x["multiplicity"] for x in rows)
-    assert total_hits == (W - 1 - r) // I + 1
+    I = rows[0]["ival"]
+    assert sum(x["multiplicity"] for x in rows) == 24
     for x in rows:
         assert x["multiplicity"] <= -(-x["w"] // I) + 1
 
