@@ -792,3 +792,113 @@ def kwic_indexed(
             ),
         )
     )
+
+
+def maxscore_skiprate(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MaxScore/WAND dynamic-pruning audit (Turtle & Flood 1995;
+    Broder et al. 2003): how many candidate documents could a top-k
+    engine SKIP WITHOUT SCORING, given per-term score upper bounds?
+    A document whose sum of term upper bounds over the query terms it
+    contains is below theta (the k-th best full score) can never enter
+    the top k — that inequality is the entire basis of WAND/MaxScore
+    index traversal, and this measures the skip fraction it would buy
+    on THIS corpus and query (near 0 ⇒ dynamic pruning won't help;
+    near 1 ⇒ per-term max-score metadata pays for itself).
+
+    Emits one row per query term — its exact-int upper bound and
+    document frequency — with the exact theta and the candidate /
+    skippable counts broadcast alongside (skip_rate = skippable /
+    candidates, the one float).  Every (doc, term) score is the
+    1e-9-floor-quantized int64 of the bm25_prf posts path, so theta,
+    the bounds, and the inequality are all exact-integer comparisons.
+
+    Scale: the posts aggregate is the only fact-sized shuffle; upper
+    bounds are a term-keyed aggregate over the query-term posts, the
+    skip test one broadcast compare per candidate — exactly the
+    metadata cost profile of a real MaxScore index build.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens as _toks
+
+    spark = df.sparkSession
+    toks = _toks(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    posts = (
+        base.select("id", F.size("t").alias("dl"), F.explode("t").alias("tok"))
+        .groupBy("id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size("t")).cast("bigint").alias("sumdl"),
+    )
+    dfreq = posts.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dfc")
+    )
+    qterms = spark.createDataFrame([(t,) for t in query_terms], "tok string")
+    j = (
+        posts.join(F.broadcast(qterms), "tok")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+    )
+    nn = F.col("n").cast("double")
+    idf = F.log(
+        (nn - F.col("dfc").cast("double") + 0.5)
+        / (F.col("dfc").cast("double") + 0.5)
+        + 1.0
+    )
+    avgdl = F.col("sumdl").cast("double") / nn
+    tfd = F.col("tf").cast("double")
+    part = (tfd * 2.5) / (
+        tfd + 1.5 * (0.25 + 0.75 * (F.col("dl").cast("double") / avgdl))
+    )
+    qscored = j.select(
+        "id", "tok", F.floor(idf * part * F.lit(1e9)).cast("bigint").alias("q")
+    ).localCheckpoint()
+    theta = (
+        qscored.groupBy("id")
+        .agg(F.sum("q").cast("bigint").alias("sq"))
+        .orderBy(F.desc("sq"), F.asc("id"))
+        .limit(k)
+        .agg(F.min("sq").cast("bigint").alias("theta"))
+    )
+    ub = qscored.groupBy("tok").agg(
+        F.max("q").cast("bigint").alias("ub"),
+        F.count(F.lit(1)).cast("bigint").alias("df_t"),
+    )
+    docub = (
+        qscored.join(F.broadcast(ub.select("tok", "ub")), "tok")
+        .groupBy("id")
+        .agg(F.sum("ub").cast("bigint").alias("ub_sum"))
+    )
+    counts = (
+        docub.crossJoin(F.broadcast(theta))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum((F.col("ub_sum") < F.col("theta")).cast("bigint")).alias(
+                "n_skippable"
+            ),
+        )
+    )
+    return (
+        ub.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "tok",
+            "ub",
+            "df_t",
+            "theta",
+            "n_candidates",
+            "n_skippable",
+            (
+                F.col("n_skippable").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("skip_rate"),
+        )
+    )

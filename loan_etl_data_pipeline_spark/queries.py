@@ -23112,3 +23112,80 @@ ORACLE_PART_B["q_harmonic_centrality"] = f"""
            CAST(COALESCE(p.harm12, 0) AS BIGINT) AS harm12
     FROM srcs sr LEFT JOIN per_src p ON sr.s = p.s
 """
+
+
+def q_wand_skiprate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ MaxScore/WAND dynamic-pruning audit (operators/retrieval.py
+    maxscore_skiprate): for the standing BM25 query, what fraction of
+    candidate documents could a top-10 engine skip WITHOUT scoring,
+    given per-term score upper bounds?  The go/no-go measurement
+    before investing in max-score index metadata — and the missing
+    piece between q_bm25_search (exact scoring) and the pruned index
+    tiers.  Entirely exact-integer: theta, the per-term bounds, and
+    the skip inequality all compare the 1e-9-quantized int64 scores
+    the posts-based BM25 path already certifies.
+    """
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        maxscore_skiprate,
+    )
+
+    return maxscore_skiprate(
+        load_table(spark, sf_dir, "documents"), list(BM25_TERMS), k=10
+    )
+
+
+QUERIES_PART_B["q_wand_skiprate"] = q_wand_skiprate
+
+ORACLE_PART_B["q_wand_skiprate"] = r"""
+    WITH base AS (
+        SELECT doc_id AS id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), posts AS (
+        SELECT id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT id, len(t) AS dl, UNNEST(t) AS tok FROM base
+        ) GROUP BY id, dl, tok
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(len(t)) AS BIGINT) AS sumdl
+        FROM base
+    ), dfreq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM posts GROUP BY tok
+    ), qterms AS (
+        SELECT UNNEST(['spark', 'join', 'window']) AS tok
+    ), qscored AS MATERIALIZED (
+        SELECT id, tok, CAST(FLOOR(
+                 ln((CAST(n AS DOUBLE) - CAST(dfc AS DOUBLE) + 0.5)
+                    / (CAST(dfc AS DOUBLE) + 0.5) + 1.0)
+                 * ((CAST(tf AS DOUBLE) * 2.5)
+                    / (CAST(tf AS DOUBLE)
+                       + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                            / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+                 * 1e9) AS BIGINT) AS q
+        FROM posts JOIN qterms USING (tok) JOIN dfreq USING (tok)
+        CROSS JOIN stats
+    ), theta AS (
+        SELECT CAST(min(sq) AS BIGINT) AS theta FROM (
+            SELECT id, CAST(sum(q) AS BIGINT) AS sq
+            FROM qscored GROUP BY id
+            ORDER BY sq DESC, id ASC LIMIT 10
+        )
+    ), ub AS (
+        SELECT tok, CAST(max(q) AS BIGINT) AS ub,
+               CAST(count(*) AS BIGINT) AS df_t
+        FROM qscored GROUP BY tok
+    ), docub AS (
+        SELECT s.id, CAST(sum(u.ub) AS BIGINT) AS ub_sum
+        FROM qscored s JOIN ub u ON s.tok = u.tok
+        GROUP BY s.id
+    ), counts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN d.ub_sum < t.theta THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_skippable
+        FROM docub d, theta t
+    )
+    SELECT u.tok, u.ub, u.df_t, t.theta, c.n_candidates, c.n_skippable,
+           CAST(c.n_skippable AS DOUBLE) / CAST(c.n_candidates AS DOUBLE)
+             AS skip_rate
+    FROM ub u, theta t, counts c
+"""

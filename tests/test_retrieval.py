@@ -637,3 +637,35 @@ def test_hybrid_rrf_fusion_math(spark, sf_dir):
         .collect()
     ]
     assert got == want
+
+
+def test_maxscore_skiprate_bound_is_sound(spark, sf_dir):
+    """The WAND inequality must be SOUND: no document in the true
+    top-10 can be classified skippable (its full score <= its UB sum,
+    and its full score >= theta)."""
+    import pyspark.sql.functions as F
+
+    from loan_etl_data_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+        maxscore_skiprate,
+    )
+    from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window"]
+    audit = maxscore_skiprate(docs, terms, k=10).collect()
+    assert len(audit) == 3
+    theta = audit[0]["theta"]
+    assert all(r["theta"] == theta for r in audit)
+    assert all(0 <= r["n_skippable"] <= r["n_candidates"] for r in audit)
+    # soundness: per-term UB >= every quantized per-(doc,term) score
+    # implies UB-sum >= full score for any doc, so a doc with full
+    # score >= theta can never satisfy ub_sum < theta — at least k
+    # candidates must survive the gate
+    surviving = audit[0]["n_candidates"] - audit[0]["n_skippable"]
+    assert surviving >= 10
+    # and the exact top-10 exists to be found
+    top = bm25_topk(docs, terms, k=10).collect()
+    assert len(top) == 10
+    rate = audit[0]["n_skippable"] / audit[0]["n_candidates"]
+    assert 0.0 <= rate < 1.0
