@@ -23189,3 +23189,137 @@ ORACLE_PART_B["q_wand_skiprate"] = r"""
              AS skip_rate
     FROM ub u, theta t, counts c
 """
+
+
+def q_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ optimal operating point: the account-balance cutoff that
+    maximizes Youden's J = TPR - FPR for flagging 'F'-order customers
+    — the threshold SELECTION step the curve metrics stop short of
+    (q_auc summarizes the whole ROC, q_gains_curve its deciles; a
+    deployed rule needs ONE cutoff).  The argmax never touches a
+    float: J compares as the integer tp*N - fp*P (the common
+    denominator P*N is constant across thresholds), candidates are
+    the distinct score values via one ordered window over the
+    value-grouped frame, ties break to the lowest threshold.  Emits
+    the winning cutoff with its exact confusion counts and the
+    assembled J.
+
+    Scale: one value-grouped aggregate (the only fact-sized shuffle),
+    one running-sum window over distinct balances (value-domain
+    bounded; global_rank past driver-window scale), one argmax
+    aggregate via min(struct).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("cast(floor(c_acctbal * 100) as bigint)").alias("score"),
+    )
+    bad = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__bad", F.lit(1))
+    )
+    lab = cust.join(bad, "c_custkey", "left").select(
+        "score", F.coalesce("__bad", F.lit(0)).cast("bigint").alias("y")
+    )
+    # checkpoint the distinct-score aggregate: tot, the window, and the
+    # winning-row probe all consume it — otherwise the fact join replays
+    # per consumer (measured 7.8 -> 1.5 s at sf0.1)
+    vals = lab.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("y").cast("bigint").alias("mp"),
+    ).localCheckpoint()
+    # predict positive when score <= t (low balance = risky)
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    tot = vals.agg(
+        F.sum("m").cast("bigint").alias("n_all"),
+        F.sum("mp").cast("bigint").alias("p_all"),
+    )
+    # and the windowed frame once more: the argmax and the winning-row
+    # probe both consume it
+    run = (
+        vals.crossJoin(F.broadcast(tot))
+        .withColumn("tp", F.sum("mp").over(w).cast("bigint"))
+        .withColumn(
+            "fp", (F.sum("m").over(w) - F.sum("mp").over(w)).cast("bigint")
+        )
+        .withColumn("n_neg", (F.col("n_all") - F.col("p_all")).cast("bigint"))
+        .withColumn(
+            "j_num",
+            F.col("tp") * F.col("n_neg") - F.col("fp") * F.col("p_all"),
+        )
+        .localCheckpoint()
+    )
+    best = run.agg(
+        F.min(
+            F.struct(
+                (-F.col("j_num")).alias("neg_j"), F.col("score").alias("s")
+            )
+        ).alias("b")
+    ).select((-F.col("b.neg_j")).alias("best_j_num"), F.col("b.s").alias("best_score"))
+    return (
+        run.join(
+            F.broadcast(best),
+            (F.col("j_num") == F.col("best_j_num"))
+            & (F.col("score") == F.col("best_score")),
+        )
+        .select(
+            F.col("score").alias("threshold_cents"),
+            "tp",
+            "fp",
+            F.col("p_all").alias("n_pos"),
+            F.col("n_neg"),
+            "j_num",
+            (
+                F.col("tp").cast("double") / F.col("p_all").cast("double")
+                - F.col("fp").cast("double") / F.col("n_neg").cast("double")
+            ).alias("youden_j"),
+        )
+    )
+
+
+QUERIES_PART_B["q_youden_threshold"] = q_youden_threshold
+
+ORACLE_PART_B["q_youden_threshold"] = """
+    WITH cust AS (
+        SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS score
+        FROM customer
+    ), bad AS (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderstatus = 'F'
+    ), lab AS (
+        SELECT c.score,
+               CAST(CASE WHEN b.c_custkey IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS y
+        FROM cust c LEFT JOIN bad b ON c.c_custkey = b.c_custkey
+    ), vals AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(y) AS BIGINT) AS mp
+        FROM lab GROUP BY score
+    ), tot AS (
+        SELECT CAST(sum(m) AS BIGINT) AS n_all,
+               CAST(sum(mp) AS BIGINT) AS p_all
+        FROM vals
+    ), run AS (
+        SELECT score,
+               CAST(sum(mp) OVER cum AS BIGINT) AS tp,
+               CAST(sum(m) OVER cum - sum(mp) OVER cum AS BIGINT) AS fp,
+               p_all, CAST(n_all - p_all AS BIGINT) AS n_neg
+        FROM vals, tot
+        WINDOW cum AS (ORDER BY score ROWS UNBOUNDED PRECEDING)
+    ), scored AS (
+        SELECT score, tp, fp, p_all, n_neg,
+               tp * n_neg - fp * p_all AS j_num
+        FROM run
+    ), best AS (
+        SELECT score AS best_score, j_num AS best_j
+        FROM scored ORDER BY j_num DESC, score ASC LIMIT 1
+    )
+    SELECT s.score AS threshold_cents, s.tp, s.fp,
+           s.p_all AS n_pos, s.n_neg, s.j_num,
+           CAST(s.tp AS DOUBLE) / CAST(s.p_all AS DOUBLE)
+             - CAST(s.fp AS DOUBLE) / CAST(s.n_neg AS DOUBLE) AS youden_j
+    FROM scored s JOIN best b
+      ON s.j_num = b.best_j AND s.score = b.best_score
+"""

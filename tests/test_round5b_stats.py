@@ -721,3 +721,41 @@ def test_harmonic_centrality_layers_match_per_source_bfs(spark, tmp_path):
         ).collect()
     }
     assert out == {1: (3, 22), 2: (4, 34), 3: (4, 36), 4: (4, 34)}
+
+
+def test_youden_threshold_hand_values(spark, tmp_path):
+    """Scores {100,200,300,400} with positives at {100,200}: the
+    perfect rule is score <= 200 -> tp=2, fp=0, J = 1 exactly; the
+    integer argmax key is tp*N - fp*P = 2*2 - 0 = 4."""
+    cust = [(1, 1.00), (2, 2.00), (3, 3.00), (4, 4.00)]
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders = [(1, 1, "F"), (2, 2, "F"), (3, 3, "O"), (4, 4, "O")]
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = all_queries()["q_youden_threshold"](spark, str(tmp_path)).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["threshold_cents"], r["tp"], r["fp"]) == (200, 2, 0)
+    assert (r["n_pos"], r["n_neg"], r["j_num"]) == (2, 2, 4)
+    assert r["youden_j"] == 1.0
+
+
+def test_youden_threshold_argmax_is_exact(spark, tmp_path):
+    """Scores {100, 200, 300} with the single positive at 200
+    (negatives at 100 and 300): J numerators tp*N - fp*P per cutoff
+    are -1 / 1 / 0, so the exact integer argmax picks 200."""
+    cust = [(1, 1.00), (2, 2.00), (3, 3.00)]
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders = [(1, 2, "F")]
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = all_queries()["q_youden_threshold"](spark, str(tmp_path)).collect()[0]
+    # J(100) = 0*2-1*1 <0; J(200) = 1*2-1*1 = 1; J(300) = 1*2-2*1 = 0
+    assert r["threshold_cents"] == 200
+    assert r["j_num"] == 1
