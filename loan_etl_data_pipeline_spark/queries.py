@@ -4731,9 +4731,52 @@ _DRIVER_COVERED_R123 = {
 # r1-r3).  113 names total.
 _DRIVER_COVERED_R1234 = _DRIVER_COVERED_R123 | set(_DRIVER_WINDOW_R4)
 
+# Union through round 5 (CORRECTNESS_r05.json's key set ==
+# _DRIVER_WINDOW_R5, verified: 50/50 green, zero overlap with r1-r4).
+# 163 names total.
+_DRIVER_COVERED_R12345 = _DRIVER_COVERED_R1234 | set(_DRIVER_WINDOW_R5)
+
+# Round-6 window: the next 50 oracle-backed queries with NO driver
+# CORRECTNESS row in rounds 1-5 (union = 163 of 411; zero overlap,
+# asserted in tests/test_oracle_parity.py).  Same shape as R4/R5: one
+# thin single-table warmup absorber, then the heaviest never-certified
+# queries by the r5 bench (composed corpus v3, the nonparametric /
+# robust-stats battery, clustering/retrieval eval, graph session-2
+# additions, dedup/curation flagships), plus the two NEW round-6
+# streaming-maintainer parity queries (queries_streaming.py) so the
+# driver gate certifies stream-maintained state for the first time.
+_DRIVER_WINDOW_R6 = [
+    # thin warmup absorber (slot 1 pays JVM/codegen warmup)
+    "q_embedding_stats",
+    # stream-maintained == rebuilt (NEW this round)
+    "q_scd2_maintained", "q_fingerprint_maintained",
+    # composed pipeline + curation flagships
+    "q_corpus_v3", "q_pair_graph_reuse", "q_mirror_sources", "q_dup_mass",
+    "q_repeated_spans", "q_cdc_chunks", "q_best_rep_dedup",
+    # nonparametric / robust-stats battery (session-2 r5)
+    "q_hodges_lehmann", "q_bootstrap_se", "q_siegel_slope",
+    "q_median_polish", "q_kruskal_wallis", "q_weighted_median",
+    "q_jonckheere", "q_ks_test", "q_mood_median", "q_ansari_bradley",
+    "q_spearman", "q_cramer_von_mises", "q_fleiss_kappa", "q_autocorr",
+    # clustering / embedding eval
+    "q_silhouette", "q_ari", "q_single_linkage", "q_nmi",
+    "q_cluster_purity", "q_random_projection", "q_kcenter",
+    "q_knn_outliers", "q_hubness", "q_intrinsic_dim",
+    # retrieval / ranking eval
+    "q_mrr", "q_ndcg", "q_item_sim", "q_jaccard_curve", "q_wand_skiprate",
+    "q_rake_keywords", "q_avg_precision", "q_auc",
+    # graph (session-2 r5)
+    "q_ktruss", "q_harmonic_centrality", "q_luby_mis", "q_greedy_matching",
+    # sketches / storage / governance
+    "q_cms_freq", "q_avro_roundtrip", "q_fd_audit", "q_sliding_users_exact",
+]
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from loan_etl_data_pipeline_spark.queries_curation import QUERIES_CURATION
+    from loan_etl_data_pipeline_spark.queries_streaming import (
+        QUERIES_STREAMING,
+    )
     from loan_etl_data_pipeline_spark.queries_tpch import QUERIES_TPCH
 
     full: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -4742,13 +4785,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(QUERIES_ROUND3)
     full.update(QUERIES_TPCH)
     full.update(QUERIES_CURATION)
+    full.update(QUERIES_STREAMING)
 
     oracles = all_oracles()
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _DRIVER_WINDOW_R5:  # the 50 this round certifies
+    for name in _DRIVER_WINDOW_R6:  # the 50 this round certifies
         out[name] = full[name]
     for name in full:  # rest of the never-driver-checked, oracle-backed
-        if name not in out and name in oracles and name not in _DRIVER_COVERED_R1234:
+        if name not in out and name in oracles and name not in _DRIVER_COVERED_R12345:
             out[name] = full[name]
     for name in full:  # already certified in earlier rounds
         if name not in out and name in oracles:
@@ -4762,6 +4806,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     from loan_etl_data_pipeline_spark.queries_curation import ORACLE_CURATION
+    from loan_etl_data_pipeline_spark.queries_streaming import (
+        ORACLE_STREAMING,
+    )
     from loan_etl_data_pipeline_spark.queries_tpch import ORACLE_TPCH
 
     out: dict[str, str] = {}
@@ -4770,6 +4817,7 @@ def all_oracles() -> dict[str, str]:
     out.update(ORACLE_PART_B)
     out.update(ORACLE_TPCH)
     out.update(ORACLE_CURATION)
+    out.update(ORACLE_STREAMING)
     return out
 
 
@@ -7447,12 +7495,20 @@ def _cusum_build(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").alias("tot"),
     )
-    dev = F.col("n") * F.col("s") - F.col("t") * F.col("tot")
+    # products through decimal(38,0) + loud int64 narrowing: inside the
+    # documented n·T < 2^63 bound this is bit-identical to the plain
+    # bigint path; past it the plan raises instead of wrapping
+    dev = _checked_bigint(
+        (
+            _dec19("n") * _dec19("s") - _dec19("t") * _dec19("tot")
+        ).cast("decimal(38,0)"),
+        "q_cusum_changepoint n*S - t*T",
+    )
     out = (
         c2.crossJoin(F.broadcast(g))
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
-            dev.cast("bigint").alias("cusum_scaled"),
+            dev.alias("cusum_scaled"),
             (dev.cast("double") / F.col("n").cast("double") / 100).alias(
                 "cusum"
             ),
@@ -7501,10 +7557,16 @@ ORACLE_PART_B["q_cusum_changepoint"] = """
         FROM d
     )
     SELECT strftime(day, '%Y-%m-%d') AS day,
-           CAST(n * s - t * tot AS BIGINT) AS cusum_scaled,
-           CAST(n * s - t * tot AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS cusum
+           CAST(CAST(n AS HUGEINT) * CAST(s AS HUGEINT)
+                - CAST(t AS HUGEINT) * CAST(tot AS HUGEINT)
+                AS BIGINT) AS cusum_scaled,
+           CAST(CAST(CAST(n AS HUGEINT) * CAST(s AS HUGEINT)
+                     - CAST(t AS HUGEINT) * CAST(tot AS HUGEINT)
+                     AS BIGINT) AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS cusum
     FROM c
-    ORDER BY abs(n * s - t * tot) DESC, day ASC LIMIT 1
+    ORDER BY abs(CAST(n AS HUGEINT) * CAST(s AS HUGEINT)
+                 - CAST(t AS HUGEINT) * CAST(tot AS HUGEINT)) DESC,
+             day ASC LIMIT 1
 """
 
 
@@ -7812,6 +7874,39 @@ def _limb(c: str):
     return (F.col(c) % F.lit(4294967296)).cast("double") + F.expr(
         f"{c} div 4294967296"
     ).cast("double") * F.lit(4294967296.0)
+
+
+def _dec19(c):
+    """Cast to decimal(19,0) — wide enough for EVERY int64 (unlike
+    _dec18, whose cast silently nulls past 1e18).  A 19×19 product
+    lands on decimal(38,0) exactly for any |v| < 1e38; pair with
+    _checked_bigint, which treats the residual >1e38 null-overflow as
+    a loud error too."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(19,0)")
+
+
+def _checked_bigint(dec, what: str):
+    """decimal(38,0) → bigint with a LOUD in-plan overflow guard
+    (VERDICT r5 "What's wrong #2": documented int64 bounds were untried
+    escape hatches).  Composite integer products are accumulated in
+    decimal(38,0) and narrowed through this: inside int64 the value is
+    bit-identical to the historical bigint path; past it the plan
+    raises with the remediation pointer instead of silently wrapping —
+    mirroring DuckDB, whose HUGEINT→BIGINT cast errors loudly, so
+    neither engine can diverge quietly.  Exercised at the boundary by
+    tests/test_overflow_bounds.py."""
+    dec = F.col(dec) if isinstance(dec, str) else dec
+    lo = F.lit(-9223372036854775807) - F.lit(1)
+    hi = F.lit(9223372036854775807)
+    return F.when((dec >= lo) & (dec <= hi), dec.cast("bigint")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{what}: composite exceeds int64 — lift the emission to "
+                "the decimal/limb ladder (SCALE.md overflow section)"
+            )
+        ).cast("bigint")
+    )
 
 
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9994,8 +10089,11 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Daily counts are exact ints over days the type was observed
     (documented choice: structural zero-days belong to the calendar
     spine q_resample provides); variance from the exact moment sums
-    n·Σx² − (Σx)², one division at the end. Count-squared sums ride
-    the decimal ladder past ~1e9 events/day.
+    n·Σx² − (Σx)², one division at the end. Count-squared sums
+    accumulate on the decimal ladder and narrow via _checked_bigint:
+    bit-identical to the bigint path through ~1e9 events/day, a loud
+    in-plan error past it (tests/test_overflow_bounds.py) — mirroring
+    DuckDB's erroring overflow instead of Spark's silent wrap.
     """
     daily = (
         load_table(spark, sf_dir, "events")
@@ -10005,7 +10103,9 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("c").alias("sx"),
-        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.sum(_dec19("c") * _dec19("c")).cast("decimal(38,0)").alias("sxxd"),
+    ).withColumn(
+        "sxx", _checked_bigint(F.col("sxxd"), "q_burstiness sum(c^2)")
     )
     n = F.col("n_days").cast("double")
     mean = F.col("sx").cast("double") / n
@@ -11761,8 +11861,11 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     float entering the gate). The χ² independence entry treats the
     score as nominal; this is its 1-df ordered refinement. Scale: pure
     partial-aggregate (map-side combine, one row out, no shuffle of
-    data rows); int64 bound N·Σs²·n ≈ 49·N² → safe to N ~ 4·10⁸ rows,
-    beyond which split the products into limbs as q_var_es does.
+    data rows); the composites accumulate through decimal(38,0) and
+    narrow via _checked_bigint, so past the emitted-column int64 bound
+    (N·Σs²·n ≈ 49·N², N ~ 4·10⁸ rows) the plan raises loudly — exactly
+    like DuckDB's erroring BIGINT overflow — instead of wrapping
+    (boundary fixtures: tests/test_overflow_bounds.py).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_linenumber").cast("bigint").alias("s"),
@@ -11780,8 +11883,20 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_sum",
         "s2_sum",
         "sr_sum",
-        F.expr("n * sr_sum - r_total * s_sum").cast("bigint").alias("t_num"),
-        F.expr("n * s2_sum - s_sum * s_sum").cast("bigint").alias("var_core"),
+        _checked_bigint(
+            (
+                _dec19("n") * _dec19("sr_sum")
+                - _dec19("r_total") * _dec19("s_sum")
+            ).cast("decimal(38,0)"),
+            "q_cochran_armitage t_num",
+        ).alias("t_num"),
+        _checked_bigint(
+            (
+                _dec19("n") * _dec19("s2_sum")
+                - _dec19("s_sum") * _dec19("s_sum")
+            ).cast("decimal(38,0)"),
+            "q_cochran_armitage var_core",
+        ).alias("var_core"),
     )
 
 
@@ -11801,8 +11916,12 @@ ORACLE_PART_B["q_cochran_armitage"] = """
         FROM li
     )
     SELECT n, r_total, s_sum, s2_sum, sr_sum,
-           CAST(n * sr_sum - r_total * s_sum AS BIGINT) AS t_num,
-           CAST(n * s2_sum - s_sum * s_sum AS BIGINT) AS var_core
+           CAST(CAST(n AS HUGEINT) * CAST(sr_sum AS HUGEINT)
+                - CAST(r_total AS HUGEINT) * CAST(s_sum AS HUGEINT)
+                AS BIGINT) AS t_num,
+           CAST(CAST(n AS HUGEINT) * CAST(s2_sum AS HUGEINT)
+                - CAST(s_sum AS HUGEINT) * CAST(s_sum AS HUGEINT)
+                AS BIGINT) AS var_core
     FROM a
 """
 
@@ -22283,10 +22402,13 @@ def q_simpsons(spark: SparkSession, sf_dir: str) -> DataFrame:
     data?  The aggregation-bias check every segmented-metrics
     dashboard needs before trusting a pooled trend.  Per nation the
     exact covariance-slope NUMERATOR n*Σxy - Σx*Σy (x = discount in
-    exact promille, y = quantity; pure int64 through SF ~1, decimal
-    ladder beyond), the pooled numerator broadcast onto every row,
-    and the reversal flag computed IN-PLAN (sign(num) *
-    sign(pooled) < 0).
+    exact promille, y = quantity; sums int64, the n·Σxy / Σx·Σy
+    products through decimal(38,0) — the _dec18 ladder — so nothing
+    wraps until |num| ≥ 2^95, far past any physical SF), the pooled
+    numerator broadcast onto every row, and the reversal flag computed
+    IN-PLAN from the exact decimal signs.  num / pooled_num are
+    emitted via the shared 2^32 limb split (deterministic
+    decimal→double, bit-identical across engines).
 
     Scale: one map-side-combinable (nation-keyed) aggregate after a
     broadcast supplier hop; pooled = the same aggregate re-reduced,
@@ -22308,7 +22430,10 @@ def q_simpsons(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
         )
         .withColumn(
-            "num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+            "num",
+            (
+                _dec18("n") * _dec18("sxy") - _dec18("sx") * _dec18("sy")
+            ).cast("decimal(38,0)"),
         )
     )
     pooled = seg.agg(
@@ -22317,15 +22442,17 @@ def q_simpsons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sy").cast("bigint").alias("psy"),
         F.sum("sxy").cast("bigint").alias("psxy"),
     ).select(
-        (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")).alias(
-            "pooled_num"
+        (
+            _dec18("pn") * _dec18("psxy") - _dec18("psx") * _dec18("psy")
         )
+        .cast("decimal(38,0)")
+        .alias("pooled_num")
     )
     return seg.crossJoin(F.broadcast(pooled)).select(
         "nk",
         "n",
-        "num",
-        "pooled_num",
+        _limb("num").alias("num"),
+        _limb("pooled_num").alias("pooled_num"),
         (
             F.signum(F.col("num").cast("double"))
             * F.signum(F.col("pooled_num").cast("double"))
@@ -22348,11 +22475,22 @@ ORACLE_PART_B["q_simpsons"] = """
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1
     ), seg2 AS (
-        SELECT nk, n, sx, sy, sxy, n * sxy - sx * sy AS num FROM seg
+        SELECT nk, n,
+               CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                 - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num
+        FROM seg
     ), pooled AS (
-        SELECT sum(n) * sum(sxy) - sum(sx) * sum(sy) AS pooled_num FROM seg
+        SELECT CAST(sum(n) AS HUGEINT) * CAST(sum(sxy) AS HUGEINT)
+                 - CAST(sum(sx) AS HUGEINT) * CAST(sum(sy) AS HUGEINT)
+                 AS pooled_num
+        FROM seg
     )
-    SELECT nk, n, num, CAST(pooled_num AS BIGINT) AS pooled_num,
+    SELECT nk, n,
+           CAST(num % 4294967296 AS DOUBLE)
+             + CAST(num // 4294967296 AS DOUBLE) * 4294967296.0 AS num,
+           CAST(pooled_num % 4294967296 AS DOUBLE)
+             + CAST(pooled_num // 4294967296 AS DOUBLE) * 4294967296.0
+             AS pooled_num,
            CASE WHEN CAST(num AS DOUBLE) > 0 AND CAST(pooled_num AS DOUBLE) < 0
                   THEN TRUE
                 WHEN CAST(num AS DOUBLE) < 0 AND CAST(pooled_num AS DOUBLE) > 0
@@ -22755,6 +22893,14 @@ def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits with weight, multiplicity, and the exact scalars (W, I, r)
     for the downstream Hansen-Hurwitz W/k-per-hit estimator.
 
+    Degenerate guard: I = greatest(W div k, 1) — on a fixture where
+    total weight W < k the raw interval would be 0 and both the start
+    modulo and the hit division would divide by zero (Spark NULL vs
+    DuckDB error, i.e. a silent cross-engine divergence); the
+    greatest() pin keeps the identical value on every real input and
+    turns the degenerate case into a loud, well-defined every-unit
+    sample instead.
+
     Scale: one running-sum window over the weight-ordered frame (swap
     in functions/ranking.global_rank's offset pattern past
     driver-window scale), a 1-row broadcast, a row-local filter.
@@ -22774,10 +22920,10 @@ def q_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = cust.withColumn("cum", F.sum("w").over(win))
     tot = run.agg(F.max("cum").cast("bigint").alias("w_total")).select(
         "w_total",
-        F.expr(f"w_total div {k}").alias("ival"),
+        F.expr(f"greatest(w_total div {k}, 1)").alias("ival"),
         F.expr(
             "cast(conv(substring(md5('ppsstart'), 1, 12), 16, 10) as bigint)"
-            f" % (w_total div {k})"
+            f" % greatest(w_total div {k}, 1)"
         ).alias("r"),
     )
     m = (
@@ -22807,7 +22953,7 @@ ORACLE_PART_B["q_pps_systematic"] = """
         SELECT w_total, ival,
                ('0x' || substr(md5('ppsstart'), 1, 12))::BIGINT % ival AS r
         FROM (SELECT CAST(max(cum) AS BIGINT) AS w_total,
-                     CAST(max(cum) AS BIGINT) // 24 AS ival
+                     greatest(CAST(max(cum) AS BIGINT) // 24, 1) AS ival
               FROM run)
     )
     SELECT c_custkey, w,

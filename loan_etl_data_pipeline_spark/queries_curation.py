@@ -1612,12 +1612,31 @@ def _positional_index(spark: SparkSession, sf_dir: str) -> str:
         )
         if idx not in _POSIDX_CLEANUP:
             # per-pid paths would otherwise accumulate across test
-            # processes — reclaim on interpreter exit
+            # processes — reclaim on interpreter exit, and sweep any
+            # stale sibling dirs whose owning pid is gone (atexit never
+            # runs on SIGKILL/crash, so aborted partest workers leave
+            # spark_graft_posidx_*_<pid> orphans in /tmp)
             import atexit
+            import glob
             import shutil
 
             _POSIDX_CLEANUP.add(idx)
             atexit.register(shutil.rmtree, idx, ignore_errors=True)
+            for stale in glob.glob(
+                os.path.join(tempfile.gettempdir(), "spark_graft_posidx_*_*")
+            ):
+                try:
+                    pid = int(stale.rsplit("_", 1)[1])
+                except ValueError:
+                    continue
+                if pid == os.getpid():
+                    continue
+                try:
+                    os.kill(pid, 0)  # raises if the owner is gone
+                except ProcessLookupError:
+                    shutil.rmtree(stale, ignore_errors=True)
+                except PermissionError:
+                    pass  # pid alive under another uid — leave it
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     build_positional_index(d, idx)
     return idx

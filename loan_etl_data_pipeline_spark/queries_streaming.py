@@ -1,0 +1,287 @@
+"""Driver-certifiable streaming queries (VERDICT r5 ask #4).
+
+The streaming maintainers (streaming/ingest.py) are test-only by
+nature — DuckDB has no streaming oracle — but each one carries a
+maintained == batch-rebuild equality contract.  These queries put that
+contract under the driver's exact value-hash gate: each runs the REAL
+Structured Streaming maintainer (readStream → foreachBatch with the
+same checkpoint / snapshot-manifest replay protocol production uses)
+over the ``events`` table split into three strictly time-ordered
+micro-batch files, then emits the final maintained state.  The oracle
+is the ONE-SHOT batch derivation in plain SQL over the same rows, so a
+green row certifies ``merge ∘ merge ∘ bootstrap == rebuild(everything)``
+cross-engine — the invariant the whole incremental-maintenance family
+rests on.
+
+Micro-batch determinism: chunks are cut on fixed calendar boundaries
+(strictly increasing ts ranges, so the scd2_merge strictly-later-per-key
+precondition holds by construction), each chunk is one parquet file
+whose mtime is pinned to a fixed epoch + chunk index (Spark's
+FileStreamSource orders by modification time), and
+``maxFilesPerTrigger=1`` under an availableNow trigger yields exactly
+one micro-batch per chunk.
+
+Reference anchor: the reference's streaming surface is a sensor-driven
+file poller (google_drive_sensor.py:30-60) with at-least-once semantics;
+this module certifies the exactly-once upgrade path documented in
+SURVEY.md §2 ST1-ST4.
+
+Scale: the chunk staging is harness plumbing (the driver gate runs on
+one box — production points readStream at the landing prefix); the
+maintainers themselves do per-batch work proportional to the batch plus
+the touched keys, never rescanning history (see streaming/ingest.py
+docstrings).
+"""
+
+from __future__ import annotations
+
+import atexit
+import glob
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loan_etl_data_pipeline_spark.sources.tables import load_table
+
+QUERIES_STREAMING: dict = {}
+ORACLE_STREAMING: dict[str, str] = {}
+
+_ROOT_CLEANUP: set[str] = set()
+
+# fixed epoch for chunk mtimes — FileStreamSource orders by mtime, so
+# pinning them makes the micro-batch order a constant of the build
+_MTIME_EPOCH = 1_700_000_000
+
+_CHUNK_BOUNDS = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+
+
+def _stream_root(sf_dir: str, tag: str) -> str:
+    """Per-(sf_dir, tag, pid) scratch root — the _positional_index
+    discipline (queries_curation.py): deterministic within a process
+    (repeat runs reuse the checkpoint and become incremental no-ops),
+    per-PID so concurrent test sessions never race, reclaimed at
+    interpreter exit plus a stale-owner sweep for SIGKILLed workers;
+    memoized under SPARK_GRAFT_MATERIALIZE_DIR in bench mode."""
+    key = hashlib.md5(f"{sf_dir.rstrip('/')}:{tag}".encode()).hexdigest()[:12]
+    mat = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
+    if mat:
+        return f"{mat}/streamq_{key}"
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_streamq_{key}_{os.getpid()}"
+    )
+    if root not in _ROOT_CLEANUP:
+        _ROOT_CLEANUP.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        for stale in glob.glob(
+            os.path.join(tempfile.gettempdir(), "spark_graft_streamq_*_*")
+        ):
+            try:
+                pid = int(stale.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(stale, ignore_errors=True)
+            except PermissionError:
+                pass
+    return root
+
+
+def _chunked_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as three single-file parquet chunks cut
+    on fixed ts boundaries (strictly increasing ranges — every row of
+    chunk k+1 is later than every row of chunk k, so per-key arrival
+    order refines event order, the maintainer precondition).  Returns
+    the directory readStream should watch."""
+    root = _stream_root(sf_dir, "evchunks")
+    src = f"{root}/src"
+    if os.path.exists(f"{src}/_STAGED"):
+        return src
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    lo, hi = _CHUNK_BOUNDS
+    preds = [
+        F.col("ts") < F.lit(lo).cast("timestamp"),
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp")),
+        F.col("ts") >= F.lit(hi).cast("timestamp"),
+    ]
+    os.makedirs(src, exist_ok=True)
+    for i, pred in enumerate(preds):
+        stage = f"{root}/stage_{i}"
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")
+        assert part, f"chunk {i} produced no parquet part file"
+        dst = f"{src}/chunk{i}.parquet"
+        shutil.move(part[0], dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        t = _MTIME_EPOCH + 10 * i
+        os.utime(dst, (t, t))
+    with open(f"{src}/_STAGED", "w") as fh:  # '_' prefix: Spark ignores it
+        fh.write("ok")
+    return src
+
+
+_EVENT_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, "
+    "value double, ts timestamp"
+)
+
+
+def _event_stream(spark: SparkSession, src: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def q_scd2_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2+ stream-maintained SCD2 dimension == one-shot rebuild
+    (streaming/ingest.py stream_scd2): three time-ordered micro-batches
+    of user event_type changes merge into a versioned dimension via the
+    real foreachBatch maintainer (bootstrap, then scd2_merge per batch,
+    (run_id, batch_id) replay-skip); the emitted frame is the FINAL
+    maintained dimension.  The oracle is the q_scd2_users one-shot
+    SCD2-from-history SQL over all of events, so a green driver row is
+    a cross-engine proof of ``merge(merge(build(b0), b1), b2) ==
+    build(b0 ∪ b1 ∪ b2)`` — the maintainer's defining identity.
+
+    Scale: per batch one key-windowed delta merge + anti-join
+    passthrough (AQE broadcasts the touched-key set); history is never
+    rescanned.  The chunk staging is gate plumbing only.
+    """
+    from loan_etl_data_pipeline_spark.sources.versioned import read_version
+    from loan_etl_data_pipeline_spark.streaming.ingest import stream_scd2
+
+    src = _chunked_events(spark, sf_dir)
+    root = _stream_root(sf_dir, "scd2m")
+    q = stream_scd2(
+        _event_stream(spark, src),
+        f"{root}/dim",
+        key_cols="user_id",
+        attr_cols="event_type",
+        order_col="ts",
+        checkpoint_dir=f"{root}/ckpt",
+        tiebreak_cols="event_id",
+    )
+    q.awaitTermination()
+    dim = read_version(spark, f"{root}/dim")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return dim.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "version",
+        "is_current",
+    )
+
+
+QUERIES_STREAMING["q_scd2_maintained"] = q_scd2_maintained
+
+# the one-shot rebuild over everything ingested — textually the
+# q_scd2_users oracle: maintained must equal rebuilt, cross-engine
+ORACLE_STREAMING["q_scd2_maintained"] = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER w AS rn,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    ), v AS (
+        SELECT user_id, event_type, ts,
+               lead(ts) OVER w2 AS vt,
+               row_number() OVER w2 AS version
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(version AS BIGINT) AS version,
+           vt IS NULL AS is_current
+    FROM v
+"""
+
+
+def _event_canonical():
+    """Deterministic string rendering of an event row for the
+    fingerprint (floats as floor-cents, timestamps second-formatted —
+    the cross-engine canonicalization contract of
+    operators/quality.table_fingerprint)."""
+    return F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.expr("cast(floor(value * 100) as bigint)").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+    )
+
+
+def q_fingerprint_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2+ stream-maintained table fingerprint == one-shot fingerprint
+    (streaming/ingest.py streaming_fingerprint): each micro-batch's
+    bucketed (count, 40-bit md5-coordinate sum) deltas merge into the
+    running fingerprint by integer addition; the emitted frame is the
+    final maintained fingerprint over all three batches.  The oracle
+    computes the identical bucketed checksum directly in SQL over all
+    of events — certifying that the commutative-merge maintenance
+    equals the one-shot scan cross-engine, which is exactly the
+    replication-validation use case (compare a continuously-maintained
+    fingerprint against a replica's one-shot scan).
+
+    Scale: per batch one partial+final agg over the batch only; the
+    running state is 16 rows.  Int64-safe to ~8e6 rows/bucket — raise
+    bucket_hex_chars past that (operators/quality.py docstring).
+    """
+    from loan_etl_data_pipeline_spark.sources.versioned import read_version
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        streaming_fingerprint,
+    )
+
+    src = _chunked_events(spark, sf_dir)
+    root = _stream_root(sf_dir, "fpm")
+    q = streaming_fingerprint(
+        _event_stream(spark, src),
+        _event_canonical(),
+        f"{root}/fp",
+        checkpoint_dir=f"{root}/ckpt",
+    )
+    q.awaitTermination()
+    return read_version(spark, f"{root}/fp").select(
+        "bucket", "n_rows", "checksum"
+    )
+
+
+QUERIES_STREAMING["q_fingerprint_maintained"] = q_fingerprint_maintained
+
+ORACLE_STREAMING["q_fingerprint_maintained"] = """
+    WITH c AS (
+        SELECT md5(concat_ws('|',
+                   CAST(event_id AS VARCHAR),
+                   CAST(user_id AS VARCHAR),
+                   event_type,
+                   CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
+                   strftime(ts, '%Y-%m-%d %H:%M:%S'))) AS h
+        FROM events
+    )
+    SELECT substr(h, 32, 1) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(h, 1, 10))::BIGINT) AS BIGINT)
+             AS checksum
+    FROM c
+    GROUP BY bucket
+"""

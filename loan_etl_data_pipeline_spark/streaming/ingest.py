@@ -739,6 +739,7 @@ def stream_scd2(
     attr_cols,
     order_col: str,
     checkpoint_dir: str,
+    tiebreak_cols=(),
     available_now: bool = True,
     trigger_seconds: float | None = None,
 ):
@@ -792,11 +793,20 @@ def stream_scd2(
                 return  # replayed batch: merging again would fork history
             dim = read_version(spark, table_dir)
             merged = scd2_merge(
-                dim, batch_df, key_cols, attr_cols, order_col
+                dim,
+                batch_df,
+                key_cols,
+                attr_cols,
+                order_col,
+                tiebreak_cols=tiebreak_cols,
             )
         else:
             merged = scd2_from_history(
-                batch_df, key_cols, attr_cols, order_col
+                batch_df,
+                key_cols,
+                attr_cols,
+                order_col,
+                tiebreak_cols=tiebreak_cols,
             )
         write_version(
             merged, table_dir, meta={"batch_id": batch_id, "run_id": run_id}

@@ -1,0 +1,196 @@
+"""Boundary fixtures for the documented int64 escape hatches
+(VERDICT r5 "What's wrong #2": the decimal-ladder swaps were documented
+but never exercised — the class of silent wrap the chi2 probe #12 once
+caught in-plan).
+
+Each test plants a synthetic fixture whose COMPOSITE product sits just
+inside / just past 2^63 (adversarial magnitudes, not row counts — the
+same arithmetic a 4·10⁸-row table would hit) and asserts the contract:
+
+* inside the bound → engine output equals the DuckDB oracle on the
+  same fixture, bit-exact (the decimal path narrows back to the
+  historical bigint emission);
+* past the bound → the plan raises LOUDLY (``_checked_bigint``'s
+  in-plan raise_error), mirroring DuckDB's erroring BIGINT overflow,
+  instead of Spark's silent non-ANSI wrap.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from loan_etl_data_pipeline_spark.queries import all_oracles, all_queries
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def _oracle_rows(sql: str, tmp_path, tables):
+    import os
+
+    con = duckdb.connect()
+    for t in tables:
+        p = f"{tmp_path}/{t}.parquet"
+        if os.path.isdir(p):  # Spark writes a directory of part files
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _run_engine(spark, name, tmp_path):
+    df = QUERIES[name](spark, str(tmp_path))
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def _assert_equal(spark, name, tmp_path, tables):
+    ecols, erows = _run_engine(spark, name, tmp_path)
+    ocols, orows = _oracle_rows(ORACLES[name], tmp_path, tables)
+    order_e = sorted(range(len(ecols)), key=lambda i: ecols[i])
+    order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    assert sorted(ecols) == sorted(ocols)
+    e = sorted(tuple(repr(r[i]) for i in order_e) for r in erows)
+    o = sorted(tuple(repr(r[i]) for i in order_o) for r in orows)
+    assert e == o, f"{name}: engine vs oracle mismatch on boundary fixture"
+
+
+# --- q_cochran_armitage ----------------------------------------------------
+# composite var_core = N*Σs² − (Σs)².  With n rows of score s each
+# non-returned: var_core = n·n·s² − (n·s)² = 0... so plant two distinct
+# scores: rows (s=K weight a) and (s=0 weight b) give
+# var_core = (a+b)·a·K² − (a·K)² = a·b·K².  Pick K so a·b·K² straddles
+# 2^63 with a handful of rows.
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "l_linenumber bigint, l_returnflag string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_cochran_armitage_exact_just_inside_int64(spark, tmp_path):
+    # a=2, b=2, K=2^30: var_core = 4·2^60 = 2^62 < 2^63 — inside.
+    k = 2**30
+    rows = [(k, "R"), (k, "N"), (0, "R"), (0, "N")]
+    _write_lineitem(spark, tmp_path, rows)
+    _assert_equal(spark, "q_cochran_armitage", tmp_path, ["lineitem"])
+    r = QUERIES["q_cochran_armitage"](spark, str(tmp_path)).collect()[0]
+    assert r["var_core"] == 4 * k * k  # == 2^62, exact
+    # t_num = N·Σsr − R·Σs = 4·K − 2·2K = 0 on this symmetric plant
+    assert r["t_num"] == 0
+
+
+def test_cochran_armitage_raises_loudly_past_int64(spark, tmp_path):
+    # a=4, b=4, K=2^30: var_core = 16·2^60 = 2^64 > 2^63 — the old
+    # int64 path wrapped silently; the checked path must raise.
+    k = 2**30
+    rows = [(k, "R")] * 2 + [(k, "N")] * 2 + [(0, "R")] * 2 + [(0, "N")] * 2
+    _write_lineitem(spark, tmp_path, rows)
+    with pytest.raises(Exception, match="(?i)int64|decimal|ladder|out_of_range|overflow"):
+        QUERIES["q_cochran_armitage"](spark, str(tmp_path)).collect()
+    # the oracle errs loudly on the same fixture too (DuckDB BIGINT
+    # overflow) — neither engine can silently diverge
+    with pytest.raises(Exception):
+        _oracle_rows(
+            ORACLES["q_cochran_armitage"], tmp_path, ["lineitem"]
+        )
+
+
+# --- q_cusum_changepoint ---------------------------------------------------
+# composite n·S_t − t·T.  Two days of totalprice P each: at t=1 the
+# statistic is 2·P·100 − 1·2·P·100 = 0; plant asymmetric days so the
+# composite is big: day1 = P, day2 = tiny → n·S_1 − 1·T ≈ P·100.
+# Magnitude is driven by P·100·n, so P near 2^61/100 crosses with n=2.
+
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_cusum_exact_just_inside_int64(spark, tmp_path):
+    d1 = datetime.date(2024, 1, 1)
+    d2 = datetime.date(2024, 1, 2)
+    # cents1 = 2^61 exactly (2^61/100 is representable: 2^61 = 100·q + r
+    # handled via floor), cents2 = 0-ish day → |n·S − t·T| ≈ 2^61 < 2^63
+    p1 = float(2**61 // 100)  # floor-cents = 100·(2^61//100) ≤ 2^61
+    rows = [(d1, p1), (d2, 1.0)]
+    _write_orders(spark, tmp_path, rows)
+    _assert_equal(spark, "q_cusum_changepoint", tmp_path, ["orders"])
+
+
+def test_cusum_raises_loudly_past_int64(spark, tmp_path):
+    d1 = datetime.date(2024, 1, 1)
+    d2 = datetime.date(2024, 1, 2)
+    # cents1 ≈ 2^63: n·S_1 − t·T = 2·c1 − (c1+c2) = c1 − c2 ≈ 2^63 — but
+    # ALSO the interior t·T ≈ 2·2^63; the checked narrowing must raise.
+    p1 = float(2**63 // 100 + 10**6)
+    rows = [(d1, p1), (d2, 1.0)]
+    _write_orders(spark, tmp_path, rows)
+    with pytest.raises(Exception, match="(?i)int64|decimal|ladder|out_of_range|overflow"):
+        QUERIES["q_cusum_changepoint"](spark, str(tmp_path)).collect()
+
+
+# --- q_burstiness ----------------------------------------------------------
+# composite Σc² per event type.  Many rows needed for big daily counts —
+# instead plant many DAYS each with count c via few rows? c is a COUNT,
+# so magnitude needs row volume; the reachable boundary locally is the
+# decimal accumulation itself. We verify the checked path is exact on a
+# normal fixture (parity vs oracle) and that the guard expression
+# actually fires by planting the overflow one level up: many duplicate
+# (type, day) rows is infeasible at 2^31.5 rows locally, so this case
+# pins exactness + the shared guard's loudness is covered by the two
+# families above (same _checked_bigint code path).
+
+
+def test_burstiness_exact_on_boundary_style_fixture(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(3):
+        for i in range((day + 1) * 7):  # counts 7, 14, 21
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(days=day, seconds=i),
+                    1,
+                    "click",
+                    1.0,
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    _assert_equal(spark, "q_burstiness", tmp_path, ["events"])
+
+
+def test_checked_bigint_rejects_decimal38_null_overflow(spark):
+    """The residual >1e38 decimal overflow nulls out in non-ANSI Spark;
+    _checked_bigint must treat that null as a loud error, not pass it
+    through."""
+    from loan_etl_data_pipeline_spark.queries import _checked_bigint
+
+    df = spark.sql(
+        "SELECT cast(99999999999999999999 as decimal(38,0)) AS v"
+    ).select(
+        _checked_bigint(
+            (
+                # 1e20 * 1e20 = 1e40 > 10^38-1 → decimal overflow → null
+                F.col("v") * F.col("v")
+            ).cast("decimal(38,0)"),
+            "test composite",
+        ).alias("x")
+    )
+    with pytest.raises(Exception, match="(?i)int64|decimal|ladder|out_of_range|overflow"):
+        df.collect()

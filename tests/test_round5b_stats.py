@@ -759,3 +759,22 @@ def test_youden_threshold_argmax_is_exact(spark, tmp_path):
     # J(100) = 0*2-1*1 <0; J(200) = 1*2-1*1 = 1; J(300) = 1*2-2*1 = 0
     assert r["threshold_cents"] == 200
     assert r["j_num"] == 1
+
+
+def test_pps_systematic_degenerate_tiny_weights(spark, tmp_path):
+    """ADVICE r5: with total weight W < k = 24 the raw interval
+    W div 24 is 0 and the start-offset modulo / hit division would
+    divide by zero (Spark NULL vs DuckDB error — a silent cross-engine
+    divergence).  The greatest(ival, 1) pin turns the degenerate case
+    into a well-defined every-unit sample: 5 units of weight 1 ->
+    ival = 1, five hits, multiplicity 1 each."""
+    cust = [(i, 0.01) for i in range(1, 6)]  # floor(0.01*100) = 1 cent
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    rows = all_queries()["q_pps_systematic"](spark, str(tmp_path)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["ival"] == 1
+        assert r["r"] == 0
+        assert r["multiplicity"] == 1
