@@ -23120,6 +23120,23 @@ def q_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+    # round-6 self-review: Spark's `div` silently WRAPS the int64
+    # quotient (measured: 2e19 div 2 → -8446744073709551616, even under
+    # ANSI) while DuckDB's // stays exact and its BIGINT cast errors —
+    # a silent cross-engine divergence once a stratum's a·d/n passes
+    # 9.2e18 (~9e9-row cells).  Guard the quotient BEFORE dividing:
+    # |num| ≤ 2^63·n − 1 ⇔ the truncated quotient fits int64.
+    def _q(x, y, alias):
+        num = f"cast({x} as decimal(19,0)) * {y} * 1000000000"
+        return F.expr(
+            f"CASE WHEN {num} <= (cast(9223372036854775807 as"
+            f" decimal(19,0)) + 1) * n - 1"
+            f" THEN cast({num} div n as bigint)"
+            f" ELSE raise_error('q_cmh {alias}: quotient exceeds int64 —"
+            f" lower the quantization scale or shard the stratum"
+            f" (SCALE.md overflow section)') END"
+        ).alias(alias)
+
     return cells.select(
         "stratum",
         "a",
@@ -23127,12 +23144,8 @@ def q_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "d",
         "n",
-        F.expr(
-            "cast(cast(a as decimal(28,0)) * d * 1000000000 div n as bigint)"
-        ).alias("ad_over_n_q"),
-        F.expr(
-            "cast(cast(b as decimal(28,0)) * c * 1000000000 div n as bigint)"
-        ).alias("bc_over_n_q"),
+        _q("a", "d", "ad_over_n_q"),
+        _q("b", "c", "bc_over_n_q"),
     )
 
 
@@ -23391,9 +23404,21 @@ def q_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp", (F.sum("m").over(w) - F.sum("mp").over(w)).cast("bigint")
         )
         .withColumn("n_neg", (F.col("n_all") - F.col("p_all")).cast("bigint"))
+        # tp·N − fp·P through decimal(38,0) + loud int64 narrowing
+        # (round-6 self-review: raw bigint products cap the exact
+        # domain at ~3e9 customers; the decimal path stays exact even
+        # when an intermediate product exceeds int64 while the emitted
+        # J numerator still fits — and raises loudly past that, like
+        # the oracle's HUGEINT→BIGINT cast)
         .withColumn(
             "j_num",
-            F.col("tp") * F.col("n_neg") - F.col("fp") * F.col("p_all"),
+            _checked_bigint(
+                (
+                    _dec19("tp") * _dec19("n_neg")
+                    - _dec19("fp") * _dec19("p_all")
+                ).cast("decimal(38,0)"),
+                "q_youden_threshold j_num",
+            ),
         )
         .localCheckpoint()
     )
@@ -23456,7 +23481,9 @@ ORACLE_PART_B["q_youden_threshold"] = """
         WINDOW cum AS (ORDER BY score ROWS UNBOUNDED PRECEDING)
     ), scored AS (
         SELECT score, tp, fp, p_all, n_neg,
-               tp * n_neg - fp * p_all AS j_num
+               CAST(CAST(tp AS HUGEINT) * CAST(n_neg AS HUGEINT)
+                    - CAST(fp AS HUGEINT) * CAST(p_all AS HUGEINT)
+                    AS BIGINT) AS j_num
         FROM run
     ), best AS (
         SELECT score AS best_score, j_num AS best_j

@@ -194,3 +194,31 @@ def test_checked_bigint_rejects_decimal38_null_overflow(spark):
     )
     with pytest.raises(Exception, match="(?i)int64|decimal|ladder|out_of_range|overflow"):
         df.collect()
+
+
+def test_spark_div_quotient_wrap_is_guarded(spark):
+    """Round-6 self-review finding: Spark's `div` silently WRAPS the
+    int64 quotient even under ANSI mode, while DuckDB's `//` stays
+    exact (then errs loudly on the BIGINT narrowing) — a silent
+    cross-engine divergence class.  Pin the measured engine behavior
+    (if a Spark upgrade fixes it, this tells us the q_cmh guard can
+    simplify) and prove the q_cmh guard shape raises instead."""
+    wrapped = spark.sql(
+        "SELECT cast(2e19 as decimal(38,0)) div 2 AS q"
+    ).collect()[0]["q"]
+    assert wrapped != 10**19, (
+        "Spark div no longer wraps — simplify the q_cmh quotient guard"
+    )
+    guard = (
+        "SELECT CASE WHEN num <= (cast(9223372036854775807 as"
+        " decimal(19,0)) + 1) * den - 1"
+        " THEN cast(num div den as bigint)"
+        " ELSE raise_error('guard: quotient exceeds int64') END AS q"
+        " FROM (SELECT cast(2e19 as decimal(38,0)) AS num,"
+        " cast(2 as bigint) AS den)"
+    )
+    with pytest.raises(Exception, match="quotient exceeds int64"):
+        spark.sql(guard).collect()
+    ok = guard.replace("cast(2e19 as decimal(38,0))",
+                       "cast(4e18 as decimal(38,0))")
+    assert spark.sql(ok).collect()[0]["q"] == 2 * 10**18
