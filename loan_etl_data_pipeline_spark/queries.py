@@ -23496,3 +23496,424 @@ ORACLE_PART_B["q_youden_threshold"] = """
     FROM scored s JOIN best b
       ON s.j_num = b.best_j AND s.score = b.best_score
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 6: nonparametric blocks, vocabulary estimators, concentration,
+# agreement (all exact-integer emissions per the SCALE.md §8 discipline)
+# ---------------------------------------------------------------------------
+
+
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Friedman rank test ingredients — the within-block
+    nonparametric k-treatment comparison (blocks = order months,
+    treatments = the 5 order priorities, cell = monthly floor-cents):
+    does priority affect revenue CONSISTENTLY across months?  The
+    repeated-measures sibling of q_kruskal_wallis (independent groups)
+    and q_page_trend (ordered alternative).  Ranks are within-block
+    with exact average-rank ties via the DOUBLED encoding
+    (avgrank2 = 2·minrank + ties − 1 — integer always), blocks missing
+    a treatment are dropped in-plan (Friedman requires complete
+    blocks), and the statistic χ²_F = 3·Σdev² / (b·k·(k+1)) with
+    dev = R2_j − b(k+1) is assembled from exact ints, one IEEE
+    division at the end.
+
+    Scale: the fact scan collapses to the (month, priority) aggregate
+    first; everything after is over b·k ≤ 420 rows — calendar-bounded,
+    SF-invariant (the q_cusum regime).
+    """
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+            F.col("o_orderpriority").alias("treatment"),
+        )
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+    )
+    k = 5
+    wblk = Window.partitionBy("blk")
+    complete = (
+        cells.withColumn("kk", F.count(F.lit(1)).over(wblk))
+        .filter(F.col("kk") == k)
+        .drop("kk")
+    )
+    wr = Window.partitionBy("blk").orderBy(F.asc("cents"))
+    wt = Window.partitionBy("blk", "cents")
+    ranked = complete.withColumn(
+        "avgrank2",
+        (
+            F.rank().over(wr) * 2 + F.count(F.lit(1)).over(wt) - 1
+        ).cast("bigint"),
+    )
+    per_t = ranked.groupBy("treatment").agg(
+        F.sum("avgrank2").cast("bigint").alias("r2"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    dev = (F.col("r2") - F.col("b") * F.lit(k + 1)).cast("bigint")
+    per_t = per_t.withColumn("dev", dev)
+    tot = per_t.agg(
+        F.sum(F.expr("dev * dev")).cast("bigint").alias("ss_dev"),
+        F.max("b").cast("bigint").alias("bb"),
+    )
+    return per_t.crossJoin(F.broadcast(tot)).select(
+        "treatment",
+        "r2",
+        "dev",
+        "b",
+        F.lit(k).cast("bigint").alias("k"),
+        (
+            F.lit(3.0)
+            * F.col("ss_dev").cast("double")
+            / (
+                F.col("bb").cast("double")
+                * F.lit(float(k))
+                * F.lit(float(k + 1))
+            )
+        ).alias("chi_f"),
+    )
+
+
+QUERIES_PART_B["q_friedman"] = q_friedman
+
+ORACLE_PART_B["q_friedman"] = """
+    WITH cells AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+               o_orderpriority AS treatment,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ), complete AS (
+        SELECT * FROM (
+            SELECT blk, treatment, cents,
+                   count(*) OVER (PARTITION BY blk) AS kk
+            FROM cells
+        ) WHERE kk = 5
+    ), ranked AS (
+        SELECT treatment,
+               CAST(rank() OVER (PARTITION BY blk ORDER BY cents ASC) * 2
+                    + count(*) OVER (PARTITION BY blk, cents) - 1
+                    AS BIGINT) AS avgrank2
+        FROM complete
+    ), per_t AS (
+        SELECT treatment,
+               CAST(sum(avgrank2) AS BIGINT) AS r2,
+               CAST(count(*) AS BIGINT) AS b
+        FROM ranked GROUP BY treatment
+    ), per_t2 AS (
+        SELECT treatment, r2, b, CAST(r2 - b * 6 AS BIGINT) AS dev
+        FROM per_t
+    ), tot AS (
+        SELECT CAST(sum(dev * dev) AS BIGINT) AS ss_dev,
+               CAST(max(b) AS BIGINT) AS bb
+        FROM per_t2
+    )
+    SELECT treatment, r2, dev, b, CAST(5 AS BIGINT) AS k,
+           3.0 * CAST(ss_dev AS DOUBLE)
+             / (CAST(bb AS DOUBLE) * 5.0 * 6.0) AS chi_f
+    FROM per_t2, tot
+"""
+
+
+def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Wilcoxon signed-rank ingredients — the PAIRED nonparametric
+    location test (pairs = daily revenue vs the same day 182 days
+    later): did revenue shift half a year on, ignoring the magnitude
+    scale?  Completes the nonparametric shelf: q_mann_whitney compares
+    independent samples, q_sign_test... this is its rank-weighted
+    upgrade.  Zero differences drop (Wilcoxon's rule), |diff| ranks
+    carry exact average-rank ties via the DOUBLED encoding, and the
+    emitted W⁺2/W⁻2 satisfy W⁺2 + W⁻2 = n(n+1) — an in-data identity
+    the tests pin.  One row out, all exact int64.
+
+    Scale: fact scan → daily aggregate (calendar-bounded); the pair
+    join and rank window run over ≤2.4k day rows, SF-invariant.
+    """
+    d = _daily_cents(spark, sf_dir)
+    d2 = d.select(
+        F.col("day").alias("day2"), F.col("cents").alias("cents2")
+    )
+    pairs = d.join(d2, F.expr("day2 = date_add(day, 182)")).select(
+        "day", (F.col("cents") - F.col("cents2")).alias("diff")
+    )
+    nz = pairs.filter(F.col("diff") != 0)
+    wr = Window.orderBy(F.abs(F.col("diff")).asc())
+    wt = Window.partitionBy(F.abs(F.col("diff")))
+    ranked = nz.withColumn(
+        "avgrank2",
+        (
+            F.rank().over(wr) * 2 + F.count(F.lit(1)).over(wt) - 1
+        ).cast("bigint"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nonzero"),
+        F.sum(F.when(F.col("diff") > 0, F.col("avgrank2")).otherwise(0))
+        .cast("bigint")
+        .alias("w_plus2"),
+        F.sum(F.when(F.col("diff") < 0, F.col("avgrank2")).otherwise(0))
+        .cast("bigint")
+        .alias("w_minus2"),
+    ).select(
+        "n_nonzero",
+        "w_plus2",
+        "w_minus2",
+        (F.col("w_plus2") + F.col("w_minus2")).alias("w_total2"),
+    )
+
+
+QUERIES_PART_B["q_wilcoxon_signed"] = q_wilcoxon_signed
+
+ORACLE_PART_B["q_wilcoxon_signed"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    pairs AS (
+        SELECT a.day, a.cents - b.cents AS diff
+        FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 182 DAY
+    ), nz AS (
+        SELECT * FROM pairs WHERE diff <> 0
+    ), ranked AS (
+        SELECT diff,
+               CAST(rank() OVER (ORDER BY abs(diff) ASC) * 2
+                    + count(*) OVER (PARTITION BY abs(diff)) - 1
+                    AS BIGINT) AS avgrank2
+        FROM nz
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nonzero,
+           CAST(sum(CASE WHEN diff > 0 THEN avgrank2 ELSE 0 END)
+                AS BIGINT) AS w_plus2,
+           CAST(sum(CASE WHEN diff < 0 THEN avgrank2 ELSE 0 END)
+                AS BIGINT) AS w_minus2,
+           CAST(sum(avgrank2) AS BIGINT) AS w_total2
+    FROM ranked
+"""
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ Good–Turing frequency re-estimation — the LM-smoothing
+    classic (Good 1953): for each observed corpus frequency r, the
+    adjusted count r* = (r+1)·N_{r+1}/N_r from the counts-of-counts
+    spectrum, the quantity Katz backoff and the Kneser–Ney discount
+    fits consume.  Emits one row per observed r: N_r, N_{r+1}, and
+    r* as a 1e9-quantized integer — guarded with the SCALE.md §8
+    quotient check, because (r+1)·N_{r+1}/N_r is DATA-UNBOUNDED
+    (a lone high-frequency type under a fat N_{r+1} shelf) and
+    Spark's div would wrap it silently.
+
+    Scale: one token explode + two keyed aggregates (type frequency,
+    then counts-of-counts); the spectrum join is over ≤ distinct-r
+    rows (grows like the vocabulary's frequency support, not the
+    corpus).
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    spectrum = freq.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    nxt = spectrum.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    j = (
+        spectrum.join(nxt, "r", "left")
+        .withColumn("n_r1", F.coalesce("n_r1", F.lit(0)).cast("bigint"))
+    )
+    num = "cast(r + 1 as decimal(19,0)) * n_r1 * 1000000000"
+    return j.select(
+        "r",
+        "n_r",
+        "n_r1",
+        F.expr(
+            f"CASE WHEN {num} <= (cast(9223372036854775807 as"
+            f" decimal(19,0)) + 1) * n_r - 1"
+            f" THEN cast({num} div n_r as bigint)"
+            f" ELSE raise_error('q_good_turing rstar_q: quotient exceeds"
+            f" int64 — lower the quantization scale (SCALE.md overflow"
+            f" section)') END"
+        ).alias("rstar_q"),
+    )
+
+
+QUERIES_PART_B["q_good_turing"] = q_good_turing
+
+ORACLE_PART_B["q_good_turing"] = r"""
+    WITH freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS r FROM (
+            SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS tok
+            FROM documents
+        ) GROUP BY tok
+    ), spectrum AS (
+        SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM freq GROUP BY r
+    ), j AS (
+        SELECT s.r, s.n_r,
+               CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_r1
+        FROM spectrum s LEFT JOIN spectrum nx ON nx.r = s.r + 1
+    )
+    SELECT r, n_r, n_r1,
+           CAST(CAST(r + 1 AS HUGEINT) * n_r1 * 1000000000 // n_r
+                AS BIGINT) AS rstar_q
+    FROM j
+"""
+
+
+def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ Chao1 vocabulary-richness estimator (bias-corrected form,
+    Chao 1984): how many token types does the corpus REALLY have,
+    counting the unseen mass from the singleton/doubleton balance —
+    D + f₁(f₁−1)/(2(f₂+1))?  The "how much more data before the
+    vocabulary saturates" number a corpus-curation pipeline reads next
+    to Heaps' law (q_heaps_law fits growth; this estimates the
+    asymptote).  The bias-corrected denominator 2(f₂+1) is never zero,
+    so the estimator is total; the add-on term is emitted as a
+    1e9-quantized integer under the SCALE.md §8 quotient guard
+    (f₁²/f₂ is data-unbounded).
+
+    Scale: the same two keyed aggregates as q_good_turing, then a
+    1-row reduce.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    agg = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_types"),
+        F.sum((F.col("r") == 1).cast("bigint")).cast("bigint").alias("f1"),
+        F.sum((F.col("r") == 2).cast("bigint")).cast("bigint").alias("f2"),
+    )
+    num = "cast(f1 as decimal(19,0)) * (f1 - 1) * 1000000000"
+    return agg.select(
+        "d_types",
+        "f1",
+        "f2",
+        F.expr(
+            f"CASE WHEN {num} <= (cast(9223372036854775807 as"
+            f" decimal(19,0)) + 1) * (2 * (f2 + 1)) - 1"
+            f" THEN cast({num} div (2 * (f2 + 1)) as bigint)"
+            f" ELSE raise_error('q_chao1 add_q: quotient exceeds int64 —"
+            f" lower the quantization scale (SCALE.md overflow section)')"
+            f" END"
+        ).alias("chao1_add_q"),
+    )
+
+
+QUERIES_PART_B["q_chao1"] = q_chao1
+
+ORACLE_PART_B["q_chao1"] = r"""
+    WITH freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS r FROM (
+            SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS tok
+            FROM documents
+        ) GROUP BY tok
+    )
+    SELECT CAST(count(*) AS BIGINT) AS d_types,
+           CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                * (sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) - 1)
+                * 1000000000
+                // (2 * (sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1))
+                AS BIGINT) AS chao1_add_q
+    FROM freq
+"""
+
+
+def q_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Herfindahl–Hirschman concentration index + CR4 — the
+    antitrust market-structure numbers (HHI = Σ shareᵢ², CR4 = top-4
+    cumulative share) over supplier revenue: is the supply base
+    concentrated enough to be a risk?  Complements q_gini_customers
+    (inequality of the WHOLE distribution) and q_pareto_8020 (one
+    cut point) with the squared-share measure regulators threshold.
+    Shares are exact 1e9-quantized integers (cᵢ·1e9 div T — quotient
+    ≤ 1e9 by construction, the ratio-shape exemption of SCALE.md §8);
+    HHI then needs only Σ share9² div 1e9 — bounded by convexity at
+    1e18, inside int64 — and CR4 a 4-row TakeOrdered.
+
+    Scale: one fact-collapsing supplier aggregate, a 1-row total
+    broadcast, one top-4; nothing else touches data size.
+    """
+    by_sup = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.expr("cast(floor(l_extendedprice * 100) as bigint)")
+            ).alias("c")
+        )
+    )
+    tot = by_sup.agg(F.sum("c").cast("bigint").alias("t"))
+    shares = by_sup.crossJoin(F.broadcast(tot)).select(
+        "l_suppkey",
+        "c",
+        F.expr(
+            "cast(cast(c as decimal(19,0)) * 1000000000 div t as bigint)"
+        ).alias("share9"),
+    ).localCheckpoint()
+    hhi = shares.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        _checked_bigint(
+            F.sum(_dec19("share9") * _dec19("share9")).cast("decimal(38,0)"),
+            "q_herfindahl sum(share9^2)",
+        ).alias("ss"),
+    ).select(
+        "n_suppliers", F.expr("ss div 1000000000").cast("bigint").alias("hhi_q")
+    )
+    top4 = (
+        shares.orderBy(F.desc("c"), F.asc("l_suppkey"))
+        .limit(4)
+        .agg(F.sum("share9").cast("bigint").alias("cr4_share9"))
+    )
+    top1 = (
+        shares.orderBy(F.desc("c"), F.asc("l_suppkey"))
+        .limit(1)
+        .select(F.col("share9").alias("top1_share9"))
+    )
+    return (
+        hhi.crossJoin(F.broadcast(top4))
+        .crossJoin(F.broadcast(top1))
+        .select("n_suppliers", "hhi_q", "cr4_share9", "top1_share9")
+    )
+
+
+QUERIES_PART_B["q_herfindahl"] = q_herfindahl
+
+ORACLE_PART_B["q_herfindahl"] = """
+    WITH by_sup AS (
+        SELECT l_suppkey,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS c
+        FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS t FROM by_sup
+    ), shares AS (
+        SELECT l_suppkey, c,
+               CAST(CAST(c AS HUGEINT) * 1000000000 // t AS BIGINT)
+                 AS share9
+        FROM by_sup, tot
+    ), hhi AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(share9 AS HUGEINT) * share9) // 1000000000
+                    AS BIGINT) AS hhi_q
+        FROM shares
+    ), top4 AS (
+        SELECT CAST(sum(share9) AS BIGINT) AS cr4_share9 FROM (
+            SELECT share9 FROM shares
+            ORDER BY c DESC, l_suppkey ASC LIMIT 4
+        )
+    ), top1 AS (
+        SELECT share9 AS top1_share9 FROM shares
+        ORDER BY c DESC, l_suppkey ASC LIMIT 1
+    )
+    SELECT n_suppliers, hhi_q, cr4_share9, top1_share9
+    FROM hhi, top4, top1
+"""

@@ -285,3 +285,117 @@ ORACLE_STREAMING["q_fingerprint_maintained"] = """
     FROM c
     GROUP BY bucket
 """
+
+
+def q_reconcile_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2+ stream-maintained settlement reconciliation == one-shot
+    batch run (streaming/ingest.py stream_reconcile): purchase-vs-view
+    ledger entries arrive in three time-ordered micro-batches, each
+    batch matching one-to-one against the accumulated open-breaks
+    backlog (the rank-prefix immutability contract); the emitted frame
+    is the per-user daily-ops report — matched count, per-side open
+    breaks, exact cent drift — assembled from the maintainer's matched
+    feed plus its final pending snapshot.  The oracle is the q_reconcile
+    GLOBAL batch SQL over all of events: chunks are cut on ts
+    boundaries, so arrival order refines (ts, event_id) and the
+    rebuild identity makes streamed == one-shot exactly.
+
+    Scale: per batch two rank windows + one co-partitioned join over
+    |pending| + |batch| rows; matched history is never re-read.
+    """
+    import glob as _glob
+
+    from loan_etl_data_pipeline_spark.streaming.ingest import stream_reconcile
+
+    src = _chunked_events(spark, sf_dir)
+    root = _stream_root(sf_dir, "recm")
+    stream = (
+        _event_stream(spark, src)
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .withColumn("cents", F.expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+        .withColumn("bucket", F.expr("cents div 1000"))
+    )
+    q = stream_reconcile(
+        stream,
+        pending_dir=f"{root}/pending",
+        out_dir=f"{root}/out",
+        checkpoint_dir=f"{root}/ckpt",
+        side_col="event_type",
+        side_a="purchase",
+        side_b="view",
+        key_cols=["user_id", "bucket"],
+        order_cols=["ts", "event_id"],
+        value_col="cents",
+    )
+    q.awaitTermination()
+    matched = spark.read.parquet(f"{root}/out/batch=*")
+    last = max(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(f"{root}/pending/batch=*")
+    )
+    pending = spark.read.parquet(f"{root}/pending/batch={last}")
+    m = matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum(F.abs(F.col("cents_a") - F.col("cents_b")))
+        .cast("bigint")
+        .alias("drift_c"),
+    )
+    p = pending.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("bigint"))
+        .cast("bigint")
+        .alias("n_only_ledger"),
+        F.sum((F.col("event_type") == "view").cast("bigint"))
+        .cast("bigint")
+        .alias("n_only_feed"),
+    )
+    return m.join(p, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+        F.coalesce("n_only_ledger", F.lit(0))
+        .cast("bigint")
+        .alias("n_only_ledger"),
+        F.coalesce("n_only_feed", F.lit(0))
+        .cast("bigint")
+        .alias("n_only_feed"),
+        F.coalesce("drift_c", F.lit(0)).cast("bigint").alias("drift_c"),
+    )
+
+
+QUERIES_STREAMING["q_reconcile_maintained"] = q_reconcile_maintained
+
+# the one-shot global batch rebuild — textually the q_reconcile oracle:
+# streamed (pending-backlog) matching must equal it exactly
+ORACLE_STREAMING["q_reconcile_maintained"] = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               CAST(FLOOR(value * 100) AS BIGINT) // 1000 AS bucket
+        FROM events
+    ), a AS (
+        SELECT user_id, bucket, cents,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts, event_id) AS rk
+        FROM ev WHERE event_type = 'purchase'
+    ), b AS (
+        SELECT user_id, bucket, cents,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts, event_id) AS rk
+        FROM ev WHERE event_type = 'view'
+    ), j AS (
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+               a.cents AS ca, b.cents AS cb,
+               a.rk IS NOT NULL AS pa, b.rk IS NOT NULL AS pb
+        FROM a FULL OUTER JOIN b
+          ON a.user_id = b.user_id AND a.bucket = b.bucket AND a.rk = b.rk
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           CAST(sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_ledger,
+           CAST(sum(CASE WHEN pb AND NOT pa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_feed,
+           CAST(sum(CASE WHEN pa AND pb
+                    THEN abs(ca - cb) ELSE 0 END) AS BIGINT) AS drift_c
+    FROM j GROUP BY user_id
+"""

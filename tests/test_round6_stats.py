@@ -1,0 +1,121 @@
+"""Hand-value fixtures for the round-6 additions: Friedman blocks,
+Wilcoxon signed-rank, Good–Turing / Chao1 vocabulary estimators,
+Herfindahl/CR4 concentration, Cohen's kappa, and the streaming
+maintainer parity queries.  Each plants a fixture whose statistic is
+known in closed form, so a green oracle can never be green-by-both-
+engines-wrong."""
+
+from __future__ import annotations
+
+import datetime
+
+from loan_etl_data_pipeline_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+def test_friedman_perfectly_consistent_blocks(spark, tmp_path):
+    """Two months, five priorities, identical orderings: avgrank2 per
+    month = 2,4,6,8,10 → R2 = 4..20, dev = -8,-4,0,4,8, Σdev² = 160,
+    χ²_F = 3·160/(2·5·6) = 8 — the b=2, k=5 maximum (perfect
+    consistency)."""
+    rows = []
+    for m, day in ((1, datetime.date(2024, 1, 15)), (2, datetime.date(2024, 2, 15))):
+        for i, prio in enumerate(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"]):
+            rows.append((day, prio, 100.0 * (i + 1)))
+    _write(spark, tmp_path, "orders",
+           rows, "o_orderdate date, o_orderpriority string, o_totalprice double")
+    out = {r["treatment"]: r for r in QUERIES["q_friedman"](spark, str(tmp_path)).collect()}
+    assert len(out) == 5
+    assert [out[p]["r2"] for p in sorted(out)] == [4, 8, 12, 16, 20]
+    assert out["1-URGENT"]["dev"] == -8 and out["5-LOW"]["dev"] == 8
+    for r in out.values():
+        assert r["b"] == 2 and r["k"] == 5
+        assert r["chi_f"] == 8.0
+
+
+def test_friedman_drops_incomplete_blocks(spark, tmp_path):
+    """A month missing a priority must not contribute ranks."""
+    rows = [
+        (datetime.date(2024, 1, 15), p, 100.0 * (i + 1))
+        for i, p in enumerate(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"])
+    ]
+    rows += [(datetime.date(2024, 2, 15), "1-URGENT", 50.0)]  # incomplete
+    _write(spark, tmp_path, "orders",
+           rows, "o_orderdate date, o_orderpriority string, o_totalprice double")
+    out = QUERIES["q_friedman"](spark, str(tmp_path)).collect()
+    assert all(r["b"] == 1 for r in out)
+
+
+def test_wilcoxon_signed_hand_ranks(spark, tmp_path):
+    """Three pairs with diffs +10, -20, +30 (and one zero pair that
+    must drop): |diff| ranks 1,2,3 → doubled 2,4,6; W+2 = 8, W-2 = 4,
+    total = n(n+1) = 12."""
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    # day d revenue x, day d+182 revenue y -> diff = x - y (cents)
+    for i, (x, y) in enumerate([(1.10, 1.00), (1.00, 1.20), (1.50, 1.20), (2.00, 2.00)]):
+        d = base + datetime.timedelta(days=i)
+        rows.append((d, x))
+        rows.append((d + datetime.timedelta(days=182), y))
+    _write(spark, tmp_path, "orders",
+           rows, "o_orderdate date, o_totalprice double")
+    r = QUERIES["q_wilcoxon_signed"](spark, str(tmp_path)).collect()[0]
+    assert r["n_nonzero"] == 3
+    assert r["w_plus2"] == 8 and r["w_minus2"] == 4
+    assert r["w_total2"] == 12  # n(n+1) identity, doubled encoding
+
+
+def test_wilcoxon_identity_on_sf(spark, sf_dir):
+    r = QUERIES["q_wilcoxon_signed"](spark, sf_dir).collect()[0]
+    n = r["n_nonzero"]
+    assert r["w_total2"] == n * (n + 1)
+
+
+def test_good_turing_hand_spectrum(spark, tmp_path):
+    """Tokens a×3 b×1 c×1 d×2 → N1=2, N2=1, N3=1; r*(1) = 2·N2/N1 = 1
+    → 1e9; r*(2) = 3·N3/N2 = 3 → 3e9; r*(3) = 4·N4/N3 = 0."""
+    _write(spark, tmp_path, "documents",
+           [(1, "a a a b"), (2, "c d d")], "doc_id bigint, text string")
+    out = {r["r"]: r for r in QUERIES["q_good_turing"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_r"] == 2 and out[1]["n_r1"] == 1
+    assert out[1]["rstar_q"] == 10**9
+    assert out[2]["rstar_q"] == 3 * 10**9
+    assert out[3]["n_r1"] == 0 and out[3]["rstar_q"] == 0
+
+
+def test_chao1_hand_counts(spark, tmp_path):
+    """Same fixture: D=4, f1=2, f2=1 → add = 2·1·1e9/(2·2) = 5e8."""
+    _write(spark, tmp_path, "documents",
+           [(1, "a a a b"), (2, "c d d")], "doc_id bigint, text string")
+    r = QUERIES["q_chao1"](spark, str(tmp_path)).collect()[0]
+    assert (r["d_types"], r["f1"], r["f2"]) == (4, 2, 1)
+    assert r["chao1_add_q"] == 5 * 10**8
+
+
+def test_herfindahl_two_suppliers(spark, tmp_path):
+    """Suppliers 3:1 → shares 0.75/0.25, HHI = 0.625 → 6.25e8; CR4
+    covers both = 1e9; top1 = 7.5e8."""
+    _write(spark, tmp_path, "lineitem",
+           [(1, 2.00), (1, 1.00), (2, 1.00)],
+           "l_suppkey bigint, l_extendedprice double")
+    r = QUERIES["q_herfindahl"](spark, str(tmp_path)).collect()[0]
+    assert r["n_suppliers"] == 2
+    assert r["top1_share9"] == 750_000_000
+    assert r["cr4_share9"] == 10**9
+    assert r["hhi_q"] == 625_000_000
+
+
+def test_reconcile_maintained_matches_batch_sibling(spark, sf_dir):
+    """The stream-maintained reconciliation must equal the certified
+    batch q_reconcile on the same tables — the rebuild identity the
+    oracle also pins, asserted engine-side for a second angle."""
+    a = {tuple(r) for r in QUERIES["q_reconcile_maintained"](spark, sf_dir).collect()}
+    b = {tuple(r) for r in QUERIES["q_reconcile"](spark, sf_dir).collect()}
+    assert a == b
