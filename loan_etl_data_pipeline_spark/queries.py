@@ -23917,3 +23917,234 @@ ORACLE_PART_B["q_herfindahl"] = """
     SELECT n_suppliers, hhi_q, cr4_share9, top1_share9
     FROM hhi, top4, top1
 """
+
+
+def q_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ EWMA control chart over daily revenue — the iterated
+    integer recurrence s_t = (2·c_t + 8·s_{t−1}) div 10 (λ = 0.2,
+    truncating — identical in Spark SQL and DuckDB) with the one-step
+    -ahead forecast error resid_t = c_t − s_{t−1}, the statistic an
+    EWMA chart alarms on.  Distinct from q_ses_level (α = 1/2 SES via
+    power-of-two PREFIX WEIGHTS, one level per month): this is a true
+    sequential fold certified against a 2.4k-step recursive-CTE
+    replay, emitting the whole per-day chart.
+
+    Scale: the fact scan collapses to the calendar-bounded daily
+    aggregate; the fold runs over a ≤2.4k-element array (SF-invariant,
+    the amortization-fold regime — interpreted cost ~µs/step at this
+    length, far under the Arrow-kernel crossover).
+    """
+    d = _daily_cents(spark, sf_dir)
+    arr = d.agg(
+        F.expr("array_sort(collect_list(struct(day, cents)))").alias("a")
+    )
+    folded = arr.select(
+        F.expr(
+            """
+            aggregate(
+              a,
+              cast(array() as array<struct<day:date,c:bigint,s:bigint,r:bigint>>),
+              (acc, x) -> array_append(acc, named_struct(
+                'day', x.day,
+                'c', x.cents,
+                's', CASE WHEN size(acc) = 0 THEN x.cents
+                          ELSE (2 * x.cents + 8 * element_at(acc, -1).s)
+                               div 10 END,
+                'r', CASE WHEN size(acc) = 0 THEN 0L
+                          ELSE x.cents - element_at(acc, -1).s END))
+            )
+            """
+        ).alias("chart")
+    )
+    return folded.select(F.explode("chart").alias("e")).select(
+        F.date_format("e.day", "yyyy-MM-dd").alias("day"),
+        F.col("e.c").alias("cents"),
+        F.col("e.s").alias("ewma"),
+        F.col("e.r").alias("resid"),
+    )
+
+
+QUERIES_PART_B["q_ewma_control"] = q_ewma_control
+
+ORACLE_PART_B["q_ewma_control"] = f"""
+    WITH RECURSIVE {_DAILY_CENTS_SQL},
+    ranked AS MATERIALIZED (
+        SELECT day, cents, row_number() OVER (ORDER BY day) AS t
+        FROM daily
+    ),
+    r AS (
+        SELECT t, day, cents, cents AS s, CAST(0 AS BIGINT) AS resid
+        FROM ranked WHERE t = 1
+        UNION ALL
+        SELECT d.t, d.day, d.cents,
+               (2 * d.cents + 8 * r.s) // 10,
+               d.cents - r.s
+        FROM r JOIN ranked d ON d.t = r.t + 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+           CAST(s AS BIGINT) AS ewma, CAST(resid AS BIGINT) AS resid
+    FROM r
+"""
+
+
+def q_dirichlet_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ Dirichlet-prior query-likelihood scoring ingredients
+    (Zhai–Lafferty 2001, µ = 2000) for the standing BM25 terms: the
+    smoothed term probability p(t|d) = (tf + µ·cf/C)/(dl + µ) for
+    every candidate document (contains ≥1 query term) × query term —
+    including the unseen terms, whose probability the Dirichlet prior
+    supplies (the property BM25 lacks and the reason QL needs no
+    coordination matching).  Kept EXACTLY rational on the common
+    denominator: p9 = (tf·C + µ·cf)·1e9 div ((dl + µ)·C) — a
+    ratio-shape quotient (tf ≤ dl ⇒ p ≤ 1) per SCALE.md §8, products
+    through decimal(38,0).  Corpus-ABSENT query terms (cf = 0) carry
+    no mass and emit no row — engine and oracle agree on dropping
+    them (documented contract, hand-tested).  The ln-sum ranking is
+    left to the caller (the q_walk_pmi transcendental discipline).
+
+    Scale: the posts aggregate is the only fact-sized shuffle; the
+    candidate × 3-term grid is a broadcast cross of the query row set.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tokens
+
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        tokens(F.lower(F.col("text"))).alias("t"),
+    )
+    posts = (
+        base.select("id", F.size("t").alias("dl"), F.explode("t").alias("tok"))
+        .groupBy("id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    corpus = base.agg(
+        F.sum(F.size("t")).cast("bigint").alias("c_total")
+    )
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_TERMS], "tok string"
+    )
+    cf = (
+        posts.join(F.broadcast(qterms), "tok")
+        .groupBy("tok")
+        .agg(F.sum("tf").cast("bigint").alias("cf"))
+    )
+    cand = (
+        posts.join(F.broadcast(qterms), "tok")
+        .select("id", "dl")
+        .distinct()
+    )
+    grid = cand.crossJoin(F.broadcast(cf)).join(
+        posts.join(F.broadcast(qterms), "tok").select("id", "tok", "tf"),
+        ["id", "tok"],
+        "left",
+    ).withColumn("tf", F.coalesce("tf", F.lit(0)).cast("bigint"))
+    mu = 2000
+    out = grid.crossJoin(F.broadcast(corpus)).select(
+        "id",
+        "tok",
+        "tf",
+        "dl",
+        F.expr(
+            f"cast((cast(tf as decimal(19,0)) * c_total + {mu} * cf)"
+            f" * 1000000000"
+            f" div (cast(dl + {mu} as decimal(19,0)) * c_total) as bigint)"
+        ).alias("p9"),
+    )
+    return out
+
+
+QUERIES_PART_B["q_dirichlet_lm"] = q_dirichlet_lm
+
+ORACLE_PART_B["q_dirichlet_lm"] = r"""
+    WITH base AS (
+        SELECT doc_id AS id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ), posts AS (
+        SELECT id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT id, len(t) AS dl, UNNEST(t) AS tok FROM base
+        ) GROUP BY id, dl, tok
+    ), corpus AS (
+        SELECT CAST(sum(len(t)) AS BIGINT) AS c_total FROM base
+    ), qterms AS (
+        SELECT UNNEST(['spark', 'join', 'window']) AS tok
+    ), cf AS (
+        SELECT tok, CAST(sum(tf) AS BIGINT) AS cf
+        FROM posts JOIN qterms USING (tok) GROUP BY tok
+    ), cand AS (
+        SELECT DISTINCT id, dl FROM posts JOIN qterms USING (tok)
+    ), grid AS (
+        SELECT c.id, c.dl, f.tok, f.cf,
+               CAST(coalesce(p.tf, 0) AS BIGINT) AS tf
+        FROM cand c CROSS JOIN cf f
+        LEFT JOIN (SELECT id, tok, tf FROM posts JOIN qterms USING (tok)) p
+          ON p.id = c.id AND p.tok = f.tok
+    )
+    SELECT id, tok, tf, dl,
+           CAST((CAST(tf AS HUGEINT) * c_total + 2000 * cf) * 1000000000
+                // (CAST(dl + 2000 AS HUGEINT) * c_total) AS BIGINT) AS p9
+    FROM grid, corpus
+"""
+
+
+def q_lincoln_petersen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ capture–recapture population estimate (Chapman's
+    bias-corrected Lincoln–Petersen): "sample 1" = customers ordering
+    in 1995, "sample 2" = in 1996, recaptures m = both; N̂ =
+    (n₁+1)(n₂+1)/(m+1) − 1 estimates the active customer population
+    from two observation windows — the dark-traffic / dedup-coverage
+    estimator (how many entities exist that NEITHER window saw),
+    pairing with q_chao1 (abundance-based) as the incidence-based
+    richness view.  Chapman's +1s make the estimator total (m = 0
+    safe); the quantized N̂ rides the SCALE.md §8 quotient guard
+    (n₁·n₂/m is data-unbounded when overlap is tiny).
+
+    Scale: two year-filtered distinct-key aggregates + one semi-join
+    count; three scalars out.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    s1 = o.filter(F.col("y") == 1995).select("o_custkey").distinct()
+    s2 = o.filter(F.col("y") == 1996).select("o_custkey").distinct()
+    both = s1.join(s2, "o_custkey", "semi")
+    agg = (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
+        .crossJoin(both.agg(F.count(F.lit(1)).cast("bigint").alias("m")))
+    )
+    num = "(cast(n1 as decimal(19,0)) + 1) * (n2 + 1) * 1000000000"
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        F.expr(
+            f"CASE WHEN {num} <= (cast(9223372036854775807 as"
+            f" decimal(19,0)) + 1) * (m + 1) - 1"
+            f" THEN cast({num} div (m + 1) as bigint) - 1000000000"
+            f" ELSE raise_error('q_lincoln_petersen nhat_q: quotient"
+            f" exceeds int64 (SCALE.md overflow section)') END"
+        ).alias("nhat_q"),
+    )
+
+
+QUERIES_PART_B["q_lincoln_petersen"] = q_lincoln_petersen
+
+ORACLE_PART_B["q_lincoln_petersen"] = """
+    WITH s1 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995
+    ), s2 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1996
+    ), agg AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM s1 WHERE o_custkey IN (SELECT o_custkey FROM s2))
+                 AS m
+    )
+    SELECT n1, n2, m,
+           CAST((CAST(n1 AS HUGEINT) + 1) * (n2 + 1) * 1000000000
+                // (m + 1) AS BIGINT) - 1000000000 AS nhat_q
+    FROM agg
+"""

@@ -119,3 +119,47 @@ def test_reconcile_maintained_matches_batch_sibling(spark, sf_dir):
     a = {tuple(r) for r in QUERIES["q_reconcile_maintained"](spark, sf_dir).collect()}
     b = {tuple(r) for r in QUERIES["q_reconcile"](spark, sf_dir).collect()}
     assert a == b
+
+
+def test_ewma_control_hand_recursion(spark, tmp_path):
+    """Days 100, 200, 300 cents: s = 100, (400+800)div10 = 120,
+    (600+960)div10 = 156; resid = 0, 100, 180."""
+    base = datetime.date(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=i), 1.00 * (i + 1)) for i in range(3)]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderdate date, o_totalprice double")
+    out = {r["day"]: r for r in QUERIES["q_ewma_control"](spark, str(tmp_path)).collect()}
+    assert [out[d]["ewma"] for d in sorted(out)] == [100, 120, 156]
+    assert [out[d]["resid"] for d in sorted(out)] == [0, 100, 180]
+
+
+def test_dirichlet_lm_hand_probability(spark, tmp_path):
+    """doc1 = 'spark join x' (candidate), doc2 = 'y y' (no query term
+    -> not a candidate).  C = 5 tokens; cf(spark) = cf(join) = 1;
+    'window' is corpus-absent so it contributes no grid row (engine
+    and oracle agree on dropping zero-mass terms).  p9(spark|doc1) =
+    (1·5 + 2000·1)·1e9 div ((3+2000)·5)."""
+    _write(spark, tmp_path, "documents",
+           [(1, "spark join x"), (2, "y y")], "doc_id bigint, text string")
+    rows = QUERIES["q_dirichlet_lm"](spark, str(tmp_path)).collect()
+    assert {r["id"] for r in rows} == {1}
+    assert {r["tok"] for r in rows} == {"spark", "join"}
+    expect = (1 * 5 + 2000 * 1) * 10**9 // ((3 + 2000) * 5)
+    for r in rows:
+        assert r["tf"] == 1 and r["dl"] == 3
+        assert r["p9"] == expect
+
+
+def test_lincoln_petersen_chapman_hand(spark, tmp_path):
+    """Samples {A,B,C} / {B,C,D}: n1 = n2 = 3, m = 2; Chapman
+    N-hat = 4·4/3 − 1 -> nhat_q = 16e9 div 3 − 1e9."""
+    rows = [
+        (1, datetime.date(1995, 3, 1)), (2, datetime.date(1995, 4, 1)),
+        (3, datetime.date(1995, 5, 1)), (2, datetime.date(1996, 3, 1)),
+        (3, datetime.date(1996, 4, 1)), (4, datetime.date(1996, 5, 1)),
+    ]
+    _write(spark, tmp_path, "orders", rows,
+           "o_custkey bigint, o_orderdate date")
+    r = QUERIES["q_lincoln_petersen"](spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"], r["m"]) == (3, 3, 2)
+    assert r["nhat_q"] == 16 * 10**9 // 3 - 10**9
