@@ -23981,7 +23981,8 @@ ORACLE_PART_B["q_ewma_control"] = f"""
                d.cents - r.s
         FROM r JOIN ranked d ON d.t = r.t + 1
     )
-    SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(cents AS BIGINT) AS cents,
            CAST(s AS BIGINT) AS ewma, CAST(resid AS BIGINT) AS resid
     FROM r
 """
@@ -24109,8 +24110,12 @@ def q_lincoln_petersen(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = s1.join(s2, "o_custkey", "semi")
     agg = (
         s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
-        .crossJoin(both.agg(F.count(F.lit(1)).cast("bigint").alias("m")))
+        .crossJoin(
+            F.broadcast(s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
+        )
+        .crossJoin(
+            F.broadcast(both.agg(F.count(F.lit(1)).cast("bigint").alias("m")))
+        )
     )
     num = "(cast(n1 as decimal(19,0)) + 1) * (n2 + 1) * 1000000000"
     return agg.select(

@@ -34,11 +34,15 @@ REPO_DIR = os.path.dirname(TESTS_DIR)
 # (the oracle-parity gate is hash-sharded into 4 files — VERDICT r5
 # ask #2 — so no single shard dominates the critical path)
 _BIG_FIRST = [
-    "test_fleet_invariants.py",
+    "test_fleet_invariants_0.py",
+    "test_fleet_invariants_1.py",
+    "test_fleet_invariants_2.py",
+    "test_fleet_invariants_3.py",
     "test_oracle_parity_0.py",
     "test_oracle_parity_1.py",
     "test_oracle_parity_2.py",
     "test_oracle_parity_3.py",
+    "test_graph.py",
     "test_streaming.py",
     "test_etl.py",
     "test_dedup.py",

@@ -1,40 +1,31 @@
 """Fleet-wide plan invariants: the house discipline, machine-checked.
 
 The engine's standing claims — no row-at-a-time Python UDFs anywhere,
-no cartesian products, every Python stage Arrow-batched — have so far
-been enforced by greps and per-query plan pins. This builds the
-physical plan of EVERY registered query (plan construction only; the
-handful of operators that collect a bounded batch while BUILDING their
-plan run their small driver jobs) and asserts the invariants through
-the structured auditor (plans/audit.py), so a future query that
-accidentally compiles a cartesian or a BatchEvalPython stage fails CI
-by name instead of surviving until a judge reads its plan.
+no cartesian products, every Python stage Arrow-batched — are enforced
+by building the physical plan of EVERY registered query and asserting
+the invariants through the structured auditor (plans/audit.py).  The
+per-query plan builds are hash-sharded across
+``test_fleet_invariants_{0..3}.py`` (same discipline as the
+oracle-parity split — one all-plans test was partest's ~6 min critical
+path); this file keeps the partition-integrity check and the positive
+controls that prove the auditor is not vacuous.
 """
 
 from __future__ import annotations
 
+from _fleet_common import N_SHARDS, QUERIES, shard_names
+
 from loan_etl_data_pipeline_spark.plans.audit import plan_health
-from loan_etl_data_pipeline_spark.queries import all_queries
 
 
-def test_no_cartesian_no_row_udf_anywhere(spark, sf_dir):
-    import pyspark.sql.functions as F  # noqa: F401
-
-    violations = []
-    for name, fn in all_queries().items():
-        try:
-            h = plan_health(fn(spark, sf_dir))
-        except Exception as e:  # plan must at least BUILD
-            violations.append((name, f"plan build failed: {e!r}"[:220]))
-            continue
-        if h["cartesian_products"]:
-            violations.append(
-                (name, f"cartesian_products={h['cartesian_products']}")
-            )
-        if h["row_udf_stages"]:
-            violations.append((name, "BatchEvalPythonExec (row-at-a-time UDF)"))
-        spark.catalog.clearCache()  # queries may persist intermediates
-    assert not violations, violations
+def test_shards_partition_every_query():
+    """The four shard files must form an EXACT partition of the query
+    registry — no plan lost, none double-built."""
+    union: list[str] = []
+    for k in range(N_SHARDS):
+        union.extend(shard_names(k))
+    assert sorted(union) == sorted(QUERIES)
+    assert len(union) == len(set(union))
 
 
 def test_invariant_detectors_are_not_vacuous(spark):
