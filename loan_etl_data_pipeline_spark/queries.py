@@ -24153,3 +24153,375 @@ ORACLE_PART_B["q_lincoln_petersen"] = """
                 // (m + 1) AS BIGINT) - 1000000000 AS nhat_q
     FROM agg
 """
+
+
+def q_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ two-sample Q-Q table — the DISTRIBUTION-SHAPE comparison
+    the scalar tests compress away (q_ks_test gives one sup-distance,
+    q_mood_median one center, q_ansari_bradley one dispersion; a Q-Q
+    table shows WHERE the F-vs-O order-price distributions diverge):
+    for each decile d = 1..9, the exact doubled order statistic
+    (lo+hi positions of (d·(n−1)) div 10 — integer always, the
+    doubled-median device generalized) per order-status group, side by
+    side with the difference.
+
+    Plan: ONE checkpointed rank pass (every consumer — the counts, the
+    probe — reads the materialized frame instead of replaying the
+    window), then the 36-row (group, decile, position, lo/hi) target
+    frame broadcast-joins the ranked rows; a decile landing on an
+    exact position carries BOTH its lo and hi target rows, so the
+    per-(group, decile) SUM is the doubled statistic with no
+    special-casing.
+
+    Scale: one rank shuffle per group over the value-grouped frame
+    (global_rank past driver-window scale, the q_weighted_median
+    note); the probe join is a 36-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    ).select(
+        "o_orderstatus",
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("cents"), F.asc("o_orderkey")
+    )
+    ranked = o.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).localCheckpoint()
+    ns = ranked.groupBy("o_orderstatus").agg(
+        F.max("rk").cast("bigint").alias("n")
+    )
+    d = spark.range(1, 10).select(F.col("id").cast("bigint").alias("dec"))
+    grid = ns.crossJoin(F.broadcast(d)).select(
+        "o_orderstatus",
+        "n",
+        "dec",
+        F.expr("(dec * (n - 1)) div 10 + 1").alias("lo"),
+        F.expr(
+            "(dec * (n - 1)) div 10 + 1"
+            " + CASE WHEN (dec * (n - 1)) % 10 > 0 THEN 1 ELSE 0 END"
+        ).alias("hi"),
+    )
+    targets = grid.select(
+        F.col("o_orderstatus").alias("tos"), "n", "dec",
+        F.col("lo").alias("pos"),
+    ).unionByName(
+        grid.select(
+            F.col("o_orderstatus").alias("tos"), "n", "dec",
+            F.col("hi").alias("pos"),
+        )
+    )
+    both = (
+        ranked.join(
+            F.broadcast(targets),
+            (F.col("o_orderstatus") == F.col("tos"))
+            & (F.col("rk") == F.col("pos")),
+        )
+        .groupBy(
+            F.col("o_orderstatus").alias("grp"), F.col("dec"), F.col("n")
+        )
+        .agg(F.sum("cents").cast("bigint").alias("q2"))
+    )
+    f = both.filter(F.col("grp") == "F").select(
+        "dec", F.col("n").alias("n_f"), F.col("q2").alias("q2_f")
+    )
+    ot = both.filter(F.col("grp") == "O").select(
+        "dec", F.col("n").alias("n_o"), F.col("q2").alias("q2_o")
+    )
+    return f.join(ot, "dec").select(
+        "dec",
+        "n_f",
+        "n_o",
+        "q2_f",
+        "q2_o",
+        (F.col("q2_f") - F.col("q2_o")).alias("q2_diff"),
+    )
+
+
+QUERIES_PART_B["q_qq_deciles"] = q_qq_deciles
+
+ORACLE_PART_B["q_qq_deciles"] = """
+    WITH o AS (
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), ranked AS (
+        SELECT o_orderstatus, cents,
+               CAST(row_number() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY cents, o_orderkey)
+                    AS BIGINT) AS rk
+        FROM o
+    ), ns AS (
+        SELECT o_orderstatus, CAST(max(rk) AS BIGINT) AS n
+        FROM ranked GROUP BY o_orderstatus
+    ), grid AS (
+        SELECT ns.o_orderstatus, ns.n, d.dec,
+               (d.dec * (ns.n - 1)) // 10 + 1 AS lo,
+               (d.dec * (ns.n - 1)) // 10 + 1
+                 + CASE WHEN (d.dec * (ns.n - 1)) % 10 > 0
+                        THEN 1 ELSE 0 END AS hi
+        FROM ns CROSS JOIN
+             (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS dec) d
+    ), q AS (
+        SELECT g.o_orderstatus AS grp, g.dec, g.n,
+               rl.cents + rh.cents AS q2
+        FROM grid g
+        JOIN ranked rl ON rl.o_orderstatus = g.o_orderstatus
+                      AND rl.rk = g.lo
+        JOIN ranked rh ON rh.o_orderstatus = g.o_orderstatus
+                      AND rh.rk = g.hi
+    )
+    SELECT f.dec, f.n AS n_f, o.n AS n_o,
+           f.q2 AS q2_f, o.q2 AS q2_o,
+           CAST(f.q2 - o.q2 AS BIGINT) AS q2_diff
+    FROM (SELECT * FROM q WHERE grp = 'F') f
+    JOIN (SELECT * FROM q WHERE grp = 'O') o ON f.dec = o.dec
+"""
+
+
+def q_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Theil's U₂ forecast-accuracy ingredients for the EWMA
+    one-step-ahead forecaster: U₂² = Σ(c_t − s_{t−1})² / Σ(c_t −
+    c_{t−1})² — the does-the-model-beat-naive-persistence number
+    (U₂ < 1 ⇔ the EWMA forecast improves on "tomorrow = today"),
+    closing the loop on q_ewma_control (the chart) and q_backtest
+    (the evaluation regime).  One fold over the calendar-bounded
+    daily array accumulates both squared sums in decimal(38,0)
+    (cents² overflows int64 at scale); emitted via the shared 2^32
+    limb split plus a 1e6-quantized ratio behind TWO explicit bounds:
+    the ratio bound U₂² ≤ 9 (a forecaster 3× worse than persistence
+    raises loudly instead of wrapping — the SCALE.md §8 quotient
+    discipline where the naive 2^63·den guard product would itself
+    overflow decimal(38,0)), and the numerator headroom
+    sr2 < 1e32 (ANSI errors loudly beyond — SF ~10⁴ on this data).
+
+    Scale: the fact scan collapses to the daily aggregate; the fold
+    is SF-invariant (≤2.4k steps).
+    """
+    d = _daily_cents(spark, sf_dir)
+    arr = d.agg(
+        F.expr("array_sort(collect_list(struct(day, cents)))").alias("a")
+    )
+    folded = arr.select(
+        F.expr(
+            """
+            aggregate(
+              a,
+              named_struct(
+                'cnt', 0L, 's', 0L, 'c', 0L,
+                'sr2', cast(0 as decimal(38,0)),
+                'sd2', cast(0 as decimal(38,0))),
+              (acc, x) -> named_struct(
+                'cnt', acc.cnt + 1L,
+                's', CASE WHEN acc.cnt = 0 THEN x.cents
+                          ELSE (2 * x.cents + 8 * acc.s) div 10 END,
+                'c', x.cents,
+                'sr2', acc.sr2 + CASE WHEN acc.cnt = 0
+                          THEN cast(0 as decimal(38,0))
+                          ELSE cast(cast(x.cents - acc.s as decimal(19,0))
+                               * cast(x.cents - acc.s as decimal(19,0))
+                               as decimal(38,0)) END,
+                'sd2', acc.sd2 + CASE WHEN acc.cnt = 0
+                          THEN cast(0 as decimal(38,0))
+                          ELSE cast(cast(x.cents - acc.c as decimal(19,0))
+                               * cast(x.cents - acc.c as decimal(19,0))
+                               as decimal(38,0)) END)
+            )
+            """
+        ).alias("f")
+    ).select(
+        F.col("f.cnt").alias("n_days"),
+        F.col("f.sr2").alias("sr2"),
+        F.col("f.sd2").alias("sd2"),
+    )
+    return folded.select(
+        "n_days",
+        _limb("sr2").alias("u2_num"),
+        _limb("sd2").alias("u2_den"),
+        F.expr(
+            "CASE WHEN sr2 <= sd2 * 9"
+            " THEN cast((sr2 * 1000000) div sd2 as bigint)"
+            " ELSE raise_error('q_theil_u2 u2sq_6: U2^2 > 9 — forecast"
+            " degenerated; widen the documented ratio bound"
+            " (SCALE.md overflow section)') END"
+        ).alias("u2sq_6"),
+    )
+
+
+QUERIES_PART_B["q_theil_u2"] = q_theil_u2
+
+ORACLE_PART_B["q_theil_u2"] = f"""
+    WITH RECURSIVE {_DAILY_CENTS_SQL},
+    ranked AS MATERIALIZED (
+        SELECT day, cents, row_number() OVER (ORDER BY day) AS t
+        FROM daily
+    ),
+    r AS (
+        SELECT t, cents,
+               cents AS s,
+               CAST(0 AS HUGEINT) AS r2,
+               CAST(0 AS HUGEINT) AS d2
+        FROM ranked WHERE t = 1
+        UNION ALL
+        SELECT d.t, d.cents,
+               (2 * d.cents + 8 * r.s) // 10,
+               CAST(d.cents - r.s AS HUGEINT)
+                 * CAST(d.cents - r.s AS HUGEINT),
+               CAST(d.cents - r.cents AS HUGEINT)
+                 * CAST(d.cents - r.cents AS HUGEINT)
+        FROM r JOIN ranked d ON d.t = r.t + 1
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(r2) AS HUGEINT) AS sr2,
+               CAST(sum(d2) AS HUGEINT) AS sd2
+        FROM r
+    )
+    SELECT n_days,
+           CAST(sr2 % 4294967296 AS DOUBLE)
+             + CAST(sr2 // 4294967296 AS DOUBLE) * 4294967296.0 AS u2_num,
+           CAST(sd2 % 4294967296 AS DOUBLE)
+             + CAST(sd2 // 4294967296 AS DOUBLE) * 4294967296.0 AS u2_den,
+           CAST((sr2 * 1000000) // sd2 AS BIGINT) AS u2sq_6
+    FROM agg
+"""
+
+
+def q_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Quade test ingredients — the Friedman refinement that
+    WEIGHTS blocks by how much signal they carry (block weight = rank
+    of the within-block cents range), so a month where priorities
+    barely differ stops diluting the test.  Same complete-block month ×
+    priority spine as q_friedman; within-block average ranks ride the
+    doubled encoding, S2_bj = Q_b·(avgrank2 − (k+1)) stays integer,
+    and the F statistic (b−1)·ΣS_j² / (b·A − ΣS_j²) is assembled from
+    exact int sums (one IEEE division at the end).  Documented
+    deviation: block-range ties rank deterministically by block id
+    (calendar month) instead of averaging — ranges are cent-exact so
+    real ties are measure-zero, and the choice is mirrored in the
+    oracle.
+
+    Scale: calendar-bounded after the fact-collapsing aggregate, like
+    q_friedman.
+    """
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("blk"),
+            F.col("o_orderpriority").alias("treatment"),
+        )
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)")).alias(
+                "cents"
+            )
+        )
+    )
+    k = 5
+    wblk = Window.partitionBy("blk")
+    complete = (
+        cells.withColumn("kk", F.count(F.lit(1)).over(wblk))
+        .filter(F.col("kk") == k)
+        .drop("kk")
+    )
+    wr = Window.partitionBy("blk").orderBy(F.asc("cents"))
+    wt = Window.partitionBy("blk", "cents")
+    ranked = complete.withColumn(
+        "avgrank2",
+        (
+            F.rank().over(wr) * 2 + F.count(F.lit(1)).over(wt) - 1
+        ).cast("bigint"),
+    ).withColumn(
+        "rng",
+        (F.max("cents").over(wblk) - F.min("cents").over(wblk)).cast(
+            "bigint"
+        ),
+    )
+    wq = Window.orderBy(F.asc("rng"), F.asc("blk"))
+    weighted = (
+        ranked.withColumn(
+            "qb",
+            (F.dense_rank().over(wq)).cast("bigint"),
+        )
+        .withColumn(
+            "s2", F.col("qb") * (F.col("avgrank2") - F.lit(k + 1))
+        )
+    )
+    per_t = weighted.groupBy("treatment").agg(
+        F.sum("s2").cast("bigint").alias("s2_j"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    tot = weighted.agg(
+        F.sum(F.expr("s2 * s2")).cast("bigint").alias("a4"),
+    ).crossJoin(
+        F.broadcast(
+            per_t.agg(
+                F.sum(F.expr("s2_j * s2_j")).cast("bigint").alias("bsum"),
+                F.max("b").cast("bigint").alias("bb"),
+            )
+        )
+    )
+    return per_t.crossJoin(F.broadcast(tot)).select(
+        "treatment",
+        "s2_j",
+        "b",
+        F.lit(k).cast("bigint").alias("k"),
+        "a4",
+        (
+            (F.col("bb") - 1).cast("double")
+            * F.col("bsum").cast("double")
+            / (
+                F.col("bb").cast("double") * F.col("a4").cast("double")
+                - F.col("bsum").cast("double")
+            )
+        ).alias("quade_f"),
+    )
+
+
+QUERIES_PART_B["q_quade"] = q_quade
+
+ORACLE_PART_B["q_quade"] = """
+    WITH cells AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS blk,
+               o_orderpriority AS treatment,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ), complete AS (
+        SELECT * FROM (
+            SELECT blk, treatment, cents,
+                   count(*) OVER (PARTITION BY blk) AS kk
+            FROM cells
+        ) WHERE kk = 5
+    ), ranked AS (
+        SELECT blk, treatment,
+               CAST(rank() OVER (PARTITION BY blk ORDER BY cents ASC) * 2
+                    + count(*) OVER (PARTITION BY blk, cents) - 1
+                    AS BIGINT) AS avgrank2,
+               CAST(max(cents) OVER (PARTITION BY blk)
+                    - min(cents) OVER (PARTITION BY blk) AS BIGINT) AS rng
+        FROM complete
+    ), weighted AS (
+        SELECT treatment,
+               CAST(dense_rank() OVER (ORDER BY rng ASC, blk ASC)
+                    AS BIGINT) AS qb,
+               avgrank2
+        FROM ranked
+    ), s AS (
+        SELECT treatment, qb * (avgrank2 - 6) AS s2 FROM weighted
+    ), per_t AS (
+        SELECT treatment, CAST(sum(s2) AS BIGINT) AS s2_j,
+               CAST(count(*) AS BIGINT) AS b
+        FROM s GROUP BY treatment
+    ), tot AS (
+        SELECT (SELECT CAST(sum(s2 * s2) AS BIGINT) FROM s) AS a4,
+               (SELECT CAST(sum(s2_j * s2_j) AS BIGINT) FROM per_t) AS bsum,
+               (SELECT CAST(max(b) AS BIGINT) FROM per_t) AS bb
+    )
+    SELECT treatment, s2_j, b, CAST(5 AS BIGINT) AS k, a4,
+           CAST(bb - 1 AS DOUBLE) * CAST(bsum AS DOUBLE)
+             / (CAST(bb AS DOUBLE) * CAST(a4 AS DOUBLE)
+                - CAST(bsum AS DOUBLE)) AS quade_f
+    FROM per_t, tot
+"""

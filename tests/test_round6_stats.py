@@ -163,3 +163,59 @@ def test_lincoln_petersen_chapman_hand(spark, tmp_path):
     r = QUERIES["q_lincoln_petersen"](spark, str(tmp_path)).collect()[0]
     assert (r["n1"], r["n2"], r["m"]) == (3, 3, 2)
     assert r["nhat_q"] == 16 * 10**9 // 3 - 10**9
+
+
+def test_qq_deciles_hand_positions(spark, tmp_path):
+    """F group = 100..1000 cents, O group = 200..2000: at decile 5
+    (n = 10, lo = 5, hi = 6) q2_f = 500+600, q2_o = 1000+1200."""
+    rows = []
+    key = 0
+    for i in range(10):
+        key += 1
+        rows.append((key, "F", 1.00 * (i + 1)))
+    for i in range(10):
+        key += 1
+        rows.append((key, "O", 2.00 * (i + 1)))
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_orderstatus string, o_totalprice double")
+    out = {r["dec"]: r for r in QUERIES["q_qq_deciles"](spark, str(tmp_path)).collect()}
+    assert len(out) == 9
+    assert out[5]["q2_f"] == 1100 and out[5]["q2_o"] == 2200
+    assert out[5]["q2_diff"] == -1100
+    # decile 10·(n−1)/10 exact-position case: d=10 excluded; d≠exact
+    # positions double both endpoints — identity q2 parity with sorted
+    vals_f = [100 * (i + 1) for i in range(10)]
+    for d in range(1, 10):
+        lo = (d * 9) // 10
+        hi = lo + (1 if (d * 9) % 10 else 0)
+        assert out[d]["q2_f"] == vals_f[lo] + vals_f[hi]
+
+
+def test_theil_u2_hand_fold(spark, tmp_path):
+    """Days 100, 110, 120 cents: EWMA s = 100, 102; residuals 10, 18
+    -> sr2 = 424; naive diffs 10, 10 -> sd2 = 200; U2²·1e6 = 2,120,000."""
+    base = datetime.date(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=i), 1.00 + 0.10 * i) for i in range(3)]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderdate date, o_totalprice double")
+    r = QUERIES["q_theil_u2"](spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 3
+    assert r["u2_num"] == 424.0 and r["u2_den"] == 200.0
+    assert r["u2sq_6"] == 424 * 10**6 // 200
+
+
+def test_quade_hand_weights(spark, tmp_path):
+    """Two consistent months, month 2 with 10x the spread: block
+    weights 1 and 2, S_j = ±12, ±6, 0; F = 1·360/(2·200−360) = 9."""
+    rows = []
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"]
+    for i, p in enumerate(prios):
+        rows.append((datetime.date(2024, 1, 15), p, 1.00 * (i + 1)))
+        rows.append((datetime.date(2024, 2, 15), p, 10.00 * (i + 1)))
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderdate date, o_orderpriority string, o_totalprice double")
+    out = {r["treatment"]: r for r in QUERIES["q_quade"](spark, str(tmp_path)).collect()}
+    assert [out[p]["s2_j"] for p in prios] == [-12, -6, 0, 6, 12]
+    for r in out.values():
+        assert r["a4"] == 200
+        assert r["quade_f"] == 9.0
