@@ -1361,3 +1361,108 @@ def greedy_matching(
             .localCheckpoint()
         )
     return out
+
+
+def betweenness_probe(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Hop-bounded Brandes betweenness from a probe seed set (Brandes
+    2001, truncated at ``max_hops``): forward level-synchronous BFS
+    accumulating shortest-path COUNTS σ per level, then the reverse
+    dependency pass δ(v) = Σ_{w ∈ succ(v)} σ_v·(scale + δ(w)) div σ_w
+    — each term an exact truncating integer division (σ_v ≤ σ_w for a
+    predecessor, so the quotient is ≤ scale + δ(w): ratio-shape per
+    SCALE.md §8, no silent wrap), summed order-independently.  The
+    bounded-hop truncation is the standard approximation for
+    probe-source betweenness on large graphs (exact within the
+    ``max_hops`` ball).
+
+    Returns (id, delta_q) for every non-seed node reached — δ quantized
+    by ``scale``; callers layer multiple sources (node·8+s) and sum.
+
+    Int64 bound: δ ≤ (ball successor count)·scale compounded per hop
+    (≤ deg^(max_hops−1)·scale) — safe to ~9e9 weighted successors;
+    lower ``scale`` beyond.
+
+    Scale: per hop one frontier⋈edges join + one anti-join (bfs_hops
+    physics) forward, one level⋈edges⋈next-level join backward; the
+    frontier is the working set, lineage cut per round.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lvl0 = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("sigma", F.lit(1).cast("bigint"))
+        .localCheckpoint()
+    )
+    levels = [lvl0]
+    settled = lvl0.select("id")
+    for _h in range(1, max_hops + 1):
+        nxt = (
+            levels[-1]
+            .join(e, levels[-1]["id"] == e["u"])
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .join(settled, "id", "left_anti")
+            .localCheckpoint()
+        )
+        levels.append(nxt)
+        settled = settled.union(nxt.select("id")).localCheckpoint()
+    # reverse dependency pass
+    delta = levels[max_hops].select(
+        "id", F.lit(0).cast("bigint").alias("delta")
+    )
+    out = [delta]
+    for h in range(max_hops - 1, 0, -1):
+        succ = (
+            levels[h]
+            .join(e, levels[h]["id"] == e["u"])
+            .select(
+                levels[h]["id"].alias("vid"),
+                F.col("sigma").alias("sigma_v"),
+                F.col("v").alias("wid"),
+            )
+            .join(
+                levels[h + 1]
+                .withColumnRenamed("sigma", "sigma_w")
+                .join(delta, "id")
+                .withColumnRenamed("id", "wid2"),
+                F.col("wid") == F.col("wid2"),
+            )
+            .select(
+                "vid",
+                F.expr(
+                    f"sigma_v * ({scale}L + delta) div sigma_w"
+                ).alias("term"),
+            )
+        )
+        delta = (
+            levels[h]
+            .join(
+                succ.groupBy(F.col("vid").alias("id")).agg(
+                    F.sum("term").cast("bigint").alias("d")
+                ),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("d", F.lit(0)).cast("bigint").alias("delta"))
+            .localCheckpoint()
+        )
+        out.append(delta)
+    full = out[0]
+    for d in out[1:]:
+        full = full.unionByName(d)
+    return full.select("id", F.col("delta").alias("delta_q"))

@@ -1004,3 +1004,75 @@ def duplicated_sentences(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def tag_keywords(
+    df: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gazetteer / dictionary tagging — match a fixed phrase list
+    (1- and 2-token phrases) against every document and count exact
+    occurrences per (document, phrase): the distributed form of the
+    Aho–Corasick / FlashText pass every curation pipeline runs for
+    topic tags, blocklists, and PII gazetteers.
+
+    Spark-first shape: token positions explode ONCE; unigram phrases
+    hash-join the position stream on the token, bigram phrases join on
+    their FIRST token and verify the successor via a co-partitioned
+    (id, pos+1) self-join — so dictionary size scales the broadcast
+    side only, never the number of passes over the corpus (the naive
+    per-phrase LIKE scan is |dict| full scans).
+
+    Output: (id_col, phrase, n_hits), hits > 0 only.
+
+    Scale: positions shuffle once on token for the unigram/first-token
+    probe; the bigram verify joins on (id, pos) — co-partitioned with
+    itself; dictionary is broadcast.  Overlapping matches count per
+    start position (standard gazetteer semantics).
+    """
+    spark = df.sparkSession
+    parts = [p.split() for p in phrases]
+    if any(len(p) not in (1, 2) for p in parts):
+        raise ValueError("tag_keywords supports 1- and 2-token phrases")
+    dict_rows = [
+        (" ".join(p), p[0], p[1] if len(p) == 2 else None) for p in parts
+    ]
+    d = spark.createDataFrame(
+        dict_rows, "phrase string, tok1 string, tok2 string"
+    )
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    uni = (
+        pos.join(
+            F.broadcast(d.filter(F.col("tok2").isNull())),
+            pos.tok == F.col("tok1"),
+        )
+        .groupBy("id", "phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    firsts = pos.join(
+        F.broadcast(d.filter(F.col("tok2").isNotNull())),
+        pos.tok == F.col("tok1"),
+    ).select("id", "pos", "phrase", "tok2")
+    nxt = pos.select(
+        F.col("id").alias("id2"),
+        (F.col("pos") - 1).alias("ppos"),
+        F.col("tok").alias("ntok"),
+    )
+    bi = (
+        firsts.join(
+            nxt,
+            (F.col("id") == F.col("id2"))
+            & (F.col("pos") == F.col("ppos"))
+            & (F.col("tok2") == F.col("ntok")),
+        )
+        .groupBy("id", "phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return uni.unionByName(bi).select(
+        F.col("id").alias(id_col), "phrase", "n_hits"
+    )

@@ -24525,3 +24525,184 @@ ORACLE_PART_B["q_quade"] = """
                 - CAST(bsum AS DOUBLE)) AS quade_f
     FROM per_t, tot
 """
+
+
+def q_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ gazetteer tagging (operators/text.py tag_keywords): a fixed
+    dictionary of 1- and 2-token phrases matched exactly against every
+    document in ONE pass over the exploded token positions — the
+    distributed Aho–Corasick/FlashText workhorse behind topic tags,
+    blocklists and PII gazetteers (the naive alternative is |dict|
+    LIKE scans).  Unigrams hash-join the position stream; bigrams join
+    their first token then verify the successor via the co-partitioned
+    (id, pos+1) self-join.  Emitted per phrase: tagged-doc count and
+    total hits.
+
+    Scale: dictionary broadcast; one token-keyed shuffle + one
+    (id,pos)-keyed self-join regardless of dictionary size.
+    """
+    from loan_etl_data_pipeline_spark.operators.text import tag_keywords
+
+    tagged = tag_keywords(
+        load_table(spark, sf_dir, "documents"),
+        ["spark", "hash join", "window", "sort merge", "shuffle"],
+    )
+    return tagged.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+    )
+
+
+QUERIES_PART_B["q_keyword_tagging"] = q_keyword_tagging
+
+ORACLE_PART_B["q_keyword_tagging"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents
+    ), uni AS (
+        SELECT doc_id, p.phrase,
+               len(list_filter(l, t -> t = p.phrase)) AS n_hits
+        FROM toks, (SELECT UNNEST(['spark', 'window', 'shuffle'])
+                      AS phrase) p
+    ), bi AS (
+        SELECT doc_id, p.phrase,
+               len(list_filter(range(1, len(l)),
+                   i -> l[i] = split_part(p.phrase, ' ', 1)
+                    AND l[i+1] = split_part(p.phrase, ' ', 2))) AS n_hits
+        FROM toks, (SELECT UNNEST(['hash join', 'sort merge'])
+                      AS phrase) p
+    ), hits AS (
+        SELECT * FROM uni WHERE n_hits > 0
+        UNION ALL
+        SELECT * FROM bi WHERE n_hits > 0
+    )
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_hits) AS BIGINT) AS n_hits
+    FROM hits GROUP BY phrase
+"""
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ probe-source betweenness (operators/graph.py
+    betweenness_probe): hop-3-bounded Brandes from the same 4 pinned
+    probe parts as q_harmonic_centrality, via the SAME graph layering
+    (node·8 + source-index, one frontier loop for all sources) — which
+    parts BROKER the co-purchase neighborhoods?  Forward σ path counts
+    per BFS level, reverse dependency pass with each δ term an exact
+    truncating division (σ_v ≤ σ_w ⇒ ratio-shape quotient, SCALE.md
+    §8), summed over sources; top 15 brokers emitted with exact
+    1e9-quantized δ sums.  Completes the centrality shelf: degree
+    (local), harmonic (closeness family), PageRank (flow), k-core
+    (cohesion) — betweenness is the brokerage axis.
+
+    Scale: the layered edge set is 4× the support-collapsed graph;
+    3 forward + 2 reverse keyed joins, frontier-sized working set.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import betweenness_probe
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("pa").alias("id"))
+        .union(edges.select(F.col("pb")))
+        .distinct()
+    )
+    srcs = nodes.orderBy(F.asc("id")).limit(4).select(
+        F.col("id").alias("src_node")
+    ).withColumn(
+        "s", F.row_number().over(Window.orderBy("src_node")).cast("bigint") - 1
+    )
+    layered = None
+    for s in range(4):
+        layer = edges.select(
+            (F.col("pa") * 8 + s).alias("la"), (F.col("pb") * 8 + s).alias("lb")
+        )
+        layered = layer if layered is None else layered.union(layer)
+    seeds = srcs.select((F.col("src_node") * 8 + F.col("s")).alias("id"))
+    d = betweenness_probe(layered, "la", "lb", seeds=seeds, max_hops=3)
+    return (
+        d.groupBy(F.expr("id div 8").alias("part"))
+        .agg(F.sum("delta_q").cast("bigint").alias("bc_q"))
+        .orderBy(F.desc("bc_q"), F.asc("part"))
+        .limit(15)
+    )
+
+
+QUERIES_PART_B["q_betweenness"] = q_betweenness
+
+ORACLE_PART_B["q_betweenness"] = f"""
+    WITH {_COPURCHASE_CTE},
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT pa AS id FROM pairs
+        UNION SELECT pb FROM pairs
+    ),
+    srcs AS MATERIALIZED (
+        SELECT id AS src FROM nodes ORDER BY id LIMIT 4
+    ),
+    sym AS MATERIALIZED (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    f0 AS MATERIALIZED (
+        SELECT src AS s, src AS id, CAST(1 AS BIGINT) AS sigma FROM srcs
+    ),
+    f1 AS MATERIALIZED (
+        SELECT f0.s, sym.v AS id, CAST(sum(f0.sigma) AS BIGINT) AS sigma
+        FROM f0 JOIN sym ON sym.u = f0.id
+        WHERE sym.v <> f0.s
+        GROUP BY f0.s, sym.v
+    ),
+    f2 AS MATERIALIZED (
+        SELECT f1.s, sym.v AS id, CAST(sum(f1.sigma) AS BIGINT) AS sigma
+        FROM f1 JOIN sym ON sym.u = f1.id
+        WHERE NOT EXISTS (SELECT 1 FROM f0
+                          WHERE f0.s = f1.s AND f0.id = sym.v)
+          AND NOT EXISTS (SELECT 1 FROM f1 x
+                          WHERE x.s = f1.s AND x.id = sym.v)
+        GROUP BY f1.s, sym.v
+    ),
+    f3 AS MATERIALIZED (
+        SELECT f2.s, sym.v AS id, CAST(sum(f2.sigma) AS BIGINT) AS sigma
+        FROM f2 JOIN sym ON sym.u = f2.id
+        WHERE NOT EXISTS (SELECT 1 FROM f0
+                          WHERE f0.s = f2.s AND f0.id = sym.v)
+          AND NOT EXISTS (SELECT 1 FROM f1
+                          WHERE f1.s = f2.s AND f1.id = sym.v)
+          AND NOT EXISTS (SELECT 1 FROM f2 x
+                          WHERE x.s = f2.s AND x.id = sym.v)
+        GROUP BY f2.s, sym.v
+    ),
+    d3 AS MATERIALIZED (
+        SELECT s, id, CAST(0 AS BIGINT) AS delta FROM f3
+    ),
+    d2 AS MATERIALIZED (
+        SELECT f2.s, f2.id,
+               CAST(coalesce(sum(
+                   f2.sigma * (1000000000 + d3.delta) // f3.sigma), 0)
+                 AS BIGINT) AS delta
+        FROM f2
+        LEFT JOIN sym ON sym.u = f2.id
+        LEFT JOIN f3 ON f3.s = f2.s AND f3.id = sym.v
+        LEFT JOIN d3 ON d3.s = f3.s AND d3.id = f3.id
+        GROUP BY f2.s, f2.id
+    ),
+    d1 AS MATERIALIZED (
+        SELECT f1.s, f1.id,
+               CAST(coalesce(sum(
+                   f1.sigma * (1000000000 + d2.delta) // f2.sigma), 0)
+                 AS BIGINT) AS delta
+        FROM f1
+        LEFT JOIN sym ON sym.u = f1.id
+        LEFT JOIN f2 ON f2.s = f1.s AND f2.id = sym.v
+        LEFT JOIN d2 ON d2.s = f2.s AND d2.id = f2.id
+        GROUP BY f1.s, f1.id
+    ),
+    alln AS (
+        SELECT s, id, delta FROM d1
+        UNION ALL SELECT s, id, delta FROM d2
+        UNION ALL SELECT s, id, delta FROM d3
+    )
+    SELECT id AS part, CAST(sum(delta) AS BIGINT) AS bc_q
+    FROM alln GROUP BY id
+    ORDER BY bc_q DESC, part ASC LIMIT 15
+"""

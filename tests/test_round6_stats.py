@@ -219,3 +219,37 @@ def test_quade_hand_weights(spark, tmp_path):
     for r in out.values():
         assert r["a4"] == 200
         assert r["quade_f"] == 9.0
+
+
+def test_betweenness_probe_path_graph(spark):
+    """Path 1-2-3-4-5, sources 1..4 layered like the query: hand-run
+    Brandes gives bc_q(2) = 4e9 (2e9 from s1 + 1e9 each from s3/s4),
+    bc_q(3) = 5e9 (1e9 from s1's level-2 dependency + 2e9 each from
+    s2/s4), bc_q(4) = 2e9, endpoints 0."""
+    from pyspark.sql import functions as F
+
+    from loan_etl_data_pipeline_spark.operators.graph import betweenness_probe
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "pa bigint, pb bigint"
+    )
+    layered = None
+    for s in range(4):
+        layer = edges.select(
+            (F.col("pa") * 8 + s).alias("la"), (F.col("pb") * 8 + s).alias("lb")
+        )
+        layered = layer if layered is None else layered.union(layer)
+    seeds = spark.createDataFrame(
+        [(n * 8 + (n - 1),) for n in (1, 2, 3, 4)], "id bigint"
+    )
+    d = betweenness_probe(layered, "la", "lb", seeds=seeds, max_hops=3)
+    bc = {
+        r["part"]: r["bc"]
+        for r in d.groupBy(F.expr("id div 8").alias("part"))
+        .agg(F.sum("delta_q").alias("bc"))
+        .collect()
+    }
+    G = 10**9
+    assert bc[2] == 4 * G and bc[3] == 5 * G
+    assert bc[4] == 2 * G
+    assert bc.get(1, 0) == 0 and bc.get(5, 0) == 0
