@@ -24706,3 +24706,260 @@ ORACLE_PART_B["q_betweenness"] = f"""
     FROM alln GROUP BY id
     ORDER BY bc_q DESC, part ASC LIMIT 15
 """
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ t-closeness audit — the privacy gate k-anonymity and
+    l-diversity miss (Li–Li–Venkatasubramanian 2007): a class can be
+    k-large and l-diverse yet still LEAK because its sensitive-value
+    DISTRIBUTION differs from the table's.  For every (nation, market
+    segment) quasi-identifier class, the exact ordered-EMD between the
+    class's balance-bracket distribution and the global one:
+    EMD = (1/(m−1))·Σᵢ|cum_class(i)/n_g − cum_all(i)/N|, kept exactly
+    rational on the common denominator — t_q = Σᵢ|cumgᵢ·N − cumᵢ·n_g|
+    ·1e9 div (n_g·N·(m−1)), ratio-shape bounded ≤ 2e9 per SCALE.md §8,
+    products through decimal(38,0).  Worst 10 classes emitted.
+
+    Scale: one fact-collapsing (QI, bracket) aggregate; the
+    class × bracket grid (zero-filled — absent brackets still
+    accumulate EMD) is |classes|·m ≈ 1.5k rows, value-domain bounded.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("br"),
+    )
+    cell = c.groupBy("c_nationkey", "c_mktsegment", "br").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint()
+    classes = cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("n_g")
+    )
+    glob = cell.groupBy("br").agg(
+        F.sum("cnt").cast("bigint").alias("gcnt")
+    )
+    tot = glob.agg(
+        F.sum("gcnt").cast("bigint").alias("n_all"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    wcum = Window.orderBy("br").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = glob.withColumn("cum_all", F.sum("gcnt").over(wcum))
+    grid = classes.crossJoin(F.broadcast(gcum.select("br", "cum_all"))).join(
+        cell, ["c_nationkey", "c_mktsegment", "br"], "left"
+    ).withColumn("cnt", F.coalesce("cnt", F.lit(0)).cast("bigint"))
+    wg = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "br"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cums = grid.withColumn("cum_g", F.sum("cnt").over(wg))
+    terms = cums.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        "n_all",
+        "m",
+        F.abs(
+            (_dec19("cum_g") * _dec19("n_all") - _dec19("cum_all") * _dec19("n_g"))
+        ).cast("decimal(38,0)").alias("absdiff"),
+    )
+    per_class = terms.groupBy(
+        "c_nationkey", "c_mktsegment", "n_g", "n_all", "m"
+    ).agg(F.sum("absdiff").cast("decimal(38,0)").alias("sdiff"))
+    return (
+        per_class.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            F.expr(
+                "cast((sdiff * 1000000000)"
+                " div (cast(n_g as decimal(19,0)) * n_all * (m - 1))"
+                " as bigint)"
+            ).alias("t_q"),
+        )
+        .orderBy(F.desc("t_q"), F.asc("c_nationkey"), F.asc("c_mktsegment"))
+        .limit(10)
+    )
+
+
+QUERIES_PART_B["q_t_closeness"] = q_t_closeness
+
+ORACLE_PART_B["q_t_closeness"] = """
+    WITH c AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS br
+        FROM customer
+    ), cell AS (
+        SELECT c_nationkey, c_mktsegment, br,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM c GROUP BY 1, 2, 3
+    ), classes AS (
+        SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n_g
+        FROM cell GROUP BY 1, 2
+    ), gdist AS (
+        SELECT br, CAST(sum(cnt) AS BIGINT) AS gcnt FROM cell GROUP BY br
+    ), tot AS (
+        SELECT CAST(sum(gcnt) AS BIGINT) AS n_all,
+               CAST(count(*) AS BIGINT) AS m
+        FROM gdist
+    ), gcum AS (
+        SELECT br, CAST(sum(gcnt) OVER (ORDER BY br
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+        FROM gdist
+    ), grid AS (
+        SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_g, g.br, g.cum_all,
+               CAST(coalesce(ce.cnt, 0) AS BIGINT) AS cnt
+        FROM classes cl CROSS JOIN gcum g
+        LEFT JOIN cell ce
+          ON ce.c_nationkey = cl.c_nationkey
+         AND ce.c_mktsegment = cl.c_mktsegment
+         AND ce.br = g.br
+    ), cums AS (
+        SELECT c_nationkey, c_mktsegment, n_g, cum_all,
+               CAST(sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                   ORDER BY br ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_g
+        FROM grid
+    ), per_class AS (
+        SELECT c_nationkey, c_mktsegment, n_g,
+               CAST(sum(abs(CAST(cum_g AS HUGEINT) * t.n_all
+                            - CAST(cum_all AS HUGEINT) * n_g))
+                    AS HUGEINT) AS sdiff,
+               max(t.n_all) AS n_all, max(t.m) AS m
+        FROM cums, tot t GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, n_g,
+           CAST((sdiff * 1000000000)
+                // (CAST(n_g AS HUGEINT) * n_all * (m - 1)) AS BIGINT)
+             AS t_q
+    FROM per_class
+    ORDER BY t_q DESC, c_nationkey ASC, c_mktsegment ASC LIMIT 10
+"""
+
+
+def q_attack_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ targeted-attack robustness audit (Albert–Jeong–Barabási
+    2000): how much of the co-purchase graph's largest connected
+    component survives removing the top-4 degree hubs?  The
+    supply-chain / infrastructure fragility number the centrality
+    shelf motivates — high betweenness/degree concentration plus a
+    collapsing LCC means the graph rides on a few brokers.  Exact:
+    hubs are (degree DESC, node ASC) deterministic, both LCC sizes
+    come from the certified min-label CC operator, isolated nodes
+    created by the removal count via the node roster (nodes minus
+    hubs), not just surviving edges.
+
+    Scale: one degree aggregate, one broadcast anti-join on the 4-hub
+    set, two CC runs (each per-round one keyed join over the
+    support-collapsed edge set — the q_dup_components physics).
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import (
+        connected_components,
+        degrees,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = degrees(edges, "pa", "pb")
+    hubs = (
+        deg.orderBy(F.desc("degree"), F.asc("node"))
+        .limit(4)
+        .select(F.col("node").alias("hub"))
+        .localCheckpoint()
+    )
+    kept = (
+        edges.join(hubs, edges.pa == hubs.hub, "left_anti")
+        .join(hubs, F.col("pb") == hubs.hub, "left_anti")
+        .localCheckpoint()
+    )
+    cc0 = connected_components(edges, "pa", "pb")
+    lcc0 = (
+        cc0.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.max("sz").cast("bigint").alias("lcc_before"))
+    )
+    cc1 = connected_components(kept, "pa", "pb")
+    lcc1 = (
+        cc1.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.max("sz").cast("bigint").alias("lcc_after"))
+    )
+    counts = (
+        edges.select(F.col("pa").alias("id"))
+        .union(edges.select(F.col("pb")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(
+            F.broadcast(
+                edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                kept.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_edges_after")
+                )
+            )
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(lcc0))
+        .crossJoin(F.broadcast(lcc1))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "lcc_before",
+            "n_edges_after",
+            "lcc_after",
+        )
+    )
+
+
+QUERIES_PART_B["q_attack_robustness"] = q_attack_robustness
+
+ORACLE_PART_B["q_attack_robustness"] = f"""
+    WITH RECURSIVE {_COPURCHASE_CTE},
+    sym AS MATERIALIZED (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    reach(id, label) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT e.a, r.label FROM sym e JOIN reach r ON e.b = r.id
+    ),
+    comp0 AS MATERIALIZED (
+        SELECT id, min(label) AS component FROM reach GROUP BY id
+    ),
+    hubs AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT node, count(*) AS degree FROM (
+                SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+            ) GROUP BY node
+        ) ORDER BY degree DESC, node ASC LIMIT 4
+    ),
+    kept AS MATERIALIZED (
+        SELECT pa, pb FROM pairs
+        WHERE pa NOT IN (SELECT node FROM hubs)
+          AND pb NOT IN (SELECT node FROM hubs)
+    ),
+    sym2 AS MATERIALIZED (
+        SELECT pa AS a, pb AS b FROM kept
+        UNION SELECT pb, pa FROM kept
+    ),
+    reach2(id, label) AS (
+        SELECT DISTINCT a, a FROM sym2
+        UNION
+        SELECT e.a, r.label FROM sym2 e JOIN reach2 r ON e.b = r.id
+    ),
+    comp1 AS MATERIALIZED (
+        SELECT id, min(label) AS component FROM reach2 GROUP BY id
+    )
+    SELECT (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM comp0)
+             AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(max(sz) AS BIGINT) FROM (
+                SELECT count(*) AS sz FROM comp0 GROUP BY component))
+             AS lcc_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_edges_after,
+           (SELECT CAST(max(sz) AS BIGINT) FROM (
+                SELECT count(*) AS sz FROM comp1 GROUP BY component))
+             AS lcc_after
+"""

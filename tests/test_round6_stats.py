@@ -253,3 +253,37 @@ def test_betweenness_probe_path_graph(spark):
     assert bc[2] == 4 * G and bc[3] == 5 * G
     assert bc[4] == 2 * G
     assert bc.get(1, 0) == 0 and bc.get(5, 0) == 0
+
+
+def test_t_closeness_hand_emd(spark, tmp_path):
+    """Class A = 2 rows bracket 0; class B = 1 row br0 + 2 rows br1
+    (N = 5, m = 2, cum_all = 3,5): EMD_q(A) = |2·5−3·2|·1e9/(2·5·1)
+    = 4e8 > EMD_q(B) = 4e9/(3·5) = 266666666."""
+    rows = [
+        (1, "X", 500.0), (1, "X", 600.0),          # class A, bracket 0
+        (2, "X", 700.0), (2, "X", 1500.0), (2, "X", 1600.0),  # class B
+    ]
+    _write(spark, tmp_path, "customer", rows,
+           "c_nationkey bigint, c_mktsegment string, c_acctbal double")
+    out = QUERIES["q_t_closeness"](spark, str(tmp_path)).collect()
+    assert [(r["c_nationkey"], r["t_q"]) for r in out] == [
+        (1, 400_000_000), (2, 266_666_666)]
+
+
+def test_attack_robustness_star_plus_edge(spark, tmp_path):
+    """Co-purchase graph = star 1-{2,3,4,5} plus isolated edge 6-7
+    (each pair planted in two orders to clear the support>=2 floor):
+    hubs = {1,2,3,4}, kept edges = {6-7}, LCC 5 -> 2."""
+    rows = []
+    ok = 0
+    for a, b in [(1, 2), (1, 3), (1, 4), (1, 5), (6, 7)]:
+        for _ in range(2):  # support >= 2
+            ok += 1
+            rows.append((ok, a))
+            rows.append((ok, b))
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_orderkey bigint, l_partkey bigint")
+    r = QUERIES["q_attack_robustness"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (7, 5)
+    assert r["lcc_before"] == 5
+    assert (r["n_edges_after"], r["lcc_after"]) == (1, 2)
