@@ -24963,3 +24963,154 @@ ORACLE_PART_B["q_attack_robustness"] = f"""
                 SELECT count(*) AS sz FROM comp1 GROUP BY component))
              AS lcc_after
 """
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ exact Shapley-value channel attribution (Shapley 1953 via
+    the coalition characteristic v(S) = converted users whose
+    pre-conversion channel set ⊆ S): the game-theoretic completion of
+    the attribution shelf — q_first_last_touch credits endpoints,
+    q_decay_attribution a positional prior; Shapley is the unique
+    axiomatically-fair split.  EXACT: k = 4 non-purchase channels →
+    16 coalition masks; per converted user the pre-first-purchase
+    channel bitmask (one fact pass), v(S) by subset containment
+    (jmask & (15 ^ S) = 0 — bitwise, engine-portable), and φᵢ·24
+    = Σ_{S∌i} |S|!·(3−|S|)!·(v(S∪i) − v(S)) stays INTEGER on the
+    common denominator k! = 24 (weights 6,2,2,6 by |S|).  Efficiency
+    identity Σφ24 = 24·v(full) pinned in tests.
+
+    Scale: the mask aggregate is the only fact-sized stage; the
+    16-mask × 16-coalition × 4-channel grids are constants.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    pre = ev.join(first_p, "user_id").filter(F.col("ts") < F.col("p_ts"))
+    jm = pre.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("has_c"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("has_e"),
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("has_s"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("has_v"),
+    ).select(
+        (
+            F.when(F.col("has_c") > 0, 1).otherwise(0)
+            + F.when(F.col("has_e") > 0, 2).otherwise(0)
+            + F.when(F.col("has_s") > 0, 4).otherwise(0)
+            + F.when(F.col("has_v") > 0, 8).otherwise(0)
+        ).cast("bigint").alias("jmask")
+    )
+    mask_counts = jm.groupBy("jmask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).localCheckpoint()
+    coalitions = spark.range(0, 16).select(
+        F.col("id").cast("bigint").alias("s")
+    )
+    v = (
+        coalitions.join(
+            F.broadcast(mask_counts),
+            F.expr("(jmask & (15 ^ s)) = 0"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_users"), F.lit(0)).cast("bigint").alias("v"))
+        .localCheckpoint()
+    )
+    chan = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit bigint",
+    )
+    terms = (
+        chan.crossJoin(v.select(F.col("s"), F.col("v").alias("v_s")))
+        .filter(F.expr("(s & bit) = 0"))
+        .join(
+            v.select(
+                F.col("s").alias("s_with"), F.col("v").alias("v_with")
+            ),
+            F.expr("s_with = (s | bit)"),
+        )
+        .select(
+            "channel",
+            F.expr(
+                "CASE bit_count(s) WHEN 0 THEN 6L WHEN 1 THEN 2L"
+                " WHEN 2 THEN 2L ELSE 6L END * (v_with - v_s)"
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.sum("term").cast("bigint").alias("phi24"))
+        .crossJoin(
+            F.broadcast(
+                v.filter(F.col("s") == 15).select(
+                    F.col("v").alias("v_full")
+                )
+            )
+        )
+    )
+
+
+QUERIES_PART_B["q_shapley_attribution"] = q_shapley_attribution
+
+ORACLE_PART_B["q_shapley_attribution"] = """
+    WITH first_p AS (
+        SELECT user_id, min(ts) AS p_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ), jm AS (
+        SELECT e.user_id,
+               CAST(CASE WHEN sum(CASE WHEN e.event_type = 'click'
+                                       THEN 1 ELSE 0 END) > 0
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN sum(CASE WHEN e.event_type = 'error'
+                                       THEN 1 ELSE 0 END) > 0
+                         THEN 2 ELSE 0 END
+                  + CASE WHEN sum(CASE WHEN e.event_type = 'signup'
+                                       THEN 1 ELSE 0 END) > 0
+                         THEN 4 ELSE 0 END
+                  + CASE WHEN sum(CASE WHEN e.event_type = 'view'
+                                       THEN 1 ELSE 0 END) > 0
+                         THEN 8 ELSE 0 END AS BIGINT) AS jmask
+        FROM events e JOIN first_p p ON e.user_id = p.user_id
+        WHERE e.ts < p.p_ts
+        GROUP BY e.user_id
+    ), mask_counts AS (
+        SELECT jmask, CAST(count(*) AS BIGINT) AS n_users
+        FROM jm GROUP BY jmask
+    ), coalitions AS (
+        SELECT CAST(UNNEST(range(0, 16)) AS BIGINT) AS s
+    ), v AS (
+        SELECT c.s,
+               CAST(coalesce(sum(m.n_users), 0) AS BIGINT) AS v
+        FROM coalitions c
+        LEFT JOIN mask_counts m ON (m.jmask & xor(15, c.s)) = 0
+        GROUP BY c.s
+    ), chan AS (
+        SELECT 'click' AS channel, CAST(1 AS BIGINT) AS bit
+        UNION ALL SELECT 'error', 2
+        UNION ALL SELECT 'signup', 4
+        UNION ALL SELECT 'view', 8
+    ), terms AS (
+        SELECT ch.channel,
+               (CASE bit_count(vs.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 ELSE 6 END)
+                 * (vw.v - vs.v) AS term
+        FROM chan ch
+        JOIN v vs ON (vs.s & ch.bit) = 0
+        JOIN v vw ON vw.s = (vs.s | ch.bit)
+    )
+    SELECT channel, CAST(sum(term) AS BIGINT) AS phi24,
+           (SELECT v FROM v WHERE s = 15) AS v_full
+    FROM terms GROUP BY channel
+"""

@@ -287,3 +287,26 @@ def test_attack_robustness_star_plus_edge(spark, tmp_path):
     assert (r["n_nodes"], r["n_edges"]) == (7, 5)
     assert r["lcc_before"] == 5
     assert (r["n_edges_after"], r["lcc_after"]) == (1, 2)
+
+
+def test_shapley_attribution_hand_values(spark, tmp_path):
+    """User 1 converts after {click}; user 2 converts after
+    {click, view}: v(∅)=0 and Shapley splits user 2 equally —
+    φ24(click) = 24 + 12 = 36, φ24(view) = 12, others 0; efficiency
+    Σφ24 = 24·v(full) = 48."""
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, base, "click"), (2, 1, base + datetime.timedelta(hours=1), "purchase"),
+        (3, 2, base, "click"), (4, 2, base + datetime.timedelta(minutes=30), "view"),
+        (5, 2, base + datetime.timedelta(hours=2), "purchase"),
+        (6, 3, base, "view"),  # never converts: no purchase event
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id bigint, user_id bigint, ts timestamp, event_type string")
+    out = {r["channel"]: r for r in
+           QUERIES["q_shapley_attribution"](spark, str(tmp_path)).collect()}
+    assert out["click"]["phi24"] == 36
+    assert out["view"]["phi24"] == 12
+    assert out["error"]["phi24"] == 0 and out["signup"]["phi24"] == 0
+    assert all(r["v_full"] == 2 for r in out.values())
+    assert sum(r["phi24"] for r in out.values()) == 24 * 2
