@@ -25114,3 +25114,151 @@ ORACLE_PART_B["q_shapley_attribution"] = """
            (SELECT v FROM v WHERE s = 15) AS v_full
     FROM terms GROUP BY channel
 """
+
+
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ SAX motif discovery (Lin–Keogh symbolic aggregate
+    approximation, exact-quartile variant): weekly revenue symbolized
+    into 4 letters by the series' own quartiles, then every 4-week
+    word counted — repeated words are MOTIFS, the recurring revenue
+    shapes a planner reads before trusting a seasonal model.  Exact
+    throughout: full calendar weeks only (equal denominators, so
+    weekly SUMS compare like PAA means), quartile breakpoints as
+    doubled order statistics (2·ws vs q_2 — integer compare, no
+    division), words require CONSECUTIVE weeks (lead-verified, gaps
+    break words), emitted motifs = words with ≥2 occurrences.
+
+    Scale: the fact scan collapses to the daily then weekly aggregate;
+    everything after runs on ≤350 calendar weeks (SF-invariant, the
+    q_ses_level regime).
+    """
+    d = _daily_cents(spark, sf_dir)
+    m0 = d.agg(F.min("day").alias("d0"))
+    weeks = (
+        d.crossJoin(F.broadcast(m0))
+        .select(
+            F.expr("datediff(day, d0) div 7").alias("w"),
+            "cents",
+        )
+        .groupBy("w")
+        .agg(
+            F.sum("cents").cast("bigint").alias("ws"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .filter(F.col("nd") == 7)
+        .select("w", "ws")
+        .localCheckpoint()
+    )
+    wr = Window.orderBy("ws", "w")
+    ranked = weeks.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+    n = ranked.agg(F.max("rk").cast("bigint").alias("n"))
+    qs = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "rk",
+            "ws",
+            F.expr("(n * 1) div 4").alias("p1"),
+            F.expr("(n * 2) div 4").alias("p2"),
+            F.expr("(n * 3) div 4").alias("p3"),
+        )
+    )
+    # doubled order statistic per quartile: ws[p] + ws[p+1]
+    def q2(p):
+        return F.sum(
+            F.when(
+                (F.col("rk") == F.col(p)) | (F.col("rk") == F.col(p) + 1),
+                F.col("ws"),
+            ).otherwise(0)
+        ).cast("bigint")
+
+    brk = qs.agg(
+        q2("p1").alias("q1_2"), q2("p2").alias("q2_2"), q2("p3").alias("q3_2")
+    )
+    syms = weeks.crossJoin(F.broadcast(brk)).select(
+        "w",
+        F.expr(
+            "chr(97 + CASE WHEN 2 * ws > q1_2 THEN 1 ELSE 0 END"
+            " + CASE WHEN 2 * ws > q2_2 THEN 1 ELSE 0 END"
+            " + CASE WHEN 2 * ws > q3_2 THEN 1 ELSE 0 END)"
+        ).alias("sym"),
+    )
+    wlead = Window.orderBy("w")
+    words = (
+        syms.withColumn("w1", F.lead("w", 1).over(wlead))
+        .withColumn("s1", F.lead("sym", 1).over(wlead))
+        .withColumn("w2", F.lead("w", 2).over(wlead))
+        .withColumn("s2", F.lead("sym", 2).over(wlead))
+        .withColumn("w3", F.lead("w", 3).over(wlead))
+        .withColumn("s3", F.lead("sym", 3).over(wlead))
+        .filter(
+            (F.col("w1") == F.col("w") + 1)
+            & (F.col("w2") == F.col("w") + 2)
+            & (F.col("w3") == F.col("w") + 3)
+        )
+        .select(
+            "w",
+            F.concat("sym", "s1", "s2", "s3").alias("word"),
+        )
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.min("w").cast("bigint").alias("first_week"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .orderBy(F.desc("n_occ"), F.asc("word"))
+    )
+
+
+QUERIES_PART_B["q_sax_motifs"] = q_sax_motifs
+
+ORACLE_PART_B["q_sax_motifs"] = f"""
+    WITH {_DAILY_CENTS_SQL},
+    m0 AS (SELECT min(day) AS d0 FROM daily),
+    weeks AS MATERIALIZED (
+        SELECT w, CAST(sum(cents) AS BIGINT) AS ws FROM (
+            SELECT CAST(day - d0 AS BIGINT) // 7 AS w, cents
+            FROM daily, m0
+        ) GROUP BY w HAVING count(*) = 7
+    ),
+    ranked AS (
+        SELECT w, ws,
+               CAST(row_number() OVER (ORDER BY ws, w) AS BIGINT) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM weeks
+    ),
+    brk AS (
+        SELECT
+          CAST(sum(CASE WHEN rk = (n * 1) // 4 OR rk = (n * 1) // 4 + 1
+                        THEN ws ELSE 0 END) AS BIGINT) AS q1_2,
+          CAST(sum(CASE WHEN rk = (n * 2) // 4 OR rk = (n * 2) // 4 + 1
+                        THEN ws ELSE 0 END) AS BIGINT) AS q2_2,
+          CAST(sum(CASE WHEN rk = (n * 3) // 4 OR rk = (n * 3) // 4 + 1
+                        THEN ws ELSE 0 END) AS BIGINT) AS q3_2
+        FROM ranked
+    ),
+    syms AS (
+        SELECT w,
+               chr(97 + CASE WHEN 2 * ws > q1_2 THEN 1 ELSE 0 END
+                       + CASE WHEN 2 * ws > q2_2 THEN 1 ELSE 0 END
+                       + CASE WHEN 2 * ws > q3_2 THEN 1 ELSE 0 END) AS sym
+        FROM weeks, brk
+    ),
+    words AS (
+        SELECT w, sym
+               || lead(sym, 1) OVER wo || lead(sym, 2) OVER wo
+               || lead(sym, 3) OVER wo AS word,
+               lead(w, 1) OVER wo AS w1,
+               lead(w, 2) OVER wo AS w2,
+               lead(w, 3) OVER wo AS w3
+        FROM syms
+        WINDOW wo AS (ORDER BY w)
+    )
+    SELECT word, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(w) AS BIGINT) AS first_week
+    FROM words
+    WHERE w1 = w + 1 AND w2 = w + 2 AND w3 = w + 3
+    GROUP BY word HAVING count(*) >= 2
+    ORDER BY n_occ DESC, word ASC
+"""

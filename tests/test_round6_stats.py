@@ -310,3 +310,21 @@ def test_shapley_attribution_hand_values(spark, tmp_path):
     assert out["error"]["phi24"] == 0 and out["signup"]["phi24"] == 0
     assert all(r["v_full"] == 2 for r in out.values())
     assert sum(r["phi24"] for r in out.values()) == 24 * 2
+
+
+def test_sax_motifs_cycling_weeks(spark, tmp_path):
+    """12 full weeks with daily prices cycling 1,2,3,4 dollars by week:
+    symbols a,b,c,d repeat; words abcd x3, bcda/cdab/dabc x2 each."""
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for w in range(12):
+        price = 1.00 * (w % 4 + 1)
+        for i in range(7):
+            rows.append((base + datetime.timedelta(days=7 * w + i), price))
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderdate date, o_totalprice double")
+    out = {r["word"]: r for r in QUERIES["q_sax_motifs"](spark, str(tmp_path)).collect()}
+    assert out["abcd"]["n_occ"] == 3 and out["abcd"]["first_week"] == 0
+    assert out["bcda"]["n_occ"] == 2
+    assert out["cdab"]["n_occ"] == 2
+    assert out["dabc"]["n_occ"] == 2
