@@ -399,3 +399,80 @@ ORACLE_STREAMING["q_reconcile_maintained"] = """
                     THEN abs(ca - cb) ELSE 0 END) AS BIGINT) AS drift_c
     FROM j GROUP BY user_id
 """
+
+
+def q_interval_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4+ watermarked stream⋈stream interval join == batch range
+    join (streaming/ingest.py stream_stream_interval_join): error
+    events joined to click events within [ts, ts+300 s] per user, BOTH
+    sides unbounded streams over the three time-ordered micro-batch
+    files — the join type stream-static enrichment cannot express, and
+    the one where Spark's state eviction (watermark + interval bound)
+    could silently drop cross-batch matches if the horizon math were
+    wrong.  Chunk boundaries sit mid-interval for pairs near the cut,
+    so the certified equality SPECIFICALLY covers matches whose sides
+    arrive in different micro-batches.  Emitted per user: pair count
+    and the exact summed click-lag seconds; oracle = the plain batch
+    interval join in SQL.
+
+    Scale: Spark bounds each side's state to watermark + interval
+    reach; the parity aggregate is one user-keyed shuffle.
+    """
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    src = _chunked_events(spark, sf_dir)
+    root = _stream_root(sf_dir, "sij")
+    out_dir = f"{root}/out"
+    if not os.path.exists(f"{out_dir}/_spark_metadata"):
+        errors = _event_stream(spark, src).filter(
+            F.col("event_type") == "error"
+        ).select("event_id", "user_id", "ts")
+        clicks = _event_stream(spark, src).filter(
+            F.col("event_type") == "click"
+        ).select("user_id", "ts")
+        joined = stream_stream_interval_join(
+            errors,
+            clicks,
+            on="user_id",
+            lower_seconds=0.0,
+            upper_seconds=300.0,
+            watermark="1 hour",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    pairs = spark.read.parquet(out_dir)
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.unix_timestamp("ts_r") - F.unix_timestamp("ts")
+        ).cast("bigint").alias("lag_sec_sum"),
+    )
+
+
+QUERIES_STREAMING["q_interval_join_streamed"] = q_interval_join_streamed
+
+ORACLE_STREAMING["q_interval_join_streamed"] = """
+    WITH e AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), j AS (
+        SELECT e.user_id,
+               CAST(date_diff('second', e.ts, c.ts) AS BIGINT) AS lag_sec
+        FROM e JOIN c
+          ON c.user_id = e.user_id
+         AND c.ts >= e.ts
+         AND c.ts <= e.ts + INTERVAL 300 SECOND
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(lag_sec) AS BIGINT) AS lag_sec_sum
+    FROM j GROUP BY user_id
+"""

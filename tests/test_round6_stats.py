@@ -328,3 +328,32 @@ def test_sax_motifs_cycling_weeks(spark, tmp_path):
     assert out["bcda"]["n_occ"] == 2
     assert out["cdab"]["n_occ"] == 2
     assert out["dabc"]["n_occ"] == 2
+
+
+def test_interval_join_streamed_cross_chunk_match(spark, tmp_path):
+    """The pair whose sides arrive in DIFFERENT micro-batches (error
+    100 s before the 2024-01-11 chunk cut, click 100 s after) must
+    survive the watermark/state-eviction horizon: n_pairs = 2 for
+    user 1 (in-chunk lag 100 + cross-chunk lag 200), none for user 2
+    (click at 400 s is past the 300 s interval)."""
+    cut = datetime.datetime(2024, 1, 11, 0, 0, 0)
+    t0 = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    rows = [
+        (1, 1, t0, "error", 1.0),
+        (2, 1, t0 + datetime.timedelta(seconds=100), "click", 1.0),
+        (3, 2, t0, "error", 1.0),
+        (4, 2, t0 + datetime.timedelta(seconds=400), "click", 1.0),
+        # cross-chunk pair for user 1
+        (5, 1, cut - datetime.timedelta(seconds=100), "error", 1.0),
+        (6, 1, cut + datetime.timedelta(seconds=100), "click", 1.0),
+        # a late third-chunk row so every chunk is non-empty
+        (7, 3, datetime.datetime(2024, 1, 25, 0, 0, 0), "view", 1.0),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id bigint, user_id bigint, ts timestamp, "
+           "event_type string, value double")
+    out = {r["user_id"]: r for r in
+           QUERIES["q_interval_join_streamed"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_pairs"] == 2
+    assert out[1]["lag_sec_sum"] == 300  # 100 + 200
+    assert 2 not in out
