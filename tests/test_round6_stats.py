@@ -357,3 +357,47 @@ def test_interval_join_streamed_cross_chunk_match(spark, tmp_path):
     assert out[1]["n_pairs"] == 2
     assert out[1]["lag_sec_sum"] == 300  # 100 + 200
     assert 2 not in out
+
+
+def test_sql_recursive_bfs_matches_operator(spark, sf_dir):
+    """Spark's native WITH RECURSIVE BFS must equal the bfs_hops
+    frontier-loop operator on the same graph/seed."""
+    from pyspark.sql import functions as F
+
+    from loan_etl_data_pipeline_spark.operators.graph import bfs_hops
+    from loan_etl_data_pipeline_spark.queries import (
+        _copurchase_edges,
+        all_queries,
+    )
+
+    sql_hist = {
+        r["hops"]: r["n_nodes"]
+        for r in all_queries()["q_sql_recursive_bfs"](spark, sf_dir).collect()
+    }
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    src = edges.agg(F.min("pa").alias("id"))
+    op_hist = {
+        r["hops"]: r["n"]
+        for r in bfs_hops(edges, "pa", "pb", seeds=src, max_hops=3)
+        .groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sql_hist == op_hist
+
+
+def test_spark_recursive_cte_union_boundary(spark):
+    """Engine boundary pin: Spark 4.1 recursive CTEs reject set-
+    semantics UNION (cyclic closures stay with the iterative
+    operators). If an upgrade lifts this, the q_sql_recursive_bfs
+    docstring and the CC oracle strategy can both revisit."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="UNION_NOT_SUPPORTED|UNION ALL"):
+        spark.sql(
+            """
+            WITH RECURSIVE t(n) AS (
+                SELECT 1 UNION SELECT n + 1 FROM t WHERE n < 3
+            ) SELECT * FROM t
+            """
+        ).collect()
