@@ -69,7 +69,13 @@ def _stream_root(sf_dir: str, tag: str) -> str:
     key = hashlib.md5(f"{sf_dir.rstrip('/')}:{tag}".encode()).hexdigest()[:12]
     mat = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
     if mat:
-        return f"{mat}/streamq_{key}"
+        # Keep the PID component even in memoized mode: bench.py
+        # mkdtemps a fresh root per process so this changes nothing
+        # there, but a user-set persistent SPARK_GRAFT_MATERIALIZE_DIR
+        # shared by two concurrent processes must never share a
+        # streaming checkpoint (concurrent commits corrupt its state —
+        # the tmp path below keeps PID isolation for the same reason).
+        return f"{mat}/streamq_{key}_pid{os.getpid()}"
     root = os.path.join(
         tempfile.gettempdir(), f"spark_graft_streamq_{key}_{os.getpid()}"
     )
@@ -329,10 +335,18 @@ def q_reconcile_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     matched = spark.read.parquet(f"{root}/out/batch=*")
-    last = max(
+    batches = [
         int(p.rsplit("=", 1)[1])
         for p in _glob.glob(f"{root}/pending/batch=*")
-    )
+    ]
+    if not batches:
+        raise RuntimeError(
+            "stream_reconcile produced no pending/batch=* snapshots under "
+            f"{root}/pending — the source emitted zero micro-batches or a "
+            "prior crashed run left the checkpoint without its snapshot; "
+            "delete the root and rerun"
+        )
+    last = max(batches)
     pending = spark.read.parquet(f"{root}/pending/batch={last}")
     m = matched.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matched"),
@@ -425,29 +439,33 @@ def q_interval_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _chunked_events(spark, sf_dir)
     root = _stream_root(sf_dir, "sij")
     out_dir = f"{root}/out"
-    if not os.path.exists(f"{out_dir}/_spark_metadata"):
-        errors = _event_stream(spark, src).filter(
-            F.col("event_type") == "error"
-        ).select("event_id", "user_id", "ts")
-        clicks = _event_stream(spark, src).filter(
-            F.col("event_type") == "click"
-        ).select("user_id", "ts")
-        joined = stream_stream_interval_join(
-            errors,
-            clicks,
-            on="user_id",
-            lower_seconds=0.0,
-            upper_seconds=300.0,
-            watermark="1 hour",
-        )
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # ALWAYS start the stream: a completed checkpoint makes the
+    # availableNow restart a cheap no-op, while skipping on the mere
+    # existence of _spark_metadata would silently aggregate over the
+    # partial sink output of a crashed run (the other three streaming
+    # certifications already rely on checkpoint idempotence this way).
+    errors = _event_stream(spark, src).filter(
+        F.col("event_type") == "error"
+    ).select("event_id", "user_id", "ts")
+    clicks = _event_stream(spark, src).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts")
+    joined = stream_stream_interval_join(
+        errors,
+        clicks,
+        on="user_id",
+        lower_seconds=0.0,
+        upper_seconds=300.0,
+        watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     pairs = spark.read.parquet(out_dir)
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
@@ -475,4 +493,132 @@ ORACLE_STREAMING["q_interval_join_streamed"] = """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(lag_sec) AS BIGINT) AS lag_sec_sum
     FROM j GROUP BY user_id
+"""
+
+
+def _hh_item():
+    """Shared item derivation for the heavy-hitters certification: keep
+    'signup' whole (the planted heavy value, ~20% of rows at every SF)
+    and shard every other type across ``user_id % 50`` sub-items, so
+    the per-shard Misra–Gries summaries (capacity 6, ~50 distinct items
+    per shard) are forced through their decrement path — a cardinality-5
+    column would never evict and would certify only the plumbing.
+    F.concat (not concat_ws) so a null user_id nulls the item exactly
+    like the oracle's ``||``."""
+    return F.when(F.col("event_type") == "signup", F.lit("signup")).otherwise(
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            (F.col("user_id") % F.lit(50)).cast("string"),
+        )
+    )
+
+
+def q_heavy_hitters_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2+ streaming Misra–Gries heavy hitters + exact second pass ==
+    plain SQL frequency filter (streaming/ingest.py
+    streaming_heavy_hitters): the REAL applyInPandasWithState maintainer
+    carries sharded MG summaries across the three time-ordered
+    micro-batches (state is a pure function of the pinned batch
+    sequence), the final per-shard candidate lists are exact-counted in
+    one batch pass, and candidates below the MG support threshold are
+    dropped.  The MG guarantee — any item with true frequency
+    > shard_total/(capacity+1) survives in its shard's summary — makes
+    the emitted set EXACTLY ``{item : 6·n(item) > N}`` no matter which
+    extra candidates the sketch carried, so the oracle is a plain
+    GROUP BY/HAVING and a green row certifies the sketch's recall
+    contract end-to-end, not just the plumbing.
+
+    Scale: streaming state is O(n_shards · capacity) TOTAL; the second
+    pass is one map-side-combinable aggregate semi-joined against a
+    broadcast candidate list (the sketch's whole point: never a full
+    distinct-item shuffle on the hot path).
+    """
+    from loan_etl_data_pipeline_spark.streaming.ingest import (
+        streaming_heavy_hitters,
+    )
+
+    src = _chunked_events(spark, sf_dir)
+    root = _stream_root(sf_dir, "hhm")
+    mg_dir = f"{root}/mg"
+
+    stream = streaming_heavy_hitters(
+        _event_stream(spark, src).withColumn("hh_item", _hh_item()),
+        value_col="hh_item",
+        capacity=6,
+        n_shards=4,
+    )
+
+    def _sink(df: DataFrame, bid: int) -> None:
+        # one dir per micro-batch, overwrite on replay: a checkpoint
+        # re-delivery after a crash rewrites the same dir (idempotent)
+        (
+            df.withColumn("batch_id", F.lit(int(bid)))
+            .write.mode("overwrite")
+            .parquet(f"{mg_dir}/b{int(bid)}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if not glob.glob(f"{mg_dir}/b*"):
+        raise RuntimeError(
+            "streaming_heavy_hitters produced no micro-batch outputs under "
+            f"{mg_dir} — the source emitted zero batches or a prior crashed "
+            "run left the checkpoint without its sink dirs; delete the root "
+            "and rerun (same loud-failure discipline as q_reconcile_maintained)"
+        )
+    # final candidate list = each shard's summary as of the LAST batch
+    # that touched it (untouched shards keep their earlier emission)
+    mg = spark.read.parquet(f"{mg_dir}/b*")
+    final_batch = mg.groupBy("shard").agg(F.max("batch_id").alias("batch_id"))
+    cands = (
+        mg.join(final_batch, ["shard", "batch_id"])
+        .select("item")
+        .distinct()
+    )
+
+    # exact second pass over everything ingested, gated on candidates;
+    # the MG guarantee makes the semi-join lossless above the threshold
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(_hh_item().alias("item"))
+        .filter(F.col("item").isNotNull())
+    )
+    totals = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    exact = ev.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        exact.join(F.broadcast(cands), "item", "left_semi")
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("n") * F.lit(6) > F.col("n_events"))
+        .select("item", "n", "n_events")
+    )
+
+
+QUERIES_STREAMING["q_heavy_hitters_maintained"] = q_heavy_hitters_maintained
+
+# the sketch-free derivation: every item whose exact count clears the
+# MG support threshold — by the recall guarantee, exactly what the
+# maintained candidates + exact second pass emit
+ORACLE_STREAMING["q_heavy_hitters_maintained"] = """
+    WITH it AS (
+        SELECT CASE WHEN event_type = 'signup' THEN 'signup'
+                    ELSE event_type || '#' || CAST(user_id % 50 AS VARCHAR)
+               END AS item
+        FROM events
+    ), nn AS (
+        SELECT item FROM it WHERE item IS NOT NULL
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_events FROM nn
+    )
+    SELECT nn.item, CAST(count(*) AS BIGINT) AS n, t.n_events
+    FROM nn, t
+    GROUP BY nn.item, t.n_events
+    HAVING 6 * count(*) > t.n_events
 """
