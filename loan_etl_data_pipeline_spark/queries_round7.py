@@ -1302,3 +1302,477 @@ ORACLE_R7["q_dunn_index"] = """
            CAST(min_inter AS DOUBLE) / CAST(max_diam AS DOUBLE) AS dunn
     FROM diam, gaps
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 2: bounded Katz, seasonal MK, Bowker symmetry, Lorenz
+# deciles, Ljung-Box portmanteau, XYZ demand classes
+# ---------------------------------------------------------------------------
+
+
+@_q("q_katz_bounded")
+def q_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ hop-bounded Katz centrality on the co-purchase graph:
+    64·Σ_{k≤3} β^k·walks_k(v) with β = 1/4 — i.e. the exact integer
+    16·w₁ + 4·w₂ + w₃ (the 4³ common denominator), where w_k counts
+    length-k walks from v.  The "influence reaches past your
+    neighbors" score PageRank approximates with a random surfer; the
+    hop bound keeps it closed-form (the full Katz series is the
+    iterative operators' job).  Two adjacency⋈aggregate hops compute
+    w₂, w₃ from degrees — never materializing walks.  w₃ ≤ deg·max(w₂)
+    stays inside int64 on any support-2 graph (the prune caps degrees
+    ~√m); top-20 under a total order.
+    """
+    from loan_etl_data_pipeline_spark.operators.graph import degrees
+    from loan_etl_data_pipeline_spark.queries import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = degrees(edges, "pa", "pb").select(
+        "node", F.col("degree").cast("bigint").alias("w1")
+    )
+    adj = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    w2 = (
+        adj.join(deg.withColumnRenamed("node", "v"), "v")
+        .groupBy("u")
+        .agg(F.sum("w1").cast("bigint").alias("w2"))
+        .withColumnRenamed("u", "node")
+    )
+    w3 = (
+        adj.join(w2.withColumnRenamed("node", "v"), "v")
+        .groupBy("u")
+        .agg(F.sum("w2").cast("bigint").alias("w3"))
+        .withColumnRenamed("u", "node")
+    )
+    return (
+        deg.join(w2, "node", "left")
+        .join(w3, "node", "left")
+        .select(
+            "node",
+            "w1",
+            F.coalesce("w2", F.lit(0)).cast("bigint").alias("w2"),
+            F.coalesce("w3", F.lit(0)).cast("bigint").alias("w3"),
+        )
+        .withColumn(
+            "katz_q",
+            (16 * F.col("w1") + 4 * F.col("w2") + F.col("w3")).cast("bigint"),
+        )
+        .orderBy(F.desc("katz_q"), "node")
+        .limit(20)
+    )
+
+
+ORACLE_R7["q_katz_bounded"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS w1 FROM (
+            SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+        ) GROUP BY node
+    ), adj AS (
+        SELECT pa AS u, pb AS v FROM pairs
+        UNION ALL SELECT pb AS u, pa AS v FROM pairs
+    ), w2 AS (
+        SELECT adj.u AS node, CAST(sum(deg.w1) AS BIGINT) AS w2
+        FROM adj JOIN deg ON deg.node = adj.v GROUP BY adj.u
+    ), w3 AS (
+        SELECT adj.u AS node, CAST(sum(w2.w2) AS BIGINT) AS w3
+        FROM adj JOIN w2 ON w2.node = adj.v GROUP BY adj.u
+    )
+    SELECT deg.node AS node, deg.w1,
+           COALESCE(w2.w2, 0) AS w2, COALESCE(w3.w3, 0) AS w3,
+           CAST(16 * deg.w1 + 4 * COALESCE(w2.w2, 0)
+                + COALESCE(w3.w3, 0) AS BIGINT) AS katz_q
+    FROM deg LEFT JOIN w2 ON w2.node = deg.node
+             LEFT JOIN w3 ON w3.node = deg.node
+    ORDER BY katz_q DESC, deg.node
+    LIMIT 20
+"""
+
+
+@_q("q_mk_seasonal")
+def q_mk_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ seasonal Mann–Kendall: the trend statistic S computed
+    WITHIN each ISO weekday and summed — the deseasonalized upgrade of
+    q_mann_kendall for series with a weekly cycle (a strong Friday
+    effect otherwise masquerades as trend).  Per-weekday day counts are
+    calendar-bounded (~350 each), so the i<j sign pairs stay ~7×
+    smaller than the plain MK join.  Exact integer S per season.
+    """
+    from loan_etl_data_pipeline_spark.queries import _daily_cents
+
+    d = _daily_cents(spark, sf_dir).select(
+        "day", "cents", (F.expr("weekday(day)") + F.lit(1)).alias("dow")
+    )
+    a = d.select("dow", F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = d.select(
+        F.col("dow").alias("dowb"),
+        F.col("day").alias("db"),
+        F.col("cents").alias("cb"),
+    )
+    pairs = a.join(
+        b, (F.col("dow") == F.col("dowb")) & (F.col("da") < F.col("db"))
+    )
+    return (
+        pairs.groupBy("dow")
+        .agg(
+            F.sum(
+                F.signum((F.col("cb") - F.col("ca")).cast("double")).cast("bigint")
+            ).cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("dow")
+    )
+
+
+ORACLE_R7["q_mk_seasonal"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY day
+    ), d AS (
+        SELECT day, cents, CAST(date_part('isodow', day) AS BIGINT) AS dow
+        FROM daily
+    )
+    SELECT a.dow,
+           CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                         WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+             AS s,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM d a JOIN d b ON a.dow = b.dow AND a.day < b.day
+    GROUP BY a.dow ORDER BY a.dow
+"""
+
+
+@_q("q_bowker")
+def q_bowker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Bowker symmetry test cells over the priority × price-
+    quintile square table (the McNemar generalization): for each i<j,
+    the (n_ij − n_ji)² / (n_ij + n_ji) contribution asks whether
+    misclassification flows one way.  Emitted PER CELL-PAIR (10 rows)
+    with exact integer numerators through the _dec19 ladder — summing
+    the double contributions would be order-sensitive, so the consumer
+    (or a fixed-order fold) owns the final χ²; each row is exact.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("r1"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                F.expr("cast(floor(o_totalprice * 100) as bigint)"),
+                F.col("o_orderkey"),
+            )
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    cells = o.groupBy("r1", "r2").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    up = cells.filter(F.col("r1") < F.col("r2")).select(
+        F.col("r1").alias("i"), F.col("r2").alias("j"), F.col("n").alias("nij")
+    )
+    lo = cells.filter(F.col("r1") > F.col("r2")).select(
+        F.col("r2").alias("i"), F.col("r1").alias("j"), F.col("n").alias("nji")
+    )
+    p = up.join(lo, ["i", "j"], "full").select(
+        "i",
+        "j",
+        F.coalesce("nij", F.lit(0)).cast("bigint").alias("nij"),
+        F.coalesce("nji", F.lit(0)).cast("bigint").alias("nji"),
+    )
+    d = (_dec19("nij") - _dec19("nji"))
+    p = p.withColumn("d2", (d * d).cast("decimal(38,0)")).withColumn(
+        "s", (F.col("nij") + F.col("nji")).cast("bigint")
+    )
+    return p.select(
+        "i",
+        "j",
+        "nij",
+        "nji",
+        "s",
+        F.when(F.col("s") > 0, _limb("d2") / F.col("s").cast("double")).alias(
+            "contrib"
+        ),
+    ).orderBy("i", "j")
+
+
+ORACLE_R7["q_bowker"] = f"""
+    WITH o AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS r1,
+               CAST(ntile(5) OVER (ORDER BY
+                   CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
+                 AS BIGINT) AS r2
+        FROM orders
+    ), cells AS (
+        SELECT r1, r2, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY r1, r2
+    ), up AS (
+        SELECT r1 AS i, r2 AS j, n AS nij FROM cells WHERE r1 < r2
+    ), lo AS (
+        SELECT r2 AS i, r1 AS j, n AS nji FROM cells WHERE r1 > r2
+    ), p AS (
+        SELECT COALESCE(up.i, lo.i) AS i, COALESCE(up.j, lo.j) AS j,
+               CAST(COALESCE(nij, 0) AS BIGINT) AS nij,
+               CAST(COALESCE(nji, 0) AS BIGINT) AS nji
+        FROM up FULL JOIN lo ON up.i = lo.i AND up.j = lo.j
+    ), w AS (
+        SELECT i, j, nij, nji,
+               CAST(nij + nji AS BIGINT) AS s,
+               (CAST(nij AS HUGEINT) - nji) * (CAST(nij AS HUGEINT) - nji)
+                 AS d2
+        FROM p
+    )
+    SELECT i, j, nij, nji, s,
+           CASE WHEN s > 0
+                THEN ({_limb_sql('d2')}) / CAST(s AS DOUBLE)
+           END AS contrib
+    FROM w ORDER BY i, j
+"""
+
+
+@_q("q_lorenz_deciles")
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.5+ Lorenz curve of customer revenue concentration in exact
+    deciles: NTILE(10) over per-customer totals (custkey tie-break),
+    per-decile mass, and the cumulative share — the curve behind
+    q_gini_customers' scalar, the table an ABC policy actually reads.
+    All cents exact; the only doubles are the 10 share divisions.
+    """
+    from pyspark.sql import Window
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    dec = per_cust.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    per_dec = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    return per_dec.select(
+        "decile",
+        "n_cust",
+        "cents",
+        (
+            F.sum("cents").over(w).cast("double")
+            / F.sum("cents").over(tot).cast("double")
+        ).alias("cum_share"),
+    ).orderBy("decile")
+
+
+ORACLE_R7["q_lorenz_deciles"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY o_custkey
+    ), dec AS (
+        SELECT cents,
+               CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT)
+                 AS decile
+        FROM per_cust
+    ), per_dec AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM dec GROUP BY decile
+    )
+    SELECT decile, n_cust, cents,
+           CAST(sum(cents) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(cents) OVER () AS DOUBLE) AS cum_share
+    FROM per_dec ORDER BY decile
+"""
+
+
+@_q("q_ljung_box")
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Ljung–Box-style portmanteau over the calendar-paired ACF:
+    Q = n(n+2)·Σ_{k=1..7} r_k²/m_k with the q_autocorr lags (m_k =
+    calendar pairs at lag k — the missing-day-robust analogue of n−k).
+    The white-noise omnibus the per-lag ACF table doesn't give you.
+    Portability: each r_k is already a fixed IEEE sequence over exact
+    moments; the 7-term sum is written as ONE explicit left-to-right
+    addition in both engines (never an aggregate over rows, whose
+    order would be unspecified).
+    """
+    from loan_etl_data_pipeline_spark.queries import _daily_cents, q_autocorr
+
+    ac = q_autocorr(spark, sf_dir).select(
+        "lag",
+        (
+            F.col("r") * F.col("r") / F.col("n_pairs").cast("double")
+        ).alias("t"),
+    )
+    terms = ac.agg(
+        *[
+            F.min(F.when(F.col("lag") == k, F.col("t"))).alias(f"t{k}")
+            for k in range(1, 8)
+        ]
+    )
+    n = _daily_cents(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    nd = F.col("n_days").cast("double")
+    ssum = (
+        (
+            (
+                (
+                    ((F.col("t1") + F.col("t2")) + F.col("t3")) + F.col("t4")
+                )
+                + F.col("t5")
+            )
+            + F.col("t6")
+        )
+        + F.col("t7")
+    )
+    return n.crossJoin(F.broadcast(terms)).select(
+        "n_days",
+        F.lit(7).cast("bigint").alias("n_lags"),
+        (nd * (nd + F.lit(2.0)) * ssum).alias("q_lb"),
+    )
+
+
+@_q("q_xyz_parts")
+def q_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.5+ XYZ demand-variability classification — the companion axis
+    to q_abc_parts' value ranking: per part, monthly demand quantities
+    classify X (cv² ≤ 1/25: steady), Y (cv² ≤ 1/4: seasonal-ish) or Z
+    (erratic).  The cv² thresholds are evaluated as EXACT integer
+    cross-multiplications through the _dec19 ladder (25·n·(nΣq²−S²)
+    vs (n−1)·S² — never a float cv), so the class boundaries are
+    engine-identical.  One part×month aggregate, one part aggregate,
+    a 3-row result.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("mon"),
+        F.expr("cast(floor(l_quantity) as bigint)").alias("q"),
+    )
+    pm = li.groupBy("l_partkey", "mon").agg(
+        F.sum("q").cast("bigint").alias("q")
+    )
+    m = pm.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(_dec19("q") * _dec19("q")).cast("decimal(38,0)").alias("ss"),
+    ).filter((F.col("n") >= 2) & (F.col("s") > 0))
+    var_core = (_dec19("n") * F.col("ss") - _dec19("s") * _dec19("s")).cast(
+        "decimal(38,0)"
+    )
+    lhs = (_dec19("n") * var_core).cast("decimal(38,0)")
+    rhs = ((_dec19("n") - F.lit(1).cast("decimal(19,0)")) * _dec19("s") * _dec19("s")).cast(
+        "decimal(38,0)"
+    )
+    classed = m.select(
+        F.when(lhs * 25 <= rhs, F.lit("X"))
+        .when(lhs * 4 <= rhs, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class")
+    )
+    return (
+        classed.groupBy("xyz_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("xyz_class")
+    )
+
+
+ORACLE_R7["q_xyz_parts"] = """
+    WITH pm AS (
+        SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS mon,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY l_partkey, mon
+    ), m AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s,
+               sum(CAST(q AS HUGEINT) * q) AS ss
+        FROM pm GROUP BY l_partkey
+        HAVING count(*) >= 2 AND sum(q) > 0
+    ), classed AS (
+        SELECT CASE
+            WHEN 25 * (n * (n * ss - CAST(s AS HUGEINT) * s))
+                 <= (n - 1) * CAST(s AS HUGEINT) * s THEN 'X'
+            WHEN 4 * (n * (n * ss - CAST(s AS HUGEINT) * s))
+                 <= (n - 1) * CAST(s AS HUGEINT) * s THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+        FROM m
+    )
+    SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY xyz_class ORDER BY xyz_class
+"""
+
+
+def _ljung_oracle() -> str:
+    from loan_etl_data_pipeline_spark.queries import _DAILY_CENTS_SQL
+
+    # textually mirrors the q_autocorr oracle's moment/limb pipeline so
+    # the r_k underneath Q are THE certified ACF values
+    return f"""
+    WITH {_DAILY_CENTS_SQL},
+    lags AS (SELECT CAST(i AS INTEGER) AS lag FROM range(1, 8) t(i)),
+    paired AS (
+        SELECT l.lag, a.cents AS ca, b.cents AS cb
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.day = a.day + to_days(l.lag)
+    ),
+    m AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(CAST(ca AS HUGEINT)) AS sx,
+               sum(CAST(cb AS HUGEINT)) AS sy,
+               sum(CAST(ca AS HUGEINT) * cb) AS sxy,
+               sum(CAST(ca AS HUGEINT) * ca) AS sxx,
+               sum(CAST(cb AS HUGEINT) * cb) AS syy
+        FROM paired GROUP BY lag
+    ),
+    md AS (
+        SELECT lag, n_pairs,
+               {_limb_sql('sx')} AS dsx, {_limb_sql('sy')} AS dsy,
+               {_limb_sql('sxy')} AS dsxy, {_limb_sql('sxx')} AS dsxx,
+               {_limb_sql('syy')} AS dsyy
+        FROM m
+    ),
+    ac AS (
+        SELECT lag, n_pairs,
+               (CAST(n_pairs AS DOUBLE) * dsxy - dsx * dsy)
+               / (sqrt(CAST(n_pairs AS DOUBLE) * dsxx - dsx * dsx)
+                  * sqrt(CAST(n_pairs AS DOUBLE) * dsyy - dsy * dsy)) AS r
+        FROM md
+    ),
+    t AS (
+        SELECT
+          min(CASE WHEN lag = 1 THEN r * r / CAST(n_pairs AS DOUBLE) END) AS t1,
+          min(CASE WHEN lag = 2 THEN r * r / CAST(n_pairs AS DOUBLE) END) AS t2,
+          min(CASE WHEN lag = 3 THEN r * r / CAST(n_pairs AS DOUBLE) END) AS t3,
+          min(CASE WHEN lag = 4 THEN r * r / CAST(n_pairs AS DOUBLE) END) AS t4,
+          min(CASE WHEN lag = 5 THEN r * r / CAST(n_pairs AS DOUBLE) END) AS t5,
+          min(CASE WHEN lag = 6 THEN r * r / CAST(n_pairs AS DOUBLE) END) AS t6,
+          min(CASE WHEN lag = 7 THEN r * r / CAST(n_pairs AS DOUBLE) END) AS t7
+        FROM ac
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days, CAST(7 AS BIGINT) AS n_lags,
+           CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
+             * ((((((t1 + t2) + t3) + t4) + t5) + t6) + t7) AS q_lb
+    FROM nn, t
+"""
+
+
+ORACLE_R7["q_ljung_box"] = _ljung_oracle()

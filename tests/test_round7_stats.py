@@ -257,3 +257,88 @@ def test_dunn_index_two_clusters(spark, tmp_path):
            "c_acctbal double")
     r = QUERIES["q_dunn_index"](spark, str(tmp_path)).collect()[0]
     assert (r["min_inter"], r["max_diam"], r["dunn"]) == (400, 100, 4.0)
+
+
+def test_katz_bounded_path_graph(spark, tmp_path):
+    """Path 1–2–3: w = (deg, Σdeg(N), ΣΣ) gives katz_q 26/44/26 — the
+    middle node dominates, leaves tie and break by node id."""
+    _copurchase_lineitem(tmp_path, spark, [(1, 2), (2, 3)])
+    out = [(r["node"], r["katz_q"]) for r in
+           QUERIES["q_katz_bounded"](spark, str(tmp_path)).collect()]
+    assert out == [(2, 44), (1, 26), (3, 26)]
+
+
+def test_mk_seasonal_monday_trend(spark, tmp_path):
+    """Three rising Mondays → S=3 over 3 pairs for isodow 1; a lone
+    Tuesday contributes no pair and no row."""
+    rows = [(1, datetime.datetime(2024, 1, 1), 1.0),   # Mon
+            (2, datetime.datetime(2024, 1, 8), 2.0),   # Mon
+            (3, datetime.datetime(2024, 1, 15), 3.0),  # Mon
+            (4, datetime.datetime(2024, 1, 2), 9.0)]   # Tue
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_orderdate timestamp, o_totalprice double")
+    out = {r["dow"]: (r["s"], r["n_pairs"]) for r in
+           QUERIES["q_mk_seasonal"](spark, str(tmp_path)).collect()}
+    assert out == {1: (3, 3)}
+
+
+def test_bowker_asymmetric_cells(spark, tmp_path):
+    """Priorities (1,2,4) with prices ranking (2,1,3): the (1,2) pair
+    is symmetric (contrib 0), the (3,4) pair is pure one-way flow
+    (contrib 1)."""
+    _write(spark, tmp_path, "orders",
+           [(1, "1-URGENT", 200.0), (2, "2-HIGH", 100.0),
+            (3, "4-NOT SPECIFIED", 300.0)],
+           "o_orderkey bigint, o_orderpriority string, o_totalprice double")
+    out = {(r["i"], r["j"]): r for r in
+           QUERIES["q_bowker"](spark, str(tmp_path)).collect()}
+    assert (out[(1, 2)]["nij"], out[(1, 2)]["nji"],
+            out[(1, 2)]["contrib"]) == (1, 1, 0.0)
+    assert (out[(3, 4)]["nij"], out[(3, 4)]["nji"], out[(3, 4)]["s"],
+            out[(3, 4)]["contrib"]) == (0, 1, 1, 1.0)
+
+
+def test_lorenz_deciles_linear_revenue(spark, tmp_path):
+    """Customers with revenue $1..$10 land one per decile; the curve's
+    endpoints and one interior point are closed-form."""
+    rows = [(i, i, float(i)) for i in range(1, 11)]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_custkey bigint, o_totalprice double")
+    out = {r["decile"]: r for r in
+           QUERIES["q_lorenz_deciles"](spark, str(tmp_path)).collect()}
+    assert all(out[k]["n_cust"] == 1 for k in range(1, 11))
+    assert out[1]["cents"] == 100 and out[10]["cents"] == 1000
+    assert out[1]["cum_share"] == 100.0 / 5500.0
+    assert out[10]["cum_share"] == 1.0
+
+
+def test_ljung_box_consistent_with_acf(spark, sf_dir):
+    """Q must equal n(n+2)·Σ r_k²/m_k recomputed in Python from the
+    certified q_autocorr output, with the same left-to-right addition
+    order (bit-identical doubles)."""
+    ac = {r["lag"]: r for r in QUERIES["q_autocorr"](spark, sf_dir).collect()}
+    from loan_etl_data_pipeline_spark.queries import _daily_cents
+
+    n = _daily_cents(spark, sf_dir).count()
+    acc = 0.0
+    for k in range(1, 8):
+        acc = acc + ac[k]["r"] * ac[k]["r"] / float(ac[k]["n_pairs"])
+    expected = float(n) * (float(n) + 2.0) * acc
+    r = QUERIES["q_ljung_box"](spark, sf_dir).collect()[0]
+    assert (r["n_days"], r["n_lags"]) == (n, 7)
+    assert r["q_lb"] == expected
+
+
+def test_xyz_parts_steady_vs_erratic(spark, tmp_path):
+    """Part 1 ships (10, 10) monthly (cv²=0 → X); part 2 ships (1, 9)
+    (cv² = 1.28 → Z)."""
+    jan = datetime.datetime(2024, 1, 15)
+    feb = datetime.datetime(2024, 2, 15)
+    _write(spark, tmp_path, "lineitem",
+           [(1, 1, jan, 10.0, 1.0), (2, 1, feb, 10.0, 1.0),
+            (3, 2, jan, 1.0, 1.0), (4, 2, feb, 9.0, 1.0)],
+           "l_orderkey bigint, l_partkey bigint, l_shipdate timestamp, "
+           "l_quantity double, l_extendedprice double")
+    out = {r["xyz_class"]: r["n_parts"] for r in
+           QUERIES["q_xyz_parts"](spark, str(tmp_path)).collect()}
+    assert out == {"X": 1, "Z": 1}
