@@ -1776,3 +1776,81 @@ def _ljung_oracle() -> str:
 
 
 ORACLE_R7["q_ljung_box"] = _ljung_oracle()
+
+
+@_q("q_footrule")
+def q_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Spearman footrule distance between the part revenue
+    rankings of the two calendar eras (ship years ≤1997 vs ≥1998):
+    Σ|rank₁ − rank₂| over parts in BOTH top-100 lists — the rank-churn
+    number a "did the catalog's bestsellers change?" dashboard wants,
+    and the L1 companion of q_spearman's ρ.  Ranks are deterministic
+    row_numbers (cents desc, partkey tie-break); the distance and its
+    n²/2 normalizer are exact integers, one final division.
+    Scale: two map-side-combinable part aggregates; the rank windows
+    run over top-100 broadcasts.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("c"),
+        (F.year("l_shipdate") <= F.lit(1997)).alias("era1"),
+    )
+
+    def top(era_flag):
+        w = Window.orderBy(F.desc("cents"), "l_partkey")
+        return (
+            li.filter(F.col("era1") == era_flag)
+            .groupBy("l_partkey")
+            .agg(F.sum("c").cast("bigint").alias("cents"))
+            .select("l_partkey", F.row_number().over(w).cast("bigint").alias("r"))
+            .filter(F.col("r") <= 100)
+        )
+
+    a = top(True).withColumnRenamed("r", "r1")
+    b = top(False).withColumnRenamed("r", "r2")
+    j = a.join(b, "l_partkey")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum(F.abs(F.col("r1") - F.col("r2"))).cast("bigint").alias("footrule"),
+    ).select(
+        "n_common",
+        "footrule",
+        (
+            F.lit(2.0)
+            * F.col("footrule").cast("double")
+            / (F.col("n_common").cast("double") * F.col("n_common").cast("double"))
+        ).alias("norm_footrule"),
+    )
+
+
+ORACLE_R7["q_footrule"] = """
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+               CASE WHEN date_part('year', l_shipdate) <= 1997
+                    THEN 1 ELSE 0 END AS era1
+        FROM lineitem
+    ), t1 AS (
+        SELECT l_partkey,
+               CAST(row_number() OVER (ORDER BY sum(c) DESC, l_partkey)
+                 AS BIGINT) AS r1
+        FROM li WHERE era1 = 1 GROUP BY l_partkey
+        QUALIFY r1 <= 100
+    ), t2 AS (
+        SELECT l_partkey,
+               CAST(row_number() OVER (ORDER BY sum(c) DESC, l_partkey)
+                 AS BIGINT) AS r2
+        FROM li WHERE era1 = 0 GROUP BY l_partkey
+        QUALIFY r2 <= 100
+    ), j AS (
+        SELECT r1, r2 FROM t1 JOIN t2 USING (l_partkey)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(abs(r1 - r2)) AS BIGINT) AS footrule,
+           2.0 * CAST(sum(abs(r1 - r2)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))
+             AS norm_footrule
+    FROM j
+"""

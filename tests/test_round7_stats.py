@@ -342,3 +342,17 @@ def test_xyz_parts_steady_vs_erratic(spark, tmp_path):
     out = {r["xyz_class"]: r["n_parts"] for r in
            QUERIES["q_xyz_parts"](spark, str(tmp_path)).collect()}
     assert out == {"X": 1, "Z": 1}
+
+
+def test_footrule_reversed_ranks(spark, tmp_path):
+    """Two parts whose revenue order REVERSES between eras: ranks
+    (1,2)→(2,1) give footrule 2, normalized 2·2/2² = 1."""
+    e1 = datetime.datetime(1996, 6, 1)
+    e2 = datetime.datetime(1999, 6, 1)
+    _write(spark, tmp_path, "lineitem",
+           [(1, 1, e1, 1.0, 10.0), (2, 2, e1, 1.0, 5.0),
+            (3, 1, e2, 1.0, 5.0), (4, 2, e2, 1.0, 10.0)],
+           "l_orderkey bigint, l_partkey bigint, l_shipdate timestamp, "
+           "l_quantity double, l_extendedprice double")
+    r = QUERIES["q_footrule"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_common"], r["footrule"], r["norm_footrule"]) == (2, 2, 1.0)
