@@ -222,3 +222,103 @@ def test_spark_div_quotient_wrap_is_guarded(spark):
     ok = guard.replace("cast(2e19 as decimal(38,0))",
                        "cast(4e18 as decimal(38,0))")
     assert spark.sql(ok).collect()[0]["q"] == 2 * 10**18
+
+
+# ---------------------------------------------------------------------------
+# Round-7 boundaries
+# ---------------------------------------------------------------------------
+
+
+def _write_orders_r7(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_orderdate date, o_totalprice double, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_page_hinkley_exact_just_inside_int64(spark, tmp_path):
+    """The PH path's i·xᵢ product at adversarial magnitude: day 2
+    carries cents = 100·2^55 ≈ 3.6e18, so the i=2 product is ~7.2e18 —
+    just inside 2^63.  Engine must equal the DuckDB oracle bit-exact
+    AND the hand-computed truncating-division path."""
+    big = 2.0**55  # totalprice whose floor-cents are exactly 100*2^55
+    _write_orders_r7(spark, tmp_path, [
+        (1, datetime.date(2024, 1, 1), 1.0, "1-URGENT"),
+        (2, datetime.date(2024, 1, 2), big, "1-URGENT"),
+        (3, datetime.date(2024, 1, 3), 1.0, "1-URGENT"),
+    ])
+    b = 100 * 2**55
+    s2, s3 = 100 + b, 200 + b
+    dev = [0, (2 * b - s2) // 2, (3 * 100 - s3) // 3]  # python //: all operands positive except dev3 numerator
+    # dev3 numerator is negative: python // floors, engines truncate —
+    # recompute with truncation to stay faithful
+    n3 = 3 * 100 - s3
+    dev[2] = -((-n3) // 3) if n3 < 0 else n3 // 3
+    m = [dev[0], dev[0] + dev[1], dev[0] + dev[1] + dev[2]]
+    expected_range = max(m) - min(m)
+    ecols, erows = _run_engine(spark, "q_page_hinkley", tmp_path)
+    row = dict(zip(ecols, erows[0]))
+    assert row["ph_range"] == expected_range
+    assert row["n_days"] == 3
+    _assert_equal(spark, "q_page_hinkley", tmp_path, ["orders"])
+
+
+def test_page_hinkley_raises_loudly_past_int64(spark, tmp_path):
+    """Same magnitude at i=3: the 3·xᵢ product passes 2^63 and the
+    ANSI plan must abort loudly, never wrap."""
+    big = 2.0**55
+    _write_orders_r7(spark, tmp_path, [
+        (1, datetime.date(2024, 1, 1), 1.0, "1-URGENT"),
+        (2, datetime.date(2024, 1, 2), 1.0, "1-URGENT"),
+        (3, datetime.date(2024, 1, 3), big, "1-URGENT"),
+    ])
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC"):
+        _run_engine(spark, "q_page_hinkley", tmp_path)
+
+
+def test_kish_ess_exact_just_inside_limb_bound(spark, tmp_path):
+    """Three orders of floor-cents 100·2^40 each: Σw² ≈ 3.63e28 sits
+    just inside the limb emission's 2^95 ≈ 3.96e28 bound (the _dec19
+    ladder carries what int64 could not — each w² ≈ 1.2e28 is already
+    past 2^63).  Equal weights ⇒ ESS exactly 3.0, and the engine must
+    equal the DuckDB oracle bit-exact."""
+    big = 2.0**40  # floor-cents 100*2^40 = 25*2^42, exactly representable
+    _write_orders_r7(spark, tmp_path, [
+        (1, datetime.date(2024, 1, 1), big, "1-URGENT"),
+        (2, datetime.date(2024, 1, 2), big, "1-URGENT"),
+        (3, datetime.date(2024, 1, 3), big, "1-URGENT"),
+    ])
+    ecols, erows = _run_engine(spark, "q_kish_ess", tmp_path)
+    row = dict(zip(ecols, erows[0]))
+    assert (row["n"], row["ess"]) == (3, 3.0)
+    _assert_equal(spark, "q_kish_ess", tmp_path, ["orders"])
+
+
+def test_kish_ess_raises_loudly_past_limb_bound(spark, tmp_path):
+    """ONE order of floor-cents 100·2^56 puts Σw² ≈ 5.2e37 past 2^95 —
+    inside decimal(38,0), but Spark's div would silently WRAP the high
+    limb (the §8 quotient-wrap gotcha).  The guarded _limb must abort
+    loudly with the remediation pointer instead of emitting garbage."""
+    big = 2.0**56
+    _write_orders_r7(
+        spark, tmp_path, [(1, datetime.date(2024, 1, 1), big, "1-URGENT")]
+    )
+    with pytest.raises(Exception, match="(?i)limb emission|USER_RAISED"):
+        _run_engine(spark, "q_kish_ess", tmp_path)
+
+
+def test_kish_ess_sum_overflows_loudly_past_decimal38(spark, tmp_path):
+    """Two such orders additionally push Σw² past 10^38−1: the
+    decimal(38,0) accumulator itself must abort loudly under ANSI —
+    never a silent null."""
+    big = 2.0**56
+    _write_orders_r7(spark, tmp_path, [
+        (1, datetime.date(2024, 1, 1), big, "1-URGENT"),
+        (2, datetime.date(2024, 1, 2), big, "1-URGENT"),
+    ])
+    with pytest.raises(
+        Exception,
+        match="(?i)overflow|cannot be represented|ARITHMETIC|limb emission|USER_RAISED",
+    ):
+        _run_engine(spark, "q_kish_ess", tmp_path)
