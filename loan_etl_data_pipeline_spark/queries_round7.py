@@ -1854,3 +1854,155 @@ ORACLE_R7["q_footrule"] = """
              AS norm_footrule
     FROM j
 """
+
+
+@_q("q_holiday_lift")
+def q_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ holiday revenue lift: average daily revenue on the fixed
+    (month, day) holiday set {Jan 1, Jul 4, Dec 25} vs all other days,
+    as one exact ratio-of-ratios — the seasonality sanity check every
+    promo analysis starts from.  All cents/day counts exact; the lift
+    is a fixed IEEE sequence over four int64→double conversions.
+    """
+    from loan_etl_data_pipeline_spark.queries import _daily_cents
+
+    d = _daily_cents(spark, sf_dir).withColumn(
+        "is_hol",
+        ((F.month("day") == 1) & (F.dayofmonth("day") == 1))
+        | ((F.month("day") == 7) & (F.dayofmonth("day") == 4))
+        | ((F.month("day") == 12) & (F.dayofmonth("day") == 25)),
+    )
+    agg = d.agg(
+        F.sum(F.col("is_hol").cast("bigint")).cast("bigint").alias("hol_days"),
+        F.sum(F.when(F.col("is_hol"), F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("hol_cents"),
+        F.sum((~F.col("is_hol")).cast("bigint")).cast("bigint").alias("other_days"),
+        F.sum(F.when(~F.col("is_hol"), F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("other_cents"),
+    )
+    return agg.select(
+        "hol_days",
+        "hol_cents",
+        "other_days",
+        "other_cents",
+        (
+            (F.col("hol_cents").cast("double") / F.col("hol_days").cast("double"))
+            / (
+                F.col("other_cents").cast("double")
+                / F.col("other_days").cast("double")
+            )
+        ).alias("lift"),
+    )
+
+
+ORACLE_R7["q_holiday_lift"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY day
+    ), flagged AS (
+        SELECT cents,
+               CASE WHEN (date_part('month', day) = 1 AND date_part('day', day) = 1)
+                      OR (date_part('month', day) = 7 AND date_part('day', day) = 4)
+                      OR (date_part('month', day) = 12 AND date_part('day', day) = 25)
+                    THEN 1 ELSE 0 END AS is_hol
+        FROM daily
+    ), agg AS (
+        SELECT CAST(sum(is_hol) AS BIGINT) AS hol_days,
+               CAST(sum(CASE WHEN is_hol = 1 THEN cents ELSE 0 END) AS BIGINT)
+                 AS hol_cents,
+               CAST(sum(1 - is_hol) AS BIGINT) AS other_days,
+               CAST(sum(CASE WHEN is_hol = 0 THEN cents ELSE 0 END) AS BIGINT)
+                 AS other_cents
+        FROM flagged
+    )
+    SELECT hol_days, hol_cents, other_days, other_cents,
+           (CAST(hol_cents AS DOUBLE) / CAST(hol_days AS DOUBLE))
+             / (CAST(other_cents AS DOUBLE) / CAST(other_days AS DOUBLE))
+             AS lift
+    FROM agg
+"""
+
+
+@_q("q_cold_start_rate")
+def q_cold_start_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.5+ monthly cold-start share: what fraction of each month's
+    orders come from customers placing their FIRST-ever order that
+    month — the acquisition-vs-retention split q_cohort_retention
+    reads by cohort, collapsed to the one number a growth dashboard
+    tracks.  First month per customer is one min-aggregate (broadcast
+    back); counts exact, one division per month.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("mon")
+    )
+    first = o.groupBy("o_custkey").agg(F.min("mon").alias("first_mon"))
+    j = o.join(first, "o_custkey")
+    return (
+        j.groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum((F.col("mon") == F.col("first_mon")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .select(
+            "mon",
+            "n_orders",
+            "n_new",
+            (F.col("n_new").cast("double") / F.col("n_orders").cast("double"))
+            .alias("new_rate"),
+        )
+        .orderBy("mon")
+    )
+
+
+ORACLE_R7["q_cold_start_rate"] = """
+    WITH o AS (
+        SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS mon FROM orders
+    ), first AS (
+        SELECT o_custkey, min(mon) AS first_mon FROM o GROUP BY o_custkey
+    )
+    SELECT o.mon,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o.mon = first.first_mon THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN o.mon = first.first_mon THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS new_rate
+    FROM o JOIN first USING (o_custkey)
+    GROUP BY o.mon ORDER BY o.mon
+"""
+
+
+@_q("q_ship_delay_bands")
+def q_ship_delay_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.3+ fulfillment-delay histogram: days between order and ship
+    dates, banded into weeks (delay div 7 — truncating division both
+    engines share; delays are non-negative in the data and the band of
+    a hypothetical negative would still agree) — the SLA distribution
+    behind q_fulfillment_sla's threshold view.  One fact⋈dim join on
+    orderkey, one band aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.expr("datediff(l_shipdate, o_orderdate) div 7").cast("bigint")
+            .alias("week_band")
+        )
+        .groupBy("week_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+        .orderBy("week_band")
+    )
+
+
+ORACLE_R7["q_ship_delay_bands"] = """
+    SELECT CAST(date_diff('day', o_orderdate, l_shipdate) // 7 AS BIGINT)
+             AS week_band,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY week_band ORDER BY week_band
+"""

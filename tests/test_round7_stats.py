@@ -356,3 +356,50 @@ def test_footrule_reversed_ranks(spark, tmp_path):
            "l_quantity double, l_extendedprice double")
     r = QUERIES["q_footrule"](spark, str(tmp_path)).collect()[0]
     assert (r["n_common"], r["footrule"], r["norm_footrule"]) == (2, 2, 1.0)
+
+
+def test_holiday_lift_hand_ratio(spark, tmp_path):
+    """Dec 25 revenue 300 vs two other days averaging 100 → lift 3."""
+    rows = [(1, datetime.datetime(2023, 12, 25), 3.0),
+            (2, datetime.datetime(2023, 12, 26), 1.0),
+            (3, datetime.datetime(2023, 12, 27), 1.0)]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_orderdate timestamp, o_totalprice double")
+    r = QUERIES["q_holiday_lift"](spark, str(tmp_path)).collect()[0]
+    assert (r["hol_days"], r["hol_cents"], r["other_days"],
+            r["other_cents"], r["lift"]) == (1, 300, 2, 200, 3.0)
+
+
+def test_cold_start_rate_two_months(spark, tmp_path):
+    """Month 1: both customers new (rate 1); month 2: one returning
+    customer plus one new → rate 0.5."""
+    rows = [(1, 10, datetime.datetime(2024, 1, 5), 1.0),
+            (2, 20, datetime.datetime(2024, 1, 9), 1.0),
+            (3, 10, datetime.datetime(2024, 2, 5), 1.0),
+            (4, 30, datetime.datetime(2024, 2, 6), 1.0)]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp, "
+           "o_totalprice double")
+    out = {r["mon"]: r for r in
+           QUERIES["q_cold_start_rate"](spark, str(tmp_path)).collect()}
+    assert (out["2024-01"]["n_orders"], out["2024-01"]["n_new"],
+            out["2024-01"]["new_rate"]) == (2, 2, 1.0)
+    assert (out["2024-02"]["n_orders"], out["2024-02"]["n_new"],
+            out["2024-02"]["new_rate"]) == (2, 1, 0.5)
+
+
+def test_ship_delay_bands_hand_weeks(spark, tmp_path):
+    """Delays of 0, 6, 7 and 15 days band into weeks {0:2, 1:1, 2:1}."""
+    od = datetime.datetime(2024, 1, 1)
+    _write(spark, tmp_path, "orders", [(1, od, 1.0)],
+           "o_orderkey bigint, o_orderdate timestamp, o_totalprice double")
+    _write(spark, tmp_path, "lineitem",
+           [(1, od, 1.0, 1.0),
+            (1, od + datetime.timedelta(days=6), 1.0, 1.0),
+            (1, od + datetime.timedelta(days=7), 1.0, 1.0),
+            (1, od + datetime.timedelta(days=15), 1.0, 1.0)],
+           "l_orderkey bigint, l_shipdate timestamp, l_quantity double, "
+           "l_extendedprice double")
+    out = {r["week_band"]: r["n_items"] for r in
+           QUERIES["q_ship_delay_bands"](spark, str(tmp_path)).collect()}
+    assert out == {0: 2, 1: 1, 2: 1}
