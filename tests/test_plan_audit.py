@@ -671,3 +671,23 @@ def test_bitemporal_scalar_bound_no_driver_roundtrip(plans):
     assert "Exchange rangepartitioning" not in p
     # the only SinglePartition exchange is the 1-row knowledge scalar
     assert p.count("Exchange SinglePartition") <= 1
+
+
+def test_cliffs_delta_pushes_group_filter(plans):
+    # the R/A group restriction must reach the parquet scan — the
+    # dominance sweep never reads the third return flag
+    p = plans("q_cliffs_delta")
+    assert "In(l_returnflag" in p
+
+
+def test_vwap_prunes_to_three_columns(plans):
+    # a 3-column rollup must not scan the 11-column lineitem
+    p = plans("q_vwap")
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_shipdate" in p
+
+
+def test_ra_link_prediction_ends_in_take_ordered(plans):
+    # top-50 under a total order compiles to TakeOrdered, never a
+    # global sort of every candidate pair
+    p = plans("q_ra_link_prediction")
+    assert "TakeOrderedAndProject" in p
