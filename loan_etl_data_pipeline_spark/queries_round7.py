@@ -2006,3 +2006,151 @@ ORACLE_R7["q_ship_delay_bands"] = """
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY week_band ORDER BY week_band
 """
+
+
+@_q("q_sign_test")
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ paired sign test: per ISO week, is the weekend's AVERAGE
+    daily revenue above the weekdays' (the simplest paired location
+    test — the distribution-free sibling of q_wilcoxon_signed when
+    only the sign is trusted)?  The per-week comparison is an exact
+    integer cross-multiplication (we_cents·wd_days vs wd_cents·we_days
+    — never a float average), weeks missing either side drop out, and
+    the emission is the n⁺/n⁻/ties triple plus the larger tail count
+    the binomial table consumes.
+    """
+    from loan_etl_data_pipeline_spark.queries import _daily_cents
+
+    d = _daily_cents(spark, sf_dir).select(
+        "cents",
+        F.expr("extract(YEAROFWEEK FROM day) * 100 + extract(WEEK FROM day)")
+        .cast("bigint")
+        .alias("wk"),
+        (F.expr("weekday(day)") >= F.lit(5)).alias("is_we"),
+    )
+    per = d.groupBy("wk").agg(
+        F.sum(F.when(~F.col("is_we"), F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("wd_c"),
+        F.sum((~F.col("is_we")).cast("bigint")).cast("bigint").alias("wd_d"),
+        F.sum(F.when(F.col("is_we"), F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("we_c"),
+        F.sum(F.col("is_we").cast("bigint")).cast("bigint").alias("we_d"),
+    ).filter((F.col("wd_d") > 0) & (F.col("we_d") > 0))
+    lhs = _dec19("we_c") * _dec19("wd_d")
+    rhs = _dec19("wd_c") * _dec19("we_d")
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.sum((lhs > rhs).cast("bigint")).cast("bigint").alias("n_plus"),
+        F.sum((lhs < rhs).cast("bigint")).cast("bigint").alias("n_minus"),
+        F.sum((lhs == rhs).cast("bigint")).cast("bigint").alias("n_ties"),
+    ).select(
+        "n_weeks",
+        "n_plus",
+        "n_minus",
+        "n_ties",
+        F.greatest("n_plus", "n_minus").cast("bigint").alias("k_tail"),
+    )
+
+
+ORACLE_R7["q_sign_test"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY day
+    ), d AS (
+        SELECT cents,
+               CAST(date_part('isoyear', day) * 100 + date_part('week', day)
+                 AS BIGINT) AS wk,
+               CASE WHEN date_part('isodow', day) >= 6 THEN 1 ELSE 0 END
+                 AS is_we
+        FROM daily
+    ), per AS (
+        SELECT wk,
+               CAST(sum(CASE WHEN is_we = 0 THEN cents ELSE 0 END) AS BIGINT)
+                 AS wd_c,
+               CAST(sum(1 - is_we) AS BIGINT) AS wd_d,
+               CAST(sum(CASE WHEN is_we = 1 THEN cents ELSE 0 END) AS BIGINT)
+                 AS we_c,
+               CAST(sum(is_we) AS BIGINT) AS we_d
+        FROM d GROUP BY wk
+        HAVING sum(1 - is_we) > 0 AND sum(is_we) > 0
+    ), signs AS (
+        SELECT CAST(we_c AS HUGEINT) * wd_d AS lhs,
+               CAST(wd_c AS HUGEINT) * we_d AS rhs
+        FROM per
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+               CAST(sum(CASE WHEN lhs > rhs THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_plus,
+               CAST(sum(CASE WHEN lhs < rhs THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_minus,
+               CAST(sum(CASE WHEN lhs = rhs THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ties
+        FROM signs
+    )
+    SELECT n_weeks, n_plus, n_minus, n_ties,
+           CAST(greatest(n_plus, n_minus) AS BIGINT) AS k_tail
+    FROM agg
+"""
+
+
+@_q("q_yule_q")
+def q_yule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ Yule's Q association on the raw URGENT × returned 2×2
+    table: Q = (ad−bc)/(ad+bc) — the [-1,1]-normalized odds ratio,
+    complementing q_odds_ratio's Haldane-smoothed CI view with the
+    classic unsmoothed coefficient.  Cell products pass int64 at
+    100 TB (a·d ≤ N²), so ad and bc ride the _dec19 ladder and the
+    one division happens on limb doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_returnflag") == "R").alias("ret")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderpriority") == "1-URGENT").alias("urg")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    cells = j.agg(
+        F.sum((F.col("urg") & F.col("ret")).cast("bigint")).cast("bigint").alias("a"),
+        F.sum((F.col("urg") & ~F.col("ret")).cast("bigint")).cast("bigint").alias("b"),
+        F.sum((~F.col("urg") & F.col("ret")).cast("bigint")).cast("bigint").alias("c"),
+        F.sum((~F.col("urg") & ~F.col("ret")).cast("bigint")).cast("bigint").alias("d"),
+    )
+    w = cells.withColumn(
+        "ad", (_dec19("a") * _dec19("d")).cast("decimal(38,0)")
+    ).withColumn("bc", (_dec19("b") * _dec19("c")).cast("decimal(38,0)"))
+    return w.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        ((_limb("ad") - _limb("bc")) / (_limb("ad") + _limb("bc"))).alias(
+            "yule_q"
+        ),
+    )
+
+
+ORACLE_R7["q_yule_q"] = f"""
+    WITH j AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urg,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), cells AS (
+        SELECT CAST(sum(urg * ret) AS BIGINT) AS a,
+               CAST(sum(urg * (1 - ret)) AS BIGINT) AS b,
+               CAST(sum((1 - urg) * ret) AS BIGINT) AS c,
+               CAST(sum((1 - urg) * (1 - ret)) AS BIGINT) AS d
+        FROM j
+    ), w AS (
+        SELECT a, b, c, d,
+               CAST(a AS HUGEINT) * d AS ad,
+               CAST(b AS HUGEINT) * c AS bc
+        FROM cells
+    )
+    SELECT a, b, c, d,
+           (({_limb_sql('ad')}) - ({_limb_sql('bc')}))
+             / (({_limb_sql('ad')}) + ({_limb_sql('bc')})) AS yule_q
+    FROM w
+"""

@@ -403,3 +403,35 @@ def test_ship_delay_bands_hand_weeks(spark, tmp_path):
     out = {r["week_band"]: r["n_items"] for r in
            QUERIES["q_ship_delay_bands"](spark, str(tmp_path)).collect()}
     assert out == {0: 2, 1: 1, 2: 1}
+
+
+def test_sign_test_three_weeks(spark, tmp_path):
+    """Week 1 weekend wins (300 vs 100), week 2 loses (100 vs 500),
+    week 3 ties (200 vs 200) → (n⁺, n⁻, ties) = (1, 1, 1)."""
+    rows = [
+        (1, datetime.datetime(2024, 1, 1), 1.0),   # Mon wk1
+        (2, datetime.datetime(2024, 1, 6), 3.0),   # Sat wk1
+        (3, datetime.datetime(2024, 1, 8), 5.0),   # Mon wk2
+        (4, datetime.datetime(2024, 1, 13), 1.0),  # Sat wk2
+        (5, datetime.datetime(2024, 1, 15), 2.0),  # Mon wk3
+        (6, datetime.datetime(2024, 1, 20), 2.0),  # Sat wk3
+    ]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_orderdate timestamp, o_totalprice double")
+    r = QUERIES["q_sign_test"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_weeks"], r["n_plus"], r["n_minus"], r["n_ties"],
+            r["k_tail"]) == (3, 1, 1, 1, 1)
+
+
+def test_yule_q_perfect_association(spark, tmp_path):
+    """Diagonal-only 2×2 (a=d=1, b=c=0) → Q = 1 exactly."""
+    _write(spark, tmp_path, "orders",
+           [(1, "1-URGENT", 1.0), (2, "3-MEDIUM", 1.0)],
+           "o_orderkey bigint, o_orderpriority string, o_totalprice double")
+    d = datetime.datetime(2024, 1, 1)
+    _write(spark, tmp_path, "lineitem",
+           [(1, d, 1.0, 1.0, "R"), (2, d, 1.0, 1.0, "A")],
+           "l_orderkey bigint, l_shipdate timestamp, l_quantity double, "
+           "l_extendedprice double, l_returnflag string")
+    r = QUERIES["q_yule_q"](spark, str(tmp_path)).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["yule_q"]) == (1, 0, 0, 1, 1.0)
