@@ -962,13 +962,64 @@ def hyperball(
     the (double) HLL estimate of N(d) with the standard small-range
     linear-counting correction.
     """
+    m = 1 << log2m
+    # alpha_m per Flajolet et al. 2007
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    allhops = hyperball_registers(
+        edges, src, dst, max_hops=max_hops, log2m=log2m
+    )
+
+    # Per (hop, node): E = alpha*m^2 / (sum_present 2^-val + (m - n_present));
+    # linear counting when E <= 2.5m and empty registers remain.
+    per_node = allhops.groupBy("hop", "node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("val"))).alias("inv_sum"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    raw = F.lit(alpha * m * m) / (
+        F.col("inv_sum") + (F.lit(m) - F.col("n_present"))
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return (
+        per_node.select("hop", est.alias("est"))
+        .groupBy("hop")
+        .agg(F.sum("est").alias("est_pairs"))
+        .select(F.col("hop").cast("bigint").alias("hops"), "est_pairs")
+    )
+
+
+def hyperball_registers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_hops: int,
+    log2m: int = 6,
+) -> DataFrame:
+    """The exact (hop, node, pos, val) register table behind
+    :func:`hyperball` — factored out so the sketch's distributed state
+    pipeline (md5 register init + register-wise-max propagation along
+    edges) is certifiable on its own: every value here is a
+    DETERMINISTIC integer (the engine-portable md5 idiom), so unlike
+    the float HLL estimate the register table replays exactly in
+    ANSI SQL (after d rounds node v's register at pos is the max init
+    val over ball(v, d) members hashing to pos — propagation of
+    single-register initial states commutes into a ball-membership
+    max).  q_hyperball_replay puts that equality under the driver's
+    value-hash gate.
+
+    Same shape contract as hyperball: one edges⋈state join + one
+    (node, pos) max-agg per round, state bounded at m registers per
+    node, lineage cut per round.
+    """
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
     if not (4 <= log2m <= 12):
         raise ValueError(f"log2m must be in [4, 12], got {log2m}")
     m = 1 << log2m
-    # alpha_m per Flajolet et al. 2007
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
 
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -1011,27 +1062,7 @@ def hyperball(
     allhops = snapshots[0]
     for s in snapshots[1:]:
         allhops = allhops.union(s)
-
-    # Per (hop, node): E = alpha*m^2 / (sum_present 2^-val + (m - n_present));
-    # linear counting when E <= 2.5m and empty registers remain.
-    per_node = allhops.groupBy("hop", "node").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("val"))).alias("inv_sum"),
-        F.count(F.lit(1)).alias("n_present"),
-    )
-    raw = F.lit(alpha * m * m) / (
-        F.col("inv_sum") + (F.lit(m) - F.col("n_present"))
-    )
-    zeros = F.lit(m) - F.col("n_present")
-    est = F.when(
-        (raw <= 2.5 * m) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
-    return (
-        per_node.select("hop", est.alias("est"))
-        .groupBy("hop")
-        .agg(F.sum("est").alias("est_pairs"))
-        .select(F.col("hop").cast("bigint").alias("hops"), "est_pairs")
-    )
+    return allhops
 
 
 def cheapest_paths(

@@ -404,32 +404,54 @@ ORACLE_R7["q_cohens_d"] = f"""
 """
 
 
+def _priority_price_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r1, r2) per order: priority class 1..5 and the price quintile.
+
+    The quintile is the DISTRIBUTED ntile construction — global_rank
+    (range-partition + broadcast offsets, functions/ranking.py) +
+    ntile_from_rank's exact ceil-first-buckets arithmetic — which
+    assigns the identical tile as ``ntile(5) OVER (ORDER BY cents,
+    orderkey)`` without the Exchange SinglePartition a bare global
+    window compiles to (the q_rfm_segments discipline; orders are
+    SF-proportional, so a single-partition sort is a non-starter).
+    Carries ``_persisted_intermediates`` for release.
+    """
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("r1"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("__c"),
+        F.col("o_orderkey").alias("__k"),
+    )
+    ranked = global_rank(o, [F.asc("__c"), F.asc("__k")], rank_col="__rk")
+    out = ranked.select(
+        "r1",
+        ntile_from_rank(F.col("__rk"), ranked._global_rank_n, 5).alias("r2"),
+    )
+    out._persisted_intermediates = list(
+        getattr(ranked, "_persisted_intermediates", ())
+    )
+    return out
+
+
 @_q("q_weighted_kappa")
 def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A.4+ quadratic-weighted Cohen's kappa between two ordinal
     "raters" of an order: its priority class (1..5) and its price
-    quintile (NTILE(5) over exact cents, orderkey tie-break — both
-    engines implement SQL NTILE's ceil-first-buckets rule).  With
-    disagreement weights w_ij = (i−j)², κ_w = 1 − N·Σw·O_ij / Σw·R_iC_j
+    quintile (exact cents, orderkey tie-break — the distributed
+    global_rank + ntile_from_rank cut of _priority_price_quintiles,
+    tile-identical to SQL NTILE's ceil-first-buckets rule but with no
+    single-partition Exchange).  With disagreement weights
+    w_ij = (i−j)², κ_w = 1 − N·Σw·O_ij / Σw·R_iC_j
     is an exact rational: observed and marginal products run through
     the _dec19 decimal ladder (R_i·C_j ≤ N² passes int64 at 100 TB)
     and the one division happens on limb-split doubles.  The ordinal
     upgrade of q_cohen_kappa.
     """
-    from pyspark.sql import Window
-
-    o = load_table(spark, sf_dir, "orders").select(
-        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("r1"),
-        F.ntile(5)
-        .over(
-            Window.orderBy(
-                F.expr("cast(floor(o_totalprice * 100) as bigint)"),
-                F.col("o_orderkey"),
-            )
-        )
-        .cast("bigint")
-        .alias("r2"),
-    )
+    o = _priority_price_quintiles(spark, sf_dir)
     cells = o.groupBy("r1", "r2").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
     rows_m = cells.groupBy("r1").agg(F.sum("o").alias("ri"))
     cols_m = cells.groupBy("r2").agg(F.sum("o").alias("cj"))
@@ -453,7 +475,7 @@ def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("we")
         )
     )
-    return (
+    out = (
         n.crossJoin(F.broadcast(obs))
         .crossJoin(F.broadcast(exp))
         .select(
@@ -464,6 +486,8 @@ def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_kappa"),
         )
     )
+    out._persisted_intermediates = getattr(o, "_persisted_intermediates", [])
+    return out
 
 
 ORACLE_R7["q_weighted_kappa"] = f"""
@@ -718,7 +742,11 @@ def q_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the aggregate twin of q_burstiness).  Daily counts are exact; the
     index D = (n·Σx² − (Σx)²) / ((n−1)·Σx) keeps its numerator in the
     _dec19 decimal ladder (Σx² passes int64 at 100 TB) and divides on
-    limb-split doubles.  Calendar-bounded group sizes.
+    limb-split doubles.  Calendar-bounded group sizes.  Dispersion is
+    undefined for a single observed day (n−1 = 0 would raise
+    DIVIDE_BY_ZERO under this engine's ANSI sessions while the oracle
+    NULLs), so both engines HAVING-filter n_days ≥ 2 — the q_sign_test
+    degenerate-group pattern.
     """
     ev = (
         load_table(spark, sf_dir, "events")
@@ -730,7 +758,7 @@ def q_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum(_dec19("x") * _dec19("x")).cast("decimal(38,0)").alias("sxx"),
-    )
+    ).filter(F.col("n_days") >= 2)
     nd = F.col("n_days").cast("double")
     dsx = F.col("sx").cast("double")
     return m.select(
@@ -754,6 +782,7 @@ ORACLE_R7["q_poisson_dispersion"] = f"""
                CAST(sum(x) AS BIGINT) AS sx,
                sum(CAST(x AS HUGEINT) * x) AS sxx
         FROM ev GROUP BY event_type
+        HAVING count(*) >= 2
     )
     SELECT event_type, n_days,
            (CAST(n_days AS DOUBLE) * ({_limb_sql('sxx')})
@@ -1251,10 +1280,16 @@ def q_dunn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     join: after ONE global sort, the minimum cross-cluster distance is
     always realized by an ADJACENT pair (walking from any minimal
     cross pair, some adjacent step crosses clusters with a no-larger
-    gap), so one lag window replaces O(n²) distances.  Diameters are
-    per-group max−min.  All integers until the final division.
+    gap), so adjacency in the sorted order replaces O(n²) distances.
+    Diameters are per-group max−min.  All integers until the final
+    division.  Customers are SF-proportional, so adjacency comes from
+    the distributed global_rank (functions/ranking.py) over DISTINCT
+    (v, nk) pairs — a unique key, so the rank is a total order, and
+    dedup preserves every cross-cluster adjacent transition (identical
+    rows are interchangeable neighbors) — joined on rank = rank+1;
+    never a bare global lag window's Exchange SinglePartition.
     """
-    from pyspark.sql import Window
+    from loan_etl_data_pipeline_spark.functions.ranking import global_rank
 
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("bigint").alias("nk"),
@@ -1265,19 +1300,30 @@ def q_dunn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.max("v") - F.min("v")).alias("diam"))
         .agg(F.max("diam").cast("bigint").alias("max_diam"))
     )
-    w = Window.orderBy("v", "nk")
-    gaps = (
-        c.withColumn("pv", F.lag("v").over(w))
-        .withColumn("pk", F.lag("nk").over(w))
-        .filter(F.col("pk").isNotNull() & (F.col("pk") != F.col("nk")))
-        .agg(F.min(F.col("v") - F.col("pv")).cast("bigint").alias("min_inter"))
+    ranked = global_rank(
+        c.distinct(), [F.asc("v"), F.asc("nk")], rank_col="__rk"
     )
-    return diam.crossJoin(F.broadcast(gaps)).select(
+    a = ranked.select(
+        F.col("__rk").alias("ra"), F.col("v").alias("va"), F.col("nk").alias("ka")
+    )
+    b = ranked.select(
+        (F.col("__rk") - 1).alias("ra"),
+        F.col("v").alias("vb"),
+        F.col("nk").alias("kb"),
+    )
+    gaps = (
+        a.join(b, "ra")
+        .filter(F.col("ka") != F.col("kb"))
+        .agg(F.min(F.col("vb") - F.col("va")).cast("bigint").alias("min_inter"))
+    )
+    out = diam.crossJoin(F.broadcast(gaps)).select(
         "min_inter",
         "max_diam",
         (F.col("min_inter").cast("double") / F.col("max_diam").cast("double"))
         .alias("dunn"),
     )
+    out._persisted_intermediates = getattr(ranked, "_persisted_intermediates", [])
+    return out
 
 
 ORACLE_R7["q_dunn_index"] = """
@@ -1458,21 +1504,11 @@ def q_bowker(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact integer numerators through the _dec19 ladder — summing
     the double contributions would be order-sensitive, so the consumer
     (or a fixed-order fold) owns the final χ²; each row is exact.
+    The quintile is _priority_price_quintiles' distributed
+    global_rank + ntile_from_rank cut (tile-identical to SQL NTILE,
+    no single-partition Exchange).
     """
-    from pyspark.sql import Window
-
-    o = load_table(spark, sf_dir, "orders").select(
-        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("r1"),
-        F.ntile(5)
-        .over(
-            Window.orderBy(
-                F.expr("cast(floor(o_totalprice * 100) as bigint)"),
-                F.col("o_orderkey"),
-            )
-        )
-        .cast("bigint")
-        .alias("r2"),
-    )
+    o = _priority_price_quintiles(spark, sf_dir)
     cells = o.groupBy("r1", "r2").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     up = cells.filter(F.col("r1") < F.col("r2")).select(
         F.col("r1").alias("i"), F.col("r2").alias("j"), F.col("n").alias("nij")
@@ -1490,7 +1526,7 @@ def q_bowker(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = p.withColumn("d2", (d * d).cast("decimal(38,0)")).withColumn(
         "s", (F.col("nij") + F.col("nji")).cast("bigint")
     )
-    return p.select(
+    out = p.select(
         "i",
         "j",
         "nij",
@@ -1500,6 +1536,8 @@ def q_bowker(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contrib"
         ),
     ).orderBy("i", "j")
+    out._persisted_intermediates = getattr(o, "_persisted_intermediates", [])
+    return out
 
 
 ORACLE_R7["q_bowker"] = f"""
@@ -1538,12 +1576,21 @@ ORACLE_R7["q_bowker"] = f"""
 @_q("q_lorenz_deciles")
 def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A.5+ Lorenz curve of customer revenue concentration in exact
-    deciles: NTILE(10) over per-customer totals (custkey tie-break),
+    deciles: decile cut over per-customer totals (custkey tie-break),
     per-decile mass, and the cumulative share — the curve behind
     q_gini_customers' scalar, the table an ABC policy actually reads.
     All cents exact; the only doubles are the 10 share divisions.
+    Customers are SF-proportional, so the decile is the distributed
+    global_rank + ntile_from_rank cut (tile-identical to NTILE(10),
+    no single-partition Exchange); the cumulative/total windows then
+    run over the constant 10-row decile aggregate.
     """
     from pyspark.sql import Window
+
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        global_rank,
+        ntile_from_rank,
+    )
 
     per_cust = (
         load_table(spark, sf_dir, "orders")
@@ -1554,12 +1601,14 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    dec = per_cust.select(
+    ranked = global_rank(
+        per_cust, [F.asc("cents"), F.asc("o_custkey")], rank_col="__rk"
+    )
+    dec = ranked.select(
         "cents",
-        F.ntile(10)
-        .over(Window.orderBy("cents", "o_custkey"))
-        .cast("bigint")
-        .alias("decile"),
+        ntile_from_rank(F.col("__rk"), ranked._global_rank_n, 10).alias(
+            "decile"
+        ),
     )
     per_dec = dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
@@ -1567,7 +1616,7 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
-    return per_dec.select(
+    out = per_dec.select(
         "decile",
         "n_cust",
         "cents",
@@ -1576,6 +1625,8 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cents").over(tot).cast("double")
         ).alias("cum_share"),
     ).orderBy("decile")
+    out._persisted_intermediates = getattr(ranked, "_persisted_intermediates", [])
+    return out
 
 
 ORACLE_R7["q_lorenz_deciles"] = """
@@ -1787,8 +1838,10 @@ def q_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the L1 companion of q_spearman's ρ.  Ranks are deterministic
     row_numbers (cents desc, partkey tie-break); the distance and its
     n²/2 normalizer are exact integers, one final division.
-    Scale: two map-side-combinable part aggregates; the rank windows
-    run over top-100 broadcasts.
+    Scale: two map-side-combinable part aggregates, each pre-cut to
+    its top-100 by a distributed TakeOrderedAndProject (orderBy +
+    limit) BEFORE any rank window — the row_number then runs over a
+    constant ≤100-row frame, never over part cardinality.
     """
     from pyspark.sql import Window
 
@@ -1799,13 +1852,19 @@ def q_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def top(era_flag):
-        w = Window.orderBy(F.desc("cents"), "l_partkey")
-        return (
+        # TakeOrdered top-100 first (distributed per-partition top-k +
+        # driver merge); the subsequent rank window sees ≤100 rows, so
+        # its single partition is a constant, not an SF-scaling funnel
+        cut = (
             li.filter(F.col("era1") == era_flag)
             .groupBy("l_partkey")
             .agg(F.sum("c").cast("bigint").alias("cents"))
-            .select("l_partkey", F.row_number().over(w).cast("bigint").alias("r"))
-            .filter(F.col("r") <= 100)
+            .orderBy(F.desc("cents"), "l_partkey")
+            .limit(100)
+        )
+        w = Window.orderBy(F.desc("cents"), "l_partkey")
+        return cut.select(
+            "l_partkey", F.row_number().over(w).cast("bigint").alias("r")
         )
 
     a = top(True).withColumnRenamed("r", "r1")

@@ -622,3 +622,79 @@ ORACLE_STREAMING["q_heavy_hitters_maintained"] = """
     GROUP BY nn.item, t.n_events
     HAVING 6 * count(*) > t.n_events
 """
+
+
+def q_enrich_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2+ stream-static broadcast enrichment == one-shot batch join
+    (streaming/ingest.py streaming_enrich): the three time-ordered
+    event micro-batches each LEFT-join a static customer-segment
+    dimension via an explicit broadcast — the map-only enrich shape
+    (the stream side never repartitions; at 100 TB/day that is the
+    difference between a per-trigger shuffle and none) — and the
+    appended sink is aggregated per (segment, event_type).  The
+    dimension is deliberately RESTRICTED to ``c_custkey % 3 != 0`` so
+    roughly a third of the stream rows have NO dimension row: a green
+    driver row therefore certifies the left-join pass-through (null
+    segment) semantics, not just the happy path.  The oracle is the
+    identical batch SQL join over all of events.
+
+    Scale: stateless per batch — Spark re-plans the static side each
+    micro-batch (an in-place dimension refresh is picked up on the
+    next trigger without a restart); the sink aggregate is one
+    segment-keyed shuffle over the enriched output.
+    """
+    from loan_etl_data_pipeline_spark.streaming.ingest import streaming_enrich
+
+    src = _chunked_events(spark, sf_dir)
+    root = _stream_root(sf_dir, "enr")
+    out_dir = f"{root}/out"
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    enriched = streaming_enrich(
+        _event_stream(spark, src).withColumn(
+            "cents", F.expr("CAST(FLOOR(value * 100) AS BIGINT)")
+        ),
+        dim,
+        on="user_id",
+        broadcast=True,
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    return out.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.coalesce("cents", F.lit(0))).cast("bigint").alias("cents"),
+    )
+
+
+QUERIES_STREAMING["q_enrich_maintained"] = q_enrich_maintained
+
+# one-shot batch derivation of the same enrich: LEFT join against the
+# restricted dimension, aggregated per (segment, event_type) — the
+# stream-static maintainer must match it exactly
+ORACLE_STREAMING["q_enrich_maintained"] = """
+    WITH dim AS (
+        SELECT c_custkey AS user_id, c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 3 <> 0
+    ), j AS (
+        SELECT d.segment, e.event_type,
+               CAST(FLOOR(e.value * 100) AS BIGINT) AS cents
+        FROM events e LEFT JOIN dim d ON d.user_id = e.user_id
+    )
+    SELECT segment, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(COALESCE(cents, 0)) AS BIGINT) AS cents
+    FROM j GROUP BY segment, event_type
+"""

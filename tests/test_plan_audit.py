@@ -691,3 +691,30 @@ def test_ra_link_prediction_ends_in_take_ordered(plans):
     # global sort of every candidate pair
     p = plans("q_ra_link_prediction")
     assert "TakeOrderedAndProject" in p
+
+
+def test_ordinal_cuts_use_distributed_rank(plans):
+    """The round-7 quintile/decile queries must ride global_rank +
+    ntile_from_rank (row_number partitioned by the materialized range
+    partition id), never a bare global ntile window whose Exchange
+    SinglePartition funnels the SF-proportional frame through one
+    task (ADVICE r8 medium finding)."""
+    for name in ("q_weighted_kappa", "q_bowker", "q_lorenz_deciles"):
+        p = plans(name)
+        assert "ntile(" not in p, name
+        assert "windowspecdefinition(__pid" in p, name
+
+
+def test_dunn_adjacency_is_rank_join_not_global_lag(plans):
+    # sorted adjacency = global_rank self-join on rank+1; a bare
+    # lag() OVER (ORDER BY ...) would single-partition all customers
+    p = plans("q_dunn_index")
+    assert "lag(" not in p
+    assert "windowspecdefinition(__pid" in p
+
+
+def test_footrule_rank_window_rides_top100_cut(plans):
+    # each era is pre-cut by a distributed TakeOrderedAndProject; the
+    # only rank window input is the constant ≤100-row cut
+    p = plans("q_footrule")
+    assert p.count("TakeOrderedAndProject") >= 2
