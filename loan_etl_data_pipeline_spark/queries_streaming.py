@@ -698,3 +698,94 @@ ORACLE_STREAMING["q_enrich_maintained"] = """
            CAST(sum(COALESCE(cents, 0)) AS BIGINT) AS cents
     FROM j GROUP BY segment, event_type
 """
+
+
+def q_upsert_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2+ CDC streaming upsert WITH TOMBSTONES == one-shot argmax
+    (streaming/ingest.py streaming_upsert → plans/upsert.py
+    merge_upsert): events become a change feed keyed by user —
+    'error' events are Debezium-style DELETE tombstones, everything
+    else an upsert — merged into a shard-partitioned parquet state
+    table across the three time-ordered micro-batches.  The emitted
+    frame is the final maintained table; the oracle is the global
+    per-key argmax over all events with deleted keys dropped — equal
+    under per-key-monotone arrival, which the ts-cut chunks guarantee.
+    A green row therefore certifies the tombstone path end to end:
+    update-then-delete deletes, delete-then-reinsert reinserts, and
+    only touched partitions rewrite (the merge_upsert contract).
+
+    The sequence column is the exact integer second·10⁸ + event_id —
+    a strictly-monotone refinement of event time that is unique per
+    event (certification-SF event ids < 10⁸), so batch survivors are
+    total-order deterministic without relying on column-order
+    tie-breaks.  Scale: per batch one key-dedup + one partition-pruned
+    merge over touched shards; history is never re-read.
+    """
+    from loan_etl_data_pipeline_spark.streaming.ingest import streaming_upsert
+
+    src = _chunked_events(spark, sf_dir)
+    root = _stream_root(sf_dir, "upsm")
+    table_dir = f"{root}/table"
+    stream = (
+        _event_stream(spark, src)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            (F.col("user_id") % 8).cast("bigint").alias("shard"),
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+            (
+                F.expr("unix_micros(ts) div 1000000") * F.lit(100000000)
+                + F.col("event_id")
+            ).cast("bigint").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("d"))
+            .otherwise(F.lit("u"))
+            .alias("op"),
+        )
+    )
+    q = streaming_upsert(
+        stream,
+        table_dir,
+        f"{root}/ckpt",
+        key_cols="user_id",
+        partition_col="shard",
+        seq_col="seq",
+        available_now=True,
+        op_col="op",
+    )
+    q.awaitTermination()
+    t = spark.read.parquet(table_dir)
+    return t.select(
+        F.col("user_id").cast("bigint"),
+        F.col("shard").cast("bigint"),
+        "event_type",
+        "cents",
+        "seq",
+    )
+
+
+QUERIES_STREAMING["q_upsert_maintained"] = q_upsert_maintained
+
+# one-shot rebuild: per-user argmax over the full feed, tombstoned
+# keys dropped — the invariant merge∘merge∘bootstrap must preserve
+ORACLE_STREAMING["q_upsert_maintained"] = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(user_id % 8 AS BIGINT) AS shard,
+               event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               CAST(epoch_us(ts) // 1000000 * 100000000 + event_id
+                    AS BIGINT) AS seq,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        FROM events WHERE user_id IS NOT NULL
+    ), latest AS (
+        SELECT * FROM (
+            SELECT ev.*,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY seq DESC) AS rn
+            FROM ev
+        ) WHERE rn = 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, shard, event_type, cents, seq
+    FROM latest WHERE op <> 'd'
+"""

@@ -718,3 +718,26 @@ def test_footrule_rank_window_rides_top100_cut(plans):
     # only rank window input is the constant ≤100-row cut
     p = plans("q_footrule")
     assert p.count("TakeOrderedAndProject") >= 2
+
+
+def test_edge_jaccard_ends_in_take_ordered(plans):
+    # top-20 under the quantized total order compiles to TakeOrdered,
+    # never a global sort of every edge
+    p = plans("q_edge_jaccard")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_charclass_profile_prunes_to_two_columns(plans):
+    # the per-source profile reads text + source only
+    p = plans("q_charclass_profile")
+    assert "ReadSchema: struct<text:string,source:string>" in p
+
+
+def test_lattice_stats_have_no_global_windows(plans):
+    # the round-8 agreement/association family runs on the
+    # global_rank quintile cut or the contingency lattice — a bare
+    # ntile/global row_number would be an SF-scaling funnel
+    for name in ("q_scott_pi", "q_gwet_ac1", "q_gk_lambda",
+                 "q_somers_d", "q_stuart_tau_c", "q_kendall_tau_b"):
+        p = plans(name)
+        assert "ntile(" not in p, name
