@@ -93,7 +93,11 @@ def heavy_hitters(
     total = sum(r["n"] for r in parts if r["v"] is None)
     cands = [r["v"] for r in parts if r["v"] is not None]
     if total == 0 or not cands:
-        return src.sparkSession.createDataFrame([], f"{col} string, freq bigint")
+        from loan_etl_data_pipeline_spark.functions.localframe import (
+            values_frame,
+        )
+
+        return values_frame(src.sparkSession, [], f"{col} string, freq bigint")
     return (
         src.filter(F.col("v").isin(cands))
         .groupBy("v")

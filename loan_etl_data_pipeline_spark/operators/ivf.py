@@ -336,7 +336,9 @@ def build_ivf_index(
     )
     spark = corpus_df.sparkSession
     cent_rows = [(int(c), centroids[c].tolist()) for c in range(len(centroids))]
-    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+    from loan_etl_data_pipeline_spark.functions.localframe import values_frame
+
+    values_frame(spark, cent_rows, "cell int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     return centroids

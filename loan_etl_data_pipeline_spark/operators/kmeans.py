@@ -187,8 +187,10 @@ def farthest_first(
             .select("id", F.least("dmin", "d2").alias("dmin"))
             .localCheckpoint()
         )
-    return spark.createDataFrame(
-        chosen, "pos long, id long, radius long"
+    from loan_etl_data_pipeline_spark.functions.localframe import values_frame
+
+    return values_frame(
+        spark, chosen, "pos long, id long, radius long"
     ).select(
         F.col("pos").cast("bigint").alias("pos"),
         F.col("id").cast("bigint").alias("id"),

@@ -111,8 +111,10 @@ def dominant_direction_of_quantized(
         m = max(abs(c) for c in uv)
         d = m // SCALE + 1  # >= 1; brings components back to ~±1e6
         v = [_tdiv(c, d) for c in uv]
-    return spark.createDataFrame(
-        [(j + 1, int(v[j])) for j in range(dim)], f"{'dim'} int, v bigint"
+    from loan_etl_data_pipeline_spark.functions.localframe import values_frame
+
+    return values_frame(
+        spark, [(j + 1, int(v[j])) for j in range(dim)], f"{'dim'} int, v bigint"
     ).select(F.col("dim").cast("bigint").alias("dim"), "v")
 
 

@@ -395,8 +395,10 @@ def build_pq_index(
         for s in range(books.shape[0])
         for c in range(books.shape[1])
     ]
-    spark.createDataFrame(
-        rows, "sub int, code int, centroid array<double>"
+    from loan_etl_data_pipeline_spark.functions.localframe import values_frame
+
+    values_frame(
+        spark, rows, "sub int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
     return books
 

@@ -348,6 +348,8 @@ def isotonic_fit(
     # grid type follows the input (a score grid may be DOUBLE/STRING —
     # the docstring's contract), only the derived columns are pinned
     xt = bins.schema[x_col].dataType.simpleString()
-    return bins.sparkSession.createDataFrame(
-        out, f"{x_col} {xt}, pool_lo {xt}, fitted9 bigint"
+    from loan_etl_data_pipeline_spark.functions.localframe import values_frame
+
+    return values_frame(
+        bins.sparkSession, out, f"{x_col} {xt}, pool_lo {xt}, fitted9 bigint"
     )

@@ -47,6 +47,8 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, Window
+
+from loan_etl_data_pipeline_spark.functions.localframe import values_frame
 import pyspark.sql.functions as F
 
 from loan_etl_data_pipeline_spark.operators.text import tokens
@@ -362,8 +364,8 @@ def bm25_topk_indexed(
     term_buckets = sorted(
         {
             r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in query_terms], "tok string"
+            for r in values_frame(
+                spark, [(t,) for t in query_terms], "tok string"
             )
             .select(F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int").alias("b"))
             .collect()
@@ -571,7 +573,7 @@ def bm25_prf(
         q = F.floor(idf * part * F.lit(1e9)).cast("bigint")
         return j.groupBy("id").agg(F.sum(q).alias("sq"))
 
-    qterms = spark.createDataFrame([(t,) for t in query_terms], "tok string")
+    qterms = values_frame(spark, [(t,) for t in query_terms], "tok string")
     top1 = (
         scored(qterms)
         .orderBy(F.desc("sq"), F.asc("id"))
@@ -639,8 +641,8 @@ def _term_buckets(spark, terms) -> list[int]:
     return sorted(
         {
             r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in set(terms)], "tok string"
+            for r in values_frame(
+                spark, [(t,) for t in set(terms)], "tok string"
             )
             .select(F.pmod(F.xxhash64("tok"), F.lit(64)).cast("int").alias("b"))
             .collect()
@@ -841,7 +843,7 @@ def maxscore_skiprate(
     dfreq = posts.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("dfc")
     )
-    qterms = spark.createDataFrame([(t,) for t in query_terms], "tok string")
+    qterms = values_frame(spark, [(t,) for t in query_terms], "tok string")
     j = (
         posts.join(F.broadcast(qterms), "tok")
         .join(dfreq, "tok")

@@ -252,7 +252,10 @@ def cosine_neardup_pairs(
         "blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int")
     )
 
-    pairs = spark.createDataFrame(
+    from loan_etl_data_pipeline_spark.functions.localframe import values_frame
+
+    pairs = values_frame(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
         "ba int, bb int",
     )

@@ -1039,8 +1039,10 @@ def tag_keywords(
     dict_rows = [
         (" ".join(p), p[0], p[1] if len(p) == 2 else None) for p in parts
     ]
-    d = spark.createDataFrame(
-        dict_rows, "phrase string, tok1 string, tok2 string"
+    from loan_etl_data_pipeline_spark.functions.localframe import values_frame
+
+    d = values_frame(
+        spark, dict_rows, "phrase string, tok1 string, tok2 string"
     )
     pos = df.select(
         F.col(id_col).alias("id"),
