@@ -1613,3 +1613,274 @@ ORACLE_R8["q_orc_roundtrip"] = """
     FROM orders WHERE o_orderkey % 5 = 0
     GROUP BY o_orderstatus
 """
+
+
+@_q("q_point_biserial")
+def q_point_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+/A.4+ point-biserial correlation between near-duplicate
+    membership and document length: does the dedup pipeline
+    preferentially flag long (or short) documents?  A strong |r_pb|
+    means dedup REWEIGHTS the length distribution — the bias audit a
+    curation pipeline owes its consumers before dropping flagged docs.
+    Indicator = shares a head-40 fingerprint with another doc (the
+    q_source_dup_overlap detector); r_pb collapses to the all-integer
+    form (s₁·n₀ − s₀·n₁)/√(n₁·n₀·(n·Σx² − S²)) — one IEEE sqrt, one
+    division, everything else exact moments through the _dec19 ladder.
+    Degenerate one-class splits emit NULL in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 40)).alias("fp"),
+        F.col("n_chars").cast("bigint").alias("x"),
+    )
+    grp = d.groupBy("fp").agg(F.count(F.lit(1)).alias("fpn"))
+    flagged = d.join(F.broadcast(grp), "fp").select(
+        "x", (F.col("fpn") > 1).alias("dup")
+    )
+    m = flagged.agg(
+        F.sum(F.col("dup").cast("bigint")).cast("bigint").alias("n1"),
+        F.sum((~F.col("dup")).cast("bigint")).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("dup"), F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(~F.col("dup"), F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(_dec19("x") * _dec19("x")).cast("decimal(38,0)").alias("ss"),
+    )
+    n = (F.col("n1") + F.col("n0")).cast("double")
+    num = (
+        F.col("s1").cast("double") * F.col("n0").cast("double")
+        - F.col("s0").cast("double") * F.col("n1").cast("double")
+    )
+    ssum = (F.col("s1") + F.col("s0")).cast("double")
+    den = F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n0").cast("double")
+        * (n * _limb("ss") - ssum * ssum)
+    )
+    return m.select(
+        "n1",
+        "n0",
+        F.when((F.col("n1") > 0) & (F.col("n0") > 0), num / den).alias(
+            "r_pb"
+        ),
+    )
+
+
+ORACLE_R8["q_point_biserial"] = f"""
+    WITH d AS (
+        SELECT md5(substr(text, 1, 40)) AS fp,
+               CAST(n_chars AS BIGINT) AS x
+        FROM documents
+    ), grp AS (
+        SELECT fp, count(*) AS fpn FROM d GROUP BY fp
+    ), flagged AS (
+        SELECT d.x, grp.fpn > 1 AS dup FROM d JOIN grp USING (fp)
+    ), m AS (
+        SELECT CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN dup THEN x ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN dup THEN 0 ELSE x END) AS BIGINT) AS s0,
+               sum(CAST(x AS HUGEINT) * x) AS ss
+        FROM flagged
+    )
+    SELECT n1, n0,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+             (CAST(s1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                    * ((CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))
+                       * ({_limb_sql('ss')})
+                       - (CAST(s1 AS DOUBLE) + CAST(s0 AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) + CAST(s0 AS DOUBLE))))
+           END AS r_pb
+    FROM m
+"""
+
+
+@_q("q_phi_coefficient")
+def q_phi_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.4+ φ coefficient of the URGENT × returned 2×2 table —
+    Pearson's r specialized to two binaries, the BOUNDED companion of
+    q_yule_q (Q saturates at ±1 whenever one cell empties; φ stays
+    calibrated against the margins) and the exact-count twin of
+    q_odds_ratio's smoothed log form.  φ = (ad − bc)/√(r₁r₂c₁c₂):
+    numerator an exact ladder integer emitted via limbs; the
+    denominator multiplies four exact-int limb doubles in one FIXED
+    left-associated IEEE sequence before the sqrt, identical in both
+    engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_returnflag") == "R").alias("ret")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").startswith("1").alias("urgent"),
+    )
+    cells = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("urgent", "ret")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    m = cells.agg(
+        F.sum(F.when(F.col("urgent") & F.col("ret"), F.col("n")).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("urgent") & ~F.col("ret"), F.col("n")).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when(~F.col("urgent") & F.col("ret"), F.col("n")).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when(~F.col("urgent") & ~F.col("ret"), F.col("n")).otherwise(0))
+        .cast("bigint").alias("d"),
+    )
+    ad_bc = (_dec19("a") * _dec19("d") - _dec19("b") * _dec19("c")).cast(
+        "decimal(38,0)"
+    )
+    m = m.withColumn("num", ad_bc)
+    r1 = (F.col("a") + F.col("b")).cast("double")
+    r2 = (F.col("c") + F.col("d")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")
+    c2 = (F.col("b") + F.col("d")).cast("double")
+    return m.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (_limb("num") / F.sqrt(((r1 * r2) * c1) * c2)).alias("phi"),
+    )
+
+
+ORACLE_R8["q_phi_coefficient"] = f"""
+    WITH j AS (
+        SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS u,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), m AS (
+        SELECT CAST(sum(CASE WHEN u = 1 AND r = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a,
+               CAST(sum(CASE WHEN u = 1 AND r = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b,
+               CAST(sum(CASE WHEN u = 0 AND r = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+               CAST(sum(CASE WHEN u = 0 AND r = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d
+        FROM j
+    ), w AS (
+        SELECT a, b, c, d,
+               CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS num
+        FROM m
+    )
+    SELECT a, b, c, d,
+           ({_limb_sql('num')})
+           / sqrt((((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+                    * CAST(a + c AS DOUBLE)) * CAST(b + d AS DOUBLE)))
+             AS phi
+    FROM w
+"""
+
+
+@_q("q_raking")
+def q_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A.9+ raking / iterative proportional fitting of the priority ×
+    order-status table to UNIFORM target margins — the survey-
+    calibration weighting a dataset mixer runs when the corpus's
+    source × quality mix must match a target design (importance
+    reweighting with margin constraints; Deming–Stephan 1940).  Two
+    full IPF rounds (row-scale then column-scale, each w ←
+    ⌊w·N_w / (k·margin)⌋) over the ≤15-cell table in EXACT arbitrary-
+    precision integers: the cells are a bounded model (the Shapley
+    precedent), so the fold runs driver-side on Python bigints and the
+    oracle replays the identical floor-divisions in HUGEINT CTEs —
+    bit-equal at any SF because neither side ever rounds.  Emitted:
+    cell weights in micro-units after round 2 plus the achieved row
+    share, showing convergence toward 1/5.
+    Scale: the ONE fact-sized stage is the cell-count aggregate.
+    """
+    from loan_etl_data_pipeline_spark.functions.localframe import values_frame
+
+    cells = {
+        (int(r["p"]), str(r["s"])): int(r["n"])
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("p"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    w = {k: n * 1_000_000 for k, n in cells.items()}
+    nw = sum(w.values())
+    ps = sorted({k[0] for k in w})
+    ss = sorted({k[1] for k in w})
+    for _ in range(2):
+        for p in ps:  # row step: target share 1/len(ps) each
+            rp = sum(w[(p, s)] for s in ss if (p, s) in w)
+            if rp:
+                for s in ss:
+                    if (p, s) in w:
+                        w[(p, s)] = (w[(p, s)] * nw) // (len(ps) * rp)
+        for s in ss:  # column step
+            cs = sum(w[(p, s)] for p in ps if (p, s) in w)
+            if cs:
+                for p in ps:
+                    if (p, s) in w:
+                        w[(p, s)] = (w[(p, s)] * nw) // (len(ss) * cs)
+    rows = []
+    for p in ps:
+        rp = sum(w[(p, s)] for s in ss if (p, s) in w)
+        for s in ss:
+            if (p, s) in w:
+                rows.append((p, s, w[(p, s)], rp / nw))
+    return values_frame(
+        spark, rows, "p int, s string, w bigint, row_share double"
+    ).orderBy("p", "s")
+
+
+def _raking_oracle() -> str:
+    """Unrolled IPF CTEs: one row-scale + one column-scale CTE per
+    round, HUGEINT floor divisions — textually the same fold the
+    driver-side Python bigints run."""
+    steps = []
+    prev = "w0"
+    i = 0
+    for _ in range(2):
+        steps.append(f""",
+    r{i} AS (
+        SELECT p, s,
+               CAST(w * nw.nw // (k.np * sum(w) OVER (PARTITION BY p))
+                    AS HUGEINT) AS w
+        FROM {prev}, nw, k
+    )""")
+        prev = f"r{i}"
+        i += 1
+        steps.append(f""",
+    r{i} AS (
+        SELECT p, s,
+               CAST(w * nw.nw // (k.ns * sum(w) OVER (PARTITION BY s))
+                    AS HUGEINT) AS w
+        FROM {prev}, nw, k
+    )""")
+        prev = f"r{i}"
+        i += 1
+    return f"""
+    WITH cells AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS p,
+               o_orderstatus AS s, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY p, s
+    ), w0 AS (
+        SELECT p, s, CAST(n AS HUGEINT) * 1000000 AS w FROM cells
+    ), nw AS (
+        SELECT sum(w) AS nw FROM w0
+    ), k AS (
+        SELECT CAST(count(DISTINCT p) AS HUGEINT) AS np,
+               CAST(count(DISTINCT s) AS HUGEINT) AS ns
+        FROM cells
+    ){''.join(steps)}
+    SELECT p, s, CAST(w AS BIGINT) AS w,
+           CAST(sum(w) OVER (PARTITION BY p) AS DOUBLE)
+             / ({_limb_sql('nw.nw')}) AS row_share
+    FROM {prev}, nw
+    ORDER BY p, s
+"""
+
+
+ORACLE_R8["q_raking"] = _raking_oracle()

@@ -343,3 +343,73 @@ def test_orc_roundtrip_hand_aggregate(spark, tmp_path):
     r = out[0]
     assert (r["o_orderstatus"], r["n_orders"], r["revenue"]) == (
         "O", 2, 30.03)
+
+
+def test_point_biserial_hand_value(spark, tmp_path):
+    """Two flagged docs (len 100, 200) vs two unique (10, 30):
+    r_pb = 520/√353600."""
+    import math
+
+    head = "z" * 40
+    rows = [
+        (1, head + " a", "en", "s0", 100),
+        (2, head + " b", "en", "s1", 200),
+        (3, "u" * 45, "en", "s0", 10),
+        (4, "v" * 45, "en", "s1", 30),
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, "
+           "n_chars bigint")
+    r = QUERIES["q_point_biserial"](spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n0"]) == (2, 2)
+    assert r["r_pb"] == 520.0 / math.sqrt(353600.0)
+
+
+def test_phi_coefficient_hand_value(spark, tmp_path):
+    """Diagonal-heavy 2×2 (a,b,c,d = 2,1,1,2): φ = 3/9."""
+    d = datetime.datetime(2024, 1, 2)
+    _write(spark, tmp_path, "orders",
+           [(1, "1-URGENT", d), (2, "2-HIGH", d)],
+           "o_orderkey bigint, o_orderpriority string, "
+           "o_orderdate timestamp")
+    li = [(1, "R"), (1, "R"), (1, "N"), (2, "R"), (2, "N"), (2, "N")]
+    _write(spark, tmp_path, "lineitem",
+           [(ok, f, d) for ok, f in li],
+           "l_orderkey bigint, l_returnflag string, l_shipdate timestamp")
+    r = QUERIES["q_phi_coefficient"](spark, str(tmp_path)).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (2, 1, 1, 2)
+    assert r["phi"] == 3.0 / 9.0
+
+
+def test_raking_hand_fold(spark, tmp_path):
+    """2×2 cells [[4,2],[1,3]]: the emitted weights must equal an
+    independent plain-Python transcription of the integer IPF rule,
+    and both row shares must move toward 1/2."""
+    d = datetime.datetime(2024, 1, 2)
+    rows, ok = [], 0
+    for p, s, n in [(1, "O", 4), (1, "F", 2), (2, "O", 1), (2, "F", 3)]:
+        for _ in range(n):
+            ok += 1
+            rows.append((ok, f"{p}-X", s, d))
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_orderpriority string, "
+           "o_orderstatus string, o_orderdate timestamp")
+
+    w = {(1, "O"): 4, (1, "F"): 2, (2, "O"): 1, (2, "F"): 3}
+    w = {k: v * 1_000_000 for k, v in w.items()}
+    nw = sum(w.values())
+    for _ in range(2):
+        for p in (1, 2):
+            rp = w[(p, "O")] + w[(p, "F")]
+            for s in ("O", "F"):
+                w[(p, s)] = (w[(p, s)] * nw) // (2 * rp)
+        for s in ("O", "F"):
+            cs = w[(1, s)] + w[(2, s)]
+            for p in (1, 2):
+                w[(p, s)] = (w[(p, s)] * nw) // (2 * cs)
+    out = {(r["p"], r["s"]): r for r in
+           QUERIES["q_raking"](spark, str(tmp_path)).collect()}
+    assert {k: r["w"] for k, r in out.items()} == w
+    for p in (1, 2):
+        share = out[(p, "O")]["row_share"]
+        assert abs(share - 0.5) < 0.05
