@@ -6,19 +6,53 @@ non-starter at scale. This module is the classic distributed
 construction, factored out of curriculum_tiles (functions/splits.py) so
 every consumer of a global total order shares it:
 
-1. range-partition + sort on the order columns (the same shuffle any
-   global ranking pays, but parallel);
-2. per-partition row counts (one tiny job; numPartitions rows to the
-   driver) → cumulative offsets broadcast back as a literal map;
-3. global rank = partition offset + local row_number, whose window is
-   partitioned by the materialized partition id — no further exchange.
+1. range-partition on the order columns (the same shuffle any global
+   ranking pays, but parallel) + local sort;
+2. per-partition row counts, turned into additive offsets by an
+   explode-and-reaggregate over the (numPartitions-row) count table —
+   NEVER a data-sized single-partition window;
+3. global rank = partition offset + 1-based position within the
+   sorted partition.
+
+Optimization r8 — the construction is fully IN-PLAN (no driver
+action):
+
+- The per-partition position comes from ``monotonically_increasing_id``
+  evaluated above the local sort (partition index in the upper bits,
+  0-based row position within the partition in the lower 33), NOT from
+  a ``row_number() OVER (PARTITION BY spark_partition_id())`` window:
+  Spark cannot prove the range exchange clusters by partition id, so
+  the window form inserts a SECOND full-data hash Exchange — measured
+  in every pre-r8 consumer plan. The id form needs no distribution, so
+  one global rank costs exactly ONE data-sized shuffle.
+- The offsets are joined back via a broadcast of the tiny count table
+  instead of a driver ``collect`` + literal map.
+- The shuffled frame stays persisted (lazily — the caller's first
+  action fills the cache): offsets and positions MUST come from one
+  materialization of the range exchange, and exchange reuse cannot be
+  trusted to provide it — column pruning narrows the counts branch's
+  exchange child to the order columns, the canonical plans diverge,
+  reuse silently fails, and an independently re-executed range
+  exchange re-samples different boundaries (observed: intermittently
+  corrupted ranks in payload-carrying consumers). A cached partition
+  lost to eviction recomputes from the already-written shuffle files,
+  so boundaries never re-sample.
+- Per call this deletes (vs pre-r8): one driver round-trip job and one
+  full-data Exchange; the cache fill is now lazy instead of
+  collect-forced.
 
 The result is independent of the (sampled, run-varying) range
 boundaries PROVIDED the order columns form a TOTAL order — equal sort
 keys could land on either side of a boundary and would be ranked
 arbitrarily. Callers must include a unique tie-break column; that is
 the same determinism contract every top-k/mode query in this engine
-carries.
+carries. (The total order also makes the local sort — and therefore
+the per-partition id assignment — deterministic under task retry.)
+
+Callers that need the total row count (ntile arithmetic) pass
+``total_col`` and get it as a constant column instead of the removed
+driver-side ``_global_rank_n`` (which required an eager collect).
+``ntile_from_rank`` accepts that column (or a plain int) for ``n``.
 """
 
 from __future__ import annotations
@@ -26,63 +60,132 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
+_MID_BITS = 33  # monotonically_increasing_id: row position bits
+_MID_MASK = (1 << _MID_BITS) - 1
+
+
+def _exclusive_offsets(
+    counts: DataFrame,
+    nparts: int,
+    names: list[tuple[str, str, str | None]],
+) -> DataFrame:
+    """Exclusive prefix offsets (and optional totals) of per-partition
+    sums: for each (sum_col, off_name, tot_name) the output carries
+    ``off_name`` = sum of ``sum_col`` over strictly-smaller partition
+    ids and (when tot_name is set) ``tot_name`` = the grand total.
+
+    Shape: each of the ≤``nparts`` count rows is EXPLODED to every
+    target partition id and re-aggregated — a single pass over ONE
+    ``counts`` subtree (a self-join form would plan the counts branch
+    twice, re-reading the data-sized exchange below it twice), never
+    an ORDER BY window (whose Exchange SinglePartition would break the
+    repo-wide plan guarantee). The explode is partition-count² rows
+    with map-side partial aggregation — trivially bounded at any data
+    scale."""
+    exploded = counts.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(nparts - 1))
+        ).alias("__pid"),
+        F.col("__pid").alias("__pid_src"),
+        *[F.col(c) for c, _, _ in names],
+    )
+    aggs = []
+    for c, off_name, tot_name in names:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("__pid_src") < F.col("__pid"), F.col(c)
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias(off_name)
+        )
+        if tot_name is not None:
+            aggs.append(F.sum(c).alias(tot_name))
+    return exploded.groupBy("__pid").agg(*aggs)
+
+
+def _offsets_frame(
+    shuffled: DataFrame, nparts: int, with_total: bool
+) -> DataFrame:
+    """(__pid, __off[, __n]) for a shuffled frame: per-partition row
+    counts turned into exclusive offsets (plus the grand total when
+    requested), one row per partition."""
+    counts = (
+        shuffled.select(F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return _exclusive_offsets(
+        counts, nparts, [("__cnt", "__off", "__n" if with_total else None)]
+    )
+
 
 def global_rank(
     df: DataFrame,
     order_by: list[Column],
     *,
     rank_col: str = "rank",
+    total_col: str | None = None,
 ) -> DataFrame:
     """All input columns plus ``rank_col`` = 1-based dense global rank
     under ``order_by`` (sort-order Columns, e.g. ``F.desc("cnt")``;
     must be a total order — include a unique tie-break).
 
-    The ranged intermediate is persisted (the counts job and the
-    caller's action both read it; an unpersisted frame would run the
-    whole upstream twice and a nondeterministic upstream could shift
-    range boundaries between passes). It is attached to the result's
-    ``_persisted_intermediates`` for operators.dedup.
-    release_intermediates; bench/driver sessions fall back to
-    clearCache between queries.
-
-    Total rows ranked is attached as ``result._global_rank_n`` (the
-    driver already knows it from the offsets job — callers doing ntile
-    arithmetic need it without a second count job).
+    With ``total_col`` set, the output additionally carries the total
+    ranked row count as a constant bigint column (for ntile
+    arithmetic). Lazy: no driver action — see the module docstring for
+    the plan shape. The range-shuffled frame is persisted
+    (MEMORY_AND_DISK, lazily — the caller's first action fills it):
+    the counts branch and the rows branch MUST read one materialization
+    of the range exchange, and plain exchange reuse cannot guarantee
+    that — column pruning narrows the counts branch's exchange child to
+    the order columns, the canonical plans diverge, reuse silently
+    fails, and the re-executed exchange re-SAMPLES different range
+    boundaries, desynchronizing offsets from positions (observed as
+    intermittently corrupted ranks in multi-column consumers). The
+    cache pins both branches to one shuffle; a cached partition lost
+    to eviction recomputes from the already-written shuffle files, so
+    the boundaries can never re-sample. Attached as
+    ``_persisted_intermediates`` (release_intermediates /
+    clearCache to free).
     """
     from pyspark import StorageLevel
 
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = (
-        df.repartitionByRange(nparts, *order_by)
-        .sortWithinPartitions(*order_by)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    shuffled = df.repartitionByRange(nparts, *order_by).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    pid_counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    n = sum(pid_counts.values())
-    if n == 0:
-        ranged.unpersist()
-        out = df.withColumn(rank_col, F.lit(None).cast("bigint"))
-        out._global_rank_n = 0
-        return out
-    offsets, acc = {}, 0
-    for pid in sorted(pid_counts):
-        offsets[pid] = acc
-        acc += pid_counts[pid]
-    off_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
-        F.col("__pid"),
+    ranged = shuffled.sortWithinPartitions(*order_by).withColumn(
+        "__mid", F.monotonically_increasing_id()
     )
-    w = Window.partitionBy("__pid").orderBy(*order_by)
+    offsets = _offsets_frame(shuffled, nparts, total_col is not None)
     out = ranged.withColumn(
-        rank_col, (off_expr + F.row_number().over(w)).cast("bigint")
-    ).drop("__pid")
-    out._persisted_intermediates = [ranged]
-    out._global_rank_n = n
+        "__pid", F.shiftright("__mid", _MID_BITS)
+    ).join(F.broadcast(offsets), "__pid")
+    rank_expr = (
+        F.col("__off") + F.col("__mid").bitwiseAND(F.lit(_MID_MASK)) + 1
+    ).cast("bigint")
+    out = out.withColumn(rank_col, rank_expr)
+    keep = list(df.columns) + [rank_col]
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__n").cast("bigint"))
+        keep.append(total_col)
+    out = out.select(*keep)
+    out._persisted_intermediates = [shuffled]
     return out
+
+
+def _checked_int(df: DataFrame, c: str, what: str) -> Column:
+    """The column, with a ROW-LEVEL loud-failure guard against NULLs
+    (window SUM skips NULLs, which would silently corrupt an exact
+    prefix). Replaces the old driver-side pre-scan: same loud failure,
+    no extra job."""
+    msg = F.concat(
+        F.lit(f"{what}: value column {c!r} has NULLs: coalesce or filter "
+              "them before the cumsum")
+    )
+    return F.when(
+        F.assert_true(F.col(c).isNotNull(), msg).isNull(), F.col(c)
+    )
 
 
 def global_cumsum(
@@ -94,65 +197,24 @@ def global_cumsum(
 ) -> DataFrame:
     """All input columns plus ``cum_col`` = inclusive global prefix sum
     of ``value_col`` under ``order_by`` — the SUM generalization of
-    :func:`global_rank`, with the same construction: range-partition on
-    the order, per-partition local cumsum, per-partition TOTALS (one
-    small collect) turned into additive offsets. A naive
+    :func:`global_rank`, same construction: range-partition on the
+    order, per-partition local window cumsum, per-partition TOTALS
+    cumsum'd into additive offsets and broadcast-joined back (no
+    driver collect — opt r8). A naive
     ``Window.orderBy(...)`` with no partition key would funnel every
     row through ONE task; this stays fully parallel. ``value_col``
-    must be integral (exact prefix sums — float prefixes re-associate).
-    Same release contract as global_rank (``_persisted_intermediates``).
+    must be integral (exact prefix sums — float prefixes re-associate)
+    and NULL-free (checked row-level, raising exactly like the old
+    driver-side scan but without the extra job).
     """
-    from pyspark import StorageLevel
-
     vtype = dict(df.dtypes).get(value_col)
     if vtype not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
             f"value column {value_col!r} must be integral, got {vtype!r}"
         )
-    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = (
-        df.repartitionByRange(nparts, *order_by)
-        .sortWithinPartitions(*order_by)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return global_cumsum_multi(
+        df, order_by, [value_col], suffix="\x00", _names={value_col: cum_col}
     )
-    stats = ranged.groupBy("__pid").agg(
-        F.sum(value_col).cast("bigint").alias("s"),
-        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).alias("nulls"),
-    ).collect()
-    n_null = sum(r["nulls"] for r in stats)
-    if n_null:
-        # NULLs would silently vanish from the prefix (window SUM skips
-        # them), breaking the exact-layout contract — reject up front
-        ranged.unpersist()
-        raise ValueError(
-            f"value column {value_col!r} has {n_null} NULLs: coalesce or "
-            "filter them before the cumsum"
-        )
-    pid_sums = {r["__pid"]: r["s"] for r in stats}
-    if not pid_sums:
-        ranged.unpersist()
-        out = df.withColumn(cum_col, F.lit(None).cast("bigint"))
-        out._persisted_intermediates = []
-        return out
-    offsets, acc = {}, 0
-    for pid in sorted(pid_sums):
-        offsets[pid] = acc
-        acc += pid_sums[pid]
-    off_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
-        F.col("__pid"),
-    )
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = ranged.withColumn(
-        cum_col, (off_expr + F.sum(value_col).over(w)).cast("bigint")
-    ).drop("__pid")
-    out._persisted_intermediates = [ranged]
-    return out
 
 
 def global_cumsum_multi(
@@ -161,20 +223,23 @@ def global_cumsum_multi(
     value_cols: list[str],
     *,
     suffix: str = "_cum",
+    _names: dict[str, str] | None = None,
 ) -> DataFrame:
     """Inclusive global prefix sums of SEVERAL integral columns under
     one ``order_by`` — each ``c`` in ``value_cols`` gains ``c+suffix``.
 
     The k-column generalization of :func:`global_cumsum` paying ONE
-    range shuffle instead of k: consumers like the Jonckheere–Terpstra
-    trend statistic need per-group running totals over the same value
-    axis, and k separate cumsum calls would range-partition (and
-    persist) the frame k times. Same construction: range-partition +
-    local window sums, per-partition totals (ONE tiny collect for all k
-    columns) turned into additive offsets. Same contracts: columns must
-    be integral and NULL-free (exactness), ``order_by`` must be a total
-    order, intermediate persisted and attached as
-    ``_persisted_intermediates`` for release_intermediates.
+    range shuffle instead of k. Same contracts: columns must be
+    integral and NULL-free (row-level loud check), ``order_by`` must
+    be a total order. No driver action (opt r8): the per-partition
+    totals ride a broadcast join keyed on the partition id. The
+    shuffled frame is persisted for the same boundary-consistency
+    reason as :func:`global_rank` (column pruning defeats exchange
+    reuse between the totals and rows branches). The local prefix
+    window partitions on the materialized partition id — that window
+    needs a partition-id clustering Spark cannot infer from the range
+    exchange, so cumsum (unlike global_rank) keeps its second
+    Exchange; the rows move wholesale per partition.
     """
     from pyspark import StorageLevel
 
@@ -186,74 +251,97 @@ def global_cumsum_multi(
             raise ValueError(
                 f"value column {c!r} must be integral, got {dtypes.get(c)!r}"
             )
+    names = _names or {c: c + suffix for c in value_cols}
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = (
-        df.repartitionByRange(nparts, *order_by)
-        .sortWithinPartitions(*order_by)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    shuffled = df.repartitionByRange(nparts, *order_by).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    aggs = []
-    for c in value_cols:
-        aggs.append(F.sum(c).cast("bigint").alias(f"s_{c}"))
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_{c}")
+    ranged = shuffled.withColumn("__pid", F.spark_partition_id())
+    totals = (
+        shuffled.select(
+            F.spark_partition_id().alias("__pid"),
+            *[
+                _checked_int(df, c, "global_cumsum").alias(f"__v_{c}")
+                for c in value_cols
+            ],
         )
-    stats = ranged.groupBy("__pid").agg(*aggs).collect()
-    for c in value_cols:
-        n_null = sum(r[f"n_{c}"] for r in stats)
-        if n_null:
-            ranged.unpersist()
-            raise ValueError(
-                f"value column {c!r} has {n_null} NULLs: coalesce or "
-                "filter them before the cumsum"
-            )
-    if not stats:
-        ranged.unpersist()
-        out = df
-        for c in value_cols:
-            out = out.withColumn(c + suffix, F.lit(None).cast("bigint"))
-        out._persisted_intermediates = []
-        return out
+        .groupBy("__pid")
+        .agg(
+            *[
+                F.sum(f"__v_{c}").cast("bigint").alias(f"__s_{c}")
+                for c in value_cols
+            ]
+        )
+    )
+    offsets = _exclusive_offsets(
+        totals, nparts, [(f"__s_{c}", f"__off_{c}", None) for c in value_cols]
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = ranged
+    out = ranged.join(F.broadcast(offsets), "__pid")
     for c in value_cols:
-        pid_sums = {r["__pid"]: (r[f"s_{c}"] or 0) for r in stats}
-        offsets, acc = {}, 0
-        for pid in sorted(pid_sums):
-            offsets[pid] = acc
-            acc += pid_sums[pid]
-        off_expr = F.element_at(
-            F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
-            F.col("__pid"),
-        )
         out = out.withColumn(
-            c + suffix, (off_expr + F.sum(c).over(w)).cast("bigint")
+            names[c],
+            (
+                F.col(f"__off_{c}")
+                + F.sum(_checked_int(df, c, "global_cumsum")).over(w)
+            ).cast("bigint"),
         )
-    out = out.drop("__pid")
-    out._persisted_intermediates = [ranged]
+    out = out.select(*(list(df.columns) + [names[c] for c in value_cols]))
+    out._persisted_intermediates = [shuffled]
     return out
 
 
-def ntile_from_rank(rank: Column, n: int, n_tiles: int) -> Column:
+def _idiv_pos(a: Column, b: Column) -> Column:
+    """Exact integer division of NON-NEGATIVE int64 columns via
+    (a - a mod b) / b: the numerator is an exact multiple of b, so the
+    double division is exact for quotients < 2^53."""
+    return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
+def ntile_from_rank(
+    rank: Column, n: int | Column, n_tiles: int
+) -> Column:
     """Exact ``ntile(n_tiles)`` assignment from a 1-based global rank
     over ``n`` rows — pure arithmetic, no window: the first ``n %
     n_tiles`` tiles get ``n // n_tiles + 1`` rows, the rest ``n //
     n_tiles`` (ANSI ntile semantics, verified against both engines).
+
+    ``n`` may be a driver int or a Column (the ``total_col`` output of
+    :func:`global_rank` — opt r8 removed the driver-side count); both
+    paths produce identical assignments (pinned in tests/test_ranking).
     """
     if n_tiles <= 0:
         raise ValueError(f"n_tiles must be positive, got {n_tiles}")
-    base, rem = n // n_tiles, n % n_tiles
-    if base == 0:  # fewer rows than tiles: tile == rank
-        return rank.cast("bigint")
+    if isinstance(n, int):
+        base, rem = n // n_tiles, n % n_tiles
+        if base == 0:  # fewer rows than tiles: tile == rank
+            return rank.cast("bigint")
+        cut = rem * (base + 1)
+        return (
+            F.when(rank <= F.lit(cut), F.ceil(rank / F.lit(base + 1)))
+            .otherwise(F.lit(rem) + F.ceil((rank - F.lit(cut)) / F.lit(base)))
+            .cast("bigint")
+        )
+    t = F.lit(n_tiles).cast("bigint")
+    nn = n.cast("bigint")
+    base = _idiv_pos(nn, t)
+    rem = F.pmod(nn, t)
     cut = rem * (base + 1)
+    # ceil(r/(b+1)) = (r+b) div (b+1); ceil((r-cut)/b) = (r-cut+b-1) div b.
+    # base==0 guard first — the otherwise-branches divide by base.
     return (
-        F.when(rank <= F.lit(cut), F.ceil(rank / F.lit(base + 1)))
-        .otherwise(F.lit(rem) + F.ceil((rank - F.lit(cut)) / F.lit(base)))
+        F.when(base == F.lit(0).cast("bigint"), rank.cast("bigint"))
+        .otherwise(
+            F.when(rank <= cut, _idiv_pos(rank.cast("bigint") + base, base + 1))
+            .otherwise(
+                rem
+                + _idiv_pos(rank.cast("bigint") - cut + base - 1, base)
+            )
+        )
         .cast("bigint")
     )
 
@@ -288,7 +376,8 @@ def quantile_normalize(
     never a per-group window that funnels a giant group through one
     task; within-group ranks come from the (by, value, id) global rank
     minus broadcast per-group offsets, the q_quality_percentiles
-    decomposition) + ONE equality join on the pooled index.
+    decomposition) + ONE equality join on the pooled index. The pooled
+    total N rides global_rank's ``total_col`` (no driver count).
 
     Returns (id_col, by, value_col, out_col).
     """
@@ -300,6 +389,10 @@ def quantile_normalize(
         ),
         [F.asc("__by"), F.asc("__v"), F.asc("__id")],
         rank_col="__gr",
+        # the pooled total N equals the source total (same rows ranked
+        # twice), so it rides THIS side's total_col and the pooled join
+        # below stays a plain equi-join on the precomputed index
+        total_col="__nt",
     )
     grp = src_ranked.groupBy("__by").agg(
         F.min("__gr").alias("__off"), F.count(F.lit(1)).alias("__n")
@@ -309,19 +402,19 @@ def quantile_normalize(
         [F.asc("__pv"), F.asc("__pid2")],
         rank_col="__j",
     )
-    n_total = pooled._global_rank_n
     rows = (
         src_ranked.join(F.broadcast(grp), "__by")
         .withColumn("__r", F.col("__gr") - F.col("__off") + 1)
         .withColumn(
             "__j",
-            F.expr(
-                f"greatest(((2 * __r - 1) * {n_total}L + 2 * __n - 1)"
-                " div (2 * __n), 1L)"
+            F.greatest(
+                F.expr("((2 * __r - 1) * __nt + 2 * __n - 1) div (2 * __n)"),
+                F.lit(1).cast("bigint"),
             ),
         )
     )
-    out = rows.join(pooled.select("__j", "__pv"), "__j").select(
+    rows = rows.join(pooled.select("__j", "__pv"), "__j")
+    out = rows.select(
         F.col("__id").alias(id_col),
         F.col("__by").alias(by),
         F.col("__v").alias(value_col),

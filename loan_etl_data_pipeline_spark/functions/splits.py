@@ -498,16 +498,12 @@ def curriculum_tiles(
         df,
         [F.col(score_col).asc(), F.col(id_col).asc()],
         rank_col="__rank",
+        total_col="__nt_total",
     )
-    n = ranked._global_rank_n
-    if n == 0:
-        return df.withColumn(tile_col, F.lit(None).cast("bigint"))
     out = ranked.withColumn(
-        tile_col, ntile_from_rank(F.col("__rank"), n, n_tiles)
-    ).drop("__rank")
-    out._persisted_intermediates = getattr(
-        ranked, "_persisted_intermediates", []
-    )  # release_intermediates(result) when done
+        tile_col, ntile_from_rank(F.col("__rank"), F.col("__nt_total"), n_tiles)
+    ).drop("__rank", "__nt_total")
+    out._persisted_intermediates = []  # nothing persisted since opt r8
     return out
 
 
@@ -640,7 +636,7 @@ def unimax_allocation(
                 F.lag("__cap").over(w), F.lit(0).cast("bigint")
             ),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     total_cap = ranked.agg(F.sum("__cap")).collect()[0][0] or 0
     if total_cap <= budget:
         # budget covers everything: alloc = capacity for all

@@ -130,7 +130,7 @@ def _frequent_pair_sup(li: DataFrame, min_support: int) -> DataFrame:
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("bigint").alias("sup2"))
         .filter(F.col("sup2") >= min_support)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -267,7 +267,7 @@ def association_rules(
     """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
-    li = _distinct_items(baskets, basket_col, item_col).localCheckpoint()
+    li = _distinct_items(baskets, basket_col, item_col).localCheckpoint(eager=False)
     pair_sup = _frequent_pair_sup(li, min_support)
     tri = _triples_from_pairs(li, pair_sup, min_support)
     item_sup = li.groupBy(F.col("item")).agg(

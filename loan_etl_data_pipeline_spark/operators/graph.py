@@ -16,6 +16,21 @@ Convergence is detected by the sum of labels (labels only ever
 decrease, so the sum is a strictly decreasing integer until the fixed
 point) — one cheap action per iteration, no self-join diff.
 
+All per-round checkpoints are LAZY (``eager=False``, opt r8): an eager
+``localCheckpoint`` runs an extra count() job whose only purpose is to
+materialize — a full pass over the round's state per round.  Lazy
+marking gets the identical lineage cut (the returned frame is a
+LogicalRDD leaf either way) but lets the round's EXISTING action — the
+convergence probe, or the next round's AQE stage materialization, or
+the caller's one action for fixed-round loops — compute-and-persist
+the partitions instead (Spark checkpoints marked RDDs after the first
+job that touches them, computing any missing partitions).  Per round
+that deletes one job + one full state scan; on a 100 TB graph the
+deleted scan is the node-sized state table, per round.  The two
+``eager=True`` finals (pagerank / personalized_pagerank) stay eager on
+purpose: their loop-invariant caches are unpersisted immediately after,
+so the result must be materialized first.
+
 Rounds needed = graph diameter. Near-dup clusters are small and dense
 (diameter 2-3 on real corpora), so this converges in a handful of
 rounds; for planet-scale general graphs you would switch to the
@@ -45,13 +60,13 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         e.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
@@ -69,7 +84,7 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
@@ -133,13 +148,13 @@ def connected_components_two_phase(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e0.select(F.col("a").alias("id"))
         .union(e0.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -173,7 +188,7 @@ def connected_components_two_phase(
     e = e0
     prev = _edge_checksum(e)
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         cur = _edge_checksum(e)
         if cur == prev:
             break
@@ -235,13 +250,13 @@ def boruvka_msf(
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("u").alias("id"))
         .union(e.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     comp = nodes.select("id", F.col("id").alias("c"))
     forest: DataFrame | None = None
@@ -252,7 +267,7 @@ def boruvka_msf(
             e.join(cu, "u")
             .join(cv, "v")
             .filter(F.col("cu") != F.col("cv"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if ce.isEmpty():
             break
@@ -268,7 +283,7 @@ def boruvka_msf(
         )
         forest = (
             chosen if forest is None else forest.unionByName(chosen)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         # two-phase CC: O(log² n) rounds independent of forest diameter
         # (the MSF of a path graph IS a path — min-label propagation
         # would need diameter rounds and trip its iteration cap)
@@ -333,7 +348,7 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         .distinct()
         # consumed twice (degree count + orientation join) and the
         # upstream edge derivation may be expensive — truncate lineage
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = degrees(und, "a", "b")
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
@@ -344,7 +359,7 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
-    ).localCheckpoint()  # consumed three times: both wedge sides + closing
+    ).localCheckpoint(eager=False)  # consumed three times: both wedge sides + closing
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(y, F.col("x.lo") == F.col("y.lo")).filter(
         F.struct(F.col("x.deg_hi"), F.col("x.hi"))
@@ -461,7 +476,7 @@ def pagerank(
             ).alias("pr"),
         )
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
-            pr = pr.localCheckpoint()
+            pr = pr.localCheckpoint(eager=False)
     # eager final checkpoint: pr is one small row per node post-agg, and
     # materializing it here lets the three loop-invariant caches be
     # released INSIDE the operator — callers (q_pagerank et al.) don't
@@ -517,7 +532,7 @@ def kcore(
             e.join(low, "u", "left_anti")
             .join(low.withColumnRenamed("u", "v"), "v", "left_anti")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return e.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
@@ -545,7 +560,7 @@ def kcore_converged(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev = e.count()
     for _ in range(max_rounds):
@@ -555,7 +570,7 @@ def kcore_converged(
             e.join(low, "u", "left_anti")
             .join(low.withColumnRenamed("u", "v"), "v", "left_anti")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = e.count()
         if cur == prev:
@@ -638,13 +653,13 @@ def bfs_hops(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     visited = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("bigint"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = visited.select("id")
     for h in range(1, max_hops + 1):
@@ -654,9 +669,9 @@ def bfs_hops(
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("hops", F.lit(h).cast("bigint"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        visited = visited.union(nxt).localCheckpoint()
+        visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("id")
     return visited
 
@@ -689,12 +704,12 @@ def label_propagation(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         e.select(F.col("u").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         neigh = (
@@ -710,7 +725,7 @@ def label_propagation(
             neigh.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("id", "label")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -741,11 +756,11 @@ def hits(
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     hub = (
         e.select(F.col("u").alias("id")).distinct()
         .withColumn("h", F.lit(1_000_000).cast("bigint"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     auth = None
     for _ in range(rounds):
@@ -760,7 +775,7 @@ def hits(
         auth = (
             raw_a.crossJoin(F.broadcast(da))
             .select("id", F.expr("ra div d").alias("a"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         raw_h = (
             e.join(auth, e["v"] == auth["id"])
@@ -773,7 +788,7 @@ def hits(
         hub = (
             raw_h.crossJoin(F.broadcast(dh))
             .select("id", F.expr("rh div d").alias("h"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return auth.join(hub, "id", "full").select(
         "id",
@@ -900,13 +915,13 @@ def neighborhood_function(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = e.select(F.col("u").alias("id")).distinct()
     visited = (
         nodes.select(F.col("id").alias("s"), F.col("id").alias("n"))
         .withColumn("hop", F.lit(0).cast("int"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = visited.select("s", "n")
     for h in range(1, max_hops + 1):
@@ -916,9 +931,9 @@ def neighborhood_function(
             .distinct()
             .join(visited.select("s", "n"), ["s", "n"], "left_anti")
             .withColumn("hop", F.lit(h).cast("int"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        visited = visited.union(nxt).localCheckpoint()
+        visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("s", "n")
     per_hop = visited.groupBy("hop").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("hop").rowsBetween(Window.unboundedPreceding, 0)
@@ -1025,7 +1040,7 @@ def hyperball_registers(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = e.select(F.col("u").alias("id")).distinct()
 
@@ -1044,7 +1059,7 @@ def hyperball_registers(
         .otherwise(F.lit(49) - F.length(F.conv(rank_hash, 10, 2)))
         .cast("int")
         .alias("val"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     snapshots = [state.withColumn("hop", F.lit(0).cast("int"))]
     for h in range(1, max_hops + 1):
@@ -1056,7 +1071,7 @@ def hyperball_registers(
             state.union(flowed)
             .groupBy("node", "pos")
             .agg(F.max("val").alias("val"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         snapshots.append(state.withColumn("hop", F.lit(h).cast("int")))
     allhops = snapshots[0]
@@ -1106,13 +1121,13 @@ def cheapest_paths(
             )
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dist = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .distinct()
         .withColumn("min_cost", F.lit(0).cast("bigint"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_hops):
         relaxed = (
@@ -1126,7 +1141,7 @@ def cheapest_paths(
             dist.union(relaxed)
             .groupBy("id")
             .agg(F.min("min_cost").alias("min_cost"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -1172,7 +1187,7 @@ def ktruss(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         tri = triangles(e, "a", "b")
@@ -1195,7 +1210,7 @@ def ktruss(
                 ),
             )
             .filter(F.col("support") >= k - 2)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return e.select(
         F.col("a").alias(src), F.col("b").alias(dst), "support"
@@ -1244,14 +1259,14 @@ def luby_mis(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     live = (
         e.select(F.col("a").alias("node"))
         .union(e.select("b"))
         .distinct()
         .withColumn("p", prio("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = None
     for r in range(1, rounds + 1):
@@ -1277,7 +1292,7 @@ def luby_mis(
             .distinct()
         )
         winners = (
-            live.select("node").join(losers, "node", "left_anti").localCheckpoint()
+            live.select("node").join(losers, "node", "left_anti").localCheckpoint(eager=False)
         )
         sel = winners.select("node", F.lit(r).cast("int").alias("round"))
         out = sel if out is None else out.union(sel)
@@ -1291,11 +1306,11 @@ def luby_mis(
             )
             .distinct()
         )
-        live = live.join(touched, "node", "left_anti").localCheckpoint()
+        live = live.join(touched, "node", "left_anti").localCheckpoint(eager=False)
         e = (
             e.join(live.select(F.col("node").alias("a")), "a", "left_semi")
             .join(live.select(F.col("node").alias("b")), "b", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return out
 
@@ -1346,7 +1361,7 @@ def greedy_matching(
                 f" cast(b as string) || '{salt}'), 1, 12), 16, 10) as bigint)"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = None
     for r in range(1, rounds + 1):
@@ -1376,7 +1391,7 @@ def greedy_matching(
             .select("a", "b")
             .distinct()
         )
-        winners = e.join(losers, ["a", "b"], "left_anti").localCheckpoint()
+        winners = e.join(losers, ["a", "b"], "left_anti").localCheckpoint(eager=False)
         sel = winners.select("a", "b", F.lit(r).cast("int").alias("round"))
         out = sel if out is None else out.union(sel)
         if r == rounds:
@@ -1389,7 +1404,7 @@ def greedy_matching(
         e = (
             e.join(touched.select(F.col("v").alias("a")), "a", "left_anti")
             .join(touched.select(F.col("v").alias("b")), "b", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return out
 
@@ -1431,13 +1446,13 @@ def betweenness_probe(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     lvl0 = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .distinct()
         .withColumn("sigma", F.lit(1).cast("bigint"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     levels = [lvl0]
     settled = lvl0.select("id")
@@ -1448,10 +1463,10 @@ def betweenness_probe(
             .groupBy(F.col("v").alias("id"))
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
             .join(settled, "id", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         levels.append(nxt)
-        settled = settled.union(nxt.select("id")).localCheckpoint()
+        settled = settled.union(nxt.select("id")).localCheckpoint(eager=False)
     # reverse dependency pass
     delta = levels[max_hops].select(
         "id", F.lit(0).cast("bigint").alias("delta")
@@ -1490,7 +1505,7 @@ def betweenness_probe(
                 "left",
             )
             .select("id", F.coalesce("d", F.lit(0)).cast("bigint").alias("delta"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         out.append(delta)
     full = out[0]

@@ -58,7 +58,7 @@ def kmeans_int(
             (F.col("pos") + 1).alias("j"),
             F.floor(F.col("x").cast("double") * SCALE).cast("bigint").alias("q"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     init_ids = [
         r["id"]
@@ -153,7 +153,7 @@ def farthest_first(
             (F.col("pos") + 1).alias("j"),
             F.floor(F.col("x").cast("double") * SCALE).cast("bigint").alias("q"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     spark = df.sparkSession
 
@@ -172,7 +172,7 @@ def farthest_first(
     chosen = [(1, first, 0)]
     dmin = (
         eq.groupBy("id").agg(dist_to(vec_of(first)).alias("dmin"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for pos in range(2, k + 1):
         top = (
@@ -185,7 +185,7 @@ def farthest_first(
         dmin = (
             dmin.join(newd, "id")
             .select("id", F.least("dmin", "d2").alias("dmin"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     from loan_etl_data_pipeline_spark.functions.localframe import values_frame
 

@@ -73,7 +73,7 @@ def power_iteration_topdir(
             (F.col("pos") + 1).alias("j"),
             F.floor(F.col("x").cast("double") * SCALE).cast("bigint").alias("q"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return dominant_direction_of_quantized(eq, dim=dim, iters=iters)
 

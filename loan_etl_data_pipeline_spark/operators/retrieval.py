@@ -862,7 +862,7 @@ def maxscore_skiprate(
     )
     qscored = j.select(
         "id", "tok", F.floor(idf * part * F.lit(1e9)).cast("bigint").alias("q")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     theta = (
         qscored.groupBy("id")
         .agg(F.sum("q").cast("bigint").alias("sq"))

@@ -759,7 +759,7 @@ def mmr_topk(
     cand = cosine_topk_bruteforce(
         queries_df, corpus_df, k=pool, id_col=id_col, vec_col=vec_col
     ).select("query_id", F.col("neighbor_id").alias("cand_id"),
-             F.col("cosine").alias("rel"), "rank").localCheckpoint()
+             F.col("cosine").alias("rel"), "rank").localCheckpoint(eager=False)
 
     emb = corpus_df.select(
         F.col(id_col).alias("eid"), F.col(vec_col).alias("evec")
@@ -787,7 +787,7 @@ def mmr_topk(
         a.join(b, "query_id")
         .filter(F.col("ca") != F.col("cb"))
         .select("query_id", "ca", "cb", sim.alias("sim"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     lam_lit, rest_lit = F.lit(float(lam)), F.lit(round(1.0 - lam, 15))
@@ -849,7 +849,7 @@ def mmr_topk(
                 F.col("score").alias("mmr_score"),
             )
         )
-        selected = selected.union(pick).localCheckpoint()
+        selected = selected.union(pick).localCheckpoint(eager=False)
     return selected
 
 

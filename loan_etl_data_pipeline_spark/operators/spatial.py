@@ -249,7 +249,7 @@ def dbscan(
         # the sparse route below and reproduce exactly that semantics —
         # their degree screen finds no neighbors, never pairs, never
         # borders.
-        p2 = p.join(occ, ["__dcx", "__dcy"], "left").localCheckpoint()
+        p2 = p.join(occ, ["__dcx", "__dcy"], "left").localCheckpoint(eager=False)
         dense = p2.filter(F.col("__occ") >= min_pts)  # provably all core
         sparse = p2.filter(
             (F.col("__occ") < min_pts) | F.col("__occ").isNull()
@@ -269,7 +269,7 @@ def dbscan(
             sparse.join(deg, "id", "left")
             .filter(F.coalesce(F.col("__n"), F.lit(0)) + 1 >= min_pts)
             .select("id", "x", "y", F.col("id").alias("__node"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cores = dense.select("id", "x", "y", "__node").union(sparse_core)
 
@@ -321,7 +321,7 @@ def dbscan(
                 "y",
                 F.coalesce(F.col("component"), F.col("__node")).alias("cluster"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
         # border: sparse non-core points with a core neighbor take the

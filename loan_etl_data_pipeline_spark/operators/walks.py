@@ -74,10 +74,10 @@ def random_walks(
     adj = sym.withColumn(
         "idx",
         F.row_number().over(Window.partitionBy("u").orderBy("v")) - F.lit(1),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     deg = adj.groupBy("u").agg(F.max("idx").alias("maxidx")).select(
         "u", (F.col("maxidx") + 1).cast("bigint").alias("outdeg")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     state = (
         seeds.select(F.col(seeds.columns[0]).cast("bigint").alias("walk_id"))
@@ -87,7 +87,7 @@ def random_walks(
             F.lit(0).cast("int").alias("step"),
             F.col("walk_id").alias("node"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = state
     for t in range(walk_len):
@@ -110,7 +110,7 @@ def random_walks(
                 F.lit(t + 1).cast("int").alias("step"),
                 F.col("v").alias("node"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         out = out.union(nxt)
         state = nxt
@@ -196,7 +196,7 @@ def node2vec_walks(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     state = (
         seeds.select(F.col(seeds.columns[0]).cast("bigint").alias("walk_id"))
@@ -206,7 +206,7 @@ def node2vec_walks(
             F.col("walk_id").alias("prev"),
             F.col("walk_id").alias("cur"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = state.select(
         "walk_id", F.lit(0).cast("int").alias("step"),
@@ -251,7 +251,7 @@ def node2vec_walks(
                 F.col("cur").alias("prev"),
                 F.col("cand").alias("cur"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         out = out.union(
             picked.select(

@@ -1893,14 +1893,14 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_chars"),
         [F.asc("n_chars"), F.asc("doc_id")],
         rank_col="r",
+        total_col="__n",
     )
-    n = ranked._global_rank_n
-    j50 = (n + 1) // 2
-    j90 = (9 * n + 9) // 10
-    med = ranked.filter(F.col("r") == j50).select(
+    # order-statistic ranks as in-plan arithmetic on the total column
+    # (opt r8: collect-free global_rank)
+    med = ranked.filter(F.col("r") == F.expr("(__n + 1) div 2")).select(
         F.col("n_chars").alias("median_chars")
     )
-    p90 = ranked.filter(F.col("r") == j90).select(
+    p90 = ranked.filter(F.col("r") == F.expr("(9 * __n + 9) div 10")).select(
         F.col("n_chars").alias("p90_chars")
     )
     out = (
@@ -1919,10 +1919,6 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_chars",
             "p90_chars",
         )
-    )
-    # forward global_rank's persisted frame for release_intermediates
-    out._persisted_intermediates = getattr(  # noqa: SLF001
-        ranked, "_persisted_intermediates", ()
     )
     return out
 
@@ -2073,7 +2069,7 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = li.groupBy("bucket").agg(
         F.sum("y").cast("bigint").alias("r"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     fit = isotonic_fit(bins, "bucket", "r", "n")
     return bins.join(fit, "bucket").select(
         "bucket",

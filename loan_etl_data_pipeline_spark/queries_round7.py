@@ -426,15 +426,13 @@ def _priority_price_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("__c"),
         F.col("o_orderkey").alias("__k"),
     )
-    ranked = global_rank(o, [F.asc("__c"), F.asc("__k")], rank_col="__rk")
-    out = ranked.select(
+    ranked = global_rank(
+        o, [F.asc("__c"), F.asc("__k")], rank_col="__rk", total_col="__n"
+    )
+    return ranked.select(
         "r1",
-        ntile_from_rank(F.col("__rk"), ranked._global_rank_n, 5).alias("r2"),
+        ntile_from_rank(F.col("__rk"), F.col("__n"), 5).alias("r2"),
     )
-    out._persisted_intermediates = list(
-        getattr(ranked, "_persisted_intermediates", ())
-    )
-    return out
 
 
 @_q("q_weighted_kappa")
@@ -465,7 +463,10 @@ def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wo")
     )
     exp = (
-        rows_m.crossJoin(cols_m)
+        # explicit broadcast: both sides are ≤5-row aggregates, but the
+        # cached rank upstream (opt r8) leaves the planner without a
+        # size estimate and it would fall back to CartesianProductExec
+        rows_m.crossJoin(F.broadcast(cols_m))
         .agg(
             F.sum(
                 _dec19((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
@@ -1106,7 +1107,7 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loan_etl_data_pipeline_spark.operators.graph import degrees
     from loan_etl_data_pipeline_spark.queries import _copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = degrees(edges, "pa", "pb").select(
         "node", F.col("degree").cast("bigint").alias("d")
     )
@@ -1205,7 +1206,7 @@ def q_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loan_etl_data_pipeline_spark.operators.graph import degrees
     from loan_etl_data_pipeline_spark.queries import _copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = degrees(edges, "pa", "pb").select(
         "node", F.col("degree").cast("bigint").alias("d")
     )
@@ -1372,7 +1373,7 @@ def q_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loan_etl_data_pipeline_spark.operators.graph import degrees
     from loan_etl_data_pipeline_spark.queries import _copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = degrees(edges, "pa", "pb").select(
         "node", F.col("degree").cast("bigint").alias("w1")
     )
@@ -1602,13 +1603,14 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = global_rank(
-        per_cust, [F.asc("cents"), F.asc("o_custkey")], rank_col="__rk"
+        per_cust,
+        [F.asc("cents"), F.asc("o_custkey")],
+        rank_col="__rk",
+        total_col="__n",
     )
     dec = ranked.select(
         "cents",
-        ntile_from_rank(F.col("__rk"), ranked._global_rank_n, 10).alias(
-            "decile"
-        ),
+        ntile_from_rank(F.col("__rk"), F.col("__n"), 10).alias("decile"),
     )
     per_dec = dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),

@@ -93,7 +93,7 @@ def q_hyperball_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loan_etl_data_pipeline_spark.queries import _copurchase_edges
 
     regs = hyperball_registers(
-        _copurchase_edges(spark, sf_dir).localCheckpoint(),
+        _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False),
         "pa",
         "pb",
         max_hops=3,
@@ -563,7 +563,7 @@ def q_stuart_tau_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     m·(2C−2D)/(N²(m−1)) — exact ladder integers, one limb division;
     m comes from two distinct-counts over the ≤250-cell lattice.
     """
-    cells = _qty_cells(spark, sf_dir).localCheckpoint()
+    cells = _qty_cells(spark, sf_dir).localCheckpoint(eager=False)
     cd = _concordance(cells)
     m = cells.agg(
         F.least(
@@ -634,7 +634,7 @@ def q_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from loan_etl_data_pipeline_spark.queries import _daily_cents
 
-    d = _daily_cents(spark, sf_dir).localCheckpoint()
+    d = _daily_cents(spark, sf_dir).localCheckpoint(eager=False)
     r = d.select(
         "cents",
         F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"),
@@ -782,7 +782,7 @@ def q_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from loan_etl_data_pipeline_spark.queries import _copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     tri = triangles(edges, "pa", "pb")
     per_node = (
         tri.select(F.col("x").alias("node"))
@@ -873,7 +873,7 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("c"),
         F.date_format("l_shipdate", "yyyy-MM").alias("mon"),
         F.expr("cast(floor(l_quantity) as bigint)").alias("q"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     per_part = li.groupBy("l_partkey").agg(F.sum("c").alias("cents"))
     cum = global_cumsum(
         per_part, [F.desc("cents"), F.asc("l_partkey")], "cents", cum_col="cw"
@@ -908,15 +908,12 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("Z"))
         .alias("xyz"),
     )
-    out = (
+    return (
         abc.join(xyz, "l_partkey")
         .groupBy("abc", "xyz")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("abc", "xyz")
-        .localCheckpoint(eager=True)
-    )
-    release_intermediates(cum)
-    return out
+    )  # opt r8: cumsum persists nothing — no release/checkpoint needed
 
 
 ORACLE_R8["q_abc_xyz_matrix"] = """
@@ -1099,7 +1096,7 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     the _dec19 ladder; the emission is limb doubles + one IEEE sqrt.
     Same ≤250-cell lattice shape — never an O(rows²) pair join.
     """
-    cells = _qty_cells(spark, sf_dir).localCheckpoint()
+    cells = _qty_cells(spark, sf_dir).localCheckpoint(eager=False)
     cd = _concordance(cells)
     tb = cells.agg(
         F.sum(
@@ -1280,7 +1277,7 @@ def q_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", F.col("event_type").alias("t"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nn = ev.select("user_id").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("nn")
@@ -1355,7 +1352,7 @@ def q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loan_etl_data_pipeline_spark.operators.graph import degrees
     from loan_etl_data_pipeline_spark.queries import _copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     adj = edges.select(F.col("pa").alias("u"), F.col("pb").alias("x")).unionAll(
         edges.select(F.col("pb").alias("u"), F.col("pa").alias("x"))
     )
@@ -1503,7 +1500,7 @@ def q_gini_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = li.groupBy("l_returnflag", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a = hist.select(
         "l_returnflag", F.col("v").alias("u"), F.col("c").alias("cu")
     )

@@ -147,6 +147,29 @@ def create_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Make AQE coalescing honor the advisory partition SIZE instead
+        # of stopping at defaultParallelism (opt r8, guide §2.2: size
+        # shuffle partitions to ~100 MB-1 GB, not to the core count).
+        # parallelismFirst=true (the default) exists only to avoid
+        # small-query regressions; measured here it LEFT 646-task
+        # stages on byte-tiny shuffles (q_pagerank) — with size-first
+        # coalescing the same suite subset ran 2390 → 207 tasks and
+        # 55.0 s → 40.8 s back-to-back. At 100 TB the advisory is the
+        # scale-adaptive knob (64 MB here; raise per cluster).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # Let AQE re-optimize reads of CACHED plans too (off upstream
+        # only for historical output-partitioning compatibility):
+        # persisted loop invariants (pagerank/PPR/textrank) otherwise
+        # pin every downstream stage to the cache's full partition
+        # count forever — measured 646 → 37 tasks on q_pagerank.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # Arrow for any toPandas()/pandas_udf boundary we do cross.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Let Python DataSources (sources/pydatasource.py) receive

@@ -72,6 +72,16 @@ def tune_session(spark: SparkSession) -> None:
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # size-first AQE coalescing + AQE over cached plans (opt r8) — the
+    # measured session.py pair (2390 → 207 tasks on a 12-query subset);
+    # both are dynamic SQL confs, safe to set on a foreign session
+    conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # NOT copied from create_session: hugeMethodLimit/ICU. Those are
     # measured wins on the sf0.1 codegen-heavy bench (which runs through

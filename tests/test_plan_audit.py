@@ -695,14 +695,17 @@ def test_ra_link_prediction_ends_in_take_ordered(plans):
 
 def test_ordinal_cuts_use_distributed_rank(plans):
     """The round-7 quintile/decile queries must ride global_rank +
-    ntile_from_rank (row_number partitioned by the materialized range
-    partition id), never a bare global ntile window whose Exchange
-    SinglePartition funnels the SF-proportional frame through one
-    task (ADVICE r8 medium finding)."""
+    ntile_from_rank, never a bare global ntile window whose Exchange
+    SinglePartition funnels the SF-proportional frame through one task
+    (ADVICE r8 medium finding). Opt r8 replaced the rank's
+    row_number-over-partition-id window (which itself forced a second
+    full hash Exchange) with monotonically_increasing_id positions —
+    so the pin is now: no ntile, no window at all on the rank path,
+    no SinglePartition, and the id expression present."""
     for name in ("q_weighted_kappa", "q_bowker", "q_lorenz_deciles"):
         p = plans(name)
         assert "ntile(" not in p, name
-        assert "windowspecdefinition(__pid" in p, name
+        assert "monotonically_increasing_id" in p, name
 
 
 def test_dunn_adjacency_is_rank_join_not_global_lag(plans):
@@ -710,7 +713,7 @@ def test_dunn_adjacency_is_rank_join_not_global_lag(plans):
     # lag() OVER (ORDER BY ...) would single-partition all customers
     p = plans("q_dunn_index")
     assert "lag(" not in p
-    assert "windowspecdefinition(__pid" in p
+    assert "monotonically_increasing_id" in p
 
 
 def test_footrule_rank_window_rides_top100_cut(plans):

@@ -29,10 +29,13 @@ def test_rank_matches_single_partition_window(spark, scored):
             F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
         ).collect()
     }
-    ranked = global_rank(scored, [F.desc("score"), F.asc("id")], rank_col="rk")
-    got = {r["id"]: r["rk"] for r in ranked.collect()}
+    ranked = global_rank(
+        scored, [F.desc("score"), F.asc("id")], rank_col="rk", total_col="nt"
+    )
+    rows = ranked.collect()
+    got = {r["id"]: r["rk"] for r in rows}
     assert got == want
-    assert ranked._global_rank_n == 97
+    assert {r["nt"] for r in rows} == {97}  # total rides a constant column
 
 
 def test_rank_partitioning_invariant(spark, scored):
@@ -52,14 +55,28 @@ def test_ntile_matches_builtin(spark, scored):
                 F.ntile(t).over(Window.orderBy(F.asc("score"), F.asc("id"))),
             ).collect()
         }
-        ranked = global_rank(scored, [F.asc("score"), F.asc("id")], rank_col="rk")
+        ranked = global_rank(
+            scored,
+            [F.asc("score"), F.asc("id")],
+            rank_col="rk",
+            total_col="n_total",
+        )
+        # column-n path (the opt-r8 default for consumers)
         got = {
             r["id"]: r["nt"]
             for r in ranked.withColumn(
-                "nt", ntile_from_rank(F.col("rk"), ranked._global_rank_n, t)
+                "nt", ntile_from_rank(F.col("rk"), F.col("n_total"), t)
             ).collect()
         }
-        assert got == want, f"t={t}"
+        assert got == want, f"t={t} (column n)"
+        # int-n path must agree with the column path
+        got_int = {
+            r["id"]: r["nt"]
+            for r in ranked.withColumn(
+                "nt", ntile_from_rank(F.col("rk"), 97, t)
+            ).collect()
+        }
+        assert got_int == want, f"t={t} (int n)"
 
 
 def test_ntile_validation_and_empty(spark):
@@ -67,7 +84,8 @@ def test_ntile_validation_and_empty(spark):
         ntile_from_rank(F.col("x"), 10, 0)
     empty = spark.createDataFrame([], "id long, score long")
     ranked = global_rank(empty, [F.asc("score"), F.asc("id")])
-    assert ranked._global_rank_n == 0 and ranked.count() == 0
+    assert ranked.count() == 0
+    assert ranked.columns == ["id", "score", "rank"]
 
 
 def test_no_single_partition_exchange_in_consumers(spark, sf_dir):
@@ -95,11 +113,10 @@ def test_equidepth_bucketing_is_balanced(spark):
     df = spark.range(103).select(
         (F.col("id") * 37 % 103).alias("v"), F.col("id").alias("k")
     )
-    ranked = global_rank(df, [F.asc("v"), F.asc("k")])
-    n = ranked._global_rank_n
+    ranked = global_rank(df, [F.asc("v"), F.asc("k")], total_col="nt")
     out = (
         ranked.withColumn(
-            "bucket", F.expr(f"cast(((rank - 1) * 8) div {n} as bigint)")
+            "bucket", F.expr("cast(((rank - 1) * 8) div nt as bigint)")
         )
         .groupBy("bucket")
         .agg(
@@ -107,9 +124,8 @@ def test_equidepth_bucketing_is_balanced(spark):
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
         )
-        .localCheckpoint(eager=True)
     )
-    release_intermediates(ranked)
+    release_intermediates(ranked)  # no-op since opt r8; must not break
     rows = sorted(out.collect(), key=lambda r: r["bucket"])
     assert [r["bucket"] for r in rows] == list(range(8))
     sizes = [r["cnt"] for r in rows]
@@ -176,3 +192,79 @@ def test_quantile_normalize_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_global_rank_plan_shape(spark, scored):
+    """Opt r8 guarantees, pinned at the plan level:
+
+    1. no driver action at build time (global_rank is fully lazy —
+       the pre-r8 form collected per-partition counts at build);
+    2. NO window anywhere (the pre-r8 row_number-over-partition-id
+       window forced a second full-data hash Exchange), and no
+       Exchange SinglePartition;
+    3. both branches (offsets and rows) read the ONE persisted
+       range-shuffled frame — InMemoryTableScan appears at least
+       twice; a fresh range exchange per branch would re-sample
+       boundaries and desynchronize offsets from positions.
+    """
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    ranked = global_rank(scored, [F.asc("score"), F.asc("id")], rank_col="rk")
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "global_rank must not run jobs at build"
+    ranked.collect()
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final, f"window form crept back:\n{final[:3000]}"
+    assert "SinglePartition" not in final, final[:3000]
+    # the only range exchange lives INSIDE the persisted frame's cache
+    # build plan — the rows branch must scan the cache, not re-shuffle
+    # (the broadcast/offsets branch is not printed inline by AQE, so
+    # its cache read is covered behaviorally by
+    # test_global_rank_consistent_under_pruned_multi_consumption)
+    assert "InMemoryTableScan" in final, final[:3000]
+    range_lines = [
+        ln for ln in final.splitlines() if "Exchange rangepartitioning" in ln
+    ]
+    assert len(range_lines) <= 1, (
+        f"rows branch re-shuffled instead of reading the cache:"
+        f"\n{final[:3000]}"
+    )
+    for f in getattr(ranked, "_persisted_intermediates", ()):
+        f.unpersist()
+
+
+def test_global_rank_consistent_under_pruned_multi_consumption(spark):
+    """Regression (opt r8): a rank output consumed through DIFFERENT
+    projections must yield one consistent ranking. Column pruning
+    narrows each consumer's copy of the plan differently; without the
+    shared persisted shuffle, exchange reuse fails on the diverged
+    canonical plans and each consumer's offsets come from an
+    independently re-sampled range exchange — observed as
+    intermittently corrupted ranks (q_ansari_bradley, q_bowker)."""
+    df = spark.range(0, 5000).selectExpr(
+        "id",
+        "cast((id * 7919) % 1000 as long) AS v",
+        "cast(id % 7 as long) AS payload",
+    )
+    ranked = global_rank(df, [F.asc("v"), F.asc("id")], rank_col="rk")
+    # consumer A: needs payload; consumer B: rank only (prunes payload)
+    a = ranked.groupBy("payload").agg(F.sum("rk").alias("s"))
+    b = ranked.agg(F.sum("rk").alias("t"))
+    joined = a.agg(F.sum("s").alias("sa")).crossJoin(b).collect()[0]
+    n = 5000
+    assert joined["sa"] == joined["t"] == n * (n + 1) // 2
+    for f in getattr(ranked, "_persisted_intermediates", ()):
+        f.unpersist()
+
+
+def test_global_cumsum_null_raises_at_action(spark):
+    """The NULL guard moved from a driver-side pre-scan (an extra job)
+    to a row-level assert (opt r8): same loud failure, now at action
+    time."""
+    from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
+
+    df = spark.createDataFrame([(1, None), (2, 5)], "k bigint, a bigint")
+    out = global_cumsum(df, [F.asc("k")], "a")
+    with pytest.raises(Exception, match="NULL"):
+        out.collect()

@@ -191,8 +191,10 @@ def test_global_cumsum_multi_rejects_nulls_and_floats(spark):
     )
 
     df = spark.createDataFrame([(1, None), (2, 5)], "k bigint, a bigint")
-    with pytest.raises(ValueError, match="NULL"):
-        global_cumsum_multi(df, [F.asc("k")], ["a"])
+    # opt r8: the NULL guard is a row-level assert (no driver pre-scan
+    # job), so the loud failure surfaces at action time
+    with pytest.raises(Exception, match="NULL"):
+        global_cumsum_multi(df, [F.asc("k")], ["a"]).collect()
     fdf = spark.createDataFrame([(1, 1.0)], "k bigint, a double")
     with pytest.raises(ValueError, match="integral"):
         global_cumsum_multi(fdf, [F.asc("k")], ["a"])
