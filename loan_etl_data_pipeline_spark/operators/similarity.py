@@ -70,16 +70,23 @@ def _floored_self_dot(m: np.ndarray) -> np.ndarray:
     return np.floor((m * m) * 1e12).astype(np.int64).sum(axis=1)
 
 
-def _floored_cross_dot(a: np.ndarray, b: np.ndarray, chunk: int = 256) -> np.ndarray:
+def _floored_cross_dot(a: np.ndarray, b: np.ndarray, chunk: int = 32) -> np.ndarray:
     """(na, nb) int64 matrix of sum_j floor((a_j*b_j)*1e12).
 
-    Chunked over rows of ``a`` to bound the (chunk, nb, d) temporary.
-    """
+    Chunked over rows of ``a`` to bound the (chunk, nb, d) temporary,
+    with the scale/floor applied IN PLACE on that one temporary (opt
+    r8): the old chunk=256 with three derived temporaries peaked at
+    ~1 GB of transient allocations per task for a 2 k-corpus batch —
+    measured as multi-second page-reclaim stalls on memory-pressured
+    hosts. Values are bit-identical (same per-element multiply, floor,
+    int64 cast, same j-sum order)."""
     out = np.empty((a.shape[0], b.shape[0]), dtype=np.int64)
     for s in range(0, a.shape[0], chunk):
         e = min(s + chunk, a.shape[0])
         prod = a[s:e, None, :] * b[None, :, :]
-        out[s:e] = np.floor(prod * 1e12).astype(np.int64).sum(axis=2)
+        np.multiply(prod, 1e12, out=prod)
+        np.floor(prod, out=prod)
+        out[s:e] = prod.astype(np.int64).sum(axis=2)
     return out
 
 

@@ -160,7 +160,19 @@ def create_session(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
             "false",
         )
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # advisory partition size is the scale knob: ~64 MB on a
+        # cluster (guide §2.2/§9 sizes partitions in the 100 MB-1 GB
+        # band; raise via extra_conf per deployment), 4 MB in local
+        # mode where a task costs milliseconds and CPU-dense,
+        # byte-light stages (pairwise-stat lattices, signature
+        # verifies) would otherwise coalesce onto one core — measured:
+        # 64m local serialized q_siegel_slope's calendar-bounded 6M-row
+        # window (3.4 s → 8.0 s) while 4m keeps KB-sized iterative
+        # shuffles at 1 task
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "4m" if master and master.startswith("local") else "64m",
+        )
         # Let AQE re-optimize reads of CACHED plans too (off upstream
         # only for historical output-partitioning compatibility):
         # persisted loop invariants (pagerank/PPR/textrank) otherwise

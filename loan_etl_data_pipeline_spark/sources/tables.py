@@ -78,7 +78,12 @@ def tune_session(spark: SparkSession) -> None:
     conf.set(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
     )
-    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "4m"
+        if spark.sparkContext.master.startswith("local")
+        else "64m",
+    )
     conf.set(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
     )
