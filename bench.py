@@ -174,6 +174,9 @@ def main() -> None:
         "calibration_sec": calibration,
         "calibration_suite_sec": calibration_suite,
         "sf": sf,
+        # VERDICT r8 ask #2: record the core count so a low-core scaling
+        # run can never be mistaken for the main record.
+        "cpus": int(cpus),
     }
     with open(os.path.join(REPO_DIR, "bench_detail.json"), "w") as f:
         json.dump(detail, f)

@@ -63,6 +63,15 @@ import pyspark.sql.functions as F
 _MID_BITS = 33  # monotonically_increasing_id: row position bits
 _MID_MASK = (1 << _MID_BITS) - 1
 
+# Above this partition count the offsets fan-out switches from the
+# direct nparts² explode to the two-level block form (opt r9): the
+# quadratic explode is 65k rows at 256 parts (trivial, and one fewer
+# tiny shuffle in every local/bench plan), but at a 10k-100k-core
+# cluster it would be 10⁸-10¹⁰ intermediate rows for a
+# numPartitions-row prefix sum. The block form caps it at
+# ~2·nparts^1.5 rows with full parallelism and no ORDER BY window.
+_QUADRATIC_OFFSETS_MAX_PARTS = 256
+
 
 def _exclusive_offsets(
     counts: DataFrame,
@@ -74,33 +83,97 @@ def _exclusive_offsets(
     ``off_name`` = sum of ``sum_col`` over strictly-smaller partition
     ids and (when tot_name is set) ``tot_name`` = the grand total.
 
-    Shape: each of the ≤``nparts`` count rows is EXPLODED to every
-    target partition id and re-aggregated — a single pass over ONE
-    ``counts`` subtree (a self-join form would plan the counts branch
-    twice, re-reading the data-sized exchange below it twice), never
-    an ORDER BY window (whose Exchange SinglePartition would break the
-    repo-wide plan guarantee). The explode is partition-count² rows
-    with map-side partial aggregation — trivially bounded at any data
-    scale."""
-    exploded = counts.select(
-        F.explode(
-            F.sequence(F.lit(0), F.lit(nparts - 1))
-        ).alias("__pid"),
+    Shape: a single pass over ONE ``counts`` subtree (a self-join form
+    would plan the counts branch twice, re-reading the data-sized
+    exchange below it twice), never an ORDER BY window (whose Exchange
+    SinglePartition would break the repo-wide plan guarantee).
+
+    - ``nparts`` ≤ 256: each count row is exploded to every target
+      partition id and re-aggregated — nparts² tiny rows with map-side
+      partial aggregation, one shuffle.
+    - larger ``nparts`` (opt r9): two-level √n block decomposition —
+      src < tgt  ⇔  block(src) < block(tgt), or same block and
+      src < tgt — so each count row explodes only to the ids of its
+      OWN block (within-block exclusive sums) and the per-block totals
+      explode over the ~√n blocks (block-level exclusive sums); the
+      two parts add via a broadcast join on the block id. Fan-out is
+      O(nparts·√nparts), not O(nparts²), which is what "bounded at any
+      data scale" actually requires at a 100k-core cluster.
+    """
+    # the exploded target id gets its own name; referencing the child's
+    # ``__pid`` under an identically-named generator output worked only
+    # through analyzer resolution order (ADVICE r8)
+    src = counts.select(
         F.col("__pid").alias("__pid_src"),
         *[F.col(c) for c, _, _ in names],
     )
-    aggs = []
+
+    def _fanout(frame, src_col, tgt_from, tgt_to, tgt_col):
+        return frame.select(
+            F.explode(F.sequence(tgt_from, tgt_to)).alias(tgt_col),
+            F.col(src_col),
+            *[F.col(c) for c, _, _ in names],
+        )
+
+    def _aggs(src_col, tgt_col, off_prefix, with_totals):
+        out = []
+        for c, off_name, tot_name in names:
+            out.append(
+                F.sum(
+                    F.when(
+                        F.col(src_col) < F.col(tgt_col), F.col(c)
+                    ).otherwise(F.lit(0).cast("bigint"))
+                ).alias(off_prefix + off_name)
+            )
+            if with_totals and tot_name is not None:
+                out.append(F.sum(c).alias(tot_name))
+        return out
+
+    if nparts <= _QUADRATIC_OFFSETS_MAX_PARTS:
+        exploded = _fanout(
+            src, "__pid_src", F.lit(0), F.lit(nparts - 1), "__pid"
+        )
+        return exploded.groupBy("__pid").agg(
+            *_aggs("__pid_src", "__pid", "", True)
+        )
+
+    blk = max(int(nparts**0.5), 1)
+    nblocks = (nparts + blk - 1) // blk
+    # within-block part: explode each count row to the ids of its own
+    # block only (≤ blk targets per row), clamped to nparts-1
+    within = _fanout(
+        src,
+        "__pid_src",
+        F.expr(f"(__pid_src div {blk}) * {blk}"),
+        F.least(
+            F.expr(f"(__pid_src div {blk}) * {blk} + {blk - 1}"),
+            F.lit(nparts - 1),
+        ),
+        "__pid",
+    ).groupBy("__pid").agg(*_aggs("__pid_src", "__pid", "__w_", False))
+    # block-level part: per-block sums fan out over the ~√n blocks;
+    # totals (sum over all source blocks, identical per target) ride
+    # this aggregation
+    bsums = src.groupBy(
+        F.expr(f"__pid_src div {blk}").alias("__blk_src")
+    ).agg(*[F.sum(c).alias(c) for c, _, _ in names])
+    boffs = _fanout(
+        bsums, "__blk_src", F.lit(0), F.lit(nblocks - 1), "__blk"
+    ).groupBy("__blk").agg(*_aggs("__blk_src", "__blk", "__b_", True))
+    joined = within.join(
+        F.broadcast(boffs),
+        F.expr(f"__pid div {blk}") == F.col("__blk"),
+    )
+    cols = [F.col("__pid")]
     for c, off_name, tot_name in names:
-        aggs.append(
-            F.sum(
-                F.when(
-                    F.col("__pid_src") < F.col("__pid"), F.col(c)
-                ).otherwise(F.lit(0).cast("bigint"))
-            ).alias(off_name)
+        cols.append(
+            (F.col(f"__w_{off_name}") + F.col(f"__b_{off_name}")).alias(
+                off_name
+            )
         )
         if tot_name is not None:
-            aggs.append(F.sum(c).alias(tot_name))
-    return exploded.groupBy("__pid").agg(*aggs)
+            cols.append(F.col(tot_name))
+    return joined.select(*cols)
 
 
 def _offsets_frame(

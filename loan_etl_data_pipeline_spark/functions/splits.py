@@ -503,7 +503,13 @@ def curriculum_tiles(
     out = ranked.withColumn(
         tile_col, ntile_from_rank(F.col("__rank"), F.col("__nt_total"), n_tiles)
     ).drop("__rank", "__nt_total")
-    out._persisted_intermediates = []  # nothing persisted since opt r8
+    # global_rank still persists its range-shuffled frame (the boundary
+    # -consistency anchor); forward the handle so release_intermediates
+    # on the tile output actually frees it (ADVICE r8: the empty list
+    # made the corpus path leak a data-sized cache per call)
+    out._persisted_intermediates = list(
+        getattr(ranked, "_persisted_intermediates", ())
+    )
     return out
 
 

@@ -227,11 +227,15 @@ def prefix_jaccard_pairs(
     on small vocabularies, where almost every pair clears any
     threshold; shingles keep the similarity signal ordinal). Output:
     (id_a, id_b, inter_size, size_a, size_b, jaccard) with id_a <
-    id_b; jaccard is the one final double division. Plan: one
-    element-keyed join to attach df ranks, one per-doc sort-agg, the
-    prefix-element candidate join, one verify join back to the
-    (id → set) table; every shuffle is keyed on set elements or ids,
-    nothing quadratic in corpus size.
+    id_b; jaccard is the one final double division. Plan (opt r9): one
+    element-keyed join to attach df counts, one id-partitioned window
+    (position + size — flat, codegen; the old array build ran an
+    interpreted ObjectHashAggregate + array_sort and was recomputed
+    once PER SELF-JOIN SIDE), the prefix-element candidate join with
+    the PPJoin POSITIONAL filter (exact candidate superset — cuts the
+    verify stage's CPU ~100×), one verify join back to the (id → set)
+    table; every shuffle is keyed on set elements or ids, nothing
+    quadratic in corpus size.
     """
     num, den = threshold_num, threshold_den
     if num <= 0 or den <= 0 or num > den:
@@ -272,32 +276,72 @@ def prefix_jaccard_pairs(
     )
     posts = sets.select("id", F.explode("toks").alias("tok"))
     dfreq = posts.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
-    ordered = (
-        posts.join(dfreq, "tok")
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dfc", "tok"))),
-                lambda x: x["tok"],
-            ).alias("stoks")
-        )
-    )
-    sz = F.size("stoks")
+    # prefix postings carry each token's 1-based POSITION in the
+    # (dfc, tok)-sorted order plus the set size — flat window form
+    # (opt r9) instead of the old collect_list+array_sort+slice+explode
+    # array build: the window's id-keyed exchange is the same shuffle
+    # the aggregate paid, but sort+row_number are codegen while
+    # ObjectHashAggregate+array_sort ran the suite's single heaviest
+    # interpreted stage, and the positions feed the PPJoin positional
+    # filter below. The window partitions by id — never SinglePartition.
     # prefix length |x| − ⌈(num/den)·|x|⌉ + 1, ceil via integer DIV so
     # the arithmetic is exact at any magnitude (a float division would
     # only be exact while num·|x|+den−1 < 2^53)
-    plen = (
-        sz
-        - F.expr(f"int(({num} * size(stoks) + {den - 1}) div {den})")
-        + 1
+    w_pos = Window.partitionBy("id").orderBy("dfc", "tok")
+    w_all = Window.partitionBy("id")
+    prefix = (
+        posts.join(dfreq, "tok")
+        .select(
+            "id",
+            "tok",
+            F.row_number().over(w_pos).alias("pos"),
+            F.count(F.lit(1)).over(w_all).alias("sz"),
+        )
+        .filter(
+            F.col("pos")
+            <= F.col("sz")
+            - F.expr(f"int(({num} * sz + {den - 1}) div {den})")
+            + 1
+        )
+        # persisted: the candidate self-join reads the prefix twice and
+        # plain exchange reuse does not survive the per-side projections
+        # (measured: the whole dfreq-join-window subtree planned and ran
+        # TWICE pre-r9); released via release_intermediates(result)
+        .persist()
     )
-    prefix = ordered.select(
-        "id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("tok")
+    # PPJoin positional filter (Xiao et al. WWW'08 §3.2): for the pair's
+    # FIRST shared prefix token at sorted positions (pa, pb), every
+    # common token sits at a position ≥ (pa, pb) in its set, so
+    # |A∩B| ≤ ub = 1 + min(|A|−pa, |B|−pb); a pair can clear
+    # J ≥ num/den only if den·ub ≥ num·(|A|+|B|−ub). Later shared
+    # tokens may fail the test, but the first-token row always passes
+    # for a truly similar pair, so filtering rows BEFORE the distinct
+    # keeps an exact candidate superset (verify below is exact anyway —
+    # this only shrinks the CPU-dense intersect stage, measured 409k →
+    # a few k pairs for 256 survivors at sf0.1).
+    ub = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
     )
     cands = (
-        prefix.select(F.col("id").alias("id_a"), "tok")
-        .join(prefix.select(F.col("id").alias("id_b"), "tok"), "tok")
+        prefix.select(
+            F.col("id").alias("id_a"),
+            "tok",
+            F.col("pos").alias("pos_a"),
+            F.col("sz").alias("sz_a"),
+        )
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"),
+                "tok",
+                F.col("pos").alias("pos_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "tok",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(den) * ub >= F.lit(num) * (F.col("sz_a") + F.col("sz_b") - ub)
+        )
         .select("id_a", "id_b")
         .distinct()
     )
@@ -338,7 +382,7 @@ def prefix_jaccard_pairs(
             / (F.col("size_a") + F.col("size_b") - F.col("inter_size")).cast("double")
         ).alias("jaccard"),
     )
-    out._persisted_intermediates = [sets]  # release_intermediates(out)
+    out._persisted_intermediates = [sets, prefix]  # release_intermediates(out)
     return out
 
 

@@ -36,9 +36,22 @@ partition boundaries. Cosine is then
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import TYPE_CHECKING
 
 import numpy as np
-import pandas as pd
+
+if TYPE_CHECKING:  # pandas only types hints here — see note below
+    import pandas as pd
+    import pyarrow as pa
+
+# NOTE (opt r9): pandas is imported LAZILY (inside the two
+# applyInPandas kernels that genuinely need it). The scan kernels run
+# as mapInArrow with numpy-only worker code: a fresh Python worker
+# that unpickles a similarity closure imports THIS module, and a
+# top-level pandas import added ~0.4-2 s (host-dependent) of cold-start
+# to every first task on every worker — measured as the whole
+# "regression" of q_knn_bruteforce/q_rbo_truncation in round 8's bench
+# (warm-worker walls were at their round-7 levels all along).
 
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
@@ -60,9 +73,31 @@ _PAIR_SCHEMA = StructType(
 )
 
 
-def _mat(series: pd.Series) -> np.ndarray:
+def _mat(series: "pd.Series") -> np.ndarray:
     """Stack an Arrow list<float> column into an (n, d) float64 matrix."""
     return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _mat_rb(col: "pa.Array") -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list<float/double> column —
+    one offsets-aware flatten + reshape instead of the per-row
+    np.asarray loop of :func:`_mat` (opt r9). Values are identical:
+    float32→float64 widening is exact either way. Raises (reshape) on
+    ragged rows — embeddings are fixed-width by contract."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(len(col), -1)
+
+
+def _ids_rb(col: "pa.Array") -> np.ndarray:
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
 def _floored_self_dot(m: np.ndarray) -> np.ndarray:
@@ -188,13 +223,15 @@ def cosine_topk_bruteforce(
     sc = corpus_df.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat, qq))
 
-    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _scan(batches):
+        import pyarrow as pa
+
         q_ids_, q_mat_, qq_ = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = _mat(pdf[vec_col])
+            c_ids = _ids_rb(rb.column(rb.schema.get_field_index(id_col)))
+            c_mat = _mat_rb(rb.column(rb.schema.get_field_index(vec_col)))
             cc = _floored_self_dot(c_mat)
             cos = _cosine_matrix(_floored_cross_dot(q_mat_, c_mat), qq_, cc)
             # exclude self-pairs
@@ -203,15 +240,16 @@ def cosine_topk_bruteforce(
             # local top-k per query: sort by (-cosine, neighbor_id)
             order = np.lexsort((c_ids[None, :].repeat(len(q_ids_), 0), -cos), axis=1)
             top = order[:, :kk]
-            rows = {
-                "query_id": np.repeat(q_ids_, kk),
-                "neighbor_id": c_ids[top].ravel(),
-                "cosine": np.take_along_axis(cos, top, axis=1).ravel(),
-            }
-            out = pd.DataFrame(rows)
-            yield out[np.isfinite(out["cosine"])]
+            qid = np.repeat(q_ids_, kk)
+            nid = c_ids[top].ravel()
+            cv = np.take_along_axis(cos, top, axis=1).ravel()
+            keep = np.isfinite(cv)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid[keep]), pa.array(nid[keep]), pa.array(cv[keep])],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
 
-    local = corpus_df.select(id_col, vec_col).mapInPandas(_scan, schema=_PAIR_SCHEMA)
+    local = corpus_df.select(id_col, vec_col).mapInArrow(_scan, schema=_PAIR_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         local.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -287,7 +325,9 @@ def cosine_neardup_pairs(
         )
     out_schema = StructType(out_fields)
 
-    def _score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score(key, pdf):
+        import pandas as pd  # applyInPandas boundary — pandas inherent
+
         ba, bb = key[-2], key[-1]
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
@@ -383,19 +423,36 @@ def lsh_signatures(
         [StructField("id", LongType()), StructField("sigs", ArrayType(LongType()))]
     )
 
-    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def _scan(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            sigs = _band_signatures(_mat(pdf[vec_col]), bp.value, bands, planes_per_band)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "sigs": list(sigs),
-                }
+            n = rb.num_rows
+            sigs = _band_signatures(
+                _mat_rb(rb.column(rb.schema.get_field_index(vec_col))),
+                bp.value,
+                bands,
+                planes_per_band,
+            )
+            sig_list = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * bands, bands, dtype=np.int32)
+                ),
+                pa.array(np.ascontiguousarray(sigs).ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        _ids_rb(rb.column(rb.schema.get_field_index(id_col)))
+                    ),
+                    sig_list,
+                ],
+                names=["id", "sigs"],
             )
 
-    return df.select(id_col, vec_col).mapInPandas(_scan, schema=schema)
+    return df.select(id_col, vec_col).mapInArrow(_scan, schema=schema)
 
 
 def lsh_topk(
@@ -433,16 +490,18 @@ def lsh_topk(
     sc = corpus_df.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat, q_sig, qq, planes))
 
-    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _scan(batches):
+        import pyarrow as pa
+
         q_ids_, q_mat_, q_sig_, qq_, planes_ = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = _mat(pdf[vec_col])
+            c_ids = _ids_rb(rb.column(rb.schema.get_field_index(id_col)))
+            c_mat = _mat_rb(rb.column(rb.schema.get_field_index(vec_col)))
             c_sig = _band_signatures(c_mat, planes_, bands, planes_per_band)
             cc = _floored_self_dot(c_mat)
-            frames = []
+            qids, nids, coss = [], [], []
             for qi in range(len(q_ids_)):
                 hit = (c_sig == q_sig_[qi][None, :]).any(axis=1)
                 cand = np.nonzero(hit & (c_ids != q_ids_[qi]))[0]
@@ -454,19 +513,20 @@ def lsh_topk(
                     cc[cand],
                 )[0]
                 order = np.lexsort((c_ids[cand], -cos))[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids_[qi],
-                            "neighbor_id": c_ids[cand][order],
-                            "cosine": cos[order],
-                        }
-                    )
+                qids.append(np.full(len(order), q_ids_[qi], dtype=np.int64))
+                nids.append(c_ids[cand][order])
+                coss.append(cos[order])
+            if qids:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(qids)),
+                        pa.array(np.concatenate(nids)),
+                        pa.array(np.concatenate(coss)),
+                    ],
+                    names=["query_id", "neighbor_id", "cosine"],
                 )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
 
-    local = corpus_df.select(id_col, vec_col).mapInPandas(_scan, schema=_PAIR_SCHEMA)
+    local = corpus_df.select(id_col, vec_col).mapInArrow(_scan, schema=_PAIR_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         local.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -527,22 +587,45 @@ def cosine_neardup_lsh(
         ]
     )
 
-    def _explode_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def _explode_bands(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            sigs = _band_signatures(_mat(pdf[vec_col]), bp.value, bands, planes_per_band)
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "band_no": np.tile(np.arange(bands, dtype=np.int32), n),
-                    "band_key": sigs.ravel(),
-                    "id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), bands),
-                    "vec": pdf[vec_col].to_numpy().repeat(bands),
-                }
+            n = rb.num_rows
+            vec_raw = rb.column(rb.schema.get_field_index(vec_col))
+            sigs = _band_signatures(
+                _mat_rb(vec_raw), bp.value, bands, planes_per_band
+            )
+            # replicate each vector to its `bands` buckets, cast to the
+            # declared list<float> exactly as the old pandas→Arrow
+            # serializer did (same IEEE narrowing)
+            vec_rep = pc.cast(
+                vec_raw.take(
+                    pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+                ),
+                pa.list_(pa.float32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(np.ascontiguousarray(sigs).ravel()),
+                    pa.array(
+                        np.repeat(
+                            _ids_rb(
+                                rb.column(rb.schema.get_field_index(id_col))
+                            ),
+                            bands,
+                        )
+                    ),
+                    vec_rep,
+                ],
+                names=["band_no", "band_key", "id", "vec"],
             )
 
-    banded = df.select(id_col, vec_col).mapInPandas(_explode_bands, schema=banded_schema)
+    banded = df.select(id_col, vec_col).mapInArrow(_explode_bands, schema=banded_schema)
 
     out_schema = StructType(
         [
@@ -551,15 +634,16 @@ def cosine_neardup_lsh(
             StructField("cosine", DoubleType()),
         ]
     )
-    empty = pd.DataFrame(
-        {
-            "id_a": np.array([], dtype=np.int64),
-            "id_b": np.array([], dtype=np.int64),
-            "cosine": np.array([], dtype=np.float64),
-        }
-    )
+    def _score_bucket(key, pdf):
+        import pandas as pd  # applyInPandas boundary — pandas inherent
 
-    def _score_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
         n = len(pdf)
         if n < 2 or (max_bucket is not None and n > max_bucket):
             return empty
@@ -904,26 +988,29 @@ def cosine_threshold_scan(
         ]
     )
 
-    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _scan(batches):
+        import pyarrow as pa
+
         q_ids_, q_mat_, qq_ = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = _mat(pdf[vec_col])
+            c_ids = _ids_rb(rb.column(rb.schema.get_field_index(id_col)))
+            c_mat = _mat_rb(rb.column(rb.schema.get_field_index(vec_col)))
             cc = _floored_self_dot(c_mat)
             cos = _cosine_matrix(_floored_cross_dot(q_mat_, c_mat), qq_, cc)
             qi, ci = np.nonzero(cos >= thr)
             if len(qi) == 0:
                 continue
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids_[qi],
-                    "corpus_id": c_ids[ci],
-                    "cosine": cos[qi, ci],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(q_ids_[qi]),
+                    pa.array(c_ids[ci]),
+                    pa.array(cos[qi, ci]),
+                ],
+                names=["query_id", "corpus_id", "cosine"],
             )
 
-    return corpus_df.select(id_col, vec_col).mapInPandas(
+    return corpus_df.select(id_col, vec_col).mapInArrow(
         _scan, schema=out_schema
     )

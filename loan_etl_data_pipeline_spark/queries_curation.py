@@ -1920,6 +1920,11 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_chars",
         )
     )
+    # global_rank persists its range-shuffled frame; forward the handle
+    # (ADVICE r8 — release_intermediates(out) must actually free it)
+    out._persisted_intermediates = list(
+        getattr(ranked, "_persisted_intermediates", ())
+    )
     return out
 
 

@@ -429,10 +429,16 @@ def _priority_price_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(
         o, [F.asc("__c"), F.asc("__k")], rank_col="__rk", total_col="__n"
     )
-    return ranked.select(
+    out = ranked.select(
         "r1",
         ntile_from_rank(F.col("__rk"), F.col("__n"), 5).alias("r2"),
     )
+    # the select drops global_rank's attribute; re-attach so the
+    # docstring's release contract is actually true (ADVICE r8)
+    out._persisted_intermediates = list(
+        getattr(ranked, "_persisted_intermediates", ())
+    )
+    return out
 
 
 @_q("q_weighted_kappa")

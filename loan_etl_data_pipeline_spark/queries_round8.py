@@ -864,9 +864,6 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-level aggregates.
     """
     from loan_etl_data_pipeline_spark.functions.ranking import global_cumsum
-    from loan_etl_data_pipeline_spark.operators.dedup import (
-        release_intermediates,
-    )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
@@ -908,12 +905,18 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("Z"))
         .alias("xyz"),
     )
-    return (
+    out = (
         abc.join(xyz, "l_partkey")
         .groupBy("abc", "xyz")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("abc", "xyz")
-    )  # opt r8: cumsum persists nothing — no release/checkpoint needed
+    )
+    # global_cumsum DOES persist its range-shuffled frame; forward the
+    # handle so release_intermediates(out) frees it (ADVICE r8)
+    out._persisted_intermediates = list(
+        getattr(cum, "_persisted_intermediates", ())
+    )
+    return out
 
 
 ORACLE_R8["q_abc_xyz_matrix"] = """

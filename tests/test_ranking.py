@@ -268,3 +268,57 @@ def test_global_cumsum_null_raises_at_action(spark):
     out = global_cumsum(df, [F.asc("k")], "a")
     with pytest.raises(Exception, match="NULL"):
         out.collect()
+
+
+def test_exclusive_offsets_two_level_matches_quadratic(spark):
+    """Opt r9: above _QUADRATIC_OFFSETS_MAX_PARTS the offsets fan-out
+    switches to the two-level block decomposition (O(nparts^1.5)
+    intermediate rows instead of nparts²). Both forms must produce
+    identical exclusive prefixes and totals — checked against a plain
+    Python prefix sum, on a sparse pid set (not every partition has
+    rows) and a partial last block."""
+    import random
+
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        _QUADRATIC_OFFSETS_MAX_PARTS,
+        _exclusive_offsets,
+    )
+
+    rng = random.Random(7)
+    for nparts in (97, _QUADRATIC_OFFSETS_MAX_PARTS + 1, 300, 1000):
+        pids = sorted(rng.sample(range(nparts), min(nparts, 61)))
+        rows = [(p, rng.randrange(0, 1000), rng.randrange(0, 50)) for p in pids]
+        counts = spark.createDataFrame(
+            rows, "__pid int, __c1 long, __c2 long"
+        )
+        got = {
+            r["__pid"]: (r["off1"], r["n1"], r["off2"])
+            for r in _exclusive_offsets(
+                counts,
+                nparts,
+                [("__c1", "off1", "n1"), ("__c2", "off2", None)],
+            ).collect()
+        }
+        tot1 = sum(v1 for _, v1, _ in rows)
+        for p, _, _ in rows:
+            want1 = sum(v1 for q, v1, _ in rows if q < p)
+            want2 = sum(v2 for q, _, v2 in rows if q < p)
+            assert got[p] == (want1, tot1, want2), (nparts, p)
+
+
+def test_exclusive_offsets_two_level_plan_clean(spark):
+    """The two-level path must keep the module's plan guarantees: no
+    Window, no Exchange SinglePartition anywhere."""
+    from loan_etl_data_pipeline_spark.functions.ranking import (
+        _exclusive_offsets,
+    )
+
+    counts = spark.createDataFrame(
+        [(i * 3, i + 1) for i in range(200)], "__pid int, __c long"
+    )
+    out = _exclusive_offsets(counts, 600, [("__c", "off", "n")])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final, final[:2000]
+    assert "SinglePartition" not in final, final[:2000]
